@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
+{...}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> None:
+    from pfithic_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark(app="pfithic-bench", cpus=CPUS)
+    queries = e.queries()
+
+    # warm the JVM / parquet footers once with the flagship query
+    queries["q_agg_group"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for key in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            df = queries[key](spark, SF_DIR)
+            n = df.count()
+            timings[key] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # a failing query must not hide the rest
+            timings[key] = -1.0
+            print(f"# bench FAIL {key}: {exc}", file=sys.stderr)
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,74 @@
+"""Deterministic in-query fixture derivations shared with the DuckDB
+oracle (FIXTURES.md §3).
+
+The driver's oracle sees only the ten fixture views, so Hi-C-shaped
+query keys derive a contacts/biases table *inside the query* with pure
+integer arithmetic that evaluates identically in Spark SQL and DuckDB.
+The SQL text constants here are embedded verbatim in both dialects so
+the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .io import load_table
+
+#: fixed-resolution grid (SURVEY.md §1.1): mid = k*RES + RES/2
+RES = 5000
+#: number of grid bins per chromosome in the derived fixture
+NBINS_GRID = 500
+#: equal-occupancy bin count for the binning queries (fithic -b default 100)
+NBINS_OCC = 100
+
+#: Canonicalized, duplicate-summed contacts derived from `events`.
+#: Valid in both Spark SQL and DuckDB verbatim. (chr1,mid1) <= (chr2,mid2)
+#: by construction of the WHERE clause; duplicates pre-summed [SC-6].
+CONTACTS_SQL = """
+SELECT chr1, mid1, chr2, mid2,
+       CAST(SUM(contact_count) AS BIGINT) AS contact_count
+FROM (
+    SELECT 'chr1' AS chr1,
+           CAST((event_id % 500) * 5000 + 2500 AS BIGINT) AS mid1,
+           'chr1' AS chr2,
+           CAST(((event_id * 7 + user_id) % 500) * 5000 + 2500 AS BIGINT) AS mid2,
+           CAST(1 + (event_id % 5) AS BIGINT) AS contact_count
+    FROM events
+    WHERE (event_id % 500) < ((event_id * 7 + user_id) % 500)
+) raw
+GROUP BY chr1, mid1, chr2, mid2
+""".strip()
+
+#: Per-locus bias factors on the same grid; ~90% coverage (k%10<>0 rows
+#: absent, exercising the left-join default) and values 0.3..2.7 so some
+#: fall outside the [0.5, 2] validity window (sentinel path, SC-2).
+BIASES_SQL = """
+SELECT CAST(k * 5000 + 2500 AS BIGINT) AS mid,
+       CAST(0.3 + (k % 9) * 0.3 AS DOUBLE) AS bias
+FROM (SELECT DISTINCT event_id % 500 AS k FROM events) ks
+WHERE k % 10 <> 0
+""".strip()
+
+
+def _with_events_view(spark: SparkSession, sf_dir: str) -> None:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+def fixture_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contacts DataFrame from the shared SQL (identical to the oracle CTE)."""
+    _with_events_view(spark, sf_dir)
+    return spark.sql(CONTACTS_SQL)
+
+
+def fixture_biases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _with_events_view(spark, sf_dir)
+    return spark.sql(BIASES_SQL)
+
+
+def contacts_cte(alias: str = "contacts") -> str:
+    """`WITH <alias> AS (...)` fragment for oracle SQL strings."""
+    return f"{alias} AS (\n{CONTACTS_SQL}\n)"
+
+
+def biases_cte(alias: str = "biases") -> str:
+    return f"{alias} AS (\n{BIASES_SQL}\n)"

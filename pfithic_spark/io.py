@@ -1,0 +1,119 @@
+"""Sources and sinks.
+
+Two input families:
+
+1. **Fixture parquet** (driver-generated TPC-H-ish tables) — the test
+   substrate.  :func:`load_table` / :func:`register_views`.
+
+2. **Hi-C domain TSV** — the reference's native input model
+   (SURVEY.md §1.1 [P `fithic.py::read_All_Interactions`]): positional
+   tab-separated tables, plain or gzip, *no header*, fixed schema by
+   position.  Explicit ``StructType``s; never ``inferSchema`` — at
+   100 TB an inference pass is a full extra scan.
+
+Writers mirror the reference's outputs (gz TSV significances +
+per-pass bin stats) plus parquet, the scale-sane default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .session import ensure_engine_confs
+
+#: Fixture tables the driver registers as DuckDB views (Appendix A).
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# --- Hi-C domain schemas (positional TSV, reference input model) -------
+
+#: fragments: chr, extraField, fragmentMid, marginalizedContactCount, mappable
+FRAGMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("chr", T.StringType(), False),
+        T.StructField("extra_field", T.LongType(), True),
+        T.StructField("frag_mid", T.LongType(), False),
+        T.StructField("marginal_count", T.LongType(), True),
+        T.StructField("mappable", T.DoubleType(), True),
+    ]
+)
+
+#: interactions: chr1, fragmentMid1, chr2, fragmentMid2, contactCount
+CONTACTS_SCHEMA = T.StructType(
+    [
+        T.StructField("chr1", T.StringType(), False),
+        T.StructField("mid1", T.LongType(), False),
+        T.StructField("chr2", T.StringType(), False),
+        T.StructField("mid2", T.LongType(), False),
+        T.StructField("contact_count", T.LongType(), False),
+    ]
+)
+
+#: biases: chr, midpoint, bias (ICE / Knight-Ruiz factors, ~1.0-centred)
+BIASES_SCHEMA = T.StructType(
+    [
+        T.StructField("chr", T.StringType(), False),
+        T.StructField("mid", T.LongType(), False),
+        T.StructField("bias", T.DoubleType(), True),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture parquet table.
+
+    ``events`` carries parquet TIMESTAMP(NANOS); Spark reads it as a
+    LongType epoch-nanos column under ``nanosAsLong`` (set here).
+    """
+    ensure_engine_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:
+    """Register fixture tables as temp views (mirrors the oracle's views)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- Hi-C TSV readers (reference-native input path) --------------------
+
+
+def read_contacts_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-style interactions file (TSV/gz, headerless)."""
+    return spark.read.csv(path, sep="\t", schema=CONTACTS_SCHEMA, header=False)
+
+
+def read_fragments_tsv(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.csv(path, sep="\t", schema=FRAGMENTS_SCHEMA, header=False)
+
+
+def read_biases_tsv(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.csv(path, sep="\t", schema=BIASES_SCHEMA, header=False)
+
+
+# --- sinks --------------------------------------------------------------
+
+
+def write_tsv_gz(df: DataFrame, path: str) -> None:
+    """Reference-style gz TSV output (significances / pass stats)."""
+    df.write.mode("overwrite").option("sep", "\t").option(
+        "compression", "gzip"
+    ).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

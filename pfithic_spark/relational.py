@@ -1,0 +1,208 @@
+"""Projection / filter / join / set-op builders (SURVEY.md §2.2, 2.3,
+2.6, 2.7).
+
+These are thin, composable wrappers over the DataFrame API: every
+function returns a lazy DataFrame so Catalyst sees the whole plan and
+can push filters into scans, prune columns, and pick join strategies.
+Scale notes are attached per function — the 100 TB behavior is the
+design target, local[32] is just the test rig.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --- Hi-C projections / filters ----------------------------------------
+
+
+def canonicalize_pairs(contacts: DataFrame) -> DataFrame:
+    """Order endpoints so (chr1,mid1) <= (chr2,mid2) and sum duplicates.
+
+    Reference canonicalizes pairs on load and sums duplicate rows
+    [P `fithic.py::read_All_Interactions`, SC-6].  Narrow per-row
+    expressions (least/greatest via a struct comparison) followed by a
+    single keyed aggregation — the one shuffle this op needs.
+    """
+    s1 = F.struct(F.col("chr1"), F.col("mid1"))
+    s2 = F.struct(F.col("chr2"), F.col("mid2"))
+    swap = s1 > s2
+    out = contacts.select(
+        F.when(swap, F.col("chr2")).otherwise(F.col("chr1")).alias("chr1"),
+        F.when(swap, F.col("mid2")).otherwise(F.col("mid1")).alias("mid1"),
+        F.when(swap, F.col("chr1")).otherwise(F.col("chr2")).alias("chr2"),
+        F.when(swap, F.col("mid1")).otherwise(F.col("mid2")).alias("mid2"),
+        F.col("contact_count"),
+    )
+    return out.groupBy("chr1", "mid1", "chr2", "mid2").agg(
+        F.sum("contact_count").alias("contact_count")
+    )
+
+
+def with_distance(contacts: DataFrame, col_name: str = "dist") -> DataFrame:
+    """Genomic distance |mid2-mid1| (canonical pairs: mid2>=mid1 intra)."""
+    return contacts.withColumn(
+        col_name, F.abs(F.col("mid2") - F.col("mid1")).cast("long")
+    )
+
+
+def snap_to_grid(pos: Column, res: int) -> Column:
+    """Snap a coordinate to its bin midpoint: (pos // res)*res + res//2.
+
+    Reference grid convention [P].  Implemented as floor of a double
+    division so the same expression text is valid for the SQL oracle.
+    """
+    return (
+        F.floor(pos / F.lit(res)).cast("long") * F.lit(res) + F.lit(res // 2)
+    ).cast("long")
+
+
+def filter_distance_range(
+    contacts: DataFrame, lo: int, hi: int, dist_col: str = "dist"
+) -> DataFrame:
+    """In-range predicate distLow <= d <= distUp
+    [P `fithic.py::in_range_check`]; plain Catalyst filter → pushdown."""
+    return contacts.filter(F.col(dist_col).between(lo, hi))
+
+
+def filter_contact_type(contacts: DataFrame, contact_type: str) -> DataFrame:
+    """intraOnly / interOnly / All [P `fithic.py::main` contactType]."""
+    if contact_type == "intraOnly":
+        return contacts.filter(F.col("chr1") == F.col("chr2"))
+    if contact_type == "interOnly":
+        return contacts.filter(F.col("chr1") != F.col("chr2"))
+    return contacts
+
+
+def remove_bad_fragments(contacts: DataFrame, bad_frags: DataFrame) -> DataFrame:
+    """Drop contacts touching a bad (low-mappability / zero-marginal)
+    fragment [P `fithic.py::generate_FragPairs` badFrags].
+
+    Two left-anti joins, one per endpoint.  The bad set is tiny relative
+    to contacts (it is a per-locus table), so both anti-joins broadcast —
+    no shuffle of the 100 TB fact side.
+    """
+    bad = F.broadcast(bad_frags.select("chr", "mid").distinct())
+    out = contacts.join(
+        bad,
+        (contacts["chr1"] == bad["chr"]) & (contacts["mid1"] == bad["mid"]),
+        "left_anti",
+    )
+    return out.join(
+        bad,
+        (out["chr2"] == bad["chr"]) & (out["mid2"] == bad["mid"]),
+        "left_anti",
+    )
+
+
+# --- joins ---------------------------------------------------------------
+
+
+def attach_fragment_attrs(
+    contacts: DataFrame, fragments: DataFrame, attrs: list[str]
+) -> DataFrame:
+    """Attach per-locus attributes to both endpoints (dim × fact).
+
+    The reference does dict lookups / pandas merges per endpoint
+    [P `fithic.py::generate_FragPairs` consumers]; here: two broadcast
+    hash joins (fragments is per-locus — millions of rows at most, far
+    under broadcast threshold even for hg38 at 1 kb resolution).
+    """
+    f1 = F.broadcast(
+        fragments.select(
+            F.col("chr").alias("chr1"),
+            F.col("frag_mid").alias("mid1"),
+            *[F.col(a).alias(f"{a}_1") for a in attrs],
+        )
+    )
+    f2 = F.broadcast(
+        fragments.select(
+            F.col("chr").alias("chr2"),
+            F.col("frag_mid").alias("mid2"),
+            *[F.col(a).alias(f"{a}_2") for a in attrs],
+        )
+    )
+    return contacts.join(f1, ["chr1", "mid1"], "inner").join(
+        f2, ["chr2", "mid2"], "inner"
+    )
+
+
+def attach_biases(
+    contacts: DataFrame, biases: DataFrame, default: float = 1.0
+) -> DataFrame:
+    """contacts ⋈ biases ×2 endpoints, left outer; missing bias → default
+    [P `fithic.py::read_biases` consumers].  Broadcast joins (bias table
+    is per-locus)."""
+    b1 = F.broadcast(
+        biases.select(F.col("mid").alias("mid1"), F.col("bias").alias("_b1"))
+    )
+    b2 = F.broadcast(
+        biases.select(F.col("mid").alias("mid2"), F.col("bias").alias("_b2"))
+    )
+    return (
+        contacts.join(b1, "mid1", "left")
+        .join(b2, "mid2", "left")
+        .withColumn("bias1", F.coalesce(F.col("_b1"), F.lit(default)))
+        .withColumn("bias2", F.coalesce(F.col("_b2"), F.lit(default)))
+        .drop("_b1", "_b2")
+    )
+
+
+def interval_join(
+    df: DataFrame,
+    boundaries: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Map a value into an interval table: lo <= v < hi.
+
+    The reference's np.searchsorted over spline/bin boundaries [P].  The
+    boundary table is tiny (≤ a few hundred rows) so Catalyst plans a
+    BroadcastNestedLoopJoin — O(rows × boundaries) comparisons, fine
+    because boundaries is bounded; at scale prefer
+    :func:`pfithic_spark.stats.interp_udf` for dense curves.
+    """
+    return df.join(
+        F.broadcast(boundaries),
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)),
+        "inner",
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: Column,
+    right_on: Column,
+    left_ts: Column,
+    right_ts: Column,
+    right_cols: list[str],
+    tiebreak: Column,
+) -> DataFrame:
+    """Nearest-preceding match (as-of join) — EXT, Spark has no native op.
+
+    Implemented as equi-join on the key + range predicate, then
+    row_number over (ts desc, tiebreak desc) keeping rank 1.  At 100 TB
+    prefer bucketing both sides on the key so the equi-join co-locates;
+    the window partitions by the left row id so state stays bounded.
+    """
+    from pyspark.sql import Window as W
+
+    j = left.join(right, (left_on == right_on) & (right_ts <= left_ts), "inner")
+    w = W.partitionBy(*left.columns).orderBy(right_ts.desc(), tiebreak.desc())
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --- sorts / set ops ------------------------------------------------------
+
+
+def topn(df: DataFrame, order_cols: list[Column], n: int) -> DataFrame:
+    """orderBy + limit → Catalyst plans TakeOrderedAndProject (per-
+    partition top-N then merge on driver; no global sort shuffle)."""
+    return df.orderBy(*order_cols).limit(n)
