@@ -1,0 +1,164 @@
+"""Window operators (SURVEY.md §2.5) + the scale-critical primitives:
+equal-occupancy binning, BH-FDR, and a two-phase global cumulative sum.
+
+The reference's binning is a pandas ``sort_values`` + ``cumsum``
+[P pFitHiC vectorization of `fithic.py::calculateProbabilities`]; its
+BH correction is a sorted walk [P `fithic.py::benjamini_hochberg_correction`].
+A naive Spark translation — ``Window.orderBy(...)`` with no
+``partitionBy`` — collapses to ONE task and dies at 100 TB.  The
+two-phase form here (SURVEY.md §4.4) keeps every step distributed:
+
+1. range-repartition by the order key (equal keys co-locate);
+2. per-partition running aggregate (ordinary partitioned window);
+3. per-partition totals (one row each) → prefix offsets via a window
+   over the tiny totals table → broadcast join back.
+
+All in DataFrame ops, so Catalyst/AQE still optimize around it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def scalable_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally ordered running sum without a single-task global window.
+
+    Requires ``order_col`` values to be unique per row (pre-aggregate
+    first — which the callers do, and which also bounds cardinality:
+    distances ≤ chromosome_length/resolution).
+    """
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    parted = df.repartitionByRange(int(n), F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    # one row per partition → the offset computation is trivially small
+    totals = parted.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w_prefix), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_off"))
+        .drop("_pid", "_local_cum", "_off")
+    )
+
+
+def per_distance_totals(contacts_with_dist: DataFrame) -> DataFrame:
+    """Pre-compress contacts to one row per distance: (d, cc, np).
+
+    The cardinality-bounding step before any global-order op
+    [P pFitHiC groupby pre-compression]."""
+    return contacts_with_dist.groupBy(F.col("dist").alias("d")).agg(
+        F.sum("contact_count").alias("cc"), F.count(F.lit(1)).alias("np")
+    )
+
+
+def equal_occupancy_assign(
+    byd: DataFrame, nbins: int, total: int | None = None
+) -> DataFrame:
+    """Assign each distance to an equal-occupancy bin [SC-1].
+
+    ``bin_id = min(floor((cumsum - cc) / target), nbins-1)`` with
+    ``target = Σcc / nbins``; rows at the same distance share a bin by
+    construction (input is per-distance).  The one driver-side scalar
+    (``total``) is the sanctioned sync point — a single agg row.
+
+    Ref: fithic.py::calculateProbabilities walk loop; pFitHiC cumsum.
+    """
+    if total is None:
+        total = byd.agg(F.sum("cc")).collect()[0][0]
+    target = total / nbins  # exact-int inputs → identical double everywhere
+    cum = scalable_cumsum(byd, "d", "cc", "cumcc")
+    return cum.withColumn(
+        "bin_id",
+        F.least(
+            F.floor((F.col("cumcc") - F.col("cc")) / F.lit(target)),
+            F.lit(nbins - 1),
+        ).cast("long"),
+    )
+
+
+def bin_stats(assigned: DataFrame) -> DataFrame:
+    """Per-bin null-model support stats (ref: calculateProbabilities
+    output: avgDist, Σcc, n pairs).  All inputs exact integers, so the
+    weighted average is deterministic."""
+    return assigned.groupBy("bin_id").agg(
+        F.min("d").alias("min_dist"),
+        F.max("d").alias("max_dist"),
+        F.sum("cc").alias("sum_cc"),
+        F.sum("np").alias("n_pairs"),
+        # exact integer sums → one IEEE division: bit-identical on any
+        # engine without rounding (rounding a >2^33 magnitude at 9 dp
+        # actually *creates* cross-engine mismatches)
+        (F.sum(F.col("d") * F.col("cc")).cast("double") / F.sum("cc")).alias(
+            "avg_dist"
+        ),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str = "p_value",
+    m: int | None = None,
+    tiebreak: list[str] | None = None,
+    q_col: str = "q_value",
+) -> DataFrame:
+    """Benjamini–Hochberg q-values [P `fithic.py::benjamini_hochberg_correction`].
+
+    ``q_i = min_{j>=i} min(1, p_j * M / j)`` with M =
+    possibleIntraInRangeCount (possible, NOT observed pairs — SC-3);
+    pass ``m`` explicitly for that semantics, default falls back to the
+    observed row count.
+
+    Global-order note: ranks use an unpartitioned window — fine for the
+    ≤10⁶-row significance tables this runs on after pre-aggregation; for
+    larger inputs pre-bucket p into quantiles and rank buckets (§4.4).
+    """
+    tiebreak = tiebreak or []
+    if m is None:
+        m = df.count()
+    w_rank = W.orderBy(F.col(p_col), *[F.col(c) for c in tiebreak])
+    ranked = df.withColumn("_rk", F.row_number().over(w_rank))
+    q_raw = F.least(F.lit(1.0), F.col(p_col) * F.lit(float(m)) / F.col("_rk"))
+    ranked = ranked.withColumn("_q_raw", q_raw)
+    w_min = (
+        W.orderBy(F.col("_rk").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ranked.withColumn(q_col, F.min("_q_raw").over(w_min)).drop(
+        "_rk", "_q_raw"
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rn_col: str = "rn",
+) -> DataFrame:
+    """Top-k per partition via row_number — Catalyst rewrites the
+    rn<=k filter into a per-partition top-k (WindowGroupLimit), so no
+    partition is fully sorted at scale."""
+    w = W.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rn_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rn_col) <= k)
+    )
