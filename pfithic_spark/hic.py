@@ -1,0 +1,224 @@
+"""The composed Fit-Hi-C significance pipeline, Spark-first
+(SURVEY.md §3.2; reference lifecycle §3.1 [P `fithic.py::main` →
+`generate_FragPairs` → `read_All_Interactions` → `calculateProbabilities`
+→ `fit_Spline`]).
+
+Dataflow per pass:
+
+    contacts ──canonicalize──▶ intra/in-range filter
+        ├─ agg: global scalars (N = observedIntraInRangeSum, …)
+        ├─ per-distance compression → equal-occupancy bins → bin stats
+        │     └─ collect ≤noOfBins rows → smooth+PAVA fit (driver)
+        │         └─ broadcast dense monotone curve
+        ├─ biases left-join ×2 (broadcast)
+        ├─ prior = curve(d)·bias1·bias2  [SC-2 validity window]
+        ├─ p = P(X ≥ cc | N, prior)  (Arrow pandas_udf, numpy betainc)
+        └─ BH-FDR with M = possibleIntraInRangeCount  [SC-3]
+
+Pass n>1 anti-joins out pass-(n−1) significant outliers (q < threshold)
+before refitting the null [SC-7], then re-scores ALL contacts against
+the refined curve.
+
+Scale notes: the only driver materialization is the ≤noOfBins bin table
+(SURVEY.md §1.2 sanctioned sync point); the curve returns to executors
+as a broadcast variable consumed by an Arrow-batched pandas_udf; every
+global-order step routes through windows.scalable_cumsum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import stats as st
+from . import windows as win
+from .relational import (
+    attach_biases,
+    canonicalize_pairs,
+    filter_contact_type,
+    filter_distance_range,
+    with_distance,
+)
+
+#: bias validity window [SC-2]
+BIAS_LO, BIAS_HI = 0.5, 2.0
+
+
+@dataclass
+class SigConfig:
+    resolution: int = 5000
+    dist_lo: int = 0
+    dist_hi: int = 2**62
+    n_bins: int = 100
+    passes: int = 1
+    outlier_q: float = 0.05  # pass-2 removal threshold [SC-7]
+    grid_points: int = 1000
+
+
+def possible_pairs_per_lag(chr_nbins: DataFrame, resolution: int) -> DataFrame:
+    """Possible intra pairs per distance: for a chromosome with n grid
+    bins, lag k has n−k pairs; summed over chromosomes
+    [P `fithic.py::generate_FragPairs`].
+
+    Input: (chr, nbins).  Output: (dist, n_possible).  The per-chr
+    explode yields ≤ n rows per chromosome — bounded, shuffle-free until
+    the final small groupBy.
+    """
+    lags = chr_nbins.select(
+        F.col("nbins"),
+        F.explode(F.sequence(F.lit(1), F.col("nbins") - 1)).alias("k"),
+    )
+    return (
+        lags.select(
+            (F.col("k").cast("long") * resolution).alias("dist"),
+            (F.col("nbins") - F.col("k")).cast("long").alias("n_pairs_at_lag"),
+        )
+        .groupBy("dist")
+        .agg(F.sum("n_pairs_at_lag").alias("n_possible"))
+    )
+
+
+def bias_product(b1, b2):
+    """Joint bias factor with the SC-2 validity window: any endpoint
+    outside [0.5, 2] → neutral product 1.0 (reference sentinel −1)."""
+    invalid = (
+        (b1 < BIAS_LO) | (b1 > BIAS_HI) | (b2 < BIAS_LO) | (b2 > BIAS_HI)
+    )
+    return F.when(invalid, F.lit(1.0)).otherwise(b1 * b2)
+
+
+def contact_prior(df: DataFrame, null_prob, b1=None, b2=None):
+    """p_prior column: null(d) · bias_product, clamped to (0, 1]."""
+    if b1 is None:
+        return F.least(F.greatest(null_prob, F.lit(0.0)), F.lit(1.0))
+    prior = null_prob * bias_product(b1, b2)
+    return F.least(F.greatest(prior, F.lit(0.0)), F.lit(1.0))
+
+
+def _curve_eval_udf(spark: SparkSession, gx: np.ndarray, gy: np.ndarray):
+    """Broadcast the fitted curve; return an Arrow pandas_udf evaluating
+    it by clamped linear interpolation."""
+    bc = spark.sparkContext.broadcast((gx, gy))
+
+    @F.pandas_udf("double")
+    def eval_curve(d: pd.Series) -> pd.Series:
+        xs, ys = bc.value
+        return pd.Series(st.interp_clamped(d.to_numpy(dtype=np.float64), xs, ys))
+
+    return eval_curve
+
+
+def _binom_sf_udf(n_total: int):
+    @F.pandas_udf("double")
+    def sf(cc: pd.Series, prior: pd.Series) -> pd.Series:
+        return pd.Series(
+            st.binom_sf_ge(
+                cc.to_numpy(dtype=np.float64),
+                float(n_total),
+                prior.to_numpy(dtype=np.float64),
+            )
+        )
+
+    return sf
+
+
+def fit_null_curve(
+    spark: SparkSession,
+    in_range: DataFrame,
+    n_total: int,
+    possible_by_dist: DataFrame,
+    cfg: SigConfig,
+):
+    """Equal-occupancy binning → per-bin contact probability → monotone
+    curve (SC-1 probability: (Σcc_bin / possible_bin) / N).
+
+    Returns (pandas bin-stats table, eval_udf)."""
+    byd = win.per_distance_totals(in_range)
+    byd = byd.join(F.broadcast(possible_by_dist), byd["d"] == possible_by_dist["dist"], "left").drop(
+        "dist"
+    )
+    byd = byd.withColumn("n_possible", F.coalesce(F.col("n_possible"), F.col("np")))
+    assigned = win.equal_occupancy_assign(byd, cfg.n_bins)
+    per_bin = assigned.groupBy("bin_id").agg(
+        F.sum("cc").alias("sum_cc"),
+        F.sum("np").alias("n_pairs"),
+        F.sum("n_possible").alias("n_possible"),
+        (F.sum(F.col("d") * F.col("cc")).cast("double") / F.sum("cc")).alias(
+            "avg_dist"
+        ),
+    )
+    pdf = per_bin.orderBy("bin_id").toPandas()  # ≤ n_bins rows — sanctioned
+    prob = (pdf["sum_cc"] / pdf["n_possible"].clip(lower=1)) / float(n_total)
+    gx, gy = st.fit_monotone_curve(
+        pdf["avg_dist"].to_numpy(),
+        prob.to_numpy(),
+        w=pdf["n_pairs"].to_numpy(dtype=np.float64),
+        grid_points=cfg.grid_points,
+    )
+    pdf["prob"] = prob
+    return pdf, _curve_eval_udf(spark, gx, gy)
+
+
+def run_significance(
+    spark: SparkSession,
+    contacts: DataFrame,
+    chr_nbins: DataFrame,
+    biases: DataFrame | None = None,
+    cfg: SigConfig | None = None,
+) -> DataFrame:
+    """Full multi-pass significance pipeline; returns the scored
+    contacts (chr1, mid1, chr2, mid2, contact_count, p_value, q_value,
+    bias1, bias2) for the final pass."""
+    cfg = cfg or SigConfig()
+    c = canonicalize_pairs(contacts)
+    c = with_distance(filter_contact_type(c, "intraOnly"))
+    c = filter_distance_range(c, cfg.dist_lo, cfg.dist_hi)
+    if biases is not None:
+        c = attach_biases(c, biases)
+    else:
+        c = c.withColumn("bias1", F.lit(1.0)).withColumn("bias2", F.lit(1.0))
+    c = c.cache()  # reused across passes and for the scalar agg
+
+    n_total = c.agg(F.sum("contact_count")).collect()[0][0] or 0
+    possible = possible_pairs_per_lag(chr_nbins, cfg.resolution)
+    m_possible = (
+        possible.filter(F.col("dist").between(cfg.dist_lo, cfg.dist_hi))
+        .agg(F.sum("n_possible"))
+        .collect()[0][0]
+        or c.count()
+    )
+
+    fit_input = c
+    scored = None
+    for _ in range(max(1, cfg.passes)):
+        _, eval_udf = fit_null_curve(spark, fit_input, n_total, possible, cfg)
+        prior = contact_prior(
+            None, eval_udf(F.col("dist").cast("double")), F.col("bias1"), F.col("bias2")
+        )
+        scored = c.withColumn("p_prior", prior)
+        scored = scored.withColumn(
+            "p_value", _binom_sf_udf(int(n_total))(F.col("contact_count"), F.col("p_prior"))
+        )
+        scored = win.bh_fdr(
+            scored, "p_value", m=int(m_possible), tiebreak=["chr1", "mid1", "mid2"]
+        )
+        # refine: remove significant outliers before the next fit [SC-7]
+        outliers = scored.filter(F.col("q_value") < cfg.outlier_q).select(
+            "chr1", "mid1", "chr2", "mid2"
+        )
+        fit_input = c.join(outliers, ["chr1", "mid1", "chr2", "mid2"], "left_anti")
+    return scored.select(
+        "chr1",
+        "mid1",
+        "chr2",
+        "mid2",
+        "contact_count",
+        "p_value",
+        "q_value",
+        "bias1",
+        "bias2",
+    )

@@ -947,3 +947,137 @@ def q_topk_per_group(spark, sf_dir):
         [F.col("o_totalprice").desc(), F.col("o_orderkey")],
         3,
     )
+
+
+# ========================================================================
+# §2.9 statistical kernels
+# ========================================================================
+
+from . import hic  # noqa: E402
+
+#: closed-form power-law null used by the SQL-expressible stat queries
+#: (the real pipeline plugs the fitted spline into the same operators)
+_NULL_SQL = "1.0 / (1.0 + (mid2 - mid1) / 5000.0)"
+
+
+def _null_prob_col():
+    return 1.0 / (1.0 + (F.col("mid2") - F.col("mid1")) / 5000.0)
+
+
+def _chr_nbins(spark):
+    return spark.createDataFrame(
+        [("chr1", fx.NBINS_GRID)], "chr string, nbins int"
+    )
+
+
+@register(
+    "q_possible_pairs",
+    oracle=f"""
+SELECT CAST(k * {fx.RES} AS BIGINT) AS dist,
+       CAST({fx.NBINS_GRID} - k AS BIGINT) AS n_possible
+FROM generate_series(1, {fx.NBINS_GRID - 1}) t(k)
+""",
+)
+def q_possible_pairs(spark, sf_dir):
+    """Possible intra pairs per genomic distance (lag k on an n-bin grid
+    has n−k pairs) — the BH denominator's source [SC-3]
+    (ref: generate_FragPairs)."""
+    return hic.possible_pairs_per_lag(_chr_nbins(spark), fx.RES)
+
+
+@register(
+    "q_contact_prior",
+    oracle=f"""
+WITH {fx.contacts_cte()},
+{fx.biases_cte()},
+j AS (
+  SELECT c.chr1, c.mid1, c.chr2, c.mid2, c.contact_count,
+         COALESCE(b1.bias, 1.0) AS bias1,
+         COALESCE(b2.bias, 1.0) AS bias2
+  FROM contacts c
+  LEFT JOIN biases b1 ON b1.mid = c.mid1
+  LEFT JOIN biases b2 ON b2.mid = c.mid2
+)
+SELECT chr1, mid1, chr2, mid2, contact_count, bias1, bias2,
+       {_NULL_SQL} AS null_prob,
+       LEAST(GREATEST(
+         {_NULL_SQL} *
+         CASE WHEN bias1 < 0.5 OR bias1 > 2.0 OR bias2 < 0.5 OR bias2 > 2.0
+              THEN 1.0 ELSE bias1 * bias2 END,
+         0.0), 1.0) AS p_prior
+FROM j
+""",
+)
+def q_contact_prior(spark, sf_dir):
+    """Contact prior p = null(d)·bias1·bias2 with the SC-2 bias validity
+    window (out-of-[0.5,2] endpoint → neutral product), clamped to [0,1]
+    (ref: fit_Spline prior assembly)."""
+    c = fx.fixture_contacts(spark, sf_dir)
+    b = fx.fixture_biases(spark, sf_dir)
+    j = rel.attach_biases(c, b)
+    return j.select(
+        "chr1",
+        "mid1",
+        "chr2",
+        "mid2",
+        "contact_count",
+        "bias1",
+        "bias2",
+        _null_prob_col().alias("null_prob"),
+        hic.contact_prior(
+            None, _null_prob_col(), F.col("bias1"), F.col("bias2")
+        ).alias("p_prior"),
+    )
+
+
+@register("q_binom_sf")  # rows-only: no closed form in DuckDB; mpmath-tested
+def q_binom_sf(spark, sf_dir):
+    """Binomial survival p-values P(X ≥ cc | N, prior) via the numpy
+    betainc kernel in an Arrow pandas_udf (ref: fit_Spline scoring,
+    scipy.stats.binom.sf(cc-1, N, p)).  Accuracy gate: tests/test_stats.py
+    vs mpmath."""
+    c = rel.with_distance(fx.fixture_contacts(spark, sf_dir))
+    n_total = c.agg(F.sum("contact_count")).collect()[0][0]
+    prior = hic.contact_prior(None, _null_prob_col() * 0.001)
+    scored = c.withColumn("p_prior", prior)
+    sf_udf = hic._binom_sf_udf(int(n_total))
+    return scored.select(
+        "chr1",
+        "mid1",
+        "chr2",
+        "mid2",
+        "contact_count",
+        "p_prior",
+        sf_udf(F.col("contact_count"), F.col("p_prior")).alias("p_value"),
+    )
+
+
+@register("q_spline_fit_eval")  # rows-only: spline fit not SQL-expressible
+def q_spline_fit_eval(spark, sf_dir):
+    """Monotone null-curve fit + distributed evaluation: equal-occupancy
+    bin stats → collect ≤noOfBins rows → penalized smooth + PAVA →
+    broadcast dense grid → clamped interp in a pandas_udf
+    (ref: fit_Spline; SC-4).  Monotonicity property-tested in pytest."""
+    c = rel.with_distance(fx.fixture_contacts(spark, sf_dir))
+    n_total = c.agg(F.sum("contact_count")).collect()[0][0]
+    possible = hic.possible_pairs_per_lag(_chr_nbins(spark), fx.RES)
+    cfg = hic.SigConfig(resolution=fx.RES, n_bins=fx.NBINS_OCC)
+    _, eval_udf = hic.fit_null_curve(spark, c, int(n_total), possible, cfg)
+    byd = win.per_distance_totals(c)
+    return byd.select(
+        "d", "cc", eval_udf(F.col("d").cast("double")).alias("spline_prob")
+    )
+
+
+@register("q_hic_significance")  # rows-only: full pipeline; golden-tested
+def q_hic_significance(spark, sf_dir):
+    """End-to-end two-pass significance pipeline (ref: main loop over
+    calculateProbabilities → fit_Spline with outlier refinement [SC-7]).
+    Golden-tested against an independent pandas implementation in
+    tests/test_hic_pipeline.py."""
+    c = fx.fixture_contacts(spark, sf_dir)
+    b = fx.fixture_biases(spark, sf_dir)
+    cfg = hic.SigConfig(
+        resolution=fx.RES, n_bins=fx.NBINS_OCC, passes=2, dist_lo=0, dist_hi=2**40
+    )
+    return hic.run_significance(spark, c, _chr_nbins(spark), biases=b, cfg=cfg)

@@ -1,0 +1,74 @@
+"""End-to-end golden test (SURVEY.md §5.2 layer 3): the Spark pipeline
+must match the independent pandas dataflow on the derived fixture."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pandas_ref import run_significance_pandas
+
+
+def _fixture_frames(sf_dir: str):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    from pfithic_spark.fixtures import BIASES_SQL, CONTACTS_SQL
+
+    contacts = con.execute(CONTACTS_SQL).df()
+    biases = con.execute(BIASES_SQL).df()
+    con.close()
+    return contacts, biases
+
+
+@pytest.mark.parametrize("passes", [1, 2])
+def test_pipeline_matches_pandas_ref(spark, sf_dir, passes):
+    from pfithic_spark import fixtures as fx, hic
+
+    contacts, biases = _fixture_frames(sf_dir)
+    want = run_significance_pandas(
+        contacts, biases, passes=passes
+    ).sort_values(["chr1", "mid1", "chr2", "mid2"]).reset_index(drop=True)
+
+    c = fx.fixture_contacts(spark, sf_dir)
+    b = fx.fixture_biases(spark, sf_dir)
+    chr_nbins = spark.createDataFrame([("chr1", fx.NBINS_GRID)], "chr string, nbins int")
+    cfg = hic.SigConfig(
+        resolution=fx.RES,
+        n_bins=fx.NBINS_OCC,
+        passes=passes,
+        dist_lo=0,
+        dist_hi=2**40,
+    )
+    got = (
+        hic.run_significance(spark, c, chr_nbins, biases=b, cfg=cfg)
+        .toPandas()
+        .sort_values(["chr1", "mid1", "chr2", "mid2"])
+        .reset_index(drop=True)
+    )
+
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        want[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["bias1"], want["bias1"], rtol=1e-12)
+    np.testing.assert_allclose(got["bias2"], want["bias2"], rtol=1e-12)
+    np.testing.assert_allclose(
+        got["p_value"], want["p_value"], rtol=1e-9, atol=1e-300
+    )
+    np.testing.assert_allclose(
+        got["q_value"], want["q_value"], rtol=1e-9, atol=1e-300
+    )
+
+
+def test_spline_monotone(spark, sf_dir):
+    import __spark_entry__ as e
+
+    pdf = e.queries()["q_spline_fit_eval"](spark, sf_dir).toPandas()
+    pdf = pdf.sort_values("d")
+    assert (np.diff(pdf["spline_prob"]) <= 1e-15).all()

@@ -1,0 +1,135 @@
+"""Property tests for the numpy statistical kernels (SURVEY.md §5.2
+layer 2): binom_sf vs the mpmath oracle over adversarial (k, N, p);
+PAVA and curve-fit invariants; BH invariants."""
+
+from __future__ import annotations
+
+import math
+
+import mpmath
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as hs
+
+from pfithic_spark import stats as st
+
+
+def mp_binom_sf_ge(k: int, n: int, p: float) -> float:
+    """P(X >= k) via mpmath: exact binomial sum for small n (the
+    hypergeometric betainc path can fail to converge mid-distribution),
+    high-precision regularized incomplete beta otherwise."""
+    if k <= 0:
+        return 1.0
+    if k > n:
+        return 0.0
+    if p <= 0:
+        return 0.0
+    if p >= 1:
+        return 1.0
+    with mpmath.workdps(50):
+        if n <= 2000:
+            pm = mpmath.mpf(p)
+            total = mpmath.mpf(0)
+            for i in range(int(k), int(n) + 1):
+                total += mpmath.binomial(n, i) * pm**i * (1 - pm) ** (n - i)
+            return float(total)
+        # large n: betainc in its convergent tail; where the
+        # hypergeometric still diverges (near the median with large a,b)
+        # fall back to quadrature of the beta density split at its mode
+        a, b = mpmath.mpf(k), mpmath.mpf(n - k + 1)
+        try:
+            if p < float((a + 1) / (a + b + 2)):
+                return float(mpmath.betainc(a, b, 0, p, regularized=True))
+            return float(1 - mpmath.betainc(b, a, 0, 1 - p, regularized=True))
+        except (ValueError, mpmath.libmp.libhyper.NoConvergence):
+            lnB = (
+                mpmath.loggamma(a) + mpmath.loggamma(b) - mpmath.loggamma(a + b)
+            )
+
+            def dens(t):
+                return mpmath.exp(
+                    (a - 1) * mpmath.log(t) + (b - 1) * mpmath.log1p(-t) - lnB
+                )
+
+            mode = float((a - 1) / (a + b - 2)) if (a > 1 and b > 1) else None
+            pts = [0, p] if (mode is None or not (0 < mode < p)) else [0, mode, p]
+            val, err = mpmath.quad(dens, pts, error=True)
+            assert err < abs(val) * 1e-10 + mpmath.mpf("1e-40")
+            return float(val)
+
+
+@given(
+    k=hs.integers(min_value=0, max_value=10_000),
+    n=hs.integers(min_value=1, max_value=50_000_000),
+    p=hs.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+@settings(max_examples=150, deadline=None)
+def test_binom_sf_vs_mpmath(k, n, p):
+    if k > n:
+        k = n  # keep the interesting lattice dense
+    got = float(st.binom_sf_ge(np.array([k]), np.array([n]), np.array([p]))[0])
+    want = mp_binom_sf_ge(k, n, p)
+    assert 0.0 <= got <= 1.0
+    # relative for non-tiny values, absolute floor for the deep tail
+    assert got == pytest.approx(want, rel=5e-6, abs=1e-280)
+
+
+@pytest.mark.parametrize(
+    "k,n,p",
+    [
+        (0, 10, 0.5),
+        (10, 10, 0.5),
+        (1, 10, 0.0),
+        (0, 10, 0.0),
+        (5, 10, 1.0),
+        (1, 5_000_000, 1e-9),
+        (3, 1_000_000, 1e-6),
+        (100, 10_000, 0.001),
+        (999, 1000, 0.999),
+        (1, 1, 0.3),
+    ],
+)
+def test_binom_sf_edges(k, n, p):
+    got = float(st.binom_sf_ge(np.array([k]), np.array([n]), np.array([p]))[0])
+    want = mp_binom_sf_ge(k, n, p)
+    assert got == pytest.approx(want, rel=5e-6, abs=1e-300)
+
+
+@given(
+    hs.lists(hs.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=200)
+)
+@settings(max_examples=100, deadline=None)
+def test_pava_properties(ys):
+    y = np.array(ys)
+    m = st.pava_non_increasing(y)
+    # non-increasing
+    assert np.all(np.diff(m) <= 1e-9)
+    # mean-preserving (unit weights)
+    assert float(m.mean()) == pytest.approx(float(y.mean()), rel=1e-9, abs=1e-9)
+    # projection is idempotent
+    m2 = st.pava_non_increasing(m)
+    np.testing.assert_allclose(m2, m, rtol=1e-12, atol=1e-12)
+    # already-monotone input is a fixed point
+    yd = np.sort(y)[::-1]
+    np.testing.assert_allclose(st.pava_non_increasing(yd), yd, rtol=1e-12)
+
+
+def test_fit_monotone_curve_properties():
+    rng = np.random.default_rng(42)
+    x = np.sort(rng.uniform(0, 1e6, 80))
+    y = 1.0 / (1.0 + x / 5e4) + rng.normal(0, 0.01, 80)
+    w = rng.integers(1, 100, 80).astype(float)
+    gx, gy = st.fit_monotone_curve(x, y, w)
+    assert np.all(np.diff(gy) <= 1e-12)  # non-increasing curve
+    assert gx[0] == pytest.approx(x[0]) and gx[-1] == pytest.approx(x[-1])
+    # clamped eval outside the fit range
+    lo = st.interp_clamped(np.array([-1e9]), gx, gy)[0]
+    hi = st.interp_clamped(np.array([1e18]), gx, gy)[0]
+    assert lo == pytest.approx(gy[0]) and hi == pytest.approx(gy[-1])
+
+
+def test_gammaln_accuracy():
+    xs = np.array([0.1, 0.5, 1.0, 2.0, 10.5, 1e3, 1e6, 5e7])
+    got = st.gammaln(xs)
+    want = np.array([float(mpmath.loggamma(x)) for x in xs])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-10)
