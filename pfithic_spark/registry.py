@@ -1081,3 +1081,570 @@ def q_hic_significance(spark, sf_dir):
         resolution=fx.RES, n_bins=fx.NBINS_OCC, passes=2, dist_lo=0, dist_hi=2**40
     )
     return hic.run_significance(spark, c, _chr_nbins(spark), biases=b, cfg=cfg)
+
+
+# ========================================================================
+# §2.8 scalar function families
+# ========================================================================
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25.0) AS abs_qty,
+       CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS floor_div,
+       SQRT(l_extendedprice) AS sqrt_price,
+       ROUND(LN(l_extendedprice), 9) AS log_price,
+       ROUND(EXP(l_discount), 9) AS exp_disc,
+       l_quantity * l_quantity AS qty_sq,
+       ROUND(l_extendedprice, 1) AS price_r1
+FROM lineitem
+""",
+)
+def q_math_funcs(spark, sf_dir):
+    """Math scalar family (ref: spline/stat support math).  Transcendental
+    outputs rounded to 9 dp — libm vs JVM differ in the last ulp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("abs_qty"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("floor_div"),
+        F.sqrt("l_extendedprice").alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 9).alias("log_price"),
+        F.round(F.exp("l_discount"), 9).alias("exp_disc"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        F.round("l_extendedprice", 1).alias("price_r1"),
+    )
+
+
+@register(
+    "q_string_funcs",
+    oracle="""
+SELECT c_custkey,
+       UPPER(c_name) AS name_upper,
+       LOWER(c_mktsegment) AS seg_lower,
+       SUBSTRING(c_name, 1, 8) AS name_prefix,
+       CAST(LENGTH(c_name) AS BIGINT) AS name_len,
+       CONCAT_WS('|', c_mktsegment, c_name) AS joined,
+       REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits,
+       CAST(LEN(STRING_SPLIT(c_name, '#')) AS BIGINT) AS n_parts
+FROM customer
+""",
+)
+def q_string_funcs(spark, sf_dir):
+    """String scalar family (ref: chromosome-name normalization is the
+    only reference usage; rest EXT)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.size(F.split(F.col("c_name"), "#")).cast("long").alias("n_parts"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+       CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+       CAST(QUARTER(o_orderdate) AS BIGINT) AS qtr,
+       CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+FROM orders
+""",
+)
+def q_date_funcs(spark, sf_dir):
+    """Date scalar family (EXT).  Timestamps leave the query as ISO
+    strings / integer day counts (determinism rule)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .cast("string")
+        .alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days_since"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("string")
+        .alias("month_end"),
+    )
+
+
+from .llmops import dot_double, l2_norm  # noqa: E402
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE))) / LEN(embedding), 6) AS mean_val
+FROM embeddings
+""",
+)
+def q_array_funcs(spark, sf_dir):
+    """Array scalar family over the embedding column: size, indexing,
+    transform + sequential-fold aggregate (the vector-math workhorse)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    total = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.round(total / F.size("embedding"), 6).alias("mean_val"),
+    )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+SELECT event_id,
+       CAST(LEN(JSON_KEYS(props)) AS BIGINT) AS n_keys,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_val
+FROM events
+""",
+)
+def q_map_funcs(spark, sf_dir):
+    """Map scalar family: props JSON → MapType, key census + lookup."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        m.getItem("k").alias("k_val"),
+    )
+
+
+@register(
+    "q_json_funcs",
+    oracle="""
+SELECT event_id,
+       JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+       CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_num
+FROM events
+""",
+)
+def q_json_funcs(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+    )
+
+
+# ========================================================================
+# §2.10 LLM-data-pipeline operators
+# ========================================================================
+
+from . import llmops  # noqa: E402
+from . import multimodal  # noqa: E402
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+SELECT MD5(LOWER(TRIM(text))) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY MD5(LOWER(TRIM(text)))
+""",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup keyed on md5(normalized text) — the shuffle carries
+    16-byte keys, not documents (100 TB rule)."""
+    return llmops.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_near")  # rows-only: LSH banding has no SQL oracle
+def q_dedup_near(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidate pairs with signature-estimated
+    Jaccard (shingle→minhash→band→bucket-join)."""
+    return llmops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_simhash")  # rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs via 16-bit chunk banding + Hamming
+    verification (bit_count of xor)."""
+    return llmops.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(toks) - 2),
+           i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])
+         ))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id1, p.id2, CAST(p.common AS BIGINT) AS common,
+       CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2,
+       ROUND(CAST(p.common AS DOUBLE) / (s1.sz + s2.sz - p.common), 9) AS jaccard
+FROM pairs p
+JOIN sizes s1 ON p.id1 = s1.doc_id
+JOIN sizes s2 ON p.id2 = s2.doc_id
+""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard over source-blocked pairs: shingle-set
+    explode + equi-join on the shingle (inverted-index shape — the pair
+    space never materializes as a cross product)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(llmops.shingles_col("text", 3)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "common",
+            "sz1",
+            "sz2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("common")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+WITH s AS (SELECT label, vec_id, embedding FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, id1, id2, cosine FROM pairs WHERE cosine >= 0.25
+""",
+)
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs blocked by label (IVF-cell shape:
+    equi-join on the block key, no cross product)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return llmops.cosine_pairs_blocked(e, threshold=0.25)
+
+
+@register(
+    "q_sim_topk",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+pairs AS (
+  SELECT q.q_id, e.vec_id AS e_id,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, e_id) AS rn
+  FROM pairs
+)
+SELECT q_id, e_id, cosine, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5
+""",
+)
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-k (k=5) per query vector — broadcast query
+    side, arrays stay intact (zip_with fold, no explode)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return llmops.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens
+FROM t GROUP BY lang
+""",
+)
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS BIGINT) AS ws_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(TRIM(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = llmops.norm_text("text")
+    return d.select(
+        "doc_id",
+        F.size(F.split(nt, " ")).cast("long").alias("ws_tokens"),
+        F.regexp_count(nt, F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b(the|a)\\b')) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars, stop_hits,
+       ROUND(
+         LEAST(1.0, n_tokens / 50.0) * 0.4
+         + LEAST(1.0, stop_hits * 5.0 / n_tokens) * 0.3
+         + LEAST(1.0, (CAST(n_chars AS DOUBLE) / n_tokens) / 5.0) * 0.3,
+       9) AS quality
+FROM t
+""",
+)
+def q_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: length, stopword ratio, avg token
+    length — identical arithmetic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.4
+        + F.least(F.lit(1.0), F.col("stop_hits") * 5.0 / F.col("n_tokens")) * 0.3
+        + F.least(F.lit(1.0), (F.col("n_chars").cast("double") / F.col("n_tokens")) / 5.0)
+        * 0.3
+    )
+    return t.select(
+        "doc_id", "n_tokens", "n_chars", "stop_hits", F.round(quality, 9).alias("quality")
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+WITH c AS (
+  SELECT doc_id, lang,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\bthe\\b')) AS BIGINT) AS c_the,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\bdata\\b')) AS BIGINT) AS c_data,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\bspark\\b')) AS BIGINT) AS c_spark
+  FROM documents
+)
+SELECT doc_id, lang, c_the, c_data, c_spark,
+       CASE WHEN c_the >= c_data AND c_the >= c_spark THEN 'en'
+            WHEN c_data >= c_spark THEN 'de'
+            ELSE 'zh' END AS predicted_lang
+FROM c
+""",
+)
+def q_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic (n-gram scoring shape with a
+    deterministic argmax)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(r"\bthe\b")).cast("long").alias("c_the"),
+        F.regexp_count(F.col("text"), F.lit(r"\bdata\b")).cast("long").alias("c_data"),
+        F.regexp_count(F.col("text"), F.lit(r"\bspark\b")).cast("long").alias("c_spark"),
+    )
+    return c.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("c_the") >= F.col("c_data")) & (F.col("c_the") >= F.col("c_spark")),
+            F.lit("en"),
+        )
+        .when(F.col("c_data") >= F.col("c_spark"), F.lit("de"))
+        .otherwise(F.lit("zh")),
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+  FROM documents
+),
+m AS (
+  SELECT doc_id, MIN(MD5(tok)) AS min_tok_sig, COUNT(*) AS n_toks
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, MD5(LOWER(TRIM(d.text))) AS fp_doc, m.min_tok_sig, m.n_toks
+FROM documents d JOIN m ON d.doc_id = m.doc_id
+""",
+)
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-doc md5 + min token signature
+    (winnowing shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(llmops.norm_text("text"), " ")).alias("tok")
+    )
+    m = toks.groupBy("doc_id").agg(
+        F.min(F.md5("tok")).alias("min_tok_sig"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+    return d.select("doc_id", F.md5(llmops.norm_text("text")).alias("fp_doc")).join(
+        m, "doc_id"
+    )
+
+
+@register(
+    "q_tfidf_terms",
+    oracle="""
+WITH toks AS (
+  SELECT source, doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.source, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / dfreq.df), 9) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 5
+""",
+)
+def q_tfidf_terms(spark, sf_dir):
+    """Top tf-idf terms per source: pure relational pipeline (explode →
+    two aggregations → broadcast-joined idf → per-group top-k)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select(
+        "source", "doc_id", F.explode(F.split(llmops.norm_text("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "source",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9
+        ).alias("tfidf"),
+    )
+    return win.topk_per_group(
+        scored, ["source"], [F.col("tfidf").desc(), F.col("term")], 5
+    )
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       CAST(OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS BIGINT) AS fake_width,
+       CAST((OCTET_LENGTH(ENCODE(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height,
+       CAST(OCTET_LENGTH(ENCODE(text)) % 16 + 1 AS BIGINT) AS fake_frames,
+       MD5(text) AS checksum
+FROM documents
+""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → Arrow mapInPandas
+    metadata extraction (decode step stubbed deterministically; schema,
+    batching and UDF signature are the real thing)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_media_meta(multimodal.with_binary_payload(d))

@@ -1,0 +1,77 @@
+"""Behavioral tests for the LLM-data operators: the fixture corpus has
+no duplicates, so these inject synthetic near/exact dups and assert the
+operators find them (and nothing spurious at the exact tier)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pfithic_spark import llmops
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "src0"),
+        (2, base, "src0"),  # exact dup of 1
+        (3, base.replace("today", "tomorrow"), "src0"),  # near dup of 1
+        (4, "completely different words about spark shuffles and joins here", "src0"),
+        (5, "THE QUICK brown fox JUMPS over the lazy dog again and again today", "src1"),  # case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dedup_exact_groups(corpus):
+    out = llmops.dedup_exact(corpus).collect()
+    groups = {r["keep_doc_id"]: r["n_copies"] for r in out}
+    # 1,2,5 normalize to the same text → keep 1 with 3 copies
+    assert groups[1] == 3
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_finds_near_dup(corpus):
+    pairs = llmops.minhash_lsh_pairs(corpus, est_threshold=0.2).collect()
+    found = {(r["id1"], r["id2"]): r["est_jaccard"] for r in pairs}
+    # exact dups: signature match 1.0
+    assert found[(1, 2)] == pytest.approx(1.0)
+    assert found[(1, 5)] == pytest.approx(1.0)
+    # near dup shares most shingles
+    assert found[(1, 3)] > 0.5
+    # unrelated doc never pairs with the fox docs
+    assert not any(4 in p for p in found)
+
+
+def test_simhash_finds_near_dup(corpus):
+    pairs = llmops.simhash_pairs(corpus, max_hamming=12).collect()
+    found = {(r["id1"], r["id2"]): r["hamming"] for r in pairs}
+    assert found[(1, 2)] == 0
+    assert found[(1, 5)] == 0
+    assert found.get((1, 3), 99) <= 12
+    assert (1, 4) not in found and (2, 4) not in found and (3, 4) not in found
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = llmops.cosine_topk(e, e.filter(F.col("vec_id") == 1), k=3).collect()
+    order = [r["e_id"] for r in sorted(out, key=lambda r: r["rn"])]
+    assert order == [2, 3, 4]  # most→least similar to e1
+    top = {r["e_id"]: r["cosine"] for r in out}
+    assert top[2] > 0.99 and abs(top[3]) < 1e-9 and top[4] == pytest.approx(-1.0)
+
+
+def test_multimodal_stub_guard():
+    """The real decode path must refuse loudly without codec libs."""
+    import pandas as pd
+
+    from pfithic_spark import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_batch(pd.Series([b"abc"]), fake=False)
