@@ -1648,3 +1648,129 @@ def q_multimodal_meta(spark, sf_dir):
     batching and UDF signature are the real thing)."""
     d = load_table(spark, sf_dir, "documents")
     return multimodal.extract_media_meta(multimodal.with_binary_payload(d))
+
+
+# ========================================================================
+# §2.11 streaming (batch twins — see streaming.py for readStream forms)
+# ========================================================================
+
+from . import streaming as strm  # noqa: E402
+
+_US_PER_HOUR = 3600 * 1000 * 1000
+_US_PER_15MIN = 900 * 1000 * 1000
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=f"""
+SELECT CAST(EPOCH_US(ts) // {_US_PER_HOUR} * 3600 AS BIGINT) AS window_start_s,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Tumbling 1 h windows per event type — epoch-integer window math
+    (tz-proof); identical logical spec as streaming.tumbling_counts."""
+    ev = load_table(spark, sf_dir, "events")
+    ws = (F.expr(f"ts div 1000 div {_US_PER_HOUR}") * 3600).cast("long")
+    return (
+        ev.select(
+            ws.alias("window_start_s"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            agg.dsum("value", 6).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle=f"""
+WITH w AS (
+  SELECT event_type, value,
+         (EPOCH_US(ts) // {_US_PER_15MIN}) * 900 - k * 900 AS window_start_s
+  FROM events, GENERATE_SERIES(0, 3) t(k)
+)
+SELECT CAST(window_start_s AS BIGINT) AS window_start_s, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM w GROUP BY 1, 2
+""",
+)
+def q_stream_sliding(spark, sf_dir):
+    """Sliding 1 h / 15 min windows: each event belongs to 4 windows —
+    explode(sequence) replication, then one hash aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (F.expr(f"ts div 1000 div {_US_PER_15MIN}") * 900).cast("long")
+    w = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+        base.alias("base_s"),
+    ).select(
+        (F.col("base_s") - F.col("k") * 900).alias("window_start_s"),
+        "event_type",
+        "value",
+    )
+    return w.groupBy("window_start_s", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.dsum("value", 6).alias("sum_value"),
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH t AS (SELECT user_id, event_id, EPOCH_US(ts) AS us FROM events),
+g AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM t
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM g
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+       CAST(MIN(us) AS BIGINT) AS sess_start_us,
+       CAST(MAX(us) AS BIGINT) AS sess_end_us
+FROM s GROUP BY user_id, sess_id
+""",
+)
+def q_stream_session(spark, sf_dir):
+    """Sessionization (30 min gap) as batch islands-and-gaps — the
+    SQL-checkable twin of streaming.session_counts (session_window)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return s.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("sess_start_us"),
+        F.max("us").alias("sess_end_us"),
+    )

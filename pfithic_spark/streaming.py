@@ -1,0 +1,122 @@
+"""Structured Streaming surface (SURVEY.md §2.11 — all EXT; the
+reference is strictly batch).
+
+Each windowed aggregation exists twice, deliberately:
+
+1. A **batch form** registered in the driver contract (registry.py)
+   using pure epoch-integer window arithmetic — timezone-proof and
+   DuckDB-replayable.
+2. A **streaming form** here over ``readStream`` with watermarks,
+   built from the same logical spec, smoke-tested in
+   tests/test_streaming.py via the memory sink.
+
+The `events` fixture carries parquet TIMESTAMP(NANOS) (read as
+epoch-nanos long under ``nanosAsLong``); :func:`with_event_time`
+restores a proper timestamp column for the streaming operators, which
+need one for watermarking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .session import ensure_engine_confs
+
+#: explicit schema for streaming reads (no inference on a stream) —
+#: ts as epoch-nanos long, matching the nanosAsLong batch read.
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def with_event_time(events: DataFrame, out_col: str = "event_time") -> DataFrame:
+    """epoch-nanos long → TimestampType for watermark/window operators."""
+    return events.withColumn(
+        out_col, F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    ensure_engine_confs(spark)
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window per-type counts/sums, tumbling windows + watermark."""
+    e = with_event_time(events).withWatermark("event_time", watermark)
+    return e.groupBy(F.window("event_time", width), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    e = with_event_time(events).withWatermark("event_time", watermark)
+    return e.groupBy(F.window("event_time", width, slide), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user (gap-based) — the streaming-native
+    sessionization; the batch islands-and-gaps twin lives in the
+    registry for the oracle."""
+    e = with_event_time(events).withWatermark("event_time", watermark)
+    return e.groupBy(F.session_window("event_time", gap), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful streaming dedup on event_id, state bounded by the
+    watermark (the streaming twin of exact dedup)."""
+    e = with_event_time(events).withWatermark("event_time", watermark)
+    return e.dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a bounded file-source stream to completion synchronously
+    (memory sink; local smoke-test harness).
+
+    Windowed aggregations under a watermark only finalize in append mode
+    when later data advances the watermark — for a bounded fixture use
+    ``mode='complete'``.
+    """
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
