@@ -206,11 +206,18 @@ def run_significance(
         scored = win.bh_fdr(
             scored, "p_value", m=int(m_possible), tiebreak=["chr1", "mid1", "mid2"]
         )
-        # refine: remove significant outliers before the next fit [SC-7]
-        outliers = scored.filter(F.col("q_value") < cfg.outlier_q).select(
-            "chr1", "mid1", "chr2", "mid2"
+        # refine: remove significant outliers before the next fit [SC-7].
+        # Cache the (small) outlier set — its lineage contains this
+        # pass's full scoring pipeline, which the next pass's null fit
+        # would otherwise recompute per downstream job.
+        outliers = (
+            scored.filter(F.col("q_value") < cfg.outlier_q)
+            .select("chr1", "mid1", "chr2", "mid2")
+            .cache()
         )
-        fit_input = c.join(outliers, ["chr1", "mid1", "chr2", "mid2"], "left_anti")
+        fit_input = c.join(
+            F.broadcast(outliers), ["chr1", "mid1", "chr2", "mid2"], "left_anti"
+        )
     return scored.select(
         "chr1",
         "mid1",

@@ -414,23 +414,31 @@ FROM j WHERE rn = 1
 )
 def q_join_asof(spark, sf_dir):
     """As-of join (nearest preceding order per event) — EXT; no native
-    Spark op, composed as equi+range join then row_number (see
-    relational.asof_join)."""
+    Spark op.  Scalable form: cogroup on the key + per-group sorted
+    merge (pd.merge_asof), linear per group; see also the pure-DataFrame
+    composition relational.asof_join.  Tie-break: ties on o_orderdate
+    resolve to max o_orderkey (right side sorted ascending, last wins),
+    matching the oracle's DESC,DESC row_number."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz").alias("ets"),
+        F.expr("ts div 1000").alias("us"),
         (F.col("user_id") % 100).alias("custkey"),
     )
-    o = load_table(spark, sf_dir, "orders")
-    j = rel.asof_join(
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    j = rel.asof_join_grouped(
         ev,
         o,
-        left_on=F.col("custkey"),
-        right_on=F.col("o_custkey"),
-        left_ts=F.col("ets"),
-        right_ts=F.col("o_orderdate"),
-        right_cols=["o_orderkey", "o_totalprice"],
-        tiebreak=F.col("o_orderkey"),
+        key="custkey",
+        left_us="us",
+        right_us="o_us",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+        out_schema="event_id long, us long, o_orderkey long, o_totalprice double",
+        left_cols=["event_id", "us"],
     )
     return j.select(
         "event_id",
@@ -1329,10 +1337,11 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     explode + equi-join on the shingle (inverted-index shape — the pair
     space never materializes as a cross product)."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(llmops.shingles_col("text", 3)).alias("shingle"),
+    # shingles as codegen'd rows (posexplode+lead), joined on a 64-bit
+    # hash of the shingle so the self-join shuffle moves fixed-width
+    # keys (collision odds ~n²/2⁶⁵; the DuckDB oracle keeps strings)
+    sh = llmops.shingle_rows(d, "text", "doc_id", 3, extra_cols=("source",)).select(
+        "doc_id", "source", F.xxhash64("shingle").alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -1387,7 +1396,7 @@ def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs blocked by label (IVF-cell shape:
     equi-join on the block key, no cross product)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return llmops.cosine_pairs_blocked(e, threshold=0.25)
+    return llmops.cosine_pairs_blocked_gemm(e, threshold=0.25)
 
 
 @register(

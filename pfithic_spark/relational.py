@@ -206,3 +206,54 @@ def topn(df: DataFrame, order_cols: list[Column], n: int) -> DataFrame:
     """orderBy + limit → Catalyst plans TakeOrderedAndProject (per-
     partition top-N then merge on driver; no global sort shuffle)."""
     return df.orderBy(*order_cols).limit(n)
+
+
+def asof_join_grouped(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_us: str,
+    right_us: str,
+    right_value_cols: list[str],
+    out_schema: str,
+    left_cols: list[str] | None = None,
+) -> DataFrame:
+    """Scalable as-of join: cogroup both sides on the key and run a
+    per-group sorted merge (pd.merge_asof) — linear in group size,
+    versus the quadratic equi+range-join form in :func:`asof_join`.
+
+    Both sides shuffle once on the key; within a group the merge is a
+    single sorted pass.  Tie semantics: among equal right timestamps the
+    LAST row in (ts, natural) sort order wins — sort the right side so
+    that matches the intended tie-break (e.g. max order key).
+    """
+    import pandas as pd
+
+    left_cols = left_cols or [c for c in left.columns if c != key]
+    sort_right = [right_us] + right_value_cols
+    # prune right groups with no left partner — otherwise every orphan
+    # right key still costs an (empty) Python group call
+    right = right.join(F.broadcast(left.select(key).distinct()), key, "left_semi")
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0 or len(r) == 0:
+            cols = left_cols + right_value_cols
+            return pd.DataFrame({c: [] for c in cols})
+        l = l.sort_values(left_us, kind="mergesort")
+        r = r.sort_values(sort_right, kind="mergesort")
+        m = pd.merge_asof(
+            l,
+            r[[right_us] + right_value_cols],
+            left_on=left_us,
+            right_on=right_us,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=[right_value_cols[0]])  # inner semantics
+        return m[left_cols + right_value_cols]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )
