@@ -1783,3 +1783,12 @@ def q_stream_session(spark, sf_dir):
         F.min("us").alias("sess_start_us"),
         F.max("us").alias("sess_end_us"),
     )
+
+
+@register("q_kr_balance")  # rows-only: iterative balancing, no SQL form
+def q_kr_balance(spark, sf_dir):
+    """Knight–Ruiz bias vector per chromosome (ref: utils/HiCKRy.py),
+    distributed one chromosome per applyInPandas group.  Validated by
+    the row-sum property test in tests/test_hic_pipeline.py."""
+    c = fx.fixture_contacts(spark, sf_dir)
+    return hic.kr_biases(c, fx.RES)

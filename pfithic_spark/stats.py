@@ -227,3 +227,80 @@ def interp_clamped(xq: np.ndarray, gx: np.ndarray, gy: np.ndarray) -> np.ndarray
     """np.interp with end clamping (reference clamps out-of-range
     distances to the fitted range [P fit_Spline])."""
     return np.interp(np.asarray(xq, dtype=np.float64), gx, gy)
+
+
+def kr_balance_coo(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n: int,
+    tol: float = 1e-8,
+    max_outer: int = 100,
+) -> np.ndarray:
+    """Knight–Ruiz matrix balancing on a symmetric matrix in COO form
+    (ref surface: utils/HiCKRy.py, which wraps the KR 2012 algorithm via
+    scipy.sparse; this is an independent scipy-free implementation).
+
+    Input triplets must contain BOTH (i,j) and (j,i) for off-diagonal
+    entries (or be expanded by the caller).  Returns x with
+    diag(x)·A·diag(x) ~ doubly stochastic (unit row sums), via the
+    inner-outer Newton scheme with a conjugate-gradient inner solve —
+    only mat-vecs against the COO triplets, so memory stays O(nnz).
+    """
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+
+    def matvec(x: np.ndarray) -> np.ndarray:
+        out = np.zeros(n, dtype=np.float64)
+        np.add.at(out, rows, vals * x[cols])
+        return out
+
+    # scale-free start: e / sqrt(row sums) would also work; KR paper uses e
+    x = np.ones(n, dtype=np.float64)
+    e = np.ones(n, dtype=np.float64)
+    g = 0.9
+    etamax = 0.1
+    eta = etamax
+    stop_tol = tol * 0.5
+    v = x * matvec(x)
+    rk = 1.0 - v
+    rho_km1 = float(rk @ rk)
+    rout = rold = rho_km1
+
+    for _ in range(max_outer):
+        if np.sqrt(rout) < stop_tol * np.sqrt(n):
+            break
+        # inner CG solve of the Newton system
+        k_inner = 0
+        y = e.copy()
+        inner_tol = max(eta**2 * rout, tol**2)
+        rho_km1 = float(rk @ rk)
+        Z = rk / v
+        p = Z.copy()
+        rho_km2 = rho_km1 = float(rk @ Z)
+        while rho_km1 > inner_tol and k_inner < 1000:
+            k_inner += 1
+            if k_inner > 1:
+                beta = rho_km1 / rho_km2
+                p = Z + beta * p
+            w = x * matvec(x * p) + v * p
+            alpha = rho_km1 / float(p @ w)
+            y = y + alpha * p
+            rk = rk - alpha * w
+            rho_km2 = rho_km1
+            Z = rk / v
+            rho_km1 = float(rk @ Z)
+        x = x * y
+        v = x * matvec(x)
+        rk = 1.0 - v
+        rho_km1 = float(rk @ rk)
+        rout = rho_km1
+        # adaptive inner tolerance (standard KR safeguards)
+        rat = rout / rold
+        rold = rout
+        eta = g * rat
+        if g * eta**2 > 0.1:
+            eta = max(eta, g * eta**2)
+        eta = max(min(eta, etamax), stop_tol / max(np.sqrt(rout), 1e-300))
+    return x

@@ -72,3 +72,26 @@ def test_spline_monotone(spark, sf_dir):
     pdf = e.queries()["q_spline_fit_eval"](spark, sf_dir).toPandas()
     pdf = pdf.sort_values("d")
     assert (np.diff(pdf["spline_prob"]) <= 1e-15).all()
+
+
+def test_kr_balance_rowsums(spark, sf_dir):
+    """KR property: diag(x)·A·diag(x) has ~unit (constant) row sums over
+    covered loci."""
+    import numpy as np
+
+    from pfithic_spark import fixtures as fx, hic
+
+    c = fx.fixture_contacts(spark, sf_dir)
+    biases = hic.kr_biases(c, fx.RES).toPandas().set_index("mid")["bias"]
+    pdf = c.toPandas()
+    # rebuild the symmetric matrix row sums under the bias scaling
+    scale = {m: b for m, b in biases.items()}
+    sums: dict[int, float] = {}
+    for r in pdf.itertuples(index=False):
+        w = r.contact_count * scale[r.mid1] * scale[r.mid2]
+        sums[r.mid1] = sums.get(r.mid1, 0.0) + w
+        if r.mid2 != r.mid1:
+            sums[r.mid2] = sums.get(r.mid2, 0.0) + w
+    vals = np.array(list(sums.values()))
+    # balanced: row sums constant (coefficient of variation ~ 0)
+    assert vals.std() / vals.mean() < 1e-4
