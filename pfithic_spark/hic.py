@@ -57,6 +57,9 @@ class SigConfig:
     passes: int = 1
     outlier_q: float = 0.05  # pass-2 removal threshold [SC-7]
     grid_points: int = 1000
+    #: intraOnly | interOnly | All — inter contacts scored with the flat
+    #: interChrProb null and N = observedInterAllSum [SC-5]
+    contact_type: str = "intraOnly"
 
 
 def possible_pairs_per_lag(chr_nbins: DataFrame, resolution: int) -> DataFrame:
@@ -174,14 +177,22 @@ def run_significance(
     contacts (chr1, mid1, chr2, mid2, contact_count, p_value, q_value,
     bias1, bias2) for the final pass."""
     cfg = cfg or SigConfig()
-    c = canonicalize_pairs(contacts)
-    c = with_distance(filter_contact_type(c, "intraOnly"))
-    c = filter_distance_range(c, cfg.dist_lo, cfg.dist_hi)
+    base = canonicalize_pairs(contacts)
     if biases is not None:
-        c = attach_biases(c, biases)
+        base = attach_biases(base, biases)
     else:
-        c = c.withColumn("bias1", F.lit(1.0)).withColumn("bias2", F.lit(1.0))
-    c = c.cache()  # reused across passes and for the scalar agg
+        base = base.withColumn("bias1", F.lit(1.0)).withColumn(
+            "bias2", F.lit(1.0)
+        )
+    base = with_distance(base)
+
+    intra = filter_distance_range(
+        filter_contact_type(base, "intraOnly"), cfg.dist_lo, cfg.dist_hi
+    )
+    inter = filter_contact_type(base, "interOnly")
+    score_intra = cfg.contact_type in ("intraOnly", "All")
+    score_inter = cfg.contact_type in ("interOnly", "All")
+    c = intra.cache()  # reused across passes and for the scalar agg
 
     n_total = c.agg(F.sum("contact_count")).collect()[0][0] or 0
     possible = possible_pairs_per_lag(chr_nbins, cfg.resolution)
@@ -192,19 +203,52 @@ def run_significance(
         or c.count()
     )
 
+    inter_scored = None
+    m_total = 0
+    if score_inter:
+        # flat inter-chromosomal null [SC-5]: interChrProb =
+        # observedInterAllSum / possibleInterAllCount; N = inter sum
+        nb = chr_nbins.toPandas()["nbins"].to_numpy()
+        possible_inter = int(
+            (nb.sum() ** 2 - (nb**2).sum()) // 2
+        )  # Σ_{c1<c2} n1·n2
+        inter = inter.cache()
+        n_inter = inter.agg(F.sum("contact_count")).collect()[0][0] or 0
+        inter_prob = n_inter / possible_inter if possible_inter else 0.0
+        prior = contact_prior(
+            None, F.lit(float(inter_prob)), F.col("bias1"), F.col("bias2")
+        )
+        inter_scored = inter.withColumn("p_prior", prior).withColumn(
+            "p_value",
+            _binom_sf_udf(int(n_inter))(F.col("contact_count"), F.col("p_prior")),
+        )
+        m_total += possible_inter
+
     fit_input = c
     scored = None
     for _ in range(max(1, cfg.passes)):
-        _, eval_udf = fit_null_curve(spark, fit_input, n_total, possible, cfg)
-        prior = contact_prior(
-            None, eval_udf(F.col("dist").cast("double")), F.col("bias1"), F.col("bias2")
-        )
-        scored = c.withColumn("p_prior", prior)
-        scored = scored.withColumn(
-            "p_value", _binom_sf_udf(int(n_total))(F.col("contact_count"), F.col("p_prior"))
-        )
+        if score_intra:
+            _, eval_udf = fit_null_curve(spark, fit_input, n_total, possible, cfg)
+            prior = contact_prior(
+                None,
+                eval_udf(F.col("dist").cast("double")),
+                F.col("bias1"),
+                F.col("bias2"),
+            )
+            scored = c.withColumn("p_prior", prior)
+            scored = scored.withColumn(
+                "p_value",
+                _binom_sf_udf(int(n_total))(
+                    F.col("contact_count"), F.col("p_prior")
+                ),
+            )
+        parts = [s for s in (scored if score_intra else None, inter_scored) if s is not None]
+        combined = parts[0]
+        for p in parts[1:]:
+            combined = combined.unionByName(p)
+        m_bh = (int(m_possible) if score_intra else 0) + m_total
         scored = win.bh_fdr(
-            scored, "p_value", m=int(m_possible), tiebreak=["chr1", "mid1", "mid2"]
+            combined, "p_value", m=m_bh, tiebreak=["chr1", "chr2", "mid1", "mid2"]
         )
         # refine: remove significant outliers before the next fit [SC-7].
         # Cache the (small) outlier set — its lineage contains this

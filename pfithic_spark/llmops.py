@@ -423,3 +423,85 @@ def cosine_pairs_blocked_gemm(
     return embeddings.groupBy(block_col).applyInPandas(
         per_block, schema=f"label int, id1 long, id2 long, cosine double"
     )
+
+
+# --- IVF-style approximate nearest neighbors -----------------------------
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroid cells
+    (cosine).  Centroids broadcast; assignment is one BLAS matmul per
+    Arrow batch (mapInPandas) — the inverted-file partitioning step of
+    IVF ANN search."""
+    spark = embeddings.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast(C)
+    n_probe = int(nprobe)
+
+    def assign(batches):
+        for pdf in batches:
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            sims = M @ bc.value.T  # (n, K)
+            # top-nprobe cells per vector, deterministic tie-break by cell id
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            out = pdf[[id_col]].loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out[out_col] = order.reshape(-1).astype("int64")
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {out_col} long"
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in 1 cell each; each
+    query probes its ``nprobe`` nearest cells; exact cosine only against
+    candidates in probed cells.  Recall trades off with nprobe/K; the
+    brute-force baseline is :func:`cosine_topk`.
+
+    At 100 TB the corpus side is written partitioned by cell, so a probe
+    reads only matching partitions (partition pruning on the cell key).
+    """
+    from pyspark.sql import Window as W
+
+    e_cells = ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1)
+    corpus = embeddings.select(
+        F.col(id_col).alias("e_id"), F.col(vec_col).alias("e_vec")
+    ).join(e_cells.withColumnRenamed(id_col, "e_id"), "e_id")
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).join(
+        q_cells.withColumnRenamed(id_col, "q_id"), "q_id"
+    )
+    cos = dot_double(F.col("q_vec"), F.col("e_vec")) / (
+        l2_norm(F.col("q_vec")) * l2_norm(F.col("e_vec"))
+    )
+    cands = (
+        F.broadcast(q)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("e_id"))
+        .select("q_id", "e_id", F.round(cos, 6).alias("cosine"))
+        .distinct()  # a pair may surface via several probed cells
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("e_id"))
+    return cands.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
+    )

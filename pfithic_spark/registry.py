@@ -1792,3 +1792,22 @@ def q_kr_balance(spark, sf_dir):
     the row-sum property test in tests/test_hic_pipeline.py."""
     c = fx.fixture_contacts(spark, sf_dir)
     return hic.kr_biases(c, fx.RES)
+
+
+@register("q_sim_ivf")  # rows-only: ANN result depends on probe params
+def q_sim_ivf(spark, sf_dir):
+    """IVF-bucketed approximate cosine top-k — the scale path for
+    similarity search (cell partitioning → partition-pruned probes);
+    recall vs the brute-force baseline is checked in tests/test_llmops.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # deterministic centroid seed: every 37th vector
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    return llmops.ivf_topk(
+        e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
+    )

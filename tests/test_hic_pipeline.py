@@ -95,3 +95,45 @@ def test_kr_balance_rowsums(spark, sf_dir):
     vals = np.array(list(sums.values()))
     # balanced: row sums constant (coefficient of variation ~ 0)
     assert vals.std() / vals.mean() < 1e-4
+
+
+def test_inter_chromosomal_mode(spark):
+    """SC-5: 'All' mode scores inter contacts with the flat interChrProb
+    null; q-values well-formed; row count = intra + inter."""
+    import numpy as np
+
+    from pfithic_spark import hic
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for chrom, nb in (("chr1", 40), ("chr2", 30)):
+        for _ in range(300):
+            i, j = sorted(rng.integers(0, nb, 2))
+            if i == j:
+                continue
+            rows.append(
+                (chrom, int(i * 5000 + 2500), chrom, int(j * 5000 + 2500), int(rng.integers(1, 8)))
+            )
+    for _ in range(60):  # inter pairs
+        i = int(rng.integers(0, 40)) * 5000 + 2500
+        j = int(rng.integers(0, 30)) * 5000 + 2500
+        rows.append(("chr1", i, "chr2", j, int(rng.integers(1, 3))))
+    contacts = spark.createDataFrame(
+        rows, "chr1 string, mid1 long, chr2 string, mid2 long, contact_count long"
+    )
+    chr_nbins = spark.createDataFrame(
+        [("chr1", 40), ("chr2", 30)], "chr string, nbins int"
+    )
+    cfg = hic.SigConfig(n_bins=20, contact_type="All", dist_lo=0, dist_hi=2**40)
+    out = hic.run_significance(spark, contacts, chr_nbins, cfg=cfg).toPandas()
+    # canonicalized distinct pairs, intra + inter all present
+    n_intra = out[out["chr1"] == out["chr2"]].shape[0]
+    n_inter = out[out["chr1"] != out["chr2"]].shape[0]
+    assert n_intra > 0 and n_inter > 0
+    assert ((out["p_value"] >= 0) & (out["p_value"] <= 1)).all()
+    assert ((out["q_value"] >= 0) & (out["q_value"] <= 1)).all()
+    # inter contacts with identical (cc, biases) get identical p (flat null)
+    inter = out[out["chr1"] != out["chr2"]]
+    one = inter[inter["contact_count"] == 1]
+    if len(one) > 1:
+        assert one["p_value"].nunique() == 1

@@ -1,0 +1,48 @@
+"""Reference-native IO path: headerless TSV/gz round trips through the
+fixed positional schemas (the reference's input model, SURVEY.md §1.1)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pfithic_spark import io as pio
+
+
+def test_contacts_tsv_gz_roundtrip(spark, tmp_path):
+    raw = [
+        ("chr1", 2500, "chr1", 7500, 4),
+        ("chr1", 2500, "chr2", 12500, 1),
+        ("chr2", 7500, "chr2", 17500, 9),
+    ]
+    src = tmp_path / "contacts.tsv.gz"
+    with gzip.open(src, "wt") as f:
+        for r in raw:
+            f.write("\t".join(map(str, r)) + "\n")
+    df = pio.read_contacts_tsv(spark, str(src))
+    # csv reads force nullable=True; names+types are the contract
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in pio.CONTACTS_SCHEMA.fields
+    ]
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == sorted(raw)
+
+    # write back as gz tsv and re-read
+    out = tmp_path / "out"
+    pio.write_tsv_gz(df, str(out))
+    back = pio.read_contacts_tsv(spark, str(out))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(raw)
+
+
+def test_fragments_biases_schemas(spark, tmp_path):
+    frags = tmp_path / "frags.tsv"
+    frags.write_text("chr1\t0\t2500\t120\t0.85\nchr1\t0\t7500\t0\t0.0\n")
+    fdf = pio.read_fragments_tsv(spark, str(frags))
+    rows = {r["frag_mid"]: r for r in fdf.collect()}
+    assert rows[2500]["marginal_count"] == 120
+    assert rows[7500]["mappable"] == 0.0
+
+    biases = tmp_path / "biases.tsv"
+    biases.write_text("chr1\t2500\t1.05\nchr1\t7500\t-1\n")
+    bdf = pio.read_biases_tsv(spark, str(biases))
+    vals = {r["mid"]: r["bias"] for r in bdf.collect()}
+    assert vals[2500] == 1.05 and vals[7500] == -1.0  # sentinel preserved

@@ -75,3 +75,25 @@ def test_multimodal_stub_guard():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_image_batch(pd.Series([b"abc"]), fake=False)
+
+
+def test_ivf_topk_structure_and_recall(spark, sf_dir):
+    """IVF results: k rows per query, cosines never beat brute force,
+    and recall@5 is meaningfully above random (nprobe=4 of 16 cells)."""
+    import __spark_entry__ as e
+
+    brute = e.queries()["q_sim_topk"](spark, sf_dir).toPandas()
+    approx = e.queries()["q_sim_ivf"](spark, sf_dir).toPandas()
+    assert set(approx["q_id"]) == set(brute["q_id"])
+    assert (approx.groupby("q_id").size() <= 5).all()
+    hits = 0
+    total = 0
+    for qid, grp in brute.groupby("q_id"):
+        want = set(grp["e_id"])
+        got = set(approx[approx["q_id"] == qid]["e_id"])
+        # approx cosine values must be <= the brute-force best
+        assert approx[approx["q_id"] == qid]["cosine"].max() <= grp["cosine"].max() + 1e-9
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall > 0.25, f"recall@5 {recall} suspiciously low"
