@@ -1,0 +1,74 @@
+"""Library entry points (SURVEY.md §3.2) — the reference's three entry
+points re-expressed over Spark DataFrames.
+
+Entry 1 (CLI full run) lives in ``__main__.py`` and calls
+:func:`run_pipeline_files`.  Entry 2 (library use) is the stage
+functions themselves (hic.py / windows.py / stats.py).  Entry 3
+(utilities) is :func:`pfithic_spark.hic.kr_biases` and
+:func:`pfithic_spark.aggregates.marginal_counts`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import io as pio
+from .hic import SigConfig, kr_biases, run_significance
+from .relational import remove_bad_fragments
+
+
+def chr_nbins_from_fragments(fragments: DataFrame, resolution: int) -> DataFrame:
+    """Grid size per chromosome from the fragment universe
+    (ref: generate_FragPairs builds the same census)."""
+    return fragments.groupBy("chr").agg(
+        (F.floor(F.max("frag_mid") / F.lit(resolution)) + 1)
+        .cast("int")
+        .alias("nbins")
+    )
+
+
+def bad_fragments(fragments: DataFrame) -> DataFrame:
+    """badFrags: unmappable or zero-marginal loci
+    (ref: generate_FragPairs filter)."""
+    return fragments.filter(
+        (F.coalesce(F.col("mappable"), F.lit(0.0)) <= 0.0)
+        | (F.coalesce(F.col("marginal_count"), F.lit(0)) <= 0)
+    ).select("chr", F.col("frag_mid").alias("mid"))
+
+
+def run_pipeline_files(
+    spark: SparkSession,
+    contacts_path: str,
+    fragments_path: str | None,
+    biases_path: str | None,
+    out_dir: str,
+    cfg: SigConfig,
+) -> DataFrame:
+    """Reference CLI semantics: read TSV/gz inputs, run the multi-pass
+    significance pipeline, write gz-TSV significances (+ parquet twin).
+
+    Returns the significances DataFrame (already written)."""
+    contacts = pio.read_contacts_tsv(spark, contacts_path)
+    biases = pio.read_biases_tsv(spark, biases_path) if biases_path else None
+
+    if fragments_path:
+        frags = pio.read_fragments_tsv(spark, fragments_path)
+        chr_nbins = chr_nbins_from_fragments(frags, cfg.resolution)
+        contacts = remove_bad_fragments(contacts, bad_fragments(frags))
+    else:
+        # derive the grid census from the contacts themselves
+        ends = contacts.select(
+            F.col("chr1").alias("chr"), F.col("mid1").alias("frag_mid")
+        ).unionByName(
+            contacts.select(
+                F.col("chr2").alias("chr"), F.col("mid2").alias("frag_mid")
+            )
+        )
+        chr_nbins = chr_nbins_from_fragments(ends, cfg.resolution)
+
+    sig = run_significance(spark, contacts, chr_nbins, biases=biases, cfg=cfg)
+    ordered = sig.orderBy("q_value", "p_value", "chr1", "mid1", "chr2", "mid2")
+    pio.write_tsv_gz(ordered, f"{out_dir}/significances.tsv.gz")
+    pio.write_parquet(sig, f"{out_dir}/significances.parquet")
+    return sig

@@ -46,3 +46,31 @@ def test_fragments_biases_schemas(spark, tmp_path):
     bdf = pio.read_biases_tsv(spark, str(biases))
     vals = {r["mid"]: r["bias"] for r in bdf.collect()}
     assert vals[2500] == 1.05 and vals[7500] == -1.0  # sentinel preserved
+
+
+def test_run_pipeline_files_end_to_end(spark, tmp_path):
+    """api.run_pipeline_files: TSV in → significances out (CLI core)."""
+    import gzip
+
+    import numpy as np
+
+    from pfithic_spark.api import run_pipeline_files
+    from pfithic_spark.hic import SigConfig
+
+    rng = np.random.default_rng(1)
+    src = tmp_path / "contacts.tsv.gz"
+    with gzip.open(src, "wt") as f:
+        for _ in range(800):
+            i, j = sorted(rng.integers(0, 80, 2))
+            if i == j:
+                continue
+            cc = 1 + rng.poisson(15 / (1 + (j - i)))
+            f.write(f"chr1\t{i*5000+2500}\tchr1\t{j*5000+2500}\t{cc}\n")
+    out = tmp_path / "out"
+    cfg = SigConfig(n_bins=20, passes=1)
+    sig = run_pipeline_files(spark, str(src), None, None, str(out), cfg)
+    pdf = sig.toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["p_value"] >= 0) & (pdf["p_value"] <= 1)).all()
+    assert (out / "significances.parquet").exists()
+    assert (out / "significances.tsv.gz").exists()
