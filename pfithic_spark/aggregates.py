@@ -126,3 +126,31 @@ def marginal_counts(contacts: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_contacts"),
         )
     )
+
+
+def salted_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    n_salts: int = 16,
+    out_col: str = "sum_value",
+) -> DataFrame:
+    """Two-stage salted aggregation for pathologically skewed keys.
+
+    Hi-C distance keys are power-law skewed (small distances dominate
+    [P]); hash partial aggregation usually absorbs this, and AQE splits
+    skewed reducers — but when one key's partials still overwhelm a
+    reducer, salting splits it explicitly: stage 1 aggregates on
+    (key, salt), stage 2 merges the ≤ n_salts partials per key.  The
+    result is identical for any algebraic aggregate (integer/decimal
+    sums here, so bit-identical).
+    """
+    from pyspark.sql import functions as F
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    stage1 = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_partial")
+    )
+    return stage1.groupBy(*key_cols).agg(F.sum("_partial").alias(out_col))

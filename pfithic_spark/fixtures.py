@@ -50,19 +50,23 @@ WHERE k % 10 <> 0
 """.strip()
 
 
+#: namespaced view so the engine never clobbers a host session's views
+_EVENTS_VIEW = "pfithic_spark_events_src"
+
+
 def _with_events_view(spark: SparkSession, sf_dir: str) -> None:
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(_EVENTS_VIEW)
 
 
 def fixture_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contacts DataFrame from the shared SQL (identical to the oracle CTE)."""
     _with_events_view(spark, sf_dir)
-    return spark.sql(CONTACTS_SQL)
+    return spark.sql(CONTACTS_SQL.replace("FROM events", f"FROM {_EVENTS_VIEW}"))
 
 
 def fixture_biases(spark: SparkSession, sf_dir: str) -> DataFrame:
     _with_events_view(spark, sf_dir)
-    return spark.sql(BIASES_SQL)
+    return spark.sql(BIASES_SQL.replace("FROM events", f"FROM {_EVENTS_VIEW}"))
 
 
 def contacts_cte(alias: str = "contacts") -> str:

@@ -682,9 +682,11 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 
 @register("q_grouping_sets", oracle=_GROUPING_SETS_SQL)
 def q_grouping_sets(spark, sf_dir):
-    """Explicit grouping sets — same SQL text on both engines."""
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(_GROUPING_SETS_SQL)
+    """Explicit grouping sets — same SQL text on both engines (Spark
+    runs it over a namespaced temp view)."""
+    view = "pfithic_spark_lineitem_src"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(_GROUPING_SETS_SQL.replace("FROM lineitem", f"FROM {view}"))
 
 
 @register(

@@ -28,8 +28,47 @@ RUNTIME_CONFS = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pfithic_spark`` importable on Python workers.
+
+    Driver-side ``sys.path`` fixes don't reach executor Python workers:
+    a pandas_udf pickled by reference needs the module importable there
+    too.  Ship the package once per SparkContext as a zip via
+    ``addPyFile`` — the standard deployment path, and exactly what a
+    cluster submit would do with ``--py-files``.
+    """
+    sc = spark.sparkContext
+    flag = "_pfithic_spark_shipped"
+    if getattr(sc, flag, False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    sources = sorted(
+        f for f in os.listdir(pkg_dir) if f.endswith(".py")
+    )
+    stamp = max(os.path.getmtime(os.path.join(pkg_dir, f)) for f in sources)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"pfithic_spark_{int(stamp)}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for f in sources:
+                z.write(os.path.join(pkg_dir, f), f"pfithic_spark/{f}")
+        os.replace(tmp, zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added under another name — imports still resolve
+    setattr(sc, flag, True)
+
+
 def ensure_engine_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs this engine depends on.
+    """Apply runtime-settable confs this engine depends on and ship the
+    package to Python workers.
 
     Idempotent; call at the top of every externally-invoked query so the
     engine works against a session it did not build.
@@ -41,6 +80,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             # Conf may be locked down on a managed cluster; the engine
             # still works if the session was built with compatible values.
             pass
+    _ship_package(spark)
     return spark
 
 

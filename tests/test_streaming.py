@@ -65,3 +65,83 @@ def test_sliding_replication_factor(spark, sf_dir):
     ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     out = e.queries()["q_stream_sliding"](spark, sf_dir)
     assert out.agg(F.sum("n_events")).collect()[0][0] == 4 * ev_n
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode tumbling agg under a 2h watermark: an event arriving
+    in a later micro-batch but 3h behind the stream's max event time is
+    dropped; on-time windows finalize and emit."""
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    h = 1_700_000_000_000_000_000  # base ns, hour-aligned enough
+    hour = 3_600 * 10**9
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.int64()),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), d / name)
+        os.utime(d / name, (mtime, mtime))
+
+    now = time.time()
+    # four micro-batches: W0 events; +4h; +8h; then ONE event back in W0.
+    # Note: the filtering watermark lags one batch behind the advertised
+    # one in this Spark build, hence two advancing batches before the
+    # late arrival.
+    write(
+        "f1.parquet",
+        [(i, h + i * 10**9, 1, "click", 1.0, "{}") for i in range(10)],
+        now - 100,
+    )
+    write(
+        "f2.parquet",
+        [(100 + i, h + 4 * hour + i * 10**9, 1, "click", 1.0, "{}") for i in range(5)],
+        now - 80,
+    )
+    write(
+        "f3.parquet",
+        [(200 + i, h + 8 * hour + i * 10**9, 1, "click", 1.0, "{}") for i in range(5)],
+        now - 60,
+    )
+    write("f4.parquet", [(999, h + 30 * 10**9, 1, "late", 1.0, "{}")], now - 40)
+
+    stream = strm.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    name = "late_drop_t"
+    q = (
+        strm.tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    q.stop()
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    assert dropped == 1  # the 8h-late row was dropped by the watermark
+    types = {r["event_type"] for r in out}
+    assert "late" not in types
+    w0 = [r for r in out if abs(r["window"].start.timestamp() * 10**9 - (h - h % hour)) < hour]
+    assert w0 and w0[0]["n_events"] == 10  # on-time window finalized intact
