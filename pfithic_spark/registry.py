@@ -1813,3 +1813,78 @@ def q_sim_ivf(spark, sf_dir):
     return llmops.ivf_topk(
         e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(EPOCH_US(o_orderdate) / 86400000000 AS BIGINT) AS day_no,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_no,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_90d_spend
+FROM t
+""",
+)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE (value-based) frame: trailing-90-day spend per customer —
+    the range twin of the rows-frame query (frame bounds in day units
+    over an epoch-day integer, so both engines agree exactly)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).cast("double")
+            / 86400000000.0
+        )
+        .cast("long")
+        .alias("day_no"),
+        "o_totalprice",
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-90, W.currentRow)
+    )
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d_spend"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       QUANTILE_CONT(o_totalprice, 0.5) AS median_price,
+       QUANTILE_CONT(o_totalprice, 0.9) AS p90_price,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (linear interpolation —
+    identical definition in Spark percentile() and DuckDB
+    quantile_cont).  At 100 TB prefer approx_percentile (sketch-based,
+    one pass, mergeable) — exercised rows-only in q_agg_approx."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -83,3 +83,35 @@ def test_interval_topk_uses_window_group_limit(spark, sf_dir, queries):
     per-partition sort materialization)."""
     plan = _plan(queries["q_topk_per_group"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Bucketed tables joined on the bucket key must not exchange either
+    side (the pay-the-shuffle-once-at-write-time lever)."""
+    from pfithic_spark.io import load_table, write_bucketed_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    write_bucketed_table(o, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    try:
+        bl = spark.table("b_lineitem")
+        bo = spark.table("b_orders")
+        # disable auto-broadcast so the join would otherwise shuffle
+        with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: zero shuffles
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
