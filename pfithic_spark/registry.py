@@ -1888,3 +1888,44 @@ def q_agg_percentile(spark, sf_dir):
         F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_canonicalize",
+    oracle="""
+WITH raw AS (
+    SELECT 'chr1' AS chr1,
+           CAST((event_id * 13 + 7) % 500 * 5000 + 2500 AS BIGINT) AS mid1,
+           'chr1' AS chr2,
+           CAST((event_id * 31 + user_id) % 500 * 5000 + 2500 AS BIGINT) AS mid2,
+           CAST(1 + event_id % 3 AS BIGINT) AS contact_count
+    FROM events
+    WHERE (event_id * 13 + 7) % 500 <> (event_id * 31 + user_id) % 500
+)
+SELECT chr1,
+       LEAST(mid1, mid2) AS mid1,
+       chr2,
+       GREATEST(mid1, mid2) AS mid2,
+       CAST(SUM(contact_count) AS BIGINT) AS contact_count
+FROM raw
+GROUP BY chr1, LEAST(mid1, mid2), chr2, GREATEST(mid1, mid2)
+""",
+)
+def q_canonicalize(spark, sf_dir):
+    """Pair canonicalization + duplicate summing [SC-6] on a derived
+    UNORDERED pair stream (ref: read_All_Interactions load
+    normalization).  Engine op: relational.canonicalize_pairs (struct
+    comparison ordering; equals LEAST/GREATEST on a single chromosome)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.filter(
+        (F.col("event_id") * 13 + 7) % 500 != (F.col("event_id") * 31 + F.col("user_id")) % 500
+    ).select(
+        F.lit("chr1").alias("chr1"),
+        ((F.col("event_id") * 13 + 7) % 500 * 5000 + 2500).cast("long").alias("mid1"),
+        F.lit("chr1").alias("chr2"),
+        ((F.col("event_id") * 31 + F.col("user_id")) % 500 * 5000 + 2500)
+        .cast("long")
+        .alias("mid2"),
+        (1 + F.col("event_id") % 3).cast("long").alias("contact_count"),
+    )
+    return rel.canonicalize_pairs(raw)
