@@ -129,6 +129,32 @@ def _binom_sf_udf(n_total: int):
     return sf
 
 
+def _fused_score_udf(spark: SparkSession, gx, gy, n_total: int):
+    """Single-trip scoring UDF: curve interpolation + bias validity
+    window [SC-2] + clamp + binomial survival in ONE Arrow round trip
+    (chaining separate pandas_udfs costs a JVM↔Python hop each)."""
+    bc = spark.sparkContext.broadcast((gx, gy))
+    n = float(n_total)
+
+    @F.pandas_udf("double")
+    def score(
+        cc: pd.Series, dist: pd.Series, b1: pd.Series, b2: pd.Series
+    ) -> pd.Series:
+        xs, ys = bc.value
+        null = np.interp(dist.to_numpy(dtype=np.float64), xs, ys)
+        b1v = b1.to_numpy(dtype=np.float64)
+        b2v = b2.to_numpy(dtype=np.float64)
+        invalid = (
+            (b1v < BIAS_LO) | (b1v > BIAS_HI) | (b2v < BIAS_LO) | (b2v > BIAS_HI)
+        )
+        prior = np.clip(null * np.where(invalid, 1.0, b1v * b2v), 0.0, 1.0)
+        return pd.Series(
+            st.binom_sf_ge(cc.to_numpy(dtype=np.float64), n, prior)
+        )
+
+    return score
+
+
 def fit_null_curve(
     spark: SparkSession,
     in_range: DataFrame,
@@ -139,7 +165,8 @@ def fit_null_curve(
     """Equal-occupancy binning → per-bin contact probability → monotone
     curve (SC-1 probability: (Σcc_bin / possible_bin) / N).
 
-    Returns (pandas bin-stats table, eval_udf)."""
+    Returns (pandas bin-stats table, (grid_x, grid_y)) — the fitted
+    monotone curve ready to broadcast."""
     byd = win.per_distance_totals(in_range)
     byd = byd.join(F.broadcast(possible_by_dist), byd["d"] == possible_by_dist["dist"], "left").drop(
         "dist"
@@ -163,7 +190,7 @@ def fit_null_curve(
         grid_points=cfg.grid_points,
     )
     pdf["prob"] = prob
-    return pdf, _curve_eval_udf(spark, gx, gy)
+    return pdf, (gx, gy)
 
 
 def run_significance(
@@ -192,7 +219,12 @@ def run_significance(
     inter = filter_contact_type(base, "interOnly")
     score_intra = cfg.contact_type in ("intraOnly", "All")
     score_inter = cfg.contact_type in ("interOnly", "All")
-    c = intra.cache()  # reused across passes and for the scalar agg
+    # repartition BEFORE caching: AQE coalesces small shuffles to one
+    # partition, which would serialize every downstream Arrow UDF batch
+    # onto a single Python worker
+    par = spark.sparkContext.defaultParallelism or 32
+    c = intra.repartition(par, "chr1", "mid1").cache()
+    n_rows = c.count()
 
     n_total = c.agg(F.sum("contact_count")).collect()[0][0] or 0
     possible = possible_pairs_per_lag(chr_nbins, cfg.resolution)
@@ -228,18 +260,16 @@ def run_significance(
     scored = None
     for _ in range(max(1, cfg.passes)):
         if score_intra:
-            _, eval_udf = fit_null_curve(spark, fit_input, n_total, possible, cfg)
-            prior = contact_prior(
-                None,
-                eval_udf(F.col("dist").cast("double")),
-                F.col("bias1"),
-                F.col("bias2"),
-            )
-            scored = c.withColumn("p_prior", prior)
+            _, (gx, gy) = fit_null_curve(spark, fit_input, n_total, possible, cfg)
+            score = _fused_score_udf(spark, gx, gy, int(n_total))
+            scored = c.withColumn("p_prior", F.lit(None).cast("double"))
             scored = scored.withColumn(
                 "p_value",
-                _binom_sf_udf(int(n_total))(
-                    F.col("contact_count"), F.col("p_prior")
+                score(
+                    F.col("contact_count"),
+                    F.col("dist").cast("double"),
+                    F.col("bias1"),
+                    F.col("bias2"),
                 ),
             )
         parts = [s for s in (scored if score_intra else None, inter_scored) if s is not None]
@@ -247,7 +277,12 @@ def run_significance(
         for p in parts[1:]:
             combined = combined.unionByName(p)
         m_bh = (int(m_possible) if score_intra else 0) + m_total
-        scored = win.bh_fdr(
+        # materialize the scored table before BH: the distributed BH's
+        # range repartition SAMPLES its input, which would re-run the
+        # whole scoring UDF lineage once per downstream job
+        combined = combined.cache()
+        bh = win.bh_fdr_scalable if n_rows > 200_000 else win.bh_fdr
+        scored = bh(
             combined, "p_value", m=m_bh, tiebreak=["chr1", "chr2", "mid1", "mid2"]
         )
         # refine: remove significant outliers before the next fit [SC-7].

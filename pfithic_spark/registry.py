@@ -1072,7 +1072,8 @@ def q_spline_fit_eval(spark, sf_dir):
     n_total = c.agg(F.sum("contact_count")).collect()[0][0]
     possible = hic.possible_pairs_per_lag(_chr_nbins(spark), fx.RES)
     cfg = hic.SigConfig(resolution=fx.RES, n_bins=fx.NBINS_OCC)
-    _, eval_udf = hic.fit_null_curve(spark, c, int(n_total), possible, cfg)
+    _, (gx, gy) = hic.fit_null_curve(spark, c, int(n_total), possible, cfg)
+    eval_udf = hic._curve_eval_udf(spark, gx, gy)
     byd = win.per_distance_totals(c)
     return byd.select(
         "d", "cc", eval_udf(F.col("d").cast("double")).alias("spline_prob")

@@ -28,13 +28,28 @@ def scalable_cumsum(
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
+    small_threshold: int | None = None,
 ) -> DataFrame:
     """Globally ordered running sum without a single-task global window.
 
     Requires ``order_col`` values to be unique per row (pre-aggregate
     first — which the callers do, and which also bounds cardinality:
     distances ≤ chromosome_length/resolution).
+
+    ``small_threshold``: when set, the input is cached and counted; at
+    or below the threshold a plain single-partition window is used —
+    for bounded-cardinality inputs the two-phase machinery (range
+    repartition + sampling + offset join) costs several extra jobs that
+    dwarf a one-task window.  Pass None (default) to force the
+    two-phase form.
     """
+    if small_threshold:
+        df = df.cache()
+        if df.count() <= small_threshold:
+            w = W.orderBy(order_col).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+            return df.withColumn(out_col, F.sum(value_col).over(w))
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
@@ -71,7 +86,10 @@ def per_distance_totals(contacts_with_dist: DataFrame) -> DataFrame:
 
 
 def equal_occupancy_assign(
-    byd: DataFrame, nbins: int, total: int | None = None
+    byd: DataFrame,
+    nbins: int,
+    total: int | None = None,
+    small_threshold: int | None = 200_000,
 ) -> DataFrame:
     """Assign each distance to an equal-occupancy bin [SC-1].
 
@@ -82,10 +100,12 @@ def equal_occupancy_assign(
 
     Ref: fithic.py::calculateProbabilities walk loop; pFitHiC cumsum.
     """
+    if small_threshold:
+        byd = byd.cache()  # reused by the count, the cumsum and the stats
     if total is None:
         total = byd.agg(F.sum("cc")).collect()[0][0]
     target = total / nbins  # exact-int inputs → identical double everywhere
-    cum = scalable_cumsum(byd, "d", "cc", "cumcc")
+    cum = scalable_cumsum(byd, "d", "cc", "cumcc", small_threshold=small_threshold)
     return cum.withColumn(
         "bin_id",
         F.least(
@@ -162,3 +182,67 @@ def topk_per_group(
         df.withColumn(rn_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rn_col) <= k)
     )
+
+
+def bh_fdr_scalable(
+    df: DataFrame,
+    p_col: str = "p_value",
+    m: int | None = None,
+    tiebreak: list[str] | None = None,
+    q_col: str = "q_value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed BH-FDR: identical semantics to :func:`bh_fdr` with no
+    single-task global window.
+
+    Two-phase global rank (range repartition on the total order →
+    per-partition row_number + broadcast prefix-count offsets) and
+    two-phase suffix-min for the monotonicity step (per-partition
+    suffix-min + broadcast min-of-later-partitions).  The tiebreak chain
+    must make the ordering total.
+    """
+    tiebreak = tiebreak or []
+    if m is None:
+        m = df.count()
+    n = int(
+        num_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+        or 32
+    )
+    order_cols = [F.col(p_col)] + [F.col(c) for c in tiebreak]
+    d = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    d = d.withColumn("_lrk", F.row_number().over(w_local))
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_pre = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_off")
+    )
+    d = d.join(F.broadcast(offs), "_pid").withColumn(
+        "_rk", (F.col("_lrk") + F.col("_off")).cast("long")
+    )
+    d = d.withColumn(
+        "_q_raw",
+        F.least(F.lit(1.0), F.col(p_col) * F.lit(float(m)) / F.col("_rk")),
+    )
+    # suffix-min over global rank: local suffix + min of later partitions
+    w_desc = (
+        W.partitionBy("_pid")
+        .orderBy(F.col("_rk").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = d.withColumn("_sfx", F.min("_q_raw").over(w_desc))
+    pid_mins = d.groupBy("_pid").agg(F.min("_q_raw").alias("_pmin"))
+    w_tail = W.orderBy(F.col("_pid").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    tails = pid_mins.select(
+        "_pid",
+        F.coalesce(F.min("_pmin").over(w_tail), F.lit(1.0)).alias("_tailmin"),
+    )
+    d = d.join(F.broadcast(tails), "_pid").withColumn(
+        q_col, F.least(F.col("_sfx"), F.col("_tailmin"))
+    )
+    return d.drop("_pid", "_lrk", "_off", "_rk", "_q_raw", "_sfx", "_tailmin")

@@ -62,3 +62,20 @@ def test_salted_sum_equals_direct(spark, sf_dir):
         for r in salted_sum(c, ["dist"], "contact_count", n_salts=8).collect()
     }
     assert direct == salted
+
+
+def test_bh_scalable_equals_naive(spark, sf_dir):
+    """Two-phase distributed BH must equal the single-window form."""
+    from pfithic_spark import fixtures as fx, windows as win
+    from pyspark.sql import functions as F
+
+    c = fx.fixture_contacts(spark, sf_dir).withColumn(
+        "p_value",
+        ((F.col("mid1") * 31 + F.col("mid2") * 17) % 1000003).cast("double")
+        / 1000003.0,
+    )
+    naive = win.bh_fdr(c, "p_value", m=124750, tiebreak=["mid1", "mid2"])
+    twop = win.bh_fdr_scalable(c, "p_value", m=124750, tiebreak=["mid1", "mid2"])
+    a = {(r["mid1"], r["mid2"]): r["q_value"] for r in naive.collect()}
+    b = {(r["mid1"], r["mid2"]): r["q_value"] for r in twop.collect()}
+    assert a == b
