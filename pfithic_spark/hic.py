@@ -224,15 +224,17 @@ def run_significance(
     # onto a single Python worker
     par = spark.sparkContext.defaultParallelism or 32
     c = intra.repartition(par, "chr1", "mid1").cache()
-    n_rows = c.count()
-
-    n_total = c.agg(F.sum("contact_count")).collect()[0][0] or 0
+    # one job for all global scalars (populates the cache as it goes)
+    n_rows, n_total = c.agg(
+        F.count(F.lit(1)), F.sum("contact_count")
+    ).collect()[0]
+    n_total = n_total or 0
     possible = possible_pairs_per_lag(chr_nbins, cfg.resolution)
     m_possible = (
         possible.filter(F.col("dist").between(cfg.dist_lo, cfg.dist_hi))
         .agg(F.sum("n_possible"))
         .collect()[0][0]
-        or c.count()
+        or n_rows
     )
 
     inter_scored = None
@@ -258,7 +260,8 @@ def run_significance(
 
     fit_input = c
     scored = None
-    for _ in range(max(1, cfg.passes)):
+    n_passes = max(1, cfg.passes)
+    for pass_no in range(n_passes):
         if score_intra:
             _, (gx, gy) = fit_null_curve(spark, fit_input, n_total, possible, cfg)
             score = _fused_score_udf(spark, gx, gy, int(n_total))
@@ -288,15 +291,19 @@ def run_significance(
         # refine: remove significant outliers before the next fit [SC-7].
         # Cache the (small) outlier set — its lineage contains this
         # pass's full scoring pipeline, which the next pass's null fit
-        # would otherwise recompute per downstream job.
-        outliers = (
-            scored.filter(F.col("q_value") < cfg.outlier_q)
-            .select("chr1", "mid1", "chr2", "mid2")
-            .cache()
-        )
-        fit_input = c.join(
-            F.broadcast(outliers), ["chr1", "mid1", "chr2", "mid2"], "left_anti"
-        )
+        # would otherwise recompute per downstream job.  Skipped on the
+        # final pass: nothing consumes it.
+        if pass_no < n_passes - 1:
+            outliers = (
+                scored.filter(F.col("q_value") < cfg.outlier_q)
+                .select("chr1", "mid1", "chr2", "mid2")
+                .cache()
+            )
+            fit_input = c.join(
+                F.broadcast(outliers),
+                ["chr1", "mid1", "chr2", "mid2"],
+                "left_anti",
+            )
     return scored.select(
         "chr1",
         "mid1",

@@ -68,11 +68,13 @@ def shingle_rows(
     id_col: str = "doc_id",
     k: int = 3,
     extra_cols: tuple[str, ...] = (),
+    dedup: bool = True,
 ) -> DataFrame:
-    """Distinct k-token shingles as ROWS: posexplode + window lead —
+    """k-token shingles as ROWS: posexplode + window lead —
     whole-stage-codegen JVM ops throughout (the array/transform form in
     :func:`shingles_col` runs interpreted per element and is ~5× slower
-    on wide corpora)."""
+    on wide corpora).  ``dedup=False`` skips the distinct() shuffle for
+    consumers whose aggregation is duplicate-insensitive (MinHash)."""
     from pyspark.sql import Window as W
 
     t = docs.select(
@@ -82,7 +84,7 @@ def shingle_rows(
     )
     w = W.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (
+    out = (
         t.select(
             "doc_id",
             *extra_cols,
@@ -91,8 +93,8 @@ def shingle_rows(
         )
         .filter(F.col("_last").isNotNull())
         .drop("_last")
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def token_rows(
@@ -117,35 +119,6 @@ _MINHASH_A = _rng.integers(1, _MINHASH_P, size=_MINHASH_N, dtype=np.int64)
 _MINHASH_B = _rng.integers(0, _MINHASH_P, size=_MINHASH_N, dtype=np.int64)
 
 
-def _hashed_shingles(sh: Column) -> Column:
-    """Hash shingle strings to int64 JVM-side (xxhash64 — deterministic,
-    whole-stage-codegen) so only fixed-width ints cross into Python."""
-    return F.transform(sh, lambda s: F.xxhash64(s))
-
-
-def _minhash_signature_udf():
-    # built lazily: pandas_udf construction needs an active SparkSession
-    @F.pandas_udf("array<long>")
-    def minhash_signature(hashes: pd.Series) -> pd.Series:
-        """64-permutation MinHash signature per hashed shingle set.
-
-        Vectorized: one (64, n_shingles) affine-mod matrix per document,
-        min along axis 1."""
-        out = []
-        a = _MINHASH_A[:, None]
-        b = _MINHASH_B[:, None]
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * _MINHASH_N)
-                continue
-            h = (np.asarray(hs, dtype=np.int64) & 0x7FFFFFFF)[None, :]
-            sig = ((a * h + b) % _MINHASH_P).min(axis=1)
-            out.append([int(v) for v in sig])
-        return pd.Series(out)
-
-    return minhash_signature
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -162,29 +135,43 @@ def minhash_lsh_pairs(
     signature fraction, filtered to ``est_threshold``.
     """
     rows_per_band = _MINHASH_N // bands
-    hashed = shingle_rows(docs, text_col, id_col).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    hashed = shingle_rows(docs, text_col, id_col, dedup=False).select(
+        "doc_id",
+        F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF)).alias("h"),
     )
-    sets = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("sh"))
-    sigs = sets.withColumn("sig", _minhash_signature_udf()(F.col("sh"))).drop("sh")
-    sigs = sigs.cache()
+    # MinHash as a plain JVM aggregation: min() is duplicate-insensitive,
+    # so the shingle stream needs no distinct(), and partial aggregation
+    # (map-side combine) ships only 64 longs per doc per partition — no
+    # collect_list shuffle of raw shingles, no Python worker round trip.
+    mins = [
+        F.min(
+            (F.lit(int(a)) * F.col("h") + F.lit(int(b))) % F.lit(_MINHASH_P)
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
+    ]
+    sigs = (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"_m{i}" for i in range(_MINHASH_N)]).alias("sig"),
+        )
+        .cache()
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            b.cast("string"),
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ).cast("array<string>"),
-                        )
-                    ).alias("bkey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
@@ -222,29 +209,6 @@ def minhash_lsh_pairs(
 # --- SimHash -------------------------------------------------------------
 
 
-def _simhash64_udf():
-    @F.pandas_udf("long")
-    def simhash64(hashes: pd.Series) -> pd.Series:
-        """64-bit SimHash over pre-hashed tokens: vectorized bit votes
-        ((n,64) matrix of ±1, column sums, sign → bits)."""
-        bits_idx = np.arange(64, dtype=np.uint64)
-        out = np.empty(len(hashes), dtype=np.int64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                out[i] = 0
-                continue
-            h = np.asarray(hs, dtype=np.int64).view(np.uint64)[:, None]
-            bits = ((h >> bits_idx[None, :]) & 1).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for bit in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(bit)
-            out[i] = np.int64(sig.astype(np.uint64).view(np.int64))
-        return pd.Series(out)
-
-    return simhash64
-
-
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -258,9 +222,27 @@ def simhash_pairs(
     hashed = token_rows(docs, text_col, id_col).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
-    sets = hashed.groupBy("doc_id").agg(F.collect_list("h").alias("toks"))
-    sigs = sets.withColumn("sig", _simhash64_udf()(F.col("toks"))).drop("toks")
-    sigs = sigs.cache()
+    # SimHash as a plain JVM aggregation: the per-bit ±1 votes are just
+    # sums of token-hash bits, so partial aggregation ships 65 longs per
+    # doc per partition — no collect_list of raw token hashes, no Python
+    # worker round trip.  Bit b is set iff strictly more than half the
+    # tokens have it set (2·ones > n ⟺ Σ(2·bit−1) > 0).
+    ones = [
+        F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        for b in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *ones)
+    bit_terms = [
+        F.when(
+            F.col(f"_o{b}") * 2 > F.col("_n"),
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig.bitwiseOR(t)
+    sigs = agg.select("doc_id", sig.alias("sig")).cache()
     chunk = F.explode(
         F.array(
             *[

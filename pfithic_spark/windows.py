@@ -29,6 +29,7 @@ def scalable_cumsum(
     out_col: str,
     num_partitions: int | None = None,
     small_threshold: int | None = None,
+    precomputed_count: int | None = None,
 ) -> DataFrame:
     """Globally ordered running sum without a single-task global window.
 
@@ -36,7 +37,8 @@ def scalable_cumsum(
     first — which the callers do, and which also bounds cardinality:
     distances ≤ chromosome_length/resolution).
 
-    ``small_threshold``: when set, the input is cached and counted; at
+    ``small_threshold``: when set, the input is cached and counted
+    (count skipped when the caller passes ``precomputed_count``); at
     or below the threshold a plain single-partition window is used —
     for bounded-cardinality inputs the two-phase machinery (range
     repartition + sampling + offset join) costs several extra jobs that
@@ -44,8 +46,11 @@ def scalable_cumsum(
     two-phase form.
     """
     if small_threshold:
-        df = df.cache()
-        if df.count() <= small_threshold:
+        n_in = precomputed_count
+        if n_in is None:
+            df = df.cache()
+            n_in = df.count()
+        if n_in <= small_threshold:
             w = W.orderBy(order_col).rowsBetween(
                 W.unboundedPreceding, W.currentRow
             )
@@ -100,12 +105,25 @@ def equal_occupancy_assign(
 
     Ref: fithic.py::calculateProbabilities walk loop; pFitHiC cumsum.
     """
+    n_dists = None
     if small_threshold:
-        byd = byd.cache()  # reused by the count, the cumsum and the stats
+        byd = byd.cache()  # reused by the agg, the cumsum and the stats
+        if total is None:
+            # one job for both scalars the decision needs
+            n_dists, total = byd.agg(
+                F.count(F.lit(1)), F.sum("cc")
+            ).collect()[0]
     if total is None:
         total = byd.agg(F.sum("cc")).collect()[0][0]
     target = total / nbins  # exact-int inputs → identical double everywhere
-    cum = scalable_cumsum(byd, "d", "cc", "cumcc", small_threshold=small_threshold)
+    cum = scalable_cumsum(
+        byd,
+        "d",
+        "cc",
+        "cumcc",
+        small_threshold=small_threshold,
+        precomputed_count=n_dists,
+    )
     return cum.withColumn(
         "bin_id",
         F.least(

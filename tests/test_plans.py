@@ -115,3 +115,31 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_dedup_signatures_stay_jvm_side(spark, sf_dir, queries):
+    """MinHash and SimHash signatures are plain JVM aggregations — a
+    Python eval node in these plans means the collect_list→UDF shape
+    regressed (shuffles every shingle/token hash instead of 64 longs)."""
+    for key in ("q_dedup_near", "q_dedup_simhash"):
+        plan = _plan(queries[key](spark, sf_dir))
+        assert "EvalPython" not in plan, key  # Batch- or ArrowEvalPython
+
+
+def test_minhash_single_shuffle_before_join(spark, sf_dir, queries):
+    """The minhash signature build needs exactly one data exchange (the
+    doc_id window); the groupBy must reuse that partitioning and the
+    band self-join must not re-shuffle the cached signature table."""
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs_plan = _plan(
+        llmops.shingle_rows(d, "text", "doc_id", dedup=False).select(
+            "doc_id", F.xxhash64("shingle").alias("h")
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h"))
+    )
+    # tree + details each mention the node once → one Exchange = 2 hits
+    assert sigs_plan.count("Exchange") <= 2, sigs_plan

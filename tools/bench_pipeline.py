@@ -85,7 +85,6 @@ def main() -> None:
     # worker spawn + numpy import across local[32])
     contacts.count()
     from pyspark.sql import functions as F
-    import pandas as pd
 
     @F.pandas_udf("double")
     def _warm(x: pd.Series) -> pd.Series:
