@@ -27,6 +27,24 @@ def main() -> None:
 
     # warm the JVM / parquet footers once with the flagship query
     queries["q_agg_group"](spark, SF_DIR).collect()
+    # warm the Python workers (spawn + numpy/pandas import on every
+    # local[N] thread) so per-query times measure steady state, not
+    # one-time worker startup
+    from pyspark.sql import functions as F
+    import pandas as pd
+
+    # no annotations: `from __future__ import annotations` + local pd
+    # import break pandas_udf type-hint resolution
+    @F.pandas_udf("double", F.PandasUDFType.SCALAR)
+    def _warm(x):
+        return x * 1.0
+
+    (
+        spark.range(100_000)
+        .repartition(int(CPUS))
+        .select(F.sum(_warm(F.col("id").cast("double"))))
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for key in sorted(queries):
@@ -38,6 +56,9 @@ def main() -> None:
         except Exception as exc:  # a failing query must not hide the rest
             timings[key] = -1.0
             print(f"# bench FAIL {key}: {exc}", file=sys.stderr)
+        # drop cached blocks a key pinned so later keys aren't measured
+        # under accumulated memory/GC pressure from earlier ones
+        spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

@@ -85,6 +85,28 @@ def possible_pairs_per_lag(chr_nbins: DataFrame, resolution: int) -> DataFrame:
     )
 
 
+def possible_pairs_np(
+    nbins: np.ndarray, resolution: int, dist_lo: int, dist_hi: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Driver-side closed form of :func:`possible_pairs_per_lag` plus the
+    in-range total M [SC-3].
+
+    ``chr_nbins`` is a per-chromosome dimension (≤ a few dozen rows), so
+    the lag table — max(nbins) − 1 rows, data-size independent — never
+    needs a Spark job.  Returns (dists, n_possible, m_in_range).
+    """
+    nb = np.asarray(nbins, dtype=np.int64)
+    kmax = int(nb.max()) - 1 if nb.size else 0
+    if kmax <= 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    k = np.arange(1, kmax + 1, dtype=np.int64)
+    # Σ_chr max(n_chr − k, 0) per lag k, vectorized over chromosomes
+    n_possible = np.maximum(nb[:, None] - k[None, :], 0).sum(axis=0)
+    dists = k * int(resolution)
+    in_range = (dists >= dist_lo) & (dists <= dist_hi)
+    return dists, n_possible, int(n_possible[in_range].sum())
+
+
 def bias_product(b1, b2):
     """Joint bias factor with the SC-2 validity window: any endpoint
     outside [0.5, 2] → neutral product 1.0 (reference sentinel −1)."""
@@ -158,30 +180,87 @@ def _fused_score_udf(spark: SparkSession, gx, gy, n_total: int):
 def fit_null_curve(
     spark: SparkSession,
     in_range: DataFrame,
-    n_total: int,
-    possible_by_dist: DataFrame,
+    n_total: int | None,
+    possible_by_dist,
     cfg: SigConfig,
 ):
     """Equal-occupancy binning → per-bin contact probability → monotone
     curve (SC-1 probability: (Σcc_bin / possible_bin) / N).
 
-    Returns (pandas bin-stats table, (grid_x, grid_y)) — the fitted
-    monotone curve ready to broadcast."""
-    byd = win.per_distance_totals(in_range)
-    byd = byd.join(F.broadcast(possible_by_dist), byd["d"] == possible_by_dist["dist"], "left").drop(
-        "dist"
+    The cluster's only job here is the per-distance pre-compression
+    ``groupBy(dist)`` — its output cardinality is bounded by
+    genome_length/resolution (data-size INDEPENDENT: ~10⁵–10⁶ rows at
+    1 kb on a human genome), so the binning + bin stats run driver-side
+    in numpy on the collected table.  This is the §1.2 sanctioned sync
+    point at its natural bound; the distributed SC-1 form lives in
+    :mod:`pfithic_spark.windows` for unbounded inputs and is
+    oracle-gated by the q_equal_occupancy_binning key.
+
+    ``possible_by_dist``: (dists, n_possible) numpy arrays from
+    :func:`possible_pairs_np`, or a (dist, n_possible) DataFrame.
+    ``n_total``: binomial N (observedIntraInRangeSum); pass None on the
+    first pass to derive it from this same collect — Σcc over the
+    per-distance table IS the in-range sum, so no separate agg job.
+    Returns (pandas bin-stats table, (grid_x, grid_y), (Σcc, Σpairs))."""
+    byd = win.per_distance_totals(in_range).toPandas()
+    byd = byd.sort_values("d", ignore_index=True)
+    d = byd["d"].to_numpy(dtype=np.int64)
+    cc = byd["cc"].to_numpy(dtype=np.int64)
+    npairs = byd["np"].to_numpy(dtype=np.int64)
+    if isinstance(possible_by_dist, DataFrame):
+        pp = possible_by_dist.toPandas()
+        p_dists = pp["dist"].to_numpy(dtype=np.int64)
+        p_counts = pp["n_possible"].to_numpy(dtype=np.int64)
+    else:
+        p_dists, p_counts = possible_by_dist
+        p_dists = np.asarray(p_dists, dtype=np.int64)
+        p_counts = np.asarray(p_counts, dtype=np.int64)
+    # possible pairs at each observed distance; fall back to the observed
+    # pair count where the lag table has no entry (matches the old
+    # left-join + coalesce(np))
+    order = np.argsort(p_dists, kind="stable")
+    pos = np.searchsorted(p_dists[order], d)
+    pos_c = np.clip(pos, 0, len(p_dists) - 1) if len(p_dists) else pos
+    hit = (
+        (pos < len(p_dists)) & (p_dists[order][pos_c] == d)
+        if len(p_dists)
+        else np.zeros(len(d), dtype=bool)
     )
-    byd = byd.withColumn("n_possible", F.coalesce(F.col("n_possible"), F.col("np")))
-    assigned = win.equal_occupancy_assign(byd, cfg.n_bins)
-    per_bin = assigned.groupBy("bin_id").agg(
-        F.sum("cc").alias("sum_cc"),
-        F.sum("np").alias("n_pairs"),
-        F.sum("n_possible").alias("n_possible"),
-        (F.sum(F.col("d") * F.col("cc")).cast("double") / F.sum("cc")).alias(
-            "avg_dist"
-        ),
+    n_possible = np.where(hit, p_counts[order][pos_c] if len(p_dists) else 0, npairs)
+    # SC-1 equal-occupancy assignment — same IEEE expressions as
+    # windows.equal_occupancy_assign (exact-int inputs → identical
+    # doubles): bin = min(floor((cum-cc)/target), nbins-1)
+    total = int(cc.sum())
+    if n_total is None:
+        n_total = total
+    target = total / cfg.n_bins
+    cum = np.cumsum(cc)
+    bin_id = np.minimum(
+        np.floor((cum - cc) / target).astype(np.int64), cfg.n_bins - 1
     )
-    pdf = per_bin.orderBy("bin_id").toPandas()  # ≤ n_bins rows — sanctioned
+    # exact int64 accumulation (float bincount weights would lose bits
+    # past 2^53 where Spark's long sums stayed exact), then only the
+    # bins that actually occur (groupBy emitted no empty-bin rows)
+    nb = int(bin_id.max()) + 1 if len(bin_id) else 0
+    sum_cc = np.zeros(nb, dtype=np.int64)
+    n_pairs = np.zeros(nb, dtype=np.int64)
+    n_poss = np.zeros(nb, dtype=np.int64)
+    sum_dcc = np.zeros(nb, dtype=np.int64)
+    np.add.at(sum_cc, bin_id, cc)
+    np.add.at(n_pairs, bin_id, npairs)
+    np.add.at(n_poss, bin_id, n_possible)
+    np.add.at(sum_dcc, bin_id, d * cc)
+    present = n_pairs > 0
+    pdf = pd.DataFrame(
+        {
+            "bin_id": np.arange(nb, dtype=np.int64)[present],
+            "sum_cc": sum_cc[present],
+            "n_pairs": n_pairs[present],
+            "n_possible": n_poss[present],
+            "avg_dist": sum_dcc[present].astype(np.float64)
+            / sum_cc[present].astype(np.float64),
+        }
+    )
     prob = (pdf["sum_cc"] / pdf["n_possible"].clip(lower=1)) / float(n_total)
     gx, gy = st.fit_monotone_curve(
         pdf["avg_dist"].to_numpy(),
@@ -190,19 +269,23 @@ def fit_null_curve(
         grid_points=cfg.grid_points,
     )
     pdf["prob"] = prob
-    return pdf, (gx, gy)
+    return pdf, (gx, gy), (total, int(npairs.sum()))
 
 
 def run_significance(
     spark: SparkSession,
     contacts: DataFrame,
-    chr_nbins: DataFrame,
+    chr_nbins,
     biases: DataFrame | None = None,
     cfg: SigConfig | None = None,
 ) -> DataFrame:
     """Full multi-pass significance pipeline; returns the scored
     contacts (chr1, mid1, chr2, mid2, contact_count, p_value, q_value,
-    bias1, bias2) for the final pass."""
+    bias1, bias2) for the final pass.
+
+    ``chr_nbins``: the per-chromosome grid-size dimension — a Spark
+    DataFrame, pandas DataFrame, or iterable of (chr, nbins); it is tiny
+    (≤ a few dozen rows) and consumed driver-side only."""
     cfg = cfg or SigConfig()
     base = canonicalize_pairs(contacts)
     if biases is not None:
@@ -224,25 +307,27 @@ def run_significance(
     # onto a single Python worker
     par = spark.sparkContext.defaultParallelism or 32
     c = intra.repartition(par, "chr1", "mid1").cache()
-    # one job for all global scalars (populates the cache as it goes)
-    n_rows, n_total = c.agg(
-        F.count(F.lit(1)), F.sum("contact_count")
-    ).collect()[0]
-    n_total = n_total or 0
-    possible = possible_pairs_per_lag(chr_nbins, cfg.resolution)
-    m_possible = (
-        possible.filter(F.col("dist").between(cfg.dist_lo, cfg.dist_hi))
-        .agg(F.sum("n_possible"))
-        .collect()[0][0]
-        or n_rows
+    # lag-table combinatorics from the per-chromosome dim — driver-side
+    # closed form, no Spark job (chr_nbins ≤ a few dozen rows)
+    if isinstance(chr_nbins, DataFrame):
+        nb = np.array([r["nbins"] for r in chr_nbins.collect()], dtype=np.int64)
+    elif isinstance(chr_nbins, pd.DataFrame):
+        nb = chr_nbins["nbins"].to_numpy(dtype=np.int64)
+    else:
+        nb = np.array([t[1] for t in chr_nbins], dtype=np.int64)
+    p_dists, p_counts, m_possible = possible_pairs_np(
+        nb, cfg.resolution, cfg.dist_lo, cfg.dist_hi
     )
+    possible = (p_dists, p_counts)
+    # global scalars (N = observedIntraInRangeSum, row count) come out of
+    # pass 0's per-distance collect below — no separate agg job
+    n_rows = n_total = None
 
     inter_scored = None
     m_total = 0
     if score_inter:
         # flat inter-chromosomal null [SC-5]: interChrProb =
         # observedInterAllSum / possibleInterAllCount; N = inter sum
-        nb = chr_nbins.toPandas()["nbins"].to_numpy()
         possible_inter = int(
             (nb.sum() ** 2 - (nb**2).sum()) // 2
         )  # Σ_{c1<c2} n1·n2
@@ -263,7 +348,12 @@ def run_significance(
     n_passes = max(1, cfg.passes)
     for pass_no in range(n_passes):
         if score_intra:
-            _, (gx, gy) = fit_null_curve(spark, fit_input, n_total, possible, cfg)
+            _, (gx, gy), (fit_cc, fit_np) = fit_null_curve(
+                spark, fit_input, n_total, possible, cfg
+            )
+            if n_total is None:  # pass 0: fit_input == c, so Σcc == N
+                n_total, n_rows = fit_cc, fit_np
+                m_possible = m_possible or n_rows
             score = _fused_score_udf(spark, gx, gy, int(n_total))
             scored = c.withColumn("p_prior", F.lit(None).cast("double"))
             scored = scored.withColumn(
@@ -284,10 +374,25 @@ def run_significance(
         # range repartition SAMPLES its input, which would re-run the
         # whole scoring UDF lineage once per downstream job
         combined = combined.cache()
-        bh = win.bh_fdr_scalable if n_rows > 200_000 else win.bh_fdr
-        scored = bh(
-            combined, "p_value", m=m_bh, tiebreak=["chr1", "chr2", "mid1", "mid2"]
-        )
+        if (n_rows or 0) > 200_000:
+            scored = win.bh_fdr_scalable(
+                combined,
+                "p_value",
+                m=m_bh,
+                tiebreak=["chr1", "chr2", "mid1", "mid2"],
+            )
+        else:
+            scored = win.bh_fdr(
+                combined,
+                "p_value",
+                m=m_bh,
+                tiebreak=["chr1", "chr2", "mid1", "mid2"],
+                # exact combined count known only when no inter rows were
+                # unioned in → enables the single-sort BH form
+                n_rows=(
+                    n_rows if (score_intra and inter_scored is None) else None
+                ),
+            )
         # refine: remove significant outliers before the next fit [SC-7].
         # Cache the (small) outlier set — its lineage contains this
         # pass's full scoring pipeline, which the next pass's null fit

@@ -1069,10 +1069,12 @@ def q_spline_fit_eval(spark, sf_dir):
     broadcast dense grid → clamped interp in a pandas_udf
     (ref: fit_Spline; SC-4).  Monotonicity property-tested in pytest."""
     c = rel.with_distance(fx.fixture_contacts(spark, sf_dir))
-    n_total = c.agg(F.sum("contact_count")).collect()[0][0]
-    possible = hic.possible_pairs_per_lag(_chr_nbins(spark), fx.RES)
     cfg = hic.SigConfig(resolution=fx.RES, n_bins=fx.NBINS_OCC)
-    _, (gx, gy) = hic.fit_null_curve(spark, c, int(n_total), possible, cfg)
+    possible = hic.possible_pairs_np(
+        [fx.NBINS_GRID], fx.RES, cfg.dist_lo, cfg.dist_hi
+    )[:2]
+    # n_total=None: N comes out of the same per-distance collect
+    _, (gx, gy), _ = hic.fit_null_curve(spark, c, None, possible, cfg)
     eval_udf = hic._curve_eval_udf(spark, gx, gy)
     byd = win.per_distance_totals(c)
     return byd.select(
@@ -1091,7 +1093,9 @@ def q_hic_significance(spark, sf_dir):
     cfg = hic.SigConfig(
         resolution=fx.RES, n_bins=fx.NBINS_OCC, passes=2, dist_lo=0, dist_hi=2**40
     )
-    return hic.run_significance(spark, c, _chr_nbins(spark), biases=b, cfg=cfg)
+    return hic.run_significance(
+        spark, c, [("chr1", fx.NBINS_GRID)], biases=b, cfg=cfg
+    )
 
 
 # ========================================================================

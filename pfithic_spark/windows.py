@@ -157,6 +157,7 @@ def bh_fdr(
     m: int | None = None,
     tiebreak: list[str] | None = None,
     q_col: str = "q_value",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Benjamini–Hochberg q-values [P `fithic.py::benjamini_hochberg_correction`].
 
@@ -165,13 +166,31 @@ def bh_fdr(
     pass ``m`` explicitly for that semantics, default falls back to the
     observed row count.
 
+    When ``n_rows`` (the exact row count) is known, both the ascending
+    rank and the suffix-min collapse onto ONE descending window — rank
+    = n_rows − rn_desc + 1, suffix-min = running min over the same
+    frame — so the plan sorts once instead of twice.
+
     Global-order note: ranks use an unpartitioned window — fine for the
     ≤10⁶-row significance tables this runs on after pre-aggregation; for
-    larger inputs pre-bucket p into quantiles and rank buckets (§4.4).
+    larger inputs use :func:`bh_fdr_scalable` (§4.4).
     """
     tiebreak = tiebreak or []
     if m is None:
         m = df.count()
+    if n_rows is not None:
+        w_desc = W.orderBy(
+            F.col(p_col).desc(), *[F.col(c).desc() for c in tiebreak]
+        ).rowsBetween(W.unboundedPreceding, W.currentRow)
+        rk = F.lit(int(n_rows) + 1) - F.row_number().over(
+            W.orderBy(F.col(p_col).desc(), *[F.col(c).desc() for c in tiebreak])
+        )
+        q_raw = F.least(F.lit(1.0), F.col(p_col) * F.lit(float(m)) / rk)
+        return (
+            df.withColumn("_q_raw", q_raw)
+            .withColumn(q_col, F.min("_q_raw").over(w_desc))
+            .drop("_q_raw")
+        )
     w_rank = W.orderBy(F.col(p_col), *[F.col(c) for c in tiebreak])
     ranked = df.withColumn("_rk", F.row_number().over(w_rank))
     q_raw = F.least(F.lit(1.0), F.col(p_col) * F.lit(float(m)) / F.col("_rk"))
