@@ -107,6 +107,33 @@ def token_rows(
     )
 
 
+def contamination_pairs(
+    docs: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Train/benchmark contamination: for each corpus document, count
+    k-gram shingles shared with each probe (benchmark) document.
+
+    The probe set is small relative to the corpus (a benchmark, not a
+    second corpus), so its shingles BROADCAST — the corpus-side shingle
+    stream joins map-side with no shuffle of corpus text.  Output:
+    (doc_id, probe_doc_id, n_shared) for pairs sharing ≥1 shingle.
+    """
+    corpus_sh = shingle_rows(docs, text_col, id_col, k=k)
+    probe_sh = shingle_rows(probe, text_col, id_col, k=k).select(
+        F.col("doc_id").alias("probe_doc_id"), "shingle"
+    )
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .filter(F.col("doc_id") != F.col("probe_doc_id"))
+        .groupBy("doc_id", "probe_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 # --- MinHash + LSH -------------------------------------------------------
 
 #: 64 deterministic affine permutations over the Mersenne prime 2^31-1:

@@ -1647,6 +1647,130 @@ def q_tfidf_terms(spark, sf_dir):
 
 
 @register(
+    "q_pii_redact",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555' || CAST(doc_id * 7 AS VARCHAR)
+              || CAST(1000000 + doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9][0-9][0-9][0-9][0-9][0-9]+'))
+           AS BIGINT) AS n_long_numbers,
+       MD5(REGEXP_REPLACE(REGEXP_REPLACE(text,
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '<EMAIL>', 'g'),
+           '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g')) AS redacted_md5
+FROM aug
+""",
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing: count + redact email-like and long-digit spans.
+
+    Pure JVM regexp (whole-stage codegen) — no UDF; patterns restricted
+    to the Java∩RE2 common subset so the DuckDB oracle matches the
+    redacted output byte-for-byte (compared via md5).  The synthetic
+    corpus has no PII, so a deterministic pii-ish suffix is appended
+    in-query on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+    num = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555"),
+            (F.col("doc_id") * 7).cast("string"),
+            (F.col("doc_id") + 1_000_000).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(num))
+        .cast("long")
+        .alias("n_long_numbers"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+                num,
+                "<NUM>",
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, lang,
+         (doc_id * 2654435761) % 4294967296 AS hkey
+  FROM documents
+)
+SELECT doc_id, source, lang
+FROM h WHERE hkey % 100 < 10
+""",
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic hash sampling (training-data subsetting): Knuth
+    multiplicative hash on the key, mod-bucket keep — reproducible
+    across engines and runs, unlike rand()-based sample().  Fully
+    pushdown-friendly: the predicate is a pure projection filter."""
+    d = load_table(spark, sf_dir, "documents")
+    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return d.filter(hkey % 100 < 10).select("doc_id", "source", "lang")
+
+
+@register(
+    "q_contamination",
+    oracle="""
+WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+c_sh AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+    GENERATE_SERIES(1, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 4),
+    i -> CONCAT_WS(' ',
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+2],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+3],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+4])
+  ))) AS shingle
+  FROM documents
+),
+p_sh AS (
+  SELECT doc_id AS probe_doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+    GENERATE_SERIES(1, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 4),
+    i -> CONCAT_WS(' ',
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+2],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+3],
+      STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+4])
+  ))) AS shingle
+  FROM probe
+)
+SELECT c.doc_id, p.probe_doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM c_sh c JOIN p_sh p USING (shingle)
+WHERE c.doc_id <> p.probe_doc_id
+GROUP BY c.doc_id, p.probe_doc_id
+""",
+)
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination detection: 5-gram overlap between the
+    corpus and a (deterministic) probe set.  The probe side broadcasts —
+    the corpus shingle stream never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return llmops.contamination_pairs(d, probe, k=5)
+
+
+@register(
     "q_multimodal_meta",
     oracle="""
 SELECT doc_id,
