@@ -75,3 +75,114 @@ def extract_media_meta(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         extract, schema=MEDIA_META_SCHEMA
     )
+
+
+#: output schema of the resize stage
+RESIZE_SCHEMA = (
+    "doc_id long, src_width long, src_height long, "
+    "out_width long, out_height long"
+)
+
+
+def resize_media(
+    docs_with_payload: DataFrame, max_w: int = 128, max_h: int = 128
+) -> DataFrame:
+    """Aspect-ratio-preserving bounded resize over the binary column.
+
+    Real resizing needs a pixel decoder (stubbed — see module docstring);
+    the dimension arithmetic, batching, and mapInPandas plumbing are the
+    production shape.  Integer-only math (floor division, clamp ≥ 1) so
+    the DuckDB oracle replays it exactly: clamp width to ``max_w``
+    rescaling height, then clamp height to ``max_h`` rescaling width.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = decode_image_batch(pdf["payload"], fake=True)
+            w = meta["fake_width"].astype("int64")
+            h = meta["fake_height"].astype("int64")
+            w1 = w.clip(upper=max_w)
+            h1 = h.where(w <= max_w, (h * max_w // w).clip(lower=1))
+            h2 = h1.clip(upper=max_h)
+            w2 = w1.where(h1 <= max_h, (w1 * max_h // h1).clip(lower=1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "src_width": w,
+                    "src_height": h,
+                    "out_width": w2,
+                    "out_height": h2,
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
+
+
+#: output schema of the frame sampler (one row per sampled frame)
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_checksum string"
+
+
+def sample_frames(docs_with_payload: DataFrame, stride: int = 4) -> DataFrame:
+    """Every-``stride``-th frame sample from the (fake-decoded) video
+    payload — a generator-shaped mapInPandas stage: one input row fans
+    out to ``ceil(frames/stride)`` output rows inside the Arrow batch,
+    so the fan-out never materializes driver-side."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            meta = decode_image_batch(pdf["payload"], fake=True)
+            ids, idxs, cks = [], [], []
+            for doc_id, payload, frames in zip(
+                pdf["doc_id"], pdf["payload"], meta["fake_frames"]
+            ):
+                ck = hashlib.md5(payload).hexdigest()
+                for idx in range(0, int(frames), stride):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    cks.append(hashlib.md5(f"{ck}-{idx}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_checksum": cks}
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        sample, schema=FRAMES_SCHEMA
+    )
+
+
+FEATURE_DIM = 8
+
+#: output schema of the feature extractor (fixed-width numeric columns)
+FEATURES_SCHEMA = "doc_id long, " + ", ".join(
+    f"f{i} long" for i in range(FEATURE_DIM)
+)
+
+
+def extract_features(docs_with_payload: DataFrame) -> DataFrame:
+    """Fixed-width feature vector per payload (the embedding-extraction
+    stage of a multimodal pipeline; a real model would run here).
+
+    Deterministic stand-in: 8 × 16-bit integers parsed from the payload
+    MD5 — vectorized pandas string ops over the Arrow batch, replayable
+    by the DuckDB oracle via SUBSTR/STRPOS hex parsing."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+            out = {"doc_id": pdf["doc_id"].values}
+            for i in range(FEATURE_DIM):
+                out[f"f{i}"] = (
+                    digests.str.slice(4 * i, 4 * i + 4)
+                    .map(lambda hx: int(hx, 16))
+                    .astype("int64")
+                )
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        extract, schema=FEATURES_SCHEMA
+    )

@@ -1790,6 +1790,91 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.extract_media_meta(multimodal.with_binary_payload(d))
 
 
+@register(
+    "q_multimodal_resize",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         OCTET_LENGTH(ENCODE(text)) % 640 + 1 AS w,
+         (OCTET_LENGTH(ENCODE(text)) * 7) % 480 + 1 AS h
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, w, h,
+         CASE WHEN w > 128 THEN 128 ELSE w END AS w1,
+         CASE WHEN w > 128 THEN GREATEST(h * 128 // w, 1) ELSE h END AS h1
+  FROM d
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS src_width,
+       CAST(h AS BIGINT) AS src_height,
+       CAST(CASE WHEN h1 > 128 THEN GREATEST(w1 * 128 // h1, 1)
+                 ELSE w1 END AS BIGINT) AS out_width,
+       CAST(CASE WHEN h1 > 128 THEN 128 ELSE h1 END AS BIGINT) AS out_height
+FROM s1
+""",
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Bounded aspect-preserving resize over binary payloads (decode
+    stubbed; integer-only dimension math so the oracle replays it)."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.resize_media(multimodal.with_binary_payload(d))
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, MD5(text) AS ck,
+         OCTET_LENGTH(ENCODE(text)) % 16 + 1 AS frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, ck,
+         UNNEST(GENERATE_SERIES(0, frames - 1, 4)) AS frame_idx
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       MD5(ck || '-' || CAST(frame_idx AS VARCHAR)) AS frame_checksum
+FROM f
+""",
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Every-4th-frame sampling from fake-decoded video payloads — the
+    fan-out happens inside the Arrow batch (mapInPandas generator), so
+    a 100 TB corpus never routes frame rows through the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.with_binary_payload(d), stride=4)
+
+
+def _hex16_sql(i: int) -> str:
+    """SQL expression parsing hex chars [4i, 4i+4) of MD5(text) as int."""
+    nibbles = [
+        f"(STRPOS('0123456789abcdef', SUBSTR(MD5(text), {4 * i + j + 1}, 1)) - 1)"
+        for j in range(4)
+    ]
+    return (
+        f"({nibbles[0]} * 4096 + {nibbles[1]} * 256 "
+        f"+ {nibbles[2]} * 16 + {nibbles[3]})"
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="SELECT doc_id, "
+    + ", ".join(
+        f"CAST({_hex16_sql(i)} AS BIGINT) AS f{i}"
+        for i in range(multimodal.FEATURE_DIM)
+    )
+    + " FROM documents",
+)
+def q_multimodal_features(spark, sf_dir):
+    """Feature-extraction stage (model inference stand-in): fixed-width
+    vector per payload via vectorized pandas ops in mapInPandas."""
+    d = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.with_binary_payload(d))
+
+
 # ========================================================================
 # §2.11 streaming (batch twins — see streaming.py for readStream forms)
 # ========================================================================
@@ -1862,6 +1947,27 @@ def q_stream_sliding(spark, sf_dir):
     return w.groupBy("window_start_s", "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         agg.dsum("value", 6).alias("sum_value"),
+    )
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful(spark, sf_dir):
+    """Batch twin of streaming.stateful_user_totals (the
+    applyInPandasWithState custom stateful operator): final per-user
+    state equals a plain groupBy total, which is what the oracle checks;
+    the incremental-state streaming form is smoke-tested in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        agg.dsum("value", 6).alias("total_value"),
     )
 
 

@@ -100,6 +100,47 @@ def dedup_within_watermark(
     return e.dropDuplicatesWithinWatermark(["event_id"])
 
 
+#: output schema of the custom stateful per-user aggregator
+USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+
+#: explicit state schema — what survives between micro-batches per key
+USER_TOTALS_STATE_SCHEMA = "n long, total double"
+
+
+def stateful_user_totals(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, total) maintained in explicit keyed state across
+    micro-batches, one updated row emitted per key per batch.
+
+    This is the escape hatch for operators Spark's built-in stateful
+    aggregations can't express (custom merge logic, bounded state, side
+    outputs); the built-in twin for THIS aggregation is a plain
+    groupBy — registered as ``q_stream_stateful`` for the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    e = with_event_time(events).withWatermark("event_time", watermark)
+    return e.groupBy("user_id").applyInPandasWithState(
+        update,
+        USER_TOTALS_SCHEMA,
+        USER_TOTALS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -97,3 +97,26 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
         total += len(want)
     recall = hits / total
     assert recall > 0.25, f"recall@5 {recall} suspiciously low"
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    """Resize respects bounds & aspect math; frame sampling emits
+    ceil(frames/stride) rows per doc."""
+    from pfithic_spark import multimodal
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    p = multimodal.with_binary_payload(d)
+    rz = multimodal.resize_media(p, max_w=128, max_h=128).collect()
+    assert len(rz) == 50
+    for r in rz:
+        assert 1 <= r["out_width"] <= 128 and 1 <= r["out_height"] <= 128
+        if r["src_width"] <= 128 and r["src_height"] <= 128:
+            assert (r["out_width"], r["out_height"]) == (
+                r["src_width"],
+                r["src_height"],
+            )
+    fr = multimodal.sample_frames(p, stride=4).groupBy("doc_id").count().collect()
+    meta = multimodal.extract_media_meta(p).collect()
+    frames = {r["doc_id"]: r["fake_frames"] for r in meta}
+    for r in fr:
+        assert r["count"] == -(-frames[r["doc_id"]] // 4)  # ceil

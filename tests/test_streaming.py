@@ -145,3 +145,24 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert "late" not in types
     w0 = [r for r in out if abs(r["window"].start.timestamp() * 10**9 - (h - h % hour)) < hour]
     assert w0 and w0[0]["n_events"] == 10  # on-time window finalized intact
+
+
+def test_stateful_user_totals(spark, sf_dir, stream_dir):
+    """applyInPandasWithState custom stateful operator: final emitted
+    state per user equals the batch groupBy totals."""
+    stream = strm.read_event_stream(spark, stream_dir)
+    out = _run(spark, strm.stateful_user_totals(stream), "update").collect()
+    assert len(out) > 0
+    # update mode with one input file → one state row per user; totals
+    # must reconcile with the batch twin
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tot"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out}
+    for r in batch:
+        n, tot = got[r["user_id"]]
+        assert n == r["n"]
+        assert abs(tot - r["tot"]) < 1e-6
