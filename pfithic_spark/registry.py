@@ -848,6 +848,72 @@ def q_bh_fdr(spark, sf_dir):
 
 
 @register(
+    "q_window_ntile",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 9) AS prk,
+       ROUND(CUME_DIST() OVER w, 9) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def q_window_ntile(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    per customer — engine-completeness family alongside q_window_rank.
+    Deterministic tie-breaker (orderkey) in the ordering."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("prk"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
+
+
+@register(
+    "q_join_outer",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey % 5 < 3
+),
+o AS (
+  SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(c.k, o.k) AS custkey,
+       COALESCE(c.c_acctbal, -99999.0) AS acctbal,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders
+FROM c FULL OUTER JOIN o ON c.k = o.k
+""",
+)
+def q_join_outer(spark, sf_dir):
+    """Full outer join with unmatched rows on BOTH sides (custkey%5
+    filter creates order-only keys; customers without orders create
+    customer-only keys).  Sentinels instead of NULLs so the value hash
+    is engine-portable."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 5 < 3)
+        .select(F.col("c_custkey").alias("k"), "c_acctbal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(orders, "k", "full_outer")
+    return j.select(
+        F.col("k").alias("custkey"),
+        F.coalesce("c_acctbal", F.lit(-99999.0)).alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+    )
+
+
+@register(
     "q_window_rank",
     oracle="""
 SELECT c_nationkey, c_custkey, c_acctbal,

@@ -100,6 +100,15 @@ def dedup_within_watermark(
     return e.dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static broadcast join: enrich each micro-batch with a
+    small static dimension (the streaming twin of q_join_broadcast).
+    The dim side is broadcast once per batch — no stream-side state."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 #: output schema of the custom stateful per-user aggregator
 USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
 

@@ -166,3 +166,17 @@ def test_stateful_user_totals(spark, sf_dir, stream_dir):
         n, tot = got[r["user_id"]]
         assert n == r["n"]
         assert abs(tot - r["tot"]) < 1e-6
+
+
+def test_stream_static_enrich(spark, sf_dir, stream_dir):
+    """Stream-static broadcast join preserves every stream row and
+    attaches the dim attribute."""
+    dim = spark.range(0, 200).select(
+        F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier")
+    )
+    stream = strm.read_event_stream(spark, stream_dir)
+    out = _run(spark, strm.enrich_with_dim(stream, dim), "append")
+    n_stream = out.count()
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_stream == n_batch
+    assert out.filter(F.col("tier").isNull()).count() == 0
