@@ -143,3 +143,21 @@ def test_minhash_single_shuffle_before_join(spark, sf_dir, queries):
     )
     # tree + details each mention the node once → one Exchange = 2 hits
     assert sigs_plan.count("Exchange") <= 2, sigs_plan
+
+
+def test_multimodal_stages_have_no_shuffle(spark, sf_dir, queries):
+    """The multimodal mapInPandas stages (resize / frames / features)
+    are scan → project → Arrow-batched map: a shuffle-free narrow
+    pipeline, so a 100 TB corpus streams through without an Exchange."""
+    for key in ("q_multimodal_resize", "q_multimodal_frames", "q_multimodal_features"):
+        plan = _plan(queries[key](spark, sf_dir))
+        assert "Exchange" not in plan, f"{key} gained a shuffle:\n{plan}"
+        assert "MapInPandas" in plan
+
+
+def test_outer_join_aggregates_before_join(spark, sf_dir, queries):
+    """q_join_outer's order side pre-aggregates (partial+final) before
+    the join — the join input is per-key, not per-order-row."""
+    plan = _plan(queries["q_join_outer"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
