@@ -6,7 +6,11 @@ synthetic Hi-C contact sets.
 Both sides read the same parquet and share the numeric kernels, so the
 delta is purely the execution architecture.  Usage:
 
-    python tools/bench_pipeline.py [n_target_pairs] [passes]
+    python tools/bench_pipeline.py [n_target_pairs] [passes] [nbins] [chrs]
+
+Scale the GRID (nbins/chrs), not just the draw count: the canonical
+pair space saturates at chrs·nbins²/2 distinct pairs, after which more
+draws only raise counts, not rows.
 """
 
 from __future__ import annotations
@@ -54,9 +58,10 @@ def make_contacts(n_target: int, nbins: int = 5000, chrs: int = 2) -> pd.DataFra
 def main() -> None:
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    nbins = 5000
+    nbins = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+    chrs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
-    pdf = make_contacts(n_target, nbins=nbins)
+    pdf = make_contacts(n_target, nbins=nbins, chrs=chrs)
     path = "/tmp/bench_pipeline_contacts.parquet"
     pdf.to_parquet(path, index=False)
     print(f"contacts: {len(pdf):,} canonical pairs → {path}")
@@ -77,7 +82,7 @@ def main() -> None:
 
     spark = get_spark(app="bench-pipeline")
     chr_nbins = spark.createDataFrame(
-        [("chr1", nbins), ("chr2", nbins)], "chr string, nbins int"
+        [(f"chr{c+1}", nbins) for c in range(chrs)], "chr string, nbins int"
     )
     cfg = hic.SigConfig(n_bins=100, passes=passes, dist_lo=0, dist_hi=2**40)
     contacts = spark.read.parquet(path)
