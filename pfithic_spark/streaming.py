@@ -150,6 +150,42 @@ def stateful_user_totals(
     )
 
 
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    mode: str = "append",
+    available_now: bool = True,
+):
+    """Production sink: exactly-once parquet append via the checkpointed
+    file sink (offset log + file-manifest commit protocol).  Returns the
+    started StreamingQuery; callers own awaitTermination/stop."""
+    return (
+        stream_df.writeStream.outputMode(mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
+def write_stream_foreach_batch(
+    stream_df: DataFrame, batch_fn, checkpoint: str, available_now: bool = True
+):
+    """foreachBatch sink: run arbitrary batch logic (merge/upsert into a
+    table, multi-sink fan-out) per micro-batch.  ``batch_fn(df, epoch)``
+    receives a BATCH DataFrame — the full relational surface (joins,
+    overwrite-by-partition) applies; Spark retries the batch with the
+    same epoch id on failure, so batch_fn must be idempotent per epoch."""
+    return (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -180,3 +180,37 @@ def test_stream_static_enrich(spark, sf_dir, stream_dir):
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert n_stream == n_batch
     assert out.filter(F.col("tier").isNull()).count() == 0
+
+
+def test_stream_parquet_sink_exactly_once(spark, sf_dir, stream_dir, tmp_path):
+    """Checkpointed parquet sink: restarting the same query over the
+    same source appends nothing new (exactly-once via the commit log)."""
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for _ in range(2):  # second start replays the committed offsets
+        stream = strm.read_event_stream(spark, stream_dir)
+        q = strm.write_stream_parquet(strm.dedup_within_watermark(stream), out, ck)
+        q.awaitTermination(120)
+        q.stop()
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert spark.read.parquet(out).count() == n_batch
+
+
+def test_stream_foreach_batch_sink(spark, sf_dir, stream_dir, tmp_path):
+    """foreachBatch: per-microbatch batch logic (grouped write)."""
+    out, ck = str(tmp_path / "fb_out"), str(tmp_path / "fb_ck")
+
+    def handle(df, epoch_id):
+        (
+            df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    stream = strm.read_event_stream(spark, stream_dir)
+    q = strm.write_stream_foreach_batch(stream, handle, ck)
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
+    n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == n_batch
