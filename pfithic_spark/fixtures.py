@@ -21,16 +21,28 @@ NBINS_GRID = 500
 #: equal-occupancy bin count for the binning queries (fithic -b default 100)
 NBINS_OCC = 100
 
+#: number of chromosomes in the derived fixture.  TWO, deliberately:
+#: every grid midpoint exists on both chromosomes, so any join that
+#: drops the chromosome from its key (the round-1 attach_biases bug)
+#: duplicates rows / attaches wrong-chromosome values and fails the
+#: oracle instead of hiding behind a single-chromosome fixture.
+N_CHROMS = 2
+
+#: chromosome assignment expression shared by contacts and biases —
+#: valid verbatim in both Spark SQL and DuckDB.
+_CHR_SQL = "CASE WHEN user_id % 2 = 0 THEN 'chr1' ELSE 'chr2' END"
+
 #: Canonicalized, duplicate-summed contacts derived from `events`.
 #: Valid in both Spark SQL and DuckDB verbatim. (chr1,mid1) <= (chr2,mid2)
-#: by construction of the WHERE clause; duplicates pre-summed [SC-6].
-CONTACTS_SQL = """
+#: by construction of the WHERE clause (intra-chromosomal rows only);
+#: duplicates pre-summed [SC-6].  Two chromosomes share the same grid.
+CONTACTS_SQL = f"""
 SELECT chr1, mid1, chr2, mid2,
        CAST(SUM(contact_count) AS BIGINT) AS contact_count
 FROM (
-    SELECT 'chr1' AS chr1,
+    SELECT {_CHR_SQL} AS chr1,
            CAST((event_id % 500) * 5000 + 2500 AS BIGINT) AS mid1,
-           'chr1' AS chr2,
+           {_CHR_SQL} AS chr2,
            CAST(((event_id * 7 + user_id) % 500) * 5000 + 2500 AS BIGINT) AS mid2,
            CAST(1 + (event_id % 5) AS BIGINT) AS contact_count
     FROM events
@@ -39,13 +51,18 @@ FROM (
 GROUP BY chr1, mid1, chr2, mid2
 """.strip()
 
-#: Per-locus bias factors on the same grid; ~90% coverage (k%10<>0 rows
-#: absent, exercising the left-join default) and values 0.3..2.7 so some
-#: fall outside the [0.5, 2] validity window (sentinel path, SC-2).
-BIASES_SQL = """
-SELECT CAST(k * 5000 + 2500 AS BIGINT) AS mid,
-       CAST(0.3 + (k % 9) * 0.3 AS DOUBLE) AS bias
-FROM (SELECT DISTINCT event_id % 500 AS k FROM events) ks
+#: Per-(chr, mid) bias factors on the same grid; ~90% coverage per
+#: chromosome (k%10<>0 rows absent, exercising the left-join default)
+#: and values 0.3..2.7 so some fall outside the [0.5, 2] validity window
+#: (sentinel path, SC-2).  chr2's values are phase-shifted so a
+#: wrong-chromosome join attaches visibly different biases.
+BIASES_SQL = f"""
+SELECT chr,
+       CAST(k * 5000 + 2500 AS BIGINT) AS mid,
+       CAST(0.3 + ((k + CASE WHEN chr = 'chr2' THEN 4 ELSE 0 END) % 9) * 0.3 AS DOUBLE) AS bias
+FROM (
+  SELECT DISTINCT {_CHR_SQL} AS chr, event_id % 500 AS k FROM events
+) ks
 WHERE k % 10 <> 0
 """.strip()
 

@@ -345,12 +345,23 @@ def run_significance(
 
     fit_input = c
     scored = None
+    prev_combined = prev_outliers = None
     n_passes = max(1, cfg.passes)
     for pass_no in range(n_passes):
         if score_intra:
             _, (gx, gy), (fit_cc, fit_np) = fit_null_curve(
                 spark, fit_input, n_total, possible, cfg
             )
+        # the fit collect just materialized this pass's fit_input, so the
+        # PREVIOUS pass's cached scored table + outlier set are dead —
+        # release them instead of accumulating one pair per pass
+        if prev_combined is not None:
+            prev_combined.unpersist()
+            prev_combined = None
+        if prev_outliers is not None:
+            prev_outliers.unpersist()
+            prev_outliers = None
+        if score_intra:
             if n_total is None:  # pass 0: fit_input == c, so Σcc == N
                 n_total, n_rows = fit_cc, fit_np
                 m_possible = m_possible or n_rows
@@ -409,6 +420,7 @@ def run_significance(
                 ["chr1", "mid1", "chr2", "mid2"],
                 "left_anti",
             )
+            prev_combined, prev_outliers = combined, outliers
     return scored.select(
         "chr1",
         "mid1",

@@ -306,8 +306,8 @@ SELECT c.chr1, c.mid1, c.chr2, c.mid2, c.contact_count,
        COALESCE(b1.bias, 1.0) AS bias1,
        COALESCE(b2.bias, 1.0) AS bias2
 FROM contacts c
-LEFT JOIN biases b1 ON b1.mid = c.mid1
-LEFT JOIN biases b2 ON b2.mid = c.mid2
+LEFT JOIN biases b1 ON b1.chr = c.chr1 AND b1.mid = c.mid1
+LEFT JOIN biases b2 ON b2.chr = c.chr2 AND b2.mid = c.mid2
 """,
 )
 def q_join_bias(spark, sf_dir):
@@ -791,8 +791,9 @@ def q_equal_occupancy_binning(spark, sf_dir):
     return win.bin_stats(assigned)
 
 
-#: BH test count M = possible intra pairs on the 500-bin grid [SC-3]
-POSSIBLE_PAIRS_M = fx.NBINS_GRID * (fx.NBINS_GRID - 1) // 2
+#: BH test count M = possible intra pairs on the 500-bin grid summed
+#: over the fixture's chromosomes [SC-3]
+POSSIBLE_PAIRS_M = fx.N_CHROMS * fx.NBINS_GRID * (fx.NBINS_GRID - 1) // 2
 
 _SCORED_CTE = """
 scored AS (
@@ -809,7 +810,7 @@ scored AS (
 WITH {fx.contacts_cte()},
 {_SCORED_CTE},
 ranked AS (
-  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, mid1, mid2) AS rk FROM scored
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, chr1, mid1, mid2) AS rk FROM scored
 ),
 q0 AS (
   SELECT *, LEAST(1.0, p_value * {POSSIBLE_PAIRS_M}.0 / rk) AS q_raw FROM ranked
@@ -834,7 +835,7 @@ def q_bh_fdr(spark, sf_dir):
         / 1000003.0,
     )
     out = win.bh_fdr(
-        scored, "p_value", m=POSSIBLE_PAIRS_M, tiebreak=["mid1", "mid2"]
+        scored, "p_value", m=POSSIBLE_PAIRS_M, tiebreak=["chr1", "mid1", "mid2"]
     )
     return out.select(
         "chr1",
@@ -1041,8 +1042,10 @@ def _null_prob_col():
 
 
 def _chr_nbins(spark):
+    """Fixture chromosome dimension: N_CHROMS chromosomes, same grid."""
     return spark.createDataFrame(
-        [("chr1", fx.NBINS_GRID)], "chr string, nbins int"
+        [(f"chr{i + 1}", fx.NBINS_GRID) for i in range(fx.N_CHROMS)],
+        "chr string, nbins int",
     )
 
 
@@ -1050,14 +1053,14 @@ def _chr_nbins(spark):
     "q_possible_pairs",
     oracle=f"""
 SELECT CAST(k * {fx.RES} AS BIGINT) AS dist,
-       CAST({fx.NBINS_GRID} - k AS BIGINT) AS n_possible
+       CAST({fx.N_CHROMS} * ({fx.NBINS_GRID} - k) AS BIGINT) AS n_possible
 FROM generate_series(1, {fx.NBINS_GRID - 1}) t(k)
 """,
 )
 def q_possible_pairs(spark, sf_dir):
     """Possible intra pairs per genomic distance (lag k on an n-bin grid
-    has n−k pairs) — the BH denominator's source [SC-3]
-    (ref: generate_FragPairs)."""
+    has n−k pairs, summed over chromosomes) — the BH denominator's
+    source [SC-3] (ref: generate_FragPairs)."""
     return hic.possible_pairs_per_lag(_chr_nbins(spark), fx.RES)
 
 
@@ -1071,8 +1074,8 @@ j AS (
          COALESCE(b1.bias, 1.0) AS bias1,
          COALESCE(b2.bias, 1.0) AS bias2
   FROM contacts c
-  LEFT JOIN biases b1 ON b1.mid = c.mid1
-  LEFT JOIN biases b2 ON b2.mid = c.mid2
+  LEFT JOIN biases b1 ON b1.chr = c.chr1 AND b1.mid = c.mid1
+  LEFT JOIN biases b2 ON b2.chr = c.chr2 AND b2.mid = c.mid2
 )
 SELECT chr1, mid1, chr2, mid2, contact_count, bias1, bias2,
        {_NULL_SQL} AS null_prob,
@@ -1137,7 +1140,7 @@ def q_spline_fit_eval(spark, sf_dir):
     c = rel.with_distance(fx.fixture_contacts(spark, sf_dir))
     cfg = hic.SigConfig(resolution=fx.RES, n_bins=fx.NBINS_OCC)
     possible = hic.possible_pairs_np(
-        [fx.NBINS_GRID], fx.RES, cfg.dist_lo, cfg.dist_hi
+        [fx.NBINS_GRID] * fx.N_CHROMS, fx.RES, cfg.dist_lo, cfg.dist_hi
     )[:2]
     # n_total=None: N comes out of the same per-distance collect
     _, (gx, gy), _ = hic.fit_null_curve(spark, c, None, possible, cfg)
@@ -1160,7 +1163,11 @@ def q_hic_significance(spark, sf_dir):
         resolution=fx.RES, n_bins=fx.NBINS_OCC, passes=2, dist_lo=0, dist_hi=2**40
     )
     return hic.run_significance(
-        spark, c, [("chr1", fx.NBINS_GRID)], biases=b, cfg=cfg
+        spark,
+        c,
+        [(f"chr{i + 1}", fx.NBINS_GRID) for i in range(fx.N_CHROMS)],
+        biases=b,
+        cfg=cfg,
     )
 
 

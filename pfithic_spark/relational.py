@@ -133,16 +133,29 @@ def attach_biases(
 ) -> DataFrame:
     """contacts ⋈ biases ×2 endpoints, left outer; missing bias → default
     [P `fithic.py::read_biases` consumers].  Broadcast joins (bias table
-    is per-locus)."""
+    is per-locus).
+
+    The bias table is keyed (chr, mid) — loci on different chromosomes
+    share midpoint coordinates, so each endpoint joins on BOTH columns
+    (a mid-only join would multiply rows and attach wrong-chromosome
+    biases on any multi-chromosome genome)."""
     b1 = F.broadcast(
-        biases.select(F.col("mid").alias("mid1"), F.col("bias").alias("_b1"))
+        biases.select(
+            F.col("chr").alias("chr1"),
+            F.col("mid").alias("mid1"),
+            F.col("bias").alias("_b1"),
+        )
     )
     b2 = F.broadcast(
-        biases.select(F.col("mid").alias("mid2"), F.col("bias").alias("_b2"))
+        biases.select(
+            F.col("chr").alias("chr2"),
+            F.col("mid").alias("mid2"),
+            F.col("bias").alias("_b2"),
+        )
     )
     return (
-        contacts.join(b1, "mid1", "left")
-        .join(b2, "mid2", "left")
+        contacts.join(b1, ["chr1", "mid1"], "left")
+        .join(b2, ["chr2", "mid2"], "left")
         .withColumn("bias1", F.coalesce(F.col("_b1"), F.lit(default)))
         .withColumn("bias2", F.coalesce(F.col("_b2"), F.lit(default)))
         .drop("_b1", "_b2")
@@ -186,16 +199,20 @@ def asof_join(
     Implemented as equi-join on the key + range predicate, then
     row_number over (ts desc, tiebreak desc) keeping rank 1.  At 100 TB
     prefer bucketing both sides on the key so the equi-join co-locates;
-    the window partitions by the left row id so state stays bounded.
+    the window partitions by a synthetic unique left row id so state
+    stays bounded AND duplicate left rows each keep their own match
+    (partitioning by the left columns would collapse identical rows
+    into one window and emit a single survivor).
     """
     from pyspark.sql import Window as W
 
-    j = left.join(right, (left_on == right_on) & (right_ts <= left_ts), "inner")
-    w = W.partitionBy(*left.columns).orderBy(right_ts.desc(), tiebreak.desc())
+    tagged = left.withColumn("_lrow", F.monotonically_increasing_id())
+    j = tagged.join(right, (left_on == right_on) & (right_ts <= left_ts), "inner")
+    w = W.partitionBy("_lrow").orderBy(right_ts.desc(), tiebreak.desc())
     return (
         j.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_lrow")
     )
 
 

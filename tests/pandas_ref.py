@@ -27,21 +27,33 @@ def run_significance_pandas(
     passes: int = 1,
     outlier_q: float = 0.05,
     grid_points: int = 1000,
+    n_chroms: int = 2,
 ) -> pd.DataFrame:
     c = contacts.copy()
     c["dist"] = c["mid2"] - c["mid1"]
     if biases is not None:
-        b = biases.set_index("mid")["bias"]
-        c["bias1"] = c["mid1"].map(b).fillna(1.0)
-        c["bias2"] = c["mid2"].map(b).fillna(1.0)
+        # biases are keyed (chr, mid): midpoints repeat across chromosomes
+        b1 = biases.rename(
+            columns={"chr": "chr1", "mid": "mid1", "bias": "bias1"}
+        )
+        b2 = biases.rename(
+            columns={"chr": "chr2", "mid": "mid2", "bias": "bias2"}
+        )
+        c = c.merge(b1, on=["chr1", "mid1"], how="left").merge(
+            b2, on=["chr2", "mid2"], how="left"
+        )
+        c["bias1"] = c["bias1"].fillna(1.0)
+        c["bias2"] = c["bias2"].fillna(1.0)
     else:
         c["bias1"] = 1.0
         c["bias2"] = 1.0
 
     n_total = int(c["contact_count"].sum())
-    # possible pairs per lag on the grid
+    # possible pairs per lag, summed over n_chroms same-size grids
     ks = np.arange(1, nbins_grid)
-    possible = pd.Series(nbins_grid - ks, index=ks * res, dtype="int64")
+    possible = pd.Series(
+        n_chroms * (nbins_grid - ks), index=ks * res, dtype="int64"
+    )
     m_possible = int(possible.sum())
 
     def fit_curve(fit_c: pd.DataFrame):

@@ -35,7 +35,10 @@ def test_pipeline_matches_pandas_ref(spark, sf_dir, passes):
 
     c = fx.fixture_contacts(spark, sf_dir)
     b = fx.fixture_biases(spark, sf_dir)
-    chr_nbins = spark.createDataFrame([("chr1", fx.NBINS_GRID)], "chr string, nbins int")
+    chr_nbins = spark.createDataFrame(
+        [(f"chr{i + 1}", fx.NBINS_GRID) for i in range(fx.N_CHROMS)],
+        "chr string, nbins int",
+    )
     cfg = hic.SigConfig(
         resolution=fx.RES,
         n_bins=fx.NBINS_OCC,
@@ -75,26 +78,29 @@ def test_spline_monotone(spark, sf_dir):
 
 
 def test_kr_balance_rowsums(spark, sf_dir):
-    """KR property: diag(x)·A·diag(x) has ~unit (constant) row sums over
-    covered loci."""
+    """KR property: diag(x)·A·diag(x) has constant row sums over covered
+    loci, PER CHROMOSOME (each chromosome balances independently and
+    normalizes its own bias vector, so the constants differ)."""
     import numpy as np
 
     from pfithic_spark import fixtures as fx, hic
 
     c = fx.fixture_contacts(spark, sf_dir)
-    biases = hic.kr_biases(c, fx.RES).toPandas().set_index("mid")["bias"]
+    bdf = hic.kr_biases(c, fx.RES).toPandas()
+    assert set(bdf["chr"]) == {f"chr{i + 1}" for i in range(fx.N_CHROMS)}
+    # biases keyed (chr, mid): midpoints repeat across chromosomes
+    scale = {(r.chr, r.mid): r.bias for r in bdf.itertuples(index=False)}
     pdf = c.toPandas()
-    # rebuild the symmetric matrix row sums under the bias scaling
-    scale = {m: b for m, b in biases.items()}
-    sums: dict[int, float] = {}
+    sums: dict[tuple[str, int], float] = {}
     for r in pdf.itertuples(index=False):
-        w = r.contact_count * scale[r.mid1] * scale[r.mid2]
-        sums[r.mid1] = sums.get(r.mid1, 0.0) + w
-        if r.mid2 != r.mid1:
-            sums[r.mid2] = sums.get(r.mid2, 0.0) + w
-    vals = np.array(list(sums.values()))
-    # balanced: row sums constant (coefficient of variation ~ 0)
-    assert vals.std() / vals.mean() < 1e-4
+        w = r.contact_count * scale[(r.chr1, r.mid1)] * scale[(r.chr2, r.mid2)]
+        sums[(r.chr1, r.mid1)] = sums.get((r.chr1, r.mid1), 0.0) + w
+        if (r.chr2, r.mid2) != (r.chr1, r.mid1):
+            sums[(r.chr2, r.mid2)] = sums.get((r.chr2, r.mid2), 0.0) + w
+    for chrom in (f"chr{i + 1}" for i in range(fx.N_CHROMS)):
+        vals = np.array([v for (ch, _), v in sums.items() if ch == chrom])
+        # balanced: row sums constant within the chromosome (CV ~ 0)
+        assert vals.std() / vals.mean() < 1e-4, chrom
 
 
 def test_inter_chromosomal_mode(spark):
