@@ -48,26 +48,39 @@ def run_pipeline_files(
     """Reference CLI semantics: read TSV/gz inputs, run the multi-pass
     significance pipeline, write gz-TSV significances (+ parquet twin).
 
+    The possible-pair census comes from the SURVIVING fragment set (bad
+    fragments excluded) — the reference builds
+    possibleIntraInRangeCount the same way [P generate_FragPairs], so
+    unmappable / zero-marginal / unlisted loci never inflate BH's M or
+    the per-bin denominators.  Works unchanged for fragment mode
+    (cfg.resolution == 0, variable restriction-fragment midpoints).
+
     Returns the significances DataFrame (already written)."""
     contacts = pio.read_contacts_tsv(spark, contacts_path)
     biases = pio.read_biases_tsv(spark, biases_path) if biases_path else None
 
     if fragments_path:
         frags = pio.read_fragments_tsv(spark, fragments_path)
-        chr_nbins = chr_nbins_from_fragments(frags, cfg.resolution)
-        contacts = remove_bad_fragments(contacts, bad_fragments(frags))
+        bad = bad_fragments(frags)
+        contacts = remove_bad_fragments(contacts, bad)
+        good = frags.select(
+            "chr", F.col("frag_mid").alias("mid")
+        ).join(F.broadcast(bad), ["chr", "mid"], "left_anti")
     else:
-        # derive the grid census from the contacts themselves
-        ends = contacts.select(
-            F.col("chr1").alias("chr"), F.col("mid1").alias("frag_mid")
-        ).unionByName(
-            contacts.select(
-                F.col("chr2").alias("chr"), F.col("mid2").alias("frag_mid")
+        # census from the loci the contacts actually touch
+        good = (
+            contacts.select(F.col("chr1").alias("chr"), F.col("mid1").alias("mid"))
+            .unionByName(
+                contacts.select(
+                    F.col("chr2").alias("chr"), F.col("mid2").alias("mid")
+                )
             )
+            .distinct()
         )
-        chr_nbins = chr_nbins_from_fragments(ends, cfg.resolution)
 
-    sig = run_significance(spark, contacts, chr_nbins, biases=biases, cfg=cfg)
+    sig = run_significance(
+        spark, contacts, biases=biases, cfg=cfg, fragments=good
+    )
     ordered = sig.orderBy("q_value", "p_value", "chr1", "mid1", "chr2", "mid2")
     pio.write_tsv_gz(ordered, f"{out_dir}/significances.tsv.gz")
     pio.write_parquet(sig, f"{out_dir}/significances.parquet")

@@ -67,6 +67,19 @@ WHERE k % 10 <> 0
 """.strip()
 
 
+#: Variable restriction-fragment midpoints (res=0 mode) on two
+#: chromosomes: strictly increasing irregular positions (step 4000 plus
+#: a k²-mod jitter < 3000, so spacing varies but never collides) —
+#: exercises the fragment-census path where no fixed grid exists.
+FRAGS_SQL = f"""
+SELECT chr,
+       CAST(k * 4000 + (k * k % 997) * 3 AS BIGINT) AS mid
+FROM (
+  SELECT DISTINCT {_CHR_SQL} AS chr, event_id % 300 AS k FROM events
+) ks
+""".strip()
+
+
 #: namespaced view so the engine never clobbers a host session's views
 _EVENTS_VIEW = "pfithic_spark_events_src"
 
@@ -86,6 +99,11 @@ def fixture_biases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(BIASES_SQL.replace("FROM events", f"FROM {_EVENTS_VIEW}"))
 
 
+def fixture_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _with_events_view(spark, sf_dir)
+    return spark.sql(FRAGS_SQL.replace("FROM events", f"FROM {_EVENTS_VIEW}"))
+
+
 def contacts_cte(alias: str = "contacts") -> str:
     """`WITH <alias> AS (...)` fragment for oracle SQL strings."""
     return f"{alias} AS (\n{CONTACTS_SQL}\n)"
@@ -93,3 +111,7 @@ def contacts_cte(alias: str = "contacts") -> str:
 
 def biases_cte(alias: str = "biases") -> str:
     return f"{alias} AS (\n{BIASES_SQL}\n)"
+
+
+def frags_cte(alias: str = "frags") -> str:
+    return f"{alias} AS (\n{FRAGS_SQL}\n)"

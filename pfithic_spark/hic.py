@@ -85,6 +85,56 @@ def possible_pairs_per_lag(chr_nbins: DataFrame, resolution: int) -> DataFrame:
     )
 
 
+#: dist_hi above this is treated as "unbounded" by the banded census
+#: (bucket width would overflow / degenerate to one bucket anyway)
+_UNBOUNDED_DIST = 1 << 40
+
+
+def possible_pairs_from_fragments(
+    fragments: DataFrame, dist_lo: int, dist_hi: int
+) -> DataFrame:
+    """Per-distance possible intra-pair census over the ACTUAL fragment
+    set — the fragment-mode (res=0) and filtered-genome form of
+    :func:`possible_pairs_per_lag` [P `fithic.py::generate_FragPairs`
+    builds possibleIntraInRangeCount from the listed fragments with
+    badFrags excluded, NOT from a fully-occupied grid].
+
+    Input: (chr, mid) — surviving fragment midpoints, variable (res=0)
+    or grid positions.  Output: (dist, n_possible) for distances in
+    [dist_lo, dist_hi].
+
+    Shape: a BANDED self-join — each left fragment joins only the two
+    dist_hi-wide buckets that can contain an in-range partner, so the
+    pair space is bounded by fragment density × window, never a full
+    per-chromosome cross product.  When dist_hi is effectively
+    unbounded the band degenerates to one bucket per chromosome, which
+    IS the reference's O(n²)-per-chromosome census.
+    """
+    f = fragments.select("chr", F.col("mid").cast("long").alias("mid"))
+    if dist_hi >= _UNBOUNDED_DIST:
+        bucket1 = F.lit(0).cast("long")
+        buckets = F.array(F.lit(0).cast("long"))
+    else:
+        w = max(int(dist_hi), 1)
+        bucket1 = F.floor(F.col("mid") / w).cast("long")
+        buckets = F.array(bucket1, bucket1 + 1)
+    left = f.select(
+        "chr",
+        F.col("mid").alias("mid1"),
+        F.explode(buckets).alias("_bkt"),
+    )
+    right = f.select(
+        "chr", F.col("mid").alias("mid2"), bucket1.alias("_bkt")
+    )
+    d = F.col("mid2") - F.col("mid1")
+    return (
+        left.join(right, ["chr", "_bkt"])
+        .filter((d >= F.lit(max(dist_lo, 1))) & (d <= F.lit(dist_hi)))
+        .groupBy(d.alias("dist"))
+        .agg(F.count(F.lit(1)).alias("n_possible"))
+    )
+
+
 def possible_pairs_np(
     nbins: np.ndarray, resolution: int, dist_lo: int, dist_hi: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -275,18 +325,30 @@ def fit_null_curve(
 def run_significance(
     spark: SparkSession,
     contacts: DataFrame,
-    chr_nbins,
+    chr_nbins=None,
     biases: DataFrame | None = None,
     cfg: SigConfig | None = None,
+    fragments: DataFrame | None = None,
 ) -> DataFrame:
     """Full multi-pass significance pipeline; returns the scored
     contacts (chr1, mid1, chr2, mid2, contact_count, p_value, q_value,
     bias1, bias2) for the final pass.
 
-    ``chr_nbins``: the per-chromosome grid-size dimension — a Spark
-    DataFrame, pandas DataFrame, or iterable of (chr, nbins); it is tiny
-    (≤ a few dozen rows) and consumed driver-side only."""
+    The possible-pair census (BH's M and the per-bin denominators) comes
+    from ONE of:
+
+    - ``fragments``: a (chr, mid) DataFrame of SURVIVING fragment
+      midpoints (bad fragments removed) — the reference-faithful census
+      [P generate_FragPairs], required for fragment mode (res=0) and
+      correct for filtered/sparse genomes; counted by
+      :func:`possible_pairs_from_fragments`.
+    - ``chr_nbins``: a per-chromosome grid-size dimension (DataFrame,
+      pandas DataFrame, or iterable of (chr, nbins); tiny, consumed
+      driver-side) — the closed-form fully-occupied-grid census, exact
+      when every grid position is a valid fragment."""
     cfg = cfg or SigConfig()
+    if fragments is None and chr_nbins is None:
+        raise ValueError("provide fragments or chr_nbins for the census")
     base = canonicalize_pairs(contacts)
     if biases is not None:
         base = attach_biases(base, biases)
@@ -307,17 +369,43 @@ def run_significance(
     # onto a single Python worker
     par = spark.sparkContext.defaultParallelism or 32
     c = intra.repartition(par, "chr1", "mid1").cache()
-    # lag-table combinatorics from the per-chromosome dim — driver-side
-    # closed form, no Spark job (chr_nbins ≤ a few dozen rows)
-    if isinstance(chr_nbins, DataFrame):
-        nb = np.array([r["nbins"] for r in chr_nbins.collect()], dtype=np.int64)
-    elif isinstance(chr_nbins, pd.DataFrame):
-        nb = chr_nbins["nbins"].to_numpy(dtype=np.int64)
+    # possible-pair census: from the actual fragment set (distributed
+    # banded self-join; the per-distance result is bounded by the
+    # distinct in-range pair distances) or the closed-form grid
+    if fragments is not None:
+        pp = (
+            possible_pairs_from_fragments(fragments, cfg.dist_lo, cfg.dist_hi)
+            .toPandas()
+            .sort_values("dist", ignore_index=True)
+        )
+        p_dists = pp["dist"].to_numpy(dtype=np.int64)
+        p_counts = pp["n_possible"].to_numpy(dtype=np.int64)
+        m_possible = int(p_counts.sum())  # already range-filtered
+        # per-chromosome fragment counts (for the inter-mode census):
+        # tiny (one row per chromosome)
+        nb = np.array(
+            [
+                r["n"]
+                for r in fragments.groupBy("chr")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ],
+            dtype=np.int64,
+        )
     else:
-        nb = np.array([t[1] for t in chr_nbins], dtype=np.int64)
-    p_dists, p_counts, m_possible = possible_pairs_np(
-        nb, cfg.resolution, cfg.dist_lo, cfg.dist_hi
-    )
+        # lag-table combinatorics from the per-chromosome dim —
+        # driver-side closed form, no Spark job (≤ a few dozen rows)
+        if isinstance(chr_nbins, DataFrame):
+            nb = np.array(
+                [r["nbins"] for r in chr_nbins.collect()], dtype=np.int64
+            )
+        elif isinstance(chr_nbins, pd.DataFrame):
+            nb = chr_nbins["nbins"].to_numpy(dtype=np.int64)
+        else:
+            nb = np.array([t[1] for t in chr_nbins], dtype=np.int64)
+        p_dists, p_counts, m_possible = possible_pairs_np(
+            nb, cfg.resolution, cfg.dist_lo, cfg.dist_hi
+        )
     possible = (p_dists, p_counts)
     # global scalars (N = observedIntraInRangeSum, row count) come out of
     # pass 0's per-distance collect below — no separate agg job

@@ -236,24 +236,18 @@ def minhash_lsh_pairs(
 # --- SimHash -------------------------------------------------------------
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 12,
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming, found by
-    banding the 64-bit signature into 4×16-bit chunks (any pair within
-    Hamming 3 shares a chunk exactly; wider radii are verified after the
-    chunk equi-join prunes the pair space)."""
+    """64-bit SimHash per document as a plain JVM aggregation: the
+    per-bit ±1 votes are just sums of token-hash bits, so partial
+    aggregation ships 65 longs per doc per partition — no collect_list
+    of raw token hashes, no Python worker round trip.  Bit b is set iff
+    strictly more than half the tokens have it set
+    (2·ones > n ⟺ Σ(2·bit−1) > 0).  Output: (doc_id, sig)."""
     hashed = token_rows(docs, text_col, id_col).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
-    # SimHash as a plain JVM aggregation: the per-bit ±1 votes are just
-    # sums of token-hash bits, so partial aggregation ships 65 longs per
-    # doc per partition — no collect_list of raw token hashes, no Python
-    # worker round trip.  Bit b is set iff strictly more than half the
-    # tokens have it set (2·ones > n ⟺ Σ(2·bit−1) > 0).
     ones = [
         F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
         for b in range(64)
@@ -269,17 +263,50 @@ def simhash_pairs(
     sig = bit_terms[0]
     for t in bit_terms[1:]:
         sig = sig.bitwiseOR(t)
-    sigs = agg.select("doc_id", sig.alias("sig")).cache()
+    return agg.select("doc_id", sig.alias("sig"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming — EXACT
+    within the radius, by the pigeonhole guarantee: the 64-bit signature
+    splits into B equal chunks, and any pair differing in <= B-1 bits
+    must share at least one chunk verbatim, so the chunk equi-join loses
+    nothing; the bit_count(xor) filter then removes false candidates.
+
+    B is sized to the requested radius (4 chunks covers <=3, 8 covers
+    <=7, 16 covers <=15); radii above 15 would need 2-bit chunks whose
+    buckets degenerate toward all-pairs, so they are rejected rather
+    than silently under-recalled (the round-1 4×16 banding claimed
+    radius 12 but guaranteed only 3)."""
+    if max_hamming <= 3:
+        bands = 4
+    elif max_hamming <= 7:
+        bands = 8
+    elif max_hamming <= 15:
+        bands = 16
+    else:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound of "
+            "chunk banding (15); use MinHash LSH for looser similarity"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, text_col, id_col).cache()
     chunk = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(band).alias("band"),
-                    F.shiftrightunsigned(F.col("sig"), band * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col("sig"), band * width)
+                    .bitwiseAND(F.lit(mask))
                     .alias("ckey"),
                 )
-                for band in range(4)
+                for band in range(bands)
             ]
         )
     )
@@ -468,6 +495,74 @@ def ivf_assign(
 
     return embeddings.select(id_col, vec_col).mapInPandas(
         assign, schema=f"{id_col} long, {out_col} long"
+    )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the corpus as an on-disk IVF index: parquet
+    PARTITIONED BY the centroid cell.  This is the 100 TB write path —
+    pay one cell-assignment pass at build time, then every probe reads
+    only its probed cells' directories (partition pruning; gated in
+    tests/test_plans.py)."""
+    assigned = embeddings.join(
+        ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1), id_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_pruned(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an :func:`ivf_write_index` index: the probed cell set is
+    small (n_queries × nprobe, and the query side is small by contract —
+    it broadcasts), so it collects driver-side into an IN-list predicate
+    on the PARTITION column — the scan prunes to the probed cells'
+    files and the 100 TB corpus is never fully read."""
+    from pyspark.sql import Window as W
+
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    # bounded collect: ≤ n_queries × nprobe cell ids
+    cells = [
+        r["cell"] for r in q_cells.select("cell").distinct().collect()
+    ]
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col).alias("e_id"),
+            F.col(vec_col).alias("e_vec"),
+            "cell",
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).join(q_cells.withColumnRenamed(id_col, "q_id"), "q_id")
+    cos = dot_double(F.col("q_vec"), F.col("e_vec")) / (
+        l2_norm(F.col("q_vec")) * l2_norm(F.col("e_vec"))
+    )
+    cands = (
+        F.broadcast(q)
+        .join(corpus, "cell")
+        .filter(F.col("q_id") != F.col("e_id"))
+        .select("q_id", "e_id", F.round(cos, 6).alias("cosine"))
+        .distinct()
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("e_id"))
+    return cands.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= k
     )
 
 

@@ -1065,6 +1065,29 @@ def q_possible_pairs(spark, sf_dir):
 
 
 @register(
+    "q_possible_pairs_frag",
+    oracle=f"""
+WITH {fx.frags_cte()}
+SELECT CAST(b.mid - a.mid AS BIGINT) AS dist,
+       COUNT(*) AS n_possible
+FROM frags a
+JOIN frags b
+  ON a.chr = b.chr AND b.mid > a.mid
+ AND b.mid - a.mid BETWEEN 10000 AND 200000
+GROUP BY 1
+""",
+)
+def q_possible_pairs_frag(spark, sf_dir):
+    """Fragment-mode (res=0) possible-pair census: per-distance counts
+    over the ACTUAL irregular fragment midpoints, not a grid closed form
+    (ref: generate_FragPairs with variable restriction fragments).
+    Banded self-join — each fragment probes only the two dist_hi-wide
+    buckets that can hold in-range partners."""
+    frags = fx.fixture_fragments(spark, sf_dir)
+    return hic.possible_pairs_from_fragments(frags, 10_000, 200_000)
+
+
+@register(
     "q_contact_prior",
     oracle=f"""
 WITH {fx.contacts_cte()},
@@ -1377,9 +1400,14 @@ def q_dedup_near(spark, sf_dir):
 
 @register("q_dedup_simhash")  # rows-only
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs via 16-bit chunk banding + Hamming
-    verification (bit_count of xor)."""
-    return llmops.simhash_pairs(load_table(spark, sf_dir, "documents"))
+    """SimHash-64 near-dup pairs, EXACT within Hamming radius 3 (the
+    standard near-dup radius: 4×16-bit chunk banding + bit_count(xor)
+    verification).  Banding is sized to the requested radius — wider
+    radii (≤15) cost more candidate pairs; recall gate vs a brute-force
+    Hamming self-join: tests/test_llmops.py."""
+    return llmops.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 @register(
@@ -2237,3 +2265,50 @@ def q_canonicalize(spark, sf_dir):
         (1 + F.col("event_id") % 3).cast("long").alias("contact_count"),
     )
     return rel.canonicalize_pairs(raw)
+
+
+# ========================================================================
+# registry ordering
+# ========================================================================
+
+#: Keys the round-1 driver never evaluated (it walks the registry in
+#: insertion order and stopped after 50 entries).  Re-insert these FIRST
+#: so every key accumulates a CORRECTNESS row; previously-verified keys
+#: follow and re-verify as budget allows.
+_VERIFY_FIRST = [
+    "q_possible_pairs_frag",
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_text_stats",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_tfidf_terms",
+    "q_pii_redact",
+    "q_sample_stratified",
+    "q_contamination",
+    "q_multimodal_meta",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_features",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_stateful",
+    "q_stream_session",
+    "q_kr_balance",
+    "q_sim_ivf",
+    "q_window_range_frame",
+    "q_agg_percentile",
+    "q_canonicalize",
+]
+
+
+def _reorder_first(d: dict, first: list[str]) -> dict:
+    out = {k: d[k] for k in first if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
+QUERIES = _reorder_first(QUERIES, _VERIFY_FIRST)
+ORACLE_SQL = _reorder_first(ORACLE_SQL, _VERIFY_FIRST)

@@ -28,6 +28,7 @@ def run_significance_pandas(
     outlier_q: float = 0.05,
     grid_points: int = 1000,
     n_chroms: int = 2,
+    possible_override: pd.Series | None = None,
 ) -> pd.DataFrame:
     c = contacts.copy()
     c["dist"] = c["mid2"] - c["mid1"]
@@ -49,11 +50,15 @@ def run_significance_pandas(
         c["bias2"] = 1.0
 
     n_total = int(c["contact_count"].sum())
-    # possible pairs per lag, summed over n_chroms same-size grids
-    ks = np.arange(1, nbins_grid)
-    possible = pd.Series(
-        n_chroms * (nbins_grid - ks), index=ks * res, dtype="int64"
-    )
+    if possible_override is not None:
+        # caller-supplied census (e.g. fragment mode), already in range
+        possible = possible_override.astype("int64")
+    else:
+        # possible pairs per lag, summed over n_chroms same-size grids
+        ks = np.arange(1, nbins_grid)
+        possible = pd.Series(
+            n_chroms * (nbins_grid - ks), index=ks * res, dtype="int64"
+        )
     m_possible = int(possible.sum())
 
     def fit_curve(fit_c: pd.DataFrame):

@@ -103,6 +103,90 @@ def test_kr_balance_rowsums(spark, sf_dir):
         assert vals.std() / vals.mean() < 1e-4, chrom
 
 
+def test_fragment_mode_matches_pandas_ref(spark):
+    """res=0 (variable restriction fragments): the pipeline censuses
+    possible pairs from the ACTUAL irregular fragment midpoints, and the
+    full significance output matches the independent pandas dataflow
+    computing the same census by brute force."""
+    from pfithic_spark import hic
+
+    rng = np.random.default_rng(11)
+    frag_rows = []
+    for chrom, n in (("chr1", 60), ("chr2", 40)):
+        mids = np.cumsum(rng.integers(2000, 9000, n)) + 1000
+        frag_rows += [(chrom, int(m)) for m in mids]
+    frags_pd = pd.DataFrame(frag_rows, columns=["chr", "mid"])
+
+    rows = []
+    for chrom, n in (("chr1", 60), ("chr2", 40)):
+        mids = frags_pd.loc[frags_pd["chr"] == chrom, "mid"].to_numpy()
+        for _ in range(500):
+            i, j = sorted(rng.integers(0, n, 2))
+            if i == j:
+                continue
+            rows.append(
+                (
+                    chrom,
+                    int(mids[i]),
+                    chrom,
+                    int(mids[j]),
+                    int(rng.integers(1, 6)),
+                )
+            )
+    contacts = spark.createDataFrame(
+        rows, "chr1 string, mid1 long, chr2 string, mid2 long, contact_count long"
+    )
+    frags = spark.createDataFrame(frags_pd)
+    cfg = hic.SigConfig(
+        resolution=0, n_bins=20, passes=1, dist_lo=0, dist_hi=2**40
+    )
+    got = (
+        hic.run_significance(spark, contacts, biases=None, cfg=cfg, fragments=frags)
+        .toPandas()
+        .sort_values(["chr1", "mid1", "chr2", "mid2"])
+        .reset_index(drop=True)
+    )
+
+    # pandas census: brute-force per-chromosome pair distances
+    poss: dict[int, int] = {}
+    for _, grp in frags_pd.groupby("chr"):
+        m = np.sort(grp["mid"].to_numpy(dtype=np.int64))
+        d = (m[None, :] - m[:, None]).ravel()
+        d = d[d > 0]
+        for dist, cnt in zip(*np.unique(d, return_counts=True)):
+            poss[int(dist)] = poss.get(int(dist), 0) + int(cnt)
+    possible = pd.Series(poss).sort_index()
+
+    cpd = (
+        pd.DataFrame(
+            rows, columns=["chr1", "mid1", "chr2", "mid2", "contact_count"]
+        )
+        .groupby(["chr1", "mid1", "chr2", "mid2"], as_index=False)[
+            "contact_count"
+        ]
+        .sum()
+    )
+    want = (
+        run_significance_pandas(
+            cpd, None, n_bins=20, passes=1, possible_override=possible
+        )
+        .sort_values(["chr1", "mid1", "chr2", "mid2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        want[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(
+        got["p_value"], want["p_value"], rtol=1e-9, atol=1e-300
+    )
+    np.testing.assert_allclose(
+        got["q_value"], want["q_value"], rtol=1e-9, atol=1e-300
+    )
+
+
 def test_inter_chromosomal_mode(spark):
     """SC-5: 'All' mode scores inter contacts with the flat interChrProb
     null; q-values well-formed; row count = intra + inter."""

@@ -48,6 +48,44 @@ def test_fragments_biases_schemas(spark, tmp_path):
     assert vals[2500] == 1.05 and vals[7500] == -1.0  # sentinel preserved
 
 
+def test_run_pipeline_files_fragment_census(spark, tmp_path):
+    """With a fragment file, the pipeline drops contacts touching bad
+    fragments AND censuses possible pairs from the surviving fragments
+    only (not a fully-occupied grid)."""
+    import gzip
+
+    import numpy as np
+
+    from pfithic_spark.api import run_pipeline_files
+    from pfithic_spark.hic import SigConfig
+
+    rng = np.random.default_rng(3)
+    n = 50
+    bad_bins = {7, 23}  # unmappable loci
+    frags = tmp_path / "frags.tsv"
+    with open(frags, "w") as f:
+        for i in range(n):
+            mappable = 0.0 if i in bad_bins else 1.0
+            f.write(f"chr1\t0\t{i*5000+2500}\t10\t{mappable}\n")
+    src = tmp_path / "contacts.tsv.gz"
+    with gzip.open(src, "wt") as f:
+        for _ in range(600):
+            i, j = sorted(rng.integers(0, n, 2))
+            if i == j:
+                continue
+            cc = 1 + rng.poisson(12 / (1 + (j - i)))
+            f.write(f"chr1\t{i*5000+2500}\tchr1\t{j*5000+2500}\t{cc}\n")
+    out = tmp_path / "out"
+    cfg = SigConfig(n_bins=15, passes=1)
+    sig = run_pipeline_files(spark, str(src), str(frags), None, str(out), cfg)
+    pdf = sig.toPandas()
+    assert len(pdf) > 0
+    bad_mids = {b * 5000 + 2500 for b in bad_bins}
+    assert not (pdf["mid1"].isin(bad_mids) | pdf["mid2"].isin(bad_mids)).any()
+    assert ((pdf["p_value"] >= 0) & (pdf["p_value"] <= 1)).all()
+    assert ((pdf["q_value"] >= 0) & (pdf["q_value"] <= 1)).all()
+
+
 def test_run_pipeline_files_end_to_end(spark, tmp_path):
     """api.run_pipeline_files: TSV in → significances out (CLI core)."""
     import gzip

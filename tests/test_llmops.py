@@ -52,6 +52,47 @@ def test_simhash_finds_near_dup(corpus):
     assert (1, 4) not in found and (2, 4) not in found and (3, 4) not in found
 
 
+def test_simhash_exact_within_radius(spark, sf_dir):
+    """Pigeonhole guarantee: banding must return EXACTLY the pairs a
+    brute-force Hamming self-join finds within the radius — 100% recall
+    (the round-1 4×16 banding silently missed radius-4..12 pairs) and
+    100% precision (the bit_count filter)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(150)
+        .select("doc_id", "text")
+    )
+    # exact twins (Hamming 0) + perturbed twins (small Hamming > 0)
+    copies = d.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    near = d.select(
+        (F.col("doc_id") + 200_000).alias("doc_id"),
+        F.concat(
+            F.col("text"), F.lit(" zz qq extra trailing tokens appended")
+        ).alias("text"),
+    )
+    corpus = d.unionByName(copies).unionByName(near)
+    sigs = llmops.simhash_signatures(corpus).cache()
+    a, b = sigs.alias("a"), sigs.alias("b")
+    all_pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id1"),
+        F.col("b.doc_id").alias("id2"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("ham"),
+    )
+    for radius in (3, 7, 15):
+        exact = {
+            (r["id1"], r["id2"])
+            for r in all_pairs.filter(F.col("ham") <= radius).collect()
+        }
+        got = {
+            (r["id1"], r["id2"])
+            for r in llmops.simhash_pairs(corpus, max_hamming=radius).collect()
+        }
+        assert got == exact, f"radius {radius}: banding != brute force"
+    assert len(exact) >= 150  # the twins guarantee a non-trivial pair set
+    with pytest.raises(ValueError):
+        llmops.simhash_pairs(corpus, max_hamming=16)
+
+
 def test_cosine_topk_self_similarity(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

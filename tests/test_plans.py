@@ -155,6 +155,45 @@ def test_multimodal_stages_have_no_shuffle(spark, sf_dir, queries):
         assert "MapInPandas" in plan
 
 
+def test_ivf_probe_is_equi_join_on_cell(spark, sf_dir, queries):
+    """q_sim_ivf's probe join must be a hash equi-join on the cell key
+    (broadcast query side) — never a nested-loop over the corpus."""
+    plan = _plan(queries["q_sim_ivf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "cell" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_index_probe_partition_pruning(spark, sf_dir, tmp_path):
+    """The on-disk IVF path: corpus written partitioned by cell, probe
+    filter reaches the scan as a PartitionFilter (only probed cells'
+    files are read), and results match the in-memory IVF form."""
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["embedding"]
+        for r in e.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    path = str(tmp_path / "ivf_index")
+    llmops.ivf_write_index(e, cents, path)
+    q = e.filter(F.col("vec_id") < 10)
+    pruned = llmops.ivf_topk_pruned(spark, path, q, cents, k=5, nprobe=4)
+    plan = _plan(pruned)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell" in pf and ("IN" in pf or "in(" in pf.lower()), pf
+    got = {(r["q_id"], r["e_id"]) for r in pruned.collect()}
+    want = {
+        (r["q_id"], r["e_id"])
+        for r in llmops.ivf_topk(e, q, cents, k=5, nprobe=4).collect()
+    }
+    assert got == want
+
+
 def test_outer_join_aggregates_before_join(spark, sf_dir, queries):
     """q_join_outer's order side pre-aggregates (partial+final) before
     the join — the join input is per-key, not per-order-row."""
