@@ -103,6 +103,109 @@ def test_kr_balance_rowsums(spark, sf_dir):
         assert vals.std() / vals.mean() < 1e-4, chrom
 
 
+@pytest.mark.parametrize("passes", [1, 2])
+def test_adversarial_canonicalization_bias_bounds_ties(spark, passes):
+    """SC-2/SC-6 edge semantics, pinned against the independent pandas
+    dataflow: (a) uncanonicalized + duplicated input pairs collapse into
+    summed canonical rows; (b) biases exactly AT the 0.5/2.0 validity
+    bounds are valid while values epsilon outside are sentinels;
+    (c) massed p-value ties resolve through the deterministic BH
+    tiebreak chain — across chromosomes and passes."""
+    from pfithic_spark import hic
+
+    rng = np.random.default_rng(5)
+    nb = 30
+    rows = []
+    for chrom in ("chr1", "chr2"):
+        for _ in range(300):
+            i, j = rng.integers(0, nb, 2)
+            if i == j:
+                continue
+            # deliberately UNORDERED endpoints; cc from a tiny value set
+            # so many pairs tie on (dist, cc) → tied p-values
+            rows.append(
+                (
+                    chrom,
+                    int(i * 5000 + 2500),
+                    chrom,
+                    int(j * 5000 + 2500),
+                    int(1 + (i + j) % 3),
+                )
+            )
+    # explicit duplicates of one pair, in both endpoint orders
+    rows += [
+        ("chr1", 12500, "chr1", 2500, 3),
+        ("chr1", 2500, "chr1", 12500, 2),
+    ] * 2
+    contacts = spark.createDataFrame(
+        rows, "chr1 string, mid1 long, chr2 string, mid2 long, contact_count long"
+    )
+    # biases cycling through: exactly-at-bounds (valid), epsilon-outside
+    # (sentinel), neutral
+    bias_vals = [0.5, 2.0, 0.5 - 1e-9, 2.0 + 1e-9, 1.25]
+    bias_rows = [
+        (chrom, k * 5000 + 2500, bias_vals[k % 5])
+        for chrom in ("chr1", "chr2")
+        for k in range(nb)
+    ]
+    biases = spark.createDataFrame(bias_rows, "chr string, mid long, bias double")
+
+    cfg = hic.SigConfig(
+        resolution=5000, n_bins=10, passes=passes, dist_lo=0, dist_hi=2**40
+    )
+    got = (
+        hic.run_significance(
+            spark, contacts, [("chr1", nb), ("chr2", nb)], biases=biases, cfg=cfg
+        )
+        .toPandas()
+        .sort_values(["chr1", "mid1", "chr2", "mid2"])
+        .reset_index(drop=True)
+    )
+
+    # independent canonicalization: order endpoints, sum duplicates
+    pdf = pd.DataFrame(
+        rows, columns=["chr1", "mid1", "chr2", "mid2", "contact_count"]
+    )
+    swap = (pdf["chr1"] > pdf["chr2"]) | (
+        (pdf["chr1"] == pdf["chr2"]) & (pdf["mid1"] > pdf["mid2"])
+    )
+    for a, b in (("chr1", "chr2"), ("mid1", "mid2")):
+        pdf.loc[swap, [a, b]] = pdf.loc[swap, [b, a]].to_numpy()
+    cpd = pdf.groupby(
+        ["chr1", "mid1", "chr2", "mid2"], as_index=False
+    )["contact_count"].sum()
+    want = (
+        run_significance_pandas(
+            cpd,
+            pd.DataFrame(bias_rows, columns=["chr", "mid", "bias"]),
+            nbins_grid=nb,
+            res=5000,
+            n_bins=10,
+            passes=passes,
+            n_chroms=2,
+        )
+        .sort_values(["chr1", "mid1", "chr2", "mid2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        want[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        check_dtype=False,
+    )
+    # the duplicated pair collapsed and summed both orders
+    dup = got[(got["chr1"] == "chr1") & (got["mid1"] == 2500) & (got["mid2"] == 12500)]
+    assert len(dup) == 1
+    np.testing.assert_allclose(got["bias1"], want["bias1"], rtol=1e-12)
+    np.testing.assert_allclose(got["bias2"], want["bias2"], rtol=1e-12)
+    np.testing.assert_allclose(
+        got["p_value"], want["p_value"], rtol=1e-9, atol=1e-300
+    )
+    np.testing.assert_allclose(
+        got["q_value"], want["q_value"], rtol=1e-9, atol=1e-300
+    )
+
+
 def test_fragment_mode_matches_pandas_ref(spark):
     """res=0 (variable restriction fragments): the pipeline censuses
     possible pairs from the ACTUAL irregular fragment midpoints, and the

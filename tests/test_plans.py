@@ -194,6 +194,45 @@ def test_ivf_index_probe_partition_pruning(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_forced_two_phase_paths(spark):
+    """small_threshold=None forces the two-phase cumsum / distributed
+    BH that a 100 TB input would take: the big side must be
+    range-partitioned with windows inside _pid partitions (never one
+    global window task), and both must agree exactly with the
+    single-window forms / a closed form."""
+    import numpy as np
+
+    from pfithic_spark import windows as win
+
+    n = 300_000
+    df = spark.range(n).select(
+        F.col("id").alias("d"), ((F.col("id") * 37) % 97 + 1).alias("cc")
+    )
+    two = win.scalable_cumsum(df, "d", "cc", "run", small_threshold=None)
+    plan = _plan(two)
+    assert "rangepartitioning" in plan.lower(), "big side must range-partition"
+    assert "_pid" in plan, "running window must partition by _pid"
+    i = np.arange(n, dtype=np.int64)
+    cs = np.cumsum((i * 37) % 97 + 1)
+    probe = [0, 12_345, n - 1]
+    got = {r["d"]: r["run"] for r in two.filter(F.col("d").isin(probe)).collect()}
+    assert got == {p: int(cs[p]) for p in probe}
+
+    scored = df.withColumn(
+        "p_value", ((F.col("d") * 7919) % 1000003).cast("double") / 1000003.0
+    )
+    a = win.bh_fdr_scalable(scored, "p_value", m=n, tiebreak=["d"])
+    assert "_pid" in _plan(a)
+    b = win.bh_fdr(scored, "p_value", m=n, tiebreak=["d"])
+    diff = (
+        a.select("d", F.col("q_value").alias("qa"))
+        .join(b.select("d", F.col("q_value").alias("qb")), "d")
+        .agg(F.max(F.abs(F.col("qa") - F.col("qb"))))
+        .collect()[0][0]
+    )
+    assert diff == 0.0, f"scalable BH diverges from single-window BH by {diff}"
+
+
 def test_outer_join_aggregates_before_join(spark, sf_dir, queries):
     """q_join_outer's order side pre-aggregates (partial+final) before
     the join — the join input is per-key, not per-order-row."""
