@@ -67,6 +67,24 @@ WHERE k % 10 <> 0
 """.strip()
 
 
+#: Inter-chromosomal contacts (chr1 × chr2) — canonical by construction
+#: (chr1 < chr2), duplicates pre-summed; exercises the flat
+#: interChrProb scoring path [SC-5].
+INTER_CONTACTS_SQL = """
+SELECT chr1, mid1, chr2, mid2,
+       CAST(SUM(contact_count) AS BIGINT) AS contact_count
+FROM (
+    SELECT 'chr1' AS chr1,
+           CAST((event_id % 500) * 5000 + 2500 AS BIGINT) AS mid1,
+           'chr2' AS chr2,
+           CAST(((event_id * 11 + user_id) % 500) * 5000 + 2500 AS BIGINT) AS mid2,
+           CAST(1 + (event_id % 4) AS BIGINT) AS contact_count
+    FROM events
+) raw
+GROUP BY chr1, mid1, chr2, mid2
+""".strip()
+
+
 #: Variable restriction-fragment midpoints (res=0 mode) on two
 #: chromosomes: strictly increasing irregular positions (step 4000 plus
 #: a k²-mod jitter < 3000, so spacing varies but never collides) —
@@ -104,6 +122,13 @@ def fixture_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(FRAGS_SQL.replace("FROM events", f"FROM {_EVENTS_VIEW}"))
 
 
+def fixture_inter_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _with_events_view(spark, sf_dir)
+    return spark.sql(
+        INTER_CONTACTS_SQL.replace("FROM events", f"FROM {_EVENTS_VIEW}")
+    )
+
+
 def contacts_cte(alias: str = "contacts") -> str:
     """`WITH <alias> AS (...)` fragment for oracle SQL strings."""
     return f"{alias} AS (\n{CONTACTS_SQL}\n)"
@@ -115,3 +140,7 @@ def biases_cte(alias: str = "biases") -> str:
 
 def frags_cte(alias: str = "frags") -> str:
     return f"{alias} AS (\n{FRAGS_SQL}\n)"
+
+
+def inter_cte(alias: str = "inter") -> str:
+    return f"{alias} AS (\n{INTER_CONTACTS_SQL}\n)"

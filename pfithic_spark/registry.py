@@ -1132,6 +1132,61 @@ def q_contact_prior(spark, sf_dir):
     )
 
 
+#: possible inter-chromosomal pairs on the two 500-bin fixture grids
+_POSSIBLE_INTER = fx.NBINS_GRID * fx.NBINS_GRID
+
+
+@register(
+    "q_contact_prior_inter",
+    oracle=f"""
+WITH {fx.inter_cte()},
+{fx.biases_cte()},
+tot AS (
+  SELECT CAST(SUM(contact_count) AS DOUBLE) / {_POSSIBLE_INTER}.0 AS p0
+  FROM inter
+),
+j AS (
+  SELECT i.chr1, i.mid1, i.chr2, i.mid2, i.contact_count,
+         COALESCE(b1.bias, 1.0) AS bias1,
+         COALESCE(b2.bias, 1.0) AS bias2
+  FROM inter i
+  LEFT JOIN biases b1 ON b1.chr = i.chr1 AND b1.mid = i.mid1
+  LEFT JOIN biases b2 ON b2.chr = i.chr2 AND b2.mid = i.mid2
+)
+SELECT chr1, mid1, chr2, mid2, contact_count, bias1, bias2,
+       LEAST(GREATEST(
+         p0 *
+         CASE WHEN bias1 < 0.5 OR bias1 > 2.0 OR bias2 < 0.5 OR bias2 > 2.0
+              THEN 1.0 ELSE bias1 * bias2 END,
+         0.0), 1.0) AS p_prior
+FROM j CROSS JOIN tot
+""",
+)
+def q_contact_prior_inter(spark, sf_dir):
+    """Inter-chromosomal contact prior [SC-5]: the FLAT interChrProb
+    null (observedInterAllSum / possibleInterAllCount) times the
+    bias-validity product, clamped — the scoring path 'All'/'interOnly'
+    modes use (ref: fithic.py interChrProb).  The scalar null is one
+    bounded agg collect; bias joins broadcast on (chr, mid)."""
+    i = fx.fixture_inter_contacts(spark, sf_dir)
+    b = fx.fixture_biases(spark, sf_dir)
+    total = i.agg(F.sum("contact_count")).collect()[0][0]
+    p0 = float(total) / float(_POSSIBLE_INTER)
+    j = rel.attach_biases(i, b)
+    return j.select(
+        "chr1",
+        "mid1",
+        "chr2",
+        "mid2",
+        "contact_count",
+        "bias1",
+        "bias2",
+        hic.contact_prior(
+            None, F.lit(p0), F.col("bias1"), F.col("bias2")
+        ).alias("p_prior"),
+    )
+
+
 @register("q_binom_sf")  # rows-only: no closed form in DuckDB; mpmath-tested
 def q_binom_sf(spark, sf_dir):
     """Binomial survival p-values P(X ≥ cc | N, prior) via the numpy
@@ -2123,6 +2178,118 @@ def q_stream_session(spark, sf_dir):
     )
 
 
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT DISTINCT event_id FROM events
+""",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Batch twin of streaming.dedup_within_watermark: exact dedup on
+    the event key over a duplicated input (self-union) — the streaming
+    form bounds its state by the watermark; the batch form is one
+    hash-agg shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    return ev.unionByName(ev).dropDuplicates(["event_id"])
+
+
+@register(
+    "q_text_clean",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id AS VARCHAR)
+              || '.example/path?q=1 and http://m' || CAST(doc_id * 3 AS VARCHAR)
+              || '.org end' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+       MD5(TRIM(REGEXP_REPLACE(
+         REGEXP_REPLACE(text, 'https?://[^ ]+', ' ', 'g'),
+         '  +', ' ', 'g'))) AS cleaned_md5
+FROM aug
+""",
+)
+def q_text_clean(spark, sf_dir):
+    """Corpus cleaning: strip URLs and collapse the whitespace they
+    leave behind — pure JVM regexp in the Java∩RE2 subset (codegen, no
+    UDF), output compared via md5.  The synthetic corpus has no URLs,
+    so deterministic ones are appended in-query on both engines."""
+    url = "https?://[^ ]+"
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example/path?q=1 and http://m"),
+            (F.col("doc_id") * 3).cast("string"),
+            F.lit(".org end"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(url)).cast("long").alias("n_urls"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), url, " "), "  +", " "
+                )
+            )
+        ).alias("cleaned_md5"),
+    )
+
+
+@register(
+    "q_cap_per_group",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source,
+         (doc_id * 2654435761) % 4294967296 AS hkey
+  FROM documents
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 100
+""",
+)
+def q_cap_per_group(spark, sf_dir):
+    """Training-data downsampling: keep at most N documents per source,
+    chosen by deterministic hash order (reproducible across runs and
+    engines, unlike rand()).  row_number ≤ k rewrites to
+    WindowGroupLimit — per-partition top-k, no full sort at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "hkey"
+        ),
+    )
+    return win.topk_per_group(
+        h, ["source"], [F.col("hkey"), F.col("doc_id")], 100
+    ).select("doc_id", "source", "rn")
+
+
+@register("q_agg_approx_quantile")  # rows-only: sketch internals differ
+def q_agg_approx_quantile(spark, sf_dir):
+    """Approximate percentiles per group via the KLL/GK-style sketch
+    (percentile_approx) — the one-pass mergeable path for quantiles at
+    100 TB (exact percentile needs a per-group sort).  Accuracy vs the
+    exact form is pytest-gated (tests/test_parity.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("median_approx"),
+        F.percentile_approx("o_totalprice", 0.9, 10_000).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("q_kr_balance")  # rows-only: iterative balancing, no SQL form
 def q_kr_balance(spark, sf_dir):
     """Knight–Ruiz bias vector per chromosome (ref: utils/HiCKRy.py),
@@ -2277,6 +2444,11 @@ def q_canonicalize(spark, sf_dir):
 #: follow and re-verify as budget allows.
 _VERIFY_FIRST = [
     "q_possible_pairs_frag",
+    "q_contact_prior_inter",
+    "q_stream_dedup",
+    "q_text_clean",
+    "q_cap_per_group",
+    "q_agg_approx_quantile",
     "q_dedup_embedding",
     "q_sim_topk",
     "q_text_stats",

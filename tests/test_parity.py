@@ -79,3 +79,24 @@ def test_bh_scalable_equals_naive(spark, sf_dir):
     a = {(r["mid1"], r["mid2"]): r["q_value"] for r in naive.collect()}
     b = {(r["mid1"], r["mid2"]): r["q_value"] for r in twop.collect()}
     assert a == b
+
+
+def test_approx_quantile_accuracy(spark, sf_dir):
+    """Sketch quantiles must land within 2% relative error of the exact
+    interpolated percentiles (accuracy=10000 → rank error ≤ 1/10000)."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    approx = {
+        r["o_orderpriority"]: (r["median_approx"], r["p90_approx"])
+        for r in q["q_agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["median_price"], r["p90_price"])
+        for r in q["q_agg_percentile"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (m_a, p_a) in approx.items():
+        m_e, p_e = exact[k]
+        assert abs(m_a - m_e) / m_e < 0.02, (k, m_a, m_e)
+        assert abs(p_a - p_e) / p_e < 0.02, (k, p_a, p_e)
