@@ -2290,6 +2290,43 @@ def q_agg_approx_quantile(spark, sf_dir):
     )
 
 
+@register(
+    "q_stream_join",
+    oracle="""
+WITH t AS (SELECT user_id, event_id, EPOCH_US(ts) AS us FROM events)
+SELECT a.user_id,
+       a.event_id AS l_event_id,
+       b.event_id AS r_event_id,
+       CAST(a.us - b.us AS BIGINT) AS lag_us
+FROM t a
+JOIN t b
+  ON a.user_id = b.user_id
+ AND b.us <= a.us
+ AND b.us >= a.us - 1800000000
+""",
+)
+def q_stream_join(spark, sf_dir):
+    """Batch twin of streaming.join_streams_within (stream-stream join
+    with watermark + time-range bound): per-user event pairs within a
+    30-minute trailing window.  The streaming form is reconciled against
+    this exact join in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.us") <= F.col("a.us"))
+        & (F.col("b.us") >= F.col("a.us") - 1_800_000_000),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("l_event_id"),
+        F.col("b.event_id").alias("r_event_id"),
+        (F.col("a.us") - F.col("b.us")).alias("lag_us"),
+    )
+
+
 @register("q_kr_balance")  # rows-only: iterative balancing, no SQL form
 def q_kr_balance(spark, sf_dir):
     """Knight–Ruiz bias vector per chromosome (ref: utils/HiCKRy.py),
@@ -2446,6 +2483,7 @@ _VERIFY_FIRST = [
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",
+    "q_stream_join",
     "q_text_clean",
     "q_cap_per_group",
     "q_agg_approx_quantile",

@@ -100,6 +100,52 @@ def dedup_within_watermark(
     return e.dropDuplicatesWithinWatermark(["event_id"])
 
 
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events
+    for the same key that occurred within ``within`` BEFORE it.
+
+    Both sides carry watermarks and the join condition bounds the event
+    times on both sides, so Spark can expire buffered state — the two
+    requirements for an unbounded stream-stream join (without a
+    time-range bound the state grows forever).  Output: one row per
+    qualifying (left, right) event pair.
+    """
+    l = (
+        with_event_time(left, "l_time")
+        .withWatermark("l_time", watermark)
+        .select(
+            F.col(key).alias("l_key"),
+            F.col("event_id").alias("l_event_id"),
+            "l_time",
+        )
+    )
+    r = (
+        with_event_time(right, "r_time")
+        .withWatermark("r_time", watermark)
+        .select(
+            F.col(key).alias("r_key"),
+            F.col("event_id").alias("r_event_id"),
+            "r_time",
+        )
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"""
+            l_key = r_key AND
+            r_time <= l_time AND
+            r_time >= l_time - INTERVAL {within}
+            """
+        ),
+    ).select("l_key", "l_event_id", "r_event_id", "l_time", "r_time")
+
+
 def enrich_with_dim(
     stream: DataFrame, dim: DataFrame, key: str = "user_id"
 ) -> DataFrame:

@@ -52,6 +52,52 @@ def test_simhash_finds_near_dup(corpus):
     assert (1, 4) not in found and (2, 4) not in found and (3, 4) not in found
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """Property gate for the rows-only q_dedup_near: on a corpus with
+    injected near-dups, the signature-estimated Jaccard must track the
+    exact 3-gram Jaccard within the MinHash-64 sampling error
+    (se = sqrt(J(1-J)/64) ≈ 0.06; assert |est - exact| < 0.25)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(80)
+        .select("doc_id", "text")
+    )
+    near = d.select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail tokens appended here now")).alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(near).cache()
+    est = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in llmops.minhash_lsh_pairs(corpus, est_threshold=0.05).collect()
+    }
+    assert len(est) >= 40  # the injected twins must surface
+    # exact 3-gram Jaccard for the candidate pairs
+    sh = llmops.shingle_rows(corpus, "text", "doc_id", 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    exact = {
+        (r["id1"], r["id2"]): r["common"] / (r["sz1"] + r["sz2"] - r["common"])
+        for r in common.join(s1, "id1").join(s2, "id2").collect()
+    }
+    for pair, e_j in est.items():
+        x_j = exact.get(pair, 0.0)
+        assert abs(e_j - x_j) < 0.25, (pair, e_j, x_j)
+
+
 def test_simhash_exact_within_radius(spark, sf_dir):
     """Pigeonhole guarantee: banding must return EXACTLY the pairs a
     brute-force Hamming self-join finds within the radius — 100% recall

@@ -57,6 +57,29 @@ def test_stream_dedup_within_watermark(spark, stream_dir):
     assert n == ids > 0
 
 
+def test_stream_stream_join_within(spark, sf_dir, stream_dir):
+    """Stream-stream join with watermarks + time-range bound: results
+    must equal the equivalent batch self-join."""
+    s1 = strm.read_event_stream(spark, stream_dir)
+    s2 = strm.read_event_stream(spark, stream_dir)
+    out = _run(
+        spark, strm.join_streams_within(s1, s2, within="30 minutes"), "append"
+    )
+    got = out.count()
+    assert got > 0
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    want = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.us") <= F.col("a.us"))
+        & (F.col("b.us") >= F.col("a.us") - 1_800_000_000),
+    ).count()
+    assert got == want
+
+
 def test_sliding_replication_factor(spark, sf_dir):
     """Batch twin sanity: 1h/15min sliding puts every event in exactly
     4 windows."""
