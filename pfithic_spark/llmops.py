@@ -134,6 +134,72 @@ def contamination_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    block_col: str | None = "source",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact k-gram Jaccard over co-shingle pairs via an inverted-index
+    equi-join on the shingle hash — the pair space never materializes as
+    a cross product.
+
+    ``block_col``: optional blocking key ANDed into the join (pairs only
+    within a block).  ``max_df``: drop shingles appearing in more than
+    this many documents before the self-join — THE skew lever at 100 TB:
+    a boilerplate shingle shared by 10⁶ documents would alone generate
+    ~10¹² candidate pairs; near-dup pipelines cap shingle document
+    frequency because ubiquitous shingles carry no similarity signal.
+    Jaccard denominators still use the FULL shingle-set sizes, so
+    max_df only prunes candidate generation / common-counts of hot
+    shingles (a documented recall/containment trade, not silent).
+    """
+    extra = (block_col,) if block_col else ()
+    sh = shingle_rows(docs, text_col, id_col, k, extra_cols=extra).select(
+        "doc_id", *extra, F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    pairs = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            "common",
+            "sz1",
+            "sz2",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("common")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # --- MinHash + LSH -------------------------------------------------------
 
 #: 64 deterministic affine permutations over the Mersenne prime 2^31-1:

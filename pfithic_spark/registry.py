@@ -1497,45 +1497,13 @@ JOIN sizes s2 ON p.id2 = s2.doc_id
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard over source-blocked pairs: shingle-set
-    explode + equi-join on the shingle (inverted-index shape — the pair
-    space never materializes as a cross product)."""
+    explode + equi-join on a 64-bit shingle hash (inverted-index shape —
+    the pair space never materializes as a cross product; collision
+    odds ~n²/2⁶⁵, the DuckDB oracle keeps strings).  The registered
+    form is exhaustive; llmops.ngram_jaccard_pairs(max_df=...) is the
+    hot-shingle skew lever for 100 TB corpora."""
     d = load_table(spark, sf_dir, "documents")
-    # shingles as codegen'd rows (posexplode+lead), joined on a 64-bit
-    # hash of the shingle so the self-join shuffle moves fixed-width
-    # keys (collision odds ~n²/2⁶⁵; the DuckDB oracle keeps strings)
-    sh = llmops.shingle_rows(d, "text", "doc_id", 3, extra_cols=("source",)).select(
-        "doc_id", "source", F.xxhash64("shingle").alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
-    return (
-        pairs.join(s1, "id1")
-        .join(s2, "id2")
-        .select(
-            "id1",
-            "id2",
-            "common",
-            "sz1",
-            "sz2",
-            F.round(
-                F.col("common").cast("double")
-                / (F.col("sz1") + F.col("sz2") - F.col("common")),
-                9,
-            ).alias("jaccard"),
-        )
-    )
+    return llmops.ngram_jaccard_pairs(d, block_col="source", max_df=None)
 
 
 @register(

@@ -52,6 +52,36 @@ def test_simhash_finds_near_dup(corpus):
     assert (1, 4) not in found and (2, 4) not in found and (3, 4) not in found
 
 
+def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
+    """max_df drops ubiquitous shingles from candidate generation (the
+    100 TB skew lever) while max_df=None stays exhaustive: docs sharing
+    ONLY a boilerplate shingle pair under None but not under max_df."""
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (1, f"alpha beta gamma delta {boiler}", "s"),
+        (2, f"epsilon zeta eta theta {boiler}", "s"),
+        (3, f"alpha beta gamma delta unique tail words here", "s"),
+        (4, f"iota kappa lambda mu {boiler}", "s"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    full = {
+        (r["id1"], r["id2"])
+        for r in llmops.ngram_jaccard_pairs(d, block_col="source").collect()
+    }
+    # boilerplate-only pairs exist under the exhaustive form
+    assert (1, 2) in full and (2, 4) in full and (1, 3) in full
+    pruned = {
+        (r["id1"], r["id2"]): r["common"]
+        for r in llmops.ngram_jaccard_pairs(
+            d, block_col="source", max_df=2
+        ).collect()
+    }
+    # shingles from the 3x-repeated boilerplate are gone: boiler-only
+    # pairs vanish, genuinely-similar pair (1,3) survives
+    assert (1, 2) not in pruned and (2, 4) not in pruned
+    assert (1, 3) in pruned
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     """Property gate for the rows-only q_dedup_near: on a corpus with
     injected near-dups, the signature-estimated Jaccard must track the
