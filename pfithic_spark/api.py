@@ -78,10 +78,28 @@ def run_pipeline_files(
             .distinct()
         )
 
+    bin_stats: list = []
     sig = run_significance(
-        spark, contacts, biases=biases, cfg=cfg, fragments=good
+        spark,
+        contacts,
+        biases=biases,
+        cfg=cfg,
+        fragments=good,
+        bin_stats_out=bin_stats,
     )
     ordered = sig.orderBy("q_value", "p_value", "chr1", "mid1", "chr2", "mid2")
     pio.write_tsv_gz(ordered, f"{out_dir}/significances.tsv.gz")
     pio.write_parquet(sig, f"{out_dir}/significances.parquet")
+    # per-pass bin-stats files (reference: {lib}.fithic_pass{n}.txt) —
+    # already driver-side pandas (≤ n_bins rows per pass)
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for pass_no, pdf in bin_stats:
+        pdf.to_csv(
+            f"{out_dir}/bin_stats_pass{pass_no + 1}.txt.gz",
+            sep="\t",
+            index=False,
+            compression="gzip",
+        )
     return sig

@@ -329,6 +329,7 @@ def run_significance(
     biases: DataFrame | None = None,
     cfg: SigConfig | None = None,
     fragments: DataFrame | None = None,
+    bin_stats_out: list | None = None,
 ) -> DataFrame:
     """Full multi-pass significance pipeline; returns the scored
     contacts (chr1, mid1, chr2, mid2, contact_count, p_value, q_value,
@@ -345,7 +346,12 @@ def run_significance(
     - ``chr_nbins``: a per-chromosome grid-size dimension (DataFrame,
       pandas DataFrame, or iterable of (chr, nbins); tiny, consumed
       driver-side) — the closed-form fully-occupied-grid census, exact
-      when every grid position is a valid fragment."""
+      when every grid position is a valid fragment.
+
+    ``bin_stats_out``: optional list; when given, (pass_no, pandas
+    bin-stats table) is appended per intra fit — the reference's
+    per-pass ``fithic_pass{n}.txt`` support table (already driver-side:
+    ≤ n_bins rows)."""
     cfg = cfg or SigConfig()
     if fragments is None and chr_nbins is None:
         raise ValueError("provide fragments or chr_nbins for the census")
@@ -437,9 +443,11 @@ def run_significance(
     n_passes = max(1, cfg.passes)
     for pass_no in range(n_passes):
         if score_intra:
-            _, (gx, gy), (fit_cc, fit_np) = fit_null_curve(
+            bin_pdf, (gx, gy), (fit_cc, fit_np) = fit_null_curve(
                 spark, fit_input, n_total, possible, cfg
             )
+            if bin_stats_out is not None:
+                bin_stats_out.append((pass_no, bin_pdf))
         # the fit collect just materialized this pass's fit_input, so the
         # PREVIOUS pass's cached scored table + outlier set are dead —
         # release them instead of accumulating one pair per pass

@@ -2295,6 +2295,36 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+@register("q_hic_significance_all")  # rows-only: full pipeline, All mode
+def q_hic_significance_all(spark, sf_dir):
+    """End-to-end significance in contact_type='All' mode: intra
+    contacts scored against the fitted distance null, inter contacts
+    against the flat interChrProb null [SC-5], one combined BH pass
+    with M = possibleIntra + possibleInter.  Inter semantics are
+    golden-tested in tests/test_hic_pipeline.py
+    (test_inter_chromosomal_mode); the prior arithmetic is oracle-gated
+    via q_contact_prior_inter."""
+    c = fx.fixture_contacts(spark, sf_dir).unionByName(
+        fx.fixture_inter_contacts(spark, sf_dir)
+    )
+    b = fx.fixture_biases(spark, sf_dir)
+    cfg = hic.SigConfig(
+        resolution=fx.RES,
+        n_bins=fx.NBINS_OCC,
+        passes=1,
+        dist_lo=0,
+        dist_hi=2**40,
+        contact_type="All",
+    )
+    return hic.run_significance(
+        spark,
+        c,
+        [(f"chr{i + 1}", fx.NBINS_GRID) for i in range(fx.N_CHROMS)],
+        biases=b,
+        cfg=cfg,
+    )
+
+
 @register("q_kr_balance")  # rows-only: iterative balancing, no SQL form
 def q_kr_balance(spark, sf_dir):
     """Knight–Ruiz bias vector per chromosome (ref: utils/HiCKRy.py),
@@ -2452,6 +2482,7 @@ _VERIFY_FIRST = [
     "q_contact_prior_inter",
     "q_stream_dedup",
     "q_stream_join",
+    "q_hic_significance_all",
     "q_text_clean",
     "q_cap_per_group",
     "q_agg_approx_quantile",

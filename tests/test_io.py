@@ -112,3 +112,11 @@ def test_run_pipeline_files_end_to_end(spark, tmp_path):
     assert ((pdf["p_value"] >= 0) & (pdf["p_value"] <= 1)).all()
     assert (out / "significances.parquet").exists()
     assert (out / "significances.tsv.gz").exists()
+    # per-pass bin-stats files (reference fithic_pass{n}.txt analog)
+    import pandas as pd
+
+    stats = pd.read_csv(out / "bin_stats_pass1.txt.gz", sep="\t")
+    assert {"bin_id", "sum_cc", "n_pairs", "n_possible", "avg_dist", "prob"} <= set(
+        stats.columns
+    )
+    assert len(stats) > 0 and stats["avg_dist"].is_monotonic_increasing
