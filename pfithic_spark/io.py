@@ -90,16 +90,29 @@ def register_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> No
 
 
 def read_contacts_tsv(spark: SparkSession, path: str) -> DataFrame:
-    """Read a reference-style interactions file (TSV/gz, headerless)."""
-    return spark.read.csv(path, sep="\t", schema=CONTACTS_SCHEMA, header=False)
+    """Read a reference-style interactions file (TSV/gz, headerless).
+
+    Malformed lines (wrong arity / non-numeric fields) parse to nulls
+    under CSV permissive mode and are DROPPED on the required columns —
+    at 100 TB a single corrupt line must not kill the ingest (the
+    reference, reading eagerly, would crash); the drop is explicit
+    here so the semantics are documented rather than accidental.
+    """
+    df = spark.read.csv(path, sep="\t", schema=CONTACTS_SCHEMA, header=False)
+    return df.na.drop(subset=["chr1", "mid1", "chr2", "mid2", "contact_count"])
 
 
 def read_fragments_tsv(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.csv(path, sep="\t", schema=FRAGMENTS_SCHEMA, header=False)
+    """Fragments TSV; malformed lines dropped on (chr, frag_mid)."""
+    df = spark.read.csv(path, sep="\t", schema=FRAGMENTS_SCHEMA, header=False)
+    return df.na.drop(subset=["chr", "frag_mid"])
 
 
 def read_biases_tsv(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.csv(path, sep="\t", schema=BIASES_SCHEMA, header=False)
+    """Biases TSV; malformed lines dropped on (chr, mid) — a null bias
+    is kept (missing value ≠ malformed row; attach_biases defaults it)."""
+    df = spark.read.csv(path, sep="\t", schema=BIASES_SCHEMA, header=False)
+    return df.na.drop(subset=["chr", "mid"])
 
 
 # --- sinks --------------------------------------------------------------

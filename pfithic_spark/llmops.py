@@ -564,6 +564,32 @@ def ivf_assign(
     )
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> list[list[float]]:
+    """Train IVF centroids with distributed k-means (pyspark.ml Lloyd's
+    with k-means|| init) over the embedding column — the index-build
+    step of IVF ANN search.  Fixed seed → reproducible centers.
+
+    Returns plain Python lists (k × dim — tiny) ready for
+    :func:`ivf_assign` / :func:`ivf_write_index`, which broadcast them.
+    At 100 TB train on a sample (k-means converges on far less data
+    than the full corpus): pass ``embeddings.sample(...)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_write_index(
     embeddings: DataFrame,
     centroids: list[list[float]],

@@ -33,6 +33,24 @@ def test_contacts_tsv_gz_roundtrip(spark, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(raw)
 
 
+def test_malformed_lines_dropped(spark, tmp_path):
+    """A corrupt line must not kill a 100 TB ingest: permissive parse →
+    nulls on required columns → dropped, valid rows untouched."""
+    src = tmp_path / "contacts.tsv"
+    src.write_text(
+        "chr1\t2500\tchr1\t7500\t4\n"
+        "garbage line without tabs\n"
+        "chr1\tnot_a_number\tchr1\t7500\t2\n"
+        "chr2\t2500\tchr2\t12500\t1\n"
+        "chr1\t2500\n"  # wrong arity
+    )
+    got = sorted(tuple(r) for r in pio.read_contacts_tsv(spark, str(src)).collect())
+    assert got == [
+        ("chr1", 2500, "chr1", 7500, 4),
+        ("chr2", 2500, "chr2", 12500, 1),
+    ]
+
+
 def test_fragments_biases_schemas(spark, tmp_path):
     frags = tmp_path / "frags.tsv"
     frags.write_text("chr1\t0\t2500\t120\t0.85\nchr1\t0\t7500\t0\t0.0\n")

@@ -216,6 +216,25 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
     assert recall > 0.25, f"recall@5 {recall} suspiciously low"
 
 
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """Distributed k-means centroid training (the IVF index-build step)
+    must produce cells good enough that nprobe=4/16 probing recalls a
+    solid fraction of the brute-force top-5."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    brute = llmops.cosine_topk(e, q, k=5).toPandas()
+    cents = llmops.ivf_train_centroids(e, k=16, max_iter=10)
+    assert len(cents) == 16 and len(cents[0]) == 64
+    approx = llmops.ivf_topk(e, q, cents, k=5, nprobe=4).toPandas()
+    hits = total = 0
+    for qid, grp in brute.groupby("q_id"):
+        want = set(grp["e_id"])
+        got = set(approx[approx["q_id"] == qid]["e_id"])
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total > 0.3, f"trained-centroid recall {hits/total}"
+
+
 def test_multimodal_resize_and_frames(spark, sf_dir):
     """Resize respects bounds & aspect math; frame sampling emits
     ceil(frames/stride) rows per doc."""
