@@ -2277,21 +2277,42 @@ def q_stream_join(spark, sf_dir):
     """Batch twin of streaming.join_streams_within (stream-stream join
     with watermark + time-range bound): per-user event pairs within a
     30-minute trailing window.  The streaming form is reconciled against
-    this exact join in tests/test_streaming.py."""
+    this exact join in tests/test_streaming.py.
+
+    TIME-BANDED: the right side's partner must lie in one of two
+    window-wide time buckets, so the equi-join key is (user_id, bucket)
+    — a hot user's rows spread across time buckets instead of one
+    quadratic partition (same banding as the fragment-census join)."""
+    w = 1_800_000_000  # 30 min in µs
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", F.expr("ts div 1000").alias("us")
     )
-    a, b = ev.alias("a"), ev.alias("b")
-    return a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.us") <= F.col("a.us"))
-        & (F.col("b.us") >= F.col("a.us") - 1_800_000_000),
-    ).select(
-        F.col("a.user_id").alias("user_id"),
-        F.col("a.event_id").alias("l_event_id"),
-        F.col("b.event_id").alias("r_event_id"),
-        (F.col("a.us") - F.col("b.us")).alias("lag_us"),
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("l_event_id"),
+        F.col("us").alias("l_us"),
+        F.explode(
+            F.array(F.floor(F.col("us") / w), F.floor(F.col("us") / w) - 1)
+        ).alias("_bkt"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("r_event_id"),
+        F.col("us").alias("r_us"),
+        F.floor(F.col("us") / w).alias("_bkt"),
+    )
+    return (
+        left.join(right, ["user_id", "_bkt"])
+        .filter(
+            (F.col("r_us") <= F.col("l_us"))
+            & (F.col("r_us") >= F.col("l_us") - w)
+        )
+        .select(
+            "user_id",
+            "l_event_id",
+            "r_event_id",
+            (F.col("l_us") - F.col("r_us")).alias("lag_us"),
+        )
     )
 
 

@@ -194,6 +194,29 @@ def test_ivf_index_probe_partition_pruning(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_text_clean_is_narrow_pipeline(spark, sf_dir, queries):
+    """q_text_clean is scan → project (regexp in codegen) with ZERO
+    exchanges — a 100 TB corpus streams through without a shuffle."""
+    plan = _plan(queries["q_text_clean"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # pure JVM regexp, no UDF
+
+
+def test_cap_per_group_uses_window_group_limit(spark, sf_dir, queries):
+    plan = _plan(queries["q_cap_per_group"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_stream_join_is_banded_equi_join(spark, sf_dir, queries):
+    """The time-range self-join must be an equi-join on
+    (user_id, time-bucket) — never a nested-loop, and never keyed on
+    user_id alone (hot-user skew)."""
+    plan = _plan(queries["q_stream_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bkt" in plan  # the banding key made it into the join
+
+
 def test_forced_two_phase_paths(spark):
     """small_threshold=None forces the two-phase cumsum / distributed
     BH that a 100 TB input would take: the big side must be
