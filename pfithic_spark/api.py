@@ -63,9 +63,13 @@ def run_pipeline_files(
         frags = pio.read_fragments_tsv(spark, fragments_path)
         bad = bad_fragments(frags)
         contacts = remove_bad_fragments(contacts, bad)
-        good = frags.select(
-            "chr", F.col("frag_mid").alias("mid")
-        ).join(F.broadcast(bad), ["chr", "mid"], "left_anti")
+        # distinct: a duplicated fragment line must not double-count the
+        # census (possible pairs, per-chr totals)
+        good = (
+            frags.select("chr", F.col("frag_mid").alias("mid"))
+            .distinct()
+            .join(F.broadcast(bad), ["chr", "mid"], "left_anti")
+        )
     else:
         # census from the loci the contacts actually touch
         good = (

@@ -135,6 +135,54 @@ def possible_pairs_from_fragments(
     )
 
 
+def possible_pairs_grid_census(
+    fragments: DataFrame, resolution: int, dist_lo: int, dist_hi: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Exact possible-pair census over an OCCUPIED-GRID fragment set via
+    per-chromosome occupancy autocorrelation — the fixed-resolution
+    twin of :func:`possible_pairs_from_fragments` with no pair join at
+    all.
+
+    The collect is the per-chromosome occupied-bin list — bounded by
+    genome_length / resolution (the §1.2 sanctioned sync-point bound),
+    NOT by fragment pairs.  Per-lag counts come from the FFT
+    autocorrelation of each chromosome's 0/1 occupancy vector
+    (Σ_i o[i]·o[i+k] = #pairs at lag k), exact after integer rounding
+    since counts ≤ nbins ≪ 2⁵².  Returns (dists, n_possible,
+    m_in_range) like :func:`possible_pairs_np`.
+    """
+    rows = (
+        fragments.select(
+            "chr", F.floor(F.col("mid") / resolution).cast("long").alias("bin")
+        )
+        .distinct()
+        .groupBy("chr")
+        .agg(F.collect_list("bin").alias("bins"))
+        .collect()
+    )
+    counts: dict[int, int] = {}
+    for r in rows:
+        bins = np.asarray(sorted(r["bins"]), dtype=np.int64)
+        if bins.size < 2:
+            continue
+        span = int(bins[-1] - bins[0]) + 1
+        occ = np.zeros(span, dtype=np.float64)
+        occ[bins - bins[0]] = 1.0
+        f = np.fft.rfft(occ, 2 * span)
+        ac = np.rint(np.fft.irfft(f * np.conj(f), 2 * span)[:span]).astype(
+            np.int64
+        )
+        for k in np.nonzero(ac[1:])[0] + 1:
+            counts[int(k)] = counts.get(int(k), 0) + int(ac[k])
+    if not counts:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    ks = np.array(sorted(counts), dtype=np.int64)
+    dists = ks * int(resolution)
+    n_possible = np.array([counts[int(k)] for k in ks], dtype=np.int64)
+    in_range = (dists >= dist_lo) & (dists <= dist_hi)
+    return dists, n_possible, int(n_possible[in_range].sum())
+
+
 def possible_pairs_np(
     nbins: np.ndarray, resolution: int, dist_lo: int, dist_hi: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
@@ -375,29 +423,45 @@ def run_significance(
     # onto a single Python worker
     par = spark.sparkContext.defaultParallelism or 32
     c = intra.repartition(par, "chr1", "mid1").cache()
-    # possible-pair census: from the actual fragment set (distributed
-    # banded self-join; the per-distance result is bounded by the
-    # distinct in-range pair distances) or the closed-form grid
+    # possible-pair census from the actual fragment set:
+    # - fixed resolution: per-chromosome occupancy autocorrelation —
+    #   collect bounded by genome/resolution, no pair join at all;
+    # - res=0 (irregular midpoints): distributed banded self-join; the
+    #   collected per-distance table is bounded by the DISTINCT IN-RANGE
+    #   pair distances, so callers should bound [dist_lo, dist_hi]
+    #   (the reference's distUpThres does the same) — an unbounded
+    #   range over arbitrary midpoints is inherently O(pairs).
     if fragments is not None:
-        pp = (
-            possible_pairs_from_fragments(fragments, cfg.dist_lo, cfg.dist_hi)
-            .toPandas()
-            .sort_values("dist", ignore_index=True)
-        )
-        p_dists = pp["dist"].to_numpy(dtype=np.int64)
-        p_counts = pp["n_possible"].to_numpy(dtype=np.int64)
-        m_possible = int(p_counts.sum())  # already range-filtered
-        # per-chromosome fragment counts (for the inter-mode census):
-        # tiny (one row per chromosome)
-        nb = np.array(
-            [
-                r["n"]
-                for r in fragments.groupBy("chr")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            ],
-            dtype=np.int64,
-        )
+        if cfg.resolution > 0:
+            p_dists, p_counts, m_possible = possible_pairs_grid_census(
+                fragments, cfg.resolution, cfg.dist_lo, cfg.dist_hi
+            )
+        else:
+            pp = (
+                possible_pairs_from_fragments(
+                    fragments, cfg.dist_lo, cfg.dist_hi
+                )
+                .toPandas()
+                .sort_values("dist", ignore_index=True)
+            )
+            p_dists = pp["dist"].to_numpy(dtype=np.int64)
+            p_counts = pp["n_possible"].to_numpy(dtype=np.int64)
+            m_possible = int(p_counts.sum())  # already range-filtered
+        nb = None
+        if score_inter:
+            # per-chromosome fragment counts (inter-mode census only):
+            # tiny (one row per chromosome)
+            nb = np.array(
+                [
+                    r["n"]
+                    for r in fragments.select("chr", "mid")
+                    .distinct()
+                    .groupBy("chr")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                ],
+                dtype=np.int64,
+            )
     else:
         # lag-table combinatorics from the per-chromosome dim —
         # driver-side closed form, no Spark job (≤ a few dozen rows)

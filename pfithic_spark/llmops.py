@@ -362,6 +362,9 @@ def simhash_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
+    # cached because the self-join reads the signature table twice; the
+    # cache lives until session clearCache()/eviction — long-lived
+    # sessions sweeping many corpora should clear between sweeps
     sigs = simhash_signatures(docs, text_col, id_col).cache()
     chunk = F.explode(
         F.array(
@@ -537,16 +540,22 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_col: str = "cell",
     nprobe: int = 1,
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells
     (cosine).  Centroids broadcast; assignment is one BLAS matmul per
     Arrow batch (mapInPandas) — the inverted-file partitioning step of
-    IVF ANN search."""
+    IVF ANN search.
+
+    ``carry_vec=True`` passes the vector column through the UDF so the
+    caller needs no re-join against the corpus — one scan instead of a
+    scan + corpus-wide id join (the index-build path)."""
     spark = embeddings.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast(C)
     n_probe = int(nprobe)
+    keep = [id_col, vec_col] if carry_vec else [id_col]
 
     def assign(batches):
         for pdf in batches:
@@ -555,13 +564,15 @@ def ivf_assign(
             sims = M @ bc.value.T  # (n, K)
             # top-nprobe cells per vector, deterministic tie-break by cell id
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-            out = pdf[[id_col]].loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out = pdf[keep].loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
             out[out_col] = order.reshape(-1).astype("int64")
             yield out
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {out_col} long"
-    )
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    schema = f"{id_col} long, "
+    schema += f"{vec_col} {vec_type}, " if carry_vec else ""
+    schema += f"{out_col} long"
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def ivf_train_centroids(
@@ -583,9 +594,22 @@ def ivf_train_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = embeddings.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    # SPHERICAL k-means: the IVF cells are cosine-Voronoi (ivf_assign
+    # normalizes both sides), so train on L2-normalized vectors —
+    # Euclidean k-means on unit vectors is equivalent to cosine
+    # clustering; on raw vectors the centers chase magnitude instead.
+    arr = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double")
+        / F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, y: acc + y.cast("double") * y.cast("double"),
+            )
+        ),
     )
+    feats = embeddings.select(array_to_vector(arr).alias("features"))
     model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
@@ -602,8 +626,8 @@ def ivf_write_index(
     pay one cell-assignment pass at build time, then every probe reads
     only its probed cells' directories (partition pruning; gated in
     tests/test_plans.py)."""
-    assigned = embeddings.join(
-        ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1), id_col
+    assigned = ivf_assign(
+        embeddings, centroids, id_col, vec_col, nprobe=1, carry_vec=True
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
@@ -645,12 +669,16 @@ def ivf_topk_pruned(
     cos = dot_double(F.col("q_vec"), F.col("e_vec")) / (
         l2_norm(F.col("q_vec")) * l2_norm(F.col("e_vec"))
     )
+    # no distinct needed: each indexed vector lives in exactly ONE cell
+    # partition (nprobe=1 at write) and q_cells are distinct per query,
+    # so every (q_id, e_id) pair joins at most once — unlike ivf_topk,
+    # whose in-memory corpus re-assignment can surface a pair via
+    # several probed cells
     cands = (
         F.broadcast(q)
         .join(corpus, "cell")
         .filter(F.col("q_id") != F.col("e_id"))
         .select("q_id", "e_id", F.round(cos, 6).alias("cosine"))
-        .distinct()
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("e_id"))
     return cands.withColumn("rn", F.row_number().over(w).cast("long")).filter(
@@ -677,25 +705,27 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    e_cells = ivf_assign(embeddings, centroids, id_col, vec_col, nprobe=1)
-    corpus = embeddings.select(
-        F.col(id_col).alias("e_id"), F.col(vec_col).alias("e_vec")
-    ).join(e_cells.withColumnRenamed(id_col, "e_id"), "e_id")
-    q_cells = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).join(
-        q_cells.withColumnRenamed(id_col, "q_id"), "q_id"
+    corpus = ivf_assign(
+        embeddings, centroids, id_col, vec_col, nprobe=1, carry_vec=True
+    ).select(
+        F.col(id_col).alias("e_id"), F.col(vec_col).alias("e_vec"), "cell"
+    )
+    q = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe, carry_vec=True
+    ).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "cell"
     )
     cos = dot_double(F.col("q_vec"), F.col("e_vec")) / (
         l2_norm(F.col("q_vec")) * l2_norm(F.col("e_vec"))
     )
+    # no dedup needed: each corpus vector has exactly ONE cell
+    # (nprobe=1), so a (q, e) pair joins at most once even though the
+    # query side probes several cells
     cands = (
         F.broadcast(q)
         .join(corpus, "cell")
         .filter(F.col("q_id") != F.col("e_id"))
         .select("q_id", "e_id", F.round(cos, 6).alias("cosine"))
-        .distinct()  # a pair may surface via several probed cells
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("e_id"))
     return cands.withColumn("rn", F.row_number().over(w).cast("long")).filter(
