@@ -370,6 +370,65 @@ def fit_null_curve(
     return pdf, (gx, gy), (total, int(npairs.sum()))
 
 
+def fit_null_curve_distributed(
+    spark: SparkSession,
+    in_range: DataFrame,
+    n_total: int | None,
+    possible_df: DataFrame | None,
+    cfg: SigConfig,
+):
+    """Distributed-binning variant of :func:`fit_null_curve` for
+    UNBOUNDED per-distance cardinality (res=0 irregular midpoints,
+    where distinct pair distances grow with the data instead of being
+    capped by genome/resolution).
+
+    Identical arithmetic — same IEEE expressions for the equal-occupancy
+    assignment, exact integer bin sums — but the binning runs through
+    windows.equal_occupancy_assign (two-phase cumsum, no single-task
+    window) and the ONLY driver materializations are the ≤ n_bins bin
+    table and two scalar aggregates.  ``possible_df``: (dist,
+    n_possible) DataFrame (e.g. possible_pairs_from_fragments), joined
+    distributed; distances absent from it fall back to the observed
+    pair count, matching the driver-side form.
+    """
+    byd = win.per_distance_totals(in_range)
+    if possible_df is not None:
+        p = possible_df.select(F.col("dist").alias("d"), "n_possible")
+        byd = byd.join(p, "d", "left").withColumn(
+            "n_possible", F.coalesce(F.col("n_possible"), F.col("np"))
+        )
+    else:
+        byd = byd.withColumn("n_possible", F.col("np"))
+    byd = byd.cache()  # read by the total agg, the cumsum, and the stats
+    assigned = win.equal_occupancy_assign(
+        byd, cfg.n_bins, small_threshold=None
+    )
+    stats = assigned.groupBy("bin_id").agg(
+        F.sum("cc").alias("sum_cc"),
+        F.sum("np").alias("n_pairs"),
+        F.sum("n_possible").alias("n_possible"),
+        F.sum(F.col("d") * F.col("cc")).alias("sum_dcc"),
+    )
+    pdf = stats.toPandas().sort_values("bin_id", ignore_index=True)
+    byd.unpersist()
+    total = int(pdf["sum_cc"].sum())
+    if n_total is None:
+        n_total = total
+    pdf["avg_dist"] = pdf["sum_dcc"].astype(np.float64) / pdf["sum_cc"].astype(
+        np.float64
+    )
+    prob = (pdf["sum_cc"] / pdf["n_possible"].clip(lower=1)) / float(n_total)
+    gx, gy = st.fit_monotone_curve(
+        pdf["avg_dist"].to_numpy(),
+        prob.to_numpy(),
+        w=pdf["n_pairs"].to_numpy(dtype=np.float64),
+        grid_points=cfg.grid_points,
+    )
+    pdf["prob"] = prob
+    pdf = pdf.drop(columns=["sum_dcc"])
+    return pdf, (gx, gy), (total, int(pdf["n_pairs"].sum()))
+
+
 def run_significance(
     spark: SparkSession,
     contacts: DataFrame,
@@ -431,22 +490,24 @@ def run_significance(
     #   pair distances, so callers should bound [dist_lo, dist_hi]
     #   (the reference's distUpThres does the same) — an unbounded
     #   range over arbitrary midpoints is inherently O(pairs).
+    possible_df = None
     if fragments is not None:
         if cfg.resolution > 0:
             p_dists, p_counts, m_possible = possible_pairs_grid_census(
                 fragments, cfg.resolution, cfg.dist_lo, cfg.dist_hi
             )
         else:
-            pp = (
-                possible_pairs_from_fragments(
-                    fragments, cfg.dist_lo, cfg.dist_hi
-                )
-                .toPandas()
-                .sort_values("dist", ignore_index=True)
+            # res=0: the census stays a DataFrame (its cardinality is
+            # the distinct in-range pair distances — unbounded, so it
+            # never comes to the driver); the fit joins it distributed
+            # and BH's M is one scalar agg
+            possible_df = possible_pairs_from_fragments(
+                fragments, cfg.dist_lo, cfg.dist_hi
+            ).cache()
+            p_dists = p_counts = None
+            m_possible = int(
+                possible_df.agg(F.sum("n_possible")).collect()[0][0] or 0
             )
-            p_dists = pp["dist"].to_numpy(dtype=np.int64)
-            p_counts = pp["n_possible"].to_numpy(dtype=np.int64)
-            m_possible = int(p_counts.sum())  # already range-filtered
         nb = None
         if score_inter:
             # per-chromosome fragment counts (inter-mode census only):
@@ -507,9 +568,18 @@ def run_significance(
     n_passes = max(1, cfg.passes)
     for pass_no in range(n_passes):
         if score_intra:
-            bin_pdf, (gx, gy), (fit_cc, fit_np) = fit_null_curve(
-                spark, fit_input, n_total, possible, cfg
-            )
+            if possible_df is not None:
+                # res=0: distributed binning — only the ≤ n_bins bin
+                # table reaches the driver
+                bin_pdf, (gx, gy), (fit_cc, fit_np) = (
+                    fit_null_curve_distributed(
+                        spark, fit_input, n_total, possible_df, cfg
+                    )
+                )
+            else:
+                bin_pdf, (gx, gy), (fit_cc, fit_np) = fit_null_curve(
+                    spark, fit_input, n_total, possible, cfg
+                )
             if bin_stats_out is not None:
                 bin_stats_out.append((pass_no, bin_pdf))
         # the fit collect just materialized this pass's fit_input, so the
