@@ -2490,6 +2490,85 @@ def q_canonicalize(spark, sf_dir):
     return rel.canonicalize_pairs(raw)
 
 
+@register(
+    "q_unpivot",
+    oracle="""
+WITH p AS (
+  SELECT l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS qty_A,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS qty_N,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_R
+  FROM lineitem
+  GROUP BY l_linestatus
+)
+SELECT l_linestatus, 'qty_A' AS flag_col, qty_A AS qty FROM p
+UNION ALL
+SELECT l_linestatus, 'qty_N' AS flag_col, qty_N AS qty FROM p
+UNION ALL
+SELECT l_linestatus, 'qty_R' AS flag_col, qty_R AS qty FROM p
+""",
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide → long): the inverse of q_pivot, via the
+    native DataFrame.unpivot (Expand node — each input row fans out to
+    one row per value column, no shuffle)."""
+    wide = QUERIES["q_pivot"](spark, sf_dir)
+    return wide.unpivot(
+        ["l_linestatus"], ["qty_A", "qty_N", "qty_R"], "flag_col", "qty"
+    )
+
+
+@register(
+    "q_array_explode",
+    oracle="""
+SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       CAST(embedding[u.i] AS DOUBLE) AS val
+FROM embeddings,
+LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS i) u
+""",
+)
+def q_array_explode(spark, sf_dir):
+    """Positional array explode (posexplode): one row per embedding
+    dimension — the array→rows Generate node (narrow, shuffle-free)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "_v")
+    ).select("vec_id", F.col("pos").cast("long"), F.col("_v").cast("double").alias("val"))
+
+
+@register(
+    "q_struct_funcs",
+    oracle="""
+SELECT o_orderkey,
+       {'custkey': o_custkey, 'price': o_totalprice}.custkey AS s_custkey,
+       {'custkey': o_custkey, 'price': o_totalprice}.price AS s_price,
+       CASE WHEN {'a': o_custkey, 'b': CAST(o_orderkey % 7 AS BIGINT)}
+                 < {'a': CAST(o_orderkey % 1000 AS BIGINT), 'b': CAST(3 AS BIGINT)}
+            THEN 1 ELSE 0 END AS s_lt
+FROM orders
+""",
+)
+def q_struct_funcs(spark, sf_dir):
+    """Struct family: construction, field access, lexicographic struct
+    comparison (the engine's pair-canonicalization primitive)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("custkey"), F.col("o_totalprice").alias("price")
+    )
+    a = F.struct(
+        F.col("o_custkey").alias("a"), (F.col("o_orderkey") % 7).alias("b")
+    )
+    b = F.struct(
+        (F.col("o_orderkey") % 1000).alias("a"), F.lit(3).cast("long").alias("b")
+    )
+    return o.select(
+        "o_orderkey",
+        s.getField("custkey").alias("s_custkey"),
+        s.getField("price").alias("s_price"),
+        F.when(a < b, 1).otherwise(0).alias("s_lt"),
+    )
+
+
 # ========================================================================
 # registry ordering
 # ========================================================================
@@ -2504,6 +2583,9 @@ _VERIFY_FIRST = [
     "q_stream_dedup",
     "q_stream_join",
     "q_hic_significance_all",
+    "q_unpivot",
+    "q_array_explode",
+    "q_struct_funcs",
     "q_text_clean",
     "q_cap_per_group",
     "q_agg_approx_quantile",
