@@ -195,6 +195,13 @@ def bh_fdr(
     ranked = df.withColumn("_rk", F.row_number().over(w_rank))
     q_raw = F.least(F.lit(1.0), F.col(p_col) * F.lit(float(m)) / F.col("_rk"))
     ranked = ranked.withColumn("_q_raw", q_raw)
+    # Suffix-min as a running min over DESCENDING rank.  Do NOT rewrite
+    # as min over [currentRow, unboundedFollowing] on the ascending
+    # order: Spark executes shrinking frames with
+    # UnboundedFollowingWindowFunctionFrame, which recomputes the
+    # aggregate from scratch per row — O(n^2) per partition (measured
+    # ~30x slower at 25k rows/partition).  The extra sort is the cheap
+    # part.
     w_min = (
         W.orderBy(F.col("_rk").desc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -264,7 +271,11 @@ def bh_fdr_scalable(
         "_q_raw",
         F.least(F.lit(1.0), F.col(p_col) * F.lit(float(m)) / F.col("_rk")),
     )
-    # suffix-min over global rank: local suffix + min of later partitions
+    # suffix-min over global rank: local suffix + min of later partitions.
+    # Keep the descending-order running-min form — an ascending-order
+    # frame [currentRow, unboundedFollowing] looks like it would share
+    # the rank window's sort, but Spark's shrinking-frame executor is
+    # O(n^2) per partition (recomputes the min per row).
     w_desc = (
         W.partitionBy("_pid")
         .orderBy(F.col("_rk").desc())
