@@ -73,11 +73,35 @@ BIASES_SCHEMA = T.StructType(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture parquet table.
 
-    ``events`` carries parquet TIMESTAMP(NANOS); Spark reads it as a
-    LongType epoch-nanos column under ``nanosAsLong`` (set here).
+    ``events.ts`` is parquet TIMESTAMP(MICROS), which Spark reads as
+    TIMESTAMP_NTZ; earlier fixture generations used TIMESTAMP(NANOS),
+    which lands as an epoch-nanos LongType under ``nanosAsLong`` (set
+    here).  Consumers that need event-time arithmetic go through
+    :func:`epoch_us`, which handles both physical encodings.
     """
     ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def epoch_us(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds Column from an event-time column, whatever
+    physical type the source delivered:
+
+    - timestamp / timestamp_ntz (parquet TIMESTAMP(MICROS)): the session
+      timezone is pinned UTC (session.py), so ``unix_micros(cast(ts as
+      timestamp))`` equals DuckDB's ``epoch_us(ts)`` on the same naive
+      value — the oracle contract.
+    - bigint (legacy parquet TIMESTAMP(NANOS) under ``nanosAsLong``):
+      integer nanos → micros.
+
+    Pure JVM expression either way — safe in the 100 TB hot path.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    return F.unix_micros(F.col(col).cast("timestamp"))
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=FIXTURE_TABLES) -> None:

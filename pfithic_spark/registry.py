@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from . import aggregates as agg
 from . import fixtures as fx
 from . import relational as rel
-from .io import load_table
+from .io import epoch_us, load_table
 from .session import ensure_engine_confs
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -419,9 +419,10 @@ def q_join_asof(spark, sf_dir):
     composition relational.asof_join.  Tie-break: ties on o_orderdate
     resolve to max o_orderkey (right side sorted ascending, last wins),
     matching the oracle's DESC,DESC row_number."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
         "event_id",
-        F.expr("ts div 1000").alias("us"),
+        epoch_us(ev_raw).alias("us"),
         (F.col("user_id") % 100).alias("custkey"),
     )
     o = load_table(spark, sf_dir, "orders").select(
@@ -987,12 +988,13 @@ WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 """,
 )
 def q_window_lead_lag(spark, sf_dir):
-    """Neighbor access per user ordered by time (epoch-us integers —
-    nanos parquet read as long, so the math is tz-proof)."""
+    """Neighbor access per user ordered by time (epoch-us integers via
+    io.epoch_us, so the math is tz-proof)."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("us")
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "user_id", epoch_us(ev_raw).alias("us")
     )
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     return ev.select(
@@ -2024,7 +2026,8 @@ def q_stream_tumbling(spark, sf_dir):
     """Tumbling 1 h windows per event type — epoch-integer window math
     (tz-proof); identical logical spec as streaming.tumbling_counts."""
     ev = load_table(spark, sf_dir, "events")
-    ws = (F.expr(f"ts div 1000 div {_US_PER_HOUR}") * 3600).cast("long")
+    ev = ev.withColumn("_us", epoch_us(ev))
+    ws = (F.expr(f"_us div {_US_PER_HOUR}") * 3600).cast("long")
     return (
         ev.select(
             ws.alias("window_start_s"),
@@ -2057,7 +2060,8 @@ def q_stream_sliding(spark, sf_dir):
     """Sliding 1 h / 15 min windows: each event belongs to 4 windows —
     explode(sequence) replication, then one hash aggregation."""
     ev = load_table(spark, sf_dir, "events")
-    base = (F.expr(f"ts div 1000 div {_US_PER_15MIN}") * 900).cast("long")
+    ev = ev.withColumn("_us", epoch_us(ev))
+    base = (F.expr(f"_us div {_US_PER_15MIN}") * 900).cast("long")
     w = ev.select(
         "event_type",
         "value",
@@ -2123,8 +2127,9 @@ def q_stream_session(spark, sf_dir):
     SQL-checkable twin of streaming.session_counts (session_window)."""
     from pyspark.sql import Window as W
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", epoch_us(ev_raw).alias("us")
     )
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     g = ev.withColumn(
@@ -2284,8 +2289,9 @@ def q_stream_join(spark, sf_dir):
     — a hot user's rows spread across time buckets instead of one
     quadratic partition (same banding as the fragment-census join)."""
     w = 1_800_000_000  # 30 min in µs
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", epoch_us(ev_raw).alias("us")
     )
     left = ev.select(
         "user_id",

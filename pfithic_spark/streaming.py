@@ -10,10 +10,12 @@ Each windowed aggregation exists twice, deliberately:
    built from the same logical spec, smoke-tested in
    tests/test_streaming.py via the memory sink.
 
-The `events` fixture carries parquet TIMESTAMP(NANOS) (read as
-epoch-nanos long under ``nanosAsLong``); :func:`with_event_time`
-restores a proper timestamp column for the streaming operators, which
-need one for watermarking.
+The `events` fixture carries parquet TIMESTAMP(MICROS) (read as
+TIMESTAMP_NTZ); earlier generations used TIMESTAMP(NANOS) (epoch-nanos
+long under ``nanosAsLong``).  :func:`with_event_time` normalizes either
+encoding to a proper TimestampType column for the streaming operators,
+which need one for watermarking (session tz pinned UTC ⇒ the ntz cast
+is wall-clock-preserving and deterministic).
 """
 
 from __future__ import annotations
@@ -25,11 +27,11 @@ from pyspark.sql import types as T
 from .session import ensure_engine_confs
 
 #: explicit schema for streaming reads (no inference on a stream) —
-#: ts as epoch-nanos long, matching the nanosAsLong batch read.
+#: ts as TIMESTAMP_NTZ, matching the events parquet (TIMESTAMP(MICROS)).
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -39,10 +41,17 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 
 
 def with_event_time(events: DataFrame, out_col: str = "event_time") -> DataFrame:
-    """epoch-nanos long → TimestampType for watermark/window operators."""
-    return events.withColumn(
-        out_col, F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    """Normalize ``ts`` → TimestampType for watermark/window operators.
+
+    Handles both physical encodings of the events table: epoch-nanos
+    long (legacy TIMESTAMP(NANOS) fixtures) and timestamp/timestamp_ntz
+    (TIMESTAMP(MICROS) fixtures).
+    """
+    if dict(events.dtypes).get("ts") == "bigint":
+        col = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        col = F.col("ts").cast("timestamp")
+    return events.withColumn(out_col, col)
 
 
 def read_event_stream(

@@ -67,8 +67,11 @@ def test_stream_stream_join_within(spark, sf_dir, stream_dir):
     )
     got = out.count()
     assert got > 0
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_id", F.expr("ts div 1000").alias("us")
+    from pfithic_spark.io import epoch_us
+
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev_raw.select(
+        "user_id", "event_id", epoch_us(ev_raw).alias("us")
     )
     a, b = ev.alias("a"), ev.alias("b")
     want = a.join(
@@ -110,10 +113,13 @@ def test_watermark_drops_late_data(spark, tmp_path):
         pdf = pd.DataFrame(
             rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
         )
+        # ts arrives as epoch-ns ints; store as TIMESTAMP(MICROS) to
+        # match the driver fixture's physical encoding
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ns")
         schema = pa.schema(
             [
                 ("event_id", pa.int64()),
-                ("ts", pa.int64()),
+                ("ts", pa.timestamp("us")),
                 ("user_id", pa.int64()),
                 ("event_type", pa.string()),
                 ("value", pa.float64()),
