@@ -66,6 +66,23 @@ def test_fragments_biases_schemas(spark, tmp_path):
     assert vals[2500] == 1.05 and vals[7500] == -1.0  # sentinel preserved
 
 
+def test_epoch_us_both_encodings(spark):
+    """io.epoch_us must yield identical epoch-µs for the same instant
+    whether ts arrives as an epoch-nanos long (legacy TIMESTAMP(NANOS)
+    under nanosAsLong) or as a timestamp (TIMESTAMP(MICROS) fixtures)."""
+    from pyspark.sql import functions as F
+
+    us = 1_704_067_207_179_575  # 2024-01-01 00:00:07.179575 UTC
+    as_long = spark.range(1).select((F.lit(us) * 1000).alias("ts"))
+    as_ts = spark.range(1).select(
+        F.timestamp_micros(F.lit(us)).alias("ts")
+    )
+    as_ntz = as_ts.select(F.col("ts").cast("timestamp_ntz").alias("ts"))
+    for df in (as_long, as_ts, as_ntz):
+        got = df.select(pio.epoch_us(df).alias("us")).collect()[0]["us"]
+        assert got == us, df.dtypes
+
+
 def test_run_pipeline_files_fragment_census(spark, tmp_path):
     """With a fragment file, the pipeline drops contacts touching bad
     fragments AND censuses possible pairs from the surviving fragments
