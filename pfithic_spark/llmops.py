@@ -48,6 +48,66 @@ def tokens_col(text_col: str = "text") -> Column:
     return F.split(norm_text(text_col), " ")
 
 
+def pack_sequences(
+    docs: DataFrame,
+    target_tokens: int = 2048,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Sequence packing for training batches: concatenate documents in a
+    deterministic order and cut at ``target_tokens`` boundaries; a
+    document straddling a boundary belongs to the sequence where it
+    starts (streaming greedy pack — the standard large-corpus form, not
+    NP-hard bin packing).
+
+    100 TB design: packing is per ``(group, shard)`` where the shard is
+    a Knuth multiplicative hash of the id — the running-total window
+    parallelizes across groups × shards with NO global or single-key
+    window (a giant source can't serialize onto one task), and the hash
+    order is reproducible across engines and runs (unlike rand() or
+    input order).  ``target_tokens`` a power of two keeps the
+    cumsum/target division bit-exact in IEEE double, so the assignment
+    is engine-independent.
+
+    Output: one row per packed sequence — (group, shard, seq_id,
+    n_docs, total_tokens).
+    """
+    from pyspark.sql import Window as W
+
+    hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    t = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        hkey.alias("hkey"),
+        (hkey % F.lit(n_shards)).cast("long").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("grp", "shard")
+        .orderBy("hkey", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.withColumn(
+            "seq_id",
+            F.floor(F.col("cum_before") / F.lit(float(target_tokens))).cast(
+                "long"
+            ),
+        )
+        .groupBy("grp", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
 def shingles_col(text_col: str = "text", k: int = 3) -> Column:
     """k-token shingles as strings (distinct set), built with array
     ops — no explode until the consumer needs rows."""

@@ -1854,6 +1854,45 @@ def q_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "q_pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT source,
+         doc_id,
+         (doc_id * 2654435761) % 4294967296 AS hkey,
+         CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY hkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS cum_before
+  FROM t
+)
+SELECT source, shard,
+       CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY source, shard, seq_id
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (training-batch construction): greedy
+    concatenation order cut at 2048-token boundaries, per
+    (source, hash-shard) so the running-total window is embarrassingly
+    parallel — no global or single-key window at 100 TB; deterministic
+    Knuth-hash order; power-of-two target keeps the float division
+    bit-exact across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return llmops.pack_sequences(
+        d, target_tokens=2048, n_shards=16
+    ).select("source", "shard", "seq_id", "n_docs", "total_tokens")
+
+
+@register(
     "q_contamination",
     oracle="""
 WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
@@ -2584,6 +2623,7 @@ def q_struct_funcs(spark, sf_dir):
 #: so every key accumulates a CORRECTNESS row; previously-verified keys
 #: follow and re-verify as budget allows.
 _VERIFY_FIRST = [
+    "q_pack_sequences",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",
