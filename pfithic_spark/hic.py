@@ -359,6 +359,13 @@ def fit_null_curve(
             / sum_cc[present].astype(np.float64),
         }
     )
+    if len(pdf) == 0:
+        # empty fit input (e.g. a chromosome filter matched nothing):
+        # degenerate zero curve — scoring over the same empty table
+        # yields no rows, so the pipeline completes with empty output
+        # instead of crashing a 100 TB run on one empty slice
+        pdf["prob"] = pd.Series(dtype=float)
+        return pdf, (np.array([0.0, 1.0]), np.array([0.0, 0.0])), (0, 0)
     prob = (pdf["sum_cc"] / pdf["n_possible"].clip(lower=1)) / float(n_total)
     gx, gy = st.fit_monotone_curve(
         pdf["avg_dist"].to_numpy(),
@@ -412,6 +419,12 @@ def fit_null_curve_distributed(
     pdf = stats.toPandas().sort_values("bin_id", ignore_index=True)
     byd.unpersist()
     total = int(pdf["sum_cc"].sum())
+    if len(pdf) == 0:
+        # same empty-slice guard as fit_null_curve
+        pdf["avg_dist"] = pd.Series(dtype=float)
+        pdf["prob"] = pd.Series(dtype=float)
+        pdf = pdf.drop(columns=["sum_dcc"])
+        return pdf, (np.array([0.0, 1.0]), np.array([0.0, 0.0])), (0, 0)
     if n_total is None:
         n_total = total
     pdf["avg_dist"] = pdf["sum_dcc"].astype(np.float64) / pdf["sum_cc"].astype(

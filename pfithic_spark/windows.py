@@ -115,7 +115,10 @@ def equal_occupancy_assign(
             ).collect()[0]
     if total is None:
         total = byd.agg(F.sum("cc")).collect()[0][0]
-    target = total / nbins  # exact-int inputs → identical double everywhere
+    # sum over zero rows is SQL null → empty input; any finite target
+    # works (there are no rows to assign)
+    total = total or 0
+    target = (total / nbins) or 1.0  # exact-int inputs → identical double everywhere
     cum = scalable_cumsum(
         byd,
         "d",

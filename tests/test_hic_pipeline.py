@@ -330,3 +330,31 @@ def test_inter_chromosomal_mode(spark):
     one = inter[inter["contact_count"] == 1]
     if len(one) > 1:
         assert one["p_value"].nunique() == 1
+
+
+def test_run_significance_empty_input(spark):
+    """An empty contacts slice (e.g. a chromosome allow-list matching
+    nothing) must complete with empty output, not crash the pipeline —
+    at 100 TB one empty slice is routine."""
+    from pfithic_spark import hic
+    from pfithic_spark.io import CONTACTS_SCHEMA
+
+    empty = spark.createDataFrame([], CONTACTS_SCHEMA)
+    for passes in (1, 2):
+        out = hic.run_significance(
+            spark,
+            empty,
+            chr_nbins=[("chr1", 10)],
+            cfg=hic.SigConfig(n_bins=5, passes=passes),
+        )
+        assert out.collect() == []
+        assert {"p_value", "q_value"} <= set(out.columns)
+    # res=0 fragment-census path through fit_null_curve_distributed
+    frags = spark.createDataFrame([], "chr string, mid long")
+    out = hic.run_significance(
+        spark,
+        empty,
+        fragments=frags,
+        cfg=hic.SigConfig(resolution=0, n_bins=5, dist_hi=10**6),
+    )
+    assert out.collect() == []
