@@ -108,6 +108,44 @@ def pack_sequences(
     )
 
 
+def mix_sources_balanced(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    keep_cols: tuple[str, ...] = ("doc_id", "source", "lang"),
+) -> DataFrame:
+    """Deterministic source rebalancing (training-mixture construction):
+    keep each document of source s with rate sqrt(min_n / n_s) — the
+    smallest source keeps everything, dominant sources are square-root
+    damped toward uniform (temperature-style mixing).
+
+    100 TB design: the per-source count is one aggregation whose output
+    is a tiny dimension; rates broadcast back and the keep decision is a
+    narrow hash-threshold filter — the corpus itself never shuffles.
+    The Knuth-hash keep is reproducible across engines/runs, and the
+    rate arithmetic (divide, sqrt, scale, floor) is correctly-rounded
+    IEEE double in both Spark and DuckDB, so the kept set is
+    engine-exact.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_src"))
+    mn = counts.agg(F.min("n_src").alias("min_n"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.sqrt(
+            F.col("min_n").cast("double") / F.col("n_src").cast("double")
+        ).alias("keep_rate"),
+    )
+    hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(
+            (hkey % F.lit(1_000_000))
+            < F.floor(F.col("keep_rate") * F.lit(1_000_000.0)).cast("long")
+        )
+        .select(*keep_cols)
+    )
+
+
 def shingles_col(text_col: str = "text", k: int = 3) -> Column:
     """k-token shingles as strings (distinct set), built with array
     ops — no explode until the consumer needs rows."""

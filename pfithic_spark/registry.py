@@ -1893,6 +1893,30 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "q_mix_sources",
+    oracle="""
+WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
+m AS (SELECT MIN(n_src) AS min_n FROM c),
+r AS (
+  SELECT source, SQRT(CAST(min_n AS DOUBLE) / CAST(n_src AS DOUBLE)) AS keep_rate
+  FROM c, m
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN r USING (source)
+WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000
+      < CAST(FLOOR(keep_rate * 1000000.0) AS BIGINT)
+""",
+)
+def q_mix_sources(spark, sf_dir):
+    """Deterministic source rebalancing (training-mixture construction):
+    square-root damping toward uniform via a hash-threshold keep — the
+    per-source rate dimension broadcasts, the corpus never shuffles,
+    and the kept set is engine-exact (correctly-rounded IEEE ops)."""
+    d = load_table(spark, sf_dir, "documents")
+    return llmops.mix_sources_balanced(d)
+
+
+@register(
     "q_contamination",
     oracle="""
 WITH probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
@@ -2624,6 +2648,7 @@ def q_struct_funcs(spark, sf_dir):
 #: follow and re-verify as budget allows.
 _VERIFY_FIRST = [
     "q_pack_sequences",
+    "q_mix_sources",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",
