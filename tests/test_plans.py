@@ -262,3 +262,30 @@ def test_outer_join_aggregates_before_join(spark, sf_dir, queries):
     plan = _plan(queries["q_join_outer"](spark, sf_dir))
     assert "HashAggregate" in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_pack_sequences_partitioned_window(spark, sf_dir, queries):
+    """q_pack_sequences' running total must window within (source,
+    shard) partitions — no global/SinglePartition window anywhere."""
+    plan = _plan(queries["q_pack_sequences"](spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning" in plan.lower()
+
+
+def test_mix_sources_corpus_never_shuffles(spark, sf_dir, queries):
+    """q_mix_sources: the rate dimension broadcasts back onto the
+    corpus; the only exchanges are the tiny per-source count agg and
+    broadcasts — the documents relation itself is never hash-exchanged."""
+    plan = _plan(queries["q_mix_sources"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # every non-broadcast exchange operates on the counts agg (n_src),
+    # never on full corpus rows (which would carry text/doc_id payload)
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange\n(.*?)\n\n", plan, re.S):
+        detail = m.group(1)
+        if "SinglePartition" in detail or "broadcast" in detail.lower():
+            continue
+        assert "n_src" in detail or "count" in detail, detail
