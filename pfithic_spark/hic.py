@@ -71,7 +71,9 @@ def possible_pairs_per_lag(chr_nbins: DataFrame, resolution: int) -> DataFrame:
     explode yields ≤ n rows per chromosome — bounded, shuffle-free until
     the final small groupBy.
     """
-    lags = chr_nbins.select(
+    # nbins=1 would make sequence(1, 0) DESCEND in Spark (yielding a
+    # bogus lag 0) — a single-bin chromosome has no intra pairs at all
+    lags = chr_nbins.filter(F.col("nbins") >= 2).select(
         F.col("nbins"),
         F.explode(F.sequence(F.lit(1), F.col("nbins") - 1)).alias("k"),
     )

@@ -148,9 +148,18 @@ def mix_sources_balanced(
 
 def shingles_col(text_col: str = "text", k: int = 3) -> Column:
     """k-token shingles as strings (distinct set), built with array
-    ops — no explode until the consumer needs rows."""
+    ops — no explode until the consumer needs rows.
+
+    Documents shorter than k tokens yield an EMPTY set: Spark's
+    ``sequence(1, n-k+1)`` turns DESCENDING when n < k (unlike DuckDB's
+    generate_series, which is empty), which would drive element_at past
+    the array bounds — so the index list is guarded to empty instead.
+    """
     toks = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    n = F.size(toks)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -1893,6 +1893,56 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "q_repetition_filter",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(GREATEST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2, 0) AS BIGINT) AS n_3grams,
+         CAST(LEN(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) - 2),
+           i -> CONCAT_WS(' ',
+             STRING_SPLIT(LOWER(TRIM(text)), ' ')[i],
+             STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+1],
+             STRING_SPLIT(LOWER(TRIM(text)), ' ')[i+2])
+         ))) AS BIGINT) AS n_distinct
+  FROM documents
+)
+SELECT doc_id, source, n_3grams, n_distinct,
+       ROUND(CASE WHEN n_3grams > 0
+                  THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_3grams
+                  ELSE 0.0 END, 9) AS dup_ratio
+FROM t
+WHERE CASE WHEN n_3grams > 0
+           THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_3grams
+           ELSE 0.0 END <= 0.5
+""",
+)
+def q_repetition_filter(spark, sf_dir):
+    """Within-document repetition filter (Gopher/RefinedWeb-style
+    quality gate): drop documents whose duplicate-3-gram ratio exceeds
+    0.5.  Pure array ops per row — narrow, zero-exchange, codegen; no
+    explode and no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    n3 = F.greatest(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), " ")) - 2, F.lit(0)
+    ).cast("long")
+    nd = F.size(llmops.shingles_col("text", k=3)).cast("long")
+    t = d.select(
+        "doc_id",
+        "source",
+        n3.alias("n_3grams"),
+        nd.alias("n_distinct"),
+    )
+    ratio = F.when(
+        F.col("n_3grams") > 0,
+        1.0 - F.col("n_distinct").cast("double") / F.col("n_3grams"),
+    ).otherwise(F.lit(0.0))
+    return t.withColumn("dup_ratio", F.round(ratio, 9)).filter(
+        ratio <= 0.5
+    )
+
+
+@register(
     "q_mix_sources",
     oracle="""
 WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
@@ -2649,6 +2699,7 @@ def q_struct_funcs(spark, sf_dir):
 _VERIFY_FIRST = [
     "q_pack_sequences",
     "q_mix_sources",
+    "q_repetition_filter",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",

@@ -256,3 +256,35 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     frames = {r["doc_id"]: r["fake_frames"] for r in meta}
     for r in fr:
         assert r["count"] == -(-frames[r["doc_id"]] // 4)  # ceil
+
+
+def test_short_docs_do_not_crash_shingle_ops(spark):
+    """Documents shorter than the shingle width must yield empty shingle
+    sets, not an element_at out-of-bounds crash — real corpora are full
+    of 1-2-token documents (the driver fixture happens not to be)."""
+    from pfithic_spark import llmops
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [
+            (1, "one", "src_a"),
+            (2, "two words", "src_a"),
+            (3, "now three tokens", "src_b"),
+            (4, "", "src_b"),
+            (5, "a b c d e f g h", "src_b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    sh = d.select(
+        "doc_id", F.size(llmops.shingles_col("text", 3)).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in sh}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0, 5: 6}
+    # row-form consumers drop short docs instead of crashing
+    assert llmops.shingle_rows(d, k=3).filter(
+        F.col("doc_id").isin(1, 2, 4)
+    ).count() == 0
+    # end-to-end: jaccard + minhash + contamination run over short docs
+    assert llmops.ngram_jaccard_pairs(d, k=3).count() >= 0
+    assert llmops.minhash_lsh_pairs(d).count() >= 0
+    assert llmops.contamination_pairs(d, d.filter("doc_id = 5"), k=3).count() >= 0
