@@ -1920,18 +1920,23 @@ WHERE CASE WHEN n_3grams > 0
 def q_repetition_filter(spark, sf_dir):
     """Within-document repetition filter (Gopher/RefinedWeb-style
     quality gate): drop documents whose duplicate-3-gram ratio exceeds
-    0.5.  Pure array ops per row — narrow, zero-exchange, codegen; no
-    explode and no shuffle at any scale."""
+    0.5.  Distinct counts come from the ROW-form shingle pipeline
+    (posexplode + window lead — whole-stage codegen; the array-lambda
+    form runs interpreted per element and measured ~5× slower), one
+    doc_id shuffle + partial-final countDistinct; docs too short for a
+    3-gram survive via the left join with ratio 0."""
     d = load_table(spark, sf_dir, "documents")
     n3 = F.greatest(
         F.size(F.split(F.lower(F.trim(F.col("text"))), " ")) - 2, F.lit(0)
     ).cast("long")
-    nd = F.size(llmops.shingles_col("text", k=3)).cast("long")
-    t = d.select(
-        "doc_id",
-        "source",
-        n3.alias("n_3grams"),
-        nd.alias("n_distinct"),
+    base = d.select("doc_id", "source", n3.alias("n_3grams"))
+    counts = (
+        llmops.shingle_rows(d, k=3, dedup=False)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_distinct"))
+    )
+    t = base.join(counts, "doc_id", "left").withColumn(
+        "n_distinct", F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long")
     )
     ratio = F.when(
         F.col("n_3grams") > 0,
