@@ -1948,6 +1948,52 @@ def q_repetition_filter(spark, sf_dir):
 
 
 @register(
+    "q_ngram_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+    i -> CONCAT_WS(' ', t[i], t[i+1]))) AS bg
+  FROM toks
+),
+df AS (SELECT bg, COUNT(DISTINCT doc_id) AS df FROM bi GROUP BY bg),
+j AS (
+  SELECT b.doc_id, CASE WHEN d.df >= 3 THEN 1 ELSE 0 END AS known
+  FROM bi b JOIN df d USING (bg)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       CAST(SUM(known) AS BIGINT) AS n_known,
+       ROUND(CAST(SUM(known) AS DOUBLE) / COUNT(*), 9) AS known_frac
+FROM j GROUP BY doc_id
+""",
+)
+def q_ngram_coverage(spark, sf_dir):
+    """Corpus-vocabulary coverage score (quality/novelty filter): the
+    fraction of a document's bigrams that occur in ≥3 corpus documents.
+    Integer-exact (counts + one division — no transcendentals, so the
+    oracle hash-matches bit-for-bit).  Inverted-index shape: bigram df
+    aggregation, equi-join back, per-doc aggregation — two key shuffles,
+    never a pair join."""
+    d = load_table(spark, sf_dir, "documents")
+    bi = llmops.shingle_rows(d, k=2, dedup=False)
+    df_counts = bi.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    j = bi.join(df_counts, "shingle").select(
+        "doc_id", F.when(F.col("df") >= 3, 1).otherwise(0).alias("known")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("known").cast("long").alias("n_known"),
+        F.round(
+            F.sum("known").cast("double") / F.count(F.lit(1)), 9
+        ).alias("known_frac"),
+    )
+
+
+@register(
     "q_mix_sources",
     oracle="""
 WITH c AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source),
@@ -2194,6 +2240,47 @@ def q_stream_sliding(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         agg.dsum("value", 6).alias("sum_value"),
     )
+
+
+@register(
+    "q_stream_topk",
+    oracle=f"""
+WITH w AS (
+  SELECT CAST(EPOCH_US(ts) // {_US_PER_HOUR} * 3600 AS BIGINT) AS window_start_s,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY window_start_s ORDER BY n_events DESC, event_type
+  ) AS rnk
+  FROM w
+)
+SELECT window_start_s, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def q_stream_topk(spark, sf_dir):
+    """Top-3 event types per tumbling hour (trending-items shape): one
+    hash aggregation, then WindowGroupLimit rank pruning per window —
+    the per-window agg output is bounded by |event types|, so the rank
+    window never sees raw events."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_us", epoch_us(ev))
+    ws = (F.expr(f"_us div {_US_PER_HOUR}") * 3600).cast("long")
+    agg_w = (
+        ev.select(ws.alias("window_start_s"), "event_type")
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("window_start_s").orderBy(
+            F.desc("n_events"), F.asc("event_type")
+        )
+    )
+    return agg_w.withColumn("rnk", rnk.cast("long")).filter(F.col("rnk") <= 3)
 
 
 @register(
@@ -2705,6 +2792,8 @@ _VERIFY_FIRST = [
     "q_pack_sequences",
     "q_mix_sources",
     "q_repetition_filter",
+    "q_stream_topk",
+    "q_ngram_coverage",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",
