@@ -100,6 +100,61 @@ def session_counts(
     )
 
 
+def trending_topk_sink(
+    events: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    width: str = "1 hour",
+    k: int = 3,
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Trending items: per-window event-type counts ranked to top-k.
+
+    Rank is not expressible inside an append-mode streaming agg (it
+    needs the window's complete row set), so the standard shape is a
+    windowed count aggregation streamed into ``foreachBatch``, where
+    each finalized micro-batch applies the rank prune as BATCH logic
+    and appends parquet.  The batch twin with the full oracle is
+    ``q_stream_topk`` in the registry.  Returns the StreamingQuery.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", width), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    def rank_batch(df, epoch_id):
+        rnk = F.row_number().over(
+            W.partitionBy("window").orderBy(
+                F.desc("n_events"), F.asc("event_type")
+            )
+        )
+        (
+            df.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= k)
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "rnk",
+            )
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -243,3 +243,40 @@ def test_stream_foreach_batch_sink(spark, sf_dir, stream_dir, tmp_path):
     got = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
     n_batch = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert got == n_batch
+
+
+def test_trending_topk_foreach_batch(spark, sf_dir, tmp_path):
+    """Streaming trending top-k: windowed counts stream into
+    foreachBatch, which applies the rank prune as batch logic.  Two
+    micro-batches over the same file: batch 1 advances the watermark,
+    batch 2 finalizes and emits every window behind it."""
+    import shutil
+
+    d = tmp_path / "trend_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    out, ck = str(tmp_path / "trend_out"), str(tmp_path / "trend_ck")
+    stream = strm.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    q = strm.trending_topk_sink(stream, out, ck, k=3)
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(1 <= r["rnk"] <= 3 for r in rows)
+    # per emitted window the rank-1 type must match the batch twin
+    # (each event was ingested twice, which scales every count by 2 —
+    # rank order is unaffected)
+    import __spark_entry__ as e
+
+    twin = e.queries()["q_stream_topk"](spark, sf_dir)
+    want_top = {
+        r["window_start_s"]: r["event_type"]
+        for r in twin.collect()
+        if r["rnk"] == 1
+    }
+    for r in rows:
+        if r["rnk"] == 1:
+            ws = int(r["window_start"].timestamp())
+            assert want_top[ws] == r["event_type"], ws
