@@ -1509,6 +1509,52 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_dedup_ngram_global",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(toks) - 2),
+           i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])
+         ))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN freq f USING (shingle)
+  WHERE f.df <= 50
+),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.id1, p.id2, CAST(p.common AS BIGINT) AS common,
+       CAST(s1.sz AS BIGINT) AS sz1, CAST(s2.sz AS BIGINT) AS sz2,
+       ROUND(CAST(p.common AS DOUBLE) / (s1.sz + s2.sz - p.common), 9) AS jaccard
+FROM pairs p
+JOIN sizes s1 ON p.id1 = s1.doc_id
+JOIN sizes s2 ON p.id2 = s2.doc_id
+""",
+)
+def q_dedup_ngram_global(spark, sf_dir):
+    """CROSS-source 3-gram Jaccard with the max_df=50 hot-shingle cap —
+    the unblocked 100 TB form: without a blocking key, the df cap is
+    what keeps a boilerplate shingle shared by 10⁶ docs from generating
+    ~10¹² candidate pairs.  Jaccard denominators still use full shingle
+    sets (documented containment trade); the blocked exhaustive twin is
+    q_dedup_ngram_jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    return llmops.ngram_jaccard_pairs(d, block_col=None, max_df=50)
+
+
+@register(
     "q_dedup_embedding",
     oracle="""
 WITH s AS (SELECT label, vec_id, embedding FROM embeddings),
@@ -2794,6 +2840,7 @@ _VERIFY_FIRST = [
     "q_repetition_filter",
     "q_stream_topk",
     "q_ngram_coverage",
+    "q_dedup_ngram_global",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",
