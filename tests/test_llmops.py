@@ -288,3 +288,31 @@ def test_short_docs_do_not_crash_shingle_ops(spark):
     assert llmops.ngram_jaccard_pairs(d, k=3).count() >= 0
     assert llmops.minhash_lsh_pairs(d).count() >= 0
     assert llmops.contamination_pairs(d, d.filter("doc_id = 5"), k=3).count() >= 0
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing must be a partition of the corpus: every document lands
+    in exactly one sequence and token mass is conserved."""
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = llmops.pack_sequences(d, target_tokens=2048, n_shards=16)
+    agg = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("total_tokens").alias("toks")
+    ).collect()[0]
+    want = d.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("toks"),
+    ).collect()[0]
+    assert agg["docs"] == want["docs"]
+    assert agg["toks"] == want["toks"]
+    # within a (source, shard) stream, sequence ids are dense from 0
+    ids = packed.groupBy("source", "shard").agg(
+        F.min("seq_id").alias("lo"),
+        F.max("seq_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in ids.collect():
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1, r
