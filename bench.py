@@ -75,12 +75,23 @@ def main() -> None:
     for key in sorted(queries):
         try:
             t1 = run_once(key)
-            t2 = run_once(key)
             cold[key] = round(t1, 4)
-            best[key] = round(min(t1, t2), 4)
         except Exception as exc:  # a failing query must not hide the rest
             cold[key] = best[key] = -1.0
             print(f"# bench FAIL {key}: {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+            continue
+        # clear between the paired runs: queries that .cache() internally
+        # (minhash/simhash signature tables) must re-execute, not replay
+        # cached blocks — best-of-2 is meant to dodge transient stalls,
+        # not to measure a warm cache
+        spark.catalog.clearCache()
+        try:
+            t2 = run_once(key)
+            best[key] = round(min(t1, t2), 4)
+        except Exception as exc:  # keep the successful first measurement
+            best[key] = cold[key]
+            print(f"# bench retry FAIL {key}: {exc}", file=sys.stderr)
         # drop cached blocks a key pinned so later keys aren't measured
         # under accumulated memory/GC pressure from earlier ones
         spark.catalog.clearCache()

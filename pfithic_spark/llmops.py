@@ -30,6 +30,22 @@ def norm_text(col: Column | str) -> Column:
     return F.lower(F.trim(c))
 
 
+#: Knuth multiplicative constant (2^32 / φ, prime)
+_KNUTH = 2_654_435_761
+_KNUTH_MOD = 4_294_967_296
+
+
+def knuth_hash(col: Column | str) -> Column:
+    """Deterministic multiplicative hash in [0, 2^32), identical in
+    Spark and DuckDB SQL (`((x % 2654435761) * 2654435761) %
+    4294967296`).  The id is reduced mod the multiplier FIRST so the
+    int64 product never exceeds 2654435760·2654435761 ≈ 7.0e18 < 2^63 —
+    a raw `id * 2654435761` wraps negative past id ≈ 3.47e9, which a
+    100 TB corpus reaches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return ((c % F.lit(_KNUTH)) * F.lit(_KNUTH)) % F.lit(_KNUTH_MOD)
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact duplicate groups keyed by md5(normalized text): keep the
     min id per group.  One hash-agg shuffle on 16-byte keys."""
@@ -76,7 +92,7 @@ def pack_sequences(
     """
     from pyspark.sql import Window as W
 
-    hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    hkey = knuth_hash(id_col)
     t = docs.select(
         F.col(group_col).alias("grp"),
         F.col(id_col),
@@ -135,7 +151,7 @@ def mix_sources_balanced(
             F.col("min_n").cast("double") / F.col("n_src").cast("double")
         ).alias("keep_rate"),
     )
-    hkey = (F.col(id_col) * F.lit(2654435761)) % F.lit(4294967296)
+    hkey = knuth_hash(id_col)
     return (
         docs.join(F.broadcast(rates), group_col)
         .filter(

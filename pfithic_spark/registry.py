@@ -1354,7 +1354,7 @@ def q_date_funcs(spark, sf_dir):
     )
 
 
-from .llmops import dot_double, l2_norm  # noqa: E402
+from .llmops import dot_double, knuth_hash, l2_norm  # noqa: E402
 
 
 @register(
@@ -1882,7 +1882,7 @@ def q_pii_redact(spark, sf_dir):
     oracle="""
 WITH h AS (
   SELECT doc_id, source, lang,
-         (doc_id * 2654435761) % 4294967296 AS hkey
+         ((doc_id % 2654435761) * 2654435761) % 4294967296 AS hkey
   FROM documents
 )
 SELECT doc_id, source, lang
@@ -1895,7 +1895,7 @@ def q_sample_stratified(spark, sf_dir):
     across engines and runs, unlike rand()-based sample().  Fully
     pushdown-friendly: the predicate is a pure projection filter."""
     d = load_table(spark, sf_dir, "documents")
-    hkey = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    hkey = knuth_hash("doc_id")
     return d.filter(hkey % 100 < 10).select("doc_id", "source", "lang")
 
 
@@ -1905,8 +1905,8 @@ def q_sample_stratified(spark, sf_dir):
 WITH t AS (
   SELECT source,
          doc_id,
-         (doc_id * 2654435761) % 4294967296 AS hkey,
-         CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
+         ((doc_id % 2654435761) * 2654435761) % 4294967296 AS hkey,
+         CAST(((doc_id % 2654435761) * 2654435761) % 4294967296 % 16 AS BIGINT) AS shard,
          CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
@@ -2050,7 +2050,7 @@ r AS (
 )
 SELECT d.doc_id, d.source, d.lang
 FROM documents d JOIN r USING (source)
-WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000
+WHERE ((d.doc_id % 2654435761) * 2654435761) % 4294967296 % 1000000
       < CAST(FLOOR(keep_rate * 1000000.0) AS BIGINT)
 """,
 )
@@ -2471,7 +2471,7 @@ def q_text_clean(spark, sf_dir):
     oracle="""
 WITH h AS (
   SELECT doc_id, source,
-         (doc_id * 2654435761) % 4294967296 AS hkey
+         ((doc_id % 2654435761) * 2654435761) % 4294967296 AS hkey
   FROM documents
 ),
 r AS (
@@ -2491,7 +2491,7 @@ def q_cap_per_group(spark, sf_dir):
     h = d.select(
         "doc_id",
         "source",
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+        (knuth_hash("doc_id")).alias(
             "hkey"
         ),
     )

@@ -142,8 +142,10 @@ def trending_topk_sink(
                 "n_events",
                 "rnk",
             )
-            .write.mode("append")
-            .parquet(out_path)
+            # idempotent per epoch (Spark re-runs a failed epoch with the
+            # same id): overwrite this epoch's partition, never append
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/epoch={epoch_id}")
         )
 
     return (

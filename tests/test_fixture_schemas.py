@@ -35,8 +35,11 @@ EXPECTED = {
     },
     "events": {
         "event_id": {"int64"},
-        # io.epoch_us + streaming.with_event_time normalize these
-        "ts": {"timestamp[us]", "timestamp[ns]", "int64"},
+        # io.epoch_us tolerates legacy nanos-long too, but the streaming
+        # read schema (streaming.EVENTS_STREAM_SCHEMA) pins TIMESTAMP_NTZ
+        # — if the driver flips the encoding again this gate must FAIL
+        # loudly so both sites get extended together
+        "ts": {"timestamp[us]"},
         "user_id": {"int64"},
         "event_type": {"string", "large_string"},
         "value": {"double"},

@@ -308,11 +308,13 @@ def test_pack_sequences_conservation(spark, sf_dir):
     ).collect()[0]
     assert agg["docs"] == want["docs"]
     assert agg["toks"] == want["toks"]
-    # within a (source, shard) stream, sequence ids are dense from 0
+    # within a (source, shard) stream, ids start at 0 (first doc has
+    # cum_before 0); gaps are legal — a doc longer than the target can
+    # span whole buckets — so only the lower bound is an invariant
     ids = packed.groupBy("source", "shard").agg(
         F.min("seq_id").alias("lo"),
         F.max("seq_id").alias("hi"),
         F.count(F.lit(1)).alias("n"),
     )
     for r in ids.collect():
-        assert r["lo"] == 0 and r["n"] == r["hi"] + 1, r
+        assert r["lo"] == 0 and r["n"] <= r["hi"] + 1, r
