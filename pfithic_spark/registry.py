@@ -454,6 +454,64 @@ def q_join_asof(spark, sf_dir):
 
 
 @register(
+    "q_join_asof_tol",
+    oracle="""
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id % 100
+   AND o.o_orderdate <= e.ts
+   AND o.o_orderdate >= e.ts - INTERVAL 8380 DAY
+)
+SELECT event_id,
+       o_orderkey AS asof_orderkey,
+       o_totalprice AS asof_totalprice
+FROM j WHERE rn = 1
+""",
+)
+def q_join_asof_tol(spark, sf_dir):
+    """As-of join with a staleness bound (feature-join freshness rule):
+    the nearest preceding order only matches within 8380 days — an
+    older one is treated as missing (the bound intentionally lands at
+    the fixture's median staleness so both outcomes are exercised).  Same cogroup + per-group sorted merge
+    as q_join_asof; the bound is merge_asof's tolerance, NOT a post
+    filter, so the semantics match the oracle's range-bounded rank."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id",
+        epoch_us(ev_raw).alias("us"),
+        (F.col("user_id") % 100).alias("custkey"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    j = rel.asof_join_grouped(
+        ev,
+        o,
+        key="custkey",
+        left_us="us",
+        right_us="o_us",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+        out_schema="event_id long, us long, o_orderkey long, o_totalprice double",
+        left_cols=["event_id", "us"],
+        tolerance_us=8380 * 86_400_000_000,
+    )
+    return j.select(
+        "event_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
+@register(
     "q_sort_limit",
     oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -2841,6 +2899,7 @@ _VERIFY_FIRST = [
     "q_stream_topk",
     "q_ngram_coverage",
     "q_dedup_ngram_global",
+    "q_join_asof_tol",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",

@@ -234,6 +234,7 @@ def asof_join_grouped(
     right_value_cols: list[str],
     out_schema: str,
     left_cols: list[str] | None = None,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Scalable as-of join: cogroup both sides on the key and run a
     per-group sorted merge (pd.merge_asof) — linear in group size,
@@ -243,6 +244,11 @@ def asof_join_grouped(
     single sorted pass.  Tie semantics: among equal right timestamps the
     LAST row in (ts, natural) sort order wins — sort the right side so
     that matches the intended tie-break (e.g. max order key).
+
+    ``tolerance_us``: optional max staleness — a preceding right row
+    further back than this is NOT a match (the row drops under the
+    inner-join semantics).  Freshness bounds are the norm in feature
+    joins: an hours-stale reading is usually worse than none.
     """
     import pandas as pd
 
@@ -265,6 +271,7 @@ def asof_join_grouped(
             right_on=right_us,
             direction="backward",
             allow_exact_matches=True,
+            tolerance=tolerance_us,
         )
         m = m.dropna(subset=[right_value_cols[0]])  # inner semantics
         return m[left_cols + right_value_cols]
