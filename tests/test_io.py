@@ -155,3 +155,45 @@ def test_run_pipeline_files_end_to_end(spark, tmp_path):
         stats.columns
     )
     assert len(stats) > 0 and stats["avg_dist"].is_monotonic_increasing
+
+
+def test_cli_end_to_end(tmp_path):
+    """`python -m pfithic_spark` (the reference's CLI surface) runs the
+    full file pipeline in a fresh process: its own session bootstrap,
+    argparse wiring, and outputs."""
+    import gzip
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "contacts.tsv.gz"
+    with gzip.open(src, "wt") as f:
+        for _ in range(400):
+            i, j = sorted(rng.integers(0, 60, 2))
+            if i == j:
+                continue
+            cc = 1 + rng.poisson(10 / (1 + (j - i)))
+            f.write(f"chr1\t{i*5000+2500}\tchr1\t{j*5000+2500}\t{cc}\n")
+    out = tmp_path / "cli_out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pfithic_spark",
+            "-i", str(src), "-o", str(out),
+            "-r", "5000", "-b", "12", "-p", "1",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "scored" in r.stdout
+    assert (out / "significances.parquet").exists()
+    assert (out / "significances.tsv.gz").exists()
+    assert (out / "bin_stats_pass1.txt.gz").exists()
