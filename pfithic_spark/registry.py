@@ -688,6 +688,63 @@ def _orders_joined(spark, sf_dir):
 
 
 @register(
+    "q_corr_exact",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         -- DECIMAL(24,4) inputs force DuckDB's exact hugeint multiply
+         -- (an int64-width (18,4) product overflows past 10^18)
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(24,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(24,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9) AS corr_qty_price
+FROM s
+""",
+)
+def q_corr_exact(spark, sf_dir):
+    """Pearson correlation per group via EXACT decimal sufficient
+    statistics: the five sums are order-independent DECIMAL aggregates
+    (shuffle-safe — a float running sum would make the result depend on
+    partition merge order), and only the final closed-form expression
+    runs in DOUBLE.  The built-in F.corr streams float moments and is
+    NOT reproducible across partitionings; this form is, bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def d18(c):
+        return F.col(c).cast("decimal(18,4)")
+
+    def dprod(a, b):
+        return (d18(a) * d18(b)).cast("decimal(38,8)")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d18("l_quantity")).cast("double").alias("sx"),
+        F.sum(d18("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(dprod("l_quantity", "l_quantity")).cast("double").alias("sxx"),
+        F.sum(dprod("l_extendedprice", "l_extendedprice"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(dprod("l_quantity", "l_extendedprice"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price")
+    )
+
+
+@register(
     "q_rollup",
     oracle=f"""
 SELECT r_name, n_name,
@@ -2900,6 +2957,7 @@ _VERIFY_FIRST = [
     "q_ngram_coverage",
     "q_dedup_ngram_global",
     "q_join_asof_tol",
+    "q_corr_exact",
     "q_possible_pairs_frag",
     "q_contact_prior_inter",
     "q_stream_dedup",
