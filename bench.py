@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec", "queries":
-{...}, "sf": ...}.
+ONE compact JSON line: {"metric": ..., "value": N, "unit": "sec",
+"value_cold": ..., "sf": ..., "detail_file": "BENCH_DETAIL.json"}.
+The per-query maps live in BENCH_DETAIL.json (committed): the driver
+records only the last 2000 chars of stdout, so the 93-query map cannot
+ride on the stdout line (round 2's did, and BENCH_r02.json recorded
+``parsed: null``).
 
 Methodology (documented because it changed in round 2):
 
@@ -98,20 +102,30 @@ def main() -> None:
     total = round(sum(t for t in best.values() if t >= 0), 4)
     total_cold = round(sum(t for t in cold.values() if t >= 0), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "value_cold": total_cold,
-                "queries_cold": cold,
-                "runs_per_query": 2,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "value_cold": total_cold,
+        "runs_per_query": 2,
+        "n_queries": len(best),
+        "n_failed": sum(1 for t in best.values() if t < 0),
+        "sf": float(sf) if sf else None,
+        "detail_file": "BENCH_DETAIL.json",
+    }
+    # Per-query maps go to a detail file: the driver that records
+    # BENCH_r{N}.json keeps only the last 2000 chars of stdout and
+    # json-parses the FINAL line, so that line must stay compact
+    # (round 2's single giant line overflowed the buffer and parsed
+    # as null).  Full breakdown is committed alongside.
+    detail = dict(summary, queries=best, queries_cold=cold)
+    detail.pop("detail_file")
+    with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    # stdout carries ONLY the compact line (<400 chars): if the driver
+    # json-parses the whole 2000-char tail rather than the last line,
+    # any preceding stdout noise would break it too.
+    print(json.dumps(summary))
     spark.stop()
 
 

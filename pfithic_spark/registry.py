@@ -10,6 +10,7 @@ round(9) after final float ops, full tie-breakers on every rank/limit).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2729,20 +2730,24 @@ def q_kr_balance(spark, sf_dir):
 
 @register("q_sim_ivf")  # rows-only: ANN result depends on probe params
 def q_sim_ivf(spark, sf_dir):
-    """IVF-bucketed approximate cosine top-k — the scale path for
-    similarity search (cell partitioning → partition-pruned probes);
-    recall vs the brute-force baseline is checked in tests/test_llmops.py."""
+    """Full IVF scale path for similarity search, end to end: train
+    spherical-k-means centroids (llmops.ivf_train_centroids, seeded →
+    reproducible), materialize the corpus as a cell-PARTITIONED parquet
+    index (ivf_write_index), then probe it partition-pruned
+    (ivf_topk_pruned) — only the probed cells' files are read, which is
+    what makes the op sublinear at 100 TB.  Recall ≥ 0.9 vs brute force
+    and the PartitionFilters plan gate live in tests/test_llmops.py and
+    tests/test_plans.py."""
+    import hashlib
+    import tempfile
+
     e = load_table(spark, sf_dir, "embeddings")
-    # deterministic centroid seed: every 37th vector
-    cents = [
-        r["embedding"]
-        for r in e.filter(F.col("vec_id") % 37 == 0)
-        .orderBy("vec_id")
-        .limit(16)
-        .collect()
-    ]
-    return llmops.ivf_topk(
-        e, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
+    cents = llmops.ivf_train_centroids(e, k=16, max_iter=10)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pfithic_ivf_index_{tag}")
+    llmops.ivf_write_index(e, cents, path)
+    return llmops.ivf_topk_pruned(
+        spark, path, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
     )
 
 
@@ -2945,54 +2950,64 @@ def q_struct_funcs(spark, sf_dir):
 # registry ordering
 # ========================================================================
 
-#: Keys the round-1 driver never evaluated (it walks the registry in
-#: insertion order and stopped after 50 entries).  Re-insert these FIRST
-#: so every key accumulates a CORRECTNESS row; previously-verified keys
-#: follow and re-verify as budget allows.
+#: The driver walks the registry in insertion order and evaluates at
+#: most 50 entries per round, so this list is rotated each round to put
+#: the least-recently-verified keys first.  Round 3: the 43 keys whose
+#: newest CORRECTNESS row is from round 1 (round 2's sweep covered the
+#: other 50), ordered with the keys whose *code changed in round 2*
+#: first (q_join_bias / q_contact_prior / q_possible_pairs /
+#: q_dedup_ngram_jaccard and the hic pipeline they feed) so their rows
+#: postdate their last code change.  Keys added or modified in round 3
+#: are prepended as they land.
 _VERIFY_FIRST = [
-    "q_pack_sequences",
-    "q_mix_sources",
-    "q_repetition_filter",
-    "q_stream_topk",
-    "q_ngram_coverage",
-    "q_dedup_ngram_global",
-    "q_join_asof_tol",
-    "q_corr_exact",
-    "q_possible_pairs_frag",
-    "q_contact_prior_inter",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_hic_significance_all",
-    "q_unpivot",
-    "q_array_explode",
-    "q_struct_funcs",
-    "q_text_clean",
-    "q_cap_per_group",
-    "q_agg_approx_quantile",
-    "q_dedup_embedding",
-    "q_sim_topk",
-    "q_text_stats",
-    "q_token_count",
-    "q_quality_score",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_tfidf_terms",
-    "q_pii_redact",
-    "q_sample_stratified",
-    "q_contamination",
-    "q_multimodal_meta",
-    "q_multimodal_resize",
-    "q_multimodal_frames",
-    "q_multimodal_features",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_session",
-    "q_kr_balance",
+    # new / code-modified this round
     "q_sim_ivf",
-    "q_window_range_frame",
-    "q_agg_percentile",
-    "q_canonicalize",
+    "q_hic_significance_all",
+    "q_binom_sf",
+    "q_spline_fit_eval",
+    # modified in round 2, newest driver row is r1
+    "q_join_bias",
+    "q_contact_prior",
+    "q_possible_pairs",
+    "q_dedup_ngram_jaccard",
+    "q_hic_significance",
+    # remaining r1-only rows, registry order
+    "q_filter_mappability",
+    "q_join_broadcast",
+    "q_join_shuffle",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_range",
+    "q_join_asof",
+    "q_sort_limit",
+    "q_union",
+    "q_intersect",
+    "q_except",
+    "q_agg_bin",
+    "q_agg_distinct",
+    "q_agg_approx",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_pivot",
+    "q_window_running",
+    "q_equal_occupancy_binning",
+    "q_bh_fdr",
+    "q_window_ntile",
+    "q_join_outer",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_lead_lag",
+    "q_topk_per_group",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_dedup_simhash",
 ]
 
 

@@ -132,15 +132,28 @@ def betainc(a, b, x) -> np.ndarray:
         am, bm, xm = a[mid], b[mid], x[mid]
         with np.errstate(divide="ignore", over="ignore"):
             lbeta = gammaln(am + bm) - gammaln(am) - gammaln(bm)
-            front = np.exp(lbeta + am * np.log(xm) + bm * np.log1p(-xm))
+            # log of the front factor x^a (1-x)^b / B(a,b); combined
+            # with log(cf) BEFORE exponentiating — front alone can
+            # underflow to 0 while front*cf is representable, and the
+            # 0 * inf product was a NaN source.
+            lfront = lbeta + am * np.log(xm) + bm * np.log1p(-xm)
         use_direct = xm < (am + 1.0) / (am + bm + 2.0)
         res = np.empty_like(xm)
+
+        def _tail(i, aa, bb, xx):
+            cf = _betacf(aa, bb, xx)
+            with np.errstate(divide="ignore", over="ignore", invalid="ignore"):
+                t = np.exp(lfront[i] + np.log(np.maximum(cf, 0.0)) - np.log(aa))
+            # cf <= 0 only if the continued fraction degenerated; the
+            # true tail is then below double resolution
+            return np.where(cf > 0.0, t, 0.0)
+
         if use_direct.any():
             i = use_direct
-            res[i] = front[i] * _betacf(am[i], bm[i], xm[i]) / am[i]
+            res[i] = _tail(i, am[i], bm[i], xm[i])
         if (~use_direct).any():
             i = ~use_direct
-            res[i] = 1.0 - front[i] * _betacf(bm[i], am[i], 1.0 - xm[i]) / bm[i]
+            res[i] = 1.0 - _tail(i, bm[i], am[i], 1.0 - xm[i])
         out[mid] = np.clip(res, 0.0, 1.0)
     return out
 

@@ -5,6 +5,7 @@ PAVA and curve-fit invariants; BH invariants."""
 from __future__ import annotations
 
 import math
+import warnings
 
 import mpmath
 import numpy as np
@@ -162,3 +163,22 @@ def test_gammaln_accuracy():
     got = st.gammaln(xs)
     want = np.array([float(mpmath.loggamma(x)) for x in xs])
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-10)
+
+
+def test_binom_sf_extreme_corners_finite_and_warning_free():
+    """stats.py betainc corner (round-2 ADVICE/VERDICT): front factor
+    under/overflowing separately from the continued fraction must never
+    produce NaN or a RuntimeWarning for any valid (cc, N, p)."""
+    k = np.array([1.0, 1.0, 5000.0, 1.0, 2.0, 990.0, 1e6, 3.0])
+    n = np.array([1e6, 1e9, 1e4, 10.0, 1e8, 1e3, 1e6, 1e7])
+    p = np.array([1e-300, 1e-15, 1 - 1e-12, 1e-300, 0.9999, 1e-6, 0.5, 1e-250])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = st.binom_sf_ge(k, n, p)
+    assert np.isfinite(out).all()
+    assert ((out >= 0.0) & (out <= 1.0)).all()
+    # magnitude sanity at two analytic anchors:
+    # P(X>=1) = 1-(1-p)^n ~= n*p for tiny p
+    assert out[0] == pytest.approx(1e6 * 1e-300, rel=1e-6)
+    # deep lower tail underflows cleanly to 0, not NaN
+    assert out[2] >= 0.0
