@@ -44,6 +44,33 @@ def register(key: str, oracle: str | None = None):
     return deco
 
 
+
+#: Absolute path of the committed golden-parquet oracles (generated and
+#: independently certified by tools/make_goldens.py; pinned to the
+#: driver's sf0.01 gate scale).  Resolved from this file's location —
+#: the oracle SQL only ever runs driver-side, where the package is a
+#: plain directory under the repo root.
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+)
+
+
+#: Keys whose oracle is a committed golden parquet rather than a SQL
+#: recomputation.  Goldens are pinned to the driver's sf0.01 gate scale
+#: — a comparison at any other sf_dir is meaningless (the local parity
+#: suite runs these keys' compares at sf0.01 explicitly).
+GOLDEN_ORACLE_KEYS: set[str] = set()
+
+
+def _golden_oracle(key: str) -> str:
+    GOLDEN_ORACLE_KEYS.add(key)
+    return (
+        f"SELECT * FROM read_parquet('{_GOLDEN_DIR}/{key}_sf001.parquet')"
+    )
+
+
 # --- distance-range constants used by the Hi-C fixture queries ----------
 DIST_LO = 10_000
 DIST_HI = 1_000_000
@@ -1305,12 +1332,15 @@ def q_contact_prior_inter(spark, sf_dir):
     )
 
 
-@register("q_binom_sf")  # rows-only: no closed form in DuckDB; mpmath-tested
+@register("q_binom_sf", oracle=_golden_oracle("q_binom_sf"))
 def q_binom_sf(spark, sf_dir):
     """Binomial survival p-values P(X ≥ cc | N, prior) via the numpy
     betainc kernel in an Arrow pandas_udf (ref: fit_Spline scoring,
     scipy.stats.binom.sf(cc-1, N, p)).  Accuracy gate: tests/test_stats.py
-    vs mpmath."""
+    vs mpmath; the DuckDB oracle is a committed golden parquet whose
+    every value was mpmath-certified at generation (tools/make_goldens.py),
+    so the driver's hash match checks end-to-end bit-reproducibility of
+    the distributed path against certified values."""
     c = rel.with_distance(fx.fixture_contacts(spark, sf_dir))
     n_total = c.agg(F.sum("contact_count")).collect()[0][0]
     prior = hic.contact_prior(None, _null_prob_col() * 0.001)
@@ -1327,12 +1357,14 @@ def q_binom_sf(spark, sf_dir):
     )
 
 
-@register("q_spline_fit_eval")  # rows-only: spline fit not SQL-expressible
+@register("q_spline_fit_eval", oracle=_golden_oracle("q_spline_fit_eval"))
 def q_spline_fit_eval(spark, sf_dir):
     """Monotone null-curve fit + distributed evaluation: equal-occupancy
     bin stats → collect ≤noOfBins rows → penalized smooth + PAVA →
     broadcast dense grid → clamped interp in a pandas_udf
-    (ref: fit_Spline; SC-4).  Monotonicity property-tested in pytest."""
+    (ref: fit_Spline; SC-4).  Monotonicity property-tested in pytest;
+    golden-parquet oracle certified against an independent pandas-dataflow
+    refit at generation (tools/make_goldens.py)."""
     c = rel.with_distance(fx.fixture_contacts(spark, sf_dir))
     cfg = hic.SigConfig(resolution=fx.RES, n_bins=fx.NBINS_OCC)
     possible = hic.possible_pairs_np(
@@ -2689,15 +2721,17 @@ def q_stream_join(spark, sf_dir):
     )
 
 
-@register("q_hic_significance_all")  # rows-only: full pipeline, All mode
+@register("q_hic_significance_all", oracle=_golden_oracle("q_hic_significance_all"))
 def q_hic_significance_all(spark, sf_dir):
     """End-to-end significance in contact_type='All' mode: intra
     contacts scored against the fitted distance null, inter contacts
     against the flat interChrProb null [SC-5], one combined BH pass
     with M = possibleIntra + possibleInter.  Inter semantics are
     golden-tested in tests/test_hic_pipeline.py
-    (test_inter_chromosomal_mode); the prior arithmetic is oracle-gated
-    via q_contact_prior_inter."""
+    (test_all_mode_matches_pandas_ref vs the independent pandas All-mode
+    dataflow); the DuckDB oracle is a committed golden parquet certified
+    against that same reference at generation (tools/make_goldens.py),
+    upgrading this key from rows-only to a full hash match."""
     c = fx.fixture_contacts(spark, sf_dir).unionByName(
         fx.fixture_inter_contacts(spark, sf_dir)
     )

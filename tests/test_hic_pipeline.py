@@ -358,3 +358,60 @@ def test_run_significance_empty_input(spark):
         cfg=hic.SigConfig(resolution=0, n_bins=5, dist_hi=10**6),
     )
     assert out.collect() == []
+
+
+def test_all_mode_matches_pandas_ref(spark, sf_dir):
+    """'All' mode end-to-end vs the independent pandas dataflow: intra
+    scored on the fitted null, inter on the flat interChrProb null,
+    one combined BH with M = possibleIntra + possibleInter.  This is
+    the generation-time gate behind tests/golden/q_hic_significance_all
+    (tools/make_goldens.py runs the same comparison)."""
+    from pandas_ref import run_significance_all_pandas
+
+    from pfithic_spark import fixtures as fx, hic
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    intra_pd = con.execute(fx.CONTACTS_SQL).df()
+    inter_pd = con.execute(fx.INTER_CONTACTS_SQL).df()
+    biases_pd = con.execute(fx.BIASES_SQL).df()
+    con.close()
+    want = (
+        run_significance_all_pandas(intra_pd, inter_pd, biases_pd)
+        .sort_values(["chr1", "chr2", "mid1", "mid2"])
+        .reset_index(drop=True)
+    )
+
+    c = fx.fixture_contacts(spark, sf_dir).unionByName(
+        fx.fixture_inter_contacts(spark, sf_dir)
+    )
+    cfg = hic.SigConfig(
+        resolution=fx.RES,
+        n_bins=fx.NBINS_OCC,
+        passes=1,
+        dist_lo=0,
+        dist_hi=2**40,
+        contact_type="All",
+    )
+    got = (
+        hic.run_significance(
+            spark,
+            c,
+            [(f"chr{i + 1}", fx.NBINS_GRID) for i in range(fx.N_CHROMS)],
+            biases=fx.fixture_biases(spark, sf_dir),
+            cfg=cfg,
+        )
+        .toPandas()
+        .sort_values(["chr1", "chr2", "mid1", "mid2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        want[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["bias1"], want["bias1"], rtol=1e-12)
+    np.testing.assert_allclose(got["bias2"], want["bias2"], rtol=1e-12)
+    np.testing.assert_allclose(got["p_value"], want["p_value"], rtol=1e-9, atol=1e-300)
+    np.testing.assert_allclose(got["q_value"], want["q_value"], rtol=1e-9, atol=1e-300)
