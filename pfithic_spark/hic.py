@@ -679,22 +679,43 @@ def run_significance(
     )
 
 
+def _coo_matvec(
+    rows: np.ndarray, cols: np.ndarray, vals: np.ndarray, n: int, x: np.ndarray
+) -> np.ndarray:
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, rows, vals * x[cols])
+    return out
+
+
 def kr_biases(
     contacts: DataFrame, resolution: int, tol: float = 1e-8
 ) -> DataFrame:
     """Per-chromosome Knight–Ruiz bias vectors from raw intra contacts
-    (ref: utils/HiCKRy.py — read → sparse balance → bias write).
+    (ref surface: utils/HiCKRy.py — read → sparse balance → bias write).
 
     Each chromosome's COO triplets flow through one applyInPandas group;
     chromosomes balance in parallel across executors (the reference used
     a single process).  Output biases are normalized to mean 1 over
-    covered loci, matching the ~1.0-centred bias convention [P].
+    BALANCED loci, matching the ~1.0-centred bias convention [P].
+
+    KR requires the contact matrix to have support; sparse fixtures
+    (low-coverage loci) can be unbalanceable, which surfaces as the KR
+    iterate collapsing toward zero / non-uniform row sums.  Following
+    the reference's sparsity-retry loop, rows in the lowest coverage
+    percentile are removed (1%, then +5% per retry) until the remaining
+    submatrix balances; removed loci are emitted with the reference's
+    ``-1.0`` sentinel bias, which downstream scoring already treats as
+    outside the validity window → neutral product [SC-2].
     """
     intra = contacts.filter(F.col("chr1") == F.col("chr2")).select(
         F.col("chr1").alias("chr"), "mid1", "mid2", "contact_count"
     )
 
     def balance(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the group's row order depends on upstream partitioning; pin it
+        # so the float accumulation order — and with it every low bit of
+        # the iterative balance — is reproducible across sessions
+        pdf = pdf.sort_values(["mid1", "mid2"], ignore_index=True)
         mids = np.unique(
             np.concatenate([pdf["mid1"].to_numpy(), pdf["mid2"].to_numpy()])
         )
@@ -708,8 +729,45 @@ def kr_biases(
         rows = np.concatenate([i, j[off]])
         cols = np.concatenate([j, i[off]])
         vals = np.concatenate([v, v[off]])
-        x = st.kr_balance_coo(rows, cols, vals, n, tol=tol)
-        bias = x / x.mean()
+        cov = np.zeros(n, dtype=np.float64)  # per-locus raw coverage
+        np.add.at(cov, rows, vals)
+
+        keep = np.ones(n, dtype=bool)
+        perc = 0.0
+        bias = np.full(n, -1.0, dtype=np.float64)
+        for attempt in range(6):  # 0%, 1%, 6%, 11%, 16%, 21%
+            if attempt > 0:
+                perc = 1.0 + 5.0 * (attempt - 1)
+                keep = cov > np.percentile(cov, perc)
+            # filtering edges can orphan surviving loci; a zero-degree
+            # row makes the Newton system singular (v == 0), so prune
+            # until the kept subgraph has no isolated rows
+            while True:
+                m = keep[rows] & keep[cols]
+                deg = np.zeros(n, dtype=np.int64)
+                np.add.at(deg, rows[m], 1)
+                nxt = keep & (deg > 0)
+                if (nxt == keep).all():
+                    break
+                keep = nxt
+            remap = np.cumsum(keep) - 1
+            nk = int(keep.sum())
+            if nk == 0:
+                break
+            x = st.kr_balance_coo(
+                remap[rows[m]], remap[cols[m]], vals[m], nk, tol=tol
+            )
+            rs = x * _coo_matvec(remap[rows[m]], remap[cols[m]], vals[m], nk, x)
+            mean_rs = rs.mean() if nk else 0.0
+            converged = (
+                mean_rs > 0
+                and float(x.min()) > 0
+                and float(rs.std() / mean_rs) < 1e-6
+            )
+            if converged:
+                bias[:] = -1.0
+                bias[keep] = x / x.mean()
+                break
         return pd.DataFrame(
             {"chr": pdf["chr"].iloc[0], "mid": mids, "bias": bias}
         )

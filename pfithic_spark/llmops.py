@@ -152,6 +152,10 @@ def mix_sources_balanced(
         ).alias("keep_rate"),
     )
     hkey = knuth_hash(id_col)
+    # hkey % 1e6 over a [0, 2^32) hash has a slight modulo bias
+    # (2^32 % 1e6 = 967296 → realized keep rates deviate ~2e-4 from
+    # sqrt(min_n/n_s)); kept deliberately: the expression is engine-
+    # exact integer arithmetic, so the oracle reproduces it bit-for-bit
     return (
         docs.join(F.broadcast(rates), group_col)
         .filter(

@@ -37,7 +37,10 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads → (width, height, frames).
 
-    Real decoding requires Pillow/ffmpeg, absent in this container."""
+    Real decoding requires Pillow/ffmpeg, absent in this container
+    (ADR re-confirmed 2026-08-14: PIL/cv2/soundfile all unimportable, so
+    the decode stays stubbed; all Spark-side plumbing — schema,
+    partitioning, Arrow batch shape — is real and oracle-tested)."""
     if not fake:
         raise NotImplementedError(
             "image/audio decode needs Pillow/ffmpeg (not in this container); "

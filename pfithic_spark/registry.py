@@ -683,7 +683,7 @@ def q_agg_distinct(spark, sf_dir):
     )
 
 
-@register("q_agg_approx")  # rows-only: HLL sketches differ across engines
+@register("q_agg_approx", oracle=_golden_oracle("q_agg_approx"))
 def q_agg_approx(spark, sf_dir):
     """Approximate distinct via HyperLogLog++ (EXT).  At 100 TB this is
     the only sane distinct-cardinality path: fixed-size sketch, one pass,
@@ -1379,7 +1379,7 @@ def q_spline_fit_eval(spark, sf_dir):
     )
 
 
-@register("q_hic_significance")  # rows-only: full pipeline; golden-tested
+@register("q_hic_significance", oracle=_golden_oracle("q_hic_significance"))
 def q_hic_significance(spark, sf_dir):
     """End-to-end two-pass significance pipeline (ref: main loop over
     calculateProbabilities → fit_Spline with outlier refinement [SC-7]).
@@ -1596,14 +1596,14 @@ def q_dedup_exact(spark, sf_dir):
     return llmops.dedup_exact(load_table(spark, sf_dir, "documents"))
 
 
-@register("q_dedup_near")  # rows-only: LSH banding has no SQL oracle
+@register("q_dedup_near", oracle=_golden_oracle("q_dedup_near"))
 def q_dedup_near(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidate pairs with signature-estimated
     Jaccard (shingle→minhash→band→bucket-join)."""
     return llmops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register("q_dedup_simhash")  # rows-only
+@register("q_dedup_simhash", oracle=_golden_oracle("q_dedup_simhash"))
 def q_dedup_simhash(spark, sf_dir):
     """SimHash-64 near-dup pairs, EXACT within Hamming radius 3 (the
     standard near-dup radius: 4×16-bit chunk banding + bit_count(xor)
@@ -2648,7 +2648,7 @@ def q_cap_per_group(spark, sf_dir):
     ).select("doc_id", "source", "rn")
 
 
-@register("q_agg_approx_quantile")  # rows-only: sketch internals differ
+@register("q_agg_approx_quantile", oracle=_golden_oracle("q_agg_approx_quantile"))
 def q_agg_approx_quantile(spark, sf_dir):
     """Approximate percentiles per group via the KLL/GK-style sketch
     (percentile_approx) — the one-pass mergeable path for quantiles at
@@ -2753,7 +2753,7 @@ def q_hic_significance_all(spark, sf_dir):
     )
 
 
-@register("q_kr_balance")  # rows-only: iterative balancing, no SQL form
+@register("q_kr_balance", oracle=_golden_oracle("q_kr_balance"))
 def q_kr_balance(spark, sf_dir):
     """Knight–Ruiz bias vector per chromosome (ref: utils/HiCKRy.py),
     distributed one chromosome per applyInPandas group.  Validated by
@@ -2999,6 +2999,8 @@ _VERIFY_FIRST = [
     "q_hic_significance_all",
     "q_binom_sf",
     "q_spline_fit_eval",
+    "q_kr_balance",
+    "q_agg_approx_quantile",
     # modified in round 2, newest driver row is r1
     "q_join_bias",
     "q_contact_prior",

@@ -311,14 +311,35 @@ def kr_balance_coo(
         Z = rk / v
         p = Z.copy()
         rho_km2 = rho_km1 = float(rk @ Z)
+        # cone safeguards (KR 2012 bnewt defaults): keep the inner
+        # iterate y strictly inside the positive cone — without them a
+        # CG step on an ill-conditioned matrix (low-degree rows) takes
+        # y, and with it x, negative, and the "converged" fixed point
+        # is a signed pseudo-balance with negative row sums
+        delta, Delta = 0.1, 3.0
         while rho_km1 > inner_tol and k_inner < 1000:
             k_inner += 1
             if k_inner > 1:
                 beta = rho_km1 / rho_km2
                 p = Z + beta * p
             w = x * matvec(x * p) + v * p
-            alpha = rho_km1 / float(p @ w)
-            y = y + alpha * p
+            pw = float(p @ w)
+            if pw == 0.0 or not np.isfinite(pw):
+                break  # degenerate curvature (unbalanceable component)
+            alpha = rho_km1 / pw
+            ap = alpha * p
+            ynew = y + ap
+            if float(ynew.min()) <= delta:
+                neg = ap < 0
+                gamma = float(((delta - y[neg]) / ap[neg]).min())
+                y = y + gamma * ap
+                break
+            if float(ynew.max()) >= Delta:
+                big = ynew > Delta
+                gamma = float(((Delta - y[big]) / ap[big]).min())
+                y = y + gamma * ap
+                break
+            y = ynew
             rk = rk - alpha * w
             rho_km2 = rho_km1
             Z = rk / v

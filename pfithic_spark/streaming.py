@@ -143,7 +143,11 @@ def trending_topk_sink(
                 "rnk",
             )
             # idempotent per epoch (Spark re-runs a failed epoch with the
-            # same id): overwrite this epoch's partition, never append
+            # same id): overwrite this epoch's partition, never append.
+            # NOTE: epoch ids restart from 0 under a FRESH checkpoint, so
+            # out_path and checkpoint must be cleared TOGETHER — reusing
+            # out_path with a new checkpoint leaves stale epoch=N dirs
+            # from the prior run visible to readers as duplicate windows
             .write.mode("overwrite")
             .parquet(f"{out_path}/epoch={epoch_id}")
         )

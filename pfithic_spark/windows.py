@@ -115,10 +115,16 @@ def equal_occupancy_assign(
             ).collect()[0]
     if total is None:
         total = byd.agg(F.sum("cc")).collect()[0][0]
-    # sum over zero rows is SQL null → empty input; any finite target
-    # works (there are no rows to assign)
-    total = total or 0
-    target = (total / nbins) or 1.0  # exact-int inputs → identical double everywhere
+    if total is None:
+        # sum over zero ROWS is SQL null → empty input; any finite
+        # target works (there is nothing to assign)
+        total = 0
+    target = total / nbins  # exact-int inputs → identical double everywhere
+    if target == 0.0:
+        # rows present but Σcc == 0 (or empty input): every row belongs
+        # in bin 0 rather than dividing by zero — explicit, instead of
+        # conflating "no rows" with "zero counts" via falsiness
+        target = 1.0
     cum = scalable_cumsum(
         byd,
         "d",

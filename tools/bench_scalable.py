@@ -1,16 +1,29 @@
-"""Force-exercise the two-phase global-order primitives at scale.
+"""Force-exercise the scale-critical primitives on inputs large enough
+that only the scalable form survives.
 
 The per-round bench (bench.py) runs the registry queries, whose
 bounded-cardinality inputs route through the small-side fast paths; this
-tool drives windows.scalable_cumsum and windows.bh_fdr_scalable on a
-synthetic table large enough (default 8M distinct order keys) that the
-two-phase form is the only viable one — and cross-checks a closed form /
-monotonicity so the numbers are correctness-gated, not just timed.
+tool drives the primitives on synthetic tables (default 8M rows) where
+the scalable path is the only viable one — and cross-checks a closed
+form / planted ground truth so the numbers are correctness-gated, not
+just timed:
+
+- windows.scalable_cumsum / windows.bh_fdr_scalable (two-phase global
+  order, no single-task window);
+- llmops.ngram_jaccard_pairs with max_df on a corpus where EVERY
+  document shares one boilerplate shingle (df = n): without the hot-
+  shingle cap the inverted-index self-join would generate ~n² candidate
+  pairs; with it, exactly the planted n/2 near-dup pairs survive —
+  empirical proof the skew lever bounds the join;
+- llmops.pack_sequences on one giant single-source corpus: the
+  (group, shard) hash sharding keeps the running-total window
+  parallel (a single source must never serialize onto one task), with
+  token conservation + bin-bound invariants asserted.
 
     python tools/bench_scalable.py [n_rows] [cpus]
 
 Prints one JSON line: {"n": ..., "cumsum_s": ..., "bh_s": ...,
-"bh_single_window_s": ...}.
+"bh_single_window_s": ..., "ngram_maxdf_s": ..., "pack_s": ...}.
 """
 
 from __future__ import annotations
@@ -66,6 +79,75 @@ def main() -> None:
     bh1.agg(F.min("q_value"), F.max("q_value")).collect()
     bh_single_s = time.time() - t0
 
+    # --- ngram_jaccard_pairs + max_df: hot-shingle skew lever --------
+    from pfithic_spark import llmops
+
+    half = n // 2
+    # every doc: 5-word boilerplate prefix (k=3 shingles with df = n)
+    # + a 5-word unique tail derived from id % half, so docs i and
+    # i + half are exact near-dups — the ONLY legitimate pairs
+    u = (F.col("id") % half).cast("long")
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("terms of service apply here"),
+            F.concat(F.lit("ua"), u),
+            F.concat(F.lit("ub"), (u * 31) % 999983),
+            F.concat(F.lit("uc"), (u * 57) % 999979),
+            F.concat(F.lit("ud"), (u * 91) % 999961),
+            F.concat(F.lit("ue"), (u * 17) % 999959),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    pairs = llmops.ngram_jaccard_pairs(
+        docs, k=3, block_col=None, max_df=100
+    )
+    n_pairs, dmin, dmax, jmin = pairs.agg(
+        F.count(F.lit(1)),
+        F.min(F.col("id2") - F.col("id1")),
+        F.max(F.col("id2") - F.col("id1")),
+        F.min("jaccard"),
+    ).collect()[0]
+    ngram_s = time.time() - t0
+    # exactly the planted pairs: (i, i + half) for every i < half —
+    # without max_df the boilerplate shingles alone would contribute
+    # ~n²/2 candidate pairs and this agg would never finish at 8M
+    assert n_pairs == half, (n_pairs, half)
+    assert dmin == half and dmax == half, (dmin, dmax, half)
+    # closed-form jaccard: 8 shingles per doc, the 3 boilerplate-only
+    # ones pruned by max_df, denominators keep full sizes → 5/11
+    assert jmin is not None and abs(jmin - 5.0 / 11.0) < 1e-6, jmin
+
+    # --- pack_sequences: one giant source, hash-sharded packing ------
+    # worst-case mixture: EVERY doc in the same source group; the
+    # (group, shard) sharding is what keeps the cumsum window parallel
+    pdocs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("web").alias("source"),
+        F.concat(
+            F.lit("w"),
+            F.repeat(F.lit(" w"), (F.col("id") % 50).cast("int")),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    packed = llmops.pack_sequences(
+        pdocs, target_tokens=2048, n_shards=64
+    )
+    n_seq, tot, mx = packed.agg(
+        F.count(F.lit(1)), F.sum("total_tokens"), F.max("total_tokens")
+    ).collect()[0]
+    pack_s = time.time() - t0
+    # token conservation: Σ(1 + i % 50) in closed form
+    cycles, rem = divmod(n, 50)
+    want_tot = cycles * (50 * 51 // 2) + rem * (rem + 1) // 2
+    assert tot == want_tot, (tot, want_tot)
+    # greedy boundary rule: a sequence holds at most target + (max doc
+    # tokens − 1) tokens; and the shard fan-out actually packed (no
+    # single degenerate sequence)
+    assert mx <= 2048 + 49, mx
+    assert n_seq >= want_tot // (2048 + 49), n_seq
+
     print(
         json.dumps(
             {
@@ -73,6 +155,8 @@ def main() -> None:
                 "cumsum_s": round(cumsum_s, 2),
                 "bh_s": round(bh_s, 2),
                 "bh_single_window_s": round(bh_single_s, 2),
+                "ngram_maxdf_s": round(ngram_s, 2),
+                "pack_s": round(pack_s, 2),
             }
         )
     )

@@ -179,10 +179,199 @@ def check_sig_all(pdf: pd.DataFrame) -> None:
     print(f"  q_hic_significance_all: {len(pdf)} rows certified vs pandas All-mode ref")
 
 
+
+
+def check_sig_intra2(pdf: pd.DataFrame) -> None:
+    """q_hic_significance (passes=2) vs the independent pandas ref —
+    the same comparison test_pipeline_matches_pandas_ref pins in CI."""
+    from pandas_ref import run_significance_pandas
+
+    from pfithic_spark.fixtures import BIASES_SQL, CONTACTS_SQL
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    contacts = con.execute(CONTACTS_SQL).df()
+    biases = con.execute(BIASES_SQL).df()
+    con.close()
+    want = (
+        run_significance_pandas(contacts, biases, passes=2)
+        .sort_values(["chr1", "mid1", "chr2", "mid2"])
+        .reset_index(drop=True)
+    )
+    got = pdf.sort_values(["chr1", "mid1", "chr2", "mid2"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        want[["chr1", "mid1", "chr2", "mid2", "contact_count"]],
+        check_dtype=False,
+    )
+    np.testing.assert_allclose(got["p_value"], want["p_value"], rtol=1e-9, atol=1e-300)
+    np.testing.assert_allclose(got["q_value"], want["q_value"], rtol=1e-9, atol=1e-300)
+    print(f"  q_hic_significance: {len(pdf)} rows certified vs pandas 2-pass ref")
+
+
+def _doc_shingles(k: int = 3) -> dict[int, set]:
+    """Pure-python k-gram shingle sets of the normalized fixture docs —
+    independent of every Spark/llmops code path."""
+    import re
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    out = {}
+    for doc_id, text in docs:
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        out[doc_id] = {
+            " ".join(toks[i : i + k]) for i in range(max(0, len(toks) - k + 1))
+        }
+    return out
+
+
+def check_dedup_near(pdf: pd.DataFrame) -> None:
+    """MinHash-LSH pairs: every reported pair's signature estimate must
+    sit within the 64-lane statistical envelope of the TRUE Jaccard
+    (computed here in pure python), and every true near-dup pair
+    (J >= 0.8) must be recalled."""
+    sh = _doc_shingles()
+    ids = sorted(sh)
+    reported = {(int(r.id1), int(r.id2)): float(r.est_jaccard) for r in pdf.itertuples()}
+    n_checked = 0
+    for (i, j), est in reported.items():
+        inter = len(sh[i] & sh[j])
+        union = len(sh[i] | sh[j]) or 1
+        true_j = inter / union
+        # 64 Bernoulli lanes: 4 sigma ~= 4*sqrt(0.25/64) = 0.25
+        assert abs(est - true_j) <= 0.3, ((i, j), est, true_j)
+        n_checked += 1
+    missed = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i, j = ids[a], ids[b]
+            inter = len(sh[i] & sh[j])
+            union = len(sh[i] | sh[j]) or 1
+            if inter / union >= 0.8 and (i, j) not in reported:
+                missed.append((i, j))
+    assert not missed, f"true near-dups missed by LSH: {missed[:5]}"
+    print(f"  q_dedup_near: {n_checked} pairs certified vs exact python Jaccard")
+
+
+def check_dedup_simhash(pdf: pd.DataFrame) -> None:
+    """SimHash banding claims EXACTNESS within Hamming radius 3: the
+    reported pair set must equal a brute-force numpy Hamming self-join
+    over the per-doc signatures (independent pairing dataflow)."""
+    from pfithic_spark.session import get_spark
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+
+    spark = get_spark(app="goldens-simhash")
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = llmops.simhash_signatures(docs).toPandas()
+    v = sigs["sig"].to_numpy(dtype=np.int64)
+    ids = sigs["doc_id"].to_numpy(dtype=np.int64)
+    mask = (1 << 64) - 1
+    want = set()
+    for a in range(len(v)):
+        x = v[a] ^ v[a + 1 :]
+        ham = np.array([bin(int(t) & mask).count("1") for t in x])
+        for off in np.nonzero(ham <= 3)[0]:
+            b = a + 1 + off
+            i, j = int(ids[a]), int(ids[b])
+            want.add((min(i, j), max(i, j)))
+    got = {(int(r.id1), int(r.id2)) for r in pdf.itertuples()}
+    assert got == want, (
+        f"banded != brute force: extra={sorted(got - want)[:5]} "
+        f"missing={sorted(want - got)[:5]}"
+    )
+    print(f"  q_dedup_simhash: {len(got)} pairs == brute-force Hamming<=3 set")
+
+
+def check_kr(pdf: pd.DataFrame) -> None:
+    """KR balancing: bias-scaled contact matrix restricted to balanced
+    loci (bias > 0) must have uniform row sums per chromosome; dropped
+    loci carry the -1 sentinel; balanced biases are mean-1 normalized.
+    At the sf0.01 gate scale the fixture balances with ZERO drops."""
+    from pfithic_spark.fixtures import CONTACTS_SQL
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    c = con.execute(CONTACTS_SQL).df()
+    con.close()
+    assert ((pdf["bias"] > 0) | (pdf["bias"] == -1.0)).all()
+    for chrom, grp in pdf.groupby("chr"):
+        kept = grp[grp["bias"] > 0]
+        assert len(kept) == len(grp), f"{chrom}: drops at gate scale"
+        bias = dict(zip(grp["mid"], grp["bias"]))
+        assert abs(kept["bias"].mean() - 1.0) < 1e-9
+        cc = c[c["chr1"] == chrom]
+        rows = {}
+        # multiply convention: diag(x)·A·diag(x) has constant row sums
+        for r in cc.itertuples():
+            b1, b2 = bias[r.mid1], bias[r.mid2]
+            if b1 < 0 or b2 < 0:
+                continue
+            w = r.contact_count * b1 * b2
+            rows[r.mid1] = rows.get(r.mid1, 0.0) + w
+            if r.mid1 != r.mid2:
+                rows[r.mid2] = rows.get(r.mid2, 0.0) + w
+        rs = np.array(list(rows.values()))
+        cv = rs.std() / rs.mean()
+        assert cv < 1e-4, (chrom, cv)
+    print(f"  q_kr_balance: {len(pdf)} biases certified (row-sum CV < 1e-4, 0 drops)")
+
+
+def check_agg_approx(pdf: pd.DataFrame) -> None:
+    """HLL++ estimates vs exact DuckDB distinct counts, within the
+    sketch's published error envelope (rsd 0.05 default -> assert 10%)."""
+    con = duckdb.connect()
+    exact = con.execute(
+        f"""SELECT event_type,
+                   COUNT(DISTINCT user_id) AS u,
+                   COUNT(DISTINCT event_id) AS e
+            FROM '{SF_DIR}/events.parquet' GROUP BY event_type"""
+    ).df()
+    con.close()
+    m = pdf.merge(exact, on="event_type")
+    assert len(m) == len(pdf)
+    rel_u = (m["approx_users"] - m["u"]).abs() / m["u"]
+    rel_e = (m["approx_events"] - m["e"]).abs() / m["e"]
+    assert rel_u.max() < 0.10 and rel_e.max() < 0.10, (rel_u.max(), rel_e.max())
+    print(f"  q_agg_approx: {len(pdf)} groups certified within 10% of exact")
+
+
+def check_agg_approx_quantile(pdf: pd.DataFrame) -> None:
+    """percentile_approx(accuracy=10000) on ~15k rows has rank error
+    <= n/accuracy (~2 rows): every approx value must fall between the
+    exact quantiles a small rank-window either side."""
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT o_orderpriority, o_totalprice FROM '{SF_DIR}/orders.parquet'"
+    ).df()
+    con.close()
+    for pr, grp in o.groupby("o_orderpriority"):
+        vals = np.sort(grp["o_totalprice"].to_numpy())
+        n = len(vals)
+        row = pdf[pdf["o_orderpriority"] == pr].iloc[0]
+        assert int(row["n"]) == n
+        for q, col in ((0.5, "median_approx"), (0.9, "p90_approx")):
+            rank = q * (n - 1)
+            lo = vals[max(0, int(np.floor(rank)) - 3)]
+            hi = vals[min(n - 1, int(np.ceil(rank)) + 3)]
+            assert lo <= row[col] <= hi, (pr, col, row[col], lo, hi)
+    print(f"  q_agg_approx_quantile: {len(pdf)} groups certified within rank window")
+
+
 CHECKS = {
     "q_binom_sf": check_binom_sf,
     "q_spline_fit_eval": check_spline,
     "q_hic_significance_all": check_sig_all,
+    "q_hic_significance": check_sig_intra2,
+    "q_dedup_near": check_dedup_near,
+    "q_dedup_simhash": check_dedup_simhash,
+    "q_kr_balance": check_kr,
+    "q_agg_approx": check_agg_approx,
+    "q_agg_approx_quantile": check_agg_approx_quantile,
 }
 
 
