@@ -708,37 +708,64 @@ def ivf_train_centroids(
     max_iter: int = 10,
     vec_col: str = "embedding",
     seed: int = 7,
+    id_col: str = "vec_id",
+    sample_size: int = 8192,
 ) -> list[list[float]]:
-    """Train IVF centroids with distributed k-means (pyspark.ml Lloyd's
-    with k-means|| init) over the embedding column — the index-build
-    step of IVF ANN search.  Fixed seed → reproducible centers.
+    """Train IVF centroids: bounded deterministic sample → driver-side
+    numpy spherical k-means — the faiss-style index-build recipe.
 
-    Returns plain Python lists (k × dim — tiny) ready for
-    :func:`ivf_assign` / :func:`ivf_write_index`, which broadcast them.
-    At 100 TB train on a sample (k-means converges on far less data
-    than the full corpus): pass ``embeddings.sample(...)``.
+    k-means converges on a tiny fraction of the corpus, so the 100 TB
+    path is ONE distributed pass (a map-side top-k of ``sample_size``
+    rows by hash of the id — deterministic, order-independent, bounded
+    driver memory) followed by in-memory Lloyd's on the sample.  That
+    beats distributed k-means (max_iter full scans + per-iteration
+    shuffles) by construction, and the pure-numpy trainer is
+    bit-reproducible for a fixed (sample, seed).
+
+    SPHERICAL: the IVF cells are cosine-Voronoi (ivf_assign normalizes
+    both sides), so training runs on L2-normalized vectors with
+    re-normalized centroids; on raw vectors the centers chase magnitude
+    instead.  Returns plain Python lists (k × dim — tiny), ready for
+    :func:`ivf_assign` / :func:`ivf_write_index` to broadcast.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # SPHERICAL k-means: the IVF cells are cosine-Voronoi (ivf_assign
-    # normalizes both sides), so train on L2-normalized vectors —
-    # Euclidean k-means on unit vectors is equivalent to cosine
-    # clustering; on raw vectors the centers chase magnitude instead.
-    arr = F.transform(
-        F.col(vec_col),
-        lambda x: x.cast("double")
-        / F.sqrt(
-            F.aggregate(
-                F.col(vec_col),
-                F.lit(0.0),
-                lambda acc, y: acc + y.cast("double") * y.cast("double"),
-            )
-        ),
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(knuth_hash(id_col), F.col(id_col))
+        .limit(int(sample_size))
+        .collect()
     )
-    feats = embeddings.select(array_to_vector(arr).alias("features"))
-    model = KMeans(k=k, maxIter=max_iter, seed=seed).fit(feats)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sample
+    n = len(X)
+    first = int(rng.integers(n))
+    cents = [X[first]]
+    d2 = 1.0 - X @ cents[0]  # cosine distance to nearest center
+    for _ in range(1, min(k, n)):
+        probs = np.maximum(d2, 0.0)
+        s = probs.sum()
+        idx = int(rng.choice(n, p=probs / s)) if s > 0 else int(rng.integers(n))
+        cents.append(X[idx])
+        d2 = np.minimum(d2, 1.0 - X @ cents[-1])
+    C = np.stack(cents)
+    for _ in range(max_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        newC = np.zeros_like(C)
+        np.add.at(newC, assign, X)
+        sizes = np.bincount(assign, minlength=len(C))
+        empty = sizes == 0
+        if empty.any():
+            # reseed an empty cell to the farthest sample point
+            far = np.argsort(np.max(X @ C.T, axis=1))
+            newC[empty] = X[far[: int(empty.sum())]]
+        norms = np.linalg.norm(newC, axis=1, keepdims=True)
+        newC = newC / np.maximum(norms, 1e-30)
+        if np.allclose(newC, C, atol=1e-12):
+            C = newC
+            break
+        C = newC
+    return [[float(x) for x in c] for c in C]
 
 
 def ivf_write_index(
@@ -756,7 +783,15 @@ def ivf_write_index(
     assigned = ivf_assign(
         embeddings, centroids, id_col, vec_col, nprobe=1, carry_vec=True
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # co-locate each cell before the partitioned write: without this,
+    # every task holds rows of every cell and the sink fans out
+    # tasks × cells tiny files (slow write, slow probe-side listing).
+    # Cells are k-means-balanced so hashing on cell is skew-safe; at
+    # larger scale add a within-cell salt to split giant cells across
+    # several files
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_topk_pruned(

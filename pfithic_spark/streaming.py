@@ -138,18 +138,22 @@ def trending_topk_sink(
             .filter(F.col("rnk") <= k)
             .select(
                 F.col("window.start").alias("window_start"),
+                # partition key: epoch-second of the window, not the
+                # epoch_id — epoch ids restart at 0 under a fresh
+                # checkpoint, so epoch-keyed dirs from a prior run would
+                # read back as duplicate windows; window-keyed dynamic
+                # overwrite makes BOTH failure replays (same windows
+                # re-finalized) and full re-runs over an existing
+                # out_path land on the same partitions idempotently
+                F.col("window.start").cast("long").alias("window_start_s"),
                 "event_type",
                 "n_events",
                 "rnk",
             )
-            # idempotent per epoch (Spark re-runs a failed epoch with the
-            # same id): overwrite this epoch's partition, never append.
-            # NOTE: epoch ids restart from 0 under a FRESH checkpoint, so
-            # out_path and checkpoint must be cleared TOGETHER — reusing
-            # out_path with a new checkpoint leaves stale epoch=N dirs
-            # from the prior run visible to readers as duplicate windows
             .write.mode("overwrite")
-            .parquet(f"{out_path}/epoch={epoch_id}")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_start_s")
+            .parquet(out_path)
         )
 
     return (

@@ -292,3 +292,14 @@ def test_trending_topk_foreach_batch(spark, sf_dir, tmp_path):
             # UTC-pinned for non-UTC hosts (same as the watermark test)
             ws = int(r["window_start"].replace(tzinfo=timezone.utc).timestamp())
             assert want_top[ws] == r["event_type"], ws
+    # restart idempotency: a FULL re-run with a FRESH checkpoint into
+    # the SAME out_path must not duplicate windows — the sink keys its
+    # dynamic partition overwrite on window_start_s, not the epoch id
+    ck2 = str(tmp_path / "trend_ck2")
+    q2 = strm.trending_topk_sink(stream, out, ck2, k=3)
+    q2.awaitTermination(120)
+    q2.stop()
+    again = spark.read.parquet(out).collect()
+    assert sorted(
+        (r["window_start_s"], r["event_type"], r["rnk"]) for r in again
+    ) == sorted((r["window_start_s"], r["event_type"], r["rnk"]) for r in rows)
