@@ -893,3 +893,68 @@ def ivf_topk(
     return cands.withColumn("rn", F.row_number().over(w).cast("long")).filter(
         F.col("rn") <= k
     )
+
+
+# --- near-dup clustering (connected components) --------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: every vertex starts as its own label and
+    repeatedly takes the minimum label among itself and its neighbors,
+    until a fixpoint — the component id is the smallest vertex id in the
+    component (deterministic, engine-independent).
+
+    This is the step a real dedup pipeline needs BETWEEN candidate
+    pairs and the keep-list: near-duplication is transitive in practice
+    (A~B, B~C → one cluster), so representatives must come from
+    components of the pair graph, not from pairwise output.
+
+    100 TB design: one shuffle (join + min-agg) per round; rounds are
+    bounded by the component DIAMETER, which for near-dup clusters is
+    tiny (dup clusters are dense).  Lineage is truncated each round
+    with an eager localCheckpoint so the plan does not grow with the
+    iteration count.  For adversarial long-chain graphs swap in the
+    alternating large-star/small-star variant; the convergence check
+    below costs one count per round and stops as soon as no label
+    moved.  Output: (id_col, cluster_id, cluster_size).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).alias("l")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = e.join(
+            labels.withColumnRenamed("v", "a"), "a"
+        ).select(F.col("b").alias("v"), "l")
+        new = (
+            labels.unionByName(msgs)
+            .groupBy("v")
+            .agg(F.min("l").alias("l"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("l", "old"), "v")
+            .filter(F.col("l") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    e.unpersist()
+    sizes = labels.groupBy("l").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "l").select(
+        F.col("v").alias(id_col),
+        F.col("l").alias("cluster_id"),
+        "cluster_size",
+    )

@@ -2984,6 +2984,63 @@ def q_struct_funcs(spark, sf_dir):
 # registry ordering
 # ========================================================================
 
+@register(
+    "q_dedup_clusters",
+    oracle="""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(toks) - 2),
+           i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])
+         ))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT p.id1, p.id2 FROM pairs p
+  JOIN sizes s1 ON p.id1 = s1.doc_id
+  JOIN sizes s2 ON p.id2 = s2.doc_id
+  WHERE CAST(p.common AS DOUBLE) / (s1.sz + s2.sz - p.common) >= 0.2
+),
+e2 AS (SELECT id1 AS a, id2 AS b FROM jp UNION ALL SELECT id2, id1 FROM jp),
+walk(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.l FROM walk w JOIN e2 e ON w.v = e.a
+),
+lab AS (SELECT v, MIN(l) AS cluster_id FROM walk GROUP BY v)
+SELECT lab.v AS doc_id, lab.cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY lab.cluster_id) AS BIGINT) AS cluster_size
+FROM lab
+""",
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: exact source-blocked 3-gram Jaccard pairs at
+    threshold 0.2 → connected components by iterative min-label
+    propagation (llmops.connected_components) → (doc_id, cluster_id =
+    min doc id of the component, cluster_size).  The step a real dedup
+    pipeline needs between candidate pairs and the keep-list: near-dup
+    is transitive in practice, so representatives come from components
+    of the pair graph, not pairwise output.  The DuckDB oracle closes
+    the same edge set with a recursive CTE; transitivity on multi-hop
+    chains is pinned by tests/test_llmops.py (chain + star graphs)."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = llmops.ngram_jaccard_pairs(d, block_col="source", max_df=None).filter(
+        F.col("jaccard") >= 0.2
+    )
+    return llmops.connected_components(edges, d, id_col="doc_id")
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -2995,6 +3052,7 @@ def q_struct_funcs(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_dedup_clusters",
     "q_sim_ivf",
     "q_hic_significance_all",
     "q_binom_sf",

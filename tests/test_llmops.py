@@ -318,3 +318,29 @@ def test_pack_sequences_conservation(spark, sf_dir):
     )
     for r in ids.collect():
         assert r["lo"] == 0 and r["n"] <= r["hi"] + 1, r
+
+
+def test_connected_components_transitive_chain_and_star(spark):
+    """CC must close multi-hop structure the pairwise output can't:
+    a 5-node chain (diameter 4 — forces several propagation rounds)
+    and a star, plus singletons; labels = min id of the component."""
+    from pfithic_spark import llmops
+
+    edges = spark.createDataFrame(
+        # chain 10-11-12-13-14, star 20-{21,22,23}, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14),
+         (20, 21), (20, 22), (20, 23), (30, 31)],
+        "id1 long, id2 long",
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in [10, 11, 12, 13, 14, 20, 21, 22, 23, 30, 31, 40, 41]],
+        "doc_id long",
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in llmops.connected_components(edges, verts).collect()
+    }
+    assert all(out[v] == (10, 5) for v in (10, 11, 12, 13, 14))
+    assert all(out[v] == (20, 4) for v in (20, 21, 22, 23))
+    assert out[30] == (30, 2) and out[31] == (30, 2)
+    assert out[40] == (40, 1) and out[41] == (41, 1)
