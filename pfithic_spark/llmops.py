@@ -917,14 +917,16 @@ def connected_components(
     (A~B, B~C → one cluster), so representatives must come from
     components of the pair graph, not from pairwise output.
 
-    100 TB design: one shuffle (join + min-agg) per round; rounds are
-    bounded by the component DIAMETER, which for near-dup clusters is
-    tiny (dup clusters are dense).  Lineage is truncated each round
-    with an eager localCheckpoint so the plan does not grow with the
-    iteration count.  For adversarial long-chain graphs swap in the
-    alternating large-star/small-star variant; the convergence check
-    below costs one count per round and stops as soon as no label
-    moved.  Output: (id_col, cluster_id, cluster_size).
+    100 TB design: each round is a neighbor-min propagation (join +
+    min-agg — one shuffle) followed by a POINTER JUMP l(v) ← l(l(v))
+    (labels only decrease and l(x) ≤ x, so the jump is always valid):
+    the jump halves the remaining label-tree depth, so convergence is
+    O(log diameter) rounds instead of O(diameter) — a 1000-link chain
+    settles in ~10 rounds.  Lineage is truncated each round with an
+    eager localCheckpoint so the plan does not grow with the iteration
+    count; the convergence check costs one count per round and stops as
+    soon as no label moved.  Output: (id_col, cluster_id,
+    cluster_size).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(
@@ -937,10 +939,16 @@ def connected_components(
         msgs = e.join(
             labels.withColumnRenamed("v", "a"), "a"
         ).select(F.col("b").alias("v"), "l")
+        stepped = (
+            labels.unionByName(msgs).groupBy("v").agg(F.min("l").alias("l"))
+        )
+        # pointer jump: follow the label one hop through the label table
+        parent = stepped.select(
+            F.col("v").alias("l"), F.col("l").alias("gl")
+        )
         new = (
-            labels.unionByName(msgs)
-            .groupBy("v")
-            .agg(F.min("l").alias("l"))
+            stepped.join(parent, "l", "left")
+            .select("v", F.coalesce("gl", "l").alias("l"))
             .localCheckpoint(eager=True)
         )
         changed = (

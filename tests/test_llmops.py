@@ -344,3 +344,47 @@ def test_connected_components_transitive_chain_and_star(spark):
     assert all(out[v] == (20, 4) for v in (20, 21, 22, 23))
     assert out[30] == (30, 2) and out[31] == (30, 2)
     assert out[40] == (40, 1) and out[41] == (41, 1)
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graph vs an independent python union-find: exact
+    component-id and size agreement (min-id labeling)."""
+    import numpy as np
+
+    from pfithic_spark import llmops
+
+    rng = np.random.default_rng(42)
+    n = 300
+    m = 260
+    e = rng.integers(0, n, size=(m, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in e], "id1 long, id2 long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in e:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_label = {v: find(v) for v in range(n)}
+    # min-id labeling: union-find with min-root merging yields min roots
+    sizes: dict[int, int] = {}
+    for v in range(n):
+        sizes[want_label[v]] = sizes.get(want_label[v], 0) + 1
+
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in llmops.connected_components(edges, verts).collect()
+    }
+    assert len(got) == n
+    for v in range(n):
+        assert got[v] == (want_label[v], sizes[want_label[v]]), v

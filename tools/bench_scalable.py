@@ -148,6 +148,36 @@ def main() -> None:
     assert mx <= 2048 + 49, mx
     assert n_seq >= want_tot // (2048 + 49), n_seq
 
+    # --- connected components: diameter-bounded label propagation ----
+    # planted ground truth: n/4 disjoint 4-node CHAINS (diameter 3
+    # forces multiple propagation rounds); every node's component id
+    # must come back as the chain head, cluster_size as 4
+    n_cc = n // 2  # vertices (keep runtime bounded: rounds × joins)
+    verts = spark.range(n_cc).select(F.col("id").alias("doc_id"))
+    chain_edges = (
+        spark.range(n_cc)
+        .filter(F.col("id") % 4 != 3)  # no edge out of a chain tail
+        .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
+    )
+    t0 = time.time()
+    cc = llmops.connected_components(chain_edges, verts)
+    n_rows, n_clusters, bad = cc.agg(
+        F.count(F.lit(1)),
+        F.countDistinct("cluster_id"),
+        F.sum(
+            (
+                (F.col("cluster_id") != (F.col("doc_id") - F.col("doc_id") % 4))
+                | (F.col("cluster_size") != 4)
+            ).cast("long")
+        ),
+    ).collect()[0]
+    cc_s = time.time() - t0
+    assert n_rows == n_cc and n_clusters == n_cc // 4 and bad == 0, (
+        n_rows,
+        n_clusters,
+        bad,
+    )
+
     print(
         json.dumps(
             {
@@ -157,6 +187,7 @@ def main() -> None:
                 "bh_single_window_s": round(bh_single_s, 2),
                 "ngram_maxdf_s": round(ngram_s, 2),
                 "pack_s": round(pack_s, 2),
+                "cc_s": round(cc_s, 2),
             }
         )
     )
