@@ -3041,6 +3041,148 @@ def q_dedup_clusters(spark, sf_dir):
     return llmops.connected_components(edges, d, id_col="doc_id")
 
 
+@register(
+    "q_shuffle_shards",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 2654435761) * 2654435761) % 4294967296 AS hkey
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hkey % 8 AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY hkey % 8 ORDER BY hkey, doc_id
+       ) AS BIGINT) AS pos
+FROM h
+""",
+)
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle: every document gets a
+    (shard, position) from a Knuth multiplicative hash — the corpus
+    order is reproducible across engines and runs (rand() is neither),
+    a training job reads shard files independently, and the per-shard
+    ROW_NUMBER windows parallelize across shards with no global sort.
+    At 100 TB raise the shard count so each window stays
+    executor-sized."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    hkey = llmops.knuth_hash("doc_id")
+    t = d.select("doc_id", hkey.alias("hkey"), (hkey % 8).cast("long").alias("shard"))
+    w = W.partitionBy("shard").orderBy("hkey", "doc_id")
+    return t.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle="""
+WITH RECURSIVE q AS (
+  SELECT doc_id, source, lang,
+         ROUND(
+           LEAST(1.0, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) / 50.0) * 0.4
+           + LEAST(1.0, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b(the|a)\\b')) AS BIGINT) * 5.0
+                         / LEN(STRING_SPLIT(text, ' '))) * 0.3
+           + LEAST(1.0, (CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))) / 5.0) * 0.3,
+         9) AS quality
+  FROM documents
+),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents GROUP BY MD5(LOWER(TRIM(text)))
+),
+toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(toks) - 2),
+           i -> CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2])
+         ))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jp AS (
+  SELECT p.id1, p.id2 FROM pairs p
+  JOIN sizes s1 ON p.id1 = s1.doc_id
+  JOIN sizes s2 ON p.id2 = s2.doc_id
+  WHERE CAST(p.common AS DOUBLE) / (s1.sz + s2.sz - p.common) >= 0.2
+),
+e2 AS (SELECT id1 AS a, id2 AS b FROM jp UNION ALL SELECT id2, id1 FROM jp),
+walk(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, w.l FROM walk w JOIN e2 e ON w.v = e.a
+),
+near_keep AS (
+  SELECT v AS doc_id FROM walk GROUP BY v HAVING v = MIN(l)
+)
+SELECT q.doc_id, q.source, q.lang, q.quality
+FROM q
+JOIN exact_keep USING (doc_id)
+JOIN near_keep USING (doc_id)
+WHERE q.quality >= 0.6
+""",
+)
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation keep-list — the composition a
+    training-data pipeline actually ships: quality gate (>= 0.6) ∩
+    exact-dedup representatives (min doc per md5 of normalized text) ∩
+    near-dup cluster representatives (doc_id == component min over the
+    0.2-Jaccard pair graph).  Every stage reuses the oracled primitive
+    (q_quality_score arithmetic, llmops.dedup_exact,
+    llmops.connected_components); the keep-list is their semi-join —
+    corpus text never shuffles, only ids and 16-byte hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.4
+        + F.least(F.lit(1.0), F.col("stop_hits") * 5.0 / F.col("n_tokens")) * 0.3
+        + F.least(
+            F.lit(1.0), (F.col("n_chars").cast("double") / F.col("n_tokens")) / 5.0
+        )
+        * 0.3
+    )
+    scored = t.select(
+        "doc_id", "source", "lang", F.round(quality, 9).alias("quality")
+    ).filter(F.col("quality") >= 0.6)
+    exact_keep = llmops.dedup_exact(d).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    edges = llmops.ngram_jaccard_pairs(d, block_col="source", max_df=None).filter(
+        F.col("jaccard") >= 0.2
+    )
+    near_keep = (
+        llmops.connected_components(edges, d, id_col="doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return scored.join(exact_keep, "doc_id", "left_semi").join(
+        near_keep, "doc_id", "left_semi"
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -3053,6 +3195,8 @@ def q_dedup_clusters(spark, sf_dir):
 _VERIFY_FIRST = [
     # new / code-modified this round
     "q_dedup_clusters",
+    "q_shuffle_shards",
+    "q_curation_pipeline",
     "q_sim_ivf",
     "q_hic_significance_all",
     "q_binom_sf",
