@@ -3183,6 +3183,61 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(EPOCH_US(o_orderdate) / 86400000000 AS BIGINT) AS lo1,
+         CAST(EPOCH_US(o_orderdate) / 86400000000 AS BIGINT) + o_orderkey % 30 AS hi1
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+l AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(EPOCH_US(l_shipdate) / 86400000000 AS BIGINT) AS lo2,
+         CAST(EPOCH_US(l_shipdate) / 86400000000 AS BIGINT) + 7 AS hi2
+  FROM lineitem WHERE l_orderkey % 101 = 0
+)
+SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber,
+       GREATEST(o.lo1, l.lo2) AS overlap_lo,
+       LEAST(o.hi1, l.hi2) AS overlap_hi
+FROM o JOIN l ON GREATEST(o.lo1, l.lo2) <= LEAST(o.hi1, l.hi2)
+""",
+)
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval OVERLAP join (range × range — the genomic-overlap
+    primitive, distinct from point-in-range q_join_range): order
+    validity windows × shipment windows on the day grid via
+    relational.overlap_join — banded equi-join on a day-bucket key with
+    the report-once rule (only the bucket holding the overlap's left
+    edge emits), so pairs never materialize as a cross product and no
+    distinct() pass is needed.  The DuckDB oracle is the direct
+    predicate join over the same (bounded) interval sets."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    day1 = (epoch_us(o, "o_orderdate") / F.lit(86_400_000_000)).cast("long")
+    left = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        day1.alias("lo1"),
+        (day1 + F.col("o_orderkey") % 30).alias("hi1"),
+    )
+    day2 = (epoch_us(li, "l_shipdate") / F.lit(86_400_000_000)).cast("long")
+    right = li.filter(F.col("l_orderkey") % 101 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        day2.alias("lo2"),
+        (day2 + F.lit(7)).alias("hi2"),
+    )
+    joined = rel.overlap_join(left, right, band=16)
+    return joined.select(
+        "o_orderkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("lo1", "lo2").alias("overlap_lo"),
+        F.least("hi1", "hi2").alias("overlap_hi"),
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -3197,6 +3252,7 @@ _VERIFY_FIRST = [
     "q_dedup_clusters",
     "q_shuffle_shards",
     "q_curation_pipeline",
+    "q_join_interval_overlap",
     "q_sim_ivf",
     "q_hic_significance_all",
     "q_binom_sf",

@@ -388,3 +388,24 @@ def test_connected_components_random_vs_union_find(spark):
     assert len(got) == n
     for v in range(n):
         assert got[v] == (want_label[v], sizes[want_label[v]]), v
+
+
+def test_overlap_join_report_once_multi_bucket(spark):
+    """A pair overlapping across MANY shared band buckets must be
+    reported exactly once (the report-once rule), and touching
+    endpoints count as overlap (closed intervals)."""
+    from pfithic_spark import relational as rel
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 210), (3, 500, 501)],
+        "lid long, lo1 long, hi1 long",
+    )
+    right = spark.createDataFrame(
+        [(10, 5, 95), (11, 210, 220), (12, 502, 600), (13, 100, 101)],
+        "rid long, lo2 long, hi2 long",
+    )
+    out = rel.overlap_join(left, right, band=16)
+    pairs = sorted((r["lid"], r["rid"]) for r in out.collect())
+    # (1,10): 6+ shared buckets -> once; (2,11): endpoint touch 210;
+    # (1,13): endpoint touch 100; (3,12): adjacent but disjoint (501<502)
+    assert pairs == [(1, 10), (1, 13), (2, 11)]

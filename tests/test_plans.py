@@ -289,3 +289,12 @@ def test_mix_sources_corpus_never_shuffles(spark, sf_dir, queries):
         if "SinglePartition" in detail or "broadcast" in detail.lower():
             continue
         assert "n_src" in detail or "count" in detail, detail
+
+
+def test_overlap_join_is_banded_equi_join(spark, sf_dir, queries):
+    """The interval-overlap join must be an equi-join on the day-bucket
+    key — never a nested loop or cartesian over the interval sets."""
+    plan = _plan(queries["q_join_interval_overlap"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bkt" in plan  # banding key reached the join
