@@ -905,6 +905,7 @@ def connected_components(
     dst: str = "id2",
     id_col: str = "doc_id",
     max_iter: int = 30,
+    small_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by iterative
     min-label propagation: every vertex starts as its own label and
@@ -929,12 +930,74 @@ def connected_components(
     cluster_size).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Small-side fast path (same pattern as windows.scalable_cumsum):
+    # the edge list of a near-dup graph is bounded by the DUPLICATED
+    # subset of the corpus, not the corpus — when it fits comfortably
+    # on the driver, a single collect + union-find replaces the whole
+    # iterate/checkpoint machinery (each distributed round costs
+    # several jobs of fixed overhead).  The distributed loop below is
+    # the 100 TB path, pinned at 8M rows in tools/bench_scalable.py;
+    # pass small_threshold=None to force it.
+    if small_threshold is not None:
+        e_small = e.limit(small_threshold + 1).collect()
+        if len(e_small) <= small_threshold:
+            spark = edges.sparkSession
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r in e_small:
+                ra, rb = find(r["a"]), find(r["b"])
+                if ra != rb:
+                    # min-root merge → label = min id of the component
+                    parent[max(ra, rb)] = min(ra, rb)
+            labels = [(v, find(v)) for v in parent] + [
+                (v, v)
+                for r in e_small
+                for v in (r["a"], r["b"])
+                if v not in parent
+            ]
+            lab_df = spark.createDataFrame(
+                sorted(set(labels)), f"{id_col} long, cluster_id long"
+            )
+            sizes = lab_df.groupBy("cluster_id").agg(
+                F.count(F.lit(1)).cast("long").alias("cluster_size")
+            )
+            clustered = lab_df.join(F.broadcast(sizes), "cluster_id").select(
+                id_col, "cluster_id", "cluster_size"
+            )
+            singles = (
+                vertices.select(F.col(id_col))
+                .join(
+                    F.broadcast(lab_df.select(id_col)), id_col, "left_anti"
+                )
+                .select(
+                    id_col,
+                    F.col(id_col).alias("cluster_id"),
+                    F.lit(1).cast("long").alias("cluster_size"),
+                )
+            )
+            return clustered.unionByName(singles)
     e = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).cache()
-    labels = vertices.select(
-        F.col(id_col).alias("v"), F.col(id_col).alias("l")
-    ).localCheckpoint(eager=True)
+    # iterate ONLY over vertices that touch an edge: every other vertex
+    # is a singleton component with label = itself and size 1, needing
+    # no propagation.  In a near-dup corpus the edge-touching set is a
+    # tiny fraction of the corpus, so the per-round joins run on the
+    # duplicate subgraph, not the full document table.
+    labels = (
+        e.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("l"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         msgs = e.join(
             labels.withColumnRenamed("v", "a"), "a"
@@ -961,8 +1024,18 @@ def connected_components(
             break
     e.unpersist()
     sizes = labels.groupBy("l").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return labels.join(sizes, "l").select(
+    clustered = labels.join(sizes, "l").select(
         F.col("v").alias(id_col),
         F.col("l").alias("cluster_id"),
-        "cluster_size",
+        F.col("cluster_size").cast("long"),
     )
+    singles = (
+        vertices.select(F.col(id_col))
+        .join(labels.select(F.col("v").alias(id_col)), id_col, "left_anti")
+        .select(
+            id_col,
+            F.col(id_col).alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    )
+    return clustered.unionByName(singles)

@@ -336,14 +336,19 @@ def test_connected_components_transitive_chain_and_star(spark):
         [(v,) for v in [10, 11, 12, 13, 14, 20, 21, 22, 23, 30, 31, 40, 41]],
         "doc_id long",
     )
-    out = {
-        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
-        for r in llmops.connected_components(edges, verts).collect()
-    }
-    assert all(out[v] == (10, 5) for v in (10, 11, 12, 13, 14))
-    assert all(out[v] == (20, 4) for v in (20, 21, 22, 23))
-    assert out[30] == (30, 2) and out[31] == (30, 2)
-    assert out[40] == (40, 1) and out[41] == (41, 1)
+    # both paths must agree: the driver union-find fast path and the
+    # distributed min-label/pointer-jump loop (small_threshold=None)
+    for thr in (2_000_000, None):
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+            for r in llmops.connected_components(
+                edges, verts, small_threshold=thr
+            ).collect()
+        }
+        assert all(out[v] == (10, 5) for v in (10, 11, 12, 13, 14)), thr
+        assert all(out[v] == (20, 4) for v in (20, 21, 22, 23)), thr
+        assert out[30] == (30, 2) and out[31] == (30, 2), thr
+        assert out[40] == (40, 1) and out[41] == (41, 1), thr
 
 
 def test_connected_components_random_vs_union_find(spark):

@@ -160,7 +160,9 @@ def main() -> None:
         .select(F.col("id").alias("id1"), (F.col("id") + 1).alias("id2"))
     )
     t0 = time.time()
-    cc = llmops.connected_components(chain_edges, verts)
+    # force the DISTRIBUTED loop (the small-side fast path would
+    # otherwise absorb this graph): that's the path being pinned here
+    cc = llmops.connected_components(chain_edges, verts, small_threshold=None)
     n_rows, n_clusters, bad = cc.agg(
         F.count(F.lit(1)),
         F.countDistinct("cluster_id"),
