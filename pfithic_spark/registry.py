@@ -3238,6 +3238,49 @@ def q_join_interval_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "q_retention_cohorts",
+    oracle="""
+WITH w AS (
+  SELECT user_id,
+         CAST(EPOCH_US(ts) // 604800000000 AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users
+FROM w JOIN cohort c USING (user_id)
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix over the event stream: cohort = the
+    epoch-week of a user's first event; cell (cohort_week, week_offset)
+    counts distinct users from that cohort active offset weeks later.
+    Two shuffles total — the first-seen aggregation (user-dim sized)
+    and the cohort-cell distinct count; the events table itself never
+    shuffles twice because the cohort dim joins back on the same
+    user_id key.  Event-time arithmetic goes through io.epoch_us (the
+    ts physical encoding drifts between rounds)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id",
+        F.floor(epoch_us(ev, "ts") / F.lit(604_800_000_000))
+        .cast("long")
+        .alias("week"),
+    )
+    cohort = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -3249,6 +3292,7 @@ def q_join_interval_overlap(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_retention_cohorts",
     "q_dedup_clusters",
     "q_shuffle_shards",
     "q_curation_pipeline",
@@ -3259,6 +3303,9 @@ _VERIFY_FIRST = [
     "q_spline_fit_eval",
     "q_kr_balance",
     "q_agg_approx_quantile",
+    "q_dedup_simhash",
+    "q_dedup_near",
+    "q_contact_prior_inter",
     # modified in round 2, newest driver row is r1
     "q_join_bias",
     "q_contact_prior",
@@ -3300,8 +3347,6 @@ _VERIFY_FIRST = [
     "q_map_funcs",
     "q_json_funcs",
     "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_simhash",
 ]
 
 
