@@ -3281,6 +3281,81 @@ def q_retention_cohorts(spark, sf_dir):
     )
 
 
+@register(
+    "q_funnel_steps",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS us FROM events
+),
+v AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT ev.user_id, MIN(ev.us) AS t2
+  FROM ev JOIN v USING (user_id)
+  WHERE ev.event_type = 'click' AND ev.us > v.t1 AND ev.us <= v.t1 + 3600000000
+  GROUP BY ev.user_id
+),
+p AS (
+  SELECT ev.user_id, MIN(ev.us) AS t3
+  FROM ev JOIN c USING (user_id)
+  WHERE ev.event_type = 'purchase' AND ev.us > c.t2 AND ev.us <= c.t2 + 3600000000
+  GROUP BY ev.user_id
+)
+SELECT * FROM (
+  SELECT 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+  UNION ALL
+  SELECT 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+)
+""",
+)
+def q_funnel_steps(spark, sf_dir):
+    """Ordered-sequence funnel over the event stream: users who did
+    view → click → purchase, each step within one hour of the previous
+    step's FIRST qualifying occurrence.  Each stage is a per-user min
+    aggregation joined to the next event slice on user_id — the event
+    stream shuffles on the same user_id key at every stage (exchange
+    reuse), the per-stage user dims are bounded by distinct converting
+    users, and no per-user sort or collect_list materializes the
+    event history."""
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_type", epoch_us(ev_raw, "ts").alias("us")
+    )
+    hour = F.lit(3_600_000_000)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") <= F.col("t1") + hour))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") <= F.col("t2") + hour))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+
+    def cnt(df, name):
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        cnt(v, "view")
+        .unionByName(cnt(c, "view>click"))
+        .unionByName(cnt(p, "view>click>purchase"))
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -3292,6 +3367,7 @@ def q_retention_cohorts(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_funnel_steps",
     "q_retention_cohorts",
     "q_dedup_clusters",
     "q_shuffle_shards",
