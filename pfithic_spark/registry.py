@@ -3356,6 +3356,73 @@ def q_funnel_steps(spark, sf_dir):
     )
 
 
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, event_type, value, EPOCH_US(ts) AS us FROM events
+),
+w AS (
+  SELECT event_id, event_type, value,
+         COUNT(*) OVER fr AS n,
+         SUM(CAST(value AS DECIMAL(18,4))) OVER fr AS s,
+         SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER fr AS s2
+  FROM ev
+  WINDOW fr AS (
+    PARTITION BY event_type ORDER BY us, event_id
+    ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, event_type, value,
+       ROUND(
+         (value - CAST(s AS DOUBLE) / n)
+         / SQRT((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)),
+       6) AS z_score
+FROM w
+WHERE n >= 30
+""",
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly scoring per event type: each event's
+    value against the trailing-100-event mean/std (frame excludes the
+    current row; emitted once 30 priors exist).  Same reproducibility
+    design as q_corr_exact: the windowed sufficient statistics (n, Σv,
+    Σv²) accumulate as DECIMAL — exact, order-independent — and only
+    the closed-form z expression runs in double, so Spark's running
+    window and DuckDB's segment-tree window agree bit-for-bit (raw
+    double window sums would drift in the low bits)."""
+    from pyspark.sql import Window as W
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_id", "event_type", "value", epoch_us(ev_raw, "ts").alias("us")
+    )
+    fr = (
+        W.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum(dec).over(fr).alias("s"),
+        F.sum(dec * dec).over(fr).alias("s2"),
+    ).filter(F.col("n") >= 30)
+    sd = F.col("s").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = sd / F.col("n")
+    var = (s2d - sd * sd / F.col("n")) / (F.col("n") - 1)
+    return w.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("z_score"),
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -3367,6 +3434,7 @@ def q_funnel_steps(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_anomaly_zscore",
     "q_funnel_steps",
     "q_retention_cohorts",
     "q_dedup_clusters",
