@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -758,15 +760,22 @@ def kr_biases(
                 remap[rows[m]], remap[cols[m]], vals[m], nk, tol=tol
             )
             rs = x * _coo_matvec(remap[rows[m]], remap[cols[m]], vals[m], nk, x)
-            mean_rs = rs.mean() if nk else 0.0
+            # fsum-based moments: np's pairwise .mean()/.std() pick their
+            # reduction order from the CPU's SIMD width, so their low
+            # bits — and the normalized biases below — would differ
+            # across hosts and break the cross-host golden hash
+            mean_rs = st.det_sum(rs) / nk if nk else 0.0
+            std_rs = (
+                math.sqrt(st.det_sum((rs - mean_rs) ** 2) / nk) if nk else 0.0
+            )
             converged = (
                 mean_rs > 0
                 and float(x.min()) > 0
-                and float(rs.std() / mean_rs) < 1e-6
+                and std_rs / mean_rs < 1e-6
             )
             if converged:
                 bias[:] = -1.0
-                bias[keep] = x / x.mean()
+                bias[keep] = x / (st.det_sum(x) / nk)
                 break
         return pd.DataFrame(
             {"chr": pdf["chr"].iloc[0], "mid": mids, "bias": bias}

@@ -23,7 +23,26 @@ never per-row.  Accuracy is validated against mpmath in
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+
+def det_dot(a: np.ndarray, b: np.ndarray) -> float:
+    """Exactly-rounded dot product via Shewchuk summation (math.fsum).
+
+    BLAS ``a @ b`` picks its accumulation order from the CPU's SIMD
+    width, so the low bits of a dot product differ ACROSS HOSTS — fatal
+    for goldens that must hash-match when the driver re-runs a query on
+    different hardware.  fsum is exact, hence order- and
+    host-independent.  O(n) C-speed; every call site here is a
+    driver-side vector of ≤ a few thousand elements."""
+    return math.fsum((np.asarray(a, dtype=np.float64) * b).tolist())
+
+
+def det_sum(a: np.ndarray) -> float:
+    """Exactly-rounded (host-independent) sum — see det_dot."""
+    return math.fsum(np.asarray(a, dtype=np.float64).tolist())
 
 # Lanczos approximation coefficients (g=7, n=9) — standard public values.
 _LANCZOS_G = 7.0
@@ -223,11 +242,64 @@ def smooth_penalized(
     if n < 3:
         return y.copy()
     w = np.ones(n) if w is None else np.asarray(w, dtype=np.float64)
-    D = np.zeros((n - 2, n))
+    # A = diag(w) + λ·D₂ᵀD₂ is symmetric positive-definite pentadiagonal
+    # (bandwidth 2).  It is solved with an explicit banded Cholesky in
+    # scalar Python floats rather than np.linalg.solve: LAPACK's blocked
+    # factorization orders its reductions by the CPU's SIMD kernels, so
+    # its low bits differ across hosts, which would leak into the fitted
+    # null curve and break cross-host golden hashes.  Scalar IEEE ops
+    # are bit-identical everywhere; n ≤ noOfBins keeps this trivial.
+    coef = (1.0, -2.0, 1.0)
+    a0 = [0.0] * n  # main diagonal of A
+    a1 = [0.0] * n  # A[j, j+1]
+    a2 = [0.0] * n  # A[j, j+2]
     for i in range(n - 2):
-        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
-    A = np.diag(w) + lam * (D.T @ D)
-    return np.linalg.solve(A, w * y)
+        for u in range(3):
+            a0[i + u] += lam * coef[u] * coef[u]
+            if u < 2:
+                a1[i + u] += lam * coef[u] * coef[u + 1]
+            if u < 1:
+                a2[i + u] += lam * coef[u] * coef[u + 2]
+    for j in range(n):
+        a0[j] += float(w[j])
+    # banded Cholesky: L has the same bandwidth-2 profile
+    l0 = [0.0] * n  # L[j, j]
+    l1 = [0.0] * n  # L[j+1, j]
+    l2 = [0.0] * n  # L[j+2, j]
+    for j in range(n):
+        s = a0[j]
+        if j >= 1:
+            s -= l1[j - 1] * l1[j - 1]
+        if j >= 2:
+            s -= l2[j - 2] * l2[j - 2]
+        l0[j] = math.sqrt(s)
+        if j + 1 < n:
+            s = a1[j]
+            if j >= 1:
+                s -= l1[j - 1] * l2[j - 1]
+            l1[j] = s / l0[j]
+        if j + 2 < n:
+            l2[j] = a2[j] / l0[j]
+    b = (w * y).tolist()
+    # forward substitution L z = b
+    z = [0.0] * n
+    for j in range(n):
+        s = b[j]
+        if j >= 1:
+            s -= l1[j - 1] * z[j - 1]
+        if j >= 2:
+            s -= l2[j - 2] * z[j - 2]
+        z[j] = s / l0[j]
+    # back substitution Lᵀ f = z
+    f = [0.0] * n
+    for j in range(n - 1, -1, -1):
+        s = z[j]
+        if j + 1 < n:
+            s -= l1[j] * f[j + 1]
+        if j + 2 < n:
+            s -= l2[j] * f[j + 2]
+        f[j] = s / l0[j]
+    return np.asarray(f, dtype=np.float64)
 
 
 def fit_monotone_curve(
@@ -297,7 +369,7 @@ def kr_balance_coo(
     stop_tol = tol * 0.5
     v = x * matvec(x)
     rk = 1.0 - v
-    rho_km1 = float(rk @ rk)
+    rho_km1 = det_dot(rk, rk)
     rout = rold = rho_km1
 
     for _ in range(max_outer):
@@ -307,10 +379,10 @@ def kr_balance_coo(
         k_inner = 0
         y = e.copy()
         inner_tol = max(eta**2 * rout, tol**2)
-        rho_km1 = float(rk @ rk)
+        rho_km1 = det_dot(rk, rk)
         Z = rk / v
         p = Z.copy()
-        rho_km2 = rho_km1 = float(rk @ Z)
+        rho_km2 = rho_km1 = det_dot(rk, Z)
         # cone safeguards (KR 2012 bnewt defaults): keep the inner
         # iterate y strictly inside the positive cone — without them a
         # CG step on an ill-conditioned matrix (low-degree rows) takes
@@ -323,7 +395,7 @@ def kr_balance_coo(
                 beta = rho_km1 / rho_km2
                 p = Z + beta * p
             w = x * matvec(x * p) + v * p
-            pw = float(p @ w)
+            pw = det_dot(p, w)
             if pw == 0.0 or not np.isfinite(pw):
                 break  # degenerate curvature (unbalanceable component)
             alpha = rho_km1 / pw
@@ -343,11 +415,11 @@ def kr_balance_coo(
             rk = rk - alpha * w
             rho_km2 = rho_km1
             Z = rk / v
-            rho_km1 = float(rk @ Z)
+            rho_km1 = det_dot(rk, Z)
         x = x * y
         v = x * matvec(x)
         rk = 1.0 - v
-        rho_km1 = float(rk @ rk)
+        rho_km1 = det_dot(rk, rk)
         rout = rho_km1
         # adaptive inner tolerance (standard KR safeguards)
         rat = rout / rold

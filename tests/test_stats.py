@@ -182,3 +182,36 @@ def test_binom_sf_extreme_corners_finite_and_warning_free():
     assert out[0] == pytest.approx(1e6 * 1e-300, rel=1e-6)
     # deep lower tail underflows cleanly to 0, not NaN
     assert out[2] >= 0.0
+
+
+def test_smooth_penalized_banded_cholesky_matches_dense_solve():
+    """The scalar banded Cholesky (host-independent by construction —
+    FIXTURES.md §6) must agree with LAPACK's dense solve to numerical
+    precision on SPD pentadiagonal systems of every parity/size."""
+    rng = np.random.default_rng(7)
+    for n in (3, 4, 10, 57, 120):
+        y = rng.normal(size=n)
+        w = rng.uniform(0.5, 2.0, size=n)
+        lam = 1.7
+        D = np.zeros((n - 2, n))
+        for i in range(n - 2):
+            D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+        A = np.diag(w) + lam * (D.T @ D)
+        want = np.linalg.solve(A, w * y)
+        got = st.smooth_penalized(y, w, lam)
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-12)
+
+
+def test_det_dot_exact_and_order_free():
+    """det_dot is the exactly-rounded dot: invariant under permutation
+    (BLAS is not), and exact on a catastrophic-cancellation probe."""
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=1000) * 10.0 ** rng.integers(-8, 8, size=1000)
+    b = rng.normal(size=1000)
+    perm = rng.permutation(1000)
+    assert st.det_dot(a, b) == st.det_dot(a[perm], b[perm])
+    # 1e16 + 1 - 1e16 == 1 exactly under fsum (naive/pairwise lose it)
+    probe = np.array([1e16, 1.0, -1e16])
+    ones = np.ones(3)
+    assert st.det_dot(probe, ones) == 1.0
+    assert st.det_sum(probe) == 1.0
