@@ -156,6 +156,42 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSON-lines sink — the interchange format most external text/LLM
+    tooling consumes.  One object per line, optionally gzipped; complex
+    types (arrays/structs/maps) serialize natively."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source.  ALWAYS pass an explicit schema in production:
+    without one Spark runs a full inference scan (twice the I/O) and an
+    inferred schema can drift between drops; with one, malformed rows
+    land in the permissive-mode corrupt-record column instead of
+    failing the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — columnar alternative where the downstream stack is
+    Hive/Trino-flavored; same predicate-pushdown/column-pruning story
+    as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -3423,6 +3423,269 @@ def q_anomaly_zscore(spark, sf_dir):
     )
 
 
+@register(
+    "q_agg_collect",
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       STRING_AGG(DISTINCT CAST(CAST(l_quantity AS BIGINT) AS VARCHAR), ','
+                  ORDER BY CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)) AS qty_set
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_agg_collect(spark, sf_dir):
+    """Collect-to-array aggregation made deterministic: the per-group
+    distinct quantity set, sorted, joined to one string.  Raw
+    ``collect_list`` order is partition-dependent (never hashable);
+    ``array_sort(collect_set(...))`` + ``array_join`` pins it, and the
+    oracle's ordered STRING_AGG(DISTINCT) reproduces it exactly.  The
+    per-group array is bounded by the value domain (distinct
+    quantities), not the row count, so the agg buffer stays small at
+    any scale; partial (map-side) collect_set still applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long").cast("string")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.array_join(F.array_sort(F.collect_set(qty)), ",").alias("qty_set"),
+    )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+WITH li AS (SELECT * FROM lineitem)
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_nulls,
+         CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+  FROM li
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+         COUNT(DISTINCT l_extendedprice),
+         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+  FROM li
+  UNION ALL
+  SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+         COUNT(DISTINCT l_discount),
+         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+  FROM li
+  UNION ALL
+  SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+         COUNT(DISTINCT l_tax),
+         CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE)
+  FROM li
+  UNION ALL
+  SELECT 'l_suppkey', COUNT(*), COUNT(*) - COUNT(l_suppkey),
+         COUNT(DISTINCT l_suppkey),
+         CAST(MIN(l_suppkey) AS DOUBLE), CAST(MAX(l_suppkey) AS DOUBLE)
+  FROM li
+  UNION ALL
+  SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+         COUNT(DISTINCT l_partkey),
+         CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE)
+  FROM li
+)
+""",
+)
+def q_profile_columns(spark, sf_dir):
+    """Column profiling — the first query any curation pipeline runs on
+    a new 100 TB drop: one scan of the table produces per-column row /
+    null / exact-distinct counts and min/max, emitted as one row per
+    column.  All statistics come from a SINGLE aggregate (Spark plans
+    the six COUNT(DISTINCT)s as one Expand + two-stage agg: one scan,
+    map-side partials, ×7 row expansion only AFTER projection down to
+    the six columns), then a driver-free ``stack`` unpivots the 1×N
+    summary row.  At real scale the exact distincts are the knob to
+    relax first — swap ``count_distinct`` for ``approx_count_distinct``
+    and the Expand disappears; the exact form is kept here because the
+    oracle must hash-match.  min/max are cast to double (exact for
+    these key/price domains) so every profiled column shares one
+    output schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_suppkey",
+        "l_partkey",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [
+            F.count(d).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(d).alias(f"mn_{c}"),
+            F.max(d).alias(f"mx_{c}"),
+        ]
+    row = li.select(cols).agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, nn, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("nn")).cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_v",
+        "max_v",
+    )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_skew_salted(spark, sf_dir):
+    """Skew-mitigated shuffle join — the manual salting pattern for the
+    case AQE's skew-join split can't fix: a handful of hot keys that
+    overflow a single reducer.  The fact side adds a deterministic salt
+    (event_id mod 8); the dim side explodes ×8 so every (key, salt)
+    combination exists; the join key becomes (user_id, salt), spreading
+    each hot user over 8 reducers.  ``shuffle_hash`` hints keep the
+    demo on the shuffle path (a broadcast would be the right plan for a
+    dim THIS small — salting earns its keep when both sides are big).
+    The post-join aggregate sums values as DECIMAL so the regrouped
+    partial sums are order-independent and the oracle — the PLAIN
+    unsalted join, proving salting is a pure physical rewrite —
+    hash-matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    n_salt = 8
+    fact = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("value_dec"),
+        (F.col("event_id") % n_salt).cast("int").alias("salt"),
+    )
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("int"))
+    joined = fact.hint("shuffle_hash").join(
+        dim.hint("shuffle_hash"),
+        (fact.user_id == dim.c_custkey) & (fact.salt == dim.salt),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value_dec").cast("double"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "q_pagerank",
+    oracle="""
+WITH eb AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+e AS (SELECT src, dst FROM eb UNION ALL SELECT dst AS src, src AS dst FROM eb),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank, outdeg FROM deg),
+i1 AS (SELECT e.dst AS node, CAST(150000000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT) AS rank
+       FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+r1 AS (SELECT i.node, i.rank, d.outdeg FROM i1 i JOIN deg d ON i.node = d.node),
+i2 AS (SELECT e.dst AS node, CAST(150000000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT) AS rank
+       FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+r2 AS (SELECT i.node, i.rank, d.outdeg FROM i2 i JOIN deg d ON i.node = d.node),
+i3 AS (SELECT e.dst AS node, CAST(150000000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT) AS rank
+       FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+r3 AS (SELECT i.node, i.rank, d.outdeg FROM i3 i JOIN deg d ON i.node = d.node),
+i4 AS (SELECT e.dst AS node, CAST(150000000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT) AS rank
+       FROM e JOIN r3 r ON e.src = r.node GROUP BY e.dst),
+r4 AS (SELECT i.node, i.rank, d.outdeg FROM i4 i JOIN deg d ON i.node = d.node),
+i5 AS (SELECT e.dst AS node, CAST(150000000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT) AS rank
+       FROM e JOIN r4 r ON e.src = r.node GROUP BY e.dst)
+SELECT node, rank FROM i5
+""",
+)
+def q_pagerank(spark, sf_dir):
+    """PageRank (5 unrolled iterations, damping 0.85) over the
+    customer↔supplier bipartite trade graph (distinct who-bought-from-
+    whom edges via orders ⋈ lineitem, symmetrized; node ids namespaced
+    2k / 2k+1).  Rank mass is INTEGER throughout — each node starts at
+    10^9, a node's per-edge share is ``rank DIV outdeg`` and the update
+    is ``0.15·10^9 + (85·Σshares) DIV 100`` — so the result is
+    bit-exact regardless of partition merge order (a float PageRank
+    differs in low bits run-to-run AND engine-to-engine; this is the
+    same exact-sufficient-statistics discipline as q_corr_exact).
+    Physically each iteration is share-map (node-sized, no shuffle) →
+    join on src → re-agg on dst.  The loop invariants (edge list,
+    degree dim) are persisted once — without the persist every
+    iteration re-derives the orders ⋈ lineitem distinct (AQE's
+    exchange reuse only recovers part of it), a 5× recompute that
+    dominated the wall clock; with it the per-iteration work that
+    actually moves is node-sized state plus one cached-edge join.  For iteration-to-convergence (unbounded rounds) the
+    checkpointed-loop form of llmops.connected_components is the
+    template; 5 fixed rounds keeps this key's plan static and
+    oracle-expressible.  Overflow headroom: Σ mass ≈ n_nodes·10^9,
+    ×85 stays under int64 past sf100."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = eb.unionByName(
+        eb.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist()
+    # Small-graph fast path (same pattern as connected_components):
+    # when the NODE set fits a broadcast, ship the node-sized rank
+    # state to the cached edge partitions — zero shuffle per join, and
+    # the groupBy's map-side partials reduce the exchange to node-sized.
+    # Past the threshold the same loop runs as partitioned shuffle
+    # joins against the src-partitioned cached edges (the 100 TB path).
+    n_nodes = deg.count()
+    small = n_nodes <= 5_000_000
+    if not small:
+        # co-locate the cached edges with the per-iteration src joins;
+        # pointless (an extra full shuffle) when shares broadcast
+        edges = edges.repartition("src").persist()
+    ranks = deg.select("node", F.lit(1_000_000_000).alias("rank"), "outdeg")
+    for _ in range(5):
+        shares = ranks.select(
+            "node", F.expr("rank DIV outdeg").alias("share")
+        )
+        if small:
+            shares = F.broadcast(shares)
+        contrib = (
+            edges.join(shares, edges.src == shares.node)
+            .groupBy(edges.dst.alias("node"))
+            .agg(
+                (F.lit(150_000_000) + F.expr("(85 * SUM(share)) DIV 100")).alias(
+                    "rank"
+                )
+            )
+        )
+        dd = F.broadcast(deg) if small else deg
+        ranks = contrib.join(dd, "node").select("node", "rank", "outdeg")
+    return ranks.select("node", "rank")
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 3: the 43 keys whose
@@ -3434,6 +3697,10 @@ def q_anomaly_zscore(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_agg_collect",
+    "q_profile_columns",
+    "q_join_skew_salted",
+    "q_pagerank",
     "q_anomaly_zscore",
     "q_funnel_steps",
     "q_retention_cohorts",

@@ -197,3 +197,45 @@ def test_cli_end_to_end(tmp_path):
     assert (out / "significances.parquet").exists()
     assert (out / "significances.tsv.gz").exists()
     assert (out / "bin_stats_pass1.txt.gz").exists()
+
+
+def test_jsonl_roundtrip_with_complex_types(spark, tmp_path):
+    """JSON-lines sink/source: values, arrays and structs survive the
+    round trip; explicit schema on read (the production contract)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 50).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("v"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.struct(F.col("id").alias("a"), F.lit("x").alias("b")).alias("st"),
+    )
+    out = str(tmp_path / "docs_jsonl")
+    pio.write_jsonl(src, out)
+    back = pio.read_jsonl(spark, out, schema=src.schema)
+    # json reads force nullable=True (incl. nested containsNull);
+    # names+types are the contract
+    assert back.schema.simpleString() == src.schema.simpleString()
+    assert sorted(r["id"] for r in back.collect()) == list(range(50))
+    row = back.filter("id = 7").collect()[0]
+    assert row["arr"] == [7, 8] and row["st"]["a"] == 7 and row["st"]["b"] == "x"
+
+
+def test_orc_roundtrip_partitioned_pruning(spark, tmp_path):
+    """ORC sink/source: partitioned write, and a partition-key filter
+    prunes to a single partition directory at planning time."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("part"), (F.col("id") * 3).alias("v")
+    )
+    out = str(tmp_path / "orc_part")
+    pio.write_orc(src, out, partition_by=["part"])
+    back = pio.read_orc(spark, out)
+    assert back.count() == 100
+    q = back.filter(F.col("part") == 2)
+    assert q.count() == 25
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan reports a pushed partition filter,
+    # not a post-scan Filter over all four partitions
+    assert "PartitionFilters: [isnotnull(part" in plan
