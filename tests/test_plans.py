@@ -298,3 +298,42 @@ def test_overlap_join_is_banded_equi_join(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bkt" in plan  # banding key reached the join
+
+
+def test_skew_salted_join_stays_on_shuffle_path(spark, sf_dir, queries):
+    """q_join_skew_salted demonstrates manual salting: the hints must
+    keep it a shuffled hash join (a broadcast would bypass the very
+    path salting exists to fix) and the join keys must include the
+    salt column so hot users spread over reducers."""
+    plan = _plan(queries["q_join_skew_salted"](spark, sf_dir))
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "salt" in plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir, queries):
+    """q_profile_columns computes every per-column statistic from ONE
+    pass over lineitem: exactly one parquet scan, with the ×7 Expand
+    (six exact distincts + plain aggs) applied post-projection."""
+    import re
+
+    plan = _plan(queries["q_profile_columns"](spark, sf_dir))
+    # one detail entry "(n) Scan parquet" per physical scan node (the
+    # raw string also repeats each node in the tree header)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
+
+
+def test_pagerank_iterations_read_cached_edges(spark, sf_dir, queries):
+    """q_pagerank's five iterations must scan the persisted edge list
+    (InMemoryTableScan), not re-derive orders ⋈ lineitem per round:
+    at most the two derivation scans appear, against ≥5 cache reads."""
+    import re
+
+    df = queries["q_pagerank"](spark, sf_dir)
+    plan = _plan(df)
+    # ≥5 cache-read nodes: one per iteration join (plus deg reads).
+    # Parquet scans can't be bounded textually — the InMemoryRelation
+    # detail blocks reprint the cached subtree's scans — so the
+    # recompute protection is the wall-clock scale row + this gate.
+    assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 5

@@ -84,6 +84,26 @@ PICKS = {
         "filter prunes candidate generation BEFORE the inverted-index "
         "self-join — the 100 TB skew lever, oracle-validated."
     ),
+    "q_profile_columns": (
+        "One-scan column profiling: a single parquet scan feeds one "
+        "aggregate; the Expand (×7: six exact COUNT DISTINCTs + the "
+        "plain aggs) applies AFTER projection down to the profiled "
+        "columns, and stack unpivots the 1×N summary row driver-free."
+    ),
+    "q_join_skew_salted": (
+        "Manual hot-key salting: ShuffledHashJoin on (user_id, salt) "
+        "with the dim exploded ×8 — each hot key spreads over 8 "
+        "reducers; the plain-join oracle proves the rewrite is purely "
+        "physical."
+    ),
+    "q_pagerank": (
+        "Iterative PageRank, 5 unrolled rounds: the symmetrized edge "
+        "list and degree dim persist once (InMemoryTableScan per "
+        "round), node-sized shares broadcast on small graphs, and the "
+        "groupBy(dst) exchange carries only map-side partial sums — "
+        "node-sized traffic per iteration, integer rank mass bit-exact "
+        "under any partition order."
+    ),
 }
 
 
@@ -111,7 +131,13 @@ def main() -> None:
     ]
     for key, note in PICKS.items():
         tree = plan(queries[key](spark, sf)).split("\n\n")[0]
-        out += [f"## {key}", "", note, "", "```", tree, "```", ""]
+        lines = tree.split("\n")
+        if len(lines) > 120:
+            # deep unrolled plans (e.g. iterative joins over an
+            # InMemoryRelation, whose cached subtree reprints per read)
+            # say everything structural in their first screens
+            lines = lines[:120] + [f"... ({len(lines) - 120} more lines)"]
+        out += [f"## {key}", "", note, "", "```", "\n".join(lines), "```", ""]
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"PLANS.md written ({len(PICKS)} plans)")
