@@ -180,6 +180,49 @@ def main() -> None:
         bad,
     )
 
+    # --- PageRank: partitioned-join iteration path -------------------
+    # planted ground truth: a 4-regular ring (edges to i±1, i±2 mod n)
+    # is degree-uniform, so the INTEGER-mass update has an exact fixed
+    # point — share = 1e9 DIV 4 (exact), received = 4·share = 1e9,
+    # new rank = 150e6 + (85·1e9) DIV 100 = 1e9.  Every rank must come
+    # back EXACTLY 1_000_000_000 after every iteration, on the
+    # partitioned-shuffle path (no node-state broadcast) the registry
+    # key reserves for graphs past its 5M-node broadcast threshold.
+    n_pr = n // 4  # nodes → n edges total
+    offs = F.array(F.lit(-2), F.lit(-1), F.lit(1), F.lit(2))
+    pr_edges = (
+        spark.range(n_pr)
+        .select(F.col("id").alias("src"), F.explode(offs).alias("o"))
+        .select(
+            "src",
+            ((F.col("src") + F.col("o") + n_pr) % n_pr).alias("dst"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    deg = pr_edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).persist()
+    t0 = time.time()
+    ranks = deg.select("node", F.lit(1_000_000_000).alias("rank"), "outdeg")
+    for _ in range(3):
+        shares = ranks.select("node", F.expr("rank DIV outdeg").alias("share"))
+        contrib = (
+            pr_edges.join(shares, pr_edges.src == shares.node)
+            .groupBy(pr_edges.dst.alias("node"))
+            .agg(
+                (F.lit(150_000_000) + F.expr("(85 * SUM(share)) DIV 100")).alias(
+                    "rank"
+                )
+            )
+        )
+        ranks = contrib.join(deg, "node").select("node", "rank", "outdeg")
+    n_pr_rows, mn, mx = ranks.agg(
+        F.count(F.lit(1)), F.min("rank"), F.max("rank")
+    ).collect()[0]
+    pagerank_s = time.time() - t0
+    assert n_pr_rows == n_pr and mn == mx == 1_000_000_000, (n_pr_rows, mn, mx)
+
     print(
         json.dumps(
             {
@@ -190,6 +233,7 @@ def main() -> None:
                 "ngram_maxdf_s": round(ngram_s, 2),
                 "pack_s": round(pack_s, 2),
                 "cc_s": round(cc_s, 2),
+                "pagerank_s": round(pagerank_s, 2),
             }
         )
     )
