@@ -3424,6 +3424,52 @@ def q_anomaly_zscore(spark, sf_dir):
 
 
 @register(
+    "q_histogram",
+    oracle="""
+WITH b AS (
+  SELECT CASE
+           WHEN o_totalprice < 0 THEN 0
+           WHEN o_totalprice >= 600000 THEN 61
+           ELSE CAST(FLOOR(o_totalprice / 10000) AS BIGINT) + 1
+         END AS bucket
+  FROM orders
+)
+SELECT bucket,
+       CAST(bucket * 10000 - 10000 AS DOUBLE) AS lo,
+       CAST(bucket * 10000 AS DOUBLE) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b
+GROUP BY bucket
+""",
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram over order totals (60 × 10k buckets plus
+    under/overflow) — the profiling companion to q_profile_columns.
+    ``width_bucket`` is pure codegen arithmetic, so the histogram is
+    one scan + one node-bounded aggregation (the shuffle carries at
+    most 62 partial rows per task regardless of input size).  Bucket
+    edges are exact in double (multiples of 10⁴), so bucket assignment
+    and the bucket-edge columns hash-match the floor-division oracle
+    bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(60))
+        .cast("long")
+        .alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 10000.0 - 10000.0).alias("lo"),
+            (F.col("bucket") * 10000.0).alias("hi"),
+            "n",
+        )
+    )
+
+
+@register(
     "q_agg_collect",
     oracle="""
 SELECT l_returnflag,
@@ -3697,6 +3743,7 @@ def q_pagerank(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_histogram",
     "q_agg_collect",
     "q_profile_columns",
     "q_join_skew_salted",
