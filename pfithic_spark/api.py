@@ -107,3 +107,59 @@ def run_pipeline_files(
             compression="gzip",
         )
     return sig
+
+
+def run_curation_files(
+    spark: SparkSession,
+    docs_path: str,
+    out_dir: str,
+    min_quality: float = 0.6,
+    jaccard_threshold: float = 0.2,
+    target_tokens: int = 2048,
+    max_df: int | None = None,
+) -> dict:
+    """End-to-end training-corpus curation (the EXT counterpart of
+    :func:`run_pipeline_files`): documents parquet in → keep-list,
+    curated corpus (source-partitioned), and packed training sequences
+    out, plus a stats summary dict.
+
+    Dataflow: llmops.curation_keep_list (quality ∩ exact-dedup ∩
+    near-dup-cluster representatives; ids-only semi-joins) → one
+    semi-join to materialize kept text → llmops.pack_sequences
+    (per-(source, shard) greedy packing, no global window).  The corpus
+    text crosses the wire exactly twice: the curated write and the
+    packing shuffle.
+    """
+    import os
+
+    from . import llmops
+
+    docs = spark.read.parquet(docs_path)
+    keep = llmops.curation_keep_list(
+        docs,
+        min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold,
+        max_df=max_df,
+    ).persist()
+    kept_docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi").persist()
+
+    os.makedirs(out_dir, exist_ok=True)
+    pio.write_parquet(keep, f"{out_dir}/keep_list.parquet")
+    pio.write_parquet(
+        kept_docs, f"{out_dir}/curated.parquet", partition_by=["source"]
+    )
+    seqs = llmops.pack_sequences(kept_docs, target_tokens=target_tokens)
+    pio.write_parquet(seqs, f"{out_dir}/sequences.parquet")
+
+    n_in = docs.count()
+    n_kept = kept_docs.count()
+    n_seqs = seqs.count()  # already one row per packed sequence
+    keep.unpersist()
+    kept_docs.unpersist()
+    return {
+        "n_input_docs": n_in,
+        "n_kept_docs": n_kept,
+        "keep_rate": round(n_kept / n_in, 4) if n_in else 0.0,
+        "n_sequences": n_seqs,
+        "out_dir": out_dir,
+    }

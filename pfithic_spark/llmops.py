@@ -1039,3 +1039,57 @@ def connected_components(
         )
     )
     return clustered.unionByName(singles)
+
+
+def curation_keep_list(
+    docs: DataFrame,
+    min_quality: float = 0.6,
+    jaccard_threshold: float = 0.2,
+    block_col: str | None = "source",
+    max_df: int | None = None,
+) -> DataFrame:
+    """End-to-end corpus curation keep-list: quality gate ∩ exact-dedup
+    representatives ∩ near-dup cluster representatives.
+
+    The composition a training-data pipeline actually ships.  Every
+    stage reuses an oracled primitive (the q_quality_score arithmetic,
+    :func:`dedup_exact`, :func:`ngram_jaccard_pairs` →
+    :func:`connected_components`); the keep-list is their semi-join, so
+    the corpus text never shuffles — only ids and 16-byte hashes.
+    Returns (doc_id, source, lang, quality) for kept documents; the
+    q_curation_pipeline registry key is this function verbatim and
+    carries its full recursive-CTE oracle.
+    """
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.4
+        + F.least(F.lit(1.0), F.col("stop_hits") * 5.0 / F.col("n_tokens")) * 0.3
+        + F.least(
+            F.lit(1.0), (F.col("n_chars").cast("double") / F.col("n_tokens")) / 5.0
+        )
+        * 0.3
+    )
+    scored = t.select(
+        "doc_id", "source", "lang", F.round(quality, 9).alias("quality")
+    ).filter(F.col("quality") >= min_quality)
+    exact_keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    edges = ngram_jaccard_pairs(docs, block_col=block_col, max_df=max_df).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    near_keep = (
+        connected_components(edges, docs, id_col="doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    return scored.join(exact_keep, "doc_id", "left_semi").join(
+        near_keep, "doc_id", "left_semi"
+    )

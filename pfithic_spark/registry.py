@@ -3144,42 +3144,12 @@ def q_curation_pipeline(spark, sf_dir):
     0.2-Jaccard pair graph).  Every stage reuses the oracled primitive
     (q_quality_score arithmetic, llmops.dedup_exact,
     llmops.connected_components); the keep-list is their semi-join —
-    corpus text never shuffles, only ids and 16-byte hashes."""
+    corpus text never shuffles, only ids and 16-byte hashes.  The
+    dataflow lives in llmops.curation_keep_list (shared with the
+    api.run_curation_files surface)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
-        .cast("long")
-        .alias("stop_hits"),
-    )
-    quality = (
-        F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.4
-        + F.least(F.lit(1.0), F.col("stop_hits") * 5.0 / F.col("n_tokens")) * 0.3
-        + F.least(
-            F.lit(1.0), (F.col("n_chars").cast("double") / F.col("n_tokens")) / 5.0
-        )
-        * 0.3
-    )
-    scored = t.select(
-        "doc_id", "source", "lang", F.round(quality, 9).alias("quality")
-    ).filter(F.col("quality") >= 0.6)
-    exact_keep = llmops.dedup_exact(d).select(
-        F.col("keep_doc_id").alias("doc_id")
-    )
-    edges = llmops.ngram_jaccard_pairs(d, block_col="source", max_df=None).filter(
-        F.col("jaccard") >= 0.2
-    )
-    near_keep = (
-        llmops.connected_components(edges, d, id_col="doc_id")
-        .filter(F.col("doc_id") == F.col("cluster_id"))
-        .select("doc_id")
-    )
-    return scored.join(exact_keep, "doc_id", "left_semi").join(
-        near_keep, "doc_id", "left_semi"
+    return llmops.curation_keep_list(
+        d, min_quality=0.6, jaccard_threshold=0.2, block_col="source"
     )
 
 

@@ -414,3 +414,66 @@ def test_overlap_join_report_once_multi_bucket(spark):
     # (1,10): 6+ shared buckets -> once; (2,11): endpoint touch 210;
     # (1,13): endpoint touch 100; (3,12): adjacent but disjoint (501<502)
     assert pairs == [(1, 10), (1, 13), (2, 11)]
+
+
+def test_curate_cli_end_to_end(tmp_path):
+    """`python -m pfithic_spark.curate` (the EXT curation CLI) runs the
+    whole keep-list → curated corpus → packed sequences pipeline in a
+    fresh process and its stats line must agree with the oracled
+    q_curation_pipeline keep-list count."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    out = tmp_path / "curated_out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pfithic_spark.curate",
+            "-i", f"{sf}/documents.parquet", "-o", str(out),
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert (out / "keep_list.parquet").exists()
+    assert (out / "curated.parquet").exists()
+    assert (out / "sequences.parquet").exists()
+
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT COUNT(*) FROM '{sf}/documents.parquet'"
+    ).fetchone()[0]
+    n_keep = con.execute(
+        f"SELECT COUNT(*) FROM '{out}/keep_list.parquet/*.parquet'"
+    ).fetchone()[0]
+    n_curated = con.execute(
+        f"SELECT COUNT(*) FROM read_parquet("
+        f"'{out}/curated.parquet/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()[0]
+    # token mass conservation: packed sequences carry every kept doc
+    tok_docs, tok_seqs = con.execute(
+        f"""SELECT
+          (SELECT SUM(LEN(STRING_SPLIT(text, ' '))) FROM read_parquet(
+             '{out}/curated.parquet/*/*.parquet', hive_partitioning=1)),
+          (SELECT SUM(total_tokens) FROM '{out}/sequences.parquet/*.parquet')
+        """
+    ).fetchone()
+    assert stats["n_input_docs"] == n_docs
+    assert stats["n_kept_docs"] == n_keep == n_curated > 0
+    assert tok_docs == tok_seqs
+    # agrees with the registry key (same dataflow, oracled separately)
+    import __spark_entry__ as e
+    from pfithic_spark.session import get_spark
+
+    spark = get_spark(app="curate-check", cpus=4)
+    assert e.queries()["q_curation_pipeline"](spark, sf).count() == n_keep
