@@ -1,0 +1,98 @@
+"""Property-based tests for the custom join operators: random inputs
+vs an O(n²) brute-force python reference.  The DuckDB oracles pin one
+fixture distribution; these pin the SEMANTICS (ties, tolerance edges,
+nested/adjacent/point intervals) over adversarial generated data.
+
+Few hypothesis examples, each a real Spark job — examples are sized to
+hit the interesting structure (duplicate keys, equal timestamps,
+interval containment) with high probability rather than to be many.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as hs
+
+from pfithic_spark import relational as rel
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@given(
+    data=hs.lists(
+        hs.tuples(hs.integers(0, 40), hs.integers(0, 25)),  # (lo, length)
+        min_size=1,
+        max_size=25,
+    ),
+    band=hs.sampled_from([1, 3, 7, 16]),
+)
+@settings(**_SETTINGS)
+def test_overlap_join_matches_bruteforce(spark, data, band):
+    """Every overlapping (left, right) pair exactly once — including
+    point intervals, adjacency (hi1 == lo2, closed semantics), and full
+    containment — for any band width."""
+    left = [(i, lo, lo + ln) for i, (lo, ln) in enumerate(data)]
+    right = [(100 + i, lo + 5, lo + 5 + ln) for i, (lo, ln) in enumerate(data)]
+    ldf = spark.createDataFrame(left, "lid long, lo1 long, hi1 long")
+    rdf = spark.createDataFrame(right, "rid long, lo2 long, hi2 long")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in rel.overlap_join(ldf, rdf, band=band).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lo1, hi1 in left
+        for rid, lo2, hi2 in right
+        if max(lo1, lo2) <= min(hi1, hi2)
+    )
+    assert got == want
+
+
+@given(
+    lefts=hs.lists(
+        hs.tuples(hs.integers(0, 3), hs.integers(0, 50)),  # (key, ts)
+        min_size=1,
+        max_size=20,
+    ),
+    rights=hs.lists(
+        hs.tuples(hs.integers(0, 3), hs.integers(0, 50), hs.integers(0, 9)),
+        min_size=1,
+        max_size=20,
+    ),
+    tol=hs.sampled_from([None, 0, 3, 10]),
+)
+@settings(**_SETTINGS)
+def test_asof_join_grouped_matches_bruteforce(spark, lefts, rights, tol):
+    """Backward as-of with optional staleness bound: per left row the
+    LATEST right row at-or-before its timestamp (ties on right ts break
+    to the larger value — the documented sort-order semantics), dropped
+    when staler than the tolerance; inner-join rows without a match."""
+    lrows = [(k, ts, i) for i, (k, ts) in enumerate(lefts)]
+    rrows = list(rights)
+    ldf = spark.createDataFrame(lrows, "k long, lts long, lid long")
+    rdf = spark.createDataFrame(rrows, "k long, rts long, rv long")
+    out = rel.asof_join_grouped(
+        ldf,
+        rdf,
+        key="k",
+        left_us="lts",
+        right_us="rts",
+        right_value_cols=["rv"],
+        out_schema="lts long, lid long, rv long",
+        tolerance_us=tol,
+    )
+    got = sorted((r["lid"], r["rv"]) for r in out.collect())
+    want = []
+    for k, lts, lid in lrows:
+        cand = [
+            (rts, rv)
+            for rk, rts, rv in rrows
+            if rk == k and rts <= lts and (tol is None or lts - rts <= tol)
+        ]
+        if cand:
+            want.append((lid, max(cand)[1]))
+    assert got == sorted(want)
