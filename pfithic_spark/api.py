@@ -10,6 +10,7 @@ functions themselves (hic.py / windows.py / stats.py).  Entry 3
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -163,3 +164,31 @@ def run_curation_files(
         "n_sequences": n_seqs,
         "out_dir": out_dir,
     }
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register the engine's python-side numeric kernel as a
+    SQL-callable function, so ``spark.sql`` users get the same scoring
+    surface the DataFrame pipeline uses: ``binom_sf(k, n, p)`` =
+    P(X >= k), X ~ Binomial(n, p) — the Fit-Hi-C p-value kernel,
+    Arrow-vectorized (one python round trip per batch, never per row).
+
+    The engine's other "functions" (knuth_hash, quality arithmetic,
+    shingle pipelines) are pure Column expressions and stay JVM-side;
+    SQL users reach them through the registered views/queries rather
+    than a python UDF that would demote codegen arithmetic to the slow
+    path.  Idempotent per session (re-registering overwrites).
+    """
+    from . import stats as st
+
+    @F.pandas_udf("double")
+    def _binom_sf(k: pd.Series, n: pd.Series, p: pd.Series) -> pd.Series:
+        return pd.Series(
+            st.binom_sf_ge(
+                k.to_numpy(dtype="float64"),
+                n.to_numpy(dtype="float64"),
+                p.to_numpy(dtype="float64"),
+            )
+        )
+
+    spark.udf.register("binom_sf", _binom_sf)

@@ -215,3 +215,17 @@ def test_det_dot_exact_and_order_free():
     ones = np.ones(3)
     assert st.det_dot(probe, ones) == 1.0
     assert st.det_sum(probe) == 1.0
+
+
+def test_binom_sf_sql_registration(spark):
+    """api.register_sql_functions exposes the p-value kernel to
+    spark.sql; the SQL result must equal the direct kernel call."""
+    from pfithic_spark.api import register_sql_functions
+
+    register_sql_functions(spark)
+    got = spark.sql(
+        "SELECT binom_sf(CAST(3 AS DOUBLE), CAST(100 AS DOUBLE), "
+        "CAST(0.01 AS DOUBLE)) AS p"
+    ).collect()[0]["p"]
+    want = float(st.binom_sf_ge(np.array([3.0]), 100.0, 0.01)[0])
+    assert got == want
