@@ -183,12 +183,17 @@ def register_sql_functions(spark: SparkSession) -> None:
 
     @F.pandas_udf("double")
     def _binom_sf(k: pd.Series, n: pd.Series, p: pd.Series) -> pd.Series:
-        return pd.Series(
-            st.binom_sf_ge(
-                k.to_numpy(dtype="float64"),
-                n.to_numpy(dtype="float64"),
-                p.to_numpy(dtype="float64"),
-            )
+        # propagate NULL as NULL, the SQL convention — a bare
+        # to_numpy(float64) would turn nulls into NaN and leak them out
+        # as real (non-null) NaN values past IS NULL filters
+        null = k.isna() | n.isna() | p.isna()
+        out = st.binom_sf_ge(
+            k.fillna(0.0).to_numpy(dtype="float64"),
+            n.fillna(0.0).to_numpy(dtype="float64"),
+            p.fillna(0.0).to_numpy(dtype="float64"),
         )
+        res = pd.array(out, dtype="Float64")
+        res[null.to_numpy()] = pd.NA
+        return pd.Series(res)
 
     spark.udf.register("binom_sf", _binom_sf)

@@ -1041,6 +1041,25 @@ def connected_components(
     return clustered.unionByName(singles)
 
 
+def quality_score_expr(
+    n_tokens: Column = None, n_chars: Column = None, stop_hits: Column = None
+) -> Column:
+    """The engine's document quality score as a reusable Column
+    expression: 0.4·min(1, tokens/50) + 0.3·min(1, 5·stop_hits/tokens)
+    + 0.3·min(1, avg_token_len/5), rounded to 9 dp.  Single source of
+    truth for q_quality_score AND curation_keep_list — the curation
+    gate must never drift from the oracled score."""
+    n_tokens = F.col("n_tokens") if n_tokens is None else n_tokens
+    n_chars = F.col("n_chars") if n_chars is None else n_chars
+    stop_hits = F.col("stop_hits") if stop_hits is None else stop_hits
+    q = (
+        F.least(F.lit(1.0), n_tokens / 50.0) * 0.4
+        + F.least(F.lit(1.0), stop_hits * 5.0 / n_tokens) * 0.3
+        + F.least(F.lit(1.0), (n_chars.cast("double") / n_tokens) / 5.0) * 0.3
+    )
+    return F.round(q, 9)
+
+
 def curation_keep_list(
     docs: DataFrame,
     min_quality: float = 0.6,
@@ -1070,16 +1089,8 @@ def curation_keep_list(
         .cast("long")
         .alias("stop_hits"),
     )
-    quality = (
-        F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.4
-        + F.least(F.lit(1.0), F.col("stop_hits") * 5.0 / F.col("n_tokens")) * 0.3
-        + F.least(
-            F.lit(1.0), (F.col("n_chars").cast("double") / F.col("n_tokens")) / 5.0
-        )
-        * 0.3
-    )
     scored = t.select(
-        "doc_id", "source", "lang", F.round(quality, 9).alias("quality")
+        "doc_id", "source", "lang", quality_score_expr().alias("quality")
     ).filter(F.col("quality") >= min_quality)
     exact_keep = dedup_exact(docs).select(F.col("keep_doc_id").alias("doc_id"))
     edges = ngram_jaccard_pairs(docs, block_col=block_col, max_df=max_df).filter(

@@ -1837,14 +1837,12 @@ def q_quality_score(spark, sf_dir):
         .cast("long")
         .alias("stop_hits"),
     )
-    quality = (
-        F.least(F.lit(1.0), F.col("n_tokens") / 50.0) * 0.4
-        + F.least(F.lit(1.0), F.col("stop_hits") * 5.0 / F.col("n_tokens")) * 0.3
-        + F.least(F.lit(1.0), (F.col("n_chars").cast("double") / F.col("n_tokens")) / 5.0)
-        * 0.3
-    )
     return t.select(
-        "doc_id", "n_tokens", "n_chars", "stop_hits", F.round(quality, 9).alias("quality")
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "stop_hits",
+        llmops.quality_score_expr().alias("quality"),
     )
 
 
@@ -3588,7 +3586,10 @@ def q_join_skew_salted(spark, sf_dir):
     fact = ev.select(
         "user_id",
         F.col("value").cast("decimal(18,4)").alias("value_dec"),
-        (F.col("event_id") % n_salt).cast("int").alias("salt"),
+        # pmod, not %: Spark % preserves sign, so a negative id would
+        # get a salt outside 0..7 and silently drop from the join,
+        # breaking the pure-physical-rewrite invariant the oracle pins
+        F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int").alias("salt"),
     )
     dim = cust.select(
         "c_custkey",
@@ -3679,8 +3680,14 @@ def q_pagerank(spark, sf_dir):
     small = n_nodes <= 5_000_000
     if not small:
         # co-locate the cached edges with the per-iteration src joins;
-        # pointless (an extra full shuffle) when shares broadcast
-        edges = edges.repartition("src").persist()
+        # pointless (an extra full shuffle) when shares broadcast.
+        # Materialize the co-located cache from the original one, then
+        # DROP the original — otherwise the large-graph path holds two
+        # full edge-list copies in executor memory for the session
+        co = edges.repartition("src").persist()
+        co.count()
+        edges.unpersist()
+        edges = co
     ranks = deg.select("node", F.lit(1_000_000_000).alias("rank"), "outdeg")
     for _ in range(5):
         shares = ranks.select(

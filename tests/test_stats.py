@@ -229,3 +229,14 @@ def test_binom_sf_sql_registration(spark):
     ).collect()[0]["p"]
     want = float(st.binom_sf_ge(np.array([3.0]), 100.0, 0.01)[0])
     assert got == want
+
+
+def test_binom_sf_sql_null_propagation(spark):
+    from pfithic_spark.api import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT binom_sf(CAST(NULL AS DOUBLE), 10.0, 0.5) AS a, "
+        "binom_sf(3.0, 10.0, CAST(NULL AS DOUBLE)) AS b"
+    ).collect()[0]
+    assert row["a"] is None and row["b"] is None
