@@ -734,6 +734,10 @@ def ivf_train_centroids(
         .limit(int(sample_size))
         .collect()
     )
+    if not sample:
+        # empty corpus: no centroids — callers short-circuit to an
+        # empty result rather than training on nothing
+        return np.zeros((0, 0))
     X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)

@@ -1316,7 +1316,8 @@ def q_contact_prior_inter(spark, sf_dir):
     i = fx.fixture_inter_contacts(spark, sf_dir)
     b = fx.fixture_biases(spark, sf_dir)
     total = i.agg(F.sum("contact_count")).collect()[0][0]
-    p0 = float(total) / float(_POSSIBLE_INTER)
+    # SUM over zero rows is SQL NULL → empty slice scores with p0 = 0
+    p0 = float(total or 0) / float(_POSSIBLE_INTER)
     j = rel.attach_biases(i, b)
     return j.select(
         "chr1",
@@ -1345,7 +1346,7 @@ def q_binom_sf(spark, sf_dir):
     n_total = c.agg(F.sum("contact_count")).collect()[0][0]
     prior = hic.contact_prior(None, _null_prob_col() * 0.001)
     scored = c.withColumn("p_prior", prior)
-    sf_udf = hic._binom_sf_udf(int(n_total))
+    sf_udf = hic._binom_sf_udf(int(n_total or 0))  # empty slice → N=0
     return scored.select(
         "chr1",
         "mid1",
@@ -2775,6 +2776,10 @@ def q_sim_ivf(spark, sf_dir):
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = llmops.ivf_train_centroids(e, k=16, max_iter=10)
+    if len(cents) == 0:  # empty corpus → empty result, probe schema
+        return spark.createDataFrame(
+            [], "q_id long, e_id long, cosine double, rn long"
+        )
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pfithic_ivf_index_{tag}")
     llmops.ivf_write_index(e, cents, path)
