@@ -3397,6 +3397,92 @@ def q_anomaly_zscore(spark, sf_dir):
 
 
 @register(
+    "q_resample_fill",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, EPOCH_US(ts) // 21600000000 AS bucket,
+         CAST(value AS DECIMAL(18,4)) AS v
+  FROM events
+),
+agg AS (
+  SELECT event_type, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(v) AS DOUBLE) AS sum_value
+  FROM ev GROUP BY event_type, bucket
+),
+bounds AS (
+  SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+  FROM ev GROUP BY event_type
+),
+grid AS (
+  SELECT b.event_type, g.bucket
+  FROM bounds b, LATERAL (SELECT UNNEST(generate_series(b.lo, b.hi)) AS bucket) g
+),
+joined AS (
+  SELECT g.event_type, g.bucket,
+         COALESCE(a.n_events, 0) AS n_events,
+         a.sum_value
+  FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+)
+SELECT event_type, bucket, n_events,
+       LAST_VALUE(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_sum
+FROM joined
+""",
+)
+def q_resample_fill(spark, sf_dir):
+    """Time-series resample with gap fill — the hypertable staple: 6 h
+    buckets per event type, EVERY bucket between a type's first and
+    last event materialized (empty ones as zero-count rows), and the
+    per-bucket sum forward-filled across gaps with
+    last_value(ignorenulls).  The bucket grid comes from a per-type
+    sequence explode off the bounds aggregate (dim-sized — never a
+    driver loop or a calendar table scan), so grid size is
+    (span/bucket)·n_types regardless of event volume; the gap-fill
+    window partitions by type (no global sort).  Sums aggregate as
+    DECIMAL so the forward-filled doubles are engine-bit-exact."""
+    from pyspark.sql import Window as W
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "event_type",
+        F.floor(epoch_us(ev_raw) / F.lit(21_600_000_000)).alias("bucket"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    agg_b = ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket"),
+        )
+    )
+    joined = grid.join(agg_b, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        "sum_value",
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_sum"),
+    )
+
+
+@register(
     "q_histogram",
     oracle="""
 WITH b AS (
@@ -3725,6 +3811,7 @@ def q_pagerank(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_resample_fill",
     "q_histogram",
     "q_agg_collect",
     "q_profile_columns",
