@@ -3397,6 +3397,55 @@ def q_anomaly_zscore(spark, sf_dir):
 
 
 @register(
+    "q_agg_mode",
+    oracle="""
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY l_returnflag, qty
+),
+r AS (
+  SELECT l_returnflag, qty, n,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_returnflag ORDER BY n DESC, qty
+         ) AS rn
+  FROM c
+)
+SELECT l_returnflag, qty AS mode_qty, n AS mode_n FROM r WHERE rn = 1
+""",
+)
+def q_agg_mode(spark, sf_dir):
+    """Per-group MODE (most frequent value) with a deterministic
+    tie-break (smallest value wins) — the two-level shape that scales:
+    count per (group, value) first (map-side partials collapse the
+    fact table to the value domain), then a row_number over the
+    domain-sized counts.  Never a collect_list of raw rows; Spark's
+    own ``mode()`` aggregate is tie-unstable across partitions, so the
+    explicit rank keeps the result engine-reproducible and
+    oracle-matched."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = (
+        li.select(
+            "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+        )
+        .groupBy("l_returnflag", "qty")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), F.col("qty"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").alias("mode_n"),
+        )
+    )
+
+
+@register(
     "q_resample_fill",
     oracle="""
 WITH ev AS (
@@ -3811,6 +3860,7 @@ def q_pagerank(spark, sf_dir):
 #: are prepended as they land.
 _VERIFY_FIRST = [
     # new / code-modified this round
+    "q_agg_mode",
     "q_resample_fill",
     "q_histogram",
     "q_agg_collect",
