@@ -3,12 +3,17 @@
 Media travel as opaque ``binary`` columns with typed metadata structs;
 decode / feature-extraction / resize / frame-sampling run as Arrow
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
-batch.  The image/audio codec libraries are NOT in this container, so
-the decode step is STUBBED: :func:`decode_image_batch` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (pure arithmetic on the byte stream) stands
-in.  Everything around the stub — schema, batching, partitioning, UDF
-signatures — is real and tested.
+batch.
+
+Decode status (round 3): PNG (8-bit, all five scanline filters), 24/32
+bpp uncompressed BMP, and binary PPM decode for REAL via
+:func:`decode_image_real` — public specs, stdlib zlib + numpy, no
+Pillow.  Formats that need external codec libraries (JPEG's DCT,
+video containers) raise ``NotImplementedError`` — the remaining ADR
+gap, since this container has no Pillow/ffmpeg and installs are
+off-limits.  The oracled fixture keys use the deterministic fake
+decoder (``fake=True``) because fixture payloads are text bytes, not
+images.
 """
 
 from __future__ import annotations
@@ -37,14 +42,22 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads → (width, height, frames).
 
-    Real decoding requires Pillow/ffmpeg, absent in this container
-    (ADR re-confirmed 2026-08-14: PIL/cv2/soundfile all unimportable, so
-    the decode stays stubbed; all Spark-side plumbing — schema,
-    partitioning, Arrow batch shape — is real and oracle-tested)."""
+    ``fake=False`` runs the REAL pure-python decoders below (PNG via
+    stdlib zlib + spec defilter, uncompressed BMP, binary PPM — no
+    Pillow needed) and raises NotImplementedError only for formats that
+    genuinely require external codec libraries (JPEG's DCT, video
+    containers) — the remaining ADR gap, re-confirmed 2026-08-14
+    (PIL/cv2/soundfile unimportable, installs off-limits).
+    ``fake=True`` keeps the deterministic arithmetic stand-in the
+    oracled fixture keys replay (fixture payloads are text bytes, not
+    images)."""
     if not fake:
-        raise NotImplementedError(
-            "image/audio decode needs Pillow/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic stand-in"
+        rows = []
+        for p in payloads:
+            img = decode_image_real(bytes(p))
+            rows.append((img.shape[1], img.shape[0], 1))
+        return pd.DataFrame(
+            rows, columns=["fake_width", "fake_height", "fake_frames"]
         )
     rows = [_fake_decode(p) for p in payloads]
     return pd.DataFrame(rows, columns=["fake_width", "fake_height", "fake_frames"])
@@ -188,4 +201,204 @@ def extract_features(docs_with_payload: DataFrame) -> DataFrame:
 
     return docs_with_payload.select("doc_id", "payload").mapInPandas(
         extract, schema=FEATURES_SCHEMA
+    )
+
+
+# --- real decoders (pure python/numpy + stdlib zlib — no Pillow) --------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_defilter(raw: bytes, width: int, height: int, channels: int):
+    """Reverse PNG scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth) → H×W×C uint8 array.  Scalar loops — correctness-first; at
+    production volume the decode belongs in a vectorized/compiled
+    kernel, but the format logic is identical."""
+    import numpy as np
+
+    bpp = channels
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos : pos + stride])
+        pos += stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(out[y - 1][i - bpp]) if (y > 0 and i >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes):
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA) to an H×W×C uint8 numpy array — PNG spec (public) + stdlib
+    zlib only."""
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: F401  (used via _png_defilter)
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if interlace != 0:
+                raise NotImplementedError("interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise NotImplementedError(f"PNG color type {color}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    return _png_defilter(raw, width, height, channels)
+
+
+def decode_bmp(payload: bytes):
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER, public
+    spec) to H×W×C uint8 (BGR order preserved → converted to RGB)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    width, height = struct.unpack("<ii", payload[18:26])
+    (bpp,) = struct.unpack("<H", payload[28:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    nch = bpp // 8
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * nch + 3) & ~3
+    img = np.zeros((height, width, nch), dtype=np.uint8)
+    for y in range(height):
+        row = payload[data_off + y * row_bytes :][: width * nch]
+        arr = np.frombuffer(row, dtype=np.uint8).reshape(width, nch)
+        img[height - 1 - y if bottom_up else y] = arr
+    # BGR(A) → RGB(A)
+    img[..., :3] = img[..., 2::-1]
+    return img
+
+
+def decode_ppm(payload: bytes):
+    """Decode a binary PPM (P6, maxval ≤ 255) to H×W×3 uint8."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> data
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(payload[start:pos])
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = (int(f) for f in fields)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    data = payload[pos : pos + width * height * 3]
+    return (
+        __import__("numpy")
+        .frombuffer(data, dtype="uint8")
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def decode_image_real(payload: bytes):
+    """Dispatch on magic bytes to a real pure-python decoder.  Raises
+    NotImplementedError for formats that genuinely need external codec
+    libraries (JPEG's DCT, video containers) — that remaining gap is
+    the ADR; PNG/BMP/PPM are fully decoded here."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "unsupported image format (JPEG/video need Pillow/ffmpeg — ADR)"
+    )
+
+
+def extract_real_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode metadata extraction: width/height/
+    channels plus a mean-pixel feature per payload, for corpora whose
+    binary column holds PNG/BMP/PPM blobs.  Same Arrow plumbing as
+    extract_media_meta; per-batch python, never per-row JVM crossings."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_real(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(img.shape[2]),
+                        float(np.round(img.astype(np.float64).mean(), 6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "mean_pixel"],
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        extract,
+        schema="doc_id long, width long, height long, channels long, "
+        "mean_pixel double",
     )
