@@ -402,3 +402,41 @@ def extract_real_meta(docs_with_payload: DataFrame) -> DataFrame:
         schema="doc_id long, width long, height long, channels long, "
         "mean_pixel double",
     )
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM WAV (RIFF) payload — public spec, stdlib struct +
+    numpy only.  Returns (samples ndarray [n_frames, n_channels],
+    sample_rate).  8-bit unsigned / 16/32-bit signed PCM; compressed
+    codecs (format tag != 1) raise NotImplementedError (ADR gap)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, n_ch, rate, _byte_rate, _align, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(f"WAV format tag {tag} (PCM only — ADR)")
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dtype is None:
+        raise NotImplementedError(f"WAV bit depth {bits}")
+    samples = np.frombuffer(
+        data[: (len(data) // (n_ch * bits // 8)) * (n_ch * bits // 8)],
+        dtype=dtype,
+    ).reshape(-1, n_ch)
+    return samples, rate

@@ -139,3 +139,32 @@ def test_extract_real_meta_mapinpandas(spark):
         assert got[i]["mean_pixel"] == float(
             np.round(img.astype(np.float64).mean(), 6)
         )
+
+
+def _encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    n_frames, n_ch = samples.shape
+    assert samples.dtype == np.int16
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_pcm_roundtrip():
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-32768, 32767, (250, 2), dtype=np.int16)
+    got, rate = mm.decode_wav(_encode_wav(samples, rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_wav_compressed_is_adr_gap():
+    samples = np.zeros((4, 1), dtype=np.int16)
+    payload = bytearray(_encode_wav(samples))
+    payload[20] = 2  # format tag: ADPCM
+    with pytest.raises(NotImplementedError):
+        mm.decode_wav(bytes(payload))
