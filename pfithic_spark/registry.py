@@ -3861,6 +3861,7 @@ def q_pagerank(spark, sf_dir):
 _VERIFY_FIRST = [
     # new / code-modified this round
     "q_agg_mode",
+    "q_quality_score",
     "q_resample_fill",
     "q_histogram",
     "q_agg_collect",
