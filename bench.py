@@ -43,6 +43,13 @@ def main() -> None:
     import __spark_entry__ as e
 
     spark = get_spark(app="pfithic-bench", cpus=CPUS)
+    # ERROR-only logging for the bench process: the driver json-parses
+    # the last 2000 chars of captured output, and a single WARN emitted
+    # after the final JSON line (WindowExec small-threshold notices,
+    # executor GC chatter) would null the parse.  The WARNs silenced
+    # here are documented fast-path notices, not plan problems — the
+    # two-phase window forms are pinned in tests/test_plans.py.
+    spark.sparkContext.setLogLevel("ERROR")
     queries = e.queries()
 
     # warm the JVM / parquet footers once with the flagship query

@@ -369,7 +369,11 @@ def minhash_lsh_pairs(
         ).alias(f"_m{i}")
         for i, (a, b) in enumerate(zip(_MINHASH_A, _MINHASH_B))
     ]
-    sigs = (
+    # cached: the band join + the two signature re-joins below read the
+    # table three times.  Tracked (not bare .cache()) so the next pair-
+    # generator call — or release_signature_caches() — frees it instead
+    # of accruing executor memory across a many-corpus session.
+    sigs = _track_sig_cache(
         hashed.groupBy("doc_id")
         .agg(*mins)
         .select(
@@ -424,6 +428,33 @@ def minhash_lsh_pairs(
         .select("id1", "id2", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= est_threshold)
     )
+
+
+#: Signature tables cached by minhash_lsh_pairs / simhash_pairs, kept
+#: so the pair generators' self-joins read them twice without
+#: recompute.  Tracked here so long-lived sessions sweeping many
+#: corpora never accrue executor memory: each pair-generator call
+#: releases the previous call's cache, and callers can force release
+#: with release_signature_caches().
+_LIVE_SIG_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> None:
+    """Unpersist signature tables cached by the LSH pair generators.
+
+    Safe at any time — unpersist never invalidates a result, it only
+    forces recompute for readers that have not materialized yet."""
+    while _LIVE_SIG_CACHES:
+        try:
+            _LIVE_SIG_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _track_sig_cache(df: DataFrame) -> DataFrame:
+    release_signature_caches()
+    _LIVE_SIG_CACHES.append(df)
+    return df
 
 
 # --- SimHash -------------------------------------------------------------
@@ -489,10 +520,13 @@ def simhash_pairs(
         )
     width = 64 // bands
     mask = (1 << width) - 1
-    # cached because the self-join reads the signature table twice; the
-    # cache lives until session clearCache()/eviction — long-lived
-    # sessions sweeping many corpora should clear between sweeps
-    sigs = simhash_signatures(docs, text_col, id_col).cache()
+    # cached because the self-join reads the signature table twice;
+    # tracked so the next pair-generator call (or an explicit
+    # release_signature_caches()) frees it — no growth across a
+    # many-corpus session
+    sigs = _track_sig_cache(
+        simhash_signatures(docs, text_col, id_col).cache()
+    )
     chunk = F.explode(
         F.array(
             *[
@@ -670,16 +704,24 @@ def ivf_assign(
     carry_vec: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroid cells
-    (cosine).  Centroids broadcast; assignment is one BLAS matmul per
-    Arrow batch (mapInPandas) — the inverted-file partitioning step of
-    IVF ANN search.
+    (cosine).  Centroids broadcast; assignment is one vectorized numpy
+    pass per Arrow batch (mapInPandas) — the inverted-file partitioning
+    step of IVF ANN search.
+
+    DETERMINISM: the similarity kernel deliberately avoids BLAS
+    (``M @ C.T`` dispatches to a vendor gemm whose split/FMA strategy
+    varies across hosts and thread counts, so the last-ulp result — and
+    hence a near-tied argmax — can differ between machines).  Instead it
+    uses elementwise multiply + ``np.sum`` pairwise reduction, a fixed
+    single-threaded algorithm, so cell assignment is bit-reproducible
+    wherever the golden-oracle hash gate runs.
 
     ``carry_vec=True`` passes the vector column through the UDF so the
     caller needs no re-join against the corpus — one scan instead of a
     scan + corpus-wide id join (the index-build path)."""
     spark = embeddings.sparkSession
     C = np.asarray(centroids, dtype=np.float64)
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    C = C / np.maximum(np.sqrt((C * C).sum(axis=1, keepdims=True)), 1e-30)
     bc = spark.sparkContext.broadcast(C)
     n_probe = int(nprobe)
     keep = [id_col, vec_col] if carry_vec else [id_col]
@@ -687,8 +729,14 @@ def ivf_assign(
     def assign(batches):
         for pdf in batches:
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-            sims = M @ bc.value.T  # (n, K)
+            nrm = np.sqrt((M * M).sum(axis=1, keepdims=True))
+            M = M / np.maximum(nrm, 1e-30)
+            Cn = bc.value
+            # non-BLAS dot (see docstring): one n×dim temporary per
+            # centroid, K passes — K is small (≤ a few hundred cells)
+            sims = np.stack(
+                [(M * Cn[j]).sum(axis=1) for j in range(len(Cn))], axis=1
+            )  # (n, K)
             # top-nprobe cells per vector, deterministic tie-break by cell id
             order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             out = pdf[keep].loc[pdf.index.repeat(n_probe)].reset_index(drop=True)

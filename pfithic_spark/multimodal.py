@@ -50,15 +50,20 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     (PIL/cv2/soundfile unimportable, installs off-limits).
     ``fake=True`` keeps the deterministic arithmetic stand-in the
     oracled fixture keys replay (fixture payloads are text bytes, not
-    images)."""
+    images).
+
+    The real path returns honest ``width/height/frames`` column names
+    (a decoded still image is 1 frame); only the fake path keeps the
+    ``fake_*`` names, which exist so MEDIA_META_SCHEMA makes the
+    stand-in unmistakable in the oracled fixture keys.  Callers wanting
+    the richer real-decode surface (channels, mean pixel) should use
+    :func:`extract_real_meta`."""
     if not fake:
         rows = []
         for p in payloads:
             img = decode_image_real(bytes(p))
             rows.append((img.shape[1], img.shape[0], 1))
-        return pd.DataFrame(
-            rows, columns=["fake_width", "fake_height", "fake_frames"]
-        )
+        return pd.DataFrame(rows, columns=["width", "height", "frames"])
     rows = [_fake_decode(p) for p in payloads]
     return pd.DataFrame(rows, columns=["fake_width", "fake_height", "fake_frames"])
 
@@ -288,7 +293,20 @@ def decode_png(payload: bytes):
             idat += data
         elif ctype == b"IEND":
             break
+    # validate before defiltering: a payload truncated before IHDR or a
+    # short/corrupt IDAT must fail with a clear, catchable ValueError,
+    # not a TypeError/IndexError deep inside the defilter loop (one bad
+    # blob in a mapInPandas batch should be diagnosable, not task-fatal
+    # with an obscure trace)
+    if width is None or channels is None:
+        raise ValueError("malformed PNG: no IHDR chunk")
     raw = zlib.decompress(idat)
+    expect = height * (1 + width * channels)
+    if len(raw) != expect:
+        raise ValueError(
+            f"malformed PNG: inflated IDAT is {len(raw)} bytes, "
+            f"expected {expect} for {width}x{height}x{channels}"
+        )
     return _png_defilter(raw, width, height, channels)
 
 

@@ -2761,26 +2761,56 @@ def q_kr_balance(spark, sf_dir):
     return hic.kr_biases(c, fx.RES)
 
 
-@register("q_sim_ivf")  # rows-only: ANN result depends on probe params
+#: Committed IVF centroids (trained once at sf0.01 by
+#: tools/make_goldens.py, recall-certified, then frozen).  Loading the
+#: frozen model instead of re-training makes the registered probe fully
+#: deterministic — training is the only nondeterministic-across-layouts
+#: step — which is what lets q_sim_ivf carry a golden hash oracle.
+_IVF_CENTROIDS_PATH = os.path.join(_GOLDEN_DIR, "ivf_centroids.parquet")
+
+
+def _ivf_centroids(spark, sf_dir):
+    """Frozen golden centroids when committed; seeded training fallback
+    otherwise (the library path, llmops.ivf_train_centroids)."""
+    if os.path.exists(_IVF_CENTROIDS_PATH):
+        import pandas as pd
+
+        pdf = pd.read_parquet(_IVF_CENTROIDS_PATH).sort_values("cell")
+        return [list(map(float, v)) for v in pdf["centroid"]]
+    e = load_table(spark, sf_dir, "embeddings")
+    return llmops.ivf_train_centroids(e, k=16, max_iter=10)
+
+
+@register("q_sim_ivf", oracle=_golden_oracle("q_sim_ivf"))
 def q_sim_ivf(spark, sf_dir):
-    """Full IVF scale path for similarity search, end to end: train
-    spherical-k-means centroids (llmops.ivf_train_centroids, seeded →
-    reproducible), materialize the corpus as a cell-PARTITIONED parquet
-    index (ivf_write_index), then probe it partition-pruned
-    (ivf_topk_pruned) — only the probed cells' files are read, which is
-    what makes the op sublinear at 100 TB.  Recall ≥ 0.9 vs brute force
-    and the PartitionFilters plan gate live in tests/test_llmops.py and
-    tests/test_plans.py."""
+    """Full IVF scale path for similarity search, end to end: load the
+    frozen spherical-k-means centroids (trained once and committed —
+    the faiss deployment shape: train offline, ship the index model),
+    materialize the corpus as a cell-PARTITIONED parquet index
+    (ivf_write_index), then probe it partition-pruned (ivf_topk_pruned)
+    — only the probed cells' files are read, which is what makes the op
+    sublinear at 100 TB.  The recall floor vs brute force and the
+    PartitionFilters plan gate live in tests/test_llmops.py and
+    tests/test_plans.py; the golden oracle is independently certified
+    by a pure-python IVF probe replication in tools/make_goldens.py."""
     import hashlib
     import tempfile
 
     e = load_table(spark, sf_dir, "embeddings")
-    cents = llmops.ivf_train_centroids(e, k=16, max_iter=10)
-    if len(cents) == 0:  # empty corpus → empty result, probe schema
+    cents = _ivf_centroids(spark, sf_dir)
+    # empty corpus → empty result, probe schema (isEmpty probes one
+    # partition — cheap at any scale; without the guard the partitioned
+    # index write emits zero files and the probe-side read cannot infer
+    # a schema)
+    if len(cents) == 0 or e.isEmpty():
         return spark.createDataFrame(
             [], "q_id long, e_id long, cosine double, rn long"
         )
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag the on-disk index by (sf_dir, centroid bytes) so a model or
+    # fixture change can never serve a stale index from a prior session
+    tag = hashlib.sha1(
+        sf_dir.encode() + repr(cents).encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pfithic_ivf_index_{tag}")
     llmops.ivf_write_index(e, cents, path)
     return llmops.ivf_topk_pruned(
@@ -3727,9 +3757,12 @@ def q_join_skew_salted(spark, sf_dir):
         "user_id",
         F.col("value").cast("decimal(18,4)").alias("value_dec"),
         # pmod, not %: Spark % preserves sign, so a negative id would
-        # get a salt outside 0..7 and silently drop from the join,
-        # breaking the pure-physical-rewrite invariant the oracle pins
-        F.pmod(F.col("event_id"), F.lit(n_salt)).cast("int").alias("salt"),
+        # get a salt outside 0..7 and silently drop from the join;
+        # coalesce(0) keeps a NULL event_id in a valid bucket — either
+        # way breaks the pure-physical-rewrite invariant the oracle pins
+        F.coalesce(
+            F.pmod(F.col("event_id"), F.lit(n_salt)), F.lit(0)
+        ).cast("int").alias("salt"),
     )
     dim = cust.select(
         "c_custkey",
@@ -3774,6 +3807,23 @@ SELECT node, rank FROM i5
 """,
 )
 def q_pagerank(spark, sf_dir):
+    """Eager wrapper: materialize the ranks via localCheckpoint, then
+    UNPERSIST the loop invariants (edge list, degree dim) before
+    returning — a registry sweep evaluates up to 50 keys in one
+    session, and without the cleanup the full symmetrized edge list
+    stays cached in executor memory for the rest of the session.  The
+    retained checkpoint is node-sized (2 longs/node) — the right thing
+    to keep; the edge-list cache is not.  The lazy dataflow (what the
+    iteration-plan gate in tests/test_plans.py inspects) lives in
+    :func:`pagerank_lazy`."""
+    ranks, invariants = pagerank_lazy(spark, sf_dir)
+    out = ranks.localCheckpoint(eager=True)
+    for df in invariants:
+        df.unpersist()
+    return out
+
+
+def pagerank_lazy(spark, sf_dir):
     """PageRank (5 unrolled iterations, damping 0.85) over the
     customer↔supplier bipartite trade graph (distinct who-bought-from-
     whom edges via orders ⋈ lineitem, symmetrized; node ids namespaced
@@ -3846,85 +3896,82 @@ def q_pagerank(spark, sf_dir):
         )
         dd = F.broadcast(deg) if small else deg
         ranks = contrib.join(dd, "node").select("node", "rank", "outdeg")
-    return ranks.select("node", "rank")
+    return ranks.select("node", "rank"), [edges, deg]
 
 
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
-#: the least-recently-verified keys first.  Round 3: the 43 keys whose
-#: newest CORRECTNESS row is from round 1 (round 2's sweep covered the
-#: other 50), ordered with the keys whose *code changed in round 2*
-#: first (q_join_bias / q_contact_prior / q_possible_pairs /
-#: q_dedup_ngram_jaccard and the hic pipeline they feed) so their rows
-#: postdate their last code change.  Keys added or modified in round 3
-#: are prepended as they land.
+#: the least-recently-verified keys first.  Round 4: keys whose code
+#: changed this round first (q_sim_ivf gained its golden hash oracle —
+#: frozen centroids — and its ivf_assign kernel went BLAS-free;
+#: q_join_skew_salted gained the NULL-salt coalesce), then the 13 keys
+#: whose newest CORRECTNESS row still dates from round 1 (everything
+#: else was re-rowed in rounds 2–3), then the round-3 backlog in
+#: last-verified order.
 _VERIFY_FIRST = [
-    # new / code-modified this round
-    "q_agg_mode",
-    "q_quality_score",
-    "q_resample_fill",
-    "q_histogram",
-    "q_agg_collect",
-    "q_profile_columns",
-    "q_join_skew_salted",
-    "q_pagerank",
-    "q_anomaly_zscore",
-    "q_funnel_steps",
-    "q_retention_cohorts",
-    "q_dedup_clusters",
-    "q_shuffle_shards",
-    "q_curation_pipeline",
-    "q_join_interval_overlap",
+    # code changed in round 4
     "q_sim_ivf",
-    "q_hic_significance_all",
-    "q_binom_sf",
-    "q_spline_fit_eval",
-    "q_kr_balance",
-    "q_agg_approx_quantile",
-    "q_dedup_simhash",
-    "q_dedup_near",
-    "q_contact_prior_inter",
-    # modified in round 2, newest driver row is r1
-    "q_join_bias",
-    "q_contact_prior",
-    "q_possible_pairs",
-    "q_dedup_ngram_jaccard",
-    "q_hic_significance",
-    # remaining r1-only rows, registry order
-    "q_filter_mappability",
-    "q_join_broadcast",
-    "q_join_shuffle",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_join_asof",
-    "q_sort_limit",
-    "q_union",
-    "q_intersect",
-    "q_except",
-    "q_agg_bin",
-    "q_agg_distinct",
-    "q_agg_approx",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_pivot",
-    "q_window_running",
-    "q_equal_occupancy_binning",
-    "q_bh_fdr",
-    "q_window_ntile",
-    "q_join_outer",
-    "q_window_rank",
-    "q_window_frame",
-    "q_window_lead_lag",
-    "q_topk_per_group",
+    "q_join_skew_salted",
+    # newest driver row is still round 1
     "q_math_funcs",
     "q_string_funcs",
     "q_date_funcs",
     "q_array_funcs",
     "q_map_funcs",
     "q_json_funcs",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_lead_lag",
+    "q_window_ntile",
+    "q_topk_per_group",
+    "q_join_outer",
     "q_dedup_exact",
+    # round-2 rows not re-swept in round 3 (oldest next)
+    "q_scan_project",
+    "q_project_derive",
+    "q_filter_range",
+    "q_filter_in",
+    "q_canonicalize",
+    "q_join_asof_tol",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_marginal",
+    "q_agg_percentile",
+    "q_unpivot",
+    "q_window_range_frame",
+    "q_corr_exact",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_tfidf_terms",
+    "q_pii_redact",
+    "q_sample_stratified",
+    "q_contamination",
+    "q_pack_sequences",
+    "q_mix_sources",
+    "q_repetition_filter",
+    "q_ngram_coverage",
+    "q_text_clean",
+    "q_cap_per_group",
+    "q_struct_funcs",
+    "q_array_explode",
+    "q_possible_pairs_frag",
+    "q_dedup_ngram_global",
+    "q_dedup_embedding",
+    "q_sim_topk",
+    "q_quality_score",
+    "q_multimodal_meta",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_features",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_stateful",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_stream_topk",
 ]
 
 

@@ -477,3 +477,33 @@ def test_curate_cli_end_to_end(tmp_path):
 
     spark = get_spark(app="curate-check", cpus=4)
     assert e.queries()["q_curation_pipeline"](spark, sf).count() == n_keep
+
+
+def test_unpersist_discipline(spark, sf_dir):
+    """A session sweeping many corpora must not accrue executor memory:
+    each LSH pair-generator call releases the previous signature cache,
+    release_signature_caches() drops the last one, and q_pagerank frees
+    its edge-list/degree caches after materializing (keeping only the
+    node-sized checkpoint)."""
+    jsc = spark.sparkContext._jsc
+
+    def n_persistent():
+        return jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_persistent()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    llmops.minhash_lsh_pairs(d).collect()
+    llmops.simhash_pairs(d, max_hamming=3).collect()
+    llmops.minhash_lsh_pairs(d).collect()
+    # at most the LATEST signature cache survives the sweep
+    assert n_persistent() <= base + 1
+    llmops.release_signature_caches()
+    assert n_persistent() == base
+    import __spark_entry__ as e
+
+    pr = e.queries()["q_pagerank"](spark, sf_dir)
+    assert len(pr.collect()) > 0
+    # edge-list + degree caches released; only the node-sized rank
+    # checkpoint (2 longs per node) may remain
+    assert n_persistent() <= base + 1

@@ -330,8 +330,14 @@ def test_pagerank_iterations_read_cached_edges(spark, sf_dir, queries):
     at most the two derivation scans appear, against ≥5 cache reads."""
     import re
 
-    df = queries["q_pagerank"](spark, sf_dir)
+    # the lazy dataflow: the registered q_pagerank eagerly checkpoints
+    # and unpersists (so its returned plan is just a checkpoint scan)
+    from pfithic_spark.registry import pagerank_lazy
+
+    df, invariants = pagerank_lazy(spark, sf_dir)
     plan = _plan(df)
+    for inv in invariants:
+        inv.unpersist()
     # ≥5 cache-read nodes: one per iteration join (plus deg reads).
     # Parquet scans can't be bounded textually — the InMemoryRelation
     # detail blocks reprint the cached subtree's scans — so the
