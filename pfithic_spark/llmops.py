@@ -991,9 +991,17 @@ def connected_components(
     # the 100 TB path, pinned at 8M rows in tools/bench_scalable.py;
     # pass small_threshold=None to force it.
     if small_threshold is not None:
-        e_small = e.limit(small_threshold + 1).collect()
-        if len(e_small) <= small_threshold:
+        # Arrow probe, not .collect(): limit(n+1).toPandas() transfers
+        # two int64 columns (~16 B/row) instead of materializing up to
+        # n heavyweight Row objects on the driver (~10× lighter at the
+        # 2M threshold).  When the graph exceeds the threshold the
+        # probe is abandoned and the distributed loop below takes over
+        # — one bounded extra pass, the documented price of the probe.
+        probe = e.limit(small_threshold + 1).toPandas()
+        if len(probe) <= small_threshold:
             spark = edges.sparkSession
+            pa_ = probe["a"].tolist()
+            pb_ = probe["b"].tolist()
             parent: dict = {}
 
             def find(x):
@@ -1004,16 +1012,15 @@ def connected_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            for r in e_small:
-                ra, rb = find(r["a"]), find(r["b"])
+            for a_, b_ in zip(pa_, pb_):
+                ra, rb = find(a_), find(b_)
                 if ra != rb:
                     # min-root merge → label = min id of the component
                     parent[max(ra, rb)] = min(ra, rb)
+            touched = set(pa_)
+            touched.update(pb_)
             labels = [(v, find(v)) for v in parent] + [
-                (v, v)
-                for r in e_small
-                for v in (r["a"], r["b"])
-                if v not in parent
+                (v, v) for v in touched if v not in parent
             ]
             lab_df = spark.createDataFrame(
                 sorted(set(labels)), f"{id_col} long, cluster_id long"

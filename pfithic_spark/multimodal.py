@@ -5,15 +5,15 @@ decode / feature-extraction / resize / frame-sampling run as Arrow
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
 batch.
 
-Decode status (round 3): PNG (8-bit, all five scanline filters), 24/32
-bpp uncompressed BMP, and binary PPM decode for REAL via
-:func:`decode_image_real` — public specs, stdlib zlib + numpy, no
-Pillow.  Formats that need external codec libraries (JPEG's DCT,
-video containers) raise ``NotImplementedError`` — the remaining ADR
-gap, since this container has no Pillow/ffmpeg and installs are
-off-limits.  The oracled fixture keys use the deterministic fake
-decoder (``fake=True``) because fixture payloads are text bytes, not
-images.
+Decode status (round 4): PNG (8-bit, all five scanline filters), 24/32
+bpp uncompressed BMP, binary PPM, and BASELINE JPEG (sequential DCT,
+Huffman, 4:4:4/4:2:2/4:2:0, restart markers — T.81 from the public
+spec, numpy only) decode for REAL via :func:`decode_image_real` — no
+Pillow.  The remaining ADR gap is progressive/arithmetic JPEG and
+video containers, which raise ``NotImplementedError`` (this container
+has no Pillow/ffmpeg and installs are off-limits).  The oracled
+fixture keys use the deterministic fake decoder (``fake=True``)
+because fixture payloads are text bytes, not images.
 """
 
 from __future__ import annotations
@@ -43,11 +43,12 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads → (width, height, frames).
 
     ``fake=False`` runs the REAL pure-python decoders below (PNG via
-    stdlib zlib + spec defilter, uncompressed BMP, binary PPM — no
-    Pillow needed) and raises NotImplementedError only for formats that
-    genuinely require external codec libraries (JPEG's DCT, video
-    containers) — the remaining ADR gap, re-confirmed 2026-08-14
-    (PIL/cv2/soundfile unimportable, installs off-limits).
+    stdlib zlib + spec defilter, uncompressed BMP, binary PPM, baseline
+    JPEG via T.81 Huffman+IDCT — no Pillow needed) and raises
+    NotImplementedError only for formats that genuinely require
+    external codec libraries (progressive JPEG, video containers) —
+    the remaining ADR gap, re-confirmed 2026-08-14 (PIL/cv2/soundfile
+    unimportable, installs off-limits).
     ``fake=True`` keeps the deterministic arithmetic stand-in the
     oracled fixture keys replay (fixture payloads are text bytes, not
     images).
@@ -372,19 +373,275 @@ def decode_ppm(payload: bytes):
     )
 
 
+# --- baseline JPEG (ITU-T T.81, sequential DCT, Huffman) -----------------
+
+#: zigzag scan order: _JPEG_ZIGZAG[k] = natural (row-major) index of the
+#: k-th coefficient in zigzag order (T.81 Figure 5)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff_table(bits, vals):
+    """Canonical Huffman decode table from the DHT BITS/HUFFVAL lists
+    (T.81 Annex C): {(code_length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_idct_basis():
+    import numpy as np
+
+    x = np.arange(8)
+    u = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * u[:, None] * np.pi / 16) / 2.0
+    C[0, :] /= np.sqrt(2.0)
+    return C  # block = C.T @ coeffs @ C
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one de-stuffed entropy-coded segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                # fill bits past the segment end decode as zeros (the
+                # final EOB may sit flush against the terminating marker)
+                return 0
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_decode(r: _JpegBitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("malformed JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, ssss: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map the ssss raw bits to the
+    signed coefficient value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """Decode a baseline sequential-DCT Huffman JPEG (SOF0/SOF1) to an
+    H×W×C uint8 array — T.81 (public spec) + numpy only, no codec
+    library.  Supports grayscale and YCbCr with any standard sampling
+    (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and 8-bit precision.
+    Progressive (SOF2) and arithmetic-coded JPEGs raise
+    NotImplementedError — with video containers, the remaining ADR gap."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables = {}
+    htables = {}
+    frame = None  # (height, width, comps) from SOF
+    restart_interval = 0
+    scan = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("malformed JPEG: expected marker")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT: 64 entries in ZIGZAG order
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq:  # 16-bit precision
+                    vals = struct.unpack(">64H", seg[off : off + 128])
+                    off += 128
+                else:
+                    vals = list(seg[off : off + 64])
+                    off += 64
+                qtables[tq] = np.array(vals, dtype=np.int32)
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/ext sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "non-baseline JPEG (progressive/lossless/arithmetic) — ADR"
+            )
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                htables[(tc, th)] = _jpeg_huff_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS: scan header, then entropy data
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tbl = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append((cs, tbl >> 4, tbl & 15))
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan is None:
+        raise ValueError("malformed JPEG: missing SOF or SOS")
+    h, w, comps = frame
+    # de-stuff the entropy-coded stream into per-restart segments
+    segments = []
+    cur = bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # EOI or next marker: end of scan
+            break
+    segments.append(bytes(cur))
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    basis = _jpeg_idct_basis()
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+    dc_pred = {cid: 0 for cid, *_ in comps}
+    comp_by_id = {c[0]: c for c in comps}
+    n_mcu = mcux * mcuy
+    seg_i = 0
+    reader = _JpegBitReader(segments[0])
+    for m in range(n_mcu):
+        if restart_interval and m > 0 and m % restart_interval == 0:
+            seg_i += 1  # RSTn: byte-align via fresh reader, reset DC
+            if seg_i >= len(segments):
+                raise ValueError("malformed JPEG: missing restart segment")
+            reader = _JpegBitReader(segments[seg_i])
+            dc_pred = {cid: 0 for cid, *_ in comps}
+        my, mx = divmod(m, mcux)
+        for cs, td, ta in scan:
+            cid, hi, vi, tq = comp_by_id[cs]
+            qt = qtables[tq]
+            for by in range(vi):
+                for bx in range(hi):
+                    # decode one 8×8 block (T.81 F.2.2)
+                    ssss = _jpeg_huff_decode(reader, htables[(0, td)])
+                    diff = _jpeg_extend(reader.bits(ssss), ssss)
+                    dc_pred[cid] += diff
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[0] = dc_pred[cid] * int(qt[0])
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, htables[(1, ta)])
+                        rrrr, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if rrrr == 15:
+                                k += 16  # ZRL: run of 16 zeros
+                                continue
+                            break  # EOB
+                        k += rrrr
+                        if k > 63:
+                            raise ValueError("malformed JPEG: AC overrun")
+                        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                            reader.bits(s), s
+                        ) * int(qt[k])
+                        k += 1
+                    block = basis.T @ coef.reshape(8, 8) @ basis + 128.0
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample subsampled planes to full grid, crop, color-convert
+    full = []
+    for cid, hi, vi, tq in comps:
+        p = planes[cid]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        out = full[0][:, :, None]
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    else:
+        raise NotImplementedError(f"JPEG with {len(full)} components")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def decode_image_real(payload: bytes):
     """Dispatch on magic bytes to a real pure-python decoder.  Raises
     NotImplementedError for formats that genuinely need external codec
-    libraries (JPEG's DCT, video containers) — that remaining gap is
-    the ADR; PNG/BMP/PPM are fully decoded here."""
+    libraries (progressive JPEG, video containers) — that remaining gap
+    is the ADR; PNG/BMP/PPM/baseline-JPEG are fully decoded here."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "unsupported image format (JPEG/video need Pillow/ffmpeg — ADR)"
+        "unsupported image format (video needs ffmpeg — ADR)"
     )
 
 

@@ -116,8 +116,11 @@ def test_decode_dispatch_and_adr_gap():
     assert mm.decode_image_real(_encode_png(img)).shape == (3, 3, 3)
     assert mm.decode_image_real(_encode_bmp(img)).shape == (3, 3, 3)
     assert mm.decode_image_real(_encode_ppm(img)).shape == (3, 3, 3)
+    # baseline JPEG now decodes; the remaining ADR gap is progressive
+    # (SOF2) — craft one: SOI + SOF2 header
+    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1) + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError):
-        mm.decode_image_real(b"\xff\xd8\xff\xe0JFIF-ish")  # JPEG magic
+        mm.decode_image_real(sof2)
 
 
 def test_extract_real_meta_mapinpandas(spark):
@@ -139,6 +142,17 @@ def test_extract_real_meta_mapinpandas(spark):
         assert got[i]["mean_pixel"] == float(
             np.round(img.astype(np.float64).mean(), 6)
         )
+
+
+def test_extract_real_meta_jpeg(spark):
+    """Baseline JPEG payloads through the same Arrow stage: dimensions
+    exact, mean pixel within lossy-codec tolerance of the source."""
+    img = _smooth_img(16, 24, 3)
+    rows = [(7, bytearray(_encode_jpeg(img, quality=95)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    r = mm.extract_real_meta(df).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (24, 16, 3)
+    assert abs(r["mean_pixel"] - img.astype(np.float64).mean()) < 2.0
 
 
 def _encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
@@ -168,3 +182,302 @@ def test_wav_compressed_is_adr_gap():
     payload[20] = 2  # format tag: ADPCM
     with pytest.raises(NotImplementedError):
         mm.decode_wav(bytes(payload))
+
+
+# --- baseline JPEG round-trip (independent test-side encoder) ------------
+# Standard quantization + Huffman tables from ITU-T T.81 Annex K (public
+# spec); the encoder below shares no code with the decoder under test —
+# FDCT vs IDCT, canonical-code *writer* vs reader — so a round-trip match
+# certifies both directions rather than mirroring one bug.
+
+_QL = np.array([  # K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QC = np.array([  # K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+])
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _enc_table(bits, vals):
+    """Canonical Huffman ENCODE table {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def align(self):  # pad with 1-bits to byte boundary (T.81 fill bits)
+        while self.n:
+            self.put(1, 1)
+
+
+def _scaled_q(std, quality):
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((std * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _fdct(block):
+    C = mm._jpeg_idct_basis()
+    return C @ (block - 128.0) @ C.T
+
+
+def _enc_block(bw, block, qt_zig, dc_pred, dc_t, ac_t):
+    coef = _fdct(block).reshape(64)
+    zz = np.round(coef[mm._JPEG_ZIGZAG] / qt_zig).astype(np.int64)
+
+    def put_val(v):
+        ssss = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        raw = v if v >= 0 else v + (1 << ssss) - 1
+        return ssss, raw
+
+    diff = int(zz[0]) - dc_pred
+    ssss, raw = put_val(diff)
+    bw.put(*dc_t[ssss])
+    if ssss:
+        bw.put(int(raw), ssss)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_t[0xF0])  # ZRL
+            run -= 16
+        ssss, raw = put_val(v)
+        bw.put(*ac_t[(run << 4) | ssss])
+        bw.put(int(raw), ssss)
+        run = 0
+    if run:
+        bw.put(*ac_t[0x00])  # EOB
+    return int(zz[0])
+
+
+def _encode_jpeg(img, quality=95, subsample=False, restart_interval=0):
+    """Baseline JFIF encoder (grayscale or RGB; 4:4:4 or 4:2:0)."""
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    ql_z = _scaled_q(_QL, quality)[mm._JPEG_ZIGZAG]
+    qc_z = _scaled_q(_QC, quality)[mm._JPEG_ZIGZAG]
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        R, G, B = (img[:, :, i].astype(np.float64) for i in range(3))
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = 128.0 - 0.168735892 * R - 0.331264108 * G + 0.5 * B
+        Cr = 128.0 + 0.5 * R - 0.418687589 * G - 0.081312411 * B
+        if subsample:  # 4:2:0: average 2x2 chroma
+            pad_h, pad_w = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+            def ds(p):
+                p = np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2]
+                        + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            planes = [Y, ds(Cb), ds(Cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [Y, Cb, Cr]
+            samp = [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (hi, vi) in zip(planes, samp):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    dc_lt, ac_lt = _enc_table(*_DC_L), _enc_table(*_AC_L)
+    dc_ct, ac_ct = _enc_table(*_DC_C), _enc_table(*_AC_C)
+    bw = _BitWriter()
+    dc_pred = [0] * len(planes)
+    data = bytearray()
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.align()
+            data += bytes(bw.out)
+            data += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            bw = _BitWriter()
+            dc_pred = [0] * len(planes)
+        my, mx = divmod(m, mcux)
+        for ci, (p, (hi, vi)) in enumerate(zip(padded, samp)):
+            qt = ql_z if qsel[ci] == 0 else qc_z
+            dct, act = (dc_lt, ac_lt) if qsel[ci] == 0 else (dc_ct, ac_ct)
+            for by in range(vi):
+                for bx in range(hi):
+                    y0 = (my * vi + by) * 8
+                    x0 = (mx * hi + bx) * 8
+                    dc_pred[ci] = _enc_block(
+                        bw, p[y0 : y0 + 8, x0 : x0 + 8], qt,
+                        dc_pred[ci], dct, act,
+                    )
+    bw.align()
+    data += bytes(bw.out)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in ql_z))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(int(x) for x in qc_z))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += seg(0xC0, sof)
+    for (tc, th), (bits, vals) in (
+        ((0, 0), _DC_L), ((1, 0), _AC_L), ((0, 1), _DC_C), ((1, 1), _AC_C)
+    )[: 2 if gray else 4]:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = 0 if qsel[ci] == 0 else 1
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth_img(h, w, c, seed=3):
+    """Low-frequency test image — quantization error stays small."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    chans = []
+    for i in range(c):
+        chans.append(
+            128 + 90 * np.sin(xx / (6 + 2 * i)) * np.cos(yy / (5 + 3 * i))
+        )
+    return np.clip(np.stack(chans, axis=2), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_gray_uniform_exact():
+    img = np.full((16, 24, 1), 200, dtype=np.uint8)
+    got = mm.decode_jpeg(_encode_jpeg(img, quality=95))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_jpeg_gray_roundtrip_smooth():
+    img = _smooth_img(24, 33, 1)  # non-multiple-of-8 dims
+    got = mm.decode_jpeg(_encode_jpeg(img, quality=95))
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() <= 20, (err.mean(), err.max())
+
+
+def test_jpeg_color_444_roundtrip():
+    img = _smooth_img(17, 26, 3)
+    got = mm.decode_jpeg(_encode_jpeg(img, quality=95))
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 4 and err.max() <= 30, (err.mean(), err.max())
+
+
+def test_jpeg_color_420_subsampled_roundtrip():
+    img = _smooth_img(40, 56, 3)
+    got = mm.decode_jpeg(_encode_jpeg(img, quality=95, subsample=True))
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    # chroma is 2x2-averaged then replicated back: looser bound
+    assert err.mean() < 8 and err.max() <= 60, (err.mean(), err.max())
+
+
+def test_jpeg_restart_interval():
+    img = _smooth_img(32, 48, 1)
+    plain = mm.decode_jpeg(_encode_jpeg(img, quality=90))
+    rst = mm.decode_jpeg(_encode_jpeg(img, quality=90, restart_interval=2))
+    np.testing.assert_array_equal(plain, rst)
+
+
+def test_jpeg_dispatch_and_malformed():
+    img = _smooth_img(8, 8, 1)
+    payload = _encode_jpeg(img)
+    assert mm.decode_image_real(payload).shape == (8, 8, 1)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(payload[:20])  # truncated before SOS
