@@ -303,3 +303,157 @@ def test_trending_topk_foreach_batch(spark, sf_dir, tmp_path):
     assert sorted(
         (r["window_start_s"], r["event_type"], r["rnk"]) for r in again
     ) == sorted((r["window_start_s"], r["event_type"], r["rnk"]) for r in rows)
+
+
+
+# --- late-data property test (hypothesis) --------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HOUR_NS = 3_600 * 10**9
+_MIN_NS = 60 * 10**9
+_BASE_NS = 1_700_000_000_000_000_000
+
+
+def _bounds_for(batches, watermark_hours=2):
+    """Conservative simulation of append-mode watermark semantics.
+
+    Spark guarantees (Structured Streaming docs): a row is dropped ONLY
+    if it is behind the watermark, and the engine's filtering watermark
+    never runs ahead of (max event time of completed batches − W).  So
+    rows that are on-time even against that most AGGRESSIVE possible
+    watermark are definitely kept; everything else is possibly dropped.
+    Returns per-window {definitely_kept} and {total} input-row counts,
+    keyed by hour-window index.
+    """
+    kept_lower: dict[int, int] = {}
+    total: dict[int, int] = {}
+    seen_max = None
+    w_ns = watermark_hours * _HOUR_NS
+    for batch in batches:
+        for off_min in batch:
+            t = _BASE_NS + off_min * _MIN_NS
+            win = t // _HOUR_NS
+            total[win] = total.get(win, 0) + 1
+            if seen_max is None or t >= seen_max - w_ns:
+                kept_lower[win] = kept_lower.get(win, 0) + 1
+        batch_max = max(
+            (_BASE_NS + o * _MIN_NS for o in batch), default=None
+        )
+        if batch_max is not None:
+            seen_max = batch_max if seen_max is None else max(seen_max, batch_max)
+    return kept_lower, total
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=1200),  # minutes (≤20 h)
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_watermark_late_data_property(spark, tmp_path_factory, batches):
+    """For ANY out-of-order arrival pattern, the append-mode tumbling
+    agg under a 2 h watermark must: (a) emit each window at most once,
+    (b) count at most the window's true input rows and at least its
+    definitely-on-time rows, (c) drop nothing when nothing was ever
+    late, and (d) never report more watermark drops than there are
+    possibly-late rows.  Exact input-row conservation is NOT asserted:
+    numRowsDroppedByWatermark counts post-partial-aggregation state
+    rows, so one dropped metric row can represent several input rows.
+    """
+    import os
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("wm_prop")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    now = time.time()
+    eid = 0
+    # final flush batch far ahead finalizes every real window
+    flush_min = 100 * 60
+    all_batches = [list(b) for b in batches] + [[flush_min]]
+    for i, batch in enumerate(all_batches):
+        rows = []
+        for off_min in batch:
+            t = _BASE_NS + off_min * _MIN_NS
+            rows.append((eid, pd.Timestamp(t, unit="ns"), 1, "e", 1.0, "{}"))
+            eid += 1
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        f = d / f"f{i:03d}.parquet"
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), f)
+        os.utime(f, (now - 1000 + i, now - 1000 + i))
+    stream = strm.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    name = f"wm_prop_{uuid.uuid4().hex[:8]}"
+    q = (
+        strm.tumbling_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for s in p.get("stateOperators", [])
+    )
+    q.stop()
+    out = spark.sql(f"SELECT * FROM {name}").collect()
+    emitted = {}
+    for r in out:
+        win = int(
+            r["window"].start.replace(tzinfo=timezone.utc).timestamp()
+            * 10**9
+            // _HOUR_NS
+        )
+        # (a) append mode finalizes each window exactly once
+        assert win not in emitted, f"window {win} emitted twice"
+        emitted[win] = r["n_events"]
+    kept_lower, total = _bounds_for(batches)
+    n_real = sum(total.values())
+    n_safe = sum(kept_lower.values())
+    flush_win = (_BASE_NS + flush_min * _MIN_NS) // _HOUR_NS
+    emitted_real = {w: n for w, n in emitted.items() if w != flush_win}
+    for win, n in emitted_real.items():
+        # (b) per-window bounds from the watermark contract
+        assert kept_lower.get(win, 0) <= n <= total[win], (
+            win, kept_lower.get(win, 0), n, total[win],
+        )
+    # windows with definitely-kept rows must appear at all
+    for win, lo in kept_lower.items():
+        if lo > 0:
+            assert win in emitted_real, f"window {win} never emitted"
+    # (c) nothing possibly late → exact conservation, zero drops
+    if n_safe == n_real:
+        assert dropped == 0
+        assert sum(emitted_real.values()) == n_real
+    # (d) drops bounded by the possibly-late row count
+    assert dropped <= n_real - n_safe
