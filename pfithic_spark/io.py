@@ -198,13 +198,21 @@ def write_bucketed_table(
     bucket_cols: list[str],
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table so later
     joins/aggregations on the bucket key are co-located — no shuffle of
     either side.  THE lever for repeated large-fact joins at 100 TB:
     pay one shuffle at write time, never again at read time.
+
+    ``path`` makes it an EXTERNAL table at an explicit location —
+    required when the session's warehouse dir (defaults to the driver
+    process cwd) may not be writable, e.g. under an externally-built
+    SparkSession.
     """
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table_name)

@@ -3899,6 +3899,193 @@ def pagerank_lazy(spark, sf_dir):
     return ranks.select("node", "rank"), [edges, deg]
 
 
+# ========================================================================
+# §2.13 round-4 additions: bucketed join, SCD2, embedding quantization
+# ========================================================================
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+SELECT c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 4)
+         AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_join_bucketed(spark, sf_dir):
+    """Bucketed co-located join: both sides are written CLUSTERED BY
+    the join key into the SAME bucket count, so the join needs NO
+    Exchange on either side (plan-gated in tests/test_plans.py) — the
+    100 TB pattern for a fact repeatedly joined on a stable key: pay
+    the bucketing shuffle once at ingest, never again.  DECIMAL sums
+    make the post-join aggregate order-independent, so the oracle (the
+    PLAIN join — bucketing is a pure physical rewrite) hash-matches."""
+    import hashlib
+    import tempfile
+
+    from .io import write_bucketed_table
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"pfithic_buckets_{tag}")
+    t_o, t_c = f"pfithic_orders_b_{tag}", f"pfithic_customer_b_{tag}"
+    if not spark.catalog.tableExists(t_o):
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey", "o_totalprice"
+            ),
+            t_o,
+            ["o_custkey"],
+            8,
+            ["o_custkey"],
+            path=os.path.join(base, "orders"),
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            t_c,
+            ["c_custkey"],
+            8,
+            ["c_custkey"],
+            path=os.path.join(base, "customer"),
+        )
+    o = spark.table(t_o)
+    c = spark.table(t_c)
+    # merge hint: the fixture dim is broadcast-sized, which would
+    # bypass the co-location being demonstrated (and plan-gated); at
+    # 100 TB both sides are far past any broadcast threshold and the
+    # bucketed sort-merge is the only sane plan
+    return (
+        o.hint("merge")
+        .join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "q_scd2_merge",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, event_type,
+         EPOCH_US(ts) AS valid_from_us,
+         LEAD(EPOCH_US(ts)) OVER (
+           PARTITION BY user_id ORDER BY EPOCH_US(ts), event_id
+         ) AS valid_to_us
+  FROM events
+)
+SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+       CAST(valid_to_us IS NULL AS BOOLEAN) AS is_current
+FROM t
+""",
+)
+def q_scd2_merge(spark, sf_dir):
+    """Slowly-changing-dimension type 2 from a change log: each event
+    opens a version valid until the user's next event (half-open
+    [valid_from, valid_to)); the latest version per user is flagged
+    current.  One window per user partition — no global sort; ties on
+    the timestamp break by event_id so the versioning is deterministic.
+    This is the dimension-versioning step every warehouse load needs
+    between a CDC feed and point-in-time joins (the as-of join,
+    q_join_asof, is the read side of the same contract)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us(ev, "ts").alias("valid_from_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    return t.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w).alias("valid_to_us"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, embedding,
+         LIST_MAX(LIST_TRANSFORM(embedding,
+                                 v -> ABS(CAST(v AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+         LIST_MAX(LIST_TRANSFORM(embedding,
+           v -> ABS(CAST(v AS DOUBLE)
+                    - ROUND(CAST(v AS DOUBLE) / scale, 0) * scale)))
+       END, 9) AS err_max,
+       ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * ROUND(CAST(embedding[i] AS DOUBLE) / scale, 0) * scale))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+              v -> ROUND(CAST(v AS DOUBLE) / scale, 0) * scale
+                   * ROUND(CAST(v AS DOUBLE) / scale, 0) * scale))))
+       END, 6) AS cos_self
+FROM s
+""",
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 scalar quantization of the embedding column —
+    the 4× storage/bandwidth lever for 100 TB ANN corpora (the IVF
+    index in q_sim_ivf would store these instead of float32).  Emits
+    per-vector scale, max reconstruction error, and the cosine between
+    the original and its dequantized self (the recall-impact proxy).
+    Everything stays JVM-side: transform/zip_with/aggregate lambdas,
+    no Python UDF, elementwise ops + in-order folds so the DuckDB
+    oracle hash-matches bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    xd = F.transform(x, lambda v: v.cast("double"))
+    scale = (
+        F.array_max(F.transform(xd, lambda v: F.abs(v))) / F.lit(127.0)
+    ).alias("scale")
+    t = e.select("vec_id", xd.alias("xd"), scale)
+    deq = F.transform(
+        F.col("xd"), lambda v: F.round(v / F.col("scale"), 0) * F.col("scale")
+    )
+    t = t.withColumn("deq", deq)
+    err_max = F.array_max(
+        F.zip_with(F.col("xd"), F.col("deq"), lambda a, b: F.abs(a - b))
+    )
+    zero = F.col("scale") == 0
+    return t.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.round(F.when(zero, 0.0).otherwise(err_max), 9).alias("err_max"),
+        F.round(
+            F.when(zero, 0.0).otherwise(
+                dot_double(F.col("xd"), F.col("deq"))
+                / (l2_norm(F.col("xd")) * l2_norm(F.col("deq")))
+            ),
+            6,
+        ).alias("cos_self"),
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 4: keys whose code
@@ -3909,7 +4096,10 @@ def pagerank_lazy(spark, sf_dir):
 #: else was re-rowed in rounds 2–3), then the round-3 backlog in
 #: last-verified order.
 _VERIFY_FIRST = [
-    # code changed in round 4
+    # new / code-changed in round 4
+    "q_join_bucketed",
+    "q_scd2_merge",
+    "q_embedding_quantize",
     "q_sim_ivf",
     "q_join_skew_salted",
     # newest driver row is still round 1

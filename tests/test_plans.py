@@ -343,3 +343,21 @@ def test_pagerank_iterations_read_cached_edges(spark, sf_dir, queries):
     # detail blocks reprint the cached subtree's scans — so the
     # recompute protection is the wall-clock scale row + this gate.
     assert len(re.findall(r"\(\d+\) InMemoryTableScan", plan)) >= 5
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, queries):
+    """q_join_bucketed: both sides bucketed on the join key into the
+    same bucket count → the join itself must run with ZERO Exchange
+    (the only exchange allowed is the one feeding the final
+    aggregation).  This is the pay-once-at-ingest co-location pattern;
+    an Exchange ahead of the join means bucketing was silently lost."""
+    df = queries["q_join_bucketed"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    # both scans must actually read as bucketed
+    assert plan.count("Bucketed: true") == 2, plan
+    # exactly ONE physical Exchange — the final aggregation's; each
+    # node prints twice in formatted output (tree + detail), so one
+    # exchange = at most 2 mentions.  A third mention means a join
+    # input was re-shuffled and bucketing was silently lost.
+    assert plan.count("Exchange") <= 2, plan

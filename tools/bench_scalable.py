@@ -223,6 +223,103 @@ def main() -> None:
     pagerank_s = time.time() - t0
     assert n_pr_rows == n_pr and mn == mx == 1_000_000_000, (n_pr_rows, mn, mx)
 
+    # --- salted join under a genuinely hot key -----------------------
+    # planted skew: HALF the fact rows carry user_id=1; the rest spread
+    # over 100k users.  The salted rewrite (fact salt = pmod(id, 8),
+    # dim exploded ×8, join on (key, salt)) must return bit-identical
+    # per-segment counts to the plain shuffle join AND to the numpy
+    # closed form — proving the salt is a pure physical rewrite while
+    # timing both shapes at scale.
+    n_users = 100_000
+    hot_cut = n // 2
+    fact = spark.range(n).select(
+        F.when(F.col("id") < hot_cut, F.lit(1))
+        .otherwise(F.col("id") % n_users)
+        .alias("user_id")
+    )
+    dim = spark.range(n_users).select(
+        F.col("id").alias("c_custkey"), (F.col("id") % 5).alias("seg")
+    )
+    t0 = time.time()
+    plain = {
+        r["seg"]: r["cnt"]
+        for r in fact.hint("shuffle_hash")
+        .join(dim.hint("shuffle_hash"), fact.user_id == dim.c_custkey)
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    plain_join_s = time.time() - t0
+    salted_fact = spark.range(n).select(
+        F.when(F.col("id") < hot_cut, F.lit(1))
+        .otherwise(F.col("id") % n_users)
+        .alias("user_id"),
+        F.pmod(F.col("id"), F.lit(8)).cast("int").alias("salt"),
+    )
+    salted_dim = dim.select(
+        "c_custkey",
+        "seg",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt"),
+    ).withColumn("salt", F.col("salt").cast("int"))
+    t0 = time.time()
+    salted = {
+        r["seg"]: r["cnt"]
+        for r in salted_fact.hint("shuffle_hash")
+        .join(
+            salted_dim.hint("shuffle_hash"),
+            (salted_fact.user_id == salted_dim.c_custkey)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    salted_join_s = time.time() - t0
+    cold = np.arange(hot_cut, n, dtype=np.int64) % n_users
+    segs = np.concatenate([np.full(hot_cut, 1, dtype=np.int64), cold]) % 5
+    want = {int(s): int(c) for s, c in zip(*np.unique(segs, return_counts=True))}
+    assert plain == want and salted == want, (plain, salted, want)
+
+    # --- profile columns: exact vs sketch distinct counts ------------
+    # the q_profile_columns shape (single scan, one agg) on 8M rows
+    # with closed-form cardinalities: exact COUNT(DISTINCT)s pay a ×K
+    # Expand; approx_count_distinct is the documented at-scale knob —
+    # both gated (exact == closed form; sketch within 5%).
+    prof = spark.range(n).select(
+        (F.col("id") % 1_000_003).alias("a"),
+        ((F.col("id") * 7919) % 97).alias("b"),
+        F.col("id").alias("c"),
+    )
+    t0 = time.time()
+    ex = prof.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("a").alias("da"),
+        F.countDistinct("b").alias("db"),
+        F.countDistinct("c").alias("dc"),
+        F.min("a").alias("mna"),
+        F.max("a").alias("mxa"),
+    ).collect()[0]
+    profile_exact_s = time.time() - t0
+    want_da = min(n, 1_000_003)
+    # b = (id·7919) mod 97: 7919 coprime to 97 → full residue cycle
+    want_db = min(n, 97)
+    assert (ex["n_rows"], ex["da"], ex["db"], ex["dc"]) == (n, want_da, want_db, n)
+    assert ex["mna"] == 0 and ex["mxa"] == min(n, 1_000_003) - 1
+    t0 = time.time()
+    ap = prof.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct("a").alias("da"),
+        F.approx_count_distinct("b").alias("db"),
+        F.approx_count_distinct("c").alias("dc"),
+        F.min("a").alias("mna"),
+        F.max("a").alias("mxa"),
+    ).collect()[0]
+    profile_approx_s = time.time() - t0
+    # default HLL++ rsd is 0.05 (one sigma) — gate at 2 sigma, same
+    # envelope as the q_agg_approx golden certification
+    for got, exact in ((ap["da"], want_da), (ap["db"], want_db), (ap["dc"], n)):
+        assert abs(got - exact) <= 0.10 * exact, (got, exact)
+
     print(
         json.dumps(
             {
@@ -234,6 +331,10 @@ def main() -> None:
                 "pack_s": round(pack_s, 2),
                 "cc_s": round(cc_s, 2),
                 "pagerank_s": round(pagerank_s, 2),
+                "plain_join_s": round(plain_join_s, 2),
+                "salted_join_s": round(salted_join_s, 2),
+                "profile_exact_s": round(profile_exact_s, 2),
+                "profile_approx_s": round(profile_approx_s, 2),
             }
         )
     )

@@ -102,7 +102,21 @@ PICKS = {
         "round), node-sized shares broadcast on small graphs, and the "
         "groupBy(dst) exchange carries only map-side partial sums — "
         "node-sized traffic per iteration, integer rank mass bit-exact "
-        "under any partition order."
+        "under any partition order.  (Plan shown is the LAZY dataflow; "
+        "the registered key checkpoints it eagerly and unpersists the "
+        "loop invariants.)"
+    ),
+    "q_join_bucketed": (
+        "Bucketed co-located join: both scans read Bucketed: true with "
+        "SelectedBucketsCount 8/8 and feed the SortMergeJoin with NO "
+        "Exchange on either input — the only shuffle left is the final "
+        "aggregation's.  Pay the bucketing shuffle once at ingest; "
+        "every later join on the key is exchange-free."
+    ),
+    "q_embedding_quantize": (
+        "int8 quantization report: a single narrow Project over the "
+        "embeddings scan — transform/zip_with/aggregate lambdas all "
+        "inside codegen, zero exchanges, no Python."
     ),
 }
 
@@ -130,7 +144,17 @@ def main() -> None:
         "",
     ]
     for key, note in PICKS.items():
-        tree = plan(queries[key](spark, sf)).split("\n\n")[0]
+        if key == "q_pagerank":
+            # the registered key eagerly checkpoints (its returned plan
+            # is just a checkpoint scan); show the lazy dataflow
+            from pfithic_spark.registry import pagerank_lazy
+
+            df, invariants = pagerank_lazy(spark, sf)
+            tree = plan(df).split("\n\n")[0]
+            for inv in invariants:
+                inv.unpersist()
+        else:
+            tree = plan(queries[key](spark, sf)).split("\n\n")[0]
         lines = tree.split("\n")
         if len(lines) > 120:
             # deep unrolled plans (e.g. iterative joins over an
