@@ -3975,6 +3975,34 @@ def q_join_bucketed(spark, sf_dir):
 
 
 @register(
+    "q_join_bloom",
+    oracle="""
+SELECT e.event_id, e.user_id
+FROM events e
+WHERE e.user_id IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+""",
+)
+def q_join_bloom(spark, sf_dir):
+    """Bloom pre-filtered semi join: the dim keys fold into an 8 KB
+    driver-built Bloom filter whose probe runs as constant-folded
+    shifts/ands INSIDE the fact scan's codegen, pruning fact rows
+    before the join shuffle; the real semi join then removes the false
+    positives, so the result is EXACTLY the plain semi join (the
+    oracle).  The explicit form of the runtime-filter lever — available
+    even when AQE's injected bloom/IN-subquery filters are not (dim
+    built mid-pipeline, no stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return rel.bloom_semi_join(
+        ev.select("event_id", "user_id"), cust, "user_id", "c_custkey"
+    )
+
+
+@register(
     "q_scd2_merge",
     oracle="""
 WITH t AS (
@@ -4098,6 +4126,7 @@ def q_embedding_quantize(spark, sf_dir):
 _VERIFY_FIRST = [
     # new / code-changed in round 4
     "q_join_bucketed",
+    "q_join_bloom",
     "q_scd2_merge",
     "q_embedding_quantize",
     "q_sim_ivf",

@@ -328,3 +328,81 @@ def overlap_join(
         & ((start / b).cast("long") == F.col("a._bkt"))  # report-once
     )
     return a.join(c, cond).drop("_bkt")
+
+
+# --- bloom pre-filtered semi join ----------------------------------------
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 65536,
+    k: int = 4,
+) -> DataFrame:
+    """Semi join with a driver-built Bloom pre-filter on the fact side.
+
+    Two passes: (1) aggregate the dim keys into an m-bit Bloom filter —
+    k xxhash64 lanes, OR-folded into m/64 longs by a tiny JVM
+    ``bit_or`` agg, collected driver-side (m=65536 → 8 KB, bounded at
+    any dim size); (2) filter the fact with the bloom as a FOLDED
+    literal array (Catalyst constant-folds the CreateArray of
+    literals, so the probe is just shifts/ands in codegen), then run
+    the real semi join to remove false positives.
+
+    Result is EXACTLY the plain semi join — the bloom only prunes how
+    many fact rows reach the join's shuffle.  At 100 TB this is the
+    standard runtime-filter pattern (Spark's AQE injects the same shape
+    as InSubqueryExec/bloom runtime filters when statistics allow;
+    building it explicitly makes the lever available when they don't —
+    e.g. a dim produced mid-pipeline with no stats).
+
+    NULL fact keys hash to a defined lane (xxhash64(NULL) is a fixed
+    seed-dependent value) but can never match a non-null dim key in the
+    final semi join, so they are safely prunable either way.
+    """
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    n_words = m_bits // 64
+    d = dim_keys.select(F.col(dim_key).alias("_k")).where(
+        F.col("_k").isNotNull()
+    )
+    lanes = F.explode(
+        F.array(*[F.xxhash64(F.lit(i), F.col("_k")) for i in range(k)])
+    ).alias("_h")
+    pos = d.select(lanes).select(
+        (F.col("_h").bitwiseAND(F.lit(m_bits - 1))).alias("_p")
+    )
+    # SQL shiftleft/shiftrightunsigned accept COLUMN shift amounts
+    # (the pyspark.sql.functions forms require literals)
+    words_rows = (
+        pos.selectExpr(
+            "_p DIV 64 AS _w",
+            "shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT)) AS _b",
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_b").alias("_bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in words_rows:
+        words[int(r["_w"])] = int(r["_bits"])
+    fk = F.col(fact_key)
+    staged = fact.withColumn("_bloom", F.lit(words))  # foldable literal
+    for i in range(k):
+        staged = staged.withColumn(
+            f"_h{i}", F.xxhash64(F.lit(i), fk).bitwiseAND(F.lit(m_bits - 1))
+        )
+    cond = " AND ".join(
+        f"((shiftrightunsigned(element_at(_bloom, CAST(_h{i} DIV 64 AS INT)"
+        f" + 1), CAST(_h{i} % 64 AS INT)) & 1) = 1)"
+        for i in range(k)
+    )
+    pruned = staged.where(F.expr(cond)).drop(
+        "_bloom", *[f"_h{i}" for i in range(k)]
+    )
+    return pruned.join(
+        dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

@@ -361,3 +361,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, queries):
     # exchange = at most 2 mentions.  A third mention means a join
     # input was re-shuffled and bucketing was silently lost.
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_bloom_semi_join_probe_in_fact_scan_stage(spark, sf_dir, queries):
+    """q_join_bloom: the bloom probe (xxhash64 shifts/ands over a
+    constant-folded literal array) must sit in a Filter on the FACT
+    side before the semi join — pruning rows ahead of the shuffle is
+    the entire point of the pattern."""
+    plan = _plan(queries["q_join_bloom"](spark, sf_dir))
+    assert "xxhash64" in plan
+    assert "LeftSemi" in plan
+    # the probe is a fact-side Filter, not a post-join projection:
+    # xxhash64 must appear before the join node in the tree header
+    tree = plan.split("\n\n")[0]
+    join_line = next(
+        i for i, l in enumerate(tree.split("\n")) if "Join" in l
+    )
+    filter_lines = [
+        i
+        for i, l in enumerate(tree.split("\n"))
+        if "Filter" in l and i > join_line
+    ]
+    assert filter_lines, "no Filter below the join on the fact input"

@@ -96,3 +96,35 @@ def test_asof_join_grouped_matches_bruteforce(spark, lefts, rights, tol):
         if cand:
             want.append((lid, max(cand)[1]))
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fact_keys=hs.lists(
+        hs.one_of(hs.integers(-10_000, 10_000), hs.none()),
+        min_size=0,
+        max_size=40,
+    ),
+    dim_keys=hs.lists(hs.integers(-10_000, 10_000), min_size=0, max_size=15),
+)
+def test_bloom_semi_join_equals_plain_semi(spark, fact_keys, dim_keys):
+    """bloom_semi_join must be EXACTLY the plain semi join for any key
+    sets — negatives, misses, NULL fact keys, empty sides.  The bloom
+    only prunes; the final join removes every false positive."""
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], "rid long, k long"
+    )
+    dim = spark.createDataFrame([(k,) for k in dim_keys], "dk long")
+    got = sorted(
+        (r["rid"], r["k"])
+        for r in rel.bloom_semi_join(fact, dim, "k", "dk").collect()
+    )
+    dset = set(dim_keys)
+    want = sorted(
+        (i, k) for i, k in enumerate(fact_keys) if k is not None and k in dset
+    )
+    assert got == want

@@ -118,6 +118,13 @@ PICKS = {
         "embeddings scan — transform/zip_with/aggregate lambdas all "
         "inside codegen, zero exchanges, no Python."
     ),
+    "q_join_bloom": (
+        "Bloom pre-filtered semi join: the xxhash64 probe over the "
+        "constant-folded 8 KB literal word array sits in a Filter "
+        "directly on the fact scan — rows are pruned BEFORE the semi "
+        "join's exchange; the join then removes false positives, so "
+        "the result is exactly the plain semi join."
+    ),
 }
 
 
