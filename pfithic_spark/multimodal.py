@@ -301,7 +301,10 @@ def decode_png(payload: bytes):
     # with an obscure trace)
     if width is None or channels is None:
         raise ValueError("malformed PNG: no IHDR chunk")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"malformed PNG: corrupt IDAT ({exc})") from exc
     expect = height * (1 + width * channels)
     if len(raw) != expect:
         raise ValueError(
@@ -320,6 +323,8 @@ def decode_bmp(payload: bytes):
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(payload) < 34:
+        raise ValueError("malformed BMP: truncated header")
     (data_off,) = struct.unpack("<I", payload[10:14])
     width, height = struct.unpack("<ii", payload[18:26])
     (bpp,) = struct.unpack("<H", payload[28:30])
@@ -330,6 +335,14 @@ def decode_bmp(payload: bytes):
     bottom_up = height > 0
     height = abs(height)
     row_bytes = (width * nch + 3) & ~3
+    # validate up front: a short pixel array must fail with a clear,
+    # catchable error, not a reshape TypeError mid-batch (same contract
+    # as decode_png)
+    if len(payload) < data_off + (height - 1) * row_bytes + width * nch:
+        raise ValueError(
+            f"malformed BMP: pixel array truncated "
+            f"({len(payload)} bytes for {width}x{height}x{nch})"
+        )
     img = np.zeros((height, width, nch), dtype=np.uint8)
     for y in range(height):
         row = payload[data_off + y * row_bytes :][: width * nch]
@@ -365,6 +378,11 @@ def decode_ppm(payload: bytes):
     if maxval > 255:
         raise NotImplementedError("16-bit PPM")
     data = payload[pos : pos + width * height * 3]
+    if len(data) < width * height * 3:
+        raise ValueError(
+            f"malformed PPM: raster truncated ({len(data)} bytes for "
+            f"{width}x{height}x3)"
+        )
     return (
         __import__("numpy")
         .frombuffer(data, dtype="uint8")
@@ -699,6 +717,8 @@ def decode_wav(payload: bytes):
         body = payload[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("malformed WAV: short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

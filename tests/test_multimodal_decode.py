@@ -1,8 +1,10 @@
 """REAL image decode (no Pillow): PNG (stdlib zlib + spec defilter),
-uncompressed BMP, binary PPM — each decoder round-tripped against
-images encoded in-test from known pixel arrays, including every PNG
-filter type, then driven end-to-end through the Arrow mapInPandas
-metadata stage.  JPEG/video remain the documented ADR gap."""
+uncompressed BMP, binary PPM, and baseline JPEG (T.81 Huffman+IDCT) —
+each decoder round-tripped against images encoded in-test from known
+pixel arrays (every PNG filter type; an independent JPEG encoder with
+Annex K tables), then driven end-to-end through the Arrow mapInPandas
+metadata stage.  Progressive JPEG / video remain the documented ADR
+gap."""
 
 from __future__ import annotations
 
@@ -481,3 +483,20 @@ def test_jpeg_dispatch_and_malformed():
     assert mm.decode_image_real(payload).shape == (8, 8, 1)
     with pytest.raises(ValueError):
         mm.decode_jpeg(payload[:20])  # truncated before SOS
+
+
+def test_truncated_payloads_raise_clear_errors():
+    """Every real decoder must reject a truncated payload with a
+    catchable ValueError (clear message), never an internal reshape /
+    index / struct error — one bad blob in a batch must be diagnosable."""
+    img = _rng_img(6, 5, 3)
+    for enc in (_encode_png, _encode_bmp, _encode_ppm):
+        full = enc(img)
+        # cuts INSIDE the pixel data (a cut that only loses trailing
+        # container bytes, e.g. PNG's IEND, may legitimately decode)
+        for cut in (len(full) // 3, len(full) // 2):
+            with pytest.raises((ValueError, NotImplementedError)):
+                mm.decode_image_real(full[:cut])
+    wav = _encode_wav(np.zeros((16, 1), dtype=np.int16))
+    with pytest.raises(ValueError):
+        mm.decode_wav(wav[:20])  # cut inside the fmt chunk
