@@ -3807,15 +3807,55 @@ SELECT node, rank FROM i5
 """,
 )
 def q_pagerank(spark, sf_dir):
-    """Eager wrapper: materialize the ranks via localCheckpoint, then
-    UNPERSIST the loop invariants (edge list, degree dim) before
-    returning — a registry sweep evaluates up to 50 keys in one
-    session, and without the cleanup the full symmetrized edge list
-    stays cached in executor memory for the rest of the session.  The
-    retained checkpoint is node-sized (2 longs/node) — the right thing
-    to keep; the edge-list cache is not.  The lazy dataflow (what the
-    iteration-plan gate in tests/test_plans.py inspects) lives in
-    :func:`pagerank_lazy`."""
+    """Driver fast path + eager distributed wrapper.
+
+    Small-graph fast path (same design as llmops.connected_components'
+    union-find probe): when the DISTINCT edge list fits a bounded Arrow
+    probe, the 5 damped-update rounds run as numpy int64 bincount-adds
+    on the driver — the rank mass is INTEGER throughout, so the result
+    is bit-identical to the distributed loop (and to the unrolled-CTE
+    oracle), while skipping 5 rounds × several-job fixed overhead.  The
+    distributed loop below remains the 100 TB path, pinned by the
+    8 M-edge scale row in tools/bench_scalable.py and the cached-edge
+    plan gate (tests/test_plans.py, via :func:`pagerank_lazy`).
+
+    Distributed path: materialize via localCheckpoint, then UNPERSIST
+    the loop invariants (edge list, degree dim) — a registry sweep
+    evaluates up to 50 keys in one session, and without the cleanup
+    the full symmetrized edge list stays cached in executor memory for
+    the rest of the session.  The retained checkpoint is node-sized."""
+    import numpy as np
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    probe = eb.limit(2_000_001).toPandas()  # Arrow: 16 B/row bounded
+    if len(probe) <= 2_000_000:
+        s = probe["src"].to_numpy(np.int64)
+        d = probe["dst"].to_numpy(np.int64)
+        # symmetrize, relabel nodes densely for bincount
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        nodes, inv_src = np.unique(src, return_inverse=True)
+        idx_dst = np.searchsorted(nodes, dst)  # same node set (symmetric)
+        outdeg = np.bincount(inv_src, minlength=len(nodes)).astype(np.int64)
+        rank = np.full(len(nodes), 1_000_000_000, dtype=np.int64)
+        for _ in range(5):
+            shares = rank // outdeg  # every node has outdeg >= 1
+            recv = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(recv, idx_dst, shares[inv_src])
+            rank = 150_000_000 + (85 * recv) // 100
+        pdf = __import__("pandas").DataFrame(
+            {"node": nodes, "rank": rank}
+        )
+        return spark.createDataFrame(pdf, "node long, rank long")
     ranks, invariants = pagerank_lazy(spark, sf_dir)
     out = ranks.localCheckpoint(eager=True)
     for df in invariants:

@@ -122,3 +122,21 @@ def test_approx_quantile_accuracy(spark, sf_dir):
         m_e, p_e = exact[k]
         assert abs(m_a - m_e) / m_e < 0.02, (k, m_a, m_e)
         assert abs(p_a - p_e) / p_e < 0.02, (k, p_a, p_e)
+
+
+def test_pagerank_fast_path_equals_distributed(spark, sf_dir):
+    """The driver numpy fast path and the distributed 5-iteration loop
+    must agree BIT-FOR-BIT (integer rank mass) — same contract as the
+    connected-components union-find fast path."""
+    import __spark_entry__ as e
+    from pfithic_spark.registry import pagerank_lazy
+
+    fast = {
+        r["node"]: r["rank"]
+        for r in e.queries()["q_pagerank"](spark, sf_dir).collect()
+    }
+    ranks, invariants = pagerank_lazy(spark, sf_dir)
+    dist = {r["node"]: r["rank"] for r in ranks.collect()}
+    for inv in invariants:
+        inv.unpersist()
+    assert fast == dist
