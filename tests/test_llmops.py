@@ -496,10 +496,13 @@ def test_unpersist_discipline(spark, sf_dir):
     llmops.minhash_lsh_pairs(d).collect()
     llmops.simhash_pairs(d, max_hamming=3).collect()
     llmops.minhash_lsh_pairs(d).collect()
-    # at most the LATEST signature cache survives the sweep
+    # GROWTH bounds only (never equality-to-baseline: the baseline may
+    # include checkpoint RDDs from earlier tests that the background
+    # ContextCleaner releases mid-test, dropping the count below base).
+    # At most the LATEST signature cache survives the sweep:
     assert n_persistent() <= base + 1
     llmops.release_signature_caches()
-    assert n_persistent() == base
+    assert n_persistent() <= base
     import __spark_entry__ as e
 
     pr = e.queries()["q_pagerank"](spark, sf_dir)
