@@ -1163,3 +1163,148 @@ def curation_keep_list(
     return scored.join(exact_keep, "doc_id", "left_semi").join(
         near_keep, "doc_id", "left_semi"
     )
+
+
+# --- byte-pair encoding (real BPE train + tokenize) ----------------------
+
+#: end-of-word marker appended to every word before merging (the
+#: classic BPE formulation: merges never cross word boundaries, and a
+#: token carrying the marker is known to end a word)
+_BPE_EOW = "</w>"
+
+
+def bpe_word_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_vocab: int = 1_000_000,
+) -> list[tuple[str, int]]:
+    """ONE distributed pass: distinct (word, count) over the normalized
+    corpus — bounded by the corpus VOCABULARY, not the corpus size,
+    which is what makes driver-side BPE training the production shape
+    (100 TB of text still has ~10⁵–10⁷ distinct words; the standard
+    trainers all work from word counts).  Deterministic top-cap by
+    (count desc, word) when the vocabulary exceeds the bound."""
+    wc = (
+        token_rows(docs, text_col, id_col)
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(int(max_word_vocab))
+        .toPandas()
+    )
+    return [(str(w), int(c)) for w, c in zip(wc["tok"], wc["c"])]
+
+
+def bpe_train_merges(
+    word_counts: list[tuple[str, int]], num_merges: int = 64
+) -> list[tuple[str, str]]:
+    """Classic BPE training loop (Sennrich et al. 2016, public
+    algorithm) over the bounded word-count table: repeatedly merge the
+    most frequent adjacent symbol pair.  Fully deterministic — integer
+    counts, ties broken by the lexicographically smallest pair — so
+    the learned merge table is reproducible on any host (pure python
+    ints/strings, no floats, no hashing)."""
+    words = [
+        (tuple(w) + (_BPE_EOW,), c) for w, c in word_counts
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, c in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best_count = max(counts.values())
+        best_pair = min(p for p, c in counts.items() if c == best_count)
+        if best_count < 2:
+            break  # nothing left worth merging
+        merges.append(best_pair)
+        a, b = best_pair
+        ab = a + b
+        new_words = []
+        for sym, c in words:
+            out = []
+            i = 0
+            n = len(sym)
+            while i < n:
+                if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_words.append((tuple(out), c))
+        words = new_words
+    return merges
+
+
+def bpe_segment_word(word: str, rank: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word: repeatedly merge the
+    LOWEST-RANK (earliest-learned) adjacent pair — the standard BPE
+    inference rule, deterministic given the merge table."""
+    sym = list(word) + [_BPE_EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = rank.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus under a learned merge table: merges
+    broadcast (tiny), applied per Arrow batch in mapInPandas with a
+    per-batch word→segmentation memo (Zipf: a batch re-tokenizes the
+    same frequent words constantly).  Output per doc: n_words,
+    n_tokens, n_chars — the token-budget accounting a training-data
+    pipeline runs after learning its vocabulary."""
+    spark = docs.sparkSession
+    bc = spark.sparkContext.broadcast(
+        {tuple(p): i for i, p in enumerate(merges)}
+    )
+
+    def tok(batches):
+        import pandas as pd
+
+        rank = bc.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [
+                    w for w in str(text).strip().lower().split(" ") if w
+                ]
+                n_tok = 0
+                for w in words:
+                    n = memo.get(w)
+                    if n is None:
+                        n = len(bpe_segment_word(w, rank))
+                        memo[w] = n
+                    n_tok += n
+                rows.append(
+                    (int(doc_id), len(words), n_tok, len(str(text)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_tokens", "n_chars"]
+            )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), norm_text(text_col).alias("text")
+    ).mapInPandas(
+        tok, schema="doc_id long, n_words long, n_tokens long, n_chars long"
+    )

@@ -4154,6 +4154,47 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+@register("q_bpe_train", oracle=_golden_oracle("q_bpe_train"))
+def q_bpe_train(spark, sf_dir):
+    """Real BPE vocabulary training (Sennrich et al. 2016) the
+    production way: ONE distributed pass builds the distinct
+    (word, count) table — bounded by corpus VOCABULARY, not corpus
+    size, which is why 100 TB of text still trains driver-side (every
+    standard trainer works from word counts) — then the classic merge
+    loop runs in pure python ints/strings: deterministic on any host
+    (no floats, no hashing, lexicographic tie-break).  Output: the
+    learned merge table in learning order.  Golden oracle certified by
+    an independent Counter-based retrain in tools/make_goldens.py."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = llmops.bpe_word_counts(d)
+    merges = llmops.bpe_train_merges(wc, num_merges=64)
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "merge_id": range(len(merges)),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "merge_id long, left string, right string"
+    )
+
+
+@register("q_bpe_tokenize", oracle=_golden_oracle("q_bpe_tokenize"))
+def q_bpe_tokenize(spark, sf_dir):
+    """Token-budget accounting under a LEARNED BPE vocabulary: train
+    the merge table (bounded driver loop, see q_bpe_train), broadcast
+    it, and tokenize the corpus in Arrow mapInPandas batches with a
+    per-batch word→length memo (Zipf reuse).  Output per doc: n_words,
+    n_tokens, n_chars.  Certified by an independent segmenter + the
+    detokenization round-trip in tools/make_goldens.py."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = llmops.bpe_train_merges(llmops.bpe_word_counts(d), num_merges=64)
+    return llmops.bpe_tokenize(d, merges)
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 4: keys whose code
@@ -4165,6 +4206,8 @@ def q_embedding_quantize(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new / code-changed in round 4
+    "q_bpe_train",
+    "q_bpe_tokenize",
     "q_join_bucketed",
     "q_join_bloom",
     "q_scd2_merge",

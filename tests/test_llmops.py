@@ -510,3 +510,30 @@ def test_unpersist_discipline(spark, sf_dir):
     # edge-list + degree caches released; only the node-sized rank
     # checkpoint (2 longs per node) may remain
     assert n_persistent() <= base + 1
+
+
+def test_bpe_train_known_corpus(spark):
+    """Classic BPE on a hand-checkable corpus: 'low' x5 + 'lower' x2 —
+    the first merges must build up 'low' ('l','o' then 'lo','w'),
+    with deterministic lexicographic tie-breaks."""
+    docs = spark.createDataFrame(
+        [(i, "low") for i in range(5)] + [(9, "lower"), (10, "lower")],
+        "doc_id long, text string",
+    )
+    wc = llmops.bpe_word_counts(docs)
+    assert wc == [("low", 5), ("lower", 2)]
+    merges = llmops.bpe_train_merges(wc, num_merges=10)
+    # ('l','o') count 7 and ('o','w') count 7 tie → lexicographic min
+    assert merges[0] == ("l", "o")
+    assert merges[1] == ("lo", "w")
+    # 'low</w>' (5) beats 'er</w>' chain (2)
+    assert merges[2] == ("low", "</w>")
+    rank = {p: i for i, p in enumerate(merges)}
+    assert llmops.bpe_segment_word("low", rank) == ["low</w>"]
+    seg = llmops.bpe_segment_word("lowest", rank)
+    assert "".join(seg) == "lowest</w>"  # round-trip on an unseen word
+    out = {
+        r["doc_id"]: r for r in llmops.bpe_tokenize(docs, merges).collect()
+    }
+    assert out[0]["n_tokens"] == 1  # 'low' → ['low</w>']
+    assert out[0]["n_words"] == 1 and out[0]["n_chars"] == 3

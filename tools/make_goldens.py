@@ -476,6 +476,129 @@ def check_sim_ivf(pdf: pd.DataFrame) -> None:
     )
 
 
+def _bpe_ref_words():
+    """Independent corpus word counts: DuckDB + collections.Counter —
+    no Spark/llmops code path."""
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = con.execute(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    cnt = Counter()
+    for (t,) in texts:
+        for w in t.strip().lower().split(" "):
+            if w:
+                cnt[w] += 1
+    return cnt
+
+
+def check_bpe_train(pdf: pd.DataFrame) -> None:
+    """Retrain with an INDEPENDENT Counter-based implementation (same
+    public algorithm, different dataflow: no Spark word-count pass, no
+    tuple-table representation) and require the identical merge
+    sequence; also check well-formedness: every merge operand is a
+    single char, the end-of-word marker, or a concatenation of an
+    earlier merge."""
+    from collections import Counter
+
+    EOW = "</w>"
+    words = {tuple(w) + (EOW,): c for w, c in _bpe_ref_words().items()}
+    want = []
+    for _ in range(64):
+        pairs = Counter()
+        for sym, c in words.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        if top < 2:
+            break
+        pair = min(p for p, c in pairs.items() if c == top)
+        want.append(pair)
+        a, b = pair
+        merged = {}
+        for sym, c in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        words = merged
+    got = list(zip(pdf["left"], pdf["right"]))
+    assert got == want, (
+        f"merge sequence diverges at "
+        f"{next(i for i, (g, w) in enumerate(zip(got, want)) if g != w) if want else 0}"
+    )
+    known = {EOW}
+    for a, b in got:
+        for part in (a, b):
+            assert len(part) == 1 or part in known, part
+        known.add(a + b)
+    assert list(pdf["merge_id"]) == list(range(len(got)))
+    print(f"  q_bpe_train: {len(got)} merges == independent Counter retrain")
+
+
+def check_bpe_tokenize(pdf: pd.DataFrame) -> None:
+    """Independent segmentation check: re-apply the learned merges with
+    a separate lowest-rank segmenter, verify the DETOKENIZATION
+    round-trip (joined segments reproduce word + end marker), and
+    recompute every doc's n_words/n_tokens/n_chars."""
+    golden_train = pd.read_parquet(
+        os.path.join(GOLDEN_DIR, "q_bpe_train_sf001.parquet")
+    )
+    rank = {
+        (a, b): i
+        for i, (a, b) in enumerate(zip(golden_train["left"], golden_train["right"]))
+    }
+    EOW = "</w>"
+
+    def seg(word):
+        sym = list(word) + [EOW]
+        while len(sym) > 1:
+            cands = [
+                (rank[(x, y)], i)
+                for i, (x, y) in enumerate(zip(sym, sym[1:]))
+                if (x, y) in rank
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            sym[i : i + 2] = [sym[i] + sym[i + 1]]
+        return sym
+
+    memo = {}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    con.close()
+    got = {int(r.doc_id): r for r in pdf.itertuples()}
+    assert len(got) == len(docs)
+    for doc_id, text in docs:
+        words = [w for w in text.strip().lower().split(" ") if w]
+        n_tok = 0
+        for w in words:
+            if w not in memo:
+                s = seg(w)
+                assert "".join(s) == w + EOW, (w, s)  # round-trip
+                memo[w] = len(s)
+            n_tok += memo[w]
+        r = got[int(doc_id)]
+        assert (r.n_words, r.n_tokens, r.n_chars) == (
+            len(words),
+            n_tok,
+            len(text.strip().lower()),
+        ), (doc_id, r)
+    print(f"  q_bpe_tokenize: {len(docs)} docs certified (round-trip + counts)")
+
+
 CHECKS = {
     "q_binom_sf": check_binom_sf,
     "q_spline_fit_eval": check_spline,
@@ -487,6 +610,9 @@ CHECKS = {
     "q_agg_approx": check_agg_approx,
     "q_agg_approx_quantile": check_agg_approx_quantile,
     "q_sim_ivf": check_sim_ivf,
+    # order matters: the tokenize check reads the committed train golden
+    "q_bpe_train": check_bpe_train,
+    "q_bpe_tokenize": check_bpe_tokenize,
 }
 
 
