@@ -216,3 +216,95 @@ def write_bucketed_table(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+# --- atomic-publish parquet sink (manifest commit protocol) --------------
+
+
+def write_parquet_atomic(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> str:
+    """Publish a parquet dataset ATOMICALLY without relying on
+    directory rename: the mini commit protocol every object-store
+    table format (Delta/Iceberg/Hudi) is built on.
+
+    1. data files land under ``path/_staging_<txid>/`` — invisible to
+       readers (readers never list the directory);
+    2. the COMMIT POINT is publishing ``manifest-<seq>-<txid>.json``
+       listing the staged files — a single-object write, which is
+       atomic on both POSIX (temp + rename) and S3-style stores (PUT
+       is atomic per object);
+    3. :func:`read_parquet_atomic` reads the newest manifest and loads
+       exactly its file list.
+
+    A writer that dies before step 2 leaves only an orphaned staging
+    directory: garbage, never observed by any reader.  ``mode`` is
+    ``append`` (new manifest = previous files + staged files) or
+    ``overwrite`` (new manifest = staged files only).  Returns the
+    committed manifest path.
+
+    This implementation targets local/POSIX paths (os.listdir /
+    os.rename); on a real object store the listing goes through the
+    Hadoop FileSystem API and the rename becomes a conditional PUT —
+    the PROTOCOL (staging dir + manifest commit point + manifest-only
+    reads) is the part that carries over unchanged.  Two concurrent
+    committers can race to the same seq; readers resolve by max seq
+    (last-writer-wins) — serializable commits would add a
+    compare-and-swap on the manifest name, which object stores offer
+    as conditional PUT.
+    """
+    import json
+    import os
+    import uuid
+
+    txid = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f"_staging_{txid}")
+    df.write.mode("overwrite").parquet(staging)
+    files = sorted(
+        os.path.join(f"_staging_{txid}", f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(path, exist_ok=True)
+    prev_seq, prev_files = _newest_manifest(path)
+    if mode == "append":
+        files = prev_files + files
+    elif mode != "overwrite":
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    seq = prev_seq + 1
+    manifest = os.path.join(path, f"manifest-{seq:010d}-{txid}.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"seq": seq, "txid": txid, "files": files}, fh)
+    os.rename(tmp, manifest)  # the commit point
+    return manifest
+
+
+def _newest_manifest(path: str) -> tuple[int, list[str]]:
+    import json
+    import os
+
+    best = (0, [])
+    if not os.path.isdir(path):
+        return best
+    for name in os.listdir(path):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as fh:
+                m = json.load(fh)
+            if m["seq"] > best[0]:
+                best = (m["seq"], list(m["files"]))
+    return best
+
+
+def read_parquet_atomic(spark: SparkSession, path: str) -> DataFrame:
+    """Read the dataset as of the NEWEST committed manifest — staged
+    but uncommitted files are invisible, so readers always see a
+    consistent snapshot (crashed writers leave no torn reads)."""
+    import os
+
+    _, files = _newest_manifest(path)
+    if not files:
+        raise FileNotFoundError(f"no committed manifest under {path}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])

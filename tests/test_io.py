@@ -239,3 +239,58 @@ def test_orc_roundtrip_partitioned_pruning(spark, tmp_path):
     # partition pruning: the scan reports a pushed partition filter,
     # not a post-scan Filter over all four partitions
     assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_atomic_parquet_sink_commit_protocol(spark, tmp_path):
+    """Manifest commit protocol: committed snapshots round-trip, a
+    crashed writer (staging dir, no manifest) is invisible, appends
+    stack, overwrite replaces, and a reader of snapshot N never sees
+    in-flight staging for N+1."""
+    import os
+
+    from pfithic_spark.io import (
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "atomic_ds")
+    d1 = spark.range(10).withColumnRenamed("id", "v")
+    write_parquet_atomic(d1, path, mode="overwrite")
+    assert read_parquet_atomic(spark, path).count() == 10
+    # crashed writer: staged files but NO manifest → invisible
+    crash = os.path.join(path, "_staging_deadbeef0000")
+    spark.range(99).withColumnRenamed("id", "v").write.mode(
+        "overwrite"
+    ).parquet(crash)
+    assert read_parquet_atomic(spark, path).count() == 10
+    # append stacks on the last committed snapshot
+    write_parquet_atomic(
+        spark.range(5).withColumnRenamed("id", "v"), path, mode="append"
+    )
+    df = read_parquet_atomic(spark, path)
+    assert df.count() == 15
+    assert sorted(r["v"] for r in df.collect()) == sorted(
+        list(range(10)) + list(range(5))
+    )
+    # overwrite replaces the whole snapshot
+    write_parquet_atomic(
+        spark.range(3).withColumnRenamed("id", "v"), path, mode="overwrite"
+    )
+    assert read_parquet_atomic(spark, path).count() == 3
+    # snapshot isolation: a handle opened on snapshot N still reads N
+    # after N+1 commits (file list is pinned at read time)
+    before = read_parquet_atomic(spark, path)
+    write_parquet_atomic(
+        spark.range(7).withColumnRenamed("id", "v"), path, mode="overwrite"
+    )
+    assert before.count() == 3
+    assert read_parquet_atomic(spark, path).count() == 7
+
+
+def test_atomic_parquet_sink_no_manifest_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from pfithic_spark.io import read_parquet_atomic
+
+    with _pytest.raises(FileNotFoundError):
+        read_parquet_atomic(spark, str(tmp_path / "nothing_here"))
