@@ -250,10 +250,11 @@ def write_parquet_atomic(
     Hadoop FileSystem API and the rename becomes a conditional PUT —
     the PROTOCOL (staging dir + manifest commit point + manifest-only
     reads) is the part that carries over unchanged.  Two concurrent
-    committers can race to the same seq; readers resolve by max seq
-    (last-writer-wins) — serializable commits would add a
-    compare-and-swap on the manifest name, which object stores offer
-    as conditional PUT.
+    committers can race to the same seq; every reader deterministically
+    resolves max (seq, txid), so one racer wins everywhere and the
+    other's files become orphaned garbage — serializable commits would
+    add a compare-and-swap on the manifest name, which object stores
+    offer as conditional PUT.
     """
     import json
     import os
@@ -286,16 +287,23 @@ def _newest_manifest(path: str) -> tuple[int, list[str]]:
     import json
     import os
 
-    best = (0, [])
+    # tie-break equal seqs by txid so snapshot selection is
+    # DETERMINISTIC when two committers raced to the same seq — every
+    # reader resolves the same winner regardless of listing order (the
+    # loser's files become orphaned garbage, same as a crashed writer)
+    best_key = (0, "")
+    best_files: list[str] = []
     if not os.path.isdir(path):
-        return best
-    for name in os.listdir(path):
+        return 0, best_files
+    for name in sorted(os.listdir(path)):
         if name.startswith("manifest-") and name.endswith(".json"):
             with open(os.path.join(path, name)) as fh:
                 m = json.load(fh)
-            if m["seq"] > best[0]:
-                best = (m["seq"], list(m["files"]))
-    return best
+            key = (int(m["seq"]), str(m.get("txid", "")))
+            if key > best_key:
+                best_key = key
+                best_files = list(m["files"])
+    return best_key[0], best_files
 
 
 def read_parquet_atomic(spark: SparkSession, path: str) -> DataFrame:

@@ -433,10 +433,17 @@ def minhash_lsh_pairs(
 #: Signature tables cached by minhash_lsh_pairs / simhash_pairs, kept
 #: so the pair generators' self-joins read them twice without
 #: recompute.  Tracked here so long-lived sessions sweeping many
-#: corpora never accrue executor memory: each pair-generator call
-#: releases the previous call's cache, and callers can force release
-#: with release_signature_caches().
+#: corpora never accrue executor memory: the tracker keeps only the
+#: TWO most recent caches (so building a minhash and a simhash
+#: pipeline before materializing either — the common interleave —
+#: keeps both warm), evicting older ones; callers can force release
+#: with release_signature_caches().  Eviction is only a perf event:
+#: unpersist never invalidates a lazy result, it just recomputes.
+import threading as _threading
+
 _LIVE_SIG_CACHES: list[DataFrame] = []
+_SIG_CACHE_LOCK = _threading.Lock()
+_SIG_CACHE_KEEP = 2
 
 
 def release_signature_caches() -> None:
@@ -444,16 +451,25 @@ def release_signature_caches() -> None:
 
     Safe at any time — unpersist never invalidates a result, it only
     forces recompute for readers that have not materialized yet."""
-    while _LIVE_SIG_CACHES:
+    with _SIG_CACHE_LOCK:
+        drop, _LIVE_SIG_CACHES[:] = _LIVE_SIG_CACHES[:], []
+    for df in drop:
         try:
-            _LIVE_SIG_CACHES.pop().unpersist()
+            df.unpersist()
         except Exception:
             pass
 
 
 def _track_sig_cache(df: DataFrame) -> DataFrame:
-    release_signature_caches()
-    _LIVE_SIG_CACHES.append(df)
+    with _SIG_CACHE_LOCK:
+        _LIVE_SIG_CACHES.append(df)
+        drop = _LIVE_SIG_CACHES[:-_SIG_CACHE_KEEP]
+        _LIVE_SIG_CACHES[:] = _LIVE_SIG_CACHES[-_SIG_CACHE_KEEP:]
+    for old in drop:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
     return df
 
 
@@ -1184,9 +1200,20 @@ def bpe_word_counts(
     which is what makes driver-side BPE training the production shape
     (100 TB of text still has ~10⁵–10⁷ distinct words; the standard
     trainers all work from word counts).  Deterministic top-cap by
-    (count desc, word) when the vocabulary exceeds the bound."""
+    (count desc, word) when the vocabulary exceeds the bound.
+
+    Word rule (shared verbatim with :func:`bpe_tokenize` and the
+    golden certifier): lowercase, split on runs of ASCII whitespace
+    (Java ``\\s`` ≡ python ``[ \\t\\n\\x0b\\f\\r]``), drop empties —
+    one definition on both the JVM and python sides, so a text with
+    edge/odd whitespace can never train a vocabulary inconsistent
+    with the tokenizer's word stream."""
     wc = (
-        token_rows(docs, text_col, id_col)
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("tok")
+        )
         .filter(F.length("tok") > 0)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1205,29 +1232,47 @@ def bpe_train_merges(
     most frequent adjacent symbol pair.  Fully deterministic — integer
     counts, ties broken by the lexicographically smallest pair — so
     the learned merge table is reproducible on any host (pure python
-    ints/strings, no floats, no hashing)."""
-    words = [
-        (tuple(w) + (_BPE_EOW,), c) for w, c in word_counts
-    ]
+    ints/strings, no floats, no hashing).
+
+    INCREMENTAL (the Sennrich reference shape): pair counts and a
+    pair→word-indices index are maintained across merges, so each
+    round rebuilds only the words that actually CONTAIN the merged
+    pair — at a 10⁶–10⁷-word vocabulary that is typically <1% of the
+    table — instead of rescanning every symbol of every word.  The
+    per-round cost is one scan of the distinct-pair dict (for the
+    deterministic max) plus the affected words' rebuilds."""
+    words = [list(w) + [_BPE_EOW] for w, _ in word_counts]
+    wcount = [int(c) for _, c in word_counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, sym in enumerate(words):
+        c = wcount[wi]
+        for p in zip(sym, sym[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(wi)
     merges: list[tuple[str, str]] = []
     for _ in range(int(num_merges)):
-        counts: dict[tuple[str, str], int] = {}
-        for sym, c in words:
-            for i in range(len(sym) - 1):
-                p = (sym[i], sym[i + 1])
-                counts[p] = counts.get(p, 0) + c
-        if not counts:
-            break
-        best_count = max(counts.values())
-        best_pair = min(p for p, c in counts.items() if c == best_count)
+        best_count = 0
+        for c in pair_counts.values():
+            if c > best_count:
+                best_count = c
         if best_count < 2:
             break  # nothing left worth merging
+        best_pair = min(
+            p for p, c in pair_counts.items() if c == best_count
+        )
         merges.append(best_pair)
         a, b = best_pair
         ab = a + b
-        new_words = []
-        for sym, c in words:
-            out = []
+        # rebuild ONLY words containing the pair (pair_words may hold
+        # stale indices from earlier rebuilds: their remove/re-add is a
+        # net zero, so staleness costs a little work, never correctness)
+        for wi in sorted(pair_words.get(best_pair, ())):
+            sym = words[wi]
+            c = wcount[wi]
+            for p in zip(sym, sym[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) - c
+            out: list[str] = []
             i = 0
             n = len(sym)
             while i < n:
@@ -1237,8 +1282,17 @@ def bpe_train_merges(
                 else:
                     out.append(sym[i])
                     i += 1
-            new_words.append((tuple(out), c))
-        words = new_words
+            words[wi] = out
+            for p in zip(out, out[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(wi)
+        pair_counts.pop(best_pair, None)
+        pair_words.pop(best_pair, None)
+        # purge non-positive entries so the max scan stays tight
+        dead = [p for p, c in pair_counts.items() if c <= 0]
+        for p in dead:
+            pair_counts.pop(p, None)
+            pair_words.pop(p, None)
     return merges
 
 
@@ -1279,16 +1333,21 @@ def bpe_tokenize(
     )
 
     def tok(batches):
+        import re
+
         import pandas as pd
 
+        # ASCII whitespace class == Java \s (the word rule shared with
+        # bpe_word_counts; python str.split() would differ on unicode
+        # whitespace)
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         rank = bc.value
         memo: dict[str, int] = {}
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [
-                    w for w in str(text).strip().lower().split(" ") if w
-                ]
+                t = str(text)
+                words = [w for w in ws.split(t.lower()) if w]
                 n_tok = 0
                 for w in words:
                     n = memo.get(w)
@@ -1296,15 +1355,15 @@ def bpe_tokenize(
                         n = len(bpe_segment_word(w, rank))
                         memo[w] = n
                     n_tok += n
-                rows.append(
-                    (int(doc_id), len(words), n_tok, len(str(text)))
-                )
+                # n_chars of the RAW text (lowercasing can change
+                # length for some unicode codepoints)
+                rows.append((int(doc_id), len(words), n_tok, len(t)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_words", "n_tokens", "n_chars"]
             )
 
     return docs.select(
-        F.col(id_col).alias("doc_id"), norm_text(text_col).alias("text")
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(
         tok, schema="doc_id long, n_words long, n_tokens long, n_chars long"
     )

@@ -553,6 +553,15 @@ def decode_jpeg(payload: bytes):
     if frame is None or scan is None:
         raise ValueError("malformed JPEG: missing SOF or SOS")
     h, w, comps = frame
+    if len(scan) < len(comps):
+        # T.81 permits non-interleaved baseline (one SOS per component);
+        # decoding only the first scan would silently leave the missing
+        # components' planes at zero and color-convert garbage — refuse
+        # loudly instead (part of the ADR gap with progressive)
+        raise NotImplementedError(
+            f"multi-scan baseline JPEG (first SOS covers {len(scan)} of "
+            f"{len(comps)} components) — ADR"
+        )
     # de-stuff the entropy-coded stream into per-restart segments
     segments = []
     cur = bytearray()

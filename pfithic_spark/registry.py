@@ -3968,10 +3968,21 @@ def q_join_bucketed(spark, sf_dir):
 
     from .io import write_bucketed_table
 
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag by (sf_dir, applicationId): the catalog entry is session-
+    # scoped but the files are not — a second concurrent session
+    # sharing a plain sf_dir-keyed path could overwrite the directory
+    # mid-query.  Per-session paths make reuse exactly as wide as the
+    # catalog entry's validity.
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
     base = os.path.join(tempfile.gettempdir(), f"pfithic_buckets_{tag}")
     t_o, t_c = f"pfithic_orders_b_{tag}", f"pfithic_customer_b_{tag}"
-    if not spark.catalog.tableExists(t_o):
+    # guard on BOTH tables: a failure between the two writes must not
+    # leave a half-registered pair that every retry then trips over
+    if not (
+        spark.catalog.tableExists(t_o) and spark.catalog.tableExists(t_c)
+    ):
         write_bucketed_table(
             load_table(spark, sf_dir, "orders").select(
                 "o_custkey", "o_totalprice"
@@ -4037,9 +4048,12 @@ def q_join_bloom(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    return rel.bloom_semi_join(
+    out = rel.bloom_semi_join(
         ev.select("event_id", "user_id"), cust, "user_id", "c_custkey"
     )
+    # re-pin column order: the using-column semi join moves the join
+    # key first, but the oracle SELECTs (event_id, user_id)
+    return out.select("event_id", "user_id")
 
 
 @register(

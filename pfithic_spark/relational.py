@@ -364,9 +364,15 @@ def bloom_semi_join(
     """
     assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
     n_words = m_bits // 64
-    d = dim_keys.select(F.col(dim_key).alias("_k")).where(
-        F.col("_k").isNotNull()
-    )
+    # xxhash64 is TYPE-sensitive: hashing an int32 dim key and an int64
+    # fact key yields disjoint lanes and the bloom would prune every
+    # true match (the semi join can only remove false positives, never
+    # resurrect pruned rows).  Cast the dim keys to the fact column's
+    # exact type before hashing so both sides hash identical values.
+    fact_type = dict(fact.dtypes)[fact_key]
+    d = dim_keys.select(
+        F.col(dim_key).cast(fact_type).alias("_k")
+    ).where(F.col("_k").isNotNull())
     lanes = F.explode(
         F.array(*[F.xxhash64(F.lit(i), F.col("_k")) for i in range(k)])
     ).alias("_h")
@@ -402,7 +408,9 @@ def bloom_semi_join(
         "_bloom", *[f"_h{i}" for i in range(k)]
     )
     return pruned.join(
-        dim_keys.select(F.col(dim_key).alias(fact_key)).distinct(),
+        dim_keys.select(
+            F.col(dim_key).cast(fact_type).alias(fact_key)
+        ).distinct(),
         fact_key,
         "left_semi",
     )

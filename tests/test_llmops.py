@@ -499,8 +499,8 @@ def test_unpersist_discipline(spark, sf_dir):
     # GROWTH bounds only (never equality-to-baseline: the baseline may
     # include checkpoint RDDs from earlier tests that the background
     # ContextCleaner releases mid-test, dropping the count below base).
-    # At most the LATEST signature cache survives the sweep:
-    assert n_persistent() <= base + 1
+    # At most the _SIG_CACHE_KEEP most recent caches survive the sweep:
+    assert n_persistent() <= base + llmops._SIG_CACHE_KEEP
     llmops.release_signature_caches()
     assert n_persistent() <= base
     import __spark_entry__ as e

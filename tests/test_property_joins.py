@@ -128,3 +128,15 @@ def test_bloom_semi_join_equals_plain_semi(spark, fact_keys, dim_keys):
         (i, k) for i, k in enumerate(fact_keys) if k is not None and k in dset
     )
     assert got == want
+
+
+def test_bloom_semi_join_mixed_key_types(spark):
+    """Regression: xxhash64 is type-sensitive, so an int fact key
+    against a bigint dim key silently pruned EVERY true match until
+    the dim side was cast to the fact column's exact type."""
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "rid long, k int")
+    dim = spark.createDataFrame([(10,), (20,)], "dk long")
+    got = sorted(
+        r["rid"] for r in rel.bloom_semi_join(fact, dim, "k", "dk").collect()
+    )
+    assert got == [1, 2]

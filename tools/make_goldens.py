@@ -476,6 +476,17 @@ def check_sim_ivf(pdf: pd.DataFrame) -> None:
     )
 
 
+#: the shared word rule: lowercase + split on runs of ASCII whitespace
+#: (== Java \s, the JVM side of bpe_word_counts), drop empties
+_BPE_WS = r"[ \t\n\x0b\f\r]+"
+
+
+def _bpe_words(text: str) -> list[str]:
+    import re
+
+    return [w for w in re.split(_BPE_WS, text.lower()) if w]
+
+
 def _bpe_ref_words():
     """Independent corpus word counts: DuckDB + collections.Counter —
     no Spark/llmops code path."""
@@ -488,9 +499,8 @@ def _bpe_ref_words():
     con.close()
     cnt = Counter()
     for (t,) in texts:
-        for w in t.strip().lower().split(" "):
-            if w:
-                cnt[w] += 1
+        for w in _bpe_words(t):
+            cnt[w] += 1
     return cnt
 
 
@@ -582,7 +592,7 @@ def check_bpe_tokenize(pdf: pd.DataFrame) -> None:
     got = {int(r.doc_id): r for r in pdf.itertuples()}
     assert len(got) == len(docs)
     for doc_id, text in docs:
-        words = [w for w in text.strip().lower().split(" ") if w]
+        words = _bpe_words(text)
         n_tok = 0
         for w in words:
             if w not in memo:
@@ -594,7 +604,7 @@ def check_bpe_tokenize(pdf: pd.DataFrame) -> None:
         assert (r.n_words, r.n_tokens, r.n_chars) == (
             len(words),
             n_tok,
-            len(text.strip().lower()),
+            len(text),
         ), (doc_id, r)
     print(f"  q_bpe_tokenize: {len(docs)} docs certified (round-trip + counts)")
 
