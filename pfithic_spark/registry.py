@@ -4168,6 +4168,105 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
+@register(
+    "q_lm_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents
+),
+v AS (
+  SELECT COUNT(DISTINCT w) AS vocab
+  FROM (SELECT UNNEST(t) AS w FROM toks)
+),
+bi AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i]))
+           AS w1,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i+1]))
+           AS w2
+  FROM toks
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+scored AS (
+  SELECT b.doc_id,
+         CAST(ROUND(LN(CAST(c.c12 + 1 AS DOUBLE)
+                       / CAST(g.c1 + v.vocab AS DOUBLE)), 9)
+              AS DECIMAL(28,9)) AS logp
+  FROM bi b
+  JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+  JOIN c1 g ON b.w1 = g.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp,
+       ROUND(EXP(-ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6)), 6)
+         AS ppl
+FROM scored GROUP BY doc_id
+""",
+)
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (the CCNet/DCLM-style perplexity
+    filter): train Laplace-smoothed bigram statistics on the corpus
+    itself, then score every document by its average bigram
+    log-probability (and the perplexity exp(-avg)).  The standard
+    quality gate between raw crawl and training mix.
+
+    100 TB shape: two count aggregations (bigram and prefix counts —
+    inverted-index keys, never a pair join), a scalar vocab aggregate,
+    then equi-joins back to the per-doc bigram rows.  Determinism: the
+    per-bigram log-prob is a correctly-rounded double expression
+    rounded to 9 dp and summed as DECIMAL (order-independent exact
+    sum), so the per-doc average — and the oracle hash — is bit-stable
+    under any partition order (same discipline as q_corr_exact)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(llmops.norm_text("text"), " ")).alias(
+            "pos", "w1"
+        ),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        t.select("doc_id", "w1", F.lead("w1", 1).over(wspec).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    toks = d.select(
+        F.explode(F.split(llmops.norm_text("text"), " ")).alias("w")
+    )
+    vocab = toks.agg(F.countDistinct("w").alias("vocab"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("vocab")).cast("double")
+                ),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("logp"),
+        )
+    )
+    avg = F.round(
+        F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        avg.alias("avg_logp"),
+        F.round(F.exp(-avg), 6).alias("ppl"),
+    )
+
+
 @register("q_bpe_train", oracle=_golden_oracle("q_bpe_train"))
 def q_bpe_train(spark, sf_dir):
     """Real BPE vocabulary training (Sennrich et al. 2016) the
@@ -4220,6 +4319,7 @@ def q_bpe_tokenize(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new / code-changed in round 4
+    "q_lm_score",
     "q_bpe_train",
     "q_bpe_tokenize",
     "q_join_bucketed",
