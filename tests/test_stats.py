@@ -240,3 +240,57 @@ def test_binom_sf_sql_null_propagation(spark):
         "binom_sf(3.0, 10.0, CAST(NULL AS DOUBLE)) AS b"
     ).collect()[0]
     assert row["a"] is None and row["b"] is None
+
+
+# --- BH-FDR property test (hypothesis) -----------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hs
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ps=hs.lists(
+        hs.floats(
+            min_value=0.0, max_value=1.0, allow_nan=False, allow_subnormal=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    extra_m=hs.integers(min_value=0, max_value=50),
+)
+def test_bh_fdr_matches_numpy_reference(spark, ps, extra_m):
+    """Both BH forms (single-window and two-phase scalable) must match
+    a pure-numpy Benjamini–Hochberg reference — q_i = min_{j>=i}
+    min(1, p_j·M/j) over ascending p — for ARBITRARY p-value sets
+    (duplicates, zeros, ones) and M ≥ n (the possible-pairs semantics
+    where M exceeds the observed row count)."""
+    import numpy as np
+
+    from pfithic_spark import windows as win
+
+    n = len(ps)
+    m = n + extra_m
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], "rid long, p_value double"
+    )
+    order = np.lexsort((np.arange(n), np.array(ps)))  # p then rid
+    q_sorted = np.minimum(
+        np.array(ps)[order] * m / np.arange(1, n + 1), 1.0
+    )
+    # suffix min over ascending-p order
+    q_sorted = np.minimum.accumulate(q_sorted[::-1])[::-1]
+    want = dict(zip(np.arange(n)[order].tolist(), q_sorted.tolist()))
+    for form in (win.bh_fdr, win.bh_fdr_scalable):
+        got = {
+            r["rid"]: r["q_value"]
+            for r in form(df, "p_value", m=m, tiebreak=["rid"]).collect()
+        }
+        assert set(got) == set(want)
+        for rid, q in want.items():
+            assert abs(got[rid] - q) < 1e-12, (form.__name__, rid, got[rid], q)
