@@ -306,13 +306,51 @@ def _newest_manifest(path: str) -> tuple[int, list[str]]:
     return best_key[0], best_files
 
 
-def read_parquet_atomic(spark: SparkSession, path: str) -> DataFrame:
-    """Read the dataset as of the NEWEST committed manifest — staged
-    but uncommitted files are invisible, so readers always see a
-    consistent snapshot (crashed writers leave no torn reads)."""
+def read_parquet_atomic(
+    spark: SparkSession, path: str, as_of_seq: int | None = None
+) -> DataFrame:
+    """Read the dataset as of a committed manifest — staged but
+    uncommitted files are invisible, so readers always see a consistent
+    snapshot (crashed writers leave no torn reads).
+
+    ``as_of_seq`` reads a HISTORICAL snapshot (time travel): manifests
+    are immutable and data files are never rewritten in place, so every
+    committed seq stays readable until a retention job prunes it —
+    the same property Iceberg/Delta time travel rests on."""
+    import json
     import os
 
-    _, files = _newest_manifest(path)
-    if not files:
-        raise FileNotFoundError(f"no committed manifest under {path}")
+    if as_of_seq is None:
+        _, files = _newest_manifest(path)
+        if not files:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+    else:
+        files = None
+        for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
+            if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
+                ".json"
+            ):
+                with open(os.path.join(path, name)) as fh:
+                    files = list(json.load(fh)["files"])
+        if files is None:
+            raise FileNotFoundError(
+                f"no committed manifest with seq={as_of_seq} under {path}"
+            )
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def compact_parquet_atomic(
+    spark: SparkSession, path: str, target_files: int = 1
+) -> str:
+    """Compact the newest snapshot's files into ``target_files`` and
+    publish the result as a new OVERWRITE snapshot — the small-files
+    remedy every append-heavy 100 TB table needs (thousands of tiny
+    appended files destroy scan/listing performance; object stores
+    price per request).
+
+    Readers are never disturbed: the compacted data lands in a fresh
+    staging dir and becomes visible only at its manifest commit point;
+    prior snapshots (and any reader pinned to them) remain intact —
+    compaction is a pure physical rewrite, byte-identical rows."""
+    df = read_parquet_atomic(spark, path).coalesce(int(target_files))
+    return write_parquet_atomic(df, path, mode="overwrite")

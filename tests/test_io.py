@@ -294,3 +294,44 @@ def test_atomic_parquet_sink_no_manifest_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_parquet_atomic(spark, str(tmp_path / "nothing_here"))
+
+
+def test_atomic_sink_time_travel_and_compaction(spark, tmp_path):
+    """Time travel reads any historical seq; compaction rewrites the
+    newest snapshot into fewer files with identical rows, as a new
+    snapshot — older seqs stay readable afterward."""
+    import json
+    import os
+
+    from pfithic_spark.io import (
+        compact_parquet_atomic,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "tt_ds")
+    write_parquet_atomic(
+        spark.range(4).withColumnRenamed("id", "v").repartition(4),
+        path,
+        mode="overwrite",
+    )
+    write_parquet_atomic(
+        spark.range(4, 10).withColumnRenamed("id", "v").repartition(6),
+        path,
+        mode="append",
+    )
+    # time travel: seq 1 = first snapshot only
+    assert read_parquet_atomic(spark, path, as_of_seq=1).count() == 4
+    assert read_parquet_atomic(spark, path).count() == 10
+    # compaction: same rows, fewer files, new snapshot (seq 3)
+    manifest = compact_parquet_atomic(spark, path, target_files=1)
+    with open(manifest) as fh:
+        m = json.load(fh)
+    assert m["seq"] == 3 and len(m["files"]) == 1
+    after = read_parquet_atomic(spark, path)
+    assert sorted(r["v"] for r in after.collect()) == list(range(10))
+    # pre-compaction snapshots still readable (files never rewritten)
+    assert read_parquet_atomic(spark, path, as_of_seq=2).count() == 10
+    assert read_parquet_atomic(spark, path, as_of_seq=1).count() == 4
+    with __import__("pytest").raises(FileNotFoundError):
+        read_parquet_atomic(spark, path, as_of_seq=99)
