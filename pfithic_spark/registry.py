@@ -4169,6 +4169,136 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @register(
+    "q_merge_upsert",
+    oracle="""
+WITH latest AS (
+  SELECT user_id, value AS new_value FROM (
+    SELECT user_id, value,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id
+             ORDER BY EPOCH_US(ts) DESC, event_id DESC
+           ) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT COALESCE(c.c_custkey, l.user_id) AS key,
+       c.c_mktsegment AS segment,
+       ROUND(COALESCE(l.new_value, CAST(c.c_acctbal AS DOUBLE)), 6)
+         AS balance,
+       CASE WHEN c.c_custkey IS NULL THEN 'insert'
+            WHEN l.user_id IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM customer c FULL OUTER JOIN latest l ON c.c_custkey = l.user_id
+""",
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE/upsert (the Delta ``MERGE INTO`` shape, the CDC write
+    side that q_scd2_merge versions): fold a change feed — each user's
+    LATEST event value, deterministic (ts, event_id) argmax — into the
+    customer dimension.  Matched keys update, source-only keys insert,
+    target-only keys keep; every row labeled with its action.
+
+    Physically: the change feed collapses via max_by (one agg — the
+    feed's key cardinality, not its row count), then ONE full outer
+    join against the target — the standard scalable MERGE plan (a
+    row-at-a-time upsert loop is the anti-pattern this replaces)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    latest = (
+        ev.select(
+            "user_id",
+            "value",
+            F.struct(
+                epoch_us(ev, "ts").alias("t"), F.col("event_id").alias("e")
+            ).alias("ord"),
+        )
+        .groupBy("user_id")
+        .agg(F.max_by("value", "ord").alias("new_value"))
+    )
+    j = cust.join(latest, cust.c_custkey == latest.user_id, "full_outer")
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("user_id")).alias("key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(
+            F.coalesce(
+                F.col("new_value"), F.col("c_acctbal").cast("double")
+            ),
+            6,
+        ).alias("balance"),
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("user_id").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS key, MD5(CONCAT_WS('|', o_orderstatus,
+         CAST(o_totalprice AS VARCHAR))) AS h
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+b AS (
+  SELECT o_orderkey AS key, MD5(CONCAT_WS('|', o_orderstatus,
+         CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                   ELSE o_totalprice END AS VARCHAR))) AS h
+  FROM orders WHERE o_orderkey % 11 <> 0
+)
+SELECT COALESCE(a.key, b.key) AS key,
+       CASE WHEN a.key IS NULL THEN 'added'
+            WHEN b.key IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM a FULL OUTER JOIN b USING (key)
+WHERE a.key IS NULL OR b.key IS NULL OR a.h <> b.h
+""",
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: diff two table versions into
+    added/removed/changed keys — what you run between two atomic-sink
+    snapshots (io.read_parquet_atomic time travel) before trusting a
+    pipeline rerun.  Row content is compared via a single md5 over the
+    tracked columns, so the full outer join ships (key, 16-byte hash)
+    — never the rows themselves — and unchanged keys drop out before
+    the result materializes.  Fixture twins: orders minus keys %10=0
+    (removed side) vs orders minus %11=0 with %7=0 prices perturbed
+    (added/changed sides)."""
+    o = load_table(spark, sf_dir, "orders")
+    ha = F.md5(
+        F.concat_ws(
+            "|", F.col("o_orderstatus"), F.col("o_totalprice").cast("string")
+        )
+    )
+    a = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("key"), ha.alias("h")
+    )
+    price_b = F.when(
+        F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    hb = F.md5(
+        F.concat_ws("|", F.col("o_orderstatus"), price_b.cast("string"))
+    )
+    b = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("key"), hb.alias("h")
+    )
+    j = a.withColumnRenamed("h", "ha").join(
+        b.withColumnRenamed("h", "hb"), "key", "full_outer"
+    )
+    return j.filter(
+        F.col("ha").isNull()
+        | F.col("hb").isNull()
+        | (F.col("ha") != F.col("hb"))
+    ).select(
+        "key",
+        F.when(F.col("ha").isNull(), "added")
+        .when(F.col("hb").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+    )
+
+
+@register(
     "q_lm_score",
     oracle="""
 WITH toks AS (
@@ -4319,6 +4449,8 @@ def q_bpe_tokenize(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new / code-changed in round 4
+    "q_merge_upsert",
+    "q_snapshot_diff",
     "q_lm_score",
     "q_bpe_train",
     "q_bpe_tokenize",
