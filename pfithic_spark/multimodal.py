@@ -6,14 +6,15 @@ decode / feature-extraction / resize / frame-sampling run as Arrow
 batch.
 
 Decode status (round 4): PNG (8-bit, all five scanline filters), 24/32
-bpp uncompressed BMP, binary PPM, and BASELINE JPEG (sequential DCT,
-Huffman, 4:4:4/4:2:2/4:2:0, restart markers — T.81 from the public
-spec, numpy only) decode for REAL via :func:`decode_image_real` — no
-Pillow.  The remaining ADR gap is progressive/arithmetic JPEG and
-video containers, which raise ``NotImplementedError`` (this container
-has no Pillow/ffmpeg and installs are off-limits).  The oracled
-fixture keys use the deterministic fake decoder (``fake=True``)
-because fixture payloads are text bytes, not images.
+bpp uncompressed BMP, binary PPM, and JPEG — both BASELINE sequential
+(SOF0/1) and PROGRESSIVE (SOF2: spectral selection + successive
+approximation incl. AC refinement, T.81 Annex G) — decode for REAL via
+:func:`decode_image_real`: public spec + numpy only, no Pillow.  The
+remaining ADR gap is lossless/arithmetic-coded JPEG (rare; arithmetic
+needs an MQ coder) and video containers (ffmpeg territory), which
+raise ``NotImplementedError``.  The oracled fixture keys use the
+deterministic fake decoder (``fake=True``) because fixture payloads
+are text bytes, not images.
 """
 
 from __future__ import annotations
@@ -43,12 +44,12 @@ def decode_image_batch(payloads: pd.Series, fake: bool = False) -> pd.DataFrame:
     """Decode a batch of image payloads → (width, height, frames).
 
     ``fake=False`` runs the REAL pure-python decoders below (PNG via
-    stdlib zlib + spec defilter, uncompressed BMP, binary PPM, baseline
-    JPEG via T.81 Huffman+IDCT — no Pillow needed) and raises
-    NotImplementedError only for formats that genuinely require
-    external codec libraries (progressive JPEG, video containers) —
-    the remaining ADR gap, re-confirmed 2026-08-14 (PIL/cv2/soundfile
-    unimportable, installs off-limits).
+    stdlib zlib + spec defilter, uncompressed BMP, binary PPM,
+    baseline AND progressive JPEG via T.81 Huffman+IDCT — no Pillow
+    needed) and raises NotImplementedError only for formats that
+    genuinely require external codec libraries (lossless/arithmetic
+    JPEG, video containers) — the remaining ADR gap, re-confirmed
+    2026-08-14 (PIL/cv2/soundfile unimportable, installs off-limits).
     ``fake=True`` keeps the deterministic arithmetic stand-in the
     oracled fixture keys replay (fixture payloads are text bytes, not
     images).
@@ -474,13 +475,41 @@ def _jpeg_extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
+def _jpeg_destuff(payload: bytes, pos: int):
+    """De-stuff one scan's entropy stream from ``pos``: returns the
+    per-restart-interval byte segments and the position of the next
+    marker."""
+    segments = []
+    cur = bytearray()
+    while pos < len(payload):
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            segments.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:  # next marker: end of scan
+            break
+    segments.append(bytes(cur))
+    return segments, pos
+
+
 def decode_jpeg(payload: bytes):
-    """Decode a baseline sequential-DCT Huffman JPEG (SOF0/SOF1) to an
-    H×W×C uint8 array — T.81 (public spec) + numpy only, no codec
-    library.  Supports grayscale and YCbCr with any standard sampling
-    (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and 8-bit precision.
-    Progressive (SOF2) and arithmetic-coded JPEGs raise
-    NotImplementedError — with video containers, the remaining ADR gap."""
+    """Decode a Huffman-coded JPEG — baseline sequential (SOF0/SOF1)
+    or PROGRESSIVE (SOF2, T.81 Annex G: spectral selection + successive
+    approximation, incl. AC refinement with EOB runs) — to an H×W×C
+    uint8 array.  Public spec + numpy only, no codec library.
+    Grayscale and YCbCr at any standard sampling (4:4:4/4:2:2/4:2:0),
+    restart intervals, 8-bit precision.  Lossless/arithmetic-coded
+    JPEGs raise NotImplementedError — with video containers, the
+    remaining ADR gap."""
     import struct
 
     import numpy as np
@@ -491,8 +520,9 @@ def decode_jpeg(payload: bytes):
     qtables = {}
     htables = {}
     frame = None  # (height, width, comps) from SOF
+    progressive = False
     restart_interval = 0
-    scan = None
+    scans = []  # per SOS: dict(comps, ss, se, ah, al, segments, ht, ri)
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG: expected marker")
@@ -517,19 +547,21 @@ def decode_jpeg(payload: bytes):
                     vals = list(seg[off : off + 64])
                     off += 64
                 qtables[tq] = np.array(vals, dtype=np.int32)
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline/ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "non-baseline JPEG (progressive/lossless/arithmetic) — ADR"
+                "non-sequential/non-progressive JPEG (lossless/arithmetic)"
+                " — ADR"
             )
         elif marker == 0xC4:  # DHT
             off = 0
@@ -542,46 +574,42 @@ def decode_jpeg(payload: bytes):
                 off += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS: scan header, then entropy data
+        elif marker == 0xDA:  # SOS header + entropy data, maybe more
             ns = seg[0]
-            scan = []
+            scomps = []
             for i in range(ns):
                 cs, tbl = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan.append((cs, tbl >> 4, tbl & 15))
-            break
+                scomps.append((cs, tbl >> 4, tbl & 15))
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            segments, pos = _jpeg_destuff(payload, pos)
+            scans.append(
+                dict(
+                    comps=scomps,
+                    ss=ss,
+                    se=se,
+                    ah=ahal >> 4,
+                    al=ahal & 15,
+                    segments=segments,
+                    ht=dict(htables),  # snapshot: DHT may redefine later
+                    ri=restart_interval,
+                )
+            )
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("malformed JPEG: missing SOF or SOS")
     h, w, comps = frame
-    if len(scan) < len(comps):
+    if progressive:
+        return _jpeg_decode_progressive(h, w, comps, scans, qtables)
+    if len(scans) > 1 or len(scans[0]["comps"]) < len(comps):
         # T.81 permits non-interleaved baseline (one SOS per component);
         # decoding only the first scan would silently leave the missing
         # components' planes at zero and color-convert garbage — refuse
-        # loudly instead (part of the ADR gap with progressive)
-        raise NotImplementedError(
-            f"multi-scan baseline JPEG (first SOS covers {len(scan)} of "
-            f"{len(comps)} components) — ADR"
-        )
-    # de-stuff the entropy-coded stream into per-restart segments
-    segments = []
-    cur = bytearray()
-    while pos < len(payload):
-        b = payload[pos]
-        if b != 0xFF:
-            cur.append(b)
-            pos += 1
-            continue
-        nxt = payload[pos + 1] if pos + 1 < len(payload) else 0xD9
-        if nxt == 0x00:
-            cur.append(0xFF)
-            pos += 2
-        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
-            segments.append(bytes(cur))
-            cur = bytearray()
-            pos += 2
-        else:  # EOI or next marker: end of scan
-            break
-    segments.append(bytes(cur))
+        # loudly instead
+        raise NotImplementedError("multi-scan baseline JPEG — ADR")
+    scan = scans[0]["comps"]
+    htables = scans[0]["ht"]
+    restart_interval = scans[0]["ri"]
+    segments = scans[0]["segments"]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -634,7 +662,13 @@ def decode_jpeg(payload: bytes):
                     y0 = (my * vi + by) * 8
                     x0 = (mx * hi + bx) * 8
                     planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-    # upsample subsampled planes to full grid, crop, color-convert
+    return _jpeg_finish(planes, comps, h, w, hmax, vmax)
+
+
+def _jpeg_finish(planes, comps, h, w, hmax, vmax):
+    """Upsample subsampled planes to the full grid, crop, color-convert."""
+    import numpy as np
+
     full = []
     for cid, hi, vi, tq in comps:
         p = planes[cid]
@@ -654,11 +688,197 @@ def decode_jpeg(payload: bytes):
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def _jpeg_decode_progressive(h, w, comps, scans, qtables):
+    """Progressive decode (T.81 Annex G, Huffman): coefficients
+    accumulate across scans — spectral bands [Ss..Se] and successive-
+    approximation passes (Ah/Al) — then ONE dequant + IDCT per block.
+
+    Scan walks: a multi-component scan interleaves MCUs exactly like
+    baseline; a single-component scan walks that component's OWN
+    ceil(comp/8) block grid.  Restart intervals reset the DC
+    predictors, the EOB run, and byte-align (fresh segment).  The AC
+    refinement algorithm (newly-significant coefficients + correction
+    bits + EOB runs) follows G.1.2.3."""
+    import numpy as np
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comp_by_id = {c[0]: c for c in comps}
+    # coefficient store: padded interleaved grid per component,
+    # (block_rows, block_cols, 64) ints in NATURAL order
+    coef = {}
+    nonint_grid = {}
+    for cid, hi, vi, tq in comps:
+        coef[cid] = np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        nonint_grid[cid] = ((ch + 7) // 8, (cw + 7) // 8)
+
+    for sc in scans:
+        ht = sc["ht"]
+        ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+        ri = sc["ri"]
+        segments = sc["segments"]
+        interleaved = len(sc["comps"]) > 1
+        reader = _JpegBitReader(segments[0])
+        seg_i = 0
+        dc_pred = {cs: 0 for cs, _, _ in sc["comps"]}
+        eob_run = 0
+
+        def restart():
+            nonlocal reader, seg_i, dc_pred, eob_run
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("malformed JPEG: missing restart segment")
+            reader = _JpegBitReader(segments[seg_i])
+            dc_pred = {cs: 0 for cs, _, _ in sc["comps"]}
+            eob_run = 0
+
+        def dc_unit(cs, td, blk):
+            nonlocal eob_run
+            if ah == 0:  # first DC pass
+                s = _jpeg_huff_decode(reader, ht[(0, td)])
+                diff = _jpeg_extend(reader.bits(s), s)
+                dc_pred[cs] += diff
+                blk[0] = dc_pred[cs] << al
+            else:  # DC refinement: one magnitude bit per block
+                if reader.bit():
+                    blk[0] |= 1 << al
+
+        def ac_first_unit(ta, blk):
+            nonlocal eob_run
+            if eob_run > 0:
+                eob_run -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(reader, ht[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eob_run = (1 << r) - 1
+                    if r:
+                        eob_run += reader.bits(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("malformed JPEG: AC band overrun")
+                blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s) << al
+                k += 1
+
+        def ac_refine_unit(ta, blk):
+            # G.1.2.3 / the libjpeg-equivalent correction-bit walk
+            nonlocal eob_run
+            p1 = 1 << al
+            m1 = -1 << al
+            k = ss
+            if eob_run == 0:
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, ht[(1, ta)])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            # NOTE: unlike the first-scan EOB, no -1
+                            # here — the CURRENT block's remaining
+                            # nonzeros still take correction bits, in
+                            # the eob_run phase below, which then
+                            # decrements for this block (T.81 G.1.2.3)
+                            eob_run = 1 << r
+                            if r:
+                                eob_run += reader.bits(r)
+                            break
+                        newval = 0  # ZRL: pass 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "malformed JPEG: bad AC refinement size"
+                            )
+                        newval = p1 if reader.bit() else m1
+                    while k <= se:
+                        z = _JPEG_ZIGZAG[k]
+                        if blk[z] != 0:
+                            # nonzero history: correction bit
+                            if reader.bit() and (blk[z] & p1) == 0:
+                                blk[z] += p1 if blk[z] >= 0 else m1
+                        else:
+                            if r == 0:
+                                if newval:
+                                    blk[z] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eob_run > 0:
+                while k <= se:  # correct the band's remaining nonzeros
+                    z = _JPEG_ZIGZAG[k]
+                    if blk[z] != 0 and reader.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                    k += 1
+                eob_run -= 1
+
+        def data_unit(cs, td, ta, by, bx):
+            blk = coef[cs][by, bx]
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "malformed JPEG: progressive DC scan with Se != 0"
+                    )
+                dc_unit(cs, td, blk)
+            elif ah == 0:
+                ac_first_unit(ta, blk)
+            else:
+                ac_refine_unit(ta, blk)
+
+        if interleaved:
+            n_mcu = mcux * mcuy
+            for m in range(n_mcu):
+                if ri and m > 0 and m % ri == 0:
+                    restart()
+                my, mx = divmod(m, mcux)
+                for cs, td, ta in sc["comps"]:
+                    _, hi, vi, _ = comp_by_id[cs]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            data_unit(cs, td, ta, my * vi + by, mx * hi + bx)
+        else:
+            cs, td, ta = sc["comps"][0]
+            nby, nbx = nonint_grid[cs]
+            for bi in range(nby * nbx):
+                if ri and bi > 0 and bi % ri == 0:
+                    restart()
+                by, bx = divmod(bi, nbx)
+                data_unit(cs, td, ta, by, bx)
+
+    # all scans applied: dequant + IDCT each block once
+    basis = _jpeg_idct_basis()
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        qt_zig = qtables[tq]
+        qt_nat = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            qt_nat[_JPEG_ZIGZAG[k]] = int(qt_zig[k])
+        nby, nbx = coef[cid].shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        deq = coef[cid].astype(np.float64) * qt_nat[None, None, :]
+        for by in range(nby):
+            for bx in range(nbx):
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    basis.T @ deq[by, bx].reshape(8, 8) @ basis + 128.0
+                )
+        planes[cid] = plane
+    return _jpeg_finish(planes, comps, h, w, hmax, vmax)
+
+
 def decode_image_real(payload: bytes):
     """Dispatch on magic bytes to a real pure-python decoder.  Raises
     NotImplementedError for formats that genuinely need external codec
-    libraries (progressive JPEG, video containers) — that remaining gap
-    is the ADR; PNG/BMP/PPM/baseline-JPEG are fully decoded here."""
+    libraries (lossless/arithmetic JPEG, video containers) — that
+    remaining gap is the ADR; PNG/BMP/PPM and both baseline and
+    progressive JPEG are fully decoded here."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":

@@ -1,10 +1,12 @@
 """REAL image decode (no Pillow): PNG (stdlib zlib + spec defilter),
-uncompressed BMP, binary PPM, and baseline JPEG (T.81 Huffman+IDCT) —
-each decoder round-tripped against images encoded in-test from known
-pixel arrays (every PNG filter type; an independent JPEG encoder with
-Annex K tables), then driven end-to-end through the Arrow mapInPandas
-metadata stage.  Progressive JPEG / video remain the documented ADR
-gap."""
+uncompressed BMP, binary PPM, and JPEG — baseline (T.81 Huffman+IDCT)
+AND progressive (Annex G: spectral selection + successive
+approximation) — each decoder round-tripped against images encoded
+in-test from known pixel arrays (every PNG filter type; independent
+JPEG encoders with Annex K tables; progressive decodes BIT-IDENTICAL
+to baseline since progression is lossless re-ordering), then driven
+end-to-end through the Arrow mapInPandas metadata stage.
+Lossless/arithmetic JPEG + video remain the documented ADR gap."""
 
 from __future__ import annotations
 
@@ -118,11 +120,11 @@ def test_decode_dispatch_and_adr_gap():
     assert mm.decode_image_real(_encode_png(img)).shape == (3, 3, 3)
     assert mm.decode_image_real(_encode_bmp(img)).shape == (3, 3, 3)
     assert mm.decode_image_real(_encode_ppm(img)).shape == (3, 3, 3)
-    # baseline JPEG now decodes; the remaining ADR gap is progressive
-    # (SOF2) — craft one: SOI + SOF2 header
-    sof2 = b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1) + b"\x01\x11\x00"
+    # baseline AND progressive JPEG now decode; the remaining JPEG ADR
+    # gap is lossless/arithmetic — craft an SOF3 (lossless) header
+    sof3 = b"\xff\xd8\xff\xc3" + struct.pack(">HBHHB", 8 + 3, 8, 8, 8, 1) + b"\x01\x11\x00"
     with pytest.raises(NotImplementedError):
-        mm.decode_image_real(sof2)
+        mm.decode_image_real(sof3)
 
 
 def test_extract_real_meta_mapinpandas(spark):
@@ -500,3 +502,296 @@ def test_truncated_payloads_raise_clear_errors():
     wav = _encode_wav(np.zeros((16, 1), dtype=np.int16))
     with pytest.raises(ValueError):
         mm.decode_wav(wav[:20])  # cut inside the fmt chunk
+
+
+# --- progressive JPEG (T.81 Annex G) round-trip --------------------------
+# The progressive encoder below re-orders the SAME quantized
+# coefficients a baseline encoding would carry — progression is
+# lossless re-ordering — so the strongest assertion available is
+# BIT-IDENTICAL decoded pixels between the baseline and progressive
+# encodings of one image.
+
+
+def _quantized_blocks(img, quality, subsample):
+    """Shared front half of both encoders: planes, sampling, and the
+    per-block ZIGZAG-order quantized coefficients on the padded MCU
+    grid.  Returns (Z, samp, qsel, ql_z, qc_z, grids) where Z[ci] is
+    (nby, nbx, 64) int and grids[ci] the non-interleaved block grid."""
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    ql_z = _scaled_q(_QL, quality)[mm._JPEG_ZIGZAG]
+    qc_z = _scaled_q(_QC, quality)[mm._JPEG_ZIGZAG]
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        R, G, B = (img[:, :, i].astype(np.float64) for i in range(3))
+        Y = 0.299 * R + 0.587 * G + 0.114 * B
+        Cb = 128.0 - 0.168735892 * R - 0.331264108 * G + 0.5 * B
+        Cr = 128.0 + 0.5 * R - 0.418687589 * G - 0.081312411 * B
+        if subsample:
+            pad_h, pad_w = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+
+            def ds(p):
+                p = np.pad(p, ((0, pad_h - h), (0, pad_w - w)), mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2]
+                        + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+
+            planes = [Y, ds(Cb), ds(Cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [Y, Cb, Cr]
+            samp = [(1, 1)] * 3
+        qsel = [0, 1, 1]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    Z = []
+    grids = []
+    for ci, (p, (hi, vi)) in enumerate(zip(planes, samp)):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        pp = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        qt = ql_z if qsel[ci] == 0 else qc_z
+        nby, nbx = th // 8, tw // 8
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                coefnat = _fdct(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+                arr[by, bx] = np.round(
+                    coefnat.reshape(64)[mm._JPEG_ZIGZAG] / qt
+                ).astype(np.int64)
+        Z.append(arr)
+        cw = (w * hi + hmax - 1) // hmax
+        ch = (h * vi + vmax - 1) // vmax
+        grids.append(((ch + 7) // 8, (cw + 7) // 8))
+    return Z, samp, qsel, ql_z, qc_z, grids, (mcux, mcuy)
+
+
+def _put_val(bw, tbl, r, v):
+    ssss = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    raw = v if v >= 0 else v + (1 << ssss) - 1
+    bw.put(*tbl[(r << 4) | ssss])
+    if ssss:
+        bw.put(int(raw), ssss)
+
+
+def _enc_ac_first_block(bw, act, zz, ss, se, al):
+    """AC first scan for one block (EOB run kept at 1 per block)."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        tv = (abs(v) >> al) * (1 if v >= 0 else -1)
+        if tv == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*act[0xF0])
+            run -= 16
+        _put_val(bw, act, run, tv)
+        run = 0
+    if run > 0:
+        bw.put(*act[0x00])  # EOB
+
+
+def _enc_ac_refine_block(bw, act, zz, ss, se, ah, al):
+    """AC refinement scan for one block — the libjpeg emission order:
+    ZRLs only when a later newly-significant coefficient exists, each
+    symbol followed by the correction bits buffered before it."""
+    temps = [(abs(int(zz[k])) >> al) for k in range(ss, se + 1)]
+    signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
+    kmax = -1
+    for i, t in enumerate(temps):
+        if t == 1:
+            kmax = i
+    run = 0
+    pending: list[int] = []
+    for i, t in enumerate(temps):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and i <= kmax:
+            bw.put(*act[0xF0])
+            run -= 16
+            for b in pending:
+                bw.put(b, 1)
+            pending = []
+        if t > 1:
+            pending.append(t & 1)
+            continue
+        # newly significant (|coef| at this precision == 1)
+        bw.put(*act[(run << 4) | 1])
+        bw.put(signs[i], 1)
+        for b in pending:
+            bw.put(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        bw.put(*act[0x00])  # EOB (run = 1)
+        for b in pending:
+            bw.put(b, 1)
+
+
+def _encode_jpeg_progressive(
+    img, quality=95, subsample=False, ac_refine=False
+):
+    """Progressive JFIF encoder.  Script without ac_refine: interleaved
+    DC first (Al=1) → DC refinement → per-component AC bands 1–5 and
+    6–63 (spectral selection only).  With ac_refine: DC (Al=0) →
+    per-component AC 1–63 at Al=1 → AC refinement pass (Ah=1, Al=0)."""
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    Z, samp, qsel, ql_z, qc_z, grids, (mcux, mcuy) = _quantized_blocks(
+        img, quality, subsample
+    )
+    ncomp = len(Z)
+    dc_lt, ac_lt = _enc_table(*_DC_L), _enc_table(*_AC_L)
+    dc_ct, ac_ct = _enc_table(*_DC_C), _enc_table(*_AC_C)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes(int(x) for x in ql_z))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(int(x) for x in qc_z))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qsel[ci]])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    for (tc, th), (bits, vals) in (
+        ((0, 0), _DC_L), ((1, 0), _AC_L), ((0, 1), _DC_C), ((1, 1), _AC_C)
+    )[: 2 if gray else 4]:
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    def sos(comp_ids, ss, se, ah, al, data):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            t = 0 if qsel[ci] == 0 else 1
+            body += bytes([ci + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body) + data
+
+    dc_al = 0 if ac_refine else 1
+    # scan 1: DC first, interleaved over all components
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in range(ncomp):
+            hi, vi = samp[ci]
+            dct = dc_lt if qsel[ci] == 0 else dc_ct
+            for by in range(vi):
+                for bx in range(hi):
+                    v = int(Z[ci][my * vi + by, mx * hi + bx, 0]) >> dc_al
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    ssss = (
+                        int(diff).bit_length()
+                        if diff > 0
+                        else int(-diff).bit_length()
+                    )
+                    raw = diff if diff >= 0 else diff + (1 << ssss) - 1
+                    bw.put(*dct[ssss])
+                    if ssss:
+                        bw.put(int(raw), ssss)
+    bw.align()
+    out += sos(list(range(ncomp)), 0, 0, 0, dc_al, bytes(bw.out))
+    if not ac_refine:
+        # scan 2: DC refinement — one raw magnitude bit per block
+        bw = _BitWriter()
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bw.put(int(Z[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+        bw.align()
+        out += sos(list(range(ncomp)), 0, 0, 1, 0, bytes(bw.out))
+        bands = [(1, 5), (6, 63)]
+        for ci in range(ncomp):
+            act = ac_lt if qsel[ci] == 0 else ac_ct
+            nby, nbx = grids[ci]
+            for ss_, se_ in bands:
+                bw = _BitWriter()
+                for bi in range(nby * nbx):
+                    by, bx = divmod(bi, nbx)
+                    _enc_ac_first_block(bw, act, Z[ci][by, bx], ss_, se_, 0)
+                bw.align()
+                out += sos([ci], ss_, se_, 0, 0, bytes(bw.out))
+    else:
+        for ci in range(ncomp):
+            act = ac_lt if qsel[ci] == 0 else ac_ct
+            nby, nbx = grids[ci]
+            bw = _BitWriter()
+            for bi in range(nby * nbx):
+                by, bx = divmod(bi, nbx)
+                _enc_ac_first_block(bw, act, Z[ci][by, bx], 1, 63, 1)
+            bw.align()
+            out += sos([ci], 1, 63, 0, 1, bytes(bw.out))
+        for ci in range(ncomp):
+            act = ac_lt if qsel[ci] == 0 else ac_ct
+            nby, nbx = grids[ci]
+            bw = _BitWriter()
+            for bi in range(nby * nbx):
+                by, bx = divmod(bi, nbx)
+                _enc_ac_refine_block(bw, act, Z[ci][by, bx], 1, 63, 1, 0)
+            bw.align()
+            out += sos([ci], 1, 63, 1, 0, bytes(bw.out))
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_baseline_gray():
+    """Progression is lossless coefficient re-ordering: the decoded
+    pixels must be BIT-IDENTICAL to the baseline encoding's."""
+    img = _smooth_img(24, 33, 1)
+    base = mm.decode_jpeg(_encode_jpeg(img, quality=95))
+    prog = mm.decode_jpeg(_encode_jpeg_progressive(img, quality=95))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_equals_baseline_color_444():
+    img = _smooth_img(17, 26, 3)
+    base = mm.decode_jpeg(_encode_jpeg(img, quality=90))
+    prog = mm.decode_jpeg(_encode_jpeg_progressive(img, quality=90))
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_equals_baseline_color_420():
+    img = _smooth_img(40, 56, 3)
+    base = mm.decode_jpeg(_encode_jpeg(img, quality=95, subsample=True))
+    prog = mm.decode_jpeg(
+        _encode_jpeg_progressive(img, quality=95, subsample=True)
+    )
+    np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_ac_successive_approximation():
+    """The AC successive-approximation path (first pass at Al=1, then
+    the refinement scan with correction bits / EOB runs / ZRLs) must
+    reconstruct the same coefficients — decoded output bit-identical
+    to baseline.  Noisy image → dense ±1 coefficients exercising the
+    newly-significant machinery."""
+    for seed, shape in ((3, (16, 24, 1)), (9, (24, 16, 3))):
+        img = _rng_img(*shape, seed=seed)
+        base = mm.decode_jpeg(_encode_jpeg(img, quality=85))
+        prog = mm.decode_jpeg(
+            _encode_jpeg_progressive(img, quality=85, ac_refine=True)
+        )
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_smooth_ac_refine():
+    """Smooth image + AC refinement: long zero runs force ZRL-with-
+    correction-bit emission and EOB folding."""
+    img = _smooth_img(32, 48, 1)
+    base = mm.decode_jpeg(_encode_jpeg(img, quality=95))
+    prog = mm.decode_jpeg(
+        _encode_jpeg_progressive(img, quality=95, ac_refine=True)
+    )
+    np.testing.assert_array_equal(prog, base)
