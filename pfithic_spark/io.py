@@ -354,3 +354,110 @@ def compact_parquet_atomic(
     compaction is a pure physical rewrite, byte-identical rows."""
     df = read_parquet_atomic(spark, path).coalesce(int(target_files))
     return write_parquet_atomic(df, path, mode="overwrite")
+
+
+# --- spline-fit plot sink (dependency-free SVG) --------------------------
+
+
+def write_spline_plot_svg(
+    bin_stats,
+    curve,
+    path: str,
+    title: str = "fit-hi-c null model",
+    width: int = 640,
+    height: int = 440,
+) -> None:
+    """The reference's spline-fit diagnostic plot as a self-contained
+    SVG — no matplotlib (absent in this environment; an ADR kept this
+    sink out of scope until round 4).  Log-log axes: per-bin empirical
+    contact probability (points) with the fitted monotone null curve
+    (polyline).  Inputs are the outputs of
+    :func:`pfithic_spark.hic.fit_null_curve`: the bin-stats frame
+    (``avg_dist``/``prob``) and the ``(grid_x, grid_y)`` curve.
+
+    Pure string generation over a ≤noOfBins-row table — driver-side by
+    construction, the same sanctioned sync point the fit itself uses.
+    """
+    import math
+
+    xs_pt = [float(x) for x in bin_stats["avg_dist"]]
+    ys_pt = [float(y) for y in bin_stats["prob"]]
+    gx = [float(x) for x in curve[0]]
+    gy = [float(y) for y in curve[1]]
+    pos = [v for v in ys_pt + gy if v > 0] or [1e-12]
+    y_floor = min(pos) / 10.0
+    xs_all = [v for v in xs_pt + gx if v > 0] or [1.0]
+
+    def lx(v):
+        return math.log10(max(v, 1e-300))
+
+    def ly(v):
+        return math.log10(max(v, y_floor))
+
+    x0, x1 = lx(min(xs_all)), lx(max(xs_all))
+    y0, y1 = ly(y_floor), ly(max(pos))
+    x1 = x1 if x1 > x0 else x0 + 1.0
+    y1 = y1 if y1 > y0 else y0 + 1.0
+    ml, mr, mt, mb = 70, 20, 40, 50  # margins
+
+    def sx(v):
+        return ml + (lx(v) - x0) / (x1 - x0) * (width - ml - mr)
+
+    def sy(v):
+        return height - mb - (ly(v) - y0) / (y1 - y0) * (height - mt - mb)
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+        f'<text x="{width // 2}" y="24" text-anchor="middle" '
+        f'font-family="sans-serif" font-size="15">{title}</text>',
+        # axes
+        f'<line x1="{ml}" y1="{height - mb}" x2="{width - mr}" '
+        f'y2="{height - mb}" stroke="black"/>',
+        f'<line x1="{ml}" y1="{mt}" x2="{ml}" y2="{height - mb}" '
+        f'stroke="black"/>',
+        f'<text x="{(ml + width - mr) // 2}" y="{height - 12}" '
+        f'text-anchor="middle" font-family="sans-serif" font-size="12">'
+        f"genomic distance (log10)</text>",
+        f'<text x="16" y="{(mt + height - mb) // 2}" '
+        f'font-family="sans-serif" font-size="12" '
+        f'transform="rotate(-90 16 {(mt + height - mb) // 2})" '
+        f'text-anchor="middle">contact probability (log10)</text>',
+    ]
+    # decade ticks
+    for dec in range(int(math.floor(x0)), int(math.ceil(x1)) + 1):
+        px = ml + (dec - x0) / (x1 - x0) * (width - ml - mr)
+        if ml <= px <= width - mr:
+            parts.append(
+                f'<line x1="{px:.1f}" y1="{height - mb}" x2="{px:.1f}" '
+                f'y2="{height - mb + 5}" stroke="black"/>'
+                f'<text x="{px:.1f}" y="{height - mb + 18}" '
+                f'text-anchor="middle" font-family="sans-serif" '
+                f'font-size="10">1e{dec}</text>'
+            )
+    for dec in range(int(math.floor(y0)), int(math.ceil(y1)) + 1):
+        py = height - mb - (dec - y0) / (y1 - y0) * (height - mt - mb)
+        if mt <= py <= height - mb:
+            parts.append(
+                f'<line x1="{ml - 5}" y1="{py:.1f}" x2="{ml}" '
+                f'y2="{py:.1f}" stroke="black"/>'
+                f'<text x="{ml - 8}" y="{py + 3:.1f}" text-anchor="end" '
+                f'font-family="sans-serif" font-size="10">1e{dec}</text>'
+            )
+    # fitted curve
+    if gx:
+        pts = " ".join(f"{sx(x):.2f},{sy(y):.2f}" for x, y in zip(gx, gy))
+        parts.append(
+            f'<polyline points="{pts}" fill="none" stroke="#c0392b" '
+            f'stroke-width="2"/>'
+        )
+    # empirical bin points
+    for x, y in zip(xs_pt, ys_pt):
+        parts.append(
+            f'<circle cx="{sx(x):.2f}" cy="{sy(y):.2f}" r="3" '
+            f'fill="#2c5aa0" fill-opacity="0.8"/>'
+        )
+    parts.append("</svg>")
+    with open(path, "w") as fh:
+        fh.write("\n".join(parts))

@@ -335,3 +335,46 @@ def test_atomic_sink_time_travel_and_compaction(spark, tmp_path):
     assert read_parquet_atomic(spark, path, as_of_seq=1).count() == 4
     with __import__("pytest").raises(FileNotFoundError):
         read_parquet_atomic(spark, path, as_of_seq=99)
+
+
+def test_spline_plot_svg_sink(spark, tmp_path):
+    """The reference's spline-fit diagnostic plot, as dependency-free
+    SVG: run the real fit on fixture contacts, write the plot, parse
+    the XML back, and check the curve/point geometry is present,
+    finite, and monotone non-increasing in screen space."""
+    import xml.etree.ElementTree as ET
+
+    from pfithic_spark import fixtures as fx
+    from pfithic_spark import hic
+    from pfithic_spark.io import write_spline_plot_svg
+    from pfithic_spark.relational import with_distance
+
+    c = with_distance(fx.fixture_contacts(spark, "/root/testdata/sf0.001"))
+    cfg = hic.SigConfig(n_bins=fx.NBINS_OCC, passes=1)
+    dists, n_poss, _m = hic.possible_pairs_np(
+        [fx.NBINS_GRID] * fx.N_CHROMS, fx.RES, 0, 2**62
+    )
+    bin_stats, curve, _ = hic.fit_null_curve(
+        spark, c, None, (dists, n_poss), cfg
+    )
+    out = str(tmp_path / "spline.svg")
+    write_spline_plot_svg(bin_stats, curve, out, title="sf0.001 null fit")
+    root = ET.parse(out).getroot()
+    assert root.tag.endswith("svg")
+    ns = {"s": "http://www.w3.org/2000/svg"}
+    polys = root.findall(".//s:polyline", ns)
+    assert len(polys) == 1
+    pts = [
+        tuple(map(float, p.split(",")))
+        for p in polys[0].attrib["points"].split()
+    ]
+    assert len(pts) >= 10
+    # null curve is non-increasing in probability → non-decreasing in
+    # screen y (SVG y grows downward); allow float slack
+    ys = [y for _, y in pts]
+    assert all(b >= a - 1e-6 for a, b in zip(ys, ys[1:]))
+    circles = root.findall(".//s:circle", ns)
+    assert len(circles) == len(bin_stats)
+    for c_ in circles:
+        assert 0 <= float(c_.attrib["cx"]) <= 640
+        assert 0 <= float(c_.attrib["cy"]) <= 440
