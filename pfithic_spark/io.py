@@ -351,9 +351,30 @@ def compact_parquet_atomic(
     Readers are never disturbed: the compacted data lands in a fresh
     staging dir and becomes visible only at its manifest commit point;
     prior snapshots (and any reader pinned to them) remain intact —
-    compaction is a pure physical rewrite, byte-identical rows."""
+    compaction is a pure physical rewrite, byte-identical rows.
+
+    CONFLICT CHECK: the overwrite manifest would silently drop any
+    append committed between the compactor's read and its commit, so
+    the commit is refused (ValueError — caller retries) if the newest
+    seq moved during the rewrite.  A residual check-to-commit window
+    remains on plain POSIX; true serialization is the conditional-PUT
+    CAS the protocol docstring names for object stores."""
+    base_seq, _ = _newest_manifest(path)
     df = read_parquet_atomic(spark, path).coalesce(int(target_files))
-    return write_parquet_atomic(df, path, mode="overwrite")
+    # materialize the rewrite BEFORE re-checking: the write is the
+    # slow part, so the race window shrinks to the manifest publish
+    staged = df.persist()
+    staged.count()
+    try:
+        now_seq, _ = _newest_manifest(path)
+        if now_seq != base_seq:
+            raise ValueError(
+                f"compaction conflict: snapshot advanced {base_seq} -> "
+                f"{now_seq} during rewrite; retry"
+            )
+        return write_parquet_atomic(staged, path, mode="overwrite")
+    finally:
+        staged.unpersist()
 
 
 # --- spline-fit plot sink (dependency-free SVG) --------------------------
@@ -379,6 +400,9 @@ def write_spline_plot_svg(
     construction, the same sanctioned sync point the fit itself uses.
     """
     import math
+    from xml.sax.saxutils import escape
+
+    title = escape(str(title))
 
     xs_pt = [float(x) for x in bin_stats["avg_dist"]]
     ys_pt = [float(y) for y in bin_stats["prob"]]

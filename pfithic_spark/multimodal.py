@@ -526,12 +526,20 @@ def decode_jpeg(payload: bytes):
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("malformed JPEG: expected marker")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip padding to the marker code itself
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(payload):
+            raise ValueError("malformed JPEG: truncated at marker")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # parameterless
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(payload):
+            raise ValueError("malformed JPEG: truncated segment header")
         (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
         seg = payload[pos + 2 : pos + seglen]
         pos += seglen

@@ -4261,9 +4261,10 @@ def q_snapshot_diff(spark, sf_dir):
     pipeline rerun.  Row content is compared via a single md5 over the
     tracked columns, so the full outer join ships (key, 16-byte hash)
     — never the rows themselves — and unchanged keys drop out before
-    the result materializes.  Fixture twins: orders minus keys %10=0
-    (removed side) vs orders minus %11=0 with %7=0 prices perturbed
-    (added/changed sides)."""
+    the result materializes.  Fixture twins: snapshot A = orders minus
+    keys %10=0 (those keys exist only in B → 'added'), snapshot B =
+    orders minus %11=0 (those exist only in A → 'removed') with %7=0
+    prices perturbed ('changed')."""
     o = load_table(spark, sf_dir, "orders")
     ha = F.md5(
         F.concat_ws(
@@ -4364,9 +4365,9 @@ def q_lm_score(spark, sf_dir):
         t.select("doc_id", "w1", F.lead("w1", 1).over(wspec).alias("w2"))
         .filter(F.col("w2").isNotNull())
     )
-    toks = d.select(
-        F.explode(F.split(llmops.norm_text("text"), " ")).alias("w")
-    )
+    # one tokenization definition (llmops.tokens_col == the oracle's
+    # STRING_SPLIT(LOWER(TRIM(text)), ' ')) for vocab and bigrams alike
+    toks = d.select(F.explode(llmops.tokens_col("text")).alias("w"))
     vocab = toks.agg(F.countDistinct("w").alias("vocab"))
     c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))

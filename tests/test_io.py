@@ -378,3 +378,20 @@ def test_spline_plot_svg_sink(spark, tmp_path):
     for c_ in circles:
         assert 0 <= float(c_.attrib["cx"]) <= 640
         assert 0 <= float(c_.attrib["cy"]) <= 440
+
+
+def test_spline_plot_svg_escapes_title(spark, tmp_path):
+    """XML-special characters in the title must not break the SVG."""
+    import xml.etree.ElementTree as ET
+
+    import pandas as pd
+
+    from pfithic_spark.io import write_spline_plot_svg
+
+    bs = pd.DataFrame({"avg_dist": [1e4, 1e5], "prob": [1e-4, 1e-6]})
+    out = str(tmp_path / "esc.svg")
+    write_spline_plot_svg(
+        bs, ([1e4, 1e5], [1e-4, 1e-6]), out, title="K562 & GM12878 <rep1>"
+    )
+    root = ET.parse(out).getroot()  # parse fails if unescaped
+    assert root.tag.endswith("svg")

@@ -635,13 +635,36 @@ def _enc_ac_refine_block(bw, act, zz, ss, se, ah, al):
             bw.put(b, 1)
 
 
+def _scan_stream(units, encode_unit, restart_interval, reset):
+    """Entropy stream for one scan: ``encode_unit(bw, u)`` per data
+    unit, RSTn markers (byte-aligned, predictor/EOB reset) every
+    ``restart_interval`` units."""
+    data = bytearray()
+    bw = _BitWriter()
+    rst = 0
+    for cnt, u in enumerate(units):
+        if restart_interval and cnt and cnt % restart_interval == 0:
+            bw.align()
+            data += bytes(bw.out)
+            data += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            reset()
+        encode_unit(bw, u)
+    bw.align()
+    data += bytes(bw.out)
+    return bytes(data)
+
+
 def _encode_jpeg_progressive(
-    img, quality=95, subsample=False, ac_refine=False
+    img, quality=95, subsample=False, ac_refine=False, restart_interval=0
 ):
     """Progressive JFIF encoder.  Script without ac_refine: interleaved
     DC first (Al=1) → DC refinement → per-component AC bands 1–5 and
     6–63 (spectral selection only).  With ac_refine: DC (Al=0) →
-    per-component AC 1–63 at Al=1 → AC refinement pass (Ah=1, Al=0)."""
+    per-component AC 1–63 at Al=1 → AC refinement pass (Ah=1, Al=0).
+    ``restart_interval`` emits DRI + RSTn in every scan (MCU units for
+    the interleaved DC scans, block units for the AC scans)."""
     h, w = img.shape[:2]
     gray = img.shape[2] == 1
     Z, samp, qsel, ql_z, qc_z, grids, (mcux, mcuy) = _quantized_blocks(
@@ -666,6 +689,8 @@ def _encode_jpeg_progressive(
         ((0, 0), _DC_L), ((1, 0), _AC_L), ((0, 1), _DC_C), ((1, 1), _AC_C)
     )[: 2 if gray else 4]:
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
 
     def sos(comp_ids, ss, se, ah, al, data):
         body = bytes([len(comp_ids)])
@@ -676,10 +701,10 @@ def _encode_jpeg_progressive(
         return seg(0xDA, body) + data
 
     dc_al = 0 if ac_refine else 1
-    # scan 1: DC first, interleaved over all components
-    bw = _BitWriter()
+    # scan 1: DC first, interleaved over all components (MCU units)
     pred = [0] * ncomp
-    for m in range(mcux * mcuy):
+
+    def dc_first_unit(bw, m):
         my, mx = divmod(m, mcux)
         for ci in range(ncomp):
             hi, vi = samp[ci]
@@ -698,50 +723,71 @@ def _encode_jpeg_progressive(
                     bw.put(*dct[ssss])
                     if ssss:
                         bw.put(int(raw), ssss)
-    bw.align()
-    out += sos(list(range(ncomp)), 0, 0, 0, dc_al, bytes(bw.out))
+
+    def dc_reset():
+        pred[:] = [0] * ncomp
+
+    data = _scan_stream(
+        range(mcux * mcuy), dc_first_unit, restart_interval, dc_reset
+    )
+    out += sos(list(range(ncomp)), 0, 0, 0, dc_al, data)
     if not ac_refine:
         # scan 2: DC refinement — one raw magnitude bit per block
-        bw = _BitWriter()
-        for m in range(mcux * mcuy):
+        def dc_refine_unit(bw, m):
             my, mx = divmod(m, mcux)
             for ci in range(ncomp):
                 hi, vi = samp[ci]
                 for by in range(vi):
                     for bx in range(hi):
-                        bw.put(int(Z[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
-        bw.align()
-        out += sos(list(range(ncomp)), 0, 0, 1, 0, bytes(bw.out))
+                        bw.put(
+                            int(Z[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1
+                        )
+
+        data = _scan_stream(
+            range(mcux * mcuy), dc_refine_unit, restart_interval, lambda: None
+        )
+        out += sos(list(range(ncomp)), 0, 0, 1, 0, data)
         bands = [(1, 5), (6, 63)]
         for ci in range(ncomp):
             act = ac_lt if qsel[ci] == 0 else ac_ct
             nby, nbx = grids[ci]
             for ss_, se_ in bands:
-                bw = _BitWriter()
-                for bi in range(nby * nbx):
-                    by, bx = divmod(bi, nbx)
-                    _enc_ac_first_block(bw, act, Z[ci][by, bx], ss_, se_, 0)
-                bw.align()
-                out += sos([ci], ss_, se_, 0, 0, bytes(bw.out))
+                data = _scan_stream(
+                    range(nby * nbx),
+                    lambda bw, bi, ci=ci, act=act, nbx=nbx, ss_=ss_, se_=se_: (
+                        _enc_ac_first_block(
+                            bw, act, Z[ci][divmod(bi, nbx)], ss_, se_, 0
+                        )
+                    ),
+                    restart_interval,
+                    lambda: None,
+                )
+                out += sos([ci], ss_, se_, 0, 0, data)
     else:
         for ci in range(ncomp):
             act = ac_lt if qsel[ci] == 0 else ac_ct
             nby, nbx = grids[ci]
-            bw = _BitWriter()
-            for bi in range(nby * nbx):
-                by, bx = divmod(bi, nbx)
-                _enc_ac_first_block(bw, act, Z[ci][by, bx], 1, 63, 1)
-            bw.align()
-            out += sos([ci], 1, 63, 0, 1, bytes(bw.out))
+            data = _scan_stream(
+                range(nby * nbx),
+                lambda bw, bi, ci=ci, act=act, nbx=nbx: _enc_ac_first_block(
+                    bw, act, Z[ci][divmod(bi, nbx)], 1, 63, 1
+                ),
+                restart_interval,
+                lambda: None,
+            )
+            out += sos([ci], 1, 63, 0, 1, data)
         for ci in range(ncomp):
             act = ac_lt if qsel[ci] == 0 else ac_ct
             nby, nbx = grids[ci]
-            bw = _BitWriter()
-            for bi in range(nby * nbx):
-                by, bx = divmod(bi, nbx)
-                _enc_ac_refine_block(bw, act, Z[ci][by, bx], 1, 63, 1, 0)
-            bw.align()
-            out += sos([ci], 1, 63, 1, 0, bytes(bw.out))
+            data = _scan_stream(
+                range(nby * nbx),
+                lambda bw, bi, ci=ci, act=act, nbx=nbx: _enc_ac_refine_block(
+                    bw, act, Z[ci][divmod(bi, nbx)], 1, 63, 1, 0
+                ),
+                restart_interval,
+                lambda: None,
+            )
+            out += sos([ci], 1, 63, 1, 0, data)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -795,3 +841,34 @@ def test_jpeg_progressive_smooth_ac_refine():
         _encode_jpeg_progressive(img, quality=95, ac_refine=True)
     )
     np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_progressive_restart_intervals():
+    """DRI/RSTn inside every progressive scan (MCU units for the
+    interleaved DC scans, block units for AC): decode must equal the
+    no-restart progressive and the baseline encodings."""
+    img = _smooth_img(32, 24, 3)
+    base = mm.decode_jpeg(_encode_jpeg(img, quality=92))
+    for ac_refine in (False, True):
+        prog = mm.decode_jpeg(
+            _encode_jpeg_progressive(
+                img, quality=92, ac_refine=ac_refine, restart_interval=3
+            )
+        )
+        np.testing.assert_array_equal(prog, base)
+
+
+def test_jpeg_fill_bytes_and_truncation():
+    """T.81 B.1.1.2: 0xFF fill bytes before a marker are legal padding;
+    a payload ending in a lone 0xFF must raise the module's documented
+    ValueError, not IndexError/struct.error."""
+    img = _smooth_img(16, 16, 1)
+    payload = _encode_jpeg(img, quality=95)
+    # insert a fill byte before EOI
+    assert payload.endswith(b"\xff\xd9")
+    padded = payload[:-2] + b"\xff" + payload[-2:]
+    np.testing.assert_array_equal(
+        mm.decode_jpeg(padded), mm.decode_jpeg(payload)
+    )
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(payload[:20] + b"\xff")  # truncated at a marker
