@@ -4439,6 +4439,529 @@ def q_bpe_tokenize(spark, sf_dir):
     return llmops.bpe_tokenize(d, merges)
 
 
+# ========================================================================
+# §2.14 Round-4 continuation (EXT): event analytics + IR / chunking
+# ========================================================================
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "q_sessionize",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, EPOCH_US(ts) AS us, value FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us,
+       ROUND(CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS sum_value
+FROM s GROUP BY user_id, sess
+""",
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization: split each user's event stream into
+    sessions at >30-min inactivity gaps — the canonical clickstream /
+    telemetry prep step (the batch twin of q_stream_session's
+    session_window).
+
+    Physically: ONE shuffle on user_id feeds both windows (lag for the
+    gap flag, running sum for the session ordinal — same partition key,
+    Catalyst reuses the sort) and the final groupBy is
+    partition-local (user_id, sess) so no second exchange is needed.
+    Per-user windows, never a global one — skew ceiling is the busiest
+    single user.  Epoch-µs integer math end-to-end (tz-proof,
+    FIXTURES.md §5.4); the value sum is round-then-DECIMAL (§7)."""
+    from pyspark.sql import Window as W
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", epoch_us(ev_raw).alias("us"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us", 1).over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("dur_us"),
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("sum_value"),
+    ).select(
+        "user_id",
+        F.col("sess").cast("bigint").alias("session_id"),
+        "n_events",
+        "start_us",
+        "end_us",
+        "dur_us",
+        "sum_value",
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, EPOCH_US(ts) AS us, value FROM events
+),
+d AS (
+  SELECT user_id, value,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+           AS dur
+  FROM t
+),
+p AS (
+  SELECT user_id,
+         CAST(ROUND(value, 6) AS DECIMAL(20,6)) * CAST(dur AS DECIMAL(18,0))
+           AS piece,
+         dur
+  FROM d WHERE dur IS NOT NULL AND dur > 0
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(piece) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE), 6)
+         AS twa_value
+FROM p GROUP BY user_id
+""",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (the metrics/IoT 'average holding value'):
+    each reading holds until the user's next event, so it weighs by its
+    duration — a plain AVG over irregular samples is biased toward
+    burst periods.
+
+    Physically: one shuffle on user_id for the lead() window, then a
+    partition-local groupBy on the same key.  Exactness: the weighted
+    pieces are DECIMAL(18,6) value × DECIMAL µs-duration products —
+    exact integer-scaled arithmetic, order-independent sums — and the
+    ONLY float op is the final single division (FIXTURES.md §5.1)."""
+    from pyspark.sql import Window as W
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id", "event_id", epoch_us(ev_raw).alias("us"), "value"
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    d = ev.select(
+        "user_id",
+        "value",
+        (F.lead("us", 1).over(w) - F.col("us")).alias("dur"),
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    # DECIMAL(20,6) forces 128-bit storage on the DuckDB side: the
+    # (value × µs-duration) product overflows int64 decimals (§5.3's
+    # "keep the decimal-scaled sum below 2^53" applies to the PRODUCT
+    # here), and 20+18 = 38 is the widest multiply both dialects allow.
+    piece = F.round(F.col("value"), 6).cast("decimal(20,6)") * F.col(
+        "dur"
+    ).cast("decimal(18,0)")
+    return (
+        d.select("user_id", piece.alias("piece"), "dur")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur").cast("bigint").alias("total_us"),
+            F.round(
+                F.sum("piece").cast("double")
+                / F.sum("dur").cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+    )
+
+
+_CHUNK_SIZE = 256
+_CHUNK_STRIDE = 192
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text, LEN(text) AS n FROM documents),
+k AS (
+  SELECT doc_id, n, text,
+         UNNEST(GENERATE_SERIES(0,
+           CASE WHEN n <= {_CHUNK_SIZE} THEN 0
+                ELSE (n - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                     // {_CHUNK_STRIDE} END)) AS k
+  FROM t
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(1 + k * {_CHUNK_STRIDE} AS BIGINT) AS start_pos,
+       LEN(SUBSTR(text, CAST(1 + k * {_CHUNK_STRIDE} AS INT),
+                  {_CHUNK_SIZE})) AS chunk_len,
+       MD5(SUBSTR(text, CAST(1 + k * {_CHUNK_STRIDE} AS INT),
+                  {_CHUNK_SIZE})) AS chunk_md5
+FROM k
+""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window document chunking (RAG / context-window prep):
+    256-char chunks every 192 chars, so consecutive chunks overlap by
+    64.  The step between raw corpus and any embedding or packing
+    stage.
+
+    Physically NARROW — sequence() + posexplode + substring are all
+    JVM codegen expressions, zero shuffles, zero Python; output rows
+    stay on the partition that read the document, so 100 TB chunks at
+    scan speed.  Chunk count is exact integer math ((n-size+stride-1)
+    div stride); chunks are emitted with their md5 so downstream dedup
+    joins ship 16-byte digests, not text."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_extra = F.when(
+        n <= _CHUNK_SIZE, F.lit(0)
+    ).otherwise(
+        F.floor((n - _CHUNK_SIZE + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE)
+    ).cast("int")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("pos", "k"),
+    )
+    start = (1 + F.col("k") * _CHUNK_STRIDE).cast("int")
+    piece = F.substring(F.col("text"), start, _CHUNK_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_pos"),
+        F.length(piece).alias("chunk_len"),
+        F.md5(piece).alias("chunk_md5"),
+    )
+
+
+#: Fixed query-term set for the BM25 key — common fixture-vocabulary
+#: words, so every sf has matches.
+_BM25_TERMS = ("table", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q_bm25",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avg_dl
+  FROM dl
+),
+q AS (SELECT UNNEST(['table', 'spark', 'window']) AS w),
+tf AS (
+  SELECT t.doc_id, t.w, COUNT(*) AS tf
+  FROM toks t JOIN q ON t.w = q.w GROUP BY t.doc_id, t.w
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           LN((CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * (dl.dl / s.avg_dl))),
+           9) AS DECIMAL(28,9)) AS term_score
+  FROM tf
+  JOIN df ON tf.w = df.w
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       ROUND(CAST(SUM(term_score) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc_id
+""",
+)
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson/Sparck-Jones; k1=1.2, b=0.75)
+    for a fixed query term set — the classic lexical scorer behind
+    search/contamination tooling.
+
+    Physically: tokenization is narrow; tf is an aggregation keyed on
+    (doc_id, term) AFTER a broadcast semi-join against the tiny query
+    term set (the corpus-wide token stream is filtered to query terms
+    before any shuffle); df/N/avg_dl are small aggregates broadcast
+    back.  Nothing joins corpus-to-corpus.  Determinism: each
+    doc-term score is one fixed-order IEEE expression rounded to 9 dp,
+    then DECIMAL-summed per doc (FIXTURES.md §7)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(llmops.tokens_col("text")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats_df = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    q = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "w string"
+    )
+    tf = (
+        toks.join(F.broadcast(q), "w")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+        + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avg_dl"))
+    )
+    term_score = F.round(
+        idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 9
+    ).cast("decimal(28,9)")
+    scored = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats_df))
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("term_score").cast("double"), 6).alias("bm25"),
+    )
+
+
+@register(
+    "q_outlier_mad",
+    oracle="""
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+),
+a AS (
+  SELECT e.event_type, e.value, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, MEDIAN(adev) AS mad FROM a GROUP BY event_type
+)
+SELECT a.event_type,
+       COUNT(*) AS n,
+       ROUND(MIN(a.med), 6) AS med,
+       ROUND(MIN(d.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN a.adev > 3.0 * d.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM a JOIN mad d USING (event_type)
+GROUP BY a.event_type
+""",
+)
+def q_outlier_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    standard robust alternative to q_anomaly_zscore (a single wild
+    value shifts a mean/std badly but moves a median/MAD almost not at
+    all).  Flags values with |v - median| > 3·MAD per event type.
+
+    Physically: exact medians need a per-group sort, but each sort is
+    per-EVENT-TYPE (bounded group count, never a global order-by); the
+    two median tables are tiny and broadcast back onto the events scan
+    — the corpus itself shuffles once per agg and never joins to
+    itself.  At 100 TB you'd swap percentile→approx_percentile (same
+    plan shape); exact is kept so the oracle hash-matches.
+    Determinism: both engines interpolate the same sorted doubles with
+    the same lower+(higher-lower)·frac formula; outputs round to 6 dp
+    and the outlier test compares identical IEEE expressions."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    a = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = a.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        a.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+#: Deterministic sparsifier for the co-purchase graph: keep an edge when
+#: (a·31 + b) mod 97 < 12 — same integer arithmetic in both dialects.
+_TRI_MOD, _TRI_KEEP = 97, 12
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+edges AS (
+  SELECT a, b FROM pairs
+  WHERE (a * 31 + b) % {_TRI_MOD} < {_TRI_KEEP}
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+w AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       (SELECT n_tri FROM tri) AS n_triangles,
+       ROUND(CASE WHEN (SELECT n_wedges FROM w) = 0 THEN 0.0
+                  ELSE 3.0 * (SELECT n_tri FROM tri)
+                       / (SELECT n_wedges FROM w) END, 9)
+         AS clustering_coeff
+""",
+)
+def q_triangle_count(spark, sf_dir):
+    """Triangle counting on the co-purchase graph (parts sharing an
+    order), plus the global clustering coefficient — the graph-shape
+    statistic behind community/quality analysis of link graphs.
+
+    Scale design — degree-ordered orientation (the MapReduce-era
+    Cohen / Suri-Vassilvitskii trick): each undirected edge is
+    directed from its lower-(degree, id) endpoint to the higher, so
+    every wedge is generated at its LOWEST-degree apex; wedge count
+    drops from Σd² to O(m·√m) on skewed graphs and each triangle is
+    produced exactly once, no a<b<c triple-ordering scan needed.  Two
+    self-equi-joins on oriented edges (shuffle on vertex id), degree
+    table broadcast.  The deterministic mod-97 sparsifier bounds the
+    fixture graph's density; all outputs are exact integers until the
+    single final division (round 9)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    x = li.alias("x")
+    y = li.alias("y")
+    pairs = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    edges = pairs.filter(
+        (F.col("a") * 31 + F.col("b")) % _TRI_MOD < _TRI_KEEP
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient each edge low→high by (degree, id); triangles survive as
+    # exactly one (u→v, u→w, v→w) oriented triple
+    e = (
+        edges.join(
+            F.broadcast(deg).withColumnRenamed("v", "a").withColumnRenamed(
+                "d", "da"
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(deg).withColumnRenamed("v", "b").withColumnRenamed(
+                "d", "db"
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("w")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("w"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.w")
+    )
+    # each unordered wedge at its apex exactly once (v1 < v2 by id);
+    # the triangle's two-out-edge apex is unique, so no /2 correction
+    w1 = e.select(F.col("u"), F.col("w").alias("v1"))
+    w2 = e.select(F.col("u"), F.col("w").alias("v2"))
+    wedges = w1.join(w2, "u").filter(F.col("v1") < F.col("v2"))
+    # closing edge may be oriented either way between v1 and v2
+    closing = e.select(
+        F.least("u", "w").alias("lo"), F.greatest("u", "w").alias("hi")
+    )
+    tri = (
+        wedges.select(
+            F.col("v1").alias("lo"), F.col("v2").alias("hi")
+        )
+        .join(closing, ["lo", "hi"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    n_wedges_open = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_wedges"
+        )
+    )
+    counts = deg.agg(F.count(F.lit(1)).alias("n_vertices")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        counts.crossJoin(tri)
+        .crossJoin(n_wedges_open)
+        .select(
+            "n_vertices",
+            "n_edges",
+            F.col("n_tri").alias("n_triangles"),
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_tri") / F.col("n_wedges")
+                ),
+                9,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 4: keys whose code
@@ -4449,6 +4972,13 @@ def q_bpe_tokenize(spark, sf_dir):
 #: else was re-rowed in rounds 2–3), then the round-3 backlog in
 #: last-verified order.
 _VERIFY_FIRST = [
+    # new in round-4 continuation session (§2.14)
+    "q_sessionize",
+    "q_time_weighted_avg",
+    "q_chunk_documents",
+    "q_bm25",
+    "q_outlier_mad",
+    "q_triangle_count",
     # new / code-changed in round 4
     "q_merge_upsert",
     "q_snapshot_diff",
