@@ -18,6 +18,7 @@ per-pass bin stats) plus parquet, the scale-sane default.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .session import ensure_engine_confs
@@ -221,10 +222,97 @@ def write_bucketed_table(
 # --- atomic-publish parquet sink (manifest commit protocol) --------------
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Attach a Morton (Z-order) key column interleaving ``cols``.
+
+    Each column is first quantized to ``bits`` bits against its GLOBAL
+    min/max (one tiny agg), then the bit planes are interleaved with
+    plain shift/or JVM expressions — no UDF.  Sorting/range-partitioning
+    by the resulting key co-locates rows that are close in EVERY listed
+    dimension, so per-file min/max envelopes stay tight on all of them
+    at once — the multi-dimensional file-skipping layout (Delta
+    OPTIMIZE ZORDER BY / Iceberg sort orders) that a plain linear sort
+    only achieves for its leading column.  ``bits × len(cols)`` must
+    stay ≤ 63.  Returns ``(df_with_key, key_col_name)``.
+    """
+    if bits * len(cols) > 63:
+        raise ValueError("zorder key exceeds 63 bits")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    levels = (1 << bits) - 1
+    quantized = []
+    for i, c in enumerate(cols):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(levels),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span)
+                    * levels
+                ).cast("bigint"),
+            ),
+        )
+        quantized.append(q)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for ci, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                    b * len(cols) + ci,
+                )
+            )
+    key = "_zorder_key"
+    return df.withColumn(key, z), key
+
+
+def _parquet_file_stats(
+    fpath: str, cols: list[str]
+) -> dict[str, list]:
+    """Per-file [min, max] for each requested column, read from the
+    parquet FOOTER (row-group statistics) — no data pages touched, no
+    Spark job.  Columns without footer stats are omitted (reader keeps
+    the file)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(fpath).metadata
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict[str, list] = {}
+    for c in cols:
+        i = name_to_idx.get(c)
+        if i is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            out[c] = [lo, hi]
+    return out
+
+
 def write_parquet_atomic(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    zorder_by: list[str] | None = None,
+    zorder_files: int = 8,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Publish a parquet dataset ATOMICALLY without relying on
     directory rename: the mini commit protocol every object-store
@@ -255,6 +343,16 @@ def write_parquet_atomic(
     other's files become orphaned garbage — serializable commits would
     add a compare-and-swap on the manifest name, which object stores
     offer as conditional PUT.
+
+    ``zorder_by`` lays the staged files out on a Morton curve over the
+    listed columns (range-partition + in-partition sort on the
+    interleaved key, :func:`zorder_key`) across ``zorder_files`` files,
+    and ``stats_cols`` records per-file [min, max] envelopes — read
+    from the parquet FOOTERS, no extra scan — in the manifest, which
+    :func:`read_parquet_atomic` uses to SKIP whole files against a
+    predicate.  Together they are the coarse pruning layer under every
+    lakehouse table: at 100 TB a needle query should open dozens of
+    files, not millions.
     """
     import json
     import os
@@ -262,28 +360,47 @@ def write_parquet_atomic(
 
     txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging_{txid}")
-    df.write.mode("overwrite").parquet(staging)
+    if zorder_by:
+        zdf, zkey = zorder_key(df, zorder_by)
+        (
+            zdf.repartitionByRange(int(zorder_files), F.col(zkey))
+            .sortWithinPartitions(zkey)
+            .drop(zkey)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+    else:
+        df.write.mode("overwrite").parquet(staging)
     files = sorted(
         os.path.join(f"_staging_{txid}", f)
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
+    stats: dict[str, dict] = {}
+    if stats_cols:
+        for rel in files:
+            stats[rel] = _parquet_file_stats(
+                os.path.join(path, rel), list(stats_cols)
+            )
     os.makedirs(path, exist_ok=True)
-    prev_seq, prev_files = _newest_manifest(path)
+    prev_seq, prev_files, prev_stats = _newest_manifest_full(path)
     if mode == "append":
         files = prev_files + files
+        stats = {**prev_stats, **stats}
     elif mode != "overwrite":
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     seq = prev_seq + 1
     manifest = os.path.join(path, f"manifest-{seq:010d}-{txid}.json")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"seq": seq, "txid": txid, "files": files}, fh)
+        json.dump(
+            {"seq": seq, "txid": txid, "files": files, "stats": stats}, fh
+        )
     os.rename(tmp, manifest)  # the commit point
     return manifest
 
 
-def _newest_manifest(path: str) -> tuple[int, list[str]]:
+def _newest_manifest_full(path: str) -> tuple[int, list[str], dict]:
     import json
     import os
 
@@ -293,8 +410,9 @@ def _newest_manifest(path: str) -> tuple[int, list[str]]:
     # loser's files become orphaned garbage, same as a crashed writer)
     best_key = (0, "")
     best_files: list[str] = []
+    best_stats: dict = {}
     if not os.path.isdir(path):
-        return 0, best_files
+        return 0, best_files, best_stats
     for name in sorted(os.listdir(path)):
         if name.startswith("manifest-") and name.endswith(".json"):
             with open(os.path.join(path, name)) as fh:
@@ -303,11 +421,79 @@ def _newest_manifest(path: str) -> tuple[int, list[str]]:
             if key > best_key:
                 best_key = key
                 best_files = list(m["files"])
-    return best_key[0], best_files
+                best_stats = dict(m.get("stats", {}))
+    return best_key[0], best_files, best_stats
+
+
+def _newest_manifest(path: str) -> tuple[int, list[str]]:
+    seq, files, _ = _newest_manifest_full(path)
+    return seq, files
+
+
+def _prune_by_stats(
+    files: list[str], stats: dict, predicate: dict
+) -> tuple[list[str], int]:
+    """Keep files whose [min, max] envelope intersects every
+    ``col: (lo, hi)`` range; files lacking stats for a predicate column
+    are conservatively kept.  Returns (kept, n_skipped)."""
+    kept = []
+    for rel in files:
+        fstats = stats.get(rel, {})
+        keep = True
+        for col, (lo, hi) in predicate.items():
+            mm = fstats.get(col)
+            if mm is None:
+                continue
+            mn, mx = mm
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                keep = False
+                break
+        if keep:
+            kept.append(rel)
+    return kept, len(files) - len(kept)
+
+
+def atomic_snapshot_files(
+    path: str,
+    as_of_seq: int | None = None,
+    predicate: dict | None = None,
+) -> tuple[list[str], int]:
+    """Resolve a snapshot's file list, optionally pruned by the
+    manifest's per-file column stats.  ``predicate`` maps column →
+    ``(lo, hi)`` inclusive bounds (either side None for unbounded).
+    Returns (relative paths kept, files skipped by stats)."""
+    import json
+    import os
+
+    if as_of_seq is None:
+        _, files, stats = _newest_manifest_full(path)
+        if not files:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+    else:
+        files = stats = None
+        for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
+            if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
+                ".json"
+            ):
+                with open(os.path.join(path, name)) as fh:
+                    m = json.load(fh)
+                files = list(m["files"])
+                stats = dict(m.get("stats", {}))
+        if files is None:
+            raise FileNotFoundError(
+                f"no committed manifest with seq={as_of_seq} under {path}"
+            )
+    if predicate:
+        return _prune_by_stats(files, stats, predicate)
+    return files, 0
 
 
 def read_parquet_atomic(
-    spark: SparkSession, path: str, as_of_seq: int | None = None
+    spark: SparkSession,
+    path: str,
+    as_of_seq: int | None = None,
+    predicate: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the dataset as of a committed manifest — staged but
     uncommitted files are invisible, so readers always see a consistent
@@ -316,27 +502,134 @@ def read_parquet_atomic(
     ``as_of_seq`` reads a HISTORICAL snapshot (time travel): manifests
     are immutable and data files are never rewritten in place, so every
     committed seq stays readable until a retention job prunes it —
-    the same property Iceberg/Delta time travel rests on."""
-    import json
+    the same property Iceberg/Delta time travel rests on.
+
+    ``predicate`` (column → (lo, hi)) SKIPS files whose manifest
+    min/max envelope can't contain matches — coarse pruning ahead of
+    Spark's own row-group pushdown.  It is an optimization hint only:
+    the caller still applies the real filter (files kept may contain
+    non-matching rows).  Pair with ``zorder_by`` at write time so the
+    envelopes are tight on every predicate dimension.
+
+    ``merge_schema=True`` unions the per-file schemas (schema
+    EVOLUTION): files appended before a column existed read as NULL
+    for it — additive evolution without rewriting history, the
+    Iceberg/Delta add-column semantics.  Default off: schema merging
+    reads every file footer up front."""
     import os
 
-    if as_of_seq is None:
-        _, files = _newest_manifest(path)
-        if not files:
-            raise FileNotFoundError(f"no committed manifest under {path}")
-    else:
-        files = None
-        for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
-            if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
-                ".json"
-            ):
+    files, _ = atomic_snapshot_files(path, as_of_seq, predicate)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(path, f) for f in files])
+
+
+def read_parquet_atomic_incremental(
+    spark: SparkSession, path: str, from_seq: int, to_seq: int | None = None
+) -> DataFrame:
+    """Incremental consumption: rows in files ADDED between snapshot
+    ``from_seq`` (exclusive) and ``to_seq`` (inclusive; default
+    newest).  For an append-only table this IS the change stream — the
+    consumer checkpoints the last seq it processed and each run reads
+    only the delta, which is how 100 TB tables feed downstream
+    pipelines without nightly full rescans (Delta CDF / Iceberg
+    incremental reads).  Raises on a non-append history (a file
+    present at from_seq but missing later means an overwrite/compaction
+    rewrote history — the consumer must fall back to a full diff,
+    cf. q_snapshot_diff)."""
+    import os
+
+    base, _ = atomic_snapshot_files(path, as_of_seq=from_seq)
+    newer, _ = (
+        atomic_snapshot_files(path)
+        if to_seq is None
+        else atomic_snapshot_files(path, as_of_seq=to_seq)
+    )
+    missing = set(base) - set(newer)
+    if missing:
+        raise ValueError(
+            f"non-append history between seq {from_seq} and "
+            f"{to_seq if to_seq is not None else 'newest'}: "
+            f"{len(missing)} file(s) from the base snapshot were "
+            "rewritten; incremental read is not sound — run a full diff"
+        )
+    added = [f for f in newer if f not in set(base)]
+    if not added:
+        return spark.createDataFrame([], read_parquet_atomic(spark, path).schema)
+    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+
+
+def vacuum_parquet_atomic(
+    path: str, keep_last_n: int = 1, remove_staging_orphans: bool = True
+) -> dict:
+    """Garbage-collect the atomic table: delete manifests older than
+    the newest ``keep_last_n`` snapshots, data files no retained
+    manifest references, and (optionally) orphaned staging directories
+    from crashed or raced writers.  The VACUUM / expire-snapshots
+    maintenance every manifest-based table needs — without it a 100 TB
+    table's storage grows with every overwrite forever.  Time travel
+    remains valid for all RETAINED seqs.  Returns counts.  Not safe
+    concurrently with an in-flight writer's staging dir unless
+    ``remove_staging_orphans=False`` (real table formats age staging
+    by mtime; this targets the post-crash cleanup)."""
+    import json
+    import os
+    import shutil
+
+    if keep_last_n < 1:
+        raise ValueError("keep_last_n must be >= 1")
+    manifests = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            if name.startswith("manifest-") and name.endswith(".json"):
                 with open(os.path.join(path, name)) as fh:
-                    files = list(json.load(fh)["files"])
-        if files is None:
-            raise FileNotFoundError(
-                f"no committed manifest with seq={as_of_seq} under {path}"
-            )
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+                    m = json.load(fh)
+                manifests.append(
+                    ((int(m["seq"]), str(m.get("txid", ""))), name, m)
+                )
+    manifests.sort(key=lambda t: t[0])
+    keep = manifests[-keep_last_n:]
+    drop = manifests[:-keep_last_n]
+    referenced: set[str] = set()
+    for _, _, m in keep:
+        referenced.update(m["files"])
+    n_manifests = n_files = n_staging = 0
+    for _, name, m in drop:
+        for rel in m["files"]:
+            if rel in referenced:
+                continue
+            fp = os.path.join(path, rel)
+            if os.path.exists(fp):
+                os.remove(fp)
+                n_files += 1
+        os.remove(os.path.join(path, name))
+        n_manifests += 1
+    referenced_dirs = {rel.split(os.sep)[0] for rel in referenced}
+    if remove_staging_orphans:
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if (
+                name.startswith("_staging_")
+                and os.path.isdir(full)
+                and name not in referenced_dirs
+            ):
+                shutil.rmtree(full)
+                n_staging += 1
+    # prune now-empty staging dirs whose files were all deleted
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        if (
+            name.startswith("_staging_")
+            and os.path.isdir(full)
+            and not os.listdir(full)
+        ):
+            os.rmdir(full)
+    return {
+        "manifests_removed": n_manifests,
+        "data_files_removed": n_files,
+        "staging_dirs_removed": n_staging,
+    }
 
 
 def compact_parquet_atomic(

@@ -1367,3 +1367,123 @@ def bpe_tokenize(
     ).mapInPandas(
         tok, schema="doc_id long, n_words long, n_tokens long, n_chars long"
     )
+
+
+# ------------------------------------------------------------------
+# PCA: distributed exact-decimal covariance + driver Jacobi eigensolve
+# ------------------------------------------------------------------
+
+
+def pca_moments(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[list[float]], int]:
+    """Mean vector and covariance matrix of an embedding column,
+    computed so the result is BIT-STABLE under any partition order or
+    host (FIXTURES.md §6/§7): per-element values and centered products
+    are rounded to 9 dp and summed as DECIMAL(28,9) — exact,
+    order-free — and the only float ops are the final per-entry
+    divisions, done driver-side in a fixed order.
+
+    100 TB shape: two corpus passes (mean, then centered products),
+    each a single map-side-combinable groupBy over d and d(d+1)/2 keys
+    respectively — sufficient-statistics aggregation, nothing joins
+    row-to-row and no driver materialization beyond the d×d matrix.
+    The d² blow-up lives INSIDE a row (generate i≤j pairs per vector,
+    explode, aggregate), so executors stream it.
+    """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return [], [], 0
+    d = first["d"]
+    n = emb.count()
+    sums = (
+        emb.select(F.posexplode(vec_col).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double"), 9).cast("decimal(28,9)")
+            ).alias("s")
+        )
+        .collect()
+    )
+    mean = [0.0] * d
+    for r in sums:
+        mean[r["i"]] = float(r["s"]) / n
+    # Pass 2: centered upper-triangle products as an Arrow mapInPandas
+    # sufficient-stats kernel.  Each batch emits d(d+1)/2 PARTIAL SUMS
+    # of products rounded to 1e-9 and scaled to int64 — integer partial
+    # sums are exact and associative, so batch/partition boundaries
+    # cannot change the total (the same order-freedom the decimal-sum
+    # rule buys, at numpy speed instead of a d²-per-row explode).
+    # np.rint is IEEE round-half-even, elementwise → host-stable
+    # (FIXTURES.md §6 only bans order-dependent REDUCTIONS; the int64
+    # sum is exact).  Magnitude bound: |product|·1e9 ≤ ~1e12 per row
+    # and Arrow batches are ≤ tens of thousands of rows, so partials
+    # stay far below 2^63; the global total is summed as DECIMAL(38,0).
+    import numpy as np
+    import pandas as pd
+
+    mean_np = np.asarray(mean, dtype=np.float64)
+    iu, ju = np.triu_indices(d)
+
+    def cov_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Xc = X - mean_np
+            partial = np.zeros(len(iu), dtype=np.int64)
+            pos = 0
+            for i in range(d):
+                width = d - i
+                prods = Xc[:, i : i + 1] * Xc[:, i:]
+                partial[pos : pos + width] = (
+                    np.rint(prods * 1e9).astype(np.int64).sum(axis=0)
+                )
+                pos += width
+            yield pd.DataFrame({"i": iu, "j": ju, "s": partial})
+
+    prods = (
+        emb.select(vec_col)
+        .mapInPandas(cov_partials, schema="i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    cov = [[0.0] * d for _ in range(d)]
+    denom = float(max(n - 1, 1)) * 1e9
+    for r in prods:
+        v = float(r["s"]) / denom
+        cov[r["i"]][r["j"]] = v
+        cov[r["j"]][r["i"]] = v
+    return mean, cov, n
+
+
+def pca_project(
+    emb: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+) -> DataFrame:
+    """Project each vector onto the given principal components with a
+    per-row in-order zip_with/aggregate fold — the fold order is the
+    array order, identical on every executor, so no rounding tricks
+    are needed for cross-partition stability."""
+    mean_arr = F.array(*[F.lit(m) for m in mean])
+    ac = F.zip_with(
+        F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
+    )
+    cols = list(emb.columns)
+    out = emb.withColumn("_ac", ac)
+    for ci, comp in enumerate(components, start=1):
+        comp_arr = F.array(*[F.lit(c) for c in comp])
+        score = F.aggregate(
+            F.zip_with(F.col("_ac"), comp_arr, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out.withColumn(f"{out_prefix}{ci}", score)
+    return out.select(
+        *cols, *[f"{out_prefix}{i+1}" for i in range(len(components))]
+    )

@@ -4876,22 +4876,28 @@ def q_triangle_count(spark, sf_dir):
     )
     x = li.alias("x")
     y = li.alias("y")
-    pairs = (
+    # sparsifier BEFORE distinct: it's a pure function of (a, b), so
+    # dedup only ever sees the ~1/8 surviving pairs.
+    # the distinct-join edge list feeds FIVE downstream branches (deg,
+    # both wedge sides, closing edges, counts) — persist it (and deg)
+    # or every branch re-runs the expensive self-join; released below
+    # after the eager checkpoint (pagerank's persist discipline)
+    edges = (
         x.join(y, "l_orderkey")
         .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
         .select(
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
         )
+        .filter((F.col("a") * 31 + F.col("b")) % _TRI_MOD < _TRI_KEEP)
         .distinct()
-    )
-    edges = pairs.filter(
-        (F.col("a") * 31 + F.col("b")) % _TRI_MOD < _TRI_KEEP
+        .persist()
     )
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     # orient each edge low→high by (degree, id); triangles survive as
     # exactly one (u→v, u→w, v→w) oriented triple
@@ -4945,7 +4951,7 @@ def q_triangle_count(spark, sf_dir):
     counts = deg.agg(F.count(F.lit(1)).alias("n_vertices")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
     )
-    return (
+    result = (
         counts.crossJoin(tri)
         .crossJoin(n_wedges_open)
         .select(
@@ -4960,6 +4966,368 @@ def q_triangle_count(spark, sf_dir):
             ).alias("clustering_coeff"),
         )
     )
+    out = result.localCheckpoint(eager=True)  # single-row
+    edges.unpersist()
+    deg.unpersist()
+    return out
+
+
+@register("q_pca", oracle=_golden_oracle("q_pca"))
+def q_pca(spark, sf_dir):
+    """PCA of the embedding corpus: distributed sufficient-statistics
+    covariance (llmops.pca_moments — round-then-DECIMAL sums, the d²
+    blow-up generated per ROW and streamed, two corpus passes, nothing
+    collected beyond the d×d matrix) → deterministic driver Jacobi
+    eigensolve (stats.jacobi_eigh — scalar cyclic rotations; LAPACK is
+    hardware-dependent per FIXTURES.md §6) → per-row in-order fold
+    projection onto the top-2 components.  The dimensionality-
+    reduction step ahead of visualization / clustering / whitening in
+    an embedding pipeline.  Golden oracle; certified vs an independent
+    numpy eigh at generation (sign-aligned, plus the variance-along-pc
+    = eigenvalue identity)."""
+    from . import stats as st
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, cov, n = llmops.pca_moments(emb)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "vec_id long, label int, pc1 double, pc2 double"
+        )
+    _eigvals, eigvecs = st.jacobi_eigh(cov)
+    proj = llmops.pca_project(emb, mean, eigvecs[:2])
+    return proj.select(
+        "vec_id",
+        "label",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )
+
+
+@register(
+    "q_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct,
+         SUM(CAST(ROUND(c * LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(28,9)))
+           AS s
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(LN(CAST(n_tokens AS DOUBLE))
+             - CAST(s AS DOUBLE) / n_tokens, 6) AS entropy,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr
+FROM agg
+""",
+)
+def q_entropy(spark, sf_dir):
+    """Token-level Shannon entropy + type-token ratio per document —
+    the lexical-diversity quality signals (low entropy = boilerplate /
+    keyword stuffing; complements q_repetition_filter's n-gram view
+    and q_lm_score's fluency view in a curation stack).
+
+    H = ln(n) − (Σ c·ln c)/n from per-(doc, word) counts: one narrow
+    tokenize + one groupBy — the count table is the inverted-index
+    shape, corpus text never re-shuffles.  Determinism: c·ln c is
+    rounded to 9 dp and DECIMAL-summed (order-free, FIXTURES.md §7);
+    ln(n) and the division are single fixed-order IEEE ops."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(llmops.tokens_col("text")).alias("w")
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.round(
+                    F.col("c") * F.log(F.col("c").cast("double")), 9
+                ).cast("decimal(28,9)")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("s").cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+        )
+    )
+
+
+_HH_PHI = 0.02  # support threshold: count > phi·n
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM toks),
+c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w)
+SELECT c.w, c.cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / n.n, 9) AS freq
+FROM c CROSS JOIN n
+WHERE c.cnt > {_HH_PHI} * n.n
+""",
+)
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT heavy hitters (tokens with frequency > 2%) by the
+    standard two-pass scale algorithm: a Misra-Gries-style candidate
+    sweep, then exact counting of the candidates only.
+
+    Pass 1 (mapInPandas): each Arrow batch keeps tokens with local
+    count > batch_len/k (k = 2/φ) — by the averaging argument any
+    GLOBAL φ-hitter must clear that bar in at least one segment, so
+    the union (≤ k items per batch, collected bounded) is a guaranteed
+    SUPERSET.  Pass 2: broadcast the candidates, filter the token
+    stream, exact groupBy count, keep count > φ·n.  The point at
+    100 TB: the full groupBy over the unbounded long-tail vocabulary
+    never happens — only candidate tokens shuffle.  The final answer
+    is exact and sketch-independent (the sketch only prunes), so the
+    output is deterministic under any partition/batch layout."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(llmops.tokens_col("text")).alias("w"))
+    k = int(2.0 / _HH_PHI)
+
+    def candidates(batches):
+        for pdf in batches:
+            vc = pdf["w"].value_counts()
+            keep = vc[vc > len(pdf) / k]
+            yield pd.DataFrame({"w": keep.index})
+
+    cand = [
+        r["w"]
+        for r in toks.mapInPandas(candidates, schema="w string")
+        .distinct()
+        .collect()
+    ]
+    n_total = toks.count()
+    cand_df = spark.createDataFrame([(w,) for w in cand], "w string")
+    exact = (
+        toks.join(F.broadcast(cand_df), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > _HH_PHI * n_total)
+    )
+    return exact.select(
+        "w",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / n_total, 9).alias("freq"),
+    )
+
+
+@register(
+    "q_gaps_islands",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id,
+         event_id - ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY event_id
+         ) AS grp
+  FROM events
+)
+SELECT user_id, MIN(event_id) AS start_id, MAX(event_id) AS end_id,
+       COUNT(*) AS island_len
+FROM t GROUP BY user_id, grp
+""",
+)
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event_ids per
+    user (the classic sequence-completeness / missing-data audit —
+    same pattern finds gaps in ingest offsets or date coverage).
+    The id-minus-row_number trick: within a user, consecutive ids
+    share (event_id − row_number), so islands fall out of one groupBy.
+
+    One shuffle on user_id for the window; the groupBy on
+    (user_id, grp) is partition-local.  Integer-only — bit-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    t = ev.withColumn(
+        "grp", F.col("event_id") - F.row_number().over(w)
+    )
+    return t.groupBy("user_id", "grp").agg(
+        F.min("event_id").alias("start_id"),
+        F.max("event_id").alias("end_id"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("grp")
+
+
+@register(
+    "q_skyline",
+    oracle="""
+WITH pts AS (
+  SELECT o_totalprice AS x, EPOCH_US(o_orderdate) AS y FROM orders
+),
+gx AS (SELECT x, MAX(y) AS ymax FROM pts GROUP BY x),
+cnt AS (SELECT x, y, COUNT(*) AS n FROM pts GROUP BY x, y),
+m AS (
+  SELECT x, ymax,
+         MAX(ymax) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS prevmax
+  FROM gx
+)
+SELECT m.x AS price, m.ymax AS odate_us, c.n AS n_orders
+FROM m JOIN cnt c ON c.x = m.x AND c.y = m.ymax
+WHERE m.prevmax IS NULL OR m.ymax > m.prevmax
+""",
+)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto frontier): orders not dominated on
+    (price↑, recency↑) — another order with ≥ both and > one knocks a
+    point out.  The multi-criteria shortlist operator (build-vs-buy
+    frontiers, best-price-freshest-data tradeoffs).
+
+    Scale shape — the sort-sweep algorithm, distributed: group by x
+    (bounded by distinct prices), then ONE exclusive running max over
+    x-descending via windows.scalable_cummax_exclusive (two-phase:
+    range repartition + per-partition window + broadcast prefix
+    offsets — never a single-task global window); a point survives
+    iff its y beats every strictly-better-x group's max.  The
+    all-pairs dominance join (O(n²)) never happens.  Integer epoch-µs
+    y, raw parquet-double x — exact compares, no float derivation."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(
+        F.col("o_totalprice").alias("x"),
+        epoch_us(o, "o_orderdate").alias("y"),
+    )
+    gx = pts.groupBy("x").agg(F.max("y").alias("ymax"))
+    cnt = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    m = win.scalable_cummax_exclusive(
+        gx, "x", "ymax", "prevmax", descending=True
+    )
+    keep = m.filter(
+        F.col("prevmax").isNull() | (F.col("ymax") > F.col("prevmax"))
+    )
+    return (
+        keep.join(
+            cnt,
+            (keep.x == cnt.x) & (keep.ymax == cnt.y),
+        )
+        .select(
+            keep.x.alias("price"),
+            keep.ymax.alias("odate_us"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "q_pmi_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i]))
+           AS w1,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i+1]))
+           AS w2
+  FROM toks
+),
+n AS (SELECT COUNT(*) AS n FROM bi),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+c2 AS (SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY w2),
+scored AS (
+  SELECT p.w1, p.w2, p.c12,
+         ROUND(LN(CAST(p.c12 AS DOUBLE) * n.n
+                  / (CAST(a.c1 AS DOUBLE) * b.c2)), 6) AS pmi
+  FROM c12 p
+  JOIN c1 a ON p.w1 = a.w1
+  JOIN c2 b ON p.w2 = b.w2
+  CROSS JOIN n
+  WHERE p.c12 >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOPK}
+""",
+)
+def q_pmi_bigrams(spark, sf_dir):
+    """Collocation mining: top-50 bigrams by pointwise mutual
+    information (PMI = ln(c12·N / c1·c2), min count 5) — the classic
+    phrase detector (word2vec's phrase pass, quality-signal n-grams).
+
+    Three count aggregations over the bigram stream (pair + two
+    marginals — inverted-index keys, no pair-to-pair join), marginals
+    equi-joined back, scalar N broadcast.  Global top-k plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort).
+    Rank is on the ROUNDED pmi with (w1, w2) tie-breakers
+    (FIXTURES.md §5.5); the pre-round expression is one fixed-order
+    IEEE chain, identical in both dialects."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(llmops.norm_text("text"), " ")).alias(
+            "pos", "w1"
+        ),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        t.select("doc_id", "w1", F.lead("w1", 1).over(wspec).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    n_df = bi.agg(F.count(F.lit(1)).alias("n"))
+    c12 = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    F.col("c12").cast("double")
+                    * F.col("n")
+                    / (F.col("c1").cast("double") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(_PMI_TOPK)
 
 
 #: The driver walks the registry in insertion order and evaluates at
@@ -4973,6 +5341,12 @@ def q_triangle_count(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
+    "q_skyline",
+    "q_pmi_bigrams",
+    "q_heavy_hitters",
+    "q_gaps_islands",
+    "q_entropy",
+    "q_pca",
     "q_sessionize",
     "q_time_weighted_avg",
     "q_chunk_documents",

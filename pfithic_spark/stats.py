@@ -429,3 +429,62 @@ def kr_balance_coo(
             eta = max(eta, g * eta**2)
         eta = max(min(eta, etamax), stop_tol / max(np.sqrt(rout), 1e-300))
     return x
+
+
+def jacobi_eigh(a, tol: float = 1e-12, max_sweeps: int = 64):
+    """Deterministic eigendecomposition of a small symmetric matrix via
+    cyclic Jacobi rotations — pure scalar IEEE ops in a FIXED sweep
+    order, so the result is bit-identical on any host (FIXTURES.md §6:
+    LAPACK's ``eigh`` is banned from golden-gated kernels because its
+    blocking/SIMD strategy varies with hardware).
+
+    Returns ``(eigvals, eigvecs)`` as plain nested lists, eigenpairs
+    sorted by (-eigenvalue, original index) with each vector's sign
+    normalized so its largest-|component| entry is positive.  O(n^3)
+    per sweep — intended for driver-side matrices of n ≤ a few hundred
+    (the covariance of an embedding column, a kernel matrix, ...).
+    """
+    n = len(a)
+    A = [[float(a[i][j]) for j in range(n)] for i in range(n)]
+    V = [[1.0 if i == j else 0.0 for j in range(n)] for i in range(n)]
+    for _ in range(max_sweeps):
+        off = math.fsum(
+            A[i][j] * A[i][j]
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        if off <= tol * tol:
+            break
+        for p in range(n - 1):
+            for q in range(p + 1, n):
+                apq = A[p][q]
+                if apq == 0.0:
+                    continue
+                theta = (A[q][q] - A[p][p]) / (2.0 * apq)
+                t = 1.0 / (abs(theta) + math.sqrt(theta * theta + 1.0))
+                if theta < 0.0:
+                    t = -t
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s = t * c
+                for k in range(n):
+                    akp, akq = A[k][p], A[k][q]
+                    A[k][p] = c * akp - s * akq
+                    A[k][q] = s * akp + c * akq
+                for k in range(n):
+                    akp, akq = A[p][k], A[q][k]
+                    A[p][k] = c * akp - s * akq
+                    A[q][k] = s * akp + c * akq
+                for k in range(n):
+                    vkp, vkq = V[k][p], V[k][q]
+                    V[k][p] = c * vkp - s * vkq
+                    V[k][q] = s * vkp + c * vkq
+    order = sorted(range(n), key=lambda i: (-A[i][i], i))
+    eigvals = [A[i][i] for i in order]
+    eigvecs = []
+    for i in order:
+        v = [V[k][i] for k in range(n)]
+        m = max(range(n), key=lambda k: (abs(v[k]), -k))
+        if v[m] < 0.0:
+            v = [-x for x in v]
+        eigvecs.append(v)
+    return eigvals, eigvecs

@@ -303,3 +303,42 @@ def bh_fdr_scalable(
         q_col, F.least(F.col("_sfx"), F.col("_tailmin"))
     )
     return d.drop("_pid", "_lrk", "_off", "_rk", "_q_raw", "_sfx", "_tailmin")
+
+
+def scalable_cummax_exclusive(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    descending: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running max over all STRICTLY-PRECEDING rows in a global order,
+    without a single-task global window — same two-phase shape as
+    :func:`scalable_cumsum` (range repartition → per-partition window →
+    broadcast prefix offsets), max instead of sum, exclusive frame.
+    ``order_col`` values must be unique per row (pre-aggregate first).
+    Rows with no predecessor get NULL."""
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ord_expr = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    parted = df.repartitionByRange(int(n), ord_expr).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(ord_expr)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = parted.withColumn("_local_max", F.max(value_col).over(w_local))
+    totals = parted.groupBy("_pid").agg(F.max(value_col).alias("_ptot"))
+    w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.max("_ptot").over(w_prefix).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.greatest("_local_max", "_off"))
+        .drop("_pid", "_local_max", "_off")
+    )

@@ -395,3 +395,193 @@ def test_spline_plot_svg_escapes_title(spark, tmp_path):
     )
     root = ET.parse(out).getroot()  # parse fails if unescaped
     assert root.tag.endswith("svg")
+
+
+def test_zorder_write_and_stats_pruning(spark, tmp_path):
+    """Z-order layout + manifest min/max file skipping: a 2-D needle
+    predicate over a Morton-clustered table must skip most files (the
+    lakehouse pruning layer), and the pruned read must return EXACTLY
+    the rows the full scan returns for the same filter."""
+    from pyspark.sql import functions as F
+
+    from pfithic_spark.io import (
+        atomic_snapshot_files,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "zds")
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 200).alias("x"),
+            (F.col("id") / 200).cast("bigint").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    write_parquet_atomic(
+        df,
+        path,
+        mode="overwrite",
+        zorder_by=["x", "y"],
+        zorder_files=16,
+        stats_cols=["x", "y"],
+    )
+    all_files, _ = atomic_snapshot_files(path)
+    assert len(all_files) == 16
+    pred = {"x": (10, 20), "y": (10, 20)}
+    kept, skipped = atomic_snapshot_files(path, predicate=pred)
+    # a linear sort on x would leave y's envelope [0,99] in every file;
+    # the Morton layout keeps BOTH tight → most files skip
+    assert skipped >= len(all_files) // 2, (len(kept), skipped)
+    cond = (
+        (F.col("x") >= 10) & (F.col("x") <= 20)
+        & (F.col("y") >= 10) & (F.col("y") <= 20)
+    )
+    got = (
+        read_parquet_atomic(spark, path, predicate=pred)
+        .filter(cond)
+        .collect()
+    )
+    exp = df.filter(cond).collect()
+    assert sorted(r["payload"] for r in got) == sorted(
+        r["payload"] for r in exp
+    )
+
+
+def test_stats_pruning_append_and_missing_stats(spark, tmp_path):
+    """Stats survive appends (merged manifests); files written WITHOUT
+    stats are conservatively kept under any predicate."""
+    from pfithic_spark.io import atomic_snapshot_files, write_parquet_atomic
+
+    path = str(tmp_path / "sds")
+    lo = spark.range(0, 100).withColumnRenamed("id", "k")
+    hi = spark.range(1000, 1100).withColumnRenamed("id", "k")
+    write_parquet_atomic(
+        lo.coalesce(1), path, mode="overwrite", stats_cols=["k"]
+    )
+    write_parquet_atomic(
+        hi.coalesce(1), path, mode="append", stats_cols=["k"]
+    )
+    # no-stats append: must never be pruned
+    write_parquet_atomic(
+        spark.range(5000, 5010).withColumnRenamed("id", "k").coalesce(1),
+        path,
+        mode="append",
+    )
+    files, _ = atomic_snapshot_files(path)
+    assert len(files) == 3
+    kept, skipped = atomic_snapshot_files(path, predicate={"k": (0, 50)})
+    assert skipped == 1  # the [1000,1100) file skips; no-stats file kept
+    kept2, skipped2 = atomic_snapshot_files(
+        path, predicate={"k": (2000, 3000)}
+    )
+    assert skipped2 == 2  # both stat-bearing files skip
+
+
+def test_atomic_schema_evolution(spark, tmp_path):
+    """Additive schema evolution: files appended before a column
+    existed read as NULL for it under merge_schema=True, and
+    historical snapshots keep their original schema."""
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evo")
+    v1 = spark.range(3).select(F.col("id").alias("k"))
+    write_parquet_atomic(v1.coalesce(1), path, mode="overwrite")
+    v2 = spark.range(3, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    write_parquet_atomic(v2.coalesce(1), path, mode="append")
+    df = read_parquet_atomic(spark, path, merge_schema=True)
+    assert set(df.columns) == {"k", "extra"}
+    rows = {r["k"]: r["extra"] for r in df.collect()}
+    assert rows[0] is None and rows[4] == 40
+    # time travel to seq 1 sees only the original schema
+    old = read_parquet_atomic(spark, path, as_of_seq=1)
+    assert old.columns == ["k"]
+
+
+def test_incremental_read_between_snapshots(spark, tmp_path):
+    """New-files-only incremental consumption between committed seqs,
+    and the non-append (rewritten-history) refusal."""
+    import pytest as _pytest
+
+    from pfithic_spark.io import (
+        compact_parquet_atomic,
+        read_parquet_atomic_incremental,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "inc")
+    write_parquet_atomic(
+        spark.range(0, 10).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="overwrite",
+    )
+    write_parquet_atomic(
+        spark.range(10, 15).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="append",
+    )
+    write_parquet_atomic(
+        spark.range(15, 18).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="append",
+    )
+    delta = read_parquet_atomic_incremental(spark, path, from_seq=1)
+    assert sorted(r["v"] for r in delta.collect()) == list(range(10, 18))
+    d12 = read_parquet_atomic_incremental(spark, path, 1, 2)
+    assert sorted(r["v"] for r in d12.collect()) == list(range(10, 15))
+    # same-seq window → empty, schema preserved
+    d_empty = read_parquet_atomic_incremental(spark, path, 3, 3)
+    assert d_empty.count() == 0 and d_empty.columns == ["v"]
+    # compaction rewrites history → incremental across it must refuse
+    compact_parquet_atomic(spark, path)
+    with _pytest.raises(ValueError, match="non-append"):
+        read_parquet_atomic_incremental(spark, path, from_seq=1)
+
+
+def test_vacuum_atomic_table(spark, tmp_path):
+    """VACUUM removes expired manifests, unreferenced data files, and
+    crashed-writer staging dirs; retained snapshots stay readable."""
+    import os
+
+    from pfithic_spark.io import (
+        read_parquet_atomic,
+        vacuum_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "vac")
+    write_parquet_atomic(
+        spark.range(5).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="overwrite",
+    )
+    write_parquet_atomic(
+        spark.range(5, 9).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="append",
+    )
+    # overwrite orphans the first two snapshots' files
+    write_parquet_atomic(
+        spark.range(100, 103).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="overwrite",
+    )
+    # crashed writer
+    crash = os.path.join(path, "_staging_deadbeefcafe")
+    spark.range(42).write.mode("overwrite").parquet(crash)
+    res = vacuum_parquet_atomic(path, keep_last_n=1)
+    assert res["manifests_removed"] == 2
+    assert res["data_files_removed"] >= 2
+    assert res["staging_dirs_removed"] >= 1
+    assert not os.path.exists(crash)
+    df = read_parquet_atomic(spark, path)
+    assert sorted(r["v"] for r in df.collect()) == [100, 101, 102]
+    # keep_last_n=1 → only one manifest remains
+    assert (
+        sum(1 for n in os.listdir(path) if n.startswith("manifest-")) == 1
+    )

@@ -383,3 +383,53 @@ def test_bloom_semi_join_probe_in_fact_scan_stage(spark, sf_dir, queries):
         if "Filter" in l and i > join_line
     ]
     assert filter_lines, "no Filter below the join on the fact input"
+
+
+def test_chunk_documents_is_narrow(spark, sf_dir, queries):
+    """q_chunk_documents must be a zero-shuffle, zero-Python pipeline —
+    chunks are emitted at scan speed on the partition that read the
+    document."""
+    plan = _plan(queries["q_chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pca_projection_is_narrow(spark, sf_dir, queries):
+    """q_pca's returned projection is a narrow JVM fold over the scan —
+    the covariance/eigensolve cost was paid while BUILDING the query,
+    the result DataFrame itself re-executes shuffle-free."""
+    plan = _plan(queries["q_pca"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir, queries):
+    """Both windows and the final groupBy must ride ONE user_id
+    exchange: hashpartitioning(user_id) satisfies the (user_id, sess)
+    clustering, so a second exchange is a plan regression."""
+    import re
+
+    plan = _plan(queries["q_sessionize"](spark, sf_dir))
+    # count detail-section nodes "(n) Exchange" — one entry per node
+    n_exchanges = sum(
+        1
+        for ln in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange", ln.strip())
+    )
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_bm25_filters_through_broadcast(spark, sf_dir, queries):
+    """The corpus token stream must meet the query-term set through
+    broadcast joins (never a shuffle join against 3 terms), and the
+    whole scorer stays JVM-side."""
+    plan = _plan(queries["q_bm25"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_heavy_hitters_exact_pass_is_broadcast(spark, sf_dir, queries):
+    """Candidate filtering must broadcast the bounded candidate set
+    onto the token stream — the long-tail vocabulary never shuffles."""
+    plan = _plan(queries["q_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

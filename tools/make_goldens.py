@@ -609,6 +609,40 @@ def check_bpe_tokenize(pdf: pd.DataFrame) -> None:
     print(f"  q_bpe_tokenize: {len(docs)} docs certified (round-trip + counts)")
 
 
+def check_pca(pdf: pd.DataFrame) -> None:
+    """Independent certification of q_pca: recompute the PCA with
+    numpy (np.cov + LAPACK eigh — a DIFFERENT algorithm than the
+    engine's decimal-sum covariance + Jacobi), sign-align each
+    component, and require the projections to agree to 1e-5; also
+    check the variance-along-pc1 == eigenvalue-1 identity."""
+    import numpy as np
+
+    emb = pd.read_parquet(SF_DIR + "/embeddings.parquet")
+    emb = emb.sort_values("vec_id").reset_index(drop=True)
+    X = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = np.cov(X, rowvar=False)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w)
+    ref = Xc @ v[:, order[:2]]
+
+    out = pdf.sort_values("vec_id").reset_index(drop=True)
+    assert (out["vec_id"].to_numpy() == emb["vec_id"].to_numpy()).all()
+    for ci, col in enumerate(["pc1", "pc2"]):
+        got = out[col].to_numpy(dtype=np.float64)
+        r = ref[:, ci]
+        if np.dot(got, r) < 0:
+            r = -r
+        err = np.abs(got - r).max()
+        assert err < 1e-5, f"{col}: max |spark - numpy| = {err}"
+    # variance along pc1 equals the top eigenvalue
+    lam1 = float(np.sort(w)[-1])
+    var1 = float(out["pc1"].var(ddof=1))
+    assert abs(var1 - lam1) / lam1 < 1e-4, (var1, lam1)
+    print(f"  q_pca: {len(out)} projections certified vs numpy eigh "
+          f"(top-2, sign-aligned, var==eigval)")
+
+
 CHECKS = {
     "q_binom_sf": check_binom_sf,
     "q_spline_fit_eval": check_spline,
@@ -623,6 +657,7 @@ CHECKS = {
     # order matters: the tokenize check reads the committed train golden
     "q_bpe_train": check_bpe_train,
     "q_bpe_tokenize": check_bpe_tokenize,
+    "q_pca": check_pca,
 }
 
 
