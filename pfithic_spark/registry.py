@@ -4874,20 +4874,33 @@ def q_triangle_count(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    x = li.alias("x")
-    y = li.alias("y")
-    # sparsifier BEFORE distinct: it's a pure function of (a, b), so
-    # dedup only ever sees the ~1/8 surviving pairs.
-    # the distinct-join edge list feeds FIVE downstream branches (deg,
-    # both wedge sides, closing edges, counts) — persist it (and deg)
-    # or every branch re-runs the expensive self-join; released below
-    # after the eager checkpoint (pagerank's persist discipline)
-    edges = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
-        .select(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+    # pair generation per ORDER GROUP, not a self-join: collect the
+    # (bounded, ~7-element) part set per order with one map-side-
+    # combined agg, then emit i<j pairs with a narrow nested transform
+    # — the 2×-scan shuffle join + its pre-distinct pair stream never
+    # materialize.  Sparsifier applies before distinct (pure function
+    # of (a, b)).  The edge list feeds FIVE downstream branches, so
+    # persist it (and deg); released after the eager checkpoint
+    # (pagerank's persist discipline).
+    groups = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ps"),
+                    i.cast("int") + 2,
+                    F.size(F.col("ps")) - i.cast("int") - 1,
+                ),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
         )
+    )
+    edges = (
+        groups.select(F.explode(pair_expr).alias("e"))
+        .select("e.a", "e.b")
         .filter((F.col("a") * 31 + F.col("b")) % _TRI_MOD < _TRI_KEEP)
         .distinct()
         .persist()

@@ -872,3 +872,123 @@ def test_jpeg_fill_bytes_and_truncation():
     )
     with pytest.raises(ValueError):
         mm.decode_jpeg(payload[:20] + b"\xff")  # truncated at a marker
+
+
+# ---------------- AVI container (MJPEG / raw DIB streams) ----------------
+
+
+def _avi_chunk(fcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return fcc + len(data).to_bytes(4, "little") + data + pad
+
+
+def _avi_list(ltype: bytes, payload: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + payload)
+
+
+def _mux_avi(frame_chunks, width, height, handler, compression,
+             bpp=24, us_per_frame=40_000):
+    """Independent in-test AVI muxer (RIFF + hdrl + movi)."""
+    u32 = lambda v: int(v).to_bytes(4, "little", signed=True)
+    u16 = lambda v: int(v).to_bytes(2, "little")
+    avih = (
+        u32(us_per_frame) + u32(0) + u32(0) + u32(0)
+        + u32(len(frame_chunks)) + u32(0) + u32(1) + u32(0)
+        + u32(width) + u32(height) + u32(0) * 4
+    )
+    strh = (
+        b"vids" + handler + u32(0) + u16(0) + u16(0) + u32(0)
+        + u32(1) + u32(25) + u32(0) + u32(len(frame_chunks))
+        + u32(0) + u32(0) + u32(0) + u32(0) * 2
+    )
+    strf = (
+        u32(40) + u32(width) + u32(height) + u16(1) + u16(bpp)
+        + compression + u32(0) * 6
+    )
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(
+        b"movi",
+        b"".join(
+            _avi_chunk(b"00dc" if handler == b"MJPG" else b"00db", fc)
+            for fc in frame_chunks
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _dib_frame(img: np.ndarray) -> bytes:
+    """Bottom-up, 4-byte-padded, BGR raw DIB frame bytes."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    out = bytearray()
+    for row in img[::-1]:
+        line = row[:, ::-1].tobytes()  # RGB → BGR
+        out += line + b"\x00" * (stride - len(line))
+    return bytes(out)
+
+
+def test_avi_rawdib_roundtrip_exact():
+    frames = [_rng_img(13, 21, 3, seed=s) for s in range(4)]
+    avi = _mux_avi(
+        [_dib_frame(f) for f in frames], 21, 13, b"DIB ",
+        b"\x00\x00\x00\x00",
+    )
+    got, meta = mm.decode_avi(avi)
+    assert meta == {
+        "width": 21, "height": 13, "n_frames": 4,
+        "us_per_frame": 40_000, "codec": "rawdib",
+    }
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)
+
+
+def test_avi_mjpeg_roundtrip():
+    frames = [_smooth_img(16, 24, 3, seed=s) for s in range(3)]
+    avi = _mux_avi(
+        [_encode_jpeg(f, quality=95) for f in frames], 24, 16,
+        b"MJPG", b"MJPG",
+    )
+    got, meta = mm.decode_avi(avi)
+    assert meta["codec"] == "mjpeg" and meta["n_frames"] == 3
+    for g, f in zip(got, frames):
+        assert g.shape == f.shape
+        err = np.abs(g.astype(int) - f.astype(int))
+        assert err.mean() < 3 and err.max() <= 25
+
+
+def test_avi_codec_is_adr_gap_and_malformed_raises():
+    avi = _mux_avi([b"\x00" * 64], 4, 4, b"xvid", b"XVID")
+    with pytest.raises(NotImplementedError, match="ADR"):
+        mm.decode_avi(avi)
+    with pytest.raises(ValueError):
+        mm.decode_avi(b"RIFF\x04\x00\x00\x00AVI ")  # headerless
+    with pytest.raises(ValueError):
+        mm.decode_avi(b"not an avi at all")
+    good = _mux_avi(
+        [_dib_frame(_rng_img(4, 4, 3))], 4, 4, b"DIB ",
+        b"\x00\x00\x00\x00",
+    )
+    with pytest.raises(ValueError):
+        mm.decode_avi(good[:-10])  # truncated chunk
+
+
+def test_sample_frames_real_mapinpandas(spark):
+    import pandas as pd
+
+    frames = [np.full((8, 8, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+    avi = _mux_avi(
+        [_dib_frame(f) for f in frames], 8, 8, b"DIB ",
+        b"\x00\x00\x00\x00",
+    )
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [avi]})
+    sdf = spark.createDataFrame(pdf)
+    out = mm.sample_frames_real(sdf, stride=2).collect()
+    assert [(r["frame_idx"], r["mean_pixel"]) for r in out] == [
+        (0, 10.0), (2, 30.0), (4, 50.0),
+    ]
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
