@@ -522,6 +522,10 @@ def read_parquet_atomic(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
+    if not files:
+        # every file pruned: empty result, schema from the snapshot
+        base, _ = atomic_snapshot_files(path, as_of_seq)
+        return reader.parquet(os.path.join(path, base[0])).limit(0)
     return reader.parquet(*[os.path.join(path, f) for f in files])
 
 

@@ -5343,6 +5343,88 @@ def q_pmi_bigrams(spark, sf_dir):
     ).limit(_PMI_TOPK)
 
 
+@register(
+    "q_interval_coalesce",
+    oracle="""
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(EPOCH_US(l_shipdate) / 86400000000 AS BIGINT) AS lo,
+         CAST(EPOCH_US(l_shipdate) / 86400000000 AS BIGINT)
+           + 3 + l_orderkey % 11 AS hi
+  FROM lineitem WHERE l_suppkey % 13 = 0
+),
+m AS (
+  SELECT *,
+         MAX(hi) OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_maxhi
+  FROM iv
+),
+g AS (
+  SELECT *,
+         SUM(CASE WHEN prev_maxhi IS NULL OR lo > prev_maxhi
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_suppkey ORDER BY lo, hi
+                 ROWS UNBOUNDED PRECEDING) AS grp
+  FROM m
+)
+SELECT l_suppkey, CAST(grp AS BIGINT) AS grp,
+       MIN(lo) AS start_day, MAX(hi) AS end_day,
+       COUNT(*) AS n_intervals,
+       CAST(MAX(hi) - MIN(lo) AS BIGINT) AS span_days
+FROM g GROUP BY l_suppkey, grp
+""",
+)
+def q_interval_coalesce(spark, sf_dir):
+    """Coalesce overlapping/touching intervals per key (supplier ship
+    windows on the day grid) — the region-merge primitive (bedtools
+    merge / significant-loci consolidation downstream of
+    q_hic_significance; q_join_interval_overlap's write-side twin).
+
+    Sweep-line as windows: per-key sort by lo, exclusive running
+    MAX(hi) — an interval starts a new merged run iff its lo clears
+    everything seen before (strictly; touching merges) — then a
+    running-sum ordinal and one partition-local groupBy.  ONE shuffle
+    on the key; the per-key window never crosses keys, so skew ceiling
+    is the busiest key.  Integer day arithmetic end-to-end."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    day = (epoch_us(li, "l_shipdate") / F.lit(86_400_000_000)).cast("long")
+    iv = li.filter(F.col("l_suppkey") % 13 == 0).select(
+        "l_suppkey",
+        day.alias("lo"),
+        (day + 3 + F.col("l_orderkey") % 11).alias("hi"),
+    )
+    w = W.partitionBy("l_suppkey").orderBy("lo", "hi")
+    m = iv.withColumn(
+        "prev_maxhi", F.max("hi").over(w.rowsBetween(W.unboundedPreceding, -1))
+    )
+    g = m.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_maxhi").isNull()
+                | (F.col("lo") > F.col("prev_maxhi")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return g.groupBy("l_suppkey", "grp").agg(
+        F.min("lo").alias("start_day"),
+        F.max("hi").alias("end_day"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.max("hi") - F.min("lo")).cast("bigint").alias("span_days"),
+    ).select(
+        "l_suppkey",
+        F.col("grp").cast("bigint").alias("grp"),
+        "start_day",
+        "end_day",
+        "n_intervals",
+        "span_days",
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 4: keys whose code
@@ -5354,6 +5436,7 @@ def q_pmi_bigrams(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
+    "q_interval_coalesce",
     "q_skyline",
     "q_pmi_bigrams",
     "q_heavy_hitters",

@@ -320,6 +320,107 @@ def main() -> None:
     for got, exact in ((ap["da"], want_da), (ap["db"], want_db), (ap["dc"], n)):
         assert abs(got - exact) <= 0.10 * exact, (got, exact)
 
+    # ---- z-order + manifest stats pruning at scale -------------------
+    # grid closed form: u = id % U (user), t = id / U (time step) →
+    # a [100,199]² needle selects exactly 100×100 rows.  The Morton
+    # layout must keep BOTH envelopes tight → most files skip, and the
+    # pruned read must return the exact closed-form count.
+    import shutil
+    import tempfile
+
+    from pfithic_spark.io import (
+        atomic_snapshot_files,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    U = 10_000
+    zdf = spark.range(n).select(
+        (F.col("id") % U).alias("u"),
+        (F.col("id") / U).cast("bigint").alias("t"),
+        F.col("id").alias("payload"),
+    )
+    zpath = tempfile.mkdtemp(prefix="zorder_bench_")
+    try:
+        t0 = time.time()
+        write_parquet_atomic(
+            zdf,
+            zpath,
+            mode="overwrite",
+            zorder_by=["u", "t"],
+            zorder_files=64,
+            stats_cols=["u", "t"],
+        )
+        zorder_write_s = time.time() - t0
+        pred = {"u": (100, 199), "t": (100, 199)}
+        cond = (
+            (F.col("u") >= 100) & (F.col("u") <= 199)
+            & (F.col("t") >= 100) & (F.col("t") <= 199)
+        )
+        kept, skipped = atomic_snapshot_files(zpath, predicate=pred)
+        assert skipped >= 48, (len(kept), skipped)  # ≥75% of 64 skip
+        t0 = time.time()
+        got = read_parquet_atomic(spark, zpath, predicate=pred).filter(
+            cond
+        ).count()
+        zorder_pruned_read_s = time.time() - t0
+        if n // U >= 200:  # needle fully inside the grid
+            assert got == 100 * 100, got
+        t0 = time.time()
+        full = read_parquet_atomic(spark, zpath).filter(cond).count()
+        zorder_full_read_s = time.time() - t0
+        assert full == got, (full, got)
+    finally:
+        shutil.rmtree(zpath, ignore_errors=True)
+
+    # ---- sessionize at scale (per-user windows, closed form) ---------
+    # per user: k = n/NU events; the gap BEFORE event i is 40 min when
+    # i%3==0 else 10 min → cumulative us = (10·i + 30·(i div 3)) min;
+    # a >30-min threshold starts a session at i=0 and every i%3==0 →
+    # sessions/user = 1 + floor((k-1)/3), exactly.
+    from pyspark.sql import Window as W
+
+    NU = 50_000
+    k = n // NU
+    MIN_US = 60_000_000
+    ev = spark.range(NU * k).select(
+        (F.col("id") % NU).alias("user_id"),
+        (F.col("id") / NU).cast("bigint").alias("i"),
+    ).select(
+        "user_id",
+        F.col("i").alias("event_id"),
+        (
+            (10 * F.col("i") + 30 * F.floor(F.col("i") / 3)) * MIN_US
+        ).alias("us"),
+    )
+    gap_us = 30 * MIN_US
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us", 1).over(w)
+    t0 = time.time()
+    sess = (
+        ev.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    agg = sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    ).collect()[0]
+    sessionize_s = time.time() - t0
+    want_sessions = NU * (1 + (k - 1) // 3)
+    assert agg["n_sessions"] == want_sessions, (
+        agg["n_sessions"],
+        want_sessions,
+    )
+    assert agg["n_events"] == NU * k
+
     print(
         json.dumps(
             {
@@ -335,6 +436,11 @@ def main() -> None:
                 "salted_join_s": round(salted_join_s, 2),
                 "profile_exact_s": round(profile_exact_s, 2),
                 "profile_approx_s": round(profile_approx_s, 2),
+                "zorder_write_s": round(zorder_write_s, 2),
+                "zorder_pruned_read_s": round(zorder_pruned_read_s, 2),
+                "zorder_full_read_s": round(zorder_full_read_s, 2),
+                "zorder_files_skipped": skipped,
+                "sessionize_s": round(sessionize_s, 2),
             }
         )
     )
