@@ -313,6 +313,7 @@ def write_parquet_atomic(
     zorder_by: list[str] | None = None,
     zorder_files: int = 8,
     stats_cols: list[str] | None = None,
+    txid: str | None = None,
 ) -> str:
     """Publish a parquet dataset ATOMICALLY without relying on
     directory rename: the mini commit protocol every object-store
@@ -353,12 +354,30 @@ def write_parquet_atomic(
     predicate.  Together they are the coarse pruning layer under every
     lakehouse table: at 100 TB a needle query should open dozens of
     files, not millions.
+
+    ``txid`` makes the commit IDEMPOTENT: a caller-supplied transaction
+    id (e.g. a streaming micro-batch id) that is recorded in the
+    manifest; if any committed manifest already carries it, the write
+    is skipped and the existing manifest returned.  This is the
+    txnAppId/txnVersion pattern that turns at-least-once foreachBatch
+    replays into exactly-once table commits.
     """
     import json
     import os
+    import re
     import uuid
 
-    txid = uuid.uuid4().hex[:12]
+    if txid is not None:
+        if not re.fullmatch(r"[A-Za-z0-9_-]{1,64}", txid):
+            raise ValueError("txid must be [A-Za-z0-9_-]{1,64}")
+        if os.path.isdir(path):
+            for name in sorted(os.listdir(path)):
+                if name.startswith("manifest-") and name.endswith(".json"):
+                    with open(os.path.join(path, name)) as fh:
+                        if json.load(fh).get("txid") == txid:
+                            return os.path.join(path, name)  # replay no-op
+    else:
+        txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging_{txid}")
     if zorder_by:
         zdf, zkey = zorder_key(df, zorder_by)

@@ -326,3 +326,35 @@ def run_to_memory_sink(
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def write_stream_atomic(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Stream into an ATOMIC manifest-committed table with exactly-once
+    batch commits: each micro-batch appends via
+    ``io.write_parquet_atomic(txid=f"batch-{epoch_id}")`` — on
+    at-least-once foreachBatch replay (failure between the table commit
+    and the checkpoint advance) the txid is already in a committed
+    manifest and the write is a no-op, so rows never duplicate.  The
+    txnAppId/txnVersion idempotence pattern, composed with the sink's
+    crash-invisibility (a batch that dies mid-write leaves only an
+    orphaned staging dir).  Readers see batch-aligned snapshots and can
+    time-travel / consume incrementally (io.read_parquet_atomic_
+    incremental) per micro-batch."""
+    from .io import write_parquet_atomic
+
+    def commit_batch(df, epoch_id):
+        write_parquet_atomic(
+            df, table_path, mode="append", txid=f"batch-{int(epoch_id):010d}"
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -457,3 +457,50 @@ def test_watermark_late_data_property(spark, tmp_path_factory, batches):
         assert sum(emitted_real.values()) == n_real
     # (d) drops bounded by the possibly-late row count
     assert dropped <= n_real - n_safe
+
+
+def test_atomic_txid_commit_is_idempotent(spark, tmp_path):
+    """Same txid twice → second commit is a no-op returning the
+    existing manifest (the foreachBatch replay case)."""
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "txn")
+    d = spark.range(5).withColumnRenamed("id", "v")
+    m1 = write_parquet_atomic(d, path, mode="append", txid="batch-1")
+    m2 = write_parquet_atomic(d, path, mode="append", txid="batch-1")
+    assert m1 == m2
+    assert read_parquet_atomic(spark, path).count() == 5
+    write_parquet_atomic(d, path, mode="append", txid="batch-2")
+    assert read_parquet_atomic(spark, path).count() == 10
+
+
+def test_stream_atomic_sink_exactly_once(spark, tmp_path, stream_dir):
+    """availableNow stream → atomic table: rows match the source with
+    one manifest per micro-batch; a manual replay of an already-
+    committed epoch changes nothing (exactly-once under at-least-once
+    foreachBatch)."""
+    import os
+
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = strm.read_event_stream(spark, stream_dir)
+    q = strm.write_stream_atomic(stream, table, ckpt)
+    q.awaitTermination(120)
+    src = spark.read.parquet(stream_dir)
+    got = read_parquet_atomic(spark, table)
+    assert got.count() == src.count()
+    n_manifests = sum(
+        1 for n in os.listdir(table) if n.startswith("manifest-")
+    )
+    assert n_manifests >= 1
+    # replay epoch 0 by hand — the txid check must make it a no-op
+    write_parquet_atomic(
+        src, table, mode="append", txid=f"batch-{0:010d}"
+    )
+    assert read_parquet_atomic(spark, table).count() == src.count()
+    assert (
+        sum(1 for n in os.listdir(table) if n.startswith("manifest-"))
+        == n_manifests
+    )
