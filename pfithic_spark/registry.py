@@ -4821,6 +4821,9 @@ def q_outlier_mad(spark, sf_dir):
 #: Deterministic sparsifier for the co-purchase graph: keep an edge when
 #: (a·31 + b) mod 97 < 12 — same integer arithmetic in both dialects.
 _TRI_MOD, _TRI_KEEP = 97, 12
+#: Bounded-probe threshold for the triangle driver fast path (tests
+#: patch this to 0 to force the distributed branch).
+_TRI_PROBE_LIMIT = 2_000_000
 
 
 @register(
@@ -4870,7 +4873,15 @@ def q_triangle_count(spark, sf_dir):
     self-equi-joins on oriented edges (shuffle on vertex id), degree
     table broadcast.  The deterministic mod-97 sparsifier bounds the
     fixture graph's density; all outputs are exact integers until the
-    single final division (round 9)."""
+    single final division (round 9).
+
+    Driver fast path (pagerank's bounded-Arrow-probe design): when the
+    sparsified DISTINCT edge list fits the probe, triangles count on
+    the driver with the same degree-ordered orientation over python
+    adjacency sets — integers end-to-end, so the result is IDENTICAL
+    to the distributed loop (asserted by the unchanged oracle), while
+    skipping ~8 shuffle stages of fixed overhead.  The distributed
+    path below remains the 100 TB shape."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -4898,13 +4909,62 @@ def q_triangle_count(spark, sf_dir):
             ),
         )
     )
-    edges = (
+    edges_lazy = (
         groups.select(F.explode(pair_expr).alias("e"))
         .select("e.a", "e.b")
         .filter((F.col("a") * 31 + F.col("b")) % _TRI_MOD < _TRI_KEEP)
         .distinct()
-        .persist()
     )
+    probe = edges_lazy.limit(_TRI_PROBE_LIMIT + 1).toPandas()  # Arrow
+    if len(probe) <= _TRI_PROBE_LIMIT:
+        from collections import defaultdict
+
+        deg_cnt: dict = defaultdict(int)
+        epairs = list(
+            zip(probe["a"].astype(int).tolist(), probe["b"].astype(int).tolist())
+        )
+        for a, b in epairs:
+            deg_cnt[a] += 1
+            deg_cnt[b] += 1
+        adj: dict = defaultdict(set)  # oriented low→high by (deg, id)
+        for a, b in epairs:
+            u, w = (
+                (a, b)
+                if (deg_cnt[a], a) < (deg_cnt[b], b)
+                else (b, a)
+            )
+            adj[u].add(w)
+        n_tri = 0
+        empty: set = set()
+        for outs in adj.values():
+            for v1 in outs:
+                # closing edge v1—v2 is oriented from the lower (deg, id);
+                # .get, not [v1] — defaultdict indexing would insert
+                # during iteration
+                n_tri += len(outs & adj.get(v1, empty))
+        n_edges = len(epairs)
+        n_vertices = len(deg_cnt)
+        n_wedges = sum(d * (d - 1) // 2 for d in deg_cnt.values())
+        if n_wedges:
+            # Spark's round() is BigDecimal HALF_UP over the shortest
+            # decimal repr; python round() is half-even — replicate
+            # Spark exactly so both paths stay bit-identical
+            import decimal
+
+            coeff = float(
+                decimal.Decimal(repr(3.0 * n_tri / n_wedges)).quantize(
+                    decimal.Decimal("1e-9"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+        else:
+            coeff = 0.0
+        return spark.createDataFrame(
+            [(n_vertices, n_edges, n_tri, coeff)],
+            "n_vertices bigint, n_edges bigint, n_triangles bigint, "
+            "clustering_coeff double",
+        )
+    edges = edges_lazy.persist()
     deg = (
         edges.select(F.col("a").alias("v"))
         .unionAll(edges.select(F.col("b").alias("v")))

@@ -259,3 +259,15 @@ def test_jacobi_eigh_is_deterministic():
     e1, v1 = jacobi_eigh(a)
     e2, v2 = jacobi_eigh(a)
     assert e1 == e2 and v1 == v2
+
+
+def test_triangle_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """The driver fast path and the distributed degree-ordered loop
+    must return the IDENTICAL row (integer counts + replicated
+    HALF_UP rounding)."""
+    from pfithic_spark import registry
+
+    fast = registry.QUERIES["q_triangle_count"](spark, sf_dir).collect()
+    monkeypatch.setattr(registry, "_TRI_PROBE_LIMIT", 0)
+    dist = registry.QUERIES["q_triangle_count"](spark, sf_dir).collect()
+    assert [r.asDict() for r in fast] == [r.asDict() for r in dist]
