@@ -5,8 +5,9 @@ decode / feature-extraction / resize / frame-sampling run as Arrow
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
 batch.
 
-Decode status (round 4): PNG (8-bit, all five scanline filters), 24/32
-bpp uncompressed BMP, binary PPM, and JPEG — both BASELINE sequential
+Decode status (round 4): PNG (8-bit, all five scanline filters,
+sequential and Adam7-interlaced), 24/32 bpp uncompressed BMP, binary
+PPM, and JPEG — both BASELINE sequential
 (SOF0/1) and PROGRESSIVE (SOF2: spectral selection + successive
 approximation incl. AC refinement, T.81 Annex G) — decode for REAL via
 :func:`decode_image_real`: public spec + numpy only, no Pillow.
@@ -263,10 +264,59 @@ def _png_defilter(raw: bytes, width: int, height: int, channels: int):
     return out.reshape(height, width, channels)
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: bytes, width: int, height: int, channels: int):
+    """Adam7: the IDAT stream holds 7 independently-filtered reduced
+    images; defilter each with the standard machinery at its reduced
+    width and scatter onto the full-size grid."""
+    import numpy as np
+
+    expect = sum(
+        h_p * (1 + w_p * channels)
+        for x0, y0, dx, dy in _ADAM7
+        for w_p in ((width - x0 + dx - 1) // dx,)
+        for h_p in ((height - y0 + dy - 1) // dy,)
+        if w_p > 0 and h_p > 0
+    )
+    if len(raw) != expect:
+        raise ValueError(
+            f"malformed PNG: Adam7 stream is {len(raw)} bytes, "
+            f"expected {expect} for {width}x{height}x{channels}"
+        )
+    out = np.zeros((height, width, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        w_p = (width - x0 + dx - 1) // dx
+        h_p = (height - y0 + dy - 1) // dy
+        if w_p <= 0 or h_p <= 0:
+            continue
+        need = h_p * (1 + w_p * channels)
+        sub = _png_defilter(raw[pos : pos + need], w_p, h_p, channels)
+        pos += need
+        out[y0::dy, x0::dx] = sub
+    if pos != len(raw):
+        raise ValueError(
+            f"malformed PNG: Adam7 stream is {len(raw)} bytes, "
+            f"consumed {pos}"
+        )
+    return out
+
+
 def decode_png(payload: bytes):
-    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
-    RGBA) to an H×W×C uint8 numpy array — PNG spec (public) + stdlib
-    zlib only."""
+    """Decode an 8-bit PNG (gray / gray+alpha / RGB / RGBA; sequential
+    OR Adam7-interlaced) to an H×W×C uint8 numpy array — PNG spec
+    (public) + stdlib zlib only."""
     import struct
     import zlib
 
@@ -277,6 +327,7 @@ def decode_png(payload: bytes):
     pos = 8
     width = height = None
     channels = None
+    interlace = 0
     idat = b""
     while pos < len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -289,8 +340,8 @@ def decode_png(payload: bytes):
             )
             if depth != 8:
                 raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG: bad interlace method {interlace}")
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
             if channels is None:
                 raise NotImplementedError(f"PNG color type {color}")
@@ -309,6 +360,8 @@ def decode_png(payload: bytes):
         raw = zlib.decompress(idat)
     except zlib.error as exc:
         raise ValueError(f"malformed PNG: corrupt IDAT ({exc})") from exc
+    if interlace == 1:
+        return _png_deinterlace(raw, width, height, channels)
     expect = height * (1 + width * channels)
     if len(raw) != expect:
         raise ValueError(

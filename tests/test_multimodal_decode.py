@@ -992,3 +992,93 @@ def test_sample_frames_real_mapinpandas(spark):
         (0, 10.0), (2, 30.0), (4, 50.0),
     ]
     assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+
+
+# ---------------- Adam7 interlaced PNG ----------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _encode_png_adam7(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Independent in-test Adam7 encoder: each pass's reduced image is
+    filtered on its own (filter state resets per pass, per spec)."""
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prev = np.zeros(sub.shape[1] * c, dtype=np.int32)
+        for y in range(sub.shape[0]):
+            row = sub[y].reshape(-1).astype(np.int32)
+            raw.append(filter_type)
+            if filter_type == 0:
+                enc = row
+            elif filter_type == 1:  # Sub
+                left = np.concatenate([np.zeros(c, np.int32), row[:-c]])
+                enc = (row - left) % 256
+            elif filter_type == 2:  # Up
+                enc = (row - prev) % 256
+            else:
+                raise AssertionError("test encoder supports 0/1/2")
+            raw.extend(int(v) & 0xFF for v in enc)
+            prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2])
+@pytest.mark.parametrize(
+    "dims",
+    [(16, 16), (13, 21), (7, 5), (1, 1), (9, 1), (1, 9)],
+)
+def test_png_adam7_roundtrip_exact(filter_type, dims):
+    """Adam7 decode is pixel-exact for awkward dims (passes that are
+    empty or single-pixel) and per-pass filtering."""
+    h, w = dims
+    img = _rng_img(h, w, 3, seed=h * 31 + w)
+    got = mm.decode_png(_encode_png_adam7(img, filter_type))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_adam7_truncated_raises():
+    img = _rng_img(16, 16, 3)
+    payload = _encode_png_adam7(img)
+    import zlib as _z
+
+    # corrupt: re-deflate a SHORT raw stream under the same IHDR
+    raw_short = _z.compress(b"\x00" * 10)
+    out = bytearray()
+    pos = 8
+    out += payload[:8]
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if ctype == b"IDAT":
+            data = raw_short
+        out += (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data))
+        )
+        pos += 12 + ln
+    with pytest.raises(ValueError):
+        mm.decode_png(bytes(out))
