@@ -5485,6 +5485,85 @@ def q_interval_coalesce(spark, sf_dir):
     )
 
 
+_ATTR_WINDOW_US = 7 * 86_400_000_000  # 7-day attribution window
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us, value
+  FROM events
+),
+m AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'click'
+                  THEN us ELSE NULL END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_us
+  FROM t
+)
+SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+       CASE WHEN last_click_us IS NOT NULL
+              AND us - last_click_us <= {_ATTR_WINDOW_US}
+            THEN last_click_us ELSE NULL END AS attributed_click_us,
+       CASE WHEN last_click_us IS NOT NULL
+              AND us - last_click_us <= {_ATTR_WINDOW_US}
+            THEN 'click' ELSE 'organic' END AS channel,
+       ROUND(value, 6) AS purchase_value
+FROM m WHERE event_type = 'purchase'
+""",
+)
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 7-day lookback, else counts as organic — the
+    marketing/causal-credit assignment every events warehouse runs.
+
+    The conditional carry-forward shape: a per-user running
+    MAX(CASE WHEN click THEN ts) over strictly-preceding rows gives
+    the last click before each event — one window, no self-join
+    against the click subset (the naive as-of join re-shuffles the
+    event table against itself; this reads it once).  ONE shuffle on
+    user_id; epoch-µs integer math (FIXTURES §5.4)."""
+    from pyspark.sql import Window as W
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us(ev_raw).alias("us"),
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("us"))
+    ).over(w)
+    m = ev.withColumn("last_click_us", last_click).filter(
+        F.col("event_type") == "purchase"
+    )
+    in_window = F.col("last_click_us").isNotNull() & (
+        F.col("us") - F.col("last_click_us") <= _ATTR_WINDOW_US
+    )
+    return m.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("us").alias("purchase_us"),
+        F.when(in_window, F.col("last_click_us")).alias(
+            "attributed_click_us"
+        ),
+        F.when(in_window, F.lit("click"))
+        .otherwise("organic")
+        .alias("channel"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 4: keys whose code
@@ -5496,6 +5575,7 @@ def q_interval_coalesce(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
+    "q_attribution",
     "q_interval_coalesce",
     "q_skyline",
     "q_pmi_bigrams",

@@ -125,6 +125,38 @@ PICKS = {
         "join's exchange; the join then removes false positives, so "
         "the result is exactly the plain semi join."
     ),
+    "q_sessionize": (
+        "Gap sessionization: BOTH windows (lag gap flag, running-sum "
+        "ordinal) and the (user_id, sess) groupBy ride ONE "
+        "hashpartitioning(user_id) Exchange — hashpartitioning on a "
+        "subset of the grouping keys satisfies the clustering, so no "
+        "second shuffle appears."
+    ),
+    "q_chunk_documents": (
+        "Sliding-window chunking: sequence + posexplode + substring + "
+        "md5 — one narrow codegen pipeline over the scan, zero "
+        "exchanges, zero Python; chunks are emitted at scan speed on "
+        "the partition that read the document."
+    ),
+    "q_bm25": (
+        "BM25: the corpus token stream is filtered through a "
+        "BroadcastHashJoin against the 3-term query set BEFORE any "
+        "aggregation exchange; df/N/avg_dl come back as broadcasts. "
+        "Nothing corpus-sized shuffles twice, no Python."
+    ),
+    "q_pca": (
+        "PCA projection (the returned DataFrame): a narrow zip_with/"
+        "aggregate fold over the embeddings scan — zero exchanges. "
+        "The covariance pass that BUILT the components ran as a "
+        "mapInPandas sufficient-stats aggregation (d(d+1)/2 keys), "
+        "driver Jacobi eigensolve on the 64x64 result."
+    ),
+    "q_heavy_hitters": (
+        "Two-pass exact heavy hitters: the exact verify pass is a "
+        "BroadcastHashJoin of the bounded candidate set onto the "
+        "token stream — the unbounded long-tail vocabulary never "
+        "shuffles; only candidate tokens reach the count exchange."
+    ),
 }
 
 
