@@ -247,6 +247,8 @@ def zorder_key(
     quantized = []
     for i, c in enumerate(cols):
         mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None:  # empty input or all-NULL column
+            mn, mx = 0.0, 0.0
         span = (mx - mn) or 1.0
         q = F.least(
             F.lit(levels),
@@ -357,10 +359,16 @@ def write_parquet_atomic(
 
     ``txid`` makes the commit IDEMPOTENT: a caller-supplied transaction
     id (e.g. a streaming micro-batch id) that is recorded in the
-    manifest; if any committed manifest already carries it, the write
-    is skipped and the existing manifest returned.  This is the
-    txnAppId/txnVersion pattern that turns at-least-once foreachBatch
-    replays into exactly-once table commits.
+    manifest; if it was already committed, the write is skipped and
+    the newest manifest returned.  This is the txnAppId/txnVersion
+    pattern that turns at-least-once foreachBatch replays into
+    exactly-once table commits.  Callers MUST namespace the id per
+    writer identity (streaming.write_stream_atomic prefixes a
+    checkpoint-derived app id) — bare epoch numbers collide across
+    queries.  The seen-txid set is carried forward CUMULATIVELY in
+    each manifest, so (a) the replay check reads ONE file, not the
+    whole history (O(1), not O(batches)), and (b) vacuuming old
+    manifests cannot forget a committed id and re-admit a replay.
     """
     import json
     import os
@@ -368,17 +376,16 @@ def write_parquet_atomic(
     import uuid
 
     if txid is not None:
-        if not re.fullmatch(r"[A-Za-z0-9_-]{1,64}", txid):
-            raise ValueError("txid must be [A-Za-z0-9_-]{1,64}")
-        if os.path.isdir(path):
-            for name in sorted(os.listdir(path)):
-                if name.startswith("manifest-") and name.endswith(".json"):
-                    with open(os.path.join(path, name)) as fh:
-                        if json.load(fh).get("txid") == txid:
-                            return os.path.join(path, name)  # replay no-op
+        if not re.fullmatch(r"[A-Za-z0-9_.-]{1,100}", txid):
+            raise ValueError("txid must be [A-Za-z0-9_.-]{1,100}")
+        if txid in _newest_manifest_meta(path).get("txids", []):
+            newest = _newest_manifest_name(path)
+            return os.path.join(path, newest)  # replay no-op
     else:
         txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging_{txid}")
+    if zorder_by and df.isEmpty():
+        zorder_by = None  # no rows → no bounds; plain (empty) snapshot
     if zorder_by:
         zdf, zkey = zorder_key(df, zorder_by)
         (
@@ -409,29 +416,39 @@ def write_parquet_atomic(
     elif mode != "overwrite":
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     seq = prev_seq + 1
+    prev_txids = _newest_manifest_meta(path).get("txids", [])
+    txids = prev_txids if txid in prev_txids else prev_txids + [txid]
     manifest = os.path.join(path, f"manifest-{seq:010d}-{txid}.json")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(
-            {"seq": seq, "txid": txid, "files": files, "stats": stats}, fh
+            {
+                "seq": seq,
+                "txid": txid,
+                "txids": txids,
+                "files": files,
+                "stats": stats,
+            },
+            fh,
         )
     os.rename(tmp, manifest)  # the commit point
     return manifest
 
 
-def _newest_manifest_full(path: str) -> tuple[int, list[str], dict]:
+def _newest_manifest_entry(path: str) -> tuple[str, dict]:
+    """(filename, parsed meta) of the newest committed manifest, or
+    ("", {}).  Tie-break equal seqs by txid so snapshot selection is
+    DETERMINISTIC when two committers raced to the same seq — every
+    reader resolves the same winner regardless of listing order (the
+    loser's files become orphaned garbage, same as a crashed writer)."""
     import json
     import os
 
-    # tie-break equal seqs by txid so snapshot selection is
-    # DETERMINISTIC when two committers raced to the same seq — every
-    # reader resolves the same winner regardless of listing order (the
-    # loser's files become orphaned garbage, same as a crashed writer)
     best_key = (0, "")
-    best_files: list[str] = []
-    best_stats: dict = {}
+    best_name = ""
+    best_meta: dict = {}
     if not os.path.isdir(path):
-        return 0, best_files, best_stats
+        return best_name, best_meta
     for name in sorted(os.listdir(path)):
         if name.startswith("manifest-") and name.endswith(".json"):
             with open(os.path.join(path, name)) as fh:
@@ -439,9 +456,26 @@ def _newest_manifest_full(path: str) -> tuple[int, list[str], dict]:
             key = (int(m["seq"]), str(m.get("txid", "")))
             if key > best_key:
                 best_key = key
-                best_files = list(m["files"])
-                best_stats = dict(m.get("stats", {}))
-    return best_key[0], best_files, best_stats
+                best_name = name
+                best_meta = m
+    return best_name, best_meta
+
+
+def _newest_manifest_meta(path: str) -> dict:
+    return _newest_manifest_entry(path)[1]
+
+
+def _newest_manifest_name(path: str) -> str:
+    return _newest_manifest_entry(path)[0]
+
+
+def _newest_manifest_full(path: str) -> tuple[int, list[str], dict]:
+    m = _newest_manifest_meta(path)
+    return (
+        int(m.get("seq", 0)),
+        list(m.get("files", [])),
+        dict(m.get("stats", {})),
+    )
 
 
 def _newest_manifest(path: str) -> tuple[int, list[str]]:
@@ -569,7 +603,8 @@ def read_parquet_atomic_incremental(
         if to_seq is None
         else atomic_snapshot_files(path, as_of_seq=to_seq)
     )
-    missing = set(base) - set(newer)
+    base_set = set(base)
+    missing = base_set - set(newer)
     if missing:
         raise ValueError(
             f"non-append history between seq {from_seq} and "
@@ -577,7 +612,7 @@ def read_parquet_atomic_incremental(
             f"{len(missing)} file(s) from the base snapshot were "
             "rewritten; incremental read is not sound — run a full diff"
         )
-    added = [f for f in newer if f not in set(base)]
+    added = [f for f in newer if f not in base_set]
     if not added:
         return spark.createDataFrame([], read_parquet_atomic(spark, path).schema)
     return spark.read.parquet(*[os.path.join(path, f) for f in added])

@@ -1075,7 +1075,10 @@ def decode_avi(payload: bytes):
         for fcc, b0, b1 in _riff_walk(payload, start, end):
             if fcc == b"LIST":
                 ltype = payload[b0 : b0 + 4]
-                if ltype in (b"hdrl", b"strl", b"movi"):
+                # 'rec ' groups interleave frame chunks inside movi
+                # (Video-for-Windows muxers) — must be descended or
+                # such files silently decode to zero frames
+                if ltype in (b"hdrl", b"strl", b"movi", b"rec "):
                     walk_list(b0 + 4, b1)
             elif fcc == b"avih" and avih is None:
                 avih = payload[b0:b1]

@@ -4849,7 +4849,7 @@ tri AS (
   JOIN edges e2 ON e1.b = e2.a
   JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
 ),
-w AS (SELECT SUM(d * (d - 1) / 2) AS n_wedges FROM deg)
+w AS (SELECT COALESCE(SUM(d * (d - 1) / 2), 0) AS n_wedges FROM deg)
 SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
        (SELECT COUNT(*) FROM edges) AS n_edges,
        (SELECT n_tri FROM tri) AS n_triangles,
@@ -5016,10 +5016,14 @@ def q_triangle_count(spark, sf_dir):
         .join(closing, ["lo", "hi"])
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
     )
+    # COALESCE to 0 on the empty graph: SUM over no rows is NULL, which
+    # would diverge from the driver fast path's integer 0 (and from the
+    # oracle's identical COALESCE)
     n_wedges_open = deg.agg(
-        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
-            "n_wedges"
-        )
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_wedges")
     )
     counts = deg.agg(F.count(F.lit(1)).alias("n_vertices")).crossJoin(
         edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -5182,19 +5186,28 @@ def q_heavy_hitters(spark, sf_dir):
     toks = d.select(F.explode(llmops.tokens_col("text")).alias("w"))
     k = int(2.0 / _HH_PHI)
 
+    # pass 1 also accumulates the stream length (one (NULL, len) row
+    # per batch), so n_total needs no extra corpus scan — the corpus is
+    # tokenized exactly twice (candidates, exact verify), as documented
     def candidates(batches):
         for pdf in batches:
             vc = pdf["w"].value_counts()
             keep = vc[vc > len(pdf) / k]
-            yield pd.DataFrame({"w": keep.index})
+            yield pd.DataFrame(
+                {
+                    "w": list(keep.index) + [None],
+                    "cnt": [0] * len(keep) + [len(pdf)],
+                }
+            )
 
-    cand = [
-        r["w"]
-        for r in toks.mapInPandas(candidates, schema="w string")
-        .distinct()
+    pass1 = (
+        toks.mapInPandas(candidates, schema="w string, cnt long")
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
         .collect()
-    ]
-    n_total = toks.count()
+    )
+    cand = [r["w"] for r in pass1 if r["w"] is not None]
+    n_total = sum(r["cnt"] for r in pass1 if r["w"] is None)
     cand_df = spark.createDataFrame([(w,) for w in cand], "w string")
     exact = (
         toks.join(F.broadcast(cand_df), "w")

@@ -344,12 +344,30 @@ def write_stream_atomic(
     crash-invisibility (a batch that dies mid-write leaves only an
     orphaned staging dir).  Readers see batch-aligned snapshots and can
     time-travel / consume incrementally (io.read_parquet_atomic_
-    incremental) per micro-batch."""
+    incremental) per micro-batch.
+
+    The txid is NAMESPACED by an app id derived from the checkpoint
+    path (the txnAppId half of the pattern): epoch numbers restart at
+    0 under a fresh checkpoint, and a bare ``batch-0`` would collide
+    with another query's history and silently drop the batch as a
+    replay.  Same checkpoint on restart → same app id → replays
+    dedup; different checkpoint / second query → different app id →
+    both commit."""
+    import hashlib
+    import os
+
     from .io import write_parquet_atomic
+
+    app_id = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:12]
 
     def commit_batch(df, epoch_id):
         write_parquet_atomic(
-            df, table_path, mode="append", txid=f"batch-{int(epoch_id):010d}"
+            df,
+            table_path,
+            mode="append",
+            txid=f"app-{app_id}-batch-{int(epoch_id):010d}",
         )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).option(

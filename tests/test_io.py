@@ -585,3 +585,21 @@ def test_vacuum_atomic_table(spark, tmp_path):
     assert (
         sum(1 for n in os.listdir(path) if n.startswith("manifest-")) == 1
     )
+
+
+def test_zorder_write_empty_input(spark, tmp_path):
+    """zorder_by on an empty DataFrame (empty micro-batch, filtered-to-
+    nothing append) must write an empty snapshot, not TypeError on
+    missing bounds."""
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "zempty")
+    empty = spark.range(10).filter(F.col("id") < 0).select(
+        F.col("id").alias("x"), (F.col("id") * 2).alias("y")
+    )
+    write_parquet_atomic(
+        empty, path, mode="overwrite", zorder_by=["x", "y"],
+        stats_cols=["x"],
+    )
+    assert read_parquet_atomic(spark, path).count() == 0

@@ -1082,3 +1082,31 @@ def test_png_adam7_truncated_raises():
         pos += 12 + ln
     with pytest.raises(ValueError):
         mm.decode_png(bytes(out))
+
+
+def test_avi_rec_list_grouping():
+    """Interleaved AVIs wrap frame chunks in LIST 'rec ' groups inside
+    movi — they must decode identically to flat movi layouts."""
+    frames = [_rng_img(6, 6, 3, seed=s) for s in range(2)]
+    flat = _mux_avi(
+        [_dib_frame(f) for f in frames], 6, 6, b"DIB ",
+        b"\x00\x00\x00\x00",
+    )
+    # rebuild with each frame chunk wrapped in LIST 'rec '
+    movi_payload = b"".join(
+        _avi_list(b"rec ", _avi_chunk(b"00db", _dib_frame(f)))
+        for f in frames
+    )
+    # splice: keep flat's hdrl (found by walking TOP-LEVEL chunks —
+    # hdrl itself nests a strl LIST), replace the movi LIST
+    movi_start = None
+    for fcc, b0, b1 in mm._riff_walk(flat, 12, len(flat)):
+        if fcc == b"LIST" and flat[b0 : b0 + 4] == b"movi":
+            movi_start = b0 - 8
+    assert movi_start is not None
+    body = flat[12:movi_start] + _avi_list(b"movi", movi_payload)
+    rec_avi = b"RIFF" + len(b"AVI " + body).to_bytes(4, "little") + b"AVI " + body
+    got, meta = mm.decode_avi(rec_avi)
+    assert meta["n_frames"] == 2
+    for g, f in zip(got, frames):
+        np.testing.assert_array_equal(g, f)

@@ -496,11 +496,45 @@ def test_stream_atomic_sink_exactly_once(spark, tmp_path, stream_dir):
     )
     assert n_manifests >= 1
     # replay epoch 0 by hand — the txid check must make it a no-op
+    import hashlib
+
+    app_id = hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:12]
     write_parquet_atomic(
-        src, table, mode="append", txid=f"batch-{0:010d}"
+        src, table, mode="append", txid=f"app-{app_id}-batch-{0:010d}"
     )
     assert read_parquet_atomic(spark, table).count() == src.count()
     assert (
         sum(1 for n in os.listdir(table) if n.startswith("manifest-"))
         == n_manifests
     )
+    # a SECOND query (fresh checkpoint) restarts epochs at 0 — its
+    # app id differs, so its batch-0 must COMMIT, not be swallowed as
+    # a replay of the first query's epoch 0
+    ckpt2 = str(tmp_path / "ckpt2")
+    q2 = strm.write_stream_atomic(
+        strm.read_event_stream(spark, stream_dir), table, ckpt2
+    )
+    q2.awaitTermination(120)
+    assert read_parquet_atomic(spark, table).count() == 2 * src.count()
+
+
+def test_vacuum_preserves_txid_idempotence(spark, tmp_path):
+    """Exactly-once must survive VACUUM: expired manifests carried the
+    txids, but the seen-set is cumulative in the newest manifest, so a
+    replay of a vacuumed-away epoch is still a no-op."""
+    from pfithic_spark.io import (
+        read_parquet_atomic,
+        vacuum_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "vtx")
+    d = spark.range(3).withColumnRenamed("id", "v")
+    for i in range(4):
+        write_parquet_atomic(d, path, mode="append", txid=f"e-{i}")
+    assert read_parquet_atomic(spark, path).count() == 12
+    res = vacuum_parquet_atomic(path, keep_last_n=1)
+    assert res["manifests_removed"] == 3
+    # replay an epoch whose manifest was just vacuumed
+    write_parquet_atomic(d, path, mode="append", txid="e-0")
+    assert read_parquet_atomic(spark, path).count() == 12  # unchanged
