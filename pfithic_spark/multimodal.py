@@ -5,9 +5,9 @@ decode / feature-extraction / resize / frame-sampling run as Arrow
 ``mapInPandas`` stages so bytes cross the JVM↔Python boundary once per
 batch.
 
-Decode status (round 4): PNG (8-bit, all five scanline filters,
-sequential and Adam7-interlaced), 24/32 bpp uncompressed BMP, binary
-PPM, and JPEG — both BASELINE sequential
+Decode status (round 4): PNG (8- and 16-bit, all five scanline
+filters, sequential and Adam7-interlaced), 24/32 bpp uncompressed
+BMP, binary PPM (8/16-bit), and JPEG — both BASELINE sequential
 (SOF0/1) and PROGRESSIVE (SOF2: spectral selection + successive
 approximation incl. AC refinement, T.81 Annex G) — decode for REAL via
 :func:`decode_image_real`: public spec + numpy only, no Pillow.
@@ -338,8 +338,10 @@ def decode_png(payload: bytes):
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if depth not in (8, 16):
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} (8/16 only)"
+                )
             if interlace not in (0, 1):
                 raise ValueError(f"PNG: bad interlace method {interlace}")
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
@@ -360,15 +362,25 @@ def decode_png(payload: bytes):
         raw = zlib.decompress(idat)
     except zlib.error as exc:
         raise ValueError(f"malformed PNG: corrupt IDAT ({exc})") from exc
+    # the filter machinery operates on BYTES: for 16-bit samples the
+    # per-pixel byte count doubles (spec: bpp = ceil(depth/8)·channels)
+    # and the big-endian byte pairs recombine after defiltering
+    byte_ch = channels * (depth // 8)
     if interlace == 1:
-        return _png_deinterlace(raw, width, height, channels)
-    expect = height * (1 + width * channels)
-    if len(raw) != expect:
-        raise ValueError(
-            f"malformed PNG: inflated IDAT is {len(raw)} bytes, "
-            f"expected {expect} for {width}x{height}x{channels}"
-        )
-    return _png_defilter(raw, width, height, channels)
+        img = _png_deinterlace(raw, width, height, byte_ch)
+    else:
+        expect = height * (1 + width * byte_ch)
+        if len(raw) != expect:
+            raise ValueError(
+                f"malformed PNG: inflated IDAT is {len(raw)} bytes, "
+                f"expected {expect} for {width}x{height}x{byte_ch}"
+            )
+        img = _png_defilter(raw, width, height, byte_ch)
+    if depth == 16:
+        img = (
+            img[:, :, 0::2].astype("uint16") << 8
+        ) | img[:, :, 1::2].astype("uint16")
+    return img
 
 
 def decode_bmp(payload: bytes):
@@ -411,7 +423,9 @@ def decode_bmp(payload: bytes):
 
 
 def decode_ppm(payload: bytes):
-    """Decode a binary PPM (P6, maxval ≤ 255) to H×W×3 uint8."""
+    """Decode a binary PPM (P6) to H×W×3 — uint8 for maxval ≤ 255,
+    uint16 (big-endian samples per the spec) for 255 < maxval ≤
+    65535."""
     import numpy as np
 
     if payload[:2] != b"P6":
@@ -432,19 +446,21 @@ def decode_ppm(payload: bytes):
         fields.append(payload[start:pos])
     pos += 1  # the single whitespace after maxval
     width, height, maxval = (int(f) for f in fields)
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM")
-    data = payload[pos : pos + width * height * 3]
-    if len(data) < width * height * 3:
+    if maxval > 65535:
+        raise ValueError(f"malformed PPM: maxval {maxval}")
+    bps = 2 if maxval > 255 else 1
+    need = width * height * 3 * bps
+    data = payload[pos : pos + need]
+    if len(data) < need:
         raise ValueError(
             f"malformed PPM: raster truncated ({len(data)} bytes for "
-            f"{width}x{height}x3)"
+            f"{width}x{height}x3x{bps})"
         )
+    dtype = ">u2" if bps == 2 else "uint8"
     return (
-        __import__("numpy")
-        .frombuffer(data, dtype="uint8")
+        np.frombuffer(data, dtype=dtype)
         .reshape(height, width, 3)
-        .copy()
+        .astype("uint16" if bps == 2 else "uint8")
     )
 
 
@@ -994,8 +1010,10 @@ def extract_real_meta(docs_with_payload: DataFrame) -> DataFrame:
 def decode_wav(payload: bytes):
     """Decode a PCM WAV (RIFF) payload — public spec, stdlib struct +
     numpy only.  Returns (samples ndarray [n_frames, n_channels],
-    sample_rate).  8-bit unsigned / 16/32-bit signed PCM; compressed
-    codecs (format tag != 1) raise NotImplementedError (ADR gap)."""
+    sample_rate).  8-bit unsigned / 16/32-bit signed integer PCM
+    (tag 1) and 32/64-bit IEEE-float PCM (tag 3, incl. the
+    WAVE_FORMAT_EXTENSIBLE wrapper when its SubFormat is PCM/float);
+    compressed codecs raise NotImplementedError (ADR gap)."""
     import struct
 
     import numpy as np
@@ -1014,16 +1032,27 @@ def decode_wav(payload: bytes):
             if len(body) < 16:
                 raise ValueError("malformed WAV: short fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, n_ch, rate, _byte_rate, _align, bits = fmt
-    if tag != 1:
-        raise NotImplementedError(f"WAV format tag {tag} (PCM only — ADR)")
-    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if tag == 0xFFFE and fmt is not None:
+        # WAVE_FORMAT_EXTENSIBLE: the real tag is the SubFormat GUID's
+        # first two bytes (offset 24 of the fmt body)
+        if len(fmt_body) >= 26:
+            tag = struct.unpack("<H", fmt_body[24:26])[0]
+    if tag == 1:
+        dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    elif tag == 3:  # IEEE float PCM
+        dtype = {32: np.float32, 64: np.float64}.get(bits)
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {tag} (integer/float PCM only — ADR)"
+        )
     if dtype is None:
-        raise NotImplementedError(f"WAV bit depth {bits}")
+        raise NotImplementedError(f"WAV bit depth {bits} for tag {tag}")
     samples = np.frombuffer(
         data[: (len(data) // (n_ch * bits // 8)) * (n_ch * bits // 8)],
         dtype=dtype,

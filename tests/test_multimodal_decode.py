@@ -1110,3 +1110,96 @@ def test_avi_rec_list_grouping():
     assert meta["n_frames"] == 2
     for g, f in zip(got, frames):
         np.testing.assert_array_equal(g, f)
+
+
+# ---------------- 16-bit depths + float WAV ----------------
+
+
+def _encode_png16(img16: np.ndarray, interlace: bool = False) -> bytes:
+    """In-test 16-bit PNG encoder (filter 0; big-endian samples)."""
+    h, w, c = img16.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    be = img16.astype(">u2")
+    raw = bytearray()
+    if not interlace:
+        for y in range(h):
+            raw.append(0)
+            raw.extend(be[y].tobytes())
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = be[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw.append(0)
+                raw.extend(sub[y].tobytes())
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 16, color, 0, 0, 1 if interlace else 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("channels", [1, 3])
+def test_png_16bit_roundtrip_exact(interlace, channels):
+    rng = np.random.default_rng(11)
+    img16 = rng.integers(0, 65536, size=(9, 13, channels), dtype=np.uint16)
+    got = mm.decode_png(_encode_png16(img16, interlace=interlace))
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, img16)
+
+
+def test_ppm_16bit_roundtrip_exact():
+    rng = np.random.default_rng(5)
+    img16 = rng.integers(0, 65536, size=(6, 7, 3), dtype=np.uint16)
+    payload = b"P6\n7 6\n65535\n" + img16.astype(">u2").tobytes()
+    got = mm.decode_ppm(payload)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, img16)
+
+
+def test_wav_float_pcm_roundtrip():
+    rng = np.random.default_rng(3)
+    samples = rng.normal(size=(50, 2)).astype(np.float32)
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 8, 8, 32)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = mm.decode_wav(wav)
+    assert rate == 8000 and got.dtype == np.float32
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_wav_extensible_float_subformat():
+    rng = np.random.default_rng(4)
+    samples = rng.normal(size=(20, 1)).astype(np.float64)
+    data = samples.tobytes()
+    # WAVE_FORMAT_EXTENSIBLE (0xFFFE), SubFormat first-two-bytes = 3
+    sub = struct.pack("<H", 3) + b"\x00" * 14
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 64000, 8, 64)
+        + struct.pack("<H", 22) + struct.pack("<H", 64) + b"\x00" * 4 + sub
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = mm.decode_wav(wav)
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, samples)
