@@ -5577,6 +5577,101 @@ def q_attribution(spark, sf_dir):
     )
 
 
+@register(
+    "q_rfm",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS us, value FROM events
+),
+anchor AS (SELECT MAX(us) AS now_us FROM t),
+rfm AS (
+  SELECT user_id,
+         CAST((a.now_us - MAX(CASE WHEN event_type = 'purchase'
+                                   THEN us END)) // 86400000000 AS BIGINT)
+           AS recency_days,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS frequency,
+         ROUND(CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(ROUND(value, 6) AS DECIMAL(28,6))
+                        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE), 6)
+           AS monetary
+  FROM t CROSS JOIN anchor a
+  GROUP BY user_id, a.now_us
+  HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+)
+SELECT user_id, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+FROM rfm
+""",
+)
+def q_rfm(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary quartiles per
+    purchasing user) — the classic customer-value scoring every events
+    warehouse ships.  Anchor 'now' is the corpus max timestamp
+    (data-derived, deterministic — no wall clock, FIXTURES §4).
+
+    One aggregation over events collapses to per-USER rows before any
+    window — the ntile quartiles run over the bounded user dimension,
+    not the event stream (the same post-aggregation-cardinality rule
+    the Hi-C bin tables follow).  Monetary uses round-then-DECIMAL
+    sums; ntile ties break on user_id in both dialects."""
+    from pyspark.sql import Window as W
+
+    ev_raw = load_table(spark, sf_dir, "events")
+    t = ev_raw.select(
+        "user_id", "event_type", epoch_us(ev_raw).alias("us"), "value"
+    )
+    anchor = t.agg(F.max("us").alias("now_us"))
+    is_p = F.col("event_type") == "purchase"
+    rfm = (
+        t.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "now_us")
+        .agg(
+            F.max(F.when(is_p, F.col("us"))).alias("last_p"),
+            F.sum(F.when(is_p, 1).otherwise(0)).cast("bigint").alias(
+                "frequency"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        is_p,
+                        F.round(F.col("value"), 6).cast("decimal(28,6)"),
+                    ).otherwise(F.lit(0).cast("decimal(28,6)"))
+                ).cast("double"),
+                6,
+            ).alias("monetary"),
+        )
+        .filter(F.col("frequency") > 0)
+        .select(
+            "user_id",
+            F.floor(
+                (F.col("now_us") - F.col("last_p")) / F.lit(86_400_000_000)
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round 4: keys whose code
@@ -5588,6 +5683,7 @@ def q_attribution(spark, sf_dir):
 #: last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
+    "q_rfm",
     "q_attribution",
     "q_interval_coalesce",
     "q_skyline",
