@@ -5674,13 +5674,11 @@ def q_rfm(spark, sf_dir):
 
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
-#: the least-recently-verified keys first.  Round 4: keys whose code
-#: changed this round first (q_sim_ivf gained its golden hash oracle —
-#: frozen centroids — and its ivf_assign kernel went BLAS-free;
-#: q_join_skew_salted gained the NULL-salt coalesce), then the 13 keys
-#: whose newest CORRECTNESS row still dates from round 1 (everything
-#: else was re-rowed in rounds 2–3), then the round-3 backlog in
-#: last-verified order.
+#: the least-recently-verified keys first.  Round-4 continuation: the
+#: 16 brand-new §2.14 keys lead (none has a driver row yet), then the
+#: keys whose code changed earlier in round 4, then the 13 keys whose
+#: newest CORRECTNESS row still dates from round 1, then the round-3
+#: backlog in last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
     "q_rfm",

@@ -669,7 +669,11 @@ def main() -> None:
     spark = get_spark(app="pfithic-goldens")
     prepare_ivf_centroids(spark)
     queries = e.queries()
+    # optional key filter: make_goldens.py [sf_dir] [key ...]
+    only = set(sys.argv[2:])
     for key, check in CHECKS.items():
+        if only and key not in only:
+            continue
         print(f"{key}: running at {SF_DIR} ...")
         pdf = queries[key](spark, SF_DIR).toPandas()
         check(pdf)
