@@ -364,11 +364,17 @@ def write_parquet_atomic(
     pattern that turns at-least-once foreachBatch replays into
     exactly-once table commits.  Callers MUST namespace the id per
     writer identity (streaming.write_stream_atomic prefixes a
-    checkpoint-derived app id) — bare epoch numbers collide across
-    queries.  The seen-txid set is carried forward CUMULATIVELY in
-    each manifest, so (a) the replay check reads ONE file, not the
-    whole history (O(1), not O(batches)), and (b) vacuuming old
-    manifests cannot forget a committed id and re-admit a replay.
+    checkpoint-anchored app id) — bare epoch numbers collide across
+    queries.  The seen-txid registry is carried forward in each
+    manifest — ``...-batch-<epoch>``-shaped ids compact into a per-app
+    HIGH WATERMARK (bounded manifest size at any batch count;
+    watermark semantics are sound because epochs commit in order per
+    app), irregular ids into an explicit list — so the replay check
+    reads ONE manifest (picked from the filename-encoded seq without
+    parsing history) and vacuuming old manifests cannot forget a
+    committed id.  Tables written before the registry existed fall
+    back to a one-time full-history scan, harvested into the registry
+    at the next commit.
     """
     import json
     import os
@@ -378,14 +384,12 @@ def write_parquet_atomic(
     if txid is not None:
         if not re.fullmatch(r"[A-Za-z0-9_.-]{1,100}", txid):
             raise ValueError("txid must be [A-Za-z0-9_.-]{1,100}")
-        if txid in _newest_manifest_meta(path).get("txids", []):
-            newest = _newest_manifest_name(path)
-            return os.path.join(path, newest)  # replay no-op
+        newest_name, newest_meta = _newest_manifest_entry(path)
+        if _txid_committed(path, newest_meta, txid):
+            return os.path.join(path, newest_name)  # replay no-op
     else:
         txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging_{txid}")
-    if zorder_by and df.isEmpty():
-        zorder_by = None  # no rows → no bounds; plain (empty) snapshot
     if zorder_by:
         zdf, zkey = zorder_key(df, zorder_by)
         (
@@ -409,15 +413,21 @@ def write_parquet_atomic(
                 os.path.join(path, rel), list(stats_cols)
             )
     os.makedirs(path, exist_ok=True)
-    prev_seq, prev_files, prev_stats = _newest_manifest_full(path)
+    # ONE consistent read of the previous snapshot: seq, files, stats,
+    # and the txid registry all come from the same manifest — reading
+    # them in separate listings would let a concurrent commit land in
+    # between, producing a manifest whose txids acknowledge a
+    # transaction whose files it silently dropped
+    prev = _newest_manifest_meta(path)
+    prev_files = list(prev.get("files", []))
+    prev_stats = dict(prev.get("stats", {}))
     if mode == "append":
         files = prev_files + files
         stats = {**prev_stats, **stats}
     elif mode != "overwrite":
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    seq = prev_seq + 1
-    prev_txids = _newest_manifest_meta(path).get("txids", [])
-    txids = prev_txids if txid in prev_txids else prev_txids + [txid]
+    seq = int(prev.get("seq", 0)) + 1
+    txids, watermarks = _txid_record(path, prev, txid)
     manifest = os.path.join(path, f"manifest-{seq:010d}-{txid}.json")
     tmp = manifest + ".tmp"
     with open(tmp, "w") as fh:
@@ -426,6 +436,7 @@ def write_parquet_atomic(
                 "seq": seq,
                 "txid": txid,
                 "txids": txids,
+                "tx_watermarks": watermarks,
                 "files": files,
                 "stats": stats,
             },
@@ -435,30 +446,108 @@ def write_parquet_atomic(
     return manifest
 
 
+#: streaming-shaped txids ("<app>-batch-<epoch>") compact into a per-app
+#: HIGH WATERMARK instead of an ever-growing list — epochs commit in
+#: order within one app/checkpoint, so "epoch ≤ watermark" is exactly
+#: "already committed", and a million micro-batches cost one dict entry
+#: in the manifest, not a million list items
+import re as _re
+
+_TX_BATCH_RE = _re.compile(r"(.+-batch-)(\d{1,18})")
+
+
+def _historical_txids(path: str) -> set[str]:
+    """All txids ever committed, by scanning every manifest's own
+    'txid' field — the pre-upgrade fallback (old manifests carry no
+    cumulative 'txids' list).  Used once per legacy table; after the
+    first new-format commit the cumulative registry takes over."""
+    import json
+    import os
+
+    seen: set[str] = set()
+    if not os.path.isdir(path):
+        return seen
+    for name in os.listdir(path):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as fh:
+                t = json.load(fh).get("txid")
+            if t:
+                seen.add(t)
+    return seen
+
+
+def _txid_committed(path: str, newest_meta: dict, txid: str) -> bool:
+    m = _TX_BATCH_RE.fullmatch(txid)
+    if m:
+        wm = newest_meta.get("tx_watermarks", {})
+        if m.group(1) in wm and int(m.group(2)) <= int(wm[m.group(1)]):
+            return True
+    if txid == newest_meta.get("txid") or txid in newest_meta.get(
+        "txids", []
+    ):
+        return True
+    if newest_meta and "txids" not in newest_meta:
+        # legacy table written before the cumulative registry existed
+        return txid in _historical_txids(path)
+    return False
+
+
+def _txid_record(
+    path: str, prev_meta: dict, txid: str
+) -> tuple[list[str], dict]:
+    """(txids list, tx_watermarks) for the next manifest: batch-shaped
+    ids advance their app watermark, irregular ids append to the list.
+    A legacy table's full txid history is harvested ONCE here so the
+    upgrade cannot forget pre-upgrade commits."""
+    if prev_meta and "txids" not in prev_meta:
+        txids = sorted(_historical_txids(path))
+    else:
+        txids = list(prev_meta.get("txids", []))
+    watermarks = {
+        k: int(v) for k, v in prev_meta.get("tx_watermarks", {}).items()
+    }
+    m = _TX_BATCH_RE.fullmatch(txid)
+    if m:
+        pfx, epoch = m.group(1), int(m.group(2))
+        watermarks[pfx] = max(watermarks.get(pfx, -1), epoch)
+    elif txid not in txids:
+        txids.append(txid)
+    return txids, watermarks
+
+
 def _newest_manifest_entry(path: str) -> tuple[str, dict]:
     """(filename, parsed meta) of the newest committed manifest, or
     ("", {}).  Tie-break equal seqs by txid so snapshot selection is
     DETERMINISTIC when two committers raced to the same seq — every
     reader resolves the same winner regardless of listing order (the
-    loser's files become orphaned garbage, same as a crashed writer)."""
+    loser's files become orphaned garbage, same as a crashed writer).
+
+    seq and txid are encoded in the manifest FILENAME
+    (manifest-{seq:010d}-{txid}.json), so the winner is picked from
+    the directory listing alone and only ONE file is parsed — a table
+    with thousands of committed batches costs one open per read, not
+    a full-history JSON parse."""
     import json
     import os
 
     best_key = (0, "")
     best_name = ""
-    best_meta: dict = {}
     if not os.path.isdir(path):
-        return best_name, best_meta
-    for name in sorted(os.listdir(path)):
+        return best_name, {}
+    for name in os.listdir(path):
         if name.startswith("manifest-") and name.endswith(".json"):
-            with open(os.path.join(path, name)) as fh:
-                m = json.load(fh)
-            key = (int(m["seq"]), str(m.get("txid", "")))
+            parts = name[len("manifest-") : -len(".json")].split("-", 1)
+            try:
+                key = (int(parts[0]), parts[1] if len(parts) > 1 else "")
+            except ValueError:
+                continue
             if key > best_key:
                 best_key = key
                 best_name = name
-                best_meta = m
-    return best_name, best_meta
+    if not best_name:
+        return "", {}
+    with open(os.path.join(path, best_name)) as fh:
+        return best_name, json.load(fh)
 
 
 def _newest_manifest_meta(path: str) -> dict:

@@ -1038,7 +1038,7 @@ def decode_wav(payload: bytes):
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, n_ch, rate, _byte_rate, _align, bits = fmt
-    if tag == 0xFFFE and fmt is not None:
+    if tag == 0xFFFE:
         # WAVE_FORMAT_EXTENSIBLE: the real tag is the SubFormat GUID's
         # first two bytes (offset 24 of the fmt body)
         if len(fmt_body) >= 26:

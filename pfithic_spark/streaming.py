@@ -336,7 +336,7 @@ def write_stream_atomic(
 ):
     """Stream into an ATOMIC manifest-committed table with exactly-once
     batch commits: each micro-batch appends via
-    ``io.write_parquet_atomic(txid=f"batch-{epoch_id}")`` — on
+    ``io.write_parquet_atomic(txid=f"app-{app_id}-batch-{epoch_id}")`` — on
     at-least-once foreachBatch replay (failure between the table commit
     and the checkpoint advance) the txid is already in a committed
     manifest and the write is a no-op, so rows never duplicate.  The
@@ -346,21 +346,32 @@ def write_stream_atomic(
     time-travel / consume incrementally (io.read_parquet_atomic_
     incremental) per micro-batch.
 
-    The txid is NAMESPACED by an app id derived from the checkpoint
-    path (the txnAppId half of the pattern): epoch numbers restart at
-    0 under a fresh checkpoint, and a bare ``batch-0`` would collide
-    with another query's history and silently drop the batch as a
-    replay.  Same checkpoint on restart → same app id → replays
-    dedup; different checkpoint / second query → different app id →
-    both commit."""
-    import hashlib
+    The txid is NAMESPACED by an app id (the txnAppId half of the
+    pattern): epoch numbers restart at 0 under a fresh checkpoint, and
+    a bare ``batch-0`` would collide with another query's history and
+    silently drop the batch as a replay.  The id is ANCHORED IN the
+    checkpoint directory itself (``_pfithic_app_id`` marker, minted on
+    first use) rather than derived from the path string — a path hash
+    changes with cwd-relative spelling or file:/ URI form across
+    restarts, which would break dedup exactly when it matters.  Same
+    checkpoint (however spelled) → same app id → replays dedup; fresh
+    checkpoint / second query → new marker → both commit."""
     import os
+    import uuid
 
     from .io import write_parquet_atomic
 
-    app_id = hashlib.md5(
-        os.path.abspath(checkpoint).encode()
-    ).hexdigest()[:12]
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, "_pfithic_app_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            app_id = fh.read().strip()
+    else:
+        app_id = uuid.uuid4().hex[:12]
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(app_id)
+        os.rename(tmp, marker)
 
     def commit_batch(df, epoch_id):
         write_parquet_atomic(

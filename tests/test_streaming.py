@@ -495,10 +495,11 @@ def test_stream_atomic_sink_exactly_once(spark, tmp_path, stream_dir):
         1 for n in os.listdir(table) if n.startswith("manifest-")
     )
     assert n_manifests >= 1
-    # replay epoch 0 by hand — the txid check must make it a no-op
-    import hashlib
-
-    app_id = hashlib.md5(os.path.abspath(ckpt).encode()).hexdigest()[:12]
+    # replay epoch 0 by hand — the txid check must make it a no-op;
+    # the app id is anchored in the checkpoint dir marker (stable
+    # across path spellings / cwd, unlike a path hash)
+    with open(os.path.join(ckpt, "_pfithic_app_id")) as fh:
+        app_id = fh.read().strip()
     write_parquet_atomic(
         src, table, mode="append", txid=f"app-{app_id}-batch-{0:010d}"
     )
@@ -538,3 +539,50 @@ def test_vacuum_preserves_txid_idempotence(spark, tmp_path):
     # replay an epoch whose manifest was just vacuumed
     write_parquet_atomic(d, path, mode="append", txid="e-0")
     assert read_parquet_atomic(spark, path).count() == 12  # unchanged
+
+
+def test_txid_watermark_compaction_and_legacy_fallback(spark, tmp_path):
+    """Batch-shaped txids compact into a per-app watermark (manifest
+    size bounded at any batch count); pre-registry tables fall back to
+    a one-time history scan and get harvested on the next commit."""
+    import json
+    import os
+
+    from pfithic_spark.io import (
+        _newest_manifest_entry,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "wm")
+    d = spark.range(2).withColumnRenamed("id", "v")
+    for ep in range(5):
+        write_parquet_atomic(
+            d, path, mode="append", txid=f"app-x-batch-{ep:010d}"
+        )
+    name, meta = _newest_manifest_entry(path)
+    assert meta["txids"] == []  # all compacted into the watermark
+    assert meta["tx_watermarks"] == {"app-x-batch-": 4}
+    # any epoch ≤ watermark replays as a no-op
+    write_parquet_atomic(d, path, mode="append", txid="app-x-batch-0000000002")
+    assert read_parquet_atomic(spark, path).count() == 10
+    # irregular ids go to the explicit list
+    write_parquet_atomic(d, path, mode="append", txid="manual-load-1")
+    _, meta2 = _newest_manifest_entry(path)
+    assert meta2["txids"] == ["manual-load-1"]
+
+    # legacy table: strip the registry fields from the newest manifest
+    legacy = str(tmp_path / "legacy")
+    write_parquet_atomic(d, legacy, mode="append", txid="old-1")
+    nm, m = _newest_manifest_entry(legacy)
+    for k in ("txids", "tx_watermarks"):
+        m.pop(k, None)
+    with open(os.path.join(legacy, nm), "w") as fh:
+        json.dump(m, fh)
+    # replay of the pre-registry txid must still no-op (history scan)
+    write_parquet_atomic(d, legacy, mode="append", txid="old-1")
+    assert read_parquet_atomic(spark, legacy).count() == 2
+    # a new commit harvests history into the registry
+    write_parquet_atomic(d, legacy, mode="append", txid="new-1")
+    _, m2 = _newest_manifest_entry(legacy)
+    assert set(m2["txids"]) >= {"old-1", "new-1"}

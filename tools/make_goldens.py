@@ -671,6 +671,12 @@ def main() -> None:
     queries = e.queries()
     # optional key filter: make_goldens.py [sf_dir] [key ...]
     only = set(sys.argv[2:])
+    unknown = only - set(CHECKS)
+    if unknown:
+        raise SystemExit(
+            f"unknown golden key(s) {sorted(unknown)}; "
+            f"choose from {sorted(CHECKS)}"
+        )
     for key, check in CHECKS.items():
         if only and key not in only:
             continue
