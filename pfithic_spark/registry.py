@@ -5672,6 +5672,142 @@ def q_rfm(spark, sf_dir):
     )
 
 
+_BFS_MAX_DEPTH = 6
+
+
+@register(
+    "q_graph_bfs",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+edges AS (
+  SELECT a, b FROM pairs
+  WHERE (a * 31 + b) % {_TRI_MOD} < {_TRI_KEEP}
+),
+sym AS (
+  SELECT a AS u, b AS v FROM edges
+  UNION ALL SELECT b AS u, a AS v FROM edges
+),
+src AS (SELECT MIN(a) AS s FROM edges),
+walk(v, d) AS (
+  SELECT s, 0 FROM src
+  UNION
+  SELECT sym.v, walk.d + 1
+  FROM walk JOIN sym ON sym.u = walk.v
+  WHERE walk.d < {_BFS_MAX_DEPTH}
+),
+dist AS (SELECT v, MIN(d) AS d FROM walk GROUP BY v)
+SELECT d AS dist, COUNT(*) AS n_nodes FROM dist GROUP BY d
+""",
+)
+def q_graph_bfs(spark, sf_dir):
+    """BFS level sizes from the minimum-id vertex of the (sparsified)
+    co-purchase graph — the reachability / neighborhood-growth
+    primitive (fraud rings, lineage radius, k-hop feature counts).
+
+    The oracle is a recursive CTE (DuckDB WITH RECURSIVE + UNION
+    dedup); Spark has no recursive SQL, so the engine shape is the
+    ITERATIVE FRONTIER loop: per level, join the frontier to the
+    symmetrized adjacency, anti-join everything already visited,
+    localCheckpoint the (bounded, node-sized) state to cut lineage.
+    Each iteration shuffles only frontier-sized data.  Driver fast
+    path (pagerank/triangle's bounded-Arrow-probe design) runs the
+    same BFS over python adjacency sets — identical integer output.
+    Depth capped at {_BFS_MAX_DEPTH}."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    groups = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ps"),
+                    i.cast("int") + 2,
+                    F.size(F.col("ps")) - i.cast("int") - 1,
+                ),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    edges_lazy = (
+        groups.select(F.explode(pair_expr).alias("e"))
+        .select("e.a", "e.b")
+        .filter((F.col("a") * 31 + F.col("b")) % _TRI_MOD < _TRI_KEEP)
+        .distinct()
+    )
+    probe = edges_lazy.limit(_TRI_PROBE_LIMIT + 1).toPandas()
+    if len(probe) <= _TRI_PROBE_LIMIT:
+        from collections import defaultdict, deque
+
+        adj: dict = defaultdict(set)
+        src = None
+        for a, b in zip(
+            probe["a"].astype(int).tolist(), probe["b"].astype(int).tolist()
+        ):
+            adj[a].add(b)
+            adj[b].add(a)
+            src = a if src is None else min(src, a)
+        levels: dict = {}
+        if src is not None:
+            dist = {src: 0}
+            q = deque([src])
+            while q:
+                u = q.popleft()
+                if dist[u] >= _BFS_MAX_DEPTH:
+                    continue
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        q.append(w)
+            for d in dist.values():
+                levels[d] = levels.get(d, 0) + 1
+        return spark.createDataFrame(
+            sorted(levels.items()) or [],
+            "dist bigint, n_nodes bigint",
+        )
+    # distributed frontier loop (the 100 TB path)
+    edges = edges_lazy.persist()
+    sym = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    src_row = edges.agg(F.min("a").alias("s")).first()
+    visited = spark.createDataFrame(
+        [(int(src_row["s"]), 0)], "v long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(sym, frontier.v == sym.u)
+            .select(sym.v.alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = (
+        visited.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("dist").cast("bigint"), "n_nodes")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    sym.unpersist()
+    return out
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round-4 continuation: the
@@ -5681,6 +5817,7 @@ def q_rfm(spark, sf_dir):
 #: backlog in last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
+    "q_graph_bfs",
     "q_rfm",
     "q_attribution",
     "q_interval_coalesce",

@@ -271,3 +271,20 @@ def test_triangle_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(registry, "_TRI_PROBE_LIMIT", 0)
     dist = registry.QUERIES["q_triangle_count"](spark, sf_dir).collect()
     assert [r.asDict() for r in fast] == [r.asDict() for r in dist]
+
+
+def test_bfs_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
+    """The driver BFS and the iterative frontier loop must return the
+    identical level histogram."""
+    from pfithic_spark import registry
+
+    fast = sorted(
+        (r["dist"], r["n_nodes"])
+        for r in registry.QUERIES["q_graph_bfs"](spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(registry, "_TRI_PROBE_LIMIT", 0)
+    dist = sorted(
+        (r["dist"], r["n_nodes"])
+        for r in registry.QUERIES["q_graph_bfs"](spark, sf_dir).collect()
+    )
+    assert fast == dist and len(fast) > 1
