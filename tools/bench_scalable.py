@@ -421,6 +421,73 @@ def main() -> None:
     )
     assert agg["n_events"] == NU * k
 
+    # ---- PCA sufficient-stats covariance at scale --------------------
+    # 8 M synthetic 16-dim vectors; gates close the loop without any
+    # driver-side materialization of the data: (a) cov symmetric with
+    # positive diagonal, (b) trace(cov) equals the per-dim variances
+    # computed by an INDEPENDENT decimal aggregation, (c) the variance
+    # of the pc1 projection (distributed, decimal-exact) equals the top
+    # Jacobi eigenvalue.
+    from pfithic_spark import llmops as llm
+    from pfithic_spark import stats as stx
+
+    D_PCA = 16
+    emb8 = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (
+                    ((F.col("id") * (2 * i + 3)) % 1009).cast("double")
+                    / 1009.0
+                )
+                for i in range(D_PCA)
+            ]
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    mean8, cov8, n8 = llm.pca_moments(emb8)
+    ev8, evec8 = stx.jacobi_eigh(cov8)
+    pca_moments_s = time.time() - t0
+    assert n8 == n
+    for i in range(D_PCA):
+        assert cov8[i][i] > 0
+        for j in range(D_PCA):
+            assert cov8[i][j] == cov8[j][i]
+    # independent variance check per dim (decimal-exact second pass)
+    t0 = time.time()
+    var_rows = (
+        emb8.select(F.posexplode("embedding").alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)")
+            ).alias("sxx"),
+            F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).alias("sx"),
+        )
+        .collect()
+    )
+    trace_indep = 0.0
+    for r in var_rows:
+        m = float(r["sx"]) / n
+        trace_indep += (float(r["sxx"]) - n * m * m) / (n - 1)
+    trace_cov = sum(cov8[i][i] for i in range(D_PCA))
+    assert abs(trace_cov - trace_indep) / trace_indep < 1e-6, (
+        trace_cov,
+        trace_indep,
+    )
+    # variance along pc1 == top eigenvalue (distributed projection)
+    proj = llm.pca_project(emb8, mean8, evec8[:1])
+    stats_row = proj.agg(
+        F.sum(
+            F.round(F.col("pc1") * F.col("pc1"), 9).cast("decimal(38,9)")
+        ).alias("spp"),
+        F.sum(F.round(F.col("pc1"), 9).cast("decimal(38,9)")).alias("sp"),
+    ).collect()[0]
+    mp = float(stats_row["sp"]) / n
+    var_pc1 = (float(stats_row["spp"]) - n * mp * mp) / (n - 1)
+    pca_total_s = time.time() - t0 + pca_moments_s
+    assert abs(var_pc1 - ev8[0]) / ev8[0] < 1e-4, (var_pc1, ev8[0])
+
     print(
         json.dumps(
             {
@@ -441,6 +508,8 @@ def main() -> None:
                 "zorder_full_read_s": round(zorder_full_read_s, 2),
                 "zorder_files_skipped": skipped,
                 "sessionize_s": round(sessionize_s, 2),
+                "pca_moments_s": round(pca_moments_s, 2),
+                "pca_total_s": round(pca_total_s, 2),
             }
         )
     )
