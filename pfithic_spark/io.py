@@ -378,11 +378,10 @@ def write_parquet_atomic(
     """
     import json
     import os
-    import re
     import uuid
 
     if txid is not None:
-        if not re.fullmatch(r"[A-Za-z0-9_.-]{1,100}", txid):
+        if not _re.fullmatch(r"[A-Za-z0-9_.-]{1,100}", txid):
             raise ValueError("txid must be [A-Za-z0-9_.-]{1,100}")
         newest_name, newest_meta = _newest_manifest_entry(path)
         if _txid_committed(path, newest_meta, txid):
@@ -446,14 +445,18 @@ def write_parquet_atomic(
     return manifest
 
 
-#: streaming-shaped txids ("<app>-batch-<epoch>") compact into a per-app
-#: HIGH WATERMARK instead of an ever-growing list — epochs commit in
-#: order within one app/checkpoint, so "epoch ≤ watermark" is exactly
+#: RESERVED streaming txid namespace ("app-<id>-batch-<epoch>", minted
+#: only by streaming.write_stream_atomic) compacts into a per-app HIGH
+#: WATERMARK instead of an ever-growing list — epochs commit in order
+#: within one app/checkpoint, so "epoch ≤ watermark" is exactly
 #: "already committed", and a million micro-batches cost one dict entry
-#: in the manifest, not a million list items
+#: in the manifest, not a million list items.  The pattern is anchored
+#: to the reserved prefix: arbitrary caller ids that merely END in
+#: "-batch-<n>" keep exact list semantics (an out-of-order backfill id
+#: must NOT be swallowed as a replay by a watermark).
 import re as _re
 
-_TX_BATCH_RE = _re.compile(r"(.+-batch-)(\d{1,18})")
+_TX_BATCH_RE = _re.compile(r"(app-[A-Za-z0-9]+-batch-)(\d{1,18})")
 
 
 def _historical_txids(path: str) -> set[str]:
@@ -499,19 +502,28 @@ def _txid_record(
     ids advance their app watermark, irregular ids append to the list.
     A legacy table's full txid history is harvested ONCE here so the
     upgrade cannot forget pre-upgrade commits."""
-    if prev_meta and "txids" not in prev_meta:
-        txids = sorted(_historical_txids(path))
-    else:
-        txids = list(prev_meta.get("txids", []))
     watermarks = {
         k: int(v) for k, v in prev_meta.get("tx_watermarks", {}).items()
     }
-    m = _TX_BATCH_RE.fullmatch(txid)
-    if m:
-        pfx, epoch = m.group(1), int(m.group(2))
-        watermarks[pfx] = max(watermarks.get(pfx, -1), epoch)
-    elif txid not in txids:
-        txids.append(txid)
+
+    def absorb(t: str, into: list[str]) -> None:
+        m = _TX_BATCH_RE.fullmatch(t)
+        if m:
+            pfx, epoch = m.group(1), int(m.group(2))
+            watermarks[pfx] = max(watermarks.get(pfx, -1), epoch)
+        elif t not in into:
+            into.append(t)
+
+    if prev_meta and "txids" not in prev_meta:
+        # one-time legacy harvest, COMPACTED: reserved-namespace ids go
+        # to watermarks, so an upgraded streaming table's manifest stays
+        # bounded instead of carrying every historical epoch as a list
+        txids: list[str] = []
+        for t in sorted(_historical_txids(path)):
+            absorb(t, txids)
+    else:
+        txids = list(prev_meta.get("txids", []))
+    absorb(txid, txids)
     return txids, watermarks
 
 

@@ -5693,7 +5693,7 @@ sym AS (
 ),
 src AS (SELECT MIN(a) AS s FROM edges),
 walk(v, d) AS (
-  SELECT s, 0 FROM src
+  SELECT s, 0 FROM src WHERE s IS NOT NULL
   UNION
   SELECT sym.v, walk.d + 1
   FROM walk JOIN sym ON sym.u = walk.v
@@ -5769,8 +5769,7 @@ def q_graph_bfs(spark, sf_dir):
             for d in dist.values():
                 levels[d] = levels.get(d, 0) + 1
         return spark.createDataFrame(
-            sorted(levels.items()) or [],
-            "dist bigint, n_nodes bigint",
+            sorted(levels.items()), "dist bigint, n_nodes bigint"
         )
     # distributed frontier loop (the 100 TB path)
     edges = edges_lazy.persist()
@@ -5780,6 +5779,9 @@ def q_graph_bfs(spark, sf_dir):
         .persist()
     )
     src_row = edges.agg(F.min("a").alias("s")).first()
+    if src_row["s"] is None:  # empty graph → empty histogram (== oracle)
+        edges.unpersist()
+        return spark.createDataFrame([], "dist bigint, n_nodes bigint")
     visited = spark.createDataFrame(
         [(int(src_row["s"]), 0)], "v long, dist long"
     ).localCheckpoint(eager=True)

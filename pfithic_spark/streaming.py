@@ -358,20 +358,37 @@ def write_stream_atomic(
     checkpoint / second query → new marker → both commit."""
     import os
     import uuid
+    from urllib.parse import urlparse
 
     from .io import write_parquet_atomic
 
-    os.makedirs(checkpoint, exist_ok=True)
-    marker = os.path.join(checkpoint, "_pfithic_app_id")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            app_id = fh.read().strip()
-    else:
-        app_id = uuid.uuid4().hex[:12]
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(app_id)
-        os.rename(tmp, marker)
+    # normalize checkpoint SPELLING before touching the marker:
+    # 'ckpt' (cwd-relative), '/x/ckpt', 'file:/x/ckpt' and
+    # 'file:///x/ckpt' are the same Spark checkpoint and must map to
+    # the same marker file — a raw-string path would mint a fresh app
+    # id on a respelled restart and replay duplicates
+    u = urlparse(checkpoint)
+    if u.scheme not in ("", "file"):
+        raise NotImplementedError(
+            "write_stream_atomic app-id marker needs a local checkpoint "
+            f"(got scheme {u.scheme!r}); on an object store, keep the "
+            "marker via the Hadoop FileSystem API"
+        )
+    ck_dir = os.path.abspath(u.path if u.scheme else checkpoint)
+    os.makedirs(ck_dir, exist_ok=True)
+    marker = os.path.join(ck_dir, "_pfithic_app_id")
+    try:
+        # O_EXCL: exactly one racer mints; EVERYONE re-reads the file,
+        # so concurrent starters converge on the surviving id
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, uuid.uuid4().hex[:12].encode())
+        finally:
+            os.close(fd)
+    except FileExistsError:
+        pass
+    with open(marker) as fh:
+        app_id = fh.read().strip()
 
     def commit_batch(df, epoch_id):
         write_parquet_atomic(

@@ -586,3 +586,59 @@ def test_txid_watermark_compaction_and_legacy_fallback(spark, tmp_path):
     write_parquet_atomic(d, legacy, mode="append", txid="new-1")
     _, m2 = _newest_manifest_entry(legacy)
     assert set(m2["txids"]) >= {"old-1", "new-1"}
+
+
+def test_txid_backfill_batch_shaped_ids_not_swallowed(spark, tmp_path):
+    """Caller ids that merely END in '-batch-N' keep exact list
+    semantics: an out-of-order backfill must COMMIT, not be dropped by
+    a watermark (the reserved 'app-<id>-batch-' namespace alone
+    compacts)."""
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "bf")
+    d = spark.range(3).withColumnRenamed("id", "v")
+    write_parquet_atomic(d, path, mode="append", txid="ingest-batch-10")
+    write_parquet_atomic(d, path, mode="append", txid="ingest-batch-9")
+    assert read_parquet_atomic(spark, path).count() == 6
+    # true replay of either still no-ops
+    write_parquet_atomic(d, path, mode="append", txid="ingest-batch-9")
+    assert read_parquet_atomic(spark, path).count() == 6
+
+
+def test_app_id_marker_stable_across_spellings(spark, tmp_path):
+    """file:/ URI, file:/// URI, and the plain path must resolve to the
+    same checkpoint marker (same app id)."""
+    import os
+
+    from pfithic_spark import streaming as s
+
+    base = str(tmp_path / "ckspell")
+    # one real streaming run creates the marker via the plain path
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    spark.range(3).select(
+        F.col("id").alias("event_id"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    table = str(tmp_path / "tbl2")
+    q = s.write_stream_atomic(
+        s.read_event_stream(spark, str(src_dir)), table, base
+    )
+    q.awaitTermination(60)
+    with open(os.path.join(base, "_pfithic_app_id")) as fh:
+        first_id = fh.read().strip()
+    # a respelled restart reuses the SAME marker (no new mint)
+    q2 = s.write_stream_atomic(
+        s.read_event_stream(spark, str(src_dir)), table, f"file:{base}"
+    )
+    q2.awaitTermination(60)
+    with open(os.path.join(base, "_pfithic_app_id")) as fh:
+        assert fh.read().strip() == first_id
+    from pfithic_spark.io import read_parquet_atomic
+
+    # same checkpoint + same epochs → replay no-ops, rows NOT doubled
+    assert read_parquet_atomic(spark, table).count() == 3
