@@ -488,6 +488,99 @@ def main() -> None:
     pca_total_s = time.time() - t0 + pca_moments_s
     assert abs(var_pc1 - ev8[0]) / ev8[0] < 1e-4, (var_pc1, ev8[0])
 
+    # ---- distributed BFS frontier loop (planted ring) ----------------
+    # ring of n/4 nodes: BFS from node 0 to depth 6 must see levels
+    # 1,2,2,2,2,2,2 — forces the frontier join + anti-join machinery
+    # (the registry key's driver fast path is bypassed: adjacency here
+    # is built directly, no probe)
+    from pyspark.sql import functions as FF
+
+    n_ring = n // 4
+    ring = spark.range(n_ring).select(
+        F.col("id").alias("a"),
+        ((F.col("id") + 1) % n_ring).alias("b"),
+    )
+    sym = ring.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(
+        ring.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).persist()
+    sym.count()
+    t0 = time.time()
+    visited = spark.createDataFrame([(0, 0)], "v long, dist long").localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for depth in range(1, 7):
+        nxt = (
+            frontier.join(sym, frontier.v == sym.u)
+            .select(sym.v.alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    levels = {
+        r["dist"]: r["n"]
+        for r in visited.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bfs_s = time.time() - t0
+    sym.unpersist()
+    assert levels == {0: 1, 1: 2, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2}, levels
+
+    # ---- exact heavy hitters at scale (planted hot tokens) -----------
+    # 8 M-token stream: token 'hot<k>' for k in 0..3 each occupies 5%
+    # (> φ=2%), the long tail is unique-ish ids below threshold; the
+    # two-pass (MG candidates → broadcast exact count) must return
+    # EXACTLY the four planted hitters with exact counts.
+    import pandas as pd
+
+    hot_share = n // 20  # 5% each
+    toks = spark.range(n).select(
+        F.when(F.col("id") % 20 < 4, F.concat(F.lit("hot"), (F.col("id") % 20)))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") / 7).cast("bigint")))
+        .alias("w")
+    )
+    phi = 0.02
+    k_mg = int(2.0 / phi)
+    t0 = time.time()
+
+    def candidates(batches):
+        for pdf in batches:
+            vc = pdf["w"].value_counts()
+            keep = vc[vc > len(pdf) / k_mg]
+            yield pd.DataFrame(
+                {
+                    "w": list(keep.index) + [None],
+                    "cnt": [0] * len(keep) + [len(pdf)],
+                }
+            )
+
+    pass1 = (
+        toks.mapInPandas(candidates, schema="w string, cnt long")
+        .groupBy("w")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    cand = [r["w"] for r in pass1 if r["w"] is not None]
+    n_total = sum(r["cnt"] for r in pass1 if r["w"] is None)
+    cand_df = spark.createDataFrame([(w,) for w in cand], "w string")
+    hits = {
+        r["w"]: r["cnt"]
+        for r in toks.join(FF.broadcast(cand_df), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > phi * n_total)
+        .collect()
+    }
+    hh_s = time.time() - t0
+    assert n_total == n
+    assert hits == {f"hot{k}": hot_share for k in range(4)}, hits
+
     print(
         json.dumps(
             {
@@ -510,6 +603,8 @@ def main() -> None:
                 "sessionize_s": round(sessionize_s, 2),
                 "pca_moments_s": round(pca_moments_s, 2),
                 "pca_total_s": round(pca_total_s, 2),
+                "bfs_s": round(bfs_s, 2),
+                "heavy_hitters_s": round(hh_s, 2),
             }
         )
     )
