@@ -1,0 +1,90 @@
+"""Atomic-table maintenance CLI — the operational surface every
+manifest-based table needs alongside the query engine:
+
+    python -m pfithic_spark.table snapshots <path>
+    python -m pfithic_spark.table vacuum <path> [--keep N] [--keep-staging]
+    python -m pfithic_spark.table compact <path> [--target-files N]
+
+``snapshots`` lists committed manifests (seq, txid, file count) without
+touching Spark; ``vacuum`` expires old snapshots + unreferenced data
+files + crashed-writer staging dirs (io.vacuum_parquet_atomic);
+``compact`` rewrites the newest snapshot into fewer files as a new
+snapshot with the lost-update conflict check (io.compact_parquet_atomic,
+needs a SparkSession).  Kept separate from the reference-shaped
+``python -m pfithic_spark`` pipeline CLI so that surface stays
+argument-compatible with upstream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _snapshots(path: str) -> list[dict]:
+    out = []
+    if not os.path.isdir(path):
+        return out
+    for name in sorted(os.listdir(path)):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            with open(os.path.join(path, name)) as fh:
+                m = json.load(fh)
+            out.append(
+                {
+                    "seq": int(m.get("seq", 0)),
+                    "txid": m.get("txid", ""),
+                    "n_files": len(m.get("files", [])),
+                    "manifest": name,
+                }
+            )
+    out.sort(key=lambda d: (d["seq"], d["txid"]))
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        prog="pfithic_spark.table", description=__doc__
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("snapshots", help="list committed snapshots")
+    sp.add_argument("path")
+    vp = sub.add_parser("vacuum", help="expire snapshots + GC files")
+    vp.add_argument("path")
+    vp.add_argument("--keep", type=int, default=1)
+    vp.add_argument(
+        "--keep-staging",
+        action="store_true",
+        help="do not remove orphaned staging dirs (in-flight writers)",
+    )
+    cp = sub.add_parser("compact", help="rewrite newest snapshot")
+    cp.add_argument("path")
+    cp.add_argument("--target-files", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    if args.cmd == "snapshots":
+        for s in _snapshots(args.path):
+            print(json.dumps(s))
+    elif args.cmd == "vacuum":
+        from .io import vacuum_parquet_atomic
+
+        res = vacuum_parquet_atomic(
+            args.path,
+            keep_last_n=args.keep,
+            remove_staging_orphans=not args.keep_staging,
+        )
+        print(json.dumps(res))
+    elif args.cmd == "compact":
+        from .io import compact_parquet_atomic
+        from .session import get_spark
+
+        spark = get_spark(app="pfithic-table-compact")
+        manifest = compact_parquet_atomic(
+            spark, args.path, target_files=args.target_files
+        )
+        print(json.dumps({"manifest": os.path.basename(manifest)}))
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -603,3 +603,32 @@ def test_zorder_write_empty_input(spark, tmp_path):
         stats_cols=["x"],
     )
     assert read_parquet_atomic(spark, path).count() == 0
+
+
+def test_table_maintenance_cli(spark, tmp_path, capsys):
+    """snapshots / vacuum subcommands of the table-maintenance CLI."""
+    import json
+
+    from pfithic_spark.io import write_parquet_atomic
+    from pfithic_spark.table import main as table_main
+
+    path = str(tmp_path / "tcli")
+    d = spark.range(4).withColumnRenamed("id", "v")
+    write_parquet_atomic(d.coalesce(1), path, mode="overwrite", txid="a1")
+    write_parquet_atomic(d.coalesce(1), path, mode="append", txid="a2")
+    table_main(["snapshots", path])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [s["seq"] for s in lines] == [1, 2]
+    assert lines[1]["n_files"] == 2 and lines[1]["txid"] == "a2"
+    table_main(["vacuum", path, "--keep", "1"])
+    res = json.loads(capsys.readouterr().out.strip())
+    assert res["manifests_removed"] == 1
+    table_main(["snapshots", path])
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert [s["seq"] for s in lines] == [2]
