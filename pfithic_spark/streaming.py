@@ -404,3 +404,136 @@ def write_stream_atomic(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def scd2_stream_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Streaming CDC → SCD2 dimension maintenance: each micro-batch
+    folds to its LATEST change per key (max_by on event time — the
+    q_merge_upsert collapse), then versions the atomic dimension table
+    the q_scd2_merge way: a key whose value changed gets its current
+    row closed (valid_to = change time, is_current = false) and a new
+    open version appended; unchanged keys pass through untouched.
+
+    Each batch publishes the updated dimension as ONE overwrite
+    snapshot under the exactly-once txid (write_stream_atomic's
+    namespaced epoch id), so a replayed batch is a no-op and readers
+    always see a complete, version-consistent dimension — plus time
+    travel back to any batch boundary for free.  A dimension is
+    bounded (key cardinality, not event volume), so the per-batch
+    rewrite is the honest shape at this layer; at 100 TB fact scale
+    the same fold feeds partition-level rewrites instead.
+    """
+    import os
+    import uuid
+    from urllib.parse import urlparse
+
+    from .io import read_parquet_atomic, write_parquet_atomic
+
+    u = urlparse(checkpoint)
+    if u.scheme not in ("", "file"):
+        raise NotImplementedError("local checkpoint required (marker)")
+    ck_dir = os.path.abspath(u.path if u.scheme else checkpoint)
+    os.makedirs(ck_dir, exist_ok=True)
+    marker = os.path.join(ck_dir, "_pfithic_app_id")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, uuid.uuid4().hex[:12].encode())
+        finally:
+            os.close(fd)
+    except FileExistsError:
+        pass
+    with open(marker) as fh:
+        app_id = fh.read().strip()
+
+    spark = stream_df.sparkSession
+
+    def apply_batch(df, epoch_id):
+        dfe = with_event_time(df)
+        changes = (
+            dfe.select(
+                F.col(key_col).alias("k"),
+                F.col(value_col).alias("val"),
+                F.struct(
+                    F.col("event_time").alias("t"),
+                    F.col("event_id").alias("e"),
+                ).alias("ord"),
+            )
+            .groupBy("k")
+            .agg(
+                F.max_by("val", "ord").alias("new_val"),
+                F.unix_micros(F.max("ord.t")).alias("change_us"),
+            )
+        )
+        try:
+            cur = read_parquet_atomic(spark, table_path)
+        except FileNotFoundError:
+            cur = spark.createDataFrame(
+                [],
+                "k long, val double, valid_from long, valid_to long, "
+                "is_current boolean",
+            )
+        j = cur.join(changes, "k", "full_outer")
+        untouched_or_closed = j.filter(
+            F.col("valid_from").isNotNull()
+        ).select(
+            "k",
+            "val",
+            "valid_from",
+            F.when(
+                F.col("is_current")
+                & F.col("new_val").isNotNull()
+                & (F.col("new_val") != F.col("val")),
+                F.col("change_us"),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+            F.when(
+                F.col("is_current")
+                & F.col("new_val").isNotNull()
+                & (F.col("new_val") != F.col("val")),
+                F.lit(False),
+            )
+            .otherwise(F.col("is_current"))
+            .alias("is_current"),
+        )
+        opened = (
+            j.filter(
+                F.col("new_val").isNotNull()
+                & (
+                    F.col("valid_from").isNull()  # brand-new key
+                    | (
+                        F.col("is_current")
+                        & (F.col("new_val") != F.col("val"))
+                    )
+                )
+            )
+            .select(
+                "k",
+                F.col("new_val").alias("val"),
+                F.col("change_us").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+        out = untouched_or_closed.unionByName(opened)
+        write_parquet_atomic(
+            out,
+            table_path,
+            mode="overwrite",
+            txid=f"app-{app_id}-batch-{int(epoch_id):010d}",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

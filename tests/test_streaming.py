@@ -642,3 +642,95 @@ def test_app_id_marker_stable_across_spellings(spark, tmp_path):
 
     # same checkpoint + same epochs → replay no-ops, rows NOT doubled
     assert read_parquet_atomic(spark, table).count() == 3
+
+
+def test_scd2_stream_sink_versions_dimension(spark, tmp_path):
+    """CDC stream → SCD2 atomic dimension: two micro-batches with a
+    changed, an unchanged, and a new key must yield correct version
+    chains, current flags, and time-travelable batch snapshots."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pfithic_spark.io import read_parquet_atomic
+
+    d = tmp_path / "cdc"
+    d.mkdir()
+    h = 1_700_000_000_000_000  # µs
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), d / name)
+        import time as _t
+
+        os.utime(d / name, (mtime, mtime))
+
+    import time as _t
+
+    now = _t.time()
+    # batch 1: users 1,2 get values; user 1 updates twice in-batch
+    # (latest wins: 15.0)
+    write(
+        "b1.parquet",
+        [
+            (1, h + 1_000_000, 1, "set", 10.0, "{}"),
+            (2, h + 2_000_000, 1, "set", 15.0, "{}"),
+            (3, h + 3_000_000, 2, "set", 20.0, "{}"),
+        ],
+        now - 100,
+    )
+    # batch 2: user 1 changes, user 2 unchanged value, user 3 new
+    write(
+        "b2.parquet",
+        [
+            (4, h + 10_000_000, 1, "set", 99.0, "{}"),
+            (5, h + 11_000_000, 2, "set", 20.0, "{}"),
+            (6, h + 12_000_000, 3, "set", 7.0, "{}"),
+        ],
+        now - 50,
+    )
+    table = str(tmp_path / "dim")
+    q = strm.scd2_stream_sink(
+        strm.read_event_stream(spark, str(d)), table, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["k"], r["valid_from"]): r
+        for r in read_parquet_atomic(spark, table).collect()
+    }
+    # user 1: closed v=15 @ t+2s..t+10s, open v=99 @ t+10s
+    v1a = rows[(1, h + 2_000_000)]
+    assert (v1a["val"], v1a["valid_to"], v1a["is_current"]) == (
+        15.0,
+        h + 10_000_000,
+        False,
+    )
+    v1b = rows[(1, h + 10_000_000)]
+    assert (v1b["val"], v1b["valid_to"], v1b["is_current"]) == (99.0, None, True)
+    # user 2: single OPEN version (batch-2 value identical → no churn)
+    v2 = rows[(2, h + 3_000_000)]
+    assert (v2["val"], v2["valid_to"], v2["is_current"]) == (20.0, None, True)
+    assert len([k for k in rows if k[0] == 2]) == 1
+    # user 3: new in batch 2
+    v3 = rows[(3, h + 12_000_000)]
+    assert (v3["val"], v3["is_current"]) == (7.0, True)
+    # time travel: snapshot 1 (after batch 1) has only users 1,2, all open
+    snap1 = read_parquet_atomic(spark, table, as_of_seq=1).collect()
+    assert {r["k"] for r in snap1} == {1, 2}
+    assert all(r["is_current"] for r in snap1)
