@@ -1208,3 +1208,134 @@ def sample_frames_real(
         schema="doc_id long, frame_idx int, width int, height int, "
         "mean_pixel double",
     )
+
+
+def resize_image_real(img, max_w: int = 128, max_h: int = 128):
+    """Aspect-preserving nearest-neighbor downsample of a decoded
+    H×W×C array — pure integer index mapping (src_i = out_i·src/out,
+    floor), so the result is bit-deterministic on any host.  Only
+    shrinks; an image already inside the box is returned unchanged."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    out_w, out_h = w, h
+    if out_w > max_w:
+        out_h = max(1, out_h * max_w // out_w)
+        out_w = max_w
+    if out_h > max_h:
+        out_w = max(1, out_w * max_h // out_h)
+        out_h = max_h
+    if (out_w, out_h) == (w, h):
+        return img
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(ys, xs)]
+
+
+def resize_media_real(
+    docs_with_payload: DataFrame, max_w: int = 128, max_h: int = 128
+) -> DataFrame:
+    """REAL resize over a binary image column: decode (PNG/BMP/PPM/
+    JPEG), nearest-neighbor downsample, emit source/output dims + the
+    resized image's exact integer-sum mean — the real-pixel twin of
+    the oracled resize_media (which keeps the arithmetic stand-in for
+    driver-replayable fixtures).  Shuffle-free mapInPandas."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_real(bytes(payload))
+                out = resize_image_real(img, max_w, max_h)
+                total = int(out.astype(np.int64).sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        img.shape[1],
+                        img.shape[0],
+                        out.shape[1],
+                        out.shape[0],
+                        round(total / out.size, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "src_width",
+                    "src_height",
+                    "out_width",
+                    "out_height",
+                    "mean_pixel",
+                ],
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        resize,
+        schema="doc_id long, src_width int, src_height int, "
+        "out_width int, out_height int, mean_pixel double",
+    )
+
+
+def extract_features_real(docs_with_payload: DataFrame) -> DataFrame:
+    """REAL feature extraction over a binary image column: per-channel
+    means plus a 2×2 spatial grid of grayscale means — 7 deterministic
+    features from decoded pixels (exact integer sums, one final
+    division each), the shape an embedding/clustering stage consumes.
+    Shuffle-free mapInPandas; the fake-decode twin (extract_features)
+    stays for the oracled fixture keys."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_real(bytes(payload)).astype(np.int64)
+                if img.ndim == 2:
+                    img = img[:, :, None]
+                h, w, c = img.shape
+                ch_means = [
+                    round(int(img[:, :, k].sum()) / (h * w), 6)
+                    for k in range(min(c, 3))
+                ]
+                while len(ch_means) < 3:
+                    ch_means.append(ch_means[-1])
+                gray = img[:, :, : min(c, 3)].sum(axis=2)
+                gdiv = min(c, 3)
+                h2, w2 = max(1, h // 2), max(1, w // 2)
+                quads = []
+                for ys, xs in (
+                    (slice(0, h2), slice(0, w2)),
+                    (slice(0, h2), slice(w2, w)),
+                    (slice(h2, h), slice(0, w2)),
+                    (slice(h2, h), slice(w2, w)),
+                ):
+                    q = gray[ys, xs]
+                    quads.append(
+                        round(int(q.sum()) / (q.size * gdiv), 6)
+                        if q.size
+                        else 0.0
+                    )
+                rows.append((int(doc_id), *ch_means, *quads))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "q_tl",
+                    "q_tr",
+                    "q_bl",
+                    "q_br",
+                ],
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(
+        extract,
+        schema="doc_id long, mean_r double, mean_g double, mean_b double, "
+        "q_tl double, q_tr double, q_bl double, q_br double",
+    )

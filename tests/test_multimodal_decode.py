@@ -1203,3 +1203,51 @@ def test_wav_extensible_float_subformat():
     got, rate = mm.decode_wav(wav)
     assert got.dtype == np.float64
     np.testing.assert_array_equal(got, samples)
+
+
+# ---------------- real resize + real features ----------------
+
+
+def test_resize_image_real_exact():
+    img = _rng_img(40, 60, 3)
+    out = mm.resize_image_real(img, max_w=30, max_h=30)
+    # 60x40 → width clamp 30 (h=20) → fits: 30x20
+    assert out.shape == (20, 30, 3)
+    # nearest-neighbor: every output pixel is an exact source pixel
+    ys = (np.arange(20) * 40) // 20
+    xs = (np.arange(30) * 60) // 30
+    np.testing.assert_array_equal(out, img[np.ix_(ys, xs)])
+    # already-inside image unchanged (same object semantics not required)
+    small = _rng_img(8, 8, 3)
+    np.testing.assert_array_equal(mm.resize_image_real(small), small)
+
+
+def test_resize_media_real_mapinpandas(spark):
+    import pandas as pd
+
+    img = np.full((200, 300, 3), 7, dtype=np.uint8)
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [_encode_bmp(img)]})
+    out = mm.resize_media_real(spark.createDataFrame(pdf)).collect()[0]
+    assert (out["src_width"], out["src_height"]) == (300, 200)
+    assert (out["out_width"], out["out_height"]) == (128, 85)
+    assert out["mean_pixel"] == 7.0  # constant image survives resample
+
+
+def test_extract_features_real_grid(spark):
+    import pandas as pd
+
+    # quadrant-structured image: TL=10, TR=20, BL=30, BR=40
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img[:4, :4] = 10
+    img[:4, 4:] = 20
+    img[4:, :4] = 30
+    img[4:, 4:] = 40
+    pdf = pd.DataFrame({"doc_id": [5], "payload": [_encode_png(img)]})
+    r = mm.extract_features_real(spark.createDataFrame(pdf)).collect()[0]
+    assert (r["q_tl"], r["q_tr"], r["q_bl"], r["q_br"]) == (
+        10.0,
+        20.0,
+        30.0,
+        40.0,
+    )
+    assert r["mean_r"] == r["mean_g"] == r["mean_b"] == 25.0
