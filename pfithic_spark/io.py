@@ -527,6 +527,28 @@ def _txid_record(
     return txids, watermarks
 
 
+def list_manifests(path: str) -> list[tuple[tuple[int, str], str]]:
+    """All committed manifests as ((seq, txid), filename), sorted in
+    commit order — seq and txid are parsed from the FILENAME
+    (manifest-{seq:010d}-{txid}.json), the single encoding every
+    snapshot-resolution code path (reader, vacuum, CLI) must share."""
+    import os
+
+    out = []
+    if not os.path.isdir(path):
+        return out
+    for name in os.listdir(path):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            parts = name[len("manifest-") : -len(".json")].split("-", 1)
+            try:
+                key = (int(parts[0]), parts[1] if len(parts) > 1 else "")
+            except ValueError:
+                continue
+            out.append((key, name))
+    out.sort()
+    return out
+
+
 def _newest_manifest_entry(path: str) -> tuple[str, dict]:
     """(filename, parsed meta) of the newest committed manifest, or
     ("", {}).  Tie-break equal seqs by txid so snapshot selection is
@@ -542,22 +564,10 @@ def _newest_manifest_entry(path: str) -> tuple[str, dict]:
     import json
     import os
 
-    best_key = (0, "")
-    best_name = ""
-    if not os.path.isdir(path):
-        return best_name, {}
-    for name in os.listdir(path):
-        if name.startswith("manifest-") and name.endswith(".json"):
-            parts = name[len("manifest-") : -len(".json")].split("-", 1)
-            try:
-                key = (int(parts[0]), parts[1] if len(parts) > 1 else "")
-            except ValueError:
-                continue
-            if key > best_key:
-                best_key = key
-                best_name = name
-    if not best_name:
+    entries = list_manifests(path)
+    if not entries:
         return "", {}
+    best_name = entries[-1][1]
     with open(os.path.join(path, best_name)) as fh:
         return best_name, json.load(fh)
 

@@ -1297,14 +1297,18 @@ def extract_features_real(docs_with_payload: DataFrame) -> DataFrame:
                 if img.ndim == 2:
                     img = img[:, :, None]
                 h, w, c = img.shape
+                # color planes only: 2-channel is GRAY+ALPHA (PNG color
+                # type 4) — alpha is not a color and must not skew the
+                # means; 4-channel drops alpha via the :3 slice
+                n_color = 1 if c in (1, 2) else 3
                 ch_means = [
                     round(int(img[:, :, k].sum()) / (h * w), 6)
-                    for k in range(min(c, 3))
+                    for k in range(n_color)
                 ]
                 while len(ch_means) < 3:
                     ch_means.append(ch_means[-1])
-                gray = img[:, :, : min(c, 3)].sum(axis=2)
-                gdiv = min(c, 3)
+                gray = img[:, :, :n_color].sum(axis=2)
+                gdiv = n_color
                 h2, w2 = max(1, h // 2), max(1, w // 2)
                 quads = []
                 for ys, xs in (

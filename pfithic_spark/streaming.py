@@ -328,6 +328,40 @@ def run_to_memory_sink(
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
+def _checkpoint_app_id(checkpoint: str) -> str:
+    """Resolve (minting on first use) the stable per-checkpoint app id
+    that namespaces exactly-once txids.  Spelling-normalized (plain
+    path, file:/, file:/// are one checkpoint), race-safe (O_EXCL mint
+    + unconditional read-back so concurrent starters converge on the
+    surviving id).  Shared by every streaming sink that commits to an
+    atomic table — the marker protocol must never diverge between
+    sinks."""
+    import os
+    import uuid
+    from urllib.parse import urlparse
+
+    u = urlparse(checkpoint)
+    if u.scheme not in ("", "file"):
+        raise NotImplementedError(
+            "atomic streaming sinks need a local checkpoint for the "
+            f"app-id marker (got scheme {u.scheme!r}); on an object "
+            "store, keep the marker via the Hadoop FileSystem API"
+        )
+    ck_dir = os.path.abspath(u.path if u.scheme else checkpoint)
+    os.makedirs(ck_dir, exist_ok=True)
+    marker = os.path.join(ck_dir, "_pfithic_app_id")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, uuid.uuid4().hex[:12].encode())
+        finally:
+            os.close(fd)
+    except FileExistsError:
+        pass
+    with open(marker) as fh:
+        return fh.read().strip()
+
+
 def write_stream_atomic(
     stream_df: DataFrame,
     table_path: str,
@@ -356,39 +390,9 @@ def write_stream_atomic(
     restarts, which would break dedup exactly when it matters.  Same
     checkpoint (however spelled) → same app id → replays dedup; fresh
     checkpoint / second query → new marker → both commit."""
-    import os
-    import uuid
-    from urllib.parse import urlparse
-
     from .io import write_parquet_atomic
 
-    # normalize checkpoint SPELLING before touching the marker:
-    # 'ckpt' (cwd-relative), '/x/ckpt', 'file:/x/ckpt' and
-    # 'file:///x/ckpt' are the same Spark checkpoint and must map to
-    # the same marker file — a raw-string path would mint a fresh app
-    # id on a respelled restart and replay duplicates
-    u = urlparse(checkpoint)
-    if u.scheme not in ("", "file"):
-        raise NotImplementedError(
-            "write_stream_atomic app-id marker needs a local checkpoint "
-            f"(got scheme {u.scheme!r}); on an object store, keep the "
-            "marker via the Hadoop FileSystem API"
-        )
-    ck_dir = os.path.abspath(u.path if u.scheme else checkpoint)
-    os.makedirs(ck_dir, exist_ok=True)
-    marker = os.path.join(ck_dir, "_pfithic_app_id")
-    try:
-        # O_EXCL: exactly one racer mints; EVERYONE re-reads the file,
-        # so concurrent starters converge on the surviving id
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, uuid.uuid4().hex[:12].encode())
-        finally:
-            os.close(fd)
-    except FileExistsError:
-        pass
-    with open(marker) as fh:
-        app_id = fh.read().strip()
+    app_id = _checkpoint_app_id(checkpoint)
 
     def commit_batch(df, epoch_id):
         write_parquet_atomic(
@@ -429,34 +433,27 @@ def scd2_stream_sink(
     bounded (key cardinality, not event volume), so the per-batch
     rewrite is the honest shape at this layer; at 100 TB fact scale
     the same fold feeds partition-level rewrites instead.
+
+    Semantics guards: change rows with a NULL value or NULL event time
+    are dropped from the feed up front (this model has no deletes; a
+    null latest value must not shadow earlier real values through
+    max_by), and STALE changes — event time at or before the current
+    version's valid_from — are ignored rather than corrupting the
+    chain with negative-duration intervals (last-writer-wins by EVENT
+    time, not arrival order).
     """
-    import os
-    import uuid
-    from urllib.parse import urlparse
+    from pyspark.sql import types as _T
 
     from .io import read_parquet_atomic, write_parquet_atomic
 
-    u = urlparse(checkpoint)
-    if u.scheme not in ("", "file"):
-        raise NotImplementedError("local checkpoint required (marker)")
-    ck_dir = os.path.abspath(u.path if u.scheme else checkpoint)
-    os.makedirs(ck_dir, exist_ok=True)
-    marker = os.path.join(ck_dir, "_pfithic_app_id")
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        try:
-            os.write(fd, uuid.uuid4().hex[:12].encode())
-        finally:
-            os.close(fd)
-    except FileExistsError:
-        pass
-    with open(marker) as fh:
-        app_id = fh.read().strip()
+    app_id = _checkpoint_app_id(checkpoint)
 
     spark = stream_df.sparkSession
 
     def apply_batch(df, epoch_id):
-        dfe = with_event_time(df)
+        dfe = with_event_time(df).filter(
+            F.col(value_col).isNotNull() & F.col("event_time").isNotNull()
+        )
         changes = (
             dfe.select(
                 F.col(key_col).alias("k"),
@@ -475,45 +472,53 @@ def scd2_stream_sink(
         try:
             cur = read_parquet_atomic(spark, table_path)
         except FileNotFoundError:
+            # empty dimension with key/value types DERIVED from the
+            # feed — a hardcoded schema would break any non-default
+            # key_col/value_col type on the very first batch
+            ch_fields = {f.name: f.dataType for f in changes.schema.fields}
             cur = spark.createDataFrame(
                 [],
-                "k long, val double, valid_from long, valid_to long, "
-                "is_current boolean",
+                _T.StructType(
+                    [
+                        _T.StructField("k", ch_fields["k"]),
+                        _T.StructField("val", ch_fields["new_val"]),
+                        _T.StructField("valid_from", _T.LongType()),
+                        _T.StructField("valid_to", _T.LongType()),
+                        _T.StructField("is_current", _T.BooleanType()),
+                    ]
+                ),
             )
-        j = cur.join(changes, "k", "full_outer")
-        untouched_or_closed = j.filter(
-            F.col("valid_from").isNotNull()
-        ).select(
+        # explicit existence marker: valid_from can never be trusted as
+        # the "row exists" discriminator once any producer writes NULLs
+        j = (
+            cur.withColumn("_in_dim", F.lit(True))
+            .join(changes, "k", "full_outer")
+            .persist()  # both union branches read it — one evaluation
+        )
+        # a change applies only when it's for the CURRENT row, the
+        # value differs, and it's NEWER than the open version (stale /
+        # out-of-order events must not corrupt the chain)
+        applies = (
+            F.col("is_current")
+            & F.col("new_val").isNotNull()
+            & (F.col("new_val") != F.col("val"))
+            & (F.col("change_us") > F.col("valid_from"))
+        )
+        untouched_or_closed = j.filter(F.col("_in_dim")).select(
             "k",
             "val",
             "valid_from",
-            F.when(
-                F.col("is_current")
-                & F.col("new_val").isNotNull()
-                & (F.col("new_val") != F.col("val")),
-                F.col("change_us"),
-            )
+            F.when(applies, F.col("change_us"))
             .otherwise(F.col("valid_to"))
             .alias("valid_to"),
-            F.when(
-                F.col("is_current")
-                & F.col("new_val").isNotNull()
-                & (F.col("new_val") != F.col("val")),
-                F.lit(False),
-            )
+            F.when(applies, F.lit(False))
             .otherwise(F.col("is_current"))
             .alias("is_current"),
         )
         opened = (
             j.filter(
                 F.col("new_val").isNotNull()
-                & (
-                    F.col("valid_from").isNull()  # brand-new key
-                    | (
-                        F.col("is_current")
-                        & (F.col("new_val") != F.col("val"))
-                    )
-                )
+                & (F.col("_in_dim").isNull() | applies)
             )
             .select(
                 "k",
@@ -524,12 +529,15 @@ def scd2_stream_sink(
             )
         )
         out = untouched_or_closed.unionByName(opened)
-        write_parquet_atomic(
-            out,
-            table_path,
-            mode="overwrite",
-            txid=f"app-{app_id}-batch-{int(epoch_id):010d}",
-        )
+        try:
+            write_parquet_atomic(
+                out,
+                table_path,
+                mode="overwrite",
+                txid=f"app-{app_id}-batch-{int(epoch_id):010d}",
+            )
+        finally:
+            j.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -23,22 +23,20 @@ import os
 
 
 def _snapshots(path: str) -> list[dict]:
+    from .io import list_manifests
+
     out = []
-    if not os.path.isdir(path):
-        return out
-    for name in sorted(os.listdir(path)):
-        if name.startswith("manifest-") and name.endswith(".json"):
-            with open(os.path.join(path, name)) as fh:
-                m = json.load(fh)
-            out.append(
-                {
-                    "seq": int(m.get("seq", 0)),
-                    "txid": m.get("txid", ""),
-                    "n_files": len(m.get("files", [])),
-                    "manifest": name,
-                }
-            )
-    out.sort(key=lambda d: (d["seq"], d["txid"]))
+    for (seq, txid), name in list_manifests(path):
+        with open(os.path.join(path, name)) as fh:
+            m = json.load(fh)
+        out.append(
+            {
+                "seq": seq,
+                "txid": txid,
+                "n_files": len(m.get("files", [])),
+                "manifest": name,
+            }
+        )
     return out
 
 

@@ -734,3 +734,67 @@ def test_scd2_stream_sink_versions_dimension(spark, tmp_path):
     snap1 = read_parquet_atomic(spark, table, as_of_seq=1).collect()
     assert {r["k"] for r in snap1} == {1, 2}
     assert all(r["is_current"] for r in snap1)
+
+
+def test_scd2_stream_sink_stale_and_null_changes_ignored(spark, tmp_path):
+    """Out-of-order (stale) events and NULL-value events must not
+    corrupt the version chain: the dimension keeps its current version
+    untouched."""
+    import os
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pfithic_spark.io import read_parquet_atomic
+
+    d = tmp_path / "cdc2"
+    d.mkdir()
+    h = 1_700_000_000_000_000
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), d / name)
+        os.utime(d / name, (mtime, mtime))
+
+    now = _t.time()
+    write("b1.parquet", [(1, h + 5_000_000, 1, "set", 10.0, "{}")], now - 100)
+    # batch 2: a STALE change (t2 < t5) and a NULL-value change
+    write(
+        "b2.parquet",
+        [
+            (2, h + 2_000_000, 1, "set", 7.0, "{}"),
+            (3, h + 9_000_000, 1, "set", None, "{}"),
+        ],
+        now - 50,
+    )
+    table = str(tmp_path / "dim2")
+    q = strm.scd2_stream_sink(
+        strm.read_event_stream(spark, str(d)), table, str(tmp_path / "ck2")
+    )
+    q.awaitTermination(120)
+    rows = read_parquet_atomic(spark, table).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["k"], r["val"], r["valid_from"], r["valid_to"], r["is_current"]) == (
+        1,
+        10.0,
+        h + 5_000_000,
+        None,
+        True,
+    )
