@@ -5810,6 +5810,128 @@ def q_graph_bfs(spark, sf_dir):
     return out
 
 
+_BOOT_B = 32  # bootstrap replicates
+#: Poisson(1) CDF thresholds on h mod 1000 → replicate weight 0..4
+_BOOT_T = (368, 736, 920, 981)
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+WITH rows_b AS (
+  SELECT l_extendedprice AS price,
+         (l_orderkey * 8 + l_linenumber) * 64 + b.b AS pairkey,
+         b.b AS b
+  FROM lineitem CROSS JOIN (
+    SELECT UNNEST(GENERATE_SERIES(0, {_BOOT_B - 1})) AS b
+  ) b
+),
+w AS (
+  SELECT b, price,
+         CASE
+           WHEN h < {_BOOT_T[0]} THEN 0
+           WHEN h < {_BOOT_T[1]} THEN 1
+           WHEN h < {_BOOT_T[2]} THEN 2
+           WHEN h < {_BOOT_T[3]} THEN 3
+           ELSE 4 END AS w
+  FROM (
+    SELECT *, ((pairkey % 2654435761) * 2654435761) % 4294967296 % 1000
+             AS h
+    FROM rows_b
+  )
+),
+reps AS (
+  SELECT b,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         ROUND(CAST(SUM(w * CAST(ROUND(price, 2) AS DECIMAL(18,2)))
+                    AS DOUBLE)
+               / SUM(w), 9) AS boot_mean
+  FROM w GROUP BY b
+),
+point AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 2)
+                             AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 6) AS point_mean
+  FROM lineitem
+)
+SELECT (SELECT COUNT(*) FROM reps) AS n_replicates,
+       (SELECT point_mean FROM point) AS point_mean,
+       ROUND((SELECT QUANTILE_CONT(boot_mean, 0.025) FROM reps), 6)
+         AS ci_lo,
+       ROUND((SELECT QUANTILE_CONT(boot_mean, 0.975) FROM reps), 6)
+         AS ci_hi
+""",
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the mean price — via the
+    POISSON BOOTSTRAP (Chamandy et al.), the standard distributed
+    form: instead of resampling n rows with replacement (which needs
+    global coordination), each row independently receives a
+    Poisson(1) replicate weight, here derived DETERMINISTICALLY from
+    knuth_hash(row, replicate) against the Poisson CDF thresholds —
+    so the 'randomness' is reproducible and both engines replay it
+    bit-for-bit.
+
+    One narrow explode (×B replicates) over the scan, one groupBy on
+    the B replicate ids with DECIMAL-exact weighted sums, then the
+    percentile CI over B rows — no per-replicate corpus passes, no
+    driver-side resampling.  B and the thresholds are the at-scale
+    knobs; nothing else changes at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    b = F.posexplode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias(
+        "pos", "b"
+    )
+    rows_b = li.select(
+        F.col("l_extendedprice").alias("price"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rowkey"),
+        b,
+    ).select(
+        "price", "b", (F.col("rowkey") * 64 + F.col("b")).alias("pairkey")
+    )
+    h = llmops.knuth_hash("pairkey") % 1000
+    w = (
+        F.when(h < _BOOT_T[0], 0)
+        .when(h < _BOOT_T[1], 1)
+        .when(h < _BOOT_T[2], 2)
+        .when(h < _BOOT_T[3], 3)
+        .otherwise(4)
+    )
+    reps = (
+        rows_b.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("n_eff"),
+            F.round(
+                F.sum(
+                    F.col("w")
+                    * F.round(F.col("price"), 2).cast("decimal(18,2)")
+                ).cast("double")
+                / F.sum("w"),
+                9,
+            ).alias("boot_mean"),
+        )
+    )
+    point = li.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("point_mean")
+    )
+    summary = reps.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.expr("percentile(boot_mean, 0.025D)"), 6).alias("ci_lo"),
+        F.round(F.expr("percentile(boot_mean, 0.975D)"), 6).alias("ci_hi"),
+    )
+    return summary.crossJoin(F.broadcast(point)).select(
+        "n_replicates", "point_mean", "ci_lo", "ci_hi"
+    )
+
+
 #: The driver walks the registry in insertion order and evaluates at
 #: most 50 entries per round, so this list is rotated each round to put
 #: the least-recently-verified keys first.  Round-4 continuation: the
@@ -5819,6 +5941,7 @@ def q_graph_bfs(spark, sf_dir):
 #: backlog in last-verified order.
 _VERIFY_FIRST = [
     # new in round-4 continuation session (§2.14)
+    "q_bootstrap_ci",
     "q_graph_bfs",
     "q_rfm",
     "q_attribution",
