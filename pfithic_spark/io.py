@@ -438,6 +438,14 @@ def write_parquet_atomic(
                 "tx_watermarks": watermarks,
                 "files": files,
                 "stats": stats,
+                # Logical schema of THIS snapshot (Spark StructType
+                # json).  Lets readers materialize a correct empty
+                # DataFrame when the snapshot has zero files (overwrite
+                # of an empty frame — e.g. an SCD2 batch fully
+                # filtered out) or when stats pruning drops every file:
+                # without it an empty table is unreadable because there
+                # is no parquet footer to infer from.
+                "schema": df.schema.json(),
             },
             fh,
         )
@@ -630,9 +638,15 @@ def atomic_snapshot_files(
     import os
 
     if as_of_seq is None:
-        _, files, stats = _newest_manifest_full(path)
-        if not files:
+        meta = _newest_manifest_meta(path)
+        if not meta:
             raise FileNotFoundError(f"no committed manifest under {path}")
+        # A committed manifest with an EMPTY files list is a legitimate
+        # empty snapshot (overwrite of an empty DataFrame), not a
+        # missing table — return ([], 0) and let the reader build the
+        # empty frame from the stored schema.
+        files = list(meta.get("files", []))
+        stats = dict(meta.get("stats", {}))
     else:
         files = stats = None
         for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
@@ -687,10 +701,52 @@ def read_parquet_atomic(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     if not files:
-        # every file pruned: empty result, schema from the snapshot
+        # Every file pruned, or a committed EMPTY snapshot (overwrite of
+        # an empty DataFrame): empty result with the snapshot's schema.
+        # Prefer the schema stored in the manifest (always present for
+        # manifests written since the schema field landed); fall back to
+        # a base file's footer only when the snapshot has files.
+        stored = atomic_snapshot_schema(path, as_of_seq)
+        if stored is not None:
+            return spark.createDataFrame([], stored)
         base, _ = atomic_snapshot_files(path, as_of_seq)
+        if not base:
+            raise ValueError(
+                f"snapshot at {path} (seq={as_of_seq}) is empty and its "
+                "manifest predates the stored-schema field; cannot "
+                "materialize an empty DataFrame without a schema"
+            )
         return reader.parquet(os.path.join(path, base[0])).limit(0)
     return reader.parquet(*[os.path.join(path, f) for f in files])
+
+
+def atomic_snapshot_schema(path: str, as_of_seq: int | None = None):
+    """The StructType stored in a snapshot's manifest, or None for
+    manifests written before the schema field existed.  This is what
+    makes a zero-file snapshot readable."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    if as_of_seq is None:
+        meta = _newest_manifest_meta(path)
+        if not meta:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+    else:
+        meta = None
+        for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
+            if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
+                ".json"
+            ):
+                with open(os.path.join(path, name)) as fh:
+                    meta = json.load(fh)
+        if meta is None:
+            raise FileNotFoundError(
+                f"no committed manifest with seq={as_of_seq} under {path}"
+            )
+    raw = meta.get("schema")
+    return None if raw is None else StructType.fromJson(json.loads(raw))
 
 
 def read_parquet_atomic_incremental(
@@ -730,21 +786,32 @@ def read_parquet_atomic_incremental(
 
 
 def vacuum_parquet_atomic(
-    path: str, keep_last_n: int = 1, remove_staging_orphans: bool = True
+    path: str,
+    keep_last_n: int = 1,
+    remove_staging_orphans: bool = True,
+    staging_grace_seconds: float = 24 * 3600.0,
 ) -> dict:
     """Garbage-collect the atomic table: delete manifests older than
     the newest ``keep_last_n`` snapshots, data files no retained
-    manifest references, and (optionally) orphaned staging directories
-    from crashed or raced writers.  The VACUUM / expire-snapshots
-    maintenance every manifest-based table needs — without it a 100 TB
-    table's storage grows with every overwrite forever.  Time travel
-    remains valid for all RETAINED seqs.  Returns counts.  Not safe
-    concurrently with an in-flight writer's staging dir unless
-    ``remove_staging_orphans=False`` (real table formats age staging
-    by mtime; this targets the post-crash cleanup)."""
+    manifest references, and orphaned staging directories from crashed
+    or raced writers.  The VACUUM / expire-snapshots maintenance every
+    manifest-based table needs — without it a 100 TB table's storage
+    grows with every overwrite forever.  Time travel remains valid for
+    all RETAINED seqs.  Returns counts.
+
+    Staging cleanup is MTIME-AGED (the Delta/Iceberg retention
+    pattern): an unreferenced ``_staging_*`` dir is removed only when
+    every file in it is older than ``staging_grace_seconds`` (default
+    24 h), so a CONCURRENT in-flight writer — whose staging dir is by
+    definition fresh — is never swept out from under its not-yet-
+    published manifest.  ``staging_grace_seconds=0`` restores the
+    aggressive post-crash cleanup (only safe when no writer can be
+    in flight); ``remove_staging_orphans=False`` disables staging
+    cleanup entirely."""
     import json
     import os
     import shutil
+    import time
 
     if keep_last_n < 1:
         raise ValueError("keep_last_n must be >= 1")
@@ -776,6 +843,7 @@ def vacuum_parquet_atomic(
         n_manifests += 1
     referenced_dirs = {rel.split(os.sep)[0] for rel in referenced}
     if remove_staging_orphans:
+        cutoff = time.time() - max(0.0, staging_grace_seconds)
         for name in os.listdir(path):
             full = os.path.join(path, name)
             if (
@@ -783,8 +851,18 @@ def vacuum_parquet_atomic(
                 and os.path.isdir(full)
                 and name not in referenced_dirs
             ):
-                shutil.rmtree(full)
-                n_staging += 1
+                # newest mtime across the dir and its files: an
+                # in-flight writer is still producing files, so its
+                # newest mtime is recent and the dir survives the
+                # grace window
+                newest = os.path.getmtime(full)
+                for entry in os.listdir(full):
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(full, entry))
+                    )
+                if newest <= cutoff:
+                    shutil.rmtree(full)
+                    n_staging += 1
     # prune now-empty staging dirs whose files were all deleted
     for name in os.listdir(path):
         full = os.path.join(path, name)

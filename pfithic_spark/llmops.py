@@ -1432,6 +1432,21 @@ def pca_moments(
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Xc = X - mean_np
+            # GUARD the magnitude assumption the 1e9 scale rests on:
+            # numpy int64 casts/sums WRAP silently on overflow, which
+            # would turn an out-of-range embedding into a wrong
+            # covariance instead of an error.  Worst-case partial is
+            # max|Xc|² · 1e9 · batch_rows; require it under 2^62
+            # (one bit of headroom).
+            amax = float(np.abs(Xc).max()) if Xc.size else 0.0
+            if amax * amax * 1e9 * len(pdf) >= 2.0**62:
+                raise ValueError(
+                    "pca_moments: centered magnitude "
+                    f"{amax:.3g} over a {len(pdf)}-row batch would "
+                    "overflow the int64 1e9-scaled partial sums; "
+                    "normalize/clip the embeddings (or reduce "
+                    "spark.sql.execution.arrow.maxRecordsPerBatch)"
+                )
             partial = np.zeros(len(iu), dtype=np.int64)
             pos = 0
             for i in range(d):

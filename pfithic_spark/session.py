@@ -97,6 +97,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # No carriage-return stage-progress frames on stderr/stdout:
+        # the bench driver keeps only the last 2000 chars of output and
+        # json-parses them — spinner frames flushed after the JSON line
+        # would null the whole bench run (VERDICT r4).
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
     )
     for k, v in RUNTIME_CONFS.items():

@@ -331,9 +331,10 @@ def run_to_memory_sink(
 def _checkpoint_app_id(checkpoint: str) -> str:
     """Resolve (minting on first use) the stable per-checkpoint app id
     that namespaces exactly-once txids.  Spelling-normalized (plain
-    path, file:/, file:/// are one checkpoint), race-safe (O_EXCL mint
-    + unconditional read-back so concurrent starters converge on the
-    surviving id).  Shared by every streaming sink that commits to an
+    path, file:/, file:/// are one checkpoint), race-safe (temp-write +
+    atomic link(2) election, so the marker only ever appears with a
+    complete id and exactly one mint wins; all starters read the
+    winner's id).  Shared by every streaming sink that commits to an
     atomic table — the marker protocol must never diverge between
     sinks."""
     import os
@@ -350,16 +351,42 @@ def _checkpoint_app_id(checkpoint: str) -> str:
     ck_dir = os.path.abspath(u.path if u.scheme else checkpoint)
     os.makedirs(ck_dir, exist_ok=True)
     marker = os.path.join(ck_dir, "_pfithic_app_id")
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    # Atomic publish: write the id to a private temp file, fsync, then
+    # os.link() it to the marker path.  link(2) is create-if-absent with
+    # COMPLETE content in one atomic step — exactly one racer wins (the
+    # others get FileExistsError) and the marker is never observable
+    # empty or partial.  A bare O_CREAT|O_EXCL mint makes the path
+    # visible before the bytes land, so a concurrent starter could read
+    # an empty/partial marker and commit the same epoch under a
+    # different txid, defeating the exactly-once dedup.  (rename-replace
+    # would also publish atomically but allows TWO complete markers to
+    # exist in sequence — racers could each read their own id; link's
+    # first-wins election forbids that.)
+    if not os.path.exists(marker):
+        tmp = os.path.join(ck_dir, f"._pfithic_app_id.{uuid.uuid4().hex}.tmp")
+        fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         try:
             os.write(fd, uuid.uuid4().hex[:12].encode())
+            os.fsync(fd)
         finally:
             os.close(fd)
-    except FileExistsError:
-        pass
+        try:
+            os.link(tmp, marker)
+        except FileExistsError:
+            pass  # lost the election; the winner's marker is complete
+        finally:
+            os.remove(tmp)
     with open(marker) as fh:
-        return fh.read().strip()
+        app_id = fh.read().strip()
+    if not app_id:
+        # Pre-fix markers (minted by the old O_EXCL protocol and
+        # interrupted mid-write) can be empty; refuse rather than mint
+        # a divergent id.
+        raise RuntimeError(
+            f"empty app-id marker at {marker}; remove it and restart "
+            "(a concurrent mint was interrupted mid-write)"
+        )
+    return app_id
 
 
 def write_stream_atomic(

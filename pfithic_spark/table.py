@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None) -> None:
         action="store_true",
         help="do not remove orphaned staging dirs (in-flight writers)",
     )
+    vp.add_argument(
+        "--staging-grace",
+        type=float,
+        default=24 * 3600.0,
+        metavar="SECONDS",
+        help="only remove staging dirs whose newest mtime is older than "
+        "this (default 24h; 0 = aggressive post-crash cleanup)",
+    )
     cp = sub.add_parser("compact", help="rewrite newest snapshot")
     cp.add_argument("path")
     cp.add_argument("--target-files", type=int, default=1)
@@ -70,6 +78,7 @@ def main(argv: list[str] | None = None) -> None:
             args.path,
             keep_last_n=args.keep,
             remove_staging_orphans=not args.keep_staging,
+            staging_grace_seconds=args.staging_grace,
         )
         print(json.dumps(res))
     elif args.cmd == "compact":

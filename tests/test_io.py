@@ -574,9 +574,15 @@ def test_vacuum_atomic_table(spark, tmp_path):
     # crashed writer
     crash = os.path.join(path, "_staging_deadbeefcafe")
     spark.range(42).write.mode("overwrite").parquet(crash)
-    res = vacuum_parquet_atomic(path, keep_last_n=1)
-    assert res["manifests_removed"] == 2
-    assert res["data_files_removed"] >= 2
+    # default grace (24 h): a FRESH staging dir — indistinguishable
+    # from a concurrent in-flight writer — must survive vacuum
+    res0 = vacuum_parquet_atomic(path, keep_last_n=1)
+    assert res0["staging_dirs_removed"] == 0
+    assert os.path.exists(crash)
+    assert res0["manifests_removed"] == 2
+    # grace 0 = explicit post-crash cleanup: now it goes
+    res = vacuum_parquet_atomic(path, keep_last_n=1, staging_grace_seconds=0)
+    assert res["data_files_removed"] + res0["data_files_removed"] >= 2
     assert res["staging_dirs_removed"] >= 1
     assert not os.path.exists(crash)
     df = read_parquet_atomic(spark, path)
@@ -632,3 +638,44 @@ def test_table_maintenance_cli(spark, tmp_path, capsys):
         for ln in capsys.readouterr().out.strip().splitlines()
     ]
     assert [s["seq"] for s in lines] == [2]
+
+
+def test_empty_snapshot_readable(spark, tmp_path):
+    """An overwrite committing ZERO files (empty DataFrame — e.g. an
+    SCD2 batch fully filtered out) must stay readable: empty result
+    with the schema stored in the manifest, both at head and via time
+    travel (ADVICE r4: the old fallback IndexError'd on base[0])."""
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "empty_snap")
+    d = spark.range(3).withColumnRenamed("id", "v")
+    write_parquet_atomic(d, path, mode="overwrite")  # seq 1: 3 rows
+    write_parquet_atomic(d.limit(0), path, mode="overwrite")  # seq 2: empty
+    def names_types(df):
+        return [(f.name, f.dataType) for f in df.schema.fields]
+
+    head = read_parquet_atomic(spark, path)
+    assert head.count() == 0
+    assert names_types(head) == names_types(d)
+    # time travel both ways across the empty snapshot
+    assert read_parquet_atomic(spark, path, as_of_seq=1).count() == 3
+    tt = read_parquet_atomic(spark, path, as_of_seq=2)
+    assert tt.count() == 0 and names_types(tt) == names_types(d)
+    # appending after an empty snapshot still works
+    write_parquet_atomic(d, path, mode="append")
+    assert read_parquet_atomic(spark, path).count() == 3
+
+
+def test_all_files_pruned_uses_stored_schema(spark, tmp_path):
+    """Stats-pruning every file must return an empty frame with the
+    manifest's stored schema (no parquet footer read needed)."""
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "pruned_all")
+    d = spark.range(10).withColumnRenamed("id", "v")
+    write_parquet_atomic(d, path, mode="overwrite", stats_cols=["v"])
+    out = read_parquet_atomic(spark, path, predicate={"v": (1000, 2000)})
+    assert out.count() == 0
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in d.schema.fields
+    ]

@@ -537,3 +537,20 @@ def test_bpe_train_known_corpus(spark):
     }
     assert out[0]["n_tokens"] == 1  # 'low' → ['low</w>']
     assert out[0]["n_words"] == 1 and out[0]["n_chars"] == 3
+
+
+def test_pca_moments_overflow_guard(spark):
+    """Embeddings whose centered magnitude would overflow the int64
+    1e9-scaled covariance partials must RAISE, not silently wrap
+    (ADVICE r4: np.rint(...).astype(int64) wraps without error)."""
+    import pytest as _pytest
+
+    from pfithic_spark.llmops import pca_moments
+
+    big = 1.0e7  # centered product ~1e14 → ×1e9 ≫ 2^62 per element
+    emb = spark.createDataFrame(
+        [(i, [big * (1 if i % 2 else -1), 0.0]) for i in range(8)],
+        "id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="overflow the int64"):
+        pca_moments(emb, vec_col="embedding")

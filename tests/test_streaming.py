@@ -798,3 +798,41 @@ def test_scd2_stream_sink_stale_and_null_changes_ignored(spark, tmp_path):
         None,
         True,
     )
+
+
+def test_app_id_marker_race_converges(tmp_path):
+    """Concurrent starters on one checkpoint must resolve the SAME app
+    id, and the marker must never be observable empty/partial (the
+    link(2)-election protocol; ADVICE r4 found the old O_EXCL mint
+    publishes the path before the bytes).  Hammer the mint from many
+    processes and assert one id wins everywhere."""
+    import multiprocessing as mp
+
+    ck = str(tmp_path / "race_ck")
+
+    ids = []
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(8) as pool:
+        ids = pool.map(_mint_app_id, [ck] * 32)
+    assert len(set(ids)) == 1, f"divergent app ids: {set(ids)}"
+    assert ids[0] and len(ids[0]) == 12
+
+
+def _mint_app_id(ck):
+    from pfithic_spark.streaming import _checkpoint_app_id
+
+    return _checkpoint_app_id(ck)
+
+
+def test_app_id_empty_marker_refused(tmp_path):
+    """A pre-fix empty marker (interrupted O_EXCL mint) must raise, not
+    silently mint a divergent id."""
+    import os
+
+    import pytest as _pytest
+
+    ck = str(tmp_path / "empty_ck")
+    os.makedirs(ck)
+    open(os.path.join(ck, "_pfithic_app_id"), "w").close()
+    with _pytest.raises(RuntimeError, match="empty app-id marker"):
+        strm._checkpoint_app_id(ck)
