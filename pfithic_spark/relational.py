@@ -414,3 +414,87 @@ def bloom_semi_join(
         fact_key,
         "left_semi",
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    basket_cap: int = 1024,
+    chunk: int = 256,
+) -> DataFrame:
+    """All unordered co-occurrence pairs ``(a, b)`` with ``a < b`` of
+    DISTINCT items sharing a group — the edge generator for
+    co-purchase / co-click graphs (emits one row per (group, pair);
+    callers dedup across groups with ``.distinct()`` after any
+    pair-level filter they want pushed first).
+
+    Hybrid shape, hot-basket safe (VERDICT r4): per-group pair
+    expansion is inherently quadratic in basket size, and the naive
+    in-row nested ``transform`` builds the WHOLE B²/2-struct array
+    inside one row — one 10⁵-item basket materializes ~5·10⁹ structs
+    in a single task's memory.  So:
+
+    - baskets ≤ ``basket_cap``: in-row sorted-set expansion (zero
+      extra shuffle, map-side-combined collect_set, the common case
+      and bounded ≤ cap²/2 per row);
+    - baskets > ``basket_cap``: BLOCKED self-join — posexplode to
+      (group, pos, item), chunk positions by ``chunk``, replicate each
+      left row to every chunk ≥ its own, equi-join on (group, chunk)
+      and keep pos_i < pos_j.  Every pair is produced exactly once
+      (its lower-pos endpoint's replica at the higher-pos endpoint's
+      chunk), the quadratic work spreads over B/chunk reducers keyed
+      by (group, chunk), and the join STREAMS output rows through
+      downstream filters instead of buffering an array — per-task
+      memory is O(chunk), per-task work ≤ B·chunk.
+
+    Both paths see the same sorted distinct item array, so outputs are
+    identical; only the physical strategy switches."""
+    groups = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("ps")
+    )
+    small = groups.filter(F.size("ps") <= basket_cap)
+    big = groups.filter(F.size("ps") > basket_cap)
+
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ps"),
+                    i.cast("int") + 2,
+                    F.size(F.col("ps")) - i.cast("int") - 1,
+                ),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    pairs_small = small.select(F.explode(pair_expr).alias("e")).select(
+        "e.a", "e.b"
+    )
+
+    items = big.select(
+        group_col, F.posexplode("ps").alias("i", "a")
+    ).withColumn("ci", F.floor(F.col("i") / chunk).cast("int"))
+    nch = big.select(
+        group_col,
+        F.ceil(F.size("ps") / F.lit(chunk)).cast("int").alias("nch"),
+    )
+    left = items.join(nch, group_col).select(
+        group_col,
+        "i",
+        "a",
+        F.explode(F.sequence(F.col("ci"), F.col("nch") - 1)).alias("cj"),
+    )
+    right = items.select(
+        F.col(group_col),
+        F.col("i").alias("j"),
+        F.col("a").alias("b"),
+        F.col("ci").alias("cj"),
+    )
+    pairs_big = (
+        left.join(right, [group_col, "cj"])
+        .filter(F.col("i") < F.col("j"))
+        .select("a", "b")
+    )
+    return pairs_small.unionByName(pairs_big)

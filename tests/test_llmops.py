@@ -554,3 +554,51 @@ def test_pca_moments_overflow_guard(spark):
     )
     with _pytest.raises(Exception, match="overflow the int64"):
         pca_moments(emb, vec_col="embedding")
+
+
+def test_heavy_hitter_candidates_bounded_on_clustered_corpus(spark):
+    """Adversarially TOPIC-CLUSTERED stream: every partition has its
+    own locally-frequent vocabulary (the layout real corpora grouped
+    by source/topic have).  The old single-level sweep's candidate
+    union grew with the number of partitions; the two-level MG merge
+    must keep the driver collect ≤ k rows AND still contain every
+    true φ-hitter (superset guarantee)."""
+    from collections import Counter
+
+    from pfithic_spark.llmops import heavy_hitter_candidates
+
+    n_topics, rows_per_topic, k = 64, 500, 20  # φ = 0.1
+    rows = []
+    for t in range(n_topics):
+        # 10 topic-local words, each locally frequent (clears any
+        # per-batch bar) but globally rare
+        for i in range(rows_per_topic):
+            rows.append((t, f"topic{t}_w{i % 10}"))
+        # one GLOBAL heavy hitter threaded through every topic
+        for i in range(rows_per_topic):
+            rows.append((t, "global_hh"))
+    toks = (
+        spark.createDataFrame(rows, "topic int, w string")
+        .repartition(n_topics, "topic")  # one topic per partition
+        .select("w")
+    )
+    cand, n_total = heavy_hitter_candidates(toks, k)
+    assert n_total == len(rows)
+    assert len(cand) <= k, (
+        f"candidate set {len(cand)} exceeds capacity {k} — the "
+        "driver-side union is unbounded again"
+    )
+    # superset: every true phi-hitter present
+    true_counts = Counter(w for _, w in rows)
+    phi = 2.0 / k
+    true_hh = {w for w, c in true_counts.items() if c > phi * n_total}
+    assert true_hh  # sanity: global_hh qualifies
+    assert true_hh <= set(cand)
+
+
+def test_heavy_hitter_candidates_empty_input(spark):
+    from pfithic_spark.llmops import heavy_hitter_candidates
+
+    toks = spark.createDataFrame([], "w string")
+    cand, n = heavy_hitter_candidates(toks, 10)
+    assert cand == [] and n == 0

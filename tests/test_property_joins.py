@@ -140,3 +140,53 @@ def test_bloom_semi_join_mixed_key_types(spark):
         r["rid"] for r in rel.bloom_semi_join(fact, dim, "k", "dk").collect()
     )
     assert got == [1, 2]
+
+
+def test_cooccurrence_pairs_hot_basket_matches_naive(spark):
+    """The blocked self-join path (baskets > cap) must emit EXACTLY the
+    same pair multiset as the in-row expansion, including a planted hot
+    basket far past the cap — and each pair exactly once per group."""
+    from itertools import combinations
+
+    from pfithic_spark.relational import cooccurrence_pairs
+
+    rows = []
+    # normal baskets
+    for g in range(20):
+        for item in range(g, g + 5):
+            rows.append((g, item * 7 % 40))
+    # planted HOT basket: 700 distinct items in one group
+    rows += [(999, i * 3) for i in range(700)]
+    # duplicates within a group must not duplicate pairs
+    rows += [(999, 0), (3, 21)]
+    df = spark.createDataFrame(rows, "g int, item int")
+
+    got = sorted(
+        map(tuple, cooccurrence_pairs(
+            df, "g", "item", basket_cap=64, chunk=50
+        ).collect())
+    )
+    # naive reference
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for g, item in rows:
+        baskets[g].add(item)
+    want = sorted(
+        p
+        for items in baskets.values()
+        for p in combinations(sorted(items), 2)
+    )
+    assert got == want
+
+
+def test_cooccurrence_pairs_default_path_small_baskets(spark):
+    """Default cap leaves TPC-H-sized baskets on the in-row path and
+    produces a<b ordered pairs."""
+    from pfithic_spark.relational import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, 3), (1, 9), (2, 4), (2, 4)], "g int, item int"
+    )
+    got = sorted(map(tuple, cooccurrence_pairs(df, "g", "item").collect()))
+    assert got == [(3, 5), (3, 9), (5, 9)]
