@@ -449,8 +449,25 @@ def write_parquet_atomic(
             },
             fh,
         )
+    if _FAILPOINT_BEFORE_COMMIT is not None:
+        _FAILPOINT_BEFORE_COMMIT(path, txid)
     os.rename(tmp, manifest)  # the commit point
+    if _FAILPOINT_AFTER_COMMIT is not None:
+        _FAILPOINT_AFTER_COMMIT(path, txid)
     return manifest
+
+
+#: Fault-injection hooks for crash tests ONLY (never set outside
+#: tests).  BEFORE: called with (path, txid) after the staging write
+#: and manifest temp file exist but before the atomic rename publishes
+#: the commit — raising leaves exactly the on-disk state of a writer
+#: killed mid-commit (orphan staging dir + torn .tmp manifest), the
+#: state readers must never observe and restart must recover from.
+#: AFTER: called just after the rename — raising simulates death
+#: between the table commit and the streaming checkpoint advance, the
+#: at-least-once replay window the txid dedup exists for.
+_FAILPOINT_BEFORE_COMMIT = None
+_FAILPOINT_AFTER_COMMIT = None
 
 
 #: RESERVED streaming txid namespace ("app-<id>-batch-<epoch>", minted

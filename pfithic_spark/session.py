@@ -46,8 +46,14 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # walk subpackages too (registry/ is a package since r5) — a UDF
+    # closure pickled by reference to pfithic_spark.registry.keys_llm
+    # needs that module inside the shipped zip
     sources = sorted(
-        f for f in os.listdir(pkg_dir) if f.endswith(".py")
+        os.path.relpath(os.path.join(root, f), pkg_dir)
+        for root, _dirs, files in os.walk(pkg_dir)
+        for f in files
+        if f.endswith(".py") and "__pycache__" not in root
     )
     stamp = max(os.path.getmtime(os.path.join(pkg_dir, f)) for f in sources)
     zpath = os.path.join(

@@ -266,9 +266,10 @@ def test_triangle_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
     must return the IDENTICAL row (integer counts + replicated
     HALF_UP rounding)."""
     from pfithic_spark import registry
+    from pfithic_spark.registry import keys_ext
 
     fast = registry.QUERIES["q_triangle_count"](spark, sf_dir).collect()
-    monkeypatch.setattr(registry, "_TRI_PROBE_LIMIT", 0)
+    monkeypatch.setattr(keys_ext, "_TRI_PROBE_LIMIT", 0)
     dist = registry.QUERIES["q_triangle_count"](spark, sf_dir).collect()
     assert [r.asDict() for r in fast] == [r.asDict() for r in dist]
 
@@ -277,12 +278,13 @@ def test_bfs_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
     """The driver BFS and the iterative frontier loop must return the
     identical level histogram."""
     from pfithic_spark import registry
+    from pfithic_spark.registry import keys_ext
 
     fast = sorted(
         (r["dist"], r["n_nodes"])
         for r in registry.QUERIES["q_graph_bfs"](spark, sf_dir).collect()
     )
-    monkeypatch.setattr(registry, "_TRI_PROBE_LIMIT", 0)
+    monkeypatch.setattr(keys_ext, "_TRI_PROBE_LIMIT", 0)
     dist = sorted(
         (r["dist"], r["n_nodes"])
         for r in registry.QUERIES["q_graph_bfs"](spark, sf_dir).collect()

@@ -836,3 +836,224 @@ def test_app_id_empty_marker_refused(tmp_path):
     open(os.path.join(ck, "_pfithic_app_id"), "w").close()
     with _pytest.raises(RuntimeError, match="empty app-id marker"):
         strm._checkpoint_app_id(ck)
+
+
+def _events_dir(tmp_path, name, batches):
+    """Write one parquet file per micro-batch of (event_id, ts_us,
+    user_id, event_type, value, props) rows, mtime-ordered so the file
+    source triggers them in sequence."""
+    import os
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / name
+    d.mkdir()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    now = _t.time()
+    for i, rows in enumerate(batches):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema), d / f"b{i}.parquet"
+        )
+        mt = now - 100 + 10 * i
+        os.utime(d / f"b{i}.parquet", (mt, mt))
+    return str(d)
+
+
+def test_stream_atomic_sink_crash_mid_commit(spark, tmp_path):
+    """Kill the writer BETWEEN staging and manifest publish mid-epoch
+    (VERDICT r4 #5): readers must never see the torn state, and a
+    restart on the same checkpoint must commit the crashed epoch
+    exactly once — no dupes, no loss."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pfithic_spark import io as pio
+    from pfithic_spark.io import read_parquet_atomic
+
+    h = 1_700_000_000_000_000
+    src = _events_dir(
+        tmp_path,
+        "ev_crash",
+        [
+            [(i, h + i * 1_000_000, i % 3, "a", float(i), "{}") for i in range(5)],
+            [(10 + i, h + (10 + i) * 1_000_000, i % 3, "b", float(i), "{}") for i in range(7)],
+        ],
+    )
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+
+    calls = {"n": 0}
+
+    def die_on_second_commit(path, txid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before manifest publish")
+
+    pio._FAILPOINT_BEFORE_COMMIT = die_on_second_commit
+    try:
+        q = strm.write_stream_atomic(
+            strm.read_event_stream(spark, src), table, ckpt
+        )
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.awaitTermination(120)
+    finally:
+        pio._FAILPOINT_BEFORE_COMMIT = None
+
+    # torn state on disk: exactly one committed manifest (epoch 0), the
+    # crashed epoch's staging dir + .tmp manifest are garbage
+    names = os.listdir(table)
+    assert sum(1 for n in names if n.startswith("manifest-") and n.endswith(".json")) == 1
+    assert any(n.endswith(".json.tmp") for n in names)
+    assert sum(1 for n in names if n.startswith("_staging_")) == 2
+    # readers see ONLY epoch 0 — never the torn epoch
+    assert read_parquet_atomic(spark, table).count() == 5
+
+    # restart on the same checkpoint: epoch 1 replays and commits once
+    q2 = strm.write_stream_atomic(
+        strm.read_event_stream(spark, src), table, ckpt
+    )
+    q2.awaitTermination(120)
+    got = read_parquet_atomic(spark, table)
+    assert got.count() == 12  # 5 + 7, no dupes, no loss
+    assert got.select("event_id").distinct().count() == 12
+
+
+def test_stream_atomic_sink_crash_after_commit_before_checkpoint(
+    spark, tmp_path
+):
+    """Kill the writer AFTER the manifest publish but BEFORE the
+    checkpoint advances — the at-least-once replay window.  On restart
+    the epoch replays with the same namespaced txid and must be a
+    committed no-op (exactly-once), not a duplicate append."""
+    import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pfithic_spark import io as pio
+    from pfithic_spark.io import read_parquet_atomic
+
+    h = 1_700_000_000_000_000
+    src = _events_dir(
+        tmp_path,
+        "ev_crash2",
+        [
+            [(i, h + i * 1_000_000, i % 3, "a", float(i), "{}") for i in range(4)],
+            [(10 + i, h + (10 + i) * 1_000_000, i % 3, "b", float(i), "{}") for i in range(6)],
+        ],
+    )
+    table = str(tmp_path / "tbl2")
+    ckpt = str(tmp_path / "ck2")
+
+    calls = {"n": 0}
+
+    def die_after_second_commit(path, txid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash after commit")
+
+    pio._FAILPOINT_AFTER_COMMIT = die_after_second_commit
+    try:
+        q = strm.write_stream_atomic(
+            strm.read_event_stream(spark, src), table, ckpt
+        )
+        with pytest.raises(StreamingQueryException, match="injected crash"):
+            q.awaitTermination(120)
+    finally:
+        pio._FAILPOINT_AFTER_COMMIT = None
+
+    # BOTH epochs committed (the crash hit after publish)...
+    assert read_parquet_atomic(spark, table).count() == 10
+    n_manifests = sum(
+        1 for n in os.listdir(table) if n.startswith("manifest-")
+    )
+    # ...but the checkpoint thinks epoch 1 is unfinished: the restart
+    # REPLAYS it, and the txid dedup must swallow the replay
+    q2 = strm.write_stream_atomic(
+        strm.read_event_stream(spark, src), table, ckpt
+    )
+    q2.awaitTermination(120)
+    got = read_parquet_atomic(spark, table)
+    assert got.count() == 10  # unchanged — replay was a no-op
+    assert got.select("event_id").distinct().count() == 10
+    assert (
+        sum(1 for n in os.listdir(table) if n.startswith("manifest-"))
+        == n_manifests
+    )
+
+
+def test_scd2_sink_crash_mid_commit_recovers(spark, tmp_path):
+    """scd2_stream_sink under a mid-commit crash on its second batch:
+    restart must produce the IDENTICAL dimension an uncrashed run
+    yields (version chains intact, no duplicate versions)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pfithic_spark import io as pio
+    from pfithic_spark.io import read_parquet_atomic
+
+    h = 1_700_000_000_000_000
+    batches = [
+        [
+            (1, h + 1_000_000, 1, "set", 10.0, "{}"),
+            (2, h + 2_000_000, 2, "set", 20.0, "{}"),
+        ],
+        [
+            (3, h + 10_000_000, 1, "set", 99.0, "{}"),
+            (4, h + 11_000_000, 3, "set", 7.0, "{}"),
+        ],
+    ]
+    src_a = _events_dir(tmp_path, "cdc_a", batches)
+    src_b = _events_dir(tmp_path, "cdc_b", batches)
+
+    # reference: uncrashed run
+    tbl_ref = str(tmp_path / "dim_ref")
+    q = strm.scd2_stream_sink(
+        strm.read_event_stream(spark, src_a), tbl_ref, str(tmp_path / "ck_a")
+    )
+    q.awaitTermination(120)
+    want = sorted(
+        map(tuple, read_parquet_atomic(spark, tbl_ref).collect())
+    )
+
+    # crashed-and-restarted run
+    tbl = str(tmp_path / "dim_crash")
+    ck = str(tmp_path / "ck_b")
+    calls = {"n": 0}
+
+    def die_on_second_commit(path, txid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected scd2 crash")
+
+    pio._FAILPOINT_BEFORE_COMMIT = die_on_second_commit
+    try:
+        q1 = strm.scd2_stream_sink(
+            strm.read_event_stream(spark, src_b), tbl, ck
+        )
+        with pytest.raises(StreamingQueryException, match="injected scd2"):
+            q1.awaitTermination(120)
+    finally:
+        pio._FAILPOINT_BEFORE_COMMIT = None
+    q2 = strm.scd2_stream_sink(
+        strm.read_event_stream(spark, src_b), tbl, ck
+    )
+    q2.awaitTermination(120)
+    got = sorted(map(tuple, read_parquet_atomic(spark, tbl).collect()))
+    assert got == want
