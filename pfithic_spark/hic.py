@@ -734,6 +734,21 @@ def kr_biases(
         cov = np.zeros(n, dtype=np.float64)  # per-locus raw coverage
         np.add.at(cov, rows, vals)
 
+        # Pre-scale to UNIT mean row sum before balancing: the KR inner
+        # Newton step is clamped to the positive cone [0.1, 3] around
+        # the all-ones iterate, so a matrix whose row sums are ≫ 1
+        # (any high-coverage chromosome — the production regime) stalls
+        # at x = e and never converges (found by the 8 M-contact scale
+        # row; the low-count fixtures masked it).  Balancing A/s and
+        # balancing A differ only by the x ↦ x/√s similarity, and the
+        # mean-1 bias normalization below cancels any constant factor,
+        # so the output convention is unchanged.  det_sum keeps the
+        # scale factor — and with it every downstream bit — host-stable.
+        s = st.det_sum(cov) / n if n else 1.0
+        if s > 0:
+            vals = vals / s
+            cov = cov / s
+
         keep = np.ones(n, dtype=bool)
         perc = 0.0
         bias = np.full(n, -1.0, dtype=np.float64)

@@ -38,98 +38,115 @@ from .keys_stream import *  # noqa: F401,F403,E402
 from .keys_round3 import *  # noqa: F401,F403,E402
 from .keys_lakehouse import *  # noqa: F401,F403,E402
 from .keys_ext import *  # noqa: F401,F403,E402
+from .keys_r5 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # new in round-4 continuation session (§2.14)
-    "q_bootstrap_ci",
-    "q_graph_bfs",
-    "q_rfm",
-    "q_attribution",
-    "q_interval_coalesce",
-    "q_skyline",
-    "q_pmi_bigrams",
+    # new in round 5 (§2.15) — no driver row yet
+    "q_sample_reservoir",
+    "q_train_test_split",
+    "q_dq_checks",
+    "q_crosstab",
+    "q_corr_matrix",
+    "q_markov_transitions",
+    "q_rolling_median",
+    "q_autocorr",
+    "q_edit_distance_dedup",
+    "q_referential_orphans",
+    "q_dedup_sorted_neighborhood",
+    "q_skew_metrics",
+    "q_vector_norm_stats",
+    "q_incremental_agg",
+    "q_window_cume_dist",
+    "q_quantile_discretize",
+    # code/golden changed in round 5
     "q_heavy_hitters",
-    "q_gaps_islands",
-    "q_entropy",
-    "q_pca",
-    "q_sessionize",
-    "q_time_weighted_avg",
-    "q_chunk_documents",
-    "q_bm25",
-    "q_outlier_mad",
     "q_triangle_count",
-    # new / code-changed in round 4
-    "q_merge_upsert",
-    "q_snapshot_diff",
-    "q_lm_score",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_join_bucketed",
-    "q_join_bloom",
-    "q_scd2_merge",
-    "q_embedding_quantize",
-    "q_sim_ivf",
-    "q_join_skew_salted",
-    # newest driver row is still round 1
-    "q_math_funcs",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_window_rank",
-    "q_window_frame",
-    "q_window_lead_lag",
-    "q_window_ntile",
-    "q_topk_per_group",
-    "q_join_outer",
-    "q_dedup_exact",
-    # round-2 rows not re-swept in round 3 (oldest next)
-    "q_scan_project",
-    "q_project_derive",
-    "q_filter_range",
-    "q_filter_in",
-    "q_canonicalize",
-    "q_join_asof_tol",
-    "q_agg_global",
-    "q_agg_group",
-    "q_agg_marginal",
+    "q_graph_bfs",
+    "q_kr_balance",
+    # r02-era driver rows (oldest backlog — VERDICT r4 #4)
     "q_agg_percentile",
-    "q_unpivot",
-    "q_window_range_frame",
-    "q_corr_exact",
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_tfidf_terms",
-    "q_pii_redact",
-    "q_sample_stratified",
-    "q_contamination",
-    "q_pack_sequences",
-    "q_mix_sources",
-    "q_repetition_filter",
-    "q_ngram_coverage",
-    "q_text_clean",
-    "q_cap_per_group",
-    "q_struct_funcs",
     "q_array_explode",
-    "q_possible_pairs_frag",
-    "q_dedup_ngram_global",
+    "q_cap_per_group",
+    "q_contamination",
+    "q_corr_exact",
     "q_dedup_embedding",
-    "q_sim_topk",
-    "q_quality_score",
+    "q_dedup_ngram_global",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_mix_sources",
+    "q_multimodal_features",
+    "q_multimodal_frames",
     "q_multimodal_meta",
     "q_multimodal_resize",
-    "q_multimodal_frames",
-    "q_multimodal_features",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_stateful",
+    "q_ngram_coverage",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_possible_pairs_frag",
+    "q_repetition_filter",
+    "q_sample_stratified",
+    "q_sim_topk",
     "q_stream_dedup",
     "q_stream_join",
+    "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_stateful",
     "q_stream_topk",
+    "q_stream_tumbling",
+    "q_struct_funcs",
+    "q_text_clean",
+    "q_text_stats",
+    "q_tfidf_terms",
+    "q_token_count",
+    "q_unpivot",
+    "q_window_range_frame",
+    # r03-era backlog
+    "q_agg_approx",
+    "q_agg_approx_quantile",
+    "q_agg_bin",
+    "q_agg_collect",
+    "q_agg_distinct",
+    "q_agg_mode",
+    "q_anomaly_zscore",
+    "q_bh_fdr",
+    "q_binom_sf",
+    "q_contact_prior",
+    "q_contact_prior_inter",
+    "q_cube",
+    "q_curation_pipeline",
+    "q_dedup_clusters",
+    "q_dedup_near",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_equal_occupancy_binning",
+    "q_except",
+    "q_filter_mappability",
+    "q_funnel_steps",
+    "q_grouping_sets",
+    "q_hic_significance",
+    "q_hic_significance_all",
+    "q_histogram",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_bias",
+    "q_join_broadcast",
+    "q_join_interval_overlap",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_shuffle",
+    "q_pagerank",
+    "q_pivot",
+    "q_possible_pairs",
+    "q_profile_columns",
+    "q_quality_score",
+    "q_resample_fill",
+    "q_retention_cohorts",
+    "q_rollup",
+    "q_shuffle_shards",
+    "q_sort_limit",
+    "q_spline_fit_eval",
+    "q_union",
+    "q_window_running",
 ]
 
 

@@ -1,0 +1,925 @@
+"""§2.15 round-5 additions: sampling/splitting, data-quality audits,
+statistical breadth (correlation matrix, autocorrelation, rolling
+median), record-linkage dedup (edit-distance, sorted-neighborhood),
+Markov transitions, skew profiling, vector-norm stats, incremental
+aggregation maintenance, and window breadth (cume_dist, equi-depth
+discretize).
+
+Every key follows the FIXTURES.md determinism rules: DECIMAL sums for
+float aggregation (order-free), integer math where possible, round(9)
+on final float expressions, and a full tie-break chain under every
+rank/limit/window."""
+from __future__ import annotations
+
+import os  # noqa: F401
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .. import aggregates as agg  # noqa: F401
+from .. import fixtures as fx  # noqa: F401
+from .. import hic  # noqa: F401
+from .. import llmops  # noqa: F401
+from .. import multimodal  # noqa: F401
+from .. import relational as rel  # noqa: F401
+from .. import streaming as strm  # noqa: F401
+from .. import windows as win  # noqa: F401
+from ..io import epoch_us, load_table  # noqa: F401
+from ..llmops import dot_double, knuth_hash, l2_norm  # noqa: F401
+from ..session import ensure_engine_confs  # noqa: F401
+from ._core import (  # noqa: F401
+    DIST_HI,
+    DIST_LO,
+    GOLDEN_ORACLE_KEYS,
+    ORACLE_SQL,
+    QUERIES,
+    _GOLDEN_DIR,
+    _golden_oracle,
+    register,
+)
+
+# The Knuth multiplicative hash, spelled identically in Spark and
+# DuckDB SQL (llmops.knuth_hash is the Column form).
+_KH_SQL = "((doc_id % 2654435761) * 2654435761) % 4294967296"
+
+
+@register(
+    "q_sample_reservoir",
+    oracle=f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY {_KH_SQL}, doc_id
+LIMIT 100
+""",
+)
+def q_sample_reservoir(spark, sf_dir):
+    """Deterministic uniform k-sample without replacement: order every
+    row by a pseudo-random-but-reproducible hash of its key and keep
+    the k smallest — the distributed form of reservoir sampling with a
+    fixed seed (same sample on every run/partitioning, unlike
+    df.sample's partition-seeded RNG).
+
+    Scale shape: orderBy(...).limit(k) plans as TakeOrderedAndProject —
+    a per-partition k-heap plus a k-row merge on the driver, never a
+    global sort.  At 100 TB the scan is the whole cost."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "source", "n_chars", knuth_hash("doc_id").alias("_h"))
+        .orderBy("_h", "doc_id")
+        .limit(100)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN ({_KH_SQL}) % 10 < 8 THEN 'train'
+              WHEN ({_KH_SQL}) % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split,
+         lang
+  FROM documents
+),
+g AS (SELECT split, lang, COUNT(*) AS n FROM s GROUP BY split, lang)
+SELECT split, lang, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY split), 9) AS frac
+FROM g
+""",
+)
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by key hash — the
+    reproducible-split primitive every training pipeline needs (a row's
+    split never changes as the corpus grows, because it depends only on
+    its own key).  Output: per-(split, lang) counts and within-split
+    fractions, i.e. the stratification audit.
+
+    One scan + one small groupBy; the window runs on the tiny
+    (split × lang) aggregate, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    h = knuth_hash("doc_id") % 10
+    s = d.select(
+        F.when(h < 8, "train").when(h < 9, "val").otherwise("test").alias(
+            "split"
+        ),
+        "lang",
+    )
+    g = s.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "split",
+        "lang",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("split")),
+            9,
+        ).alias("frac"),
+    )
+
+
+@register(
+    "q_dq_checks",
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) - COUNT(o_custkey) AS custkey_nulls,
+         COUNT(DISTINCT o_orderkey) AS key_distinct,
+         MIN(o_totalprice) AS min_price,
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS bad_status
+  FROM orders
+)
+SELECT 'row_count' AS check, CAST(n AS DOUBLE) AS value,
+       CAST(n > 0 AS BIGINT) AS passed FROM m
+UNION ALL
+SELECT 'o_custkey_nulls', CAST(custkey_nulls AS DOUBLE),
+       CAST(custkey_nulls = 0 AS BIGINT) FROM m
+UNION ALL
+SELECT 'o_orderkey_unique', CAST(key_distinct AS DOUBLE),
+       CAST(key_distinct = n AS BIGINT) FROM m
+UNION ALL
+SELECT 'o_totalprice_nonneg', ROUND(min_price, 9),
+       CAST(min_price >= 0 AS BIGINT) FROM m
+UNION ALL
+SELECT 'o_orderstatus_domain', CAST(bad_status AS DOUBLE),
+       CAST(bad_status = 0 AS BIGINT) FROM m
+""",
+)
+def q_dq_checks(spark, sf_dir):
+    """Declarative data-quality validation (the Deequ/expectations
+    shape): null counts, key uniqueness, value-range and domain checks
+    computed in ONE aggregate pass, emitted as a (check, value, passed)
+    violations table.  At 100 TB the whole suite costs a single scan +
+    one reduce — checks must never each rescan the table.
+
+    COUNT(DISTINCT) is exact here (one column); the documented at-scale
+    swap is approx_count_distinct when the audit tolerates ±2%."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("custkey_nulls"),
+        F.countDistinct("o_orderkey").alias("key_distinct"),
+        F.min("o_totalprice").alias("min_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")
+        ).alias("bad_status"),
+    )
+    return m.select(
+        F.expr(
+            """stack(5,
+              'row_count', CAST(n AS DOUBLE), CAST(n > 0 AS BIGINT),
+              'o_custkey_nulls', CAST(custkey_nulls AS DOUBLE),
+                CAST(custkey_nulls = 0 AS BIGINT),
+              'o_orderkey_unique', CAST(key_distinct AS DOUBLE),
+                CAST(key_distinct = n AS BIGINT),
+              'o_totalprice_nonneg', ROUND(min_price, 9),
+                CAST(min_price >= 0 AS BIGINT),
+              'o_orderstatus_domain', CAST(bad_status AS DOUBLE),
+                CAST(bad_status = 0 AS BIGINT)
+            ) AS (check, value, passed)"""
+        )
+    )
+
+
+@register(
+    "q_crosstab",
+    oracle="""
+WITH g AS (
+  SELECT event_type, user_id % 4 AS cohort, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id % 4
+)
+SELECT event_type, cohort, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type), 9) AS row_frac
+FROM g
+""",
+)
+def q_crosstab(spark, sf_dir):
+    """Contingency table (crosstab) of event_type × user cohort with
+    per-row fractions — the categorical-association audit.  One groupBy
+    over the fact table; the row-normalizing window runs on the tiny
+    (types × cohorts) aggregate.  Integer counts; the only float is the
+    final rounded division."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "event_type",
+        "cohort",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("event_type")),
+            9,
+        ).alias("row_frac"),
+    )
+
+
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _cm_sql():
+    sums = ["COUNT(*) AS n"]
+    for c in _CM_COLS:
+        sums.append(f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i:]:
+            # DECIMAL(24,4) inputs force DuckDB's exact hugeint
+            # multiply — an int64-width (18,4) product overflows past
+            # 10^18 (the q_corr_exact rule)
+            sums.append(
+                f"CAST(SUM(CAST(CAST({a} AS DECIMAL(24,4))"
+                f" * CAST({b} AS DECIMAL(24,4)) AS DECIMAL(38,8)))"
+                f" AS DOUBLE) AS s_{a}_{b}"
+            )
+    pair_rows = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1 :]:
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, "
+                f"ROUND((n * s_{a}_{b} - s_{a} * s_{b}) / "
+                f"(SQRT(n * s_{a}_{a} - s_{a} * s_{a})"
+                f" * SQRT(n * s_{b}_{b} - s_{b} * s_{b})), 9) AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+@register("q_corr_matrix", oracle=_cm_sql())
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation MATRIX over d numeric columns in a
+    single scan: all d + d(d+1)/2 sufficient-statistic sums (exact
+    order-free DECIMAL aggregates — q_corr_exact's rule) come out of
+    ONE reduce, then the d(d-1)/2 closed-form correlations are scalar
+    expressions on that single row.  The anti-pattern at 100 TB is one
+    pass per pair; this is one pass total, and partial aggregation
+    makes the shuffle a single row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def d18(c):
+        return F.col(c).cast("decimal(18,4)")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CM_COLS:
+        aggs.append(F.sum(d18(c)).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i:]:
+            aggs.append(
+                F.sum((d18(a) * d18(b)).cast("decimal(38,8)"))
+                .cast("double")
+                .alias(f"s_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(_CM_COLS):
+        for b in _CM_COLS[i + 1 :]:
+            corr = (
+                F.col("n") * F.col(f"s_{a}_{b}")
+                - F.col(f"s_{a}") * F.col(f"s_{b}")
+            ) / (
+                F.sqrt(
+                    F.col("n") * F.col(f"s_{a}_{a}")
+                    - F.col(f"s_{a}") * F.col(f"s_{a}")
+                )
+                * F.sqrt(
+                    F.col("n") * F.col(f"s_{b}_{b}")
+                    - F.col(f"s_{b}") * F.col(f"s_{b}")
+                )
+            )
+            rows.append(
+                m.select(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    "n",
+                    F.round(corr, 9).alias("corr"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+WITH s AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS next_type
+  FROM events
+),
+g AS (
+  SELECT event_type, next_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY event_type), 9) AS prob
+FROM g
+""",
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences:
+    per-user LEAD over (event-time, event_id), then transition counts
+    and row-normalized probabilities — the behavioral-model primitive
+    behind next-action prediction and anomaly scoring.
+
+    One shuffle on user_id for the sequence window (each user's events
+    are modest); the normalizing window runs on the tiny type×type
+    aggregate.  Event-time arithmetic goes through io.epoch_us, so the
+    key is immune to the fixture timestamp-encoding drift."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        epoch_us(ev, "ts").alias("t_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    s = t.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    g = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("event_type")),
+            9,
+        ).alias("prob"),
+    )
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, n,
+       ROUND(MEDIAN(n) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ), 9) AS med7
+FROM d
+""",
+)
+def q_rolling_median(spark, sf_dir):
+    """Trailing 7-day rolling MEDIAN of daily order counts — the
+    robust-smoothing twin of the moving average (q_window_frame), used
+    for spike-resistant trend lines.  The median is holistic, so it
+    runs on the DAY-GRAIN aggregate (bounded: one row per day), never
+    the raw facts; the only big-data stage is the groupBy producing
+    that day table.  Spark percentile() and DuckDB MEDIAN share the
+    linear-interpolation definition (the q_agg_percentile rule)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        # render the day as ISO text: the fixture o_orderdate is a
+        # TIMESTAMP, and DuckDB's DATE-typed group key hashes as a
+        # midnight timestamp in the driver compare — a string day is
+        # encoding-proof on both sides
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(F.expr("percentile(n, 0.5)").over(w), 9).alias("med7"),
+    )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+p AS (
+  SELECT tot AS x, LEAD(tot) OVER (ORDER BY day) AS y FROM d
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(x, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ROUND(y, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+  FROM p WHERE y IS NOT NULL
+)
+SELECT n AS n_pairs,
+       ROUND((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9)
+         AS autocorr_lag1
+FROM m
+""",
+)
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily revenue series — the
+    seasonality/trend screen run before any forecasting model.  The
+    heavy stage is the day-grain DECIMAL aggregation (one scan, one
+    shuffle); the lag pairing and Pearson closed form run on the
+    bounded day table.  Products are rounded then DECIMAL-summed so
+    the result is partition-order-free (FIXTURES §4)."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("tot")
+    )
+    p = d.select(
+        F.col("tot").alias("x"),
+        F.lead("tot").over(W.orderBy("day")).alias("y"),
+    ).filter(F.col("y").isNotNull())
+
+    def dsum(expr, scale, prec):
+        return F.sum(
+            F.round(expr, scale).cast(f"decimal({prec},{scale})")
+        ).cast("double")
+
+    m = p.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), 4, 18).alias("sx"),
+        dsum(F.col("y"), 4, 18).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 6, 28).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6, 28).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 6, 28).alias("sxy"),
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(corr, 9).alias("autocorr_lag1"),
+    )
+
+
+@register(
+    "q_edit_distance_dedup",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, source,
+         SUBSTR(LOWER(TRIM(text)), 1, 32) AS pfx
+  FROM documents
+)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(LEVENSHTEIN(a.pfx, b.pfx) AS BIGINT) AS dist
+FROM k a JOIN k b
+  ON a.source = b.source
+ AND SUBSTR(a.pfx, 1, 4) = SUBSTR(b.pfx, 1, 4)
+ AND a.doc_id < b.doc_id
+WHERE LEVENSHTEIN(a.pfx, b.pfx) <= 8
+""",
+)
+def q_edit_distance_dedup(spark, sf_dir):
+    """Fuzzy record-linkage by edit distance: candidate pairs within a
+    (source, 4-char-prefix) BLOCK whose 32-char normalized prefixes are
+    within Levenshtein 8 — the classic blocking+comparison shape.  The
+    O(L²)-per-pair Levenshtein only ever runs inside blocks (an
+    equi-join), never all-pairs; the prefix block is the skew lever,
+    and widening it is the recall/cost dial.  Both engines run their
+    native JVM/C levenshtein — no Python in the loop."""
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "source",
+        F.substring(F.lower(F.trim("text")), 1, 32).alias("pfx"),
+    )
+    a = k.select(
+        F.col("doc_id").alias("id1"),
+        F.col("source").alias("src"),
+        F.col("pfx").alias("p1"),
+        F.substring("pfx", 1, 4).alias("blk"),
+    )
+    b = k.select(
+        F.col("doc_id").alias("id2"),
+        F.col("source").alias("src"),
+        F.col("pfx").alias("p2"),
+        F.substring("pfx", 1, 4).alias("blk"),
+    )
+    return (
+        a.join(b, ["src", "blk"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dist", F.levenshtein("p1", "p2").cast("bigint"))
+        .filter(F.col("dist") <= 8)
+        .select("id1", "id2", "dist")
+    )
+
+
+@register(
+    "q_referential_orphans",
+    oracle="""
+SELECT 'orders_without_customer' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS orphans
+FROM orders o WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem_without_order',
+       CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (
+  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'event_user_without_customer',
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)
+FROM events e WHERE NOT EXISTS (
+  SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+""",
+)
+def q_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts across the three
+    fact→dimension edges, as one (relation, orphans) report — the
+    constraint check a lakehouse has to run itself, since parquet
+    enforces no foreign keys.  Each edge is a LEFT ANTI join (Spark's
+    NOT EXISTS physical form); the dimension sides broadcast when
+    small, and only keys ship — never fact payloads."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    r1 = (
+        o.select("o_custkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .select(
+            F.lit("orders_without_customer").alias("relation"), "orphans"
+        )
+    )
+    ok = o.select("o_orderkey")
+    r2 = (
+        li.join(ok, li.l_orderkey == ok.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphans"))
+        .select(
+            F.lit("lineitem_without_order").alias("relation"), "orphans"
+        )
+    )
+    r3 = (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey, "left_anti")
+        .agg(F.countDistinct("user_id").alias("orphans"))
+        .select(
+            F.lit("event_user_without_customer").alias("relation"),
+            "orphans",
+        )
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@register(
+    "q_dedup_sorted_neighborhood",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, source, LOWER(TRIM(text)) AS sk,
+         LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, toks,
+         LEAD(doc_id, 1) OVER win AS n1_id,
+         LEAD(toks, 1) OVER win AS n1_toks,
+         LEAD(doc_id, 2) OVER win AS n2_id,
+         LEAD(toks, 2) OVER win AS n2_toks
+  FROM k
+  WINDOW win AS (PARTITION BY source ORDER BY sk, doc_id)
+),
+cand AS (
+  SELECT doc_id AS ida, n1_id AS idb, toks AS ta, n1_toks AS tb
+  FROM w WHERE n1_id IS NOT NULL
+  UNION ALL
+  SELECT doc_id, n2_id, toks, n2_toks FROM w WHERE n2_id IS NOT NULL
+),
+j AS (
+  SELECT LEAST(ida, idb) AS id1, GREATEST(ida, idb) AS id2,
+         CAST(LEN(LIST_INTERSECT(ta, tb)) AS DOUBLE)
+           / (LEN(ta) + LEN(tb) - LEN(LIST_INTERSECT(ta, tb))) AS jac
+  FROM cand
+)
+SELECT id1, id2, ROUND(jac, 9) AS jaccard
+FROM j WHERE jac >= 0.3
+""",
+)
+def q_dedup_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (the record-linkage classic): sort
+    each source block by a normalized key and compare every row only
+    to its next w−1=2 neighbors — candidate count is O(n·w) by
+    construction, the cheapest blocking there is when near-dups sort
+    adjacently.  The window is PARTITIONED by source, so no global
+    sort; pairs then score exact token-set Jaccard with JVM array
+    intersect/union (no Python)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        "source",
+        F.lower(F.trim("text")).alias("sk"),
+        F.array_distinct(F.split(F.lower(F.trim("text")), " ")).alias(
+            "toks"
+        ),
+    )
+    win_ = W.partitionBy("source").orderBy("sk", "doc_id")
+    w = k.select(
+        "doc_id",
+        "toks",
+        F.lead("doc_id", 1).over(win_).alias("n1_id"),
+        F.lead("toks", 1).over(win_).alias("n1_toks"),
+        F.lead("doc_id", 2).over(win_).alias("n2_id"),
+        F.lead("toks", 2).over(win_).alias("n2_toks"),
+    )
+    c1 = w.filter(F.col("n1_id").isNotNull()).select(
+        F.col("doc_id").alias("ida"),
+        F.col("n1_id").alias("idb"),
+        F.col("toks").alias("ta"),
+        F.col("n1_toks").alias("tb"),
+    )
+    c2 = w.filter(F.col("n2_id").isNotNull()).select(
+        F.col("doc_id").alias("ida"),
+        F.col("n2_id").alias("idb"),
+        F.col("toks").alias("ta"),
+        F.col("n2_toks").alias("tb"),
+    )
+    cand = c1.unionByName(c2)
+    inter = F.size(F.array_intersect("ta", "tb")).cast("double")
+    jac = inter / (
+        F.size("ta") + F.size("tb") - F.size(F.array_intersect("ta", "tb"))
+    )
+    return (
+        cand.select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.3)
+        .select("id1", "id2", F.round("jac", 9).alias("jaccard"))
+    )
+
+
+@register(
+    "q_skew_metrics",
+    oracle="""
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, COUNT(*) AS n_keys FROM c),
+r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rk
+  FROM c
+),
+ent AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           (cnt / t.n) * LN(cnt / t.n), 9) AS DECIMAL(28,9))) AS DOUBLE)
+         AS neg_h
+  FROM c CROSS JOIN t GROUP BY t.n
+)
+SELECT t.n_keys,
+       (SELECT cnt FROM r WHERE rk = 1) AS top1_cnt,
+       ROUND((SELECT cnt FROM r WHERE rk = 1) / t.n, 9) AS top1_share,
+       ROUND((SELECT SUM(cnt) FROM r WHERE rk <= 10) / t.n, 9)
+         AS top10_share,
+       ROUND(-ent.neg_h / LN(t.n_keys), 6) AS norm_entropy
+FROM t CROSS JOIN ent
+""",
+)
+def q_skew_metrics(spark, sf_dir):
+    """Key-distribution SKEW profile of a join/shuffle key — the
+    audit you run before picking a partitioning strategy at 100 TB:
+    top-1/top-10 key share (is salting needed?) and normalized Shannon
+    entropy (how uniform is the key space?).  One groupBy builds the
+    per-key counts; every later stage runs on that bounded key table.
+    Entropy terms are rounded then DECIMAL-summed (the q_entropy rule)
+    so the scalar is partition-order-free."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    c = c.persist()  # feeds four branches below
+    tot = c.agg(
+        F.sum("cnt").cast("double").alias("n"),
+        F.count(F.lit(1)).alias("n_keys"),
+    ).collect()[0]
+    n, n_keys = float(tot["n"]), int(tot["n_keys"])
+    r = c.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "l_suppkey"))
+        .alias("rk"),
+    )
+    top = r.filter(F.col("rk") <= 10).collect()
+    top1 = next(t["cnt"] for t in top if t["rk"] == 1)
+    top10 = sum(t["cnt"] for t in top)
+    neg_h = (
+        c.select(
+            F.round(
+                (F.col("cnt") / F.lit(n)) * F.log(F.col("cnt") / F.lit(n)),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("term")
+        )
+        .agg(F.sum("term").cast("double").alias("s"))
+        .collect()[0]["s"]
+    )
+    c.unpersist()
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                n_keys,
+                int(top1),
+                round(top1 / n, 9),
+                round(top10 / n, 9),
+                round(-neg_h / math.log(n_keys), 6),
+            )
+        ],
+        "n_keys long, top1_cnt long, top1_share double, "
+        "top10_share double, norm_entropy double",
+    )
+
+
+@register(
+    "q_vector_norm_stats",
+    oracle="""
+WITH nrm AS (
+  SELECT ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))), 9) AS norm
+  FROM embeddings
+)
+SELECT COUNT(*) AS n,
+       ROUND(MIN(norm), 9) AS min_norm,
+       ROUND(MAX(norm), 9) AS max_norm,
+       ROUND(CAST(SUM(CAST(norm AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 9) AS avg_norm,
+       CAST(SUM(CASE WHEN ABS(norm - 1.0) <= 0.01 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unit
+FROM nrm
+""",
+)
+def q_vector_norm_stats(spark, sf_dir):
+    """Embedding-column health check: per-vector L2 norms (JVM
+    zip/aggregate fold — no Python), then min/max/mean norm and the
+    count of ~unit vectors.  The screen you run before cosine search:
+    un-normalized vectors silently turn cosine top-k into dot-product
+    top-k.  Norms round(9) before the DECIMAL mean so the left-to-right
+    fold's low bits can't differ across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = e.select(F.round(l2_norm("embedding"), 9).alias("norm"))
+    return nrm.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("norm"), 9).alias("min_norm"),
+        F.round(F.max("norm"), 9).alias("max_norm"),
+        F.round(
+            F.sum(F.col("norm").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_norm"),
+        F.sum(
+            (F.abs(F.col("norm") - 1.0) <= 0.01).cast("bigint")
+        ).alias("n_unit"),
+    )
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_price,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_incremental_agg(spark, sf_dir):
+    """Incremental aggregate MAINTENANCE (materialized-view refresh):
+    a precomputed per-status state (sum, count) merges with a delta
+    batch's partial state by ADDING the partials — never rescanning
+    the base.  The fixture splits orders %5 into base/delta to prove
+    merged-partials == full recompute (the oracle recomputes from
+    scratch; DECIMAL sums make the two bit-equal regardless of split).
+    At 100 TB this is the difference between an O(delta) nightly
+    refresh and an O(table) one; avg is derived from the mergeable
+    (sum, n) pair, never averaged directly (averages don't merge)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+
+    base = partial(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta = partial(o.filter(F.col("o_orderkey") % 5 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("s").cast("double").alias("total_price"),
+        F.col("c").alias("n"),
+        F.round(F.col("s").cast("double") / F.col("c"), 6).alias(
+            "avg_price"
+        ),
+    )
+
+
+@register(
+    "q_window_cume_dist",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       ROUND(s_acctbal, 2) AS acctbal,
+       ROUND(CUME_DIST() OVER w, 9) AS cd,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pr
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+)
+def q_window_cume_dist(spark, sf_dir):
+    """cume_dist + percent_rank per nation partition — the relative-
+    standing window pair (SQL:2003) completing the §2.5 rank family.
+    The ORDER BY carries the full (acctbal, suppkey) tie-break chain,
+    which makes both distributions deterministic AND identical across
+    engines (with ties unbroken, cume_dist's peer-group counting is
+    engine-sensitive).  One shuffle on the partition key."""
+    from pyspark.sql import Window as W
+
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+    )
+
+
+@register(
+    "q_quantile_discretize",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         NTILE(10) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+         ) AS bucket,
+         l_extendedprice
+  FROM lineitem
+)
+SELECT l_returnflag, bucket, COUNT(*) AS n,
+       ROUND(MIN(l_extendedprice), 2) AS lo,
+       ROUND(MAX(l_extendedprice), 2) AS hi
+FROM b GROUP BY l_returnflag, bucket
+""",
+)
+def q_quantile_discretize(spark, sf_dir):
+    """Equi-DEPTH discretization (decile binning) of a numeric column
+    per group, with per-bucket count and value range — the feature-
+    engineering step that turns a heavy-tailed number into a uniform
+    categorical.  NTILE over a PARTITIONED window (never a global
+    sort), full tie-break chain so bucket edges are deterministic.
+    At 100 TB the same result comes cheaper from approx_percentile
+    edges + a bucketize join — the documented swap when exact decile
+    boundaries aren't required."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    b = li.select(
+        "l_returnflag",
+        F.ntile(10).over(w).alias("bucket"),
+        "l_extendedprice",
+    )
+    return b.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+    )

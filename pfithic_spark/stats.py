@@ -407,7 +407,12 @@ def kr_balance_coo(
                 y = y + gamma * ap
                 break
             if float(ynew.max()) >= Delta:
-                big = ynew > Delta
+                # >= on both the trigger and the mask: an iterate
+                # landing EXACTLY on Delta must select itself, or the
+                # clamp reduces over an empty array (latent in the
+                # original bnewt too; surfaced by the unit-row-sum
+                # pre-scaling)
+                big = ynew >= Delta
                 gamma = float(((Delta - y[big]) / ap[big]).min())
                 y = y + gamma * ap
                 break

@@ -547,27 +547,11 @@ def main() -> None:
     )
     phi = 0.02
     k_mg = int(2.0 / phi)
+    from pfithic_spark.llmops import heavy_hitter_candidates
+
     t0 = time.time()
-
-    def candidates(batches):
-        for pdf in batches:
-            vc = pdf["w"].value_counts()
-            keep = vc[vc > len(pdf) / k_mg]
-            yield pd.DataFrame(
-                {
-                    "w": list(keep.index) + [None],
-                    "cnt": [0] * len(keep) + [len(pdf)],
-                }
-            )
-
-    pass1 = (
-        toks.mapInPandas(candidates, schema="w string, cnt long")
-        .groupBy("w")
-        .agg(F.sum("cnt").alias("cnt"))
-        .collect()
-    )
-    cand = [r["w"] for r in pass1 if r["w"] is not None]
-    n_total = sum(r["cnt"] for r in pass1 if r["w"] is None)
+    cand, n_total = heavy_hitter_candidates(toks, k_mg)
+    assert len(cand) <= k_mg, len(cand)
     cand_df = spark.createDataFrame([(w,) for w in cand], "w string")
     hits = {
         r["w"]: r["cnt"]
@@ -611,6 +595,299 @@ def main() -> None:
     finally:
         shutil.rmtree(boot_dir, ignore_errors=True)
 
+    # ---- heavy hitters on an adversarially CLUSTERED layout ----------
+    # 1000 topic-partitions, each with its own locally-frequent
+    # vocabulary: the r4 finding was that the single-level sweep's
+    # candidate union grows with the number of topic-local frequent
+    # words (~10 per topic here -> ~10k collected rows and rising with
+    # corpus breadth); the two-level MG merge must keep the driver
+    # collect <= k while still catching the one global hitter planted
+    # across every topic at 5% > phi.
+    n_topics = 1000
+    toks_cl = (
+        spark.range(n)
+        .select(
+            (F.col("id") % n_topics).alias("topic"),
+            F.when(
+                F.col("id") % 20 == 0, F.lit("global_hh")
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("topic"),
+                    (F.col("id") % n_topics),
+                    F.lit("_w"),
+                    (F.col("id") % 10),
+                )
+            )
+            .alias("w"),
+        )
+        .repartition(64, "topic")
+        .select("w")
+    )
+    t0 = time.time()
+    cand_cl, n_cl = heavy_hitter_candidates(toks_cl, k_mg)
+    hits_cl = {
+        r["w"]: r["cnt"]
+        for r in toks_cl.join(
+            FF.broadcast(spark.createDataFrame([(w,) for w in cand_cl], "w string")),
+            "w",
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > phi * n_cl)
+        .collect()
+    }
+    hh_clustered_s = time.time() - t0
+    assert n_cl == n
+    assert len(cand_cl) <= k_mg, (
+        f"clustered layout blew the candidate bound: {len(cand_cl)}"
+    )
+    assert hits_cl == {"global_hh": n // 20}, hits_cl
+
+    # ---- hot-basket co-occurrence pair generation --------------------
+    # one planted 20k-item basket (the in-row expansion would build
+    # 2e8 structs inside a single row) + a long tail of normal
+    # baskets; the blocked self-join path must stream the exact
+    # B(B-1)/2 pair count without any single-task materialization.
+    from pfithic_spark.relational import cooccurrence_pairs
+
+    B = min(20_000, max(2_000, n // 400))  # 20k at the 8M default
+    n_small = 200_000  # small baskets: 5 items each
+    basket_src = spark.range(n_small * 5).select(
+        (F.col("id") % n_small).alias("g"),
+        ((F.col("id") * 13) % 50_000).alias("item"),
+    ).union(
+        spark.range(B).select(
+            F.lit(-1).alias("g"), (F.col("id") + 100_000).alias("item")
+        )
+    )
+    t0 = time.time()
+    n_pairs_hot = (
+        cooccurrence_pairs(basket_src, "g", "item")
+        .filter(F.col("a") >= 100_000)  # pairs from the hot basket only
+        .count()
+    )
+    hot_basket_s = time.time() - t0
+    assert n_pairs_hot == B * (B - 1) // 2, n_pairs_hot
+
+    # ---- SCD2 merge at scale (8M-event change log) -------------------
+    # user_id = id % U, ts = epoch + id us: per user the version chain
+    # is the arithmetic progression id = u, u+U, u+2U, ...; gates:
+    # row count n, exactly U open versions, and user 0's chain links
+    # valid_to == next valid_from exactly.
+    U = max(1, n // 40)  # 200k users / 40 versions each at n=8M
+    h_us = 1_700_000_000_000_000
+    ev_src = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(h_us) + F.col("id")).alias("ts"),
+        (F.col("id") % U).alias("user_id"),
+        F.lit("e").alias("event_type"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    scd2_dir = tempfile.mkdtemp(prefix="scd2_bench_")
+    try:
+        ev_src.write.mode("overwrite").parquet(
+            os.path.join(scd2_dir, "events.parquet")
+        )
+        t0 = time.time()
+        scd2 = reg.QUERIES["q_scd2_merge"](spark, scd2_dir).persist()
+        n_rows = scd2.count()
+        n_open = scd2.filter(F.col("is_current")).count()
+        chain0 = sorted(
+            (r["valid_from_us"], r["valid_to_us"])
+            for r in scd2.filter(F.col("user_id") == 0).collect()
+        )
+        scd2_s = time.time() - t0
+        scd2.unpersist()
+        assert n_rows == n and n_open == U, (n_rows, n_open)
+        n_v = n // U
+        want0 = [
+            (h_us + i * U, h_us + (i + 1) * U if i < n_v - 1 else None)
+            for i in range(n_v)
+        ]
+        assert chain0 == want0, chain0[:3]
+    finally:
+        shutil.rmtree(scd2_dir, ignore_errors=True)
+
+    # ---- MERGE/upsert at scale (8M-event feed into 1M-row dim) -------
+    # users 0..U-1 in the feed, customers 0..C-1 in the target: action
+    # counts follow in closed form, and key 0's balance is the value
+    # of its LAST event (max_by argmax) = n - U.
+    C = 1_000_000
+    cust_src = spark.range(C).select(
+        F.col("id").alias("c_custkey"),
+        F.lit("SEG").alias("c_mktsegment"),
+        (F.col("id") % 100).cast("decimal(12,2)").alias("c_acctbal"),
+    )
+    up_ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.lit(h_us) + F.col("id")).alias("ts"),
+        (F.col("id") % U).alias("user_id"),
+        F.lit("e").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    up_dir = tempfile.mkdtemp(prefix="upsert_bench_")
+    try:
+        up_ev.write.mode("overwrite").parquet(
+            os.path.join(up_dir, "events.parquet")
+        )
+        cust_src.write.mode("overwrite").parquet(
+            os.path.join(up_dir, "customer.parquet")
+        )
+        t0 = time.time()
+        up = reg.QUERIES["q_merge_upsert"](spark, up_dir).persist()
+        actions = {
+            r["action"]: r["cnt"]
+            for r in up.groupBy("action")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        bal0 = up.filter(F.col("key") == 0).collect()[0]["balance"]
+        merge_upsert_s = time.time() - t0
+        up.unpersist()
+        n_matched = min(U, C)
+        want_actions = {"update": n_matched, "keep": C - n_matched}
+        if U > C:
+            want_actions["insert"] = U - C
+        assert actions == want_actions, actions
+        assert bal0 == float(n - U), bal0
+    finally:
+        shutil.rmtree(up_dir, ignore_errors=True)
+
+    # ---- snapshot diff at scale (8M-key reconciliation) --------------
+    # the %10/%11/%7 twin construction has exact closed-form counts
+    # per action via inclusion-exclusion on the key range [0, n).
+    snap_src = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("O").alias("o_orderstatus"),
+        # double, matching the fixture type: the diff hashes compare
+        # string-casts of o_totalprice and o_totalprice+1.0, which only
+        # agree on unchanged keys when both sides are the same type
+        ((F.col("id") % 1000).cast("double") / 10.0).alias("o_totalprice"),
+    )
+    snap_dir = tempfile.mkdtemp(prefix="snap_bench_")
+    try:
+        snap_src.write.mode("overwrite").parquet(
+            os.path.join(snap_dir, "orders.parquet")
+        )
+        t0 = time.time()
+        diff_counts = {
+            r["change"]: r["cnt"]
+            for r in reg.QUERIES["q_snapshot_diff"](spark, snap_dir)
+            .groupBy("change")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        snapshot_diff_s = time.time() - t0
+
+        def cmult(m):  # multiples of m in [0, n)
+            return (n - 1) // m + 1
+
+        want_diff = {
+            "added": cmult(10) - cmult(110),
+            "removed": cmult(11) - cmult(110),
+            "changed": cmult(7) - cmult(70) - cmult(77) + cmult(770),
+        }
+        assert diff_counts == want_diff, (diff_counts, want_diff)
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+
+    # ---- KR balancing at scale (8M intra contacts, 8 chromosomes) ----
+    # banded symmetric matrices (125k loci x 8 bands per chr) balance
+    # to machine precision; the gate is DISTRIBUTED: rebuild the
+    # balanced row sums x_i * A_ij * x_j in Spark from the emitted
+    # biases and assert unit row sums, plus zero -1 sentinels and the
+    # mean-1 bias normalization per chromosome.
+    from pfithic_spark.hic import kr_biases
+
+    res_kr = 5000
+    n_band = 8
+    loci = n // (8 * n_band)  # 125k loci/chr at n=8M
+    kr_src = spark.range(n).select(
+        F.concat(F.lit("chr"), (F.col("id") % 8) + 1).alias("chr1"),
+        (
+            ((F.col("id") / 8).cast("bigint") % loci) * res_kr + res_kr // 2
+        ).alias("mid1"),
+        (F.col("id") % 8).alias("_c"),
+        ((F.col("id") / (8 * loci)).cast("bigint") % n_band + 1).alias("_d"),
+        (((F.col("id") * 31) % 19) + 1).cast("bigint").alias(
+            "contact_count"
+        ),
+    )
+    kr_src = (
+        kr_src.withColumn(
+            "mid2", F.col("mid1") + F.col("_d") * res_kr
+        )
+        .filter(F.col("mid2") < loci * res_kr)
+        .withColumn("chr2", F.col("chr1"))
+        .select("chr1", "mid1", "chr2", "mid2", "contact_count")
+        .groupBy("chr1", "mid1", "chr2", "mid2")
+        .agg(F.sum("contact_count").alias("contact_count"))
+    )
+    t0 = time.time()
+    kb = kr_biases(kr_src, res_kr).persist()
+    n_bias = kb.count()
+    n_sentinel = kb.filter(F.col("bias") < 0).count()
+    kr_s = time.time() - t0
+    assert n_sentinel == 0, f"{n_sentinel} loci failed to balance"
+    # distributed row-sum verification: sum_j x_i A_ij x_j == 1
+    sym_kr = kr_src.select(
+        F.col("chr1").alias("chr"), "mid1", "mid2", "contact_count"
+    ).union(
+        kr_src.filter(F.col("mid1") != F.col("mid2")).select(
+            F.col("chr1").alias("chr"),
+            F.col("mid2").alias("mid1"),
+            F.col("mid1").alias("mid2"),
+            "contact_count",
+        )
+    )
+    b1 = kb.select(
+        F.col("chr"), F.col("mid").alias("mid1"), F.col("bias").alias("x1")
+    )
+    b2 = kb.select(
+        F.col("chr"), F.col("mid").alias("mid2"), F.col("bias").alias("x2")
+    )
+    rs_stats = (
+        sym_kr.join(b1, ["chr", "mid1"])
+        .join(b2, ["chr", "mid2"])
+        .groupBy("chr", "mid1")
+        .agg(
+            F.sum(
+                F.col("x1") * F.col("contact_count") * F.col("x2")
+            ).alias("rs")
+        )
+        .agg(
+            F.min("rs").alias("lo"),
+            F.max("rs").alias("hi"),
+            F.avg("rs").alias("avg"),
+        )
+        .collect()[0]
+    )
+    kb.unpersist()
+    # biases are normalized to mean 1 per chr, so row sums are uniform
+    # per chr (= 1/norm^2), not globally 1; the gate is per-row
+    # uniformity: max/min spread within each chr < 1e-4.  Cheap global
+    # proxy: hi/lo < 1 + 1e-3 holds only if every chr's rows are tight
+    # AND chr norms are close; assert the per-chr spread instead.
+    per_chr = (
+        sym_kr.join(b1, ["chr", "mid1"])
+        .join(b2, ["chr", "mid2"])
+        .groupBy("chr", "mid1")
+        .agg(
+            F.sum(
+                F.col("x1") * F.col("contact_count") * F.col("x2")
+            ).alias("rs")
+        )
+        .groupBy("chr")
+        .agg((F.max("rs") / F.min("rs")).alias("spread"))
+        .agg(F.max("spread").alias("worst"))
+        .collect()[0]["worst"]
+    )
+    assert per_chr < 1.0 + 1e-4, per_chr
+    assert n_bias == 8 * loci, n_bias
+
     print(
         json.dumps(
             {
@@ -636,6 +913,14 @@ def main() -> None:
                 "bfs_s": round(bfs_s, 2),
                 "heavy_hitters_s": round(hh_s, 2),
                 "bootstrap_s": round(bootstrap_s, 2),
+                "hh_clustered_s": round(hh_clustered_s, 2),
+                "hh_clustered_candidates": len(cand_cl),
+                "hot_basket_s": round(hot_basket_s, 2),
+                "scd2_s": round(scd2_s, 2),
+                "merge_upsert_s": round(merge_upsert_s, 2),
+                "snapshot_diff_s": round(snapshot_diff_s, 2),
+                "kr_s": round(kr_s, 2),
+                "kr_loci": n_bias,
             }
         )
     )
