@@ -278,7 +278,12 @@ def q_corr_matrix(spark, sf_dir):
                 .alias(f"s_{a}_{b}")
             )
     m = li.agg(*aggs)
-    rows = []
+    # One row → d(d-1)/2 rows via stack() ON THE SAME BRANCH: a union
+    # of per-pair selects would re-execute the aggregate (and rescan
+    # lineitem) once per pair — the exact multi-pass shape this key
+    # exists to avoid (plan-gated to one scan in test_plans).
+    pair_cols = []
+    stack_args = []
     for i, a in enumerate(_CM_COLS):
         for b in _CM_COLS[i + 1 :]:
             corr = (
@@ -294,18 +299,16 @@ def q_corr_matrix(spark, sf_dir):
                     - F.col(f"s_{b}") * F.col(f"s_{b}")
                 )
             )
-            rows.append(
-                m.select(
-                    F.lit(a).alias("col_x"),
-                    F.lit(b).alias("col_y"),
-                    "n",
-                    F.round(corr, 9).alias("corr"),
-                )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+            pair_cols.append(F.round(corr, 9).alias(f"corr_{a}_{b}"))
+            stack_args.append(f"'{a}', '{b}', n, corr_{a}_{b}")
+    row = m.select("n", *pair_cols)
+    return row.select(
+        F.expr(
+            f"stack({len(stack_args)}, "
+            + ", ".join(stack_args)
+            + ") AS (col_x, col_y, n, corr)"
+        )
+    )
 
 
 @register(

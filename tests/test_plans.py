@@ -433,3 +433,62 @@ def test_heavy_hitters_exact_pass_is_broadcast(spark, sf_dir, queries):
     onto the token stream — the long-tail vocabulary never shuffles."""
     plan = _plan(queries["q_heavy_hitters"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_sample_reservoir_is_top_n(spark, sf_dir, queries):
+    """The deterministic sample must plan as TakeOrderedAndProject
+    (per-partition k-heaps), never a global Sort + Limit."""
+    plan = _plan(queries["q_sample_reservoir"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan
+
+
+def test_corr_matrix_single_scan(spark, sf_dir, queries):
+    """All d(d+1)/2 sufficient sums must come from ONE lineitem scan —
+    the anti-pattern is a scan per column pair."""
+    plan = _plan(queries["q_corr_matrix"](spark, sf_dir))
+    # each scan appears twice in a formatted plan (tree + detail)
+    assert plan.count("Scan parquet") == 2
+    assert "HashAggregate" in plan
+
+
+def test_dq_checks_single_scan(spark, sf_dir, queries):
+    """The whole validation suite costs one scan of orders."""
+    plan = _plan(queries["q_dq_checks"](spark, sf_dir))
+    # each scan appears twice in a formatted plan (tree + detail)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_referential_orphans_broadcast_anti(spark, sf_dir, queries):
+    """Dimension sides of the NOT EXISTS audits must broadcast: the
+    fact tables never shuffle for these anti joins."""
+    plan = _plan(queries["q_referential_orphans"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan
+
+
+def test_sorted_neighborhood_no_global_sort(spark, sf_dir, queries):
+    """The neighborhood window is PARTITIONED by source: every Sort in
+    the plan is partition-local (global=false)."""
+    plan = _plan(queries["q_dedup_sorted_neighborhood"](spark, sf_dir))
+    import re
+
+    assert "Window" in plan
+    # formatted plans render global sorts via a preceding rangepartitioning
+    assert "rangepartitioning" not in plan
+
+
+def test_incremental_agg_partial_merge(spark, sf_dir, queries):
+    """Base and delta produce PARTIAL aggregates that merge — the plan
+    carries partial_sum/merge HashAggregates, and the final merge agg
+    runs over the unioned partials, not the raw rows."""
+    plan = _plan(queries["q_incremental_agg"](spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert "Union" in plan
+
+
+def test_edit_distance_dedup_is_equi_join(spark, sf_dir, queries):
+    """Blocking must be an equi-join on (source, prefix) — never a
+    cartesian/nested-loop over the corpus."""
+    plan = _plan(queries["q_edit_distance_dedup"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

@@ -13,6 +13,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PICKS = {
+    "q_corr_matrix": (
+        "One-pass correlation matrix: all pairwise DECIMAL sufficient "
+        "sums from ONE scan/aggregate, stack() fans the single stat "
+        "row into pair rows on the same branch (a per-pair union "
+        "would rescan lineitem d(d-1)/2 times)."
+    ),
+    "q_sample_reservoir": (
+        "Deterministic reservoir sample: TakeOrderedAndProject "
+        "(per-partition k-heaps), never a global sort."
+    ),
+    "q_referential_orphans": (
+        "Referential audit: LEFT ANTI joins with broadcast dimension "
+        "sides; fact tables never shuffle."
+    ),
+    "q_dedup_sorted_neighborhood": (
+        "Sorted-neighborhood dedup: source-PARTITIONED window (local "
+        "sorts only), lead()x2 candidates, JVM array_intersect "
+        "scoring."
+    ),
     "q_agg_group": (
         "Flagship grouped aggregation: note the partial/final "
         "HashAggregate pair around a single hash Exchange, and the "
