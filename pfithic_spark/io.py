@@ -444,8 +444,16 @@ def write_parquet_atomic(
                 # of an empty frame — e.g. an SCD2 batch fully
                 # filtered out) or when stats pruning drops every file:
                 # without it an empty table is unreadable because there
-                # is no parquet footer to infer from.
-                "schema": df.schema.json(),
+                # is no parquet footer to infer from.  On APPEND the
+                # snapshot's schema is the MERGE of the previous
+                # snapshot's and the batch's (additive evolution:
+                # retained files may carry columns this batch lacks —
+                # recording only the delta schema would silently drop
+                # them from pruned-empty reads).
+                "schema": _snapshot_schema_json(
+                    prev.get("schema") if mode == "append" else None,
+                    df.schema,
+                ),
             },
             fh,
         )
@@ -574,6 +582,25 @@ def list_manifests(path: str) -> list[tuple[tuple[int, str], str]]:
     return out
 
 
+def _snapshot_schema_json(prev_raw, batch_schema) -> str:
+    """Merge a previous snapshot's stored schema (json string or None)
+    with an appended batch's StructType: previous fields keep their
+    position/type, batch-only fields append — the additive-evolution
+    union a reader of ALL the snapshot's files would infer."""
+    import json
+
+    if not prev_raw:
+        return batch_schema.json()
+    from pyspark.sql.types import StructType
+
+    prev_schema = StructType.fromJson(json.loads(prev_raw))
+    have = {f.name for f in prev_schema.fields}
+    merged = list(prev_schema.fields) + [
+        f for f in batch_schema.fields if f.name not in have
+    ]
+    return StructType(merged).json()
+
+
 def _newest_manifest_entry(path: str) -> tuple[str, dict]:
     """(filename, parsed meta) of the newest committed manifest, or
     ("", {}).  Tie-break equal seqs by txid so snapshot selection is
@@ -642,6 +669,38 @@ def _prune_by_stats(
     return kept, len(files) - len(kept)
 
 
+def _manifest_meta(path: str, as_of_seq: int | None = None) -> dict:
+    """Parsed manifest of the newest snapshot (as_of_seq=None) or a
+    specific historical seq — THE single manifest-resolution helper
+    (snapshot files, stats, and schema readers all go through it, so
+    the naming scheme and raced-commit tie-break live in one place).
+    Raises FileNotFoundError when no matching committed manifest
+    exists; an existing manifest with an empty files list is returned
+    as-is (a legitimate empty snapshot)."""
+    import json
+    import os
+
+    if as_of_seq is None:
+        meta = _newest_manifest_meta(path)
+        if not meta:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+        return meta
+    meta = None
+    for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
+        if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
+            ".json"
+        ):
+            # ties on seq resolve to the LAST (largest txid) like
+            # _newest_manifest_entry's deterministic winner rule
+            with open(os.path.join(path, name)) as fh:
+                meta = json.load(fh)
+    if meta is None:
+        raise FileNotFoundError(
+            f"no committed manifest with seq={as_of_seq} under {path}"
+        )
+    return meta
+
+
 def atomic_snapshot_files(
     path: str,
     as_of_seq: int | None = None,
@@ -654,30 +713,13 @@ def atomic_snapshot_files(
     import json
     import os
 
-    if as_of_seq is None:
-        meta = _newest_manifest_meta(path)
-        if not meta:
-            raise FileNotFoundError(f"no committed manifest under {path}")
-        # A committed manifest with an EMPTY files list is a legitimate
-        # empty snapshot (overwrite of an empty DataFrame), not a
-        # missing table — return ([], 0) and let the reader build the
-        # empty frame from the stored schema.
-        files = list(meta.get("files", []))
-        stats = dict(meta.get("stats", {}))
-    else:
-        files = stats = None
-        for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
-            if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
-                ".json"
-            ):
-                with open(os.path.join(path, name)) as fh:
-                    m = json.load(fh)
-                files = list(m["files"])
-                stats = dict(m.get("stats", {}))
-        if files is None:
-            raise FileNotFoundError(
-                f"no committed manifest with seq={as_of_seq} under {path}"
-            )
+    meta = _manifest_meta(path, as_of_seq)
+    # A committed manifest with an EMPTY files list is a legitimate
+    # empty snapshot (overwrite of an empty DataFrame), not a missing
+    # table — return ([], 0) and let the reader build the empty frame
+    # from the stored schema.
+    files = list(meta.get("files", []))
+    stats = dict(meta.get("stats", {}))
     if predicate:
         return _prune_by_stats(files, stats, predicate)
     return files, 0
@@ -746,22 +788,7 @@ def atomic_snapshot_schema(path: str, as_of_seq: int | None = None):
 
     from pyspark.sql.types import StructType
 
-    if as_of_seq is None:
-        meta = _newest_manifest_meta(path)
-        if not meta:
-            raise FileNotFoundError(f"no committed manifest under {path}")
-    else:
-        meta = None
-        for name in sorted(os.listdir(path) if os.path.isdir(path) else []):
-            if name.startswith(f"manifest-{as_of_seq:010d}-") and name.endswith(
-                ".json"
-            ):
-                with open(os.path.join(path, name)) as fh:
-                    meta = json.load(fh)
-        if meta is None:
-            raise FileNotFoundError(
-                f"no committed manifest with seq={as_of_seq} under {path}"
-            )
+    meta = _manifest_meta(path, as_of_seq)
     raw = meta.get("schema")
     return None if raw is None else StructType.fromJson(json.loads(raw))
 
@@ -859,6 +886,29 @@ def vacuum_parquet_atomic(
         os.remove(os.path.join(path, name))
         n_manifests += 1
     referenced_dirs = {rel.split(os.sep)[0] for rel in referenced}
+
+    def newest_mtime(root: str) -> float:
+        """Newest mtime across the WHOLE tree (Spark writers nest
+        everything under _temporary/0/task_*/ — a one-level scan would
+        see only the job-start mtime and age out an ACTIVE writer).
+        A path vanishing mid-walk means a concurrent writer just
+        moved/committed it — treat the dir as freshly active rather
+        than crashing or deleting it."""
+        try:
+            newest = os.path.getmtime(root)
+        except OSError:
+            return float("inf")
+        for sub, _dirs, files in os.walk(root):
+            try:
+                newest = max(newest, os.path.getmtime(sub))
+                for entry in files:
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(sub, entry))
+                    )
+            except OSError:
+                return float("inf")
+        return newest
+
     if remove_staging_orphans:
         cutoff = time.time() - max(0.0, staging_grace_seconds)
         for name in os.listdir(path):
@@ -868,27 +918,24 @@ def vacuum_parquet_atomic(
                 and os.path.isdir(full)
                 and name not in referenced_dirs
             ):
-                # newest mtime across the dir and its files: an
-                # in-flight writer is still producing files, so its
-                # newest mtime is recent and the dir survives the
-                # grace window
-                newest = os.path.getmtime(full)
-                for entry in os.listdir(full):
-                    newest = max(
-                        newest, os.path.getmtime(os.path.join(full, entry))
-                    )
-                if newest <= cutoff:
-                    shutil.rmtree(full)
+                if newest_mtime(full) <= cutoff:
+                    shutil.rmtree(full, ignore_errors=True)
                     n_staging += 1
-    # prune now-empty staging dirs whose files were all deleted
-    for name in os.listdir(path):
-        full = os.path.join(path, name)
-        if (
-            name.startswith("_staging_")
-            and os.path.isdir(full)
-            and not os.listdir(full)
-        ):
-            os.rmdir(full)
+        # prune now-empty staging dirs whose files were all deleted —
+        # same opt-in and grace as the orphan sweep (an empty dir can
+        # be a writer between its mkdir and the first file landing)
+        for name in os.listdir(path):
+            full = os.path.join(path, name)
+            if (
+                name.startswith("_staging_")
+                and os.path.isdir(full)
+                and not os.listdir(full)
+                and newest_mtime(full) <= cutoff
+            ):
+                try:
+                    os.rmdir(full)
+                except OSError:
+                    pass  # a writer raced a file in; leave it
     return {
         "manifests_removed": n_manifests,
         "data_files_removed": n_files,

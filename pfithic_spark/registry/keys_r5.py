@@ -701,7 +701,8 @@ SELECT t.n_keys,
        ROUND((SELECT cnt FROM r WHERE rk = 1) / t.n, 9) AS top1_share,
        ROUND((SELECT SUM(cnt) FROM r WHERE rk <= 10) / t.n, 9)
          AS top10_share,
-       ROUND(-ent.neg_h / LN(t.n_keys), 6) AS norm_entropy
+       ROUND(CASE WHEN t.n_keys > 1 THEN -ent.neg_h / LN(t.n_keys)
+                  ELSE 0.0 END, 6) AS norm_entropy
 FROM t CROSS JOIN ent
 """,
 )
@@ -747,18 +748,23 @@ def q_skew_metrics(spark, sf_dir):
     c.unpersist()
     import math
 
-    return spark.createDataFrame(
-        [
-            (
-                n_keys,
-                int(top1),
-                round(top1 / n, 9),
-                round(top10 / n, 9),
-                round(-neg_h / math.log(n_keys), 6),
-            )
-        ],
+    # single key ⇒ entropy undefined (ln 1 = 0); define the normalized
+    # entropy of a degenerate distribution as 0, on both sides
+    norm_h = -neg_h / math.log(n_keys) if n_keys > 1 else 0.0
+    raw = spark.createDataFrame(
+        [(n_keys, int(top1), top1 / n, top10 / n, norm_h)],
         "n_keys long, top1_cnt long, top1_share double, "
         "top10_share double, norm_entropy double",
+    )
+    # round through F.round, NOT python round(): python rounds
+    # half-even while Spark/DuckDB ROUND are HALF_UP — a tie at the
+    # rounded digit would diverge from the oracle
+    return raw.select(
+        "n_keys",
+        "top1_cnt",
+        F.round("top1_share", 9).alias("top1_share"),
+        F.round("top10_share", 9).alias("top10_share"),
+        F.round("norm_entropy", 6).alias("norm_entropy"),
     )
 
 

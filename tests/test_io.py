@@ -679,3 +679,79 @@ def test_all_files_pruned_uses_stored_schema(spark, tmp_path):
     assert [(f.name, f.dataType) for f in out.schema.fields] == [
         (f.name, f.dataType) for f in d.schema.fields
     ]
+
+
+def test_append_merges_snapshot_schema(spark, tmp_path):
+    """An append whose batch lacks a column must not shrink the
+    snapshot's stored schema: pruned-to-empty reads still expose every
+    column any retained file carries (review r5 finding)."""
+    from pyspark.sql import functions as F
+
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "schema_merge")
+    wide = spark.range(5).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("c")
+    )
+    write_parquet_atomic(
+        wide.coalesce(1), path, mode="overwrite", stats_cols=["a"]
+    )
+    narrow = spark.range(5, 8).select(F.col("id").alias("a"))
+    write_parquet_atomic(
+        narrow.coalesce(1), path, mode="append", stats_cols=["a"]
+    )
+    # prune every file: the empty frame must still carry column c
+    out = read_parquet_atomic(spark, path, predicate={"a": (1000, 2000)})
+    assert out.count() == 0
+    assert set(out.columns) == {"a", "c"}
+
+
+def test_vacuum_fresh_empty_staging_dir_survives(spark, tmp_path):
+    """An EMPTY staging dir (writer between mkdir and first file) is
+    protected by the same grace window as populated ones, and vacuum
+    honors remove_staging_orphans=False for it too."""
+    import os
+
+    from pfithic_spark.io import vacuum_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "vac_empty")
+    write_parquet_atomic(
+        spark.range(3).withColumnRenamed("id", "v"), path, mode="overwrite"
+    )
+    fresh = os.path.join(path, "_staging_inflight00")
+    os.makedirs(fresh)
+    vacuum_parquet_atomic(path, keep_last_n=1)  # default 24h grace
+    assert os.path.isdir(fresh)
+    vacuum_parquet_atomic(
+        path, keep_last_n=1, staging_grace_seconds=0,
+        remove_staging_orphans=False,
+    )
+    assert os.path.isdir(fresh)  # opt-out respected even at grace 0
+    vacuum_parquet_atomic(path, keep_last_n=1, staging_grace_seconds=0)
+    assert not os.path.exists(fresh)
+
+
+def test_vacuum_sees_nested_writer_activity(spark, tmp_path):
+    """Staging mtime aging must look at the WHOLE tree: Spark writers
+    nest files under _temporary/0/..., and only those leaves carry
+    recent mtimes once the job is running (review r5 finding)."""
+    import os
+    import time
+
+    from pfithic_spark.io import vacuum_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "vac_nested")
+    write_parquet_atomic(
+        spark.range(3).withColumnRenamed("id", "v"), path, mode="overwrite"
+    )
+    staging = os.path.join(path, "_staging_longjob00")
+    nested = os.path.join(staging, "_temporary", "0", "task_000")
+    os.makedirs(nested)
+    leaf = os.path.join(nested, "part-0.parquet")
+    open(leaf, "w").write("x")
+    # age the TOP levels far past any grace; the leaf stays fresh
+    old = time.time() - 10 * 24 * 3600
+    for p in (staging, os.path.join(staging, "_temporary")):
+        os.utime(p, (old, old))
+    vacuum_parquet_atomic(path, keep_last_n=1, staging_grace_seconds=3600)
+    assert os.path.exists(leaf), "active nested writer was swept"
