@@ -723,6 +723,13 @@ def q_skew_metrics(spark, sf_dir):
         F.sum("cnt").cast("double").alias("n"),
         F.count(F.lit(1)).alias("n_keys"),
     ).collect()[0]
+    if tot["n"] is None:  # empty table: no keys, empty profile
+        c.unpersist()
+        return spark.createDataFrame(
+            [],
+            "n_keys long, top1_cnt long, top1_share double, "
+            "top10_share double, norm_entropy double",
+        )
     n, n_keys = float(tot["n"]), int(tot["n_keys"])
     r = c.select(
         "cnt",

@@ -572,3 +572,95 @@ def scd2_stream_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def agg_stream_sink(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    available_now: bool = True,
+):
+    """Streaming MATERIALIZED-VIEW maintenance: keep a per-group
+    aggregate state table (sum, count — and avg derived from them)
+    continuously up to date from an event stream, exactly-once.
+
+    Each micro-batch folds to its per-group PARTIALS (one aggregate at
+    group-key cardinality, never the raw batch rows twice), merges
+    them with the current state by ADDING the mergeable (sum, n) pair
+    — the q_incremental_agg batch shape lifted to streaming — and
+    publishes the merged state as ONE overwrite snapshot under the
+    exactly-once txid (write_stream_atomic's namespaced epoch id).
+    The avg column is re-derived from the merged pair; an avg can
+    never be merged directly.
+
+    Replay safety is the key subtlety of read-merge-overwrite: on an
+    at-least-once foreachBatch replay the batch is re-merged against
+    POST-commit state — double-counted in memory — but the txid is
+    already in a committed manifest, so the write is a no-op and the
+    double-counted frame is discarded.  The state table stays exact
+    under any crash/restart pattern (crash-injection tested).
+
+    Sums accumulate as DECIMAL(28,6) so the state is bit-identical to
+    a from-scratch batch recompute regardless of how events were
+    micro-batched (float running sums would drift with batching).
+
+    At 100 TB fact scale: the state table is bounded by group-key
+    cardinality, the per-batch cost is O(batch + state), and readers
+    get time travel across batch boundaries for free from the atomic
+    snapshots."""
+    from pyspark.sql import types as _T
+
+    from .io import read_parquet_atomic, write_parquet_atomic
+
+    app_id = _checkpoint_app_id(checkpoint)
+    spark = stream_df.sparkSession
+
+    def merge_batch(df, epoch_id):
+        partial = df.filter(F.col(value_col).isNotNull()).groupBy(
+            F.col(group_col).alias("g")
+        ).agg(
+            F.sum(F.col(value_col).cast("decimal(28,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        try:
+            cur = read_parquet_atomic(spark, table_path).select(
+                "g", F.col("total").cast("decimal(28,6)").alias("s"), "n"
+            )
+        except FileNotFoundError:
+            g_type = {f.name: f.dataType for f in partial.schema.fields}["g"]
+            cur = spark.createDataFrame(
+                [],
+                _T.StructType(
+                    [
+                        _T.StructField("g", g_type),
+                        _T.StructField("s", _T.DecimalType(28, 6)),
+                        _T.StructField("n", _T.LongType()),
+                    ]
+                ),
+            )
+        merged = (
+            cur.unionByName(partial)
+            .groupBy("g")
+            .agg(F.sum("s").cast("decimal(28,6)").alias("s"), F.sum("n").alias("n"))
+        )
+        out = merged.select(
+            "g",
+            F.col("s").alias("total"),
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg"),
+        )
+        write_parquet_atomic(
+            out,
+            table_path,
+            mode="overwrite",
+            txid=f"app-{app_id}-batch-{int(epoch_id):010d}",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

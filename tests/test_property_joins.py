@@ -190,3 +190,67 @@ def test_cooccurrence_pairs_default_path_small_baskets(spark):
     )
     got = sorted(map(tuple, cooccurrence_pairs(df, "g", "item").collect()))
     assert got == [(3, 5), (3, 9), (5, 9)]
+
+
+@given(
+    baskets=hs.lists(
+        hs.lists(hs.integers(0, 60), min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    ),
+    cap=hs.integers(2, 8),
+)
+@settings(**_SETTINGS)
+def test_cooccurrence_pairs_property(spark, baskets, cap):
+    """For ANY basket mix and cap (forcing arbitrary small/blocked path
+    splits), the hybrid generator emits exactly the per-group unordered
+    distinct-item pairs, each once."""
+    from itertools import combinations
+
+    rows = [(g, item) for g, items in enumerate(baskets) for item in items]
+    if not rows:
+        rows = [(0, 1)]
+    df = spark.createDataFrame(rows, "g int, item int")
+    got = sorted(
+        map(
+            tuple,
+            rel.cooccurrence_pairs(
+                df, "g", "item", basket_cap=cap, chunk=3
+            ).collect(),
+        )
+    )
+    want = sorted(
+        p
+        for items in (set(b) for b in ([i for g2, i in rows if g2 == g] for g in {g for g, _ in rows}))
+        for p in combinations(sorted(items), 2)
+    )
+    assert got == want
+
+
+@given(
+    segments=hs.lists(
+        hs.lists(hs.sampled_from("abcdefgh"), min_size=1, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    k=hs.integers(3, 12),
+)
+@settings(**_SETTINGS)
+def test_heavy_hitter_candidates_property(spark, segments, k):
+    """For ANY stream layout and capacity k: the candidate collect is
+    ≤ k rows AND contains every true (2/k)-hitter — the two MG merge
+    invariants, under arbitrary adversarial segmentation."""
+    from collections import Counter
+
+    from pfithic_spark.llmops import heavy_hitter_candidates
+
+    rows = [(w,) for seg in segments for w in seg]
+    toks = spark.createDataFrame(rows, "w string").repartition(
+        max(1, len(segments))
+    )
+    cand, n = heavy_hitter_candidates(toks, k)
+    assert n == len(rows)
+    assert len(cand) <= k
+    counts = Counter(w for (w,) in rows)
+    true_hh = {w for w, c in counts.items() if c > (2.0 / k) * n}
+    assert true_hh <= set(cand)

@@ -1057,3 +1057,104 @@ def test_scd2_sink_crash_mid_commit_recovers(spark, tmp_path):
     q2.awaitTermination(120)
     got = sorted(map(tuple, read_parquet_atomic(spark, tbl).collect()))
     assert got == want
+
+
+def test_agg_stream_sink_matches_batch_recompute(spark, tmp_path):
+    """The streaming materialized view after N micro-batches must be
+    BIT-IDENTICAL to a from-scratch batch aggregate over the same
+    events (decimal-sum state ⇒ batching-invariant)."""
+    from pfithic_spark.io import read_parquet_atomic
+
+    h = 1_700_000_000_000_000
+    batches = [
+        [(i, h + i * 1_000_000, i % 5, f"t{i % 3}", float(i) / 7, "{}") for i in range(20)],
+        [(50 + i, h + (50 + i) * 1_000_000, i % 5, f"t{i % 3}", float(i) * 1.5, "{}") for i in range(15)],
+        [(90 + i, h + (90 + i) * 1_000_000, i % 5, f"t{(i + 1) % 3}", -float(i), "{}") for i in range(10)],
+    ]
+    src = _events_dir(tmp_path, "mv_src", batches)
+    table = str(tmp_path / "mv_state")
+    q = strm.agg_stream_sink(
+        strm.read_event_stream(spark, src), table, str(tmp_path / "mv_ck")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["g"]: (str(r["total"]), r["n"], r["avg"])
+        for r in read_parquet_atomic(spark, table).collect()
+    }
+    full = (
+        spark.read.parquet(src)
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "g",
+            F.col("s").cast("decimal(28,6)").alias("total"),
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg"),
+        )
+    )
+    want = {
+        r["g"]: (str(r["total"]), r["n"], r["avg"]) for r in full.collect()
+    }
+    assert got == want
+    # one snapshot per micro-batch → time travel to the batch-1 state
+    import os
+
+    assert (
+        sum(1 for n in os.listdir(table) if n.startswith("manifest-")) == 3
+    )
+
+
+def test_agg_stream_sink_crash_and_replay_exact(spark, tmp_path):
+    """Read-merge-overwrite's replay hazard: crash AFTER the epoch's
+    commit but before the checkpoint advances, restart (the epoch
+    re-merges against post-commit state — double-counted in memory),
+    and assert the txid no-op discards the double count."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from pfithic_spark import io as pio
+    from pfithic_spark.io import read_parquet_atomic
+
+    h = 1_700_000_000_000_000
+    batches = [
+        [(i, h + i * 1_000_000, 0, "a", 1.0, "{}") for i in range(10)],
+        [(20 + i, h + (20 + i) * 1_000_000, 0, "a", 2.0, "{}") for i in range(5)],
+    ]
+    src = _events_dir(tmp_path, "mv_crash", batches)
+    table = str(tmp_path / "mv_state2")
+    ck = str(tmp_path / "mv_ck2")
+
+    calls = {"n": 0}
+
+    def die_after_second(path, txid):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mv crash")
+
+    pio._FAILPOINT_AFTER_COMMIT = die_after_second
+    try:
+        q = strm.agg_stream_sink(
+            strm.read_event_stream(spark, src), table, ck
+        )
+        with pytest.raises(StreamingQueryException, match="injected mv"):
+            q.awaitTermination(120)
+    finally:
+        pio._FAILPOINT_AFTER_COMMIT = None
+    # restart: epoch 1 replays, re-merges against post-commit state,
+    # but the commit is a txid no-op — totals stay exact
+    q2 = strm.agg_stream_sink(
+        strm.read_event_stream(spark, src), table, ck
+    )
+    q2.awaitTermination(120)
+    rows = read_parquet_atomic(spark, table).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["g"], str(r["total"]), r["n"], r["avg"]) == (
+        "a",
+        "20.000000",
+        15,
+        round(20.0 / 15, 6),
+    )
