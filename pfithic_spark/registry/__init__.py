@@ -42,6 +42,14 @@ from .keys_r5 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
     # new in round 5 (§2.15) — no driver row yet
+    "q_linear_regression",
+    "q_zipf_fit",
+    "q_gini",
+    "q_ks_test",
+    "q_chi_square",
+    "q_graph_degree_dist",
+    "q_burstiness",
+    "q_period_over_period",
     "q_sample_reservoir",
     "q_train_test_split",
     "q_dq_checks",

@@ -939,3 +939,522 @@ def q_quantile_discretize(spark, sf_dir):
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )
+
+
+# ---- round-5 batch 2: statistical / time-series / graph breadth -------
+
+_LR_D = "CAST({0} AS DECIMAL(24,4))"
+
+
+@register(
+    "q_linear_regression",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({_LR_D.format('l_quantity')} * {_LR_D.format('l_quantity')}
+              AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST({_LR_D.format('l_extendedprice')} * {_LR_D.format('l_extendedprice')}
+              AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST({_LR_D.format('l_quantity')} * {_LR_D.format('l_extendedprice')}
+              AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept,
+       ROUND(POWER(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
+FROM s
+""",
+)
+def q_linear_regression(spark, sf_dir):
+    """Per-group ordinary least squares (price ~ quantity): slope,
+    intercept, R² from EXACT decimal sufficient statistics in one
+    scan/reduce — the q_corr_exact discipline extended to the fitted
+    line.  The model every dashboard trend line and simple forecaster
+    needs; never a per-group iterative solver."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def d24(c):
+        return F.col(c).cast("decimal(24,4)")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum((d24("l_quantity") * d24("l_quantity")).cast("decimal(38,8)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            (d24("l_extendedprice") * d24("l_extendedprice")).cast(
+                "decimal(38,8)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            (d24("l_quantity") * d24("l_extendedprice")).cast("decimal(38,8)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(num, F.lit(2))
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            9,
+        ).alias("r2"),
+    )
+
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w FROM documents
+),
+c AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS rk FROM c
+),
+xy AS (
+  SELECT ROUND(LN(CAST(rk AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS y
+  FROM r WHERE rk <= {_ZIPF_TOP}
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT n AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS log_intercept
+FROM m
+""",
+)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit of the token frequency distribution: OLS slope of
+    ln(freq) ~ ln(rank) over the top {_ZIPF_TOP} ranks — the
+    corpus-health fingerprint (natural text sits near slope −1;
+    boilerplate/spam corpora deviate).  The rank window runs over the
+    VOCABULARY aggregate (bounded), the regression over the top-k —
+    raw text never shuffles.  ln values round(9) before the DECIMAL
+    sums (the entropy-key rule) so both engines fold identically."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(F.explode(llmops.tokens_col("text")).alias("w")).groupBy(
+        "w"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    r = c.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "w"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= _ZIPF_TOP)
+    xy = r.select(
+        F.round(F.log(F.col("rk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(28,9)")).cast("double")
+
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        dsum(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n").alias("n_ranks"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - num / den * F.col("sx")) / F.col("n"), 6
+        ).alias("log_intercept"),
+    )
+
+
+@register(
+    "q_gini",
+    oracle="""
+WITH r AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS p,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+         ) AS rk
+  FROM orders
+),
+s AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(rk AS DECIMAL(18,0)) * p) AS DOUBLE) AS srx,
+         CAST(SUM(p) AS DOUBLE) AS sx
+  FROM r GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       ROUND(2.0 * srx / (n * sx) - CAST(n + 1 AS DOUBLE) / n, 9) AS gini
+FROM s
+""",
+)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of order value per priority class — the
+    inequality/concentration measure (revenue concentration, token
+    budget skew).  Rank-sum closed form G = 2·Σr·x/(n·Σx) − (n+1)/n
+    over a PARTITIONED rank window with a full tie-break; rank×price
+    products are exact DECIMALs, so the only float is the final
+    expression."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("p"),
+        F.row_number()
+        .over(
+            W.partitionBy("o_orderpriority").orderBy(
+                "o_totalprice", "o_orderkey"
+            )
+        )
+        .alias("rk"),
+    )
+    s = r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rk").cast("decimal(18,0)") * F.col("p"))
+        .cast("double")
+        .alias("srx"),
+        F.sum("p").cast("double").alias("sx"),
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        F.round(
+            2.0 * F.col("srx") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+WITH t AS (
+  SELECT value AS v, user_id % 2 AS grp FROM events
+  WHERE value IS NOT NULL
+),
+g AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+  FROM t GROUP BY v
+),
+c AS (
+  SELECT SUM(c0) OVER (ORDER BY v) AS a0,
+         SUM(c1) OVER (ORDER BY v) AS a1
+  FROM g
+),
+n AS (
+  SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
+  FROM t
+)
+SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+       ROUND(CAST(MAX(ABS(c.a0 * n.n1 - c.a1 * n.n0)) AS DOUBLE)
+             / (n.n0 * n.n1), 9) AS d_stat
+FROM c CROSS JOIN n
+GROUP BY n.n0, n.n1
+""",
+)
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two user cohorts — the nonparametric drift test
+    behind data-distribution monitoring (train/serve skew, A/B sanity).
+    D = max|ECDF₀ − ECDF₁| computed as exact INTEGERS
+    (|a0·n1 − a1·n0|, one division at the end): bit-deterministic.
+
+    Shape: one groupBy to VALUE GRAIN (both cohorts' counts per
+    distinct value), then the running sums and max run on that bounded
+    aggregate.  At 100 TB with a continuous metric, the documented
+    swap is windows.scalable_cumsum over the value grain (two-phase
+    global order) — the fixture grain fits one window task."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("v"), (F.col("user_id") % 2).alias("grp")
+    )
+    g = t.groupBy("v").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+    )
+    w = W.orderBy("v")
+    c = g.select(
+        F.sum("c0").over(w).alias("a0"), F.sum("c1").over(w).alias("a1")
+    )
+    n = t.agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("n0"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("n1"),
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n0", "n1")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(F.col("a0") * F.col("n1") - F.col("a1") * F.col("n0"))
+                ).cast("double")
+                / (F.col("n0") * F.col("n1")),
+                9,
+            ).alias("d_stat")
+        )
+        .select("n0", "n1", "d_stat")
+    )
+
+
+@register(
+    "q_chi_square",
+    oracle="""
+WITH o AS (
+  SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS obs
+  FROM events GROUP BY event_type, user_id % 2
+),
+tot AS (SELECT SUM(obs) AS n FROM o),
+rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY event_type),
+ct AS (SELECT cohort, SUM(obs) AS c FROM o GROUP BY cohort),
+terms AS (
+  SELECT ROUND(
+           CAST(POWER(o.obs * tot.n - rt.r * ct.c, 2) AS DOUBLE)
+           / (CAST(tot.n AS DOUBLE) * rt.r * ct.c), 9) AS term
+  FROM o
+  JOIN rt USING (event_type)
+  JOIN ct USING (cohort)
+  CROSS JOIN tot
+),
+dims AS (
+  SELECT (COUNT(DISTINCT event_type) - 1)
+         * (COUNT(DISTINCT user_id % 2) - 1) AS dof
+  FROM events
+)
+SELECT ROUND(CAST(SUM(CAST(terms.term AS DECIMAL(28,9))) AS DOUBLE), 6)
+         AS chi2,
+       CAST(dims.dof AS BIGINT) AS dof
+FROM terms CROSS JOIN dims
+GROUP BY dims.dof
+""",
+)
+def q_chi_square(spark, sf_dir):
+    """Chi-square test of independence on the event_type × cohort
+    contingency table — the categorical-drift screen next to q_ks_test's
+    continuous one.  Each cell term is (o·n − r·c)²/(n·r·c): integers
+    inside, rounded(9), DECIMAL-summed — deterministic under any
+    partitioning.  The crosstab is bounded, so everything after the
+    one groupBy is scalar work."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    o = o.persist()
+    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("cohort").agg(F.sum("obs").alias("c"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    terms = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "cohort")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round(
+                F.pow(
+                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast(
+                        "double"
+                    ),
+                    F.lit(2),
+                )
+                / (
+                    F.col("n").cast("double")
+                    * F.col("r")
+                    * F.col("c")
+                ),
+                9,
+            ).alias("term")
+        )
+    )
+    dims = o.agg(
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("cohort") - 1)
+        ).alias("dof")
+    )
+    out = (
+        terms.crossJoin(F.broadcast(dims))
+        .groupBy("dof")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6
+            ).alias("chi2")
+        )
+        .select("chi2", F.col("dof").cast("bigint").alias("dof"))
+    )
+    return out
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_partkey < y.l_partkey
+),
+edges AS (
+  SELECT a, b FROM pairs WHERE (a * 31 + b) % 97 < 12
+),
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+  ) GROUP BY v
+)
+SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d
+""",
+)
+def q_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the co-purchase graph — the first thing
+    you plot on any large graph (power-law vs uniform decides every
+    downstream algorithm choice: sampling, partitioning, salting).
+    Shares the hot-basket-safe pair generator with q_triangle_count;
+    degrees and the histogram are two bounded groupBys past it."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        rel.cooccurrence_pairs(li, "l_orderkey", "l_partkey")
+        .filter((F.col("a") * 31 + F.col("b")) % 97 < 12)
+        .distinct()
+    )
+    nodes = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+@register(
+    "q_burstiness",
+    oracle="""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS x
+  FROM events GROUP BY event_type, epoch_us(ts) // 86400000000
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM d GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_daily,
+       ROUND((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * (n - 1)) / (CAST(sx AS DOUBLE) / n), 6)
+         AS fano
+FROM s WHERE n > 1
+""",
+)
+def q_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor: variance/mean of daily counts) per
+    event type — distinguishes steady traffic from bursty incident
+    patterns; Poisson traffic sits at 1.  Day indices via integer
+    FLOOR-division of epoch-µs (the §8.7 dialect trap: DuckDB `//`,
+    Spark F.floor) — counts are integers, so the sums are EXACT and
+    only the final ratio is float."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    var = (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    mean = F.col("sx").cast("double") / F.col("n")
+    return s.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano"),
+    )
+
+
+@register(
+    "q_period_over_period",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       ROUND(tot, 4) AS tot,
+       ROUND(LAG(tot) OVER (ORDER BY day), 4) AS prev,
+       ROUND((tot - LAG(tot) OVER (ORDER BY day))
+             / LAG(tot) OVER (ORDER BY day), 6) AS pct_change
+FROM d
+""",
+)
+def q_period_over_period(spark, sf_dir):
+    """Day-over-day revenue change — the simplest KPI delta every
+    dashboard renders.  The heavy stage is the day-grain DECIMAL
+    aggregation; the lag/percent math runs on the bounded day table
+    (same discipline as q_rolling_median/q_autocorr).  Day rendered as
+    ISO text so the grouping key is timestamp-encoding-proof."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("tot")
+    )
+    w = W.orderBy("day")
+    prev = F.lag("tot").over(w)
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("tot", 4).alias("tot"),
+        F.round(prev, 4).alias("prev"),
+        F.round((F.col("tot") - prev) / prev, 6).alias("pct_change"),
+    )
