@@ -966,7 +966,7 @@ SELECT l_returnflag, n,
        ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
        ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
          AS intercept,
-       ROUND(POWER(n * sxy - sx * sy, 2)
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS r2
 FROM s
 """,
@@ -979,29 +979,31 @@ def q_linear_regression(spark, sf_dir):
     needs; never a per-group iterative solver."""
     li = load_table(spark, sf_dir, "lineitem")
 
-    def d24(c):
-        return F.col(c).cast("decimal(24,4)")
+    # Spark-side products at decimal(18,4): an (18,4)x(18,4) product is
+    # decimal(37,8) — EXACT and within Spark's 38-digit budget.  A wider
+    # (24,4) input would push the product past 38 digits and trigger
+    # Spark's silent precision-loss truncation to 6 dp (the 24,4 width
+    # is only needed in the DuckDB dialect, where <=18-digit inputs
+    # multiply in int64 and overflow — the q_corr_exact rule).
+    def d18(c):
+        return F.col(c).cast("decimal(18,4)")
 
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("sx"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("sy"),
-        F.sum((d24("l_quantity") * d24("l_quantity")).cast("decimal(38,8)"))
+        F.sum(d18("l_quantity")).cast("double").alias("sx"),
+        F.sum(d18("l_extendedprice")).cast("double").alias("sy"),
+        F.sum((d18("l_quantity") * d18("l_quantity")).cast("decimal(38,8)"))
         .cast("double")
         .alias("sxx"),
         F.sum(
-            (d24("l_extendedprice") * d24("l_extendedprice")).cast(
+            (d18("l_extendedprice") * d18("l_extendedprice")).cast(
                 "decimal(38,8)"
             )
         )
         .cast("double")
         .alias("syy"),
         F.sum(
-            (d24("l_quantity") * d24("l_extendedprice")).cast("decimal(38,8)")
+            (d18("l_quantity") * d18("l_extendedprice")).cast("decimal(38,8)")
         )
         .cast("double")
         .alias("sxy"),
@@ -1009,6 +1011,9 @@ def q_linear_regression(spark, sf_dir):
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = num / den
+    # r2 via explicit num*num, never F.pow: JVM Math.pow is 1-ulp
+    # accurate (not correctly rounded) while libm pow is — a 1-ulp
+    # split at a .5e-9 boundary would flip the round(9)
     return s.select(
         "l_returnflag",
         "n",
@@ -1017,7 +1022,7 @@ def q_linear_regression(spark, sf_dir):
             "intercept"
         ),
         F.round(
-            F.pow(num, F.lit(2))
+            (num * num)
             / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
             9,
         ).alias("r2"),
@@ -1059,7 +1064,7 @@ FROM m
 )
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law fit of the token frequency distribution: OLS slope of
-    ln(freq) ~ ln(rank) over the top {_ZIPF_TOP} ranks — the
+    ln(freq) ~ ln(rank) over the top 1000 (_ZIPF_TOP) ranks — the
     corpus-health fingerprint (natural text sits near slope −1;
     boilerplate/spam corpora deviate).  The rank window runs over the
     VOCABULARY aggregate (bounded), the regression over the top-k —
@@ -1184,11 +1189,7 @@ c AS (
          SUM(c1) OVER (ORDER BY v) AS a1
   FROM g
 ),
-n AS (
-  SELECT SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n0,
-         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1
-  FROM t
-)
+n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM g)
 SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
        ROUND(CAST(MAX(ABS(c.a0 * n.n1 - c.a1 * n.n0)) AS DOUBLE)
              / (n.n0 * n.n1), 9) AS d_stat
@@ -1222,9 +1223,11 @@ def q_ks_test(spark, sf_dir):
     c = g.select(
         F.sum("c0").over(w).alias("a0"), F.sum("c1").over(w).alias("a1")
     )
-    n = t.agg(
-        F.sum((F.col("grp") == 0).cast("long")).alias("n0"),
-        F.sum((F.col("grp") == 1).cast("long")).alias("n1"),
+    # totals from the value-grain aggregate — a second aggregate over
+    # the raw events would rescan the table for numbers g already holds
+    n = g.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
     )
     return (
         c.crossJoin(F.broadcast(n))
@@ -1254,7 +1257,8 @@ rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY event_type),
 ct AS (SELECT cohort, SUM(obs) AS c FROM o GROUP BY cohort),
 terms AS (
   SELECT ROUND(
-           CAST(POWER(o.obs * tot.n - rt.r * ct.c, 2) AS DOUBLE)
+           CAST((o.obs * tot.n - rt.r * ct.c)
+                * (o.obs * tot.n - rt.r * ct.c) AS DOUBLE)
            / (CAST(tot.n AS DOUBLE) * rt.r * ct.c), 9) AS term
   FROM o
   JOIN rt USING (event_type)
@@ -1281,10 +1285,13 @@ def q_chi_square(spark, sf_dir):
     partitioning.  The crosstab is bounded, so everything after the
     one groupBy is scalar work."""
     ev = load_table(spark, sf_dir, "events")
+    # no persist: the crosstab is a cheap 2-column groupBy and a
+    # registry function returns a LAZY frame — a persist here would pin
+    # executor cache for the rest of the session with no one to release
+    # it (the skew-metrics collect-and-unpersist pattern doesn't apply)
     o = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("cohort")
     ).agg(F.count(F.lit(1)).alias("obs"))
-    o = o.persist()
     rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("cohort").agg(F.sum("obs").alias("c"))
     tot = o.agg(F.sum("obs").alias("n"))
@@ -1294,12 +1301,10 @@ def q_chi_square(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select(
             F.round(
-                F.pow(
-                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast(
-                        "double"
-                    ),
-                    F.lit(2),
-                )
+                (
+                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+                    * (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+                ).cast("double")
                 / (
                     F.col("n").cast("double")
                     * F.col("r")
