@@ -1463,3 +1463,170 @@ def q_period_over_period(spark, sf_dir):
         F.round(prev, 4).alias("prev"),
         F.round((F.col("tot") - prev) / prev, 6).alias("pct_change"),
     )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS tot
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(LIST_REDUCE(
+         LIST(tot ORDER BY day),
+         (acc, v) -> CAST(0.2 AS DOUBLE) * v + CAST(0.8 AS DOUBLE) * acc
+       ), 6) AS ewma_last
+FROM d
+""",
+)
+def q_ewma(spark, sf_dir):
+    """Exponentially weighted moving average of the daily revenue
+    series (α = 0.2) — the recursive smoother no window frame can
+    express (each value depends on ALL predecessors).  Both engines run
+    the IDENTICAL in-order fold — Spark F.aggregate over the day-sorted
+    array, DuckDB LIST_REDUCE over LIST(... ORDER BY day), seeded with
+    the first element, each step 0.2·x + 0.8·acc in pure doubles — so
+    every intermediate double is bit-equal and the final round(6)
+    hashes across engines.
+
+    The fold runs on the BOUNDED day-grain aggregate (one array per
+    series); the only big-data stage is the DECIMAL day aggregation.
+    At 100 TB with many series, the same shape partitions by series
+    key — one in-order fold per group, never a global recursion."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("tot")
+    )
+    arr = d.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(F.struct("day", "tot"))
+        ).alias("series"),
+    )
+    # seed with the first element, fold the rest — DuckDB LIST_REDUCE's
+    # seeding convention, replicated exactly; empty series (zero-row
+    # input) yields NULL, matching LIST_REDUCE over an empty list
+    fold = F.when(F.size("series") == 0, F.lit(None).cast("double")).otherwise(
+        F.aggregate(
+            F.slice(
+                F.col("series"),
+                2,
+                F.greatest(F.size("series") - 1, F.lit(0)),
+            ),
+            F.get(F.col("series"), 0)["tot"],
+            lambda acc, x: F.lit(0.2) * x["tot"] + F.lit(0.8) * acc,
+        )
+    )
+    return arr.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(fold, 6).alias("ewma_last"),
+    )
+
+
+@register(
+    "q_mann_whitney",
+    oracle="""
+WITH t AS (
+  SELECT value AS v, user_id % 2 AS grp FROM events
+  WHERE value IS NOT NULL
+),
+g AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+         COUNT(*) AS ct
+  FROM t GROUP BY v
+),
+r AS (
+  SELECT c0, c1, ct,
+         COALESCE(SUM(ct) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM g
+),
+s AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c0 * (2 * cum_before + ct + 1)) AS BIGINT) AS two_r0,
+         CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tie3
+  FROM r
+)
+SELECT n0, n1,
+       ROUND(CAST(two_r0 AS DOUBLE) / 2
+             - CAST(n0 AS DOUBLE) * (n0 + 1) / 2, 1) AS u0,
+       ROUND(
+         (CAST(two_r0 AS DOUBLE) / 2
+            - CAST(n0 AS DOUBLE) * (n0 + 1) / 2
+            - CAST(n0 AS DOUBLE) * n1 / 2)
+         / SQRT(CAST(n0 AS DOUBLE) * n1 / 12.0
+                * ((n0 + n1 + 1)
+                   - CAST(tie3 AS DOUBLE)
+                     / ((CAST(n0 AS DOUBLE) + n1)
+                        * (CAST(n0 AS DOUBLE) + n1 - 1)))), 6) AS z
+FROM s
+""",
+)
+def q_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U (rank-sum) test between two cohorts' value
+    distributions — the robust location-shift twin of q_ks_test's
+    shape test.  Average-rank tie handling computed as INTEGERS at
+    value grain: 2·R₀ = Σ c₀·(2·cum_before + ct + 1) is exact, as is
+    the tie-correction Σ(t³−t); only the final z standardization is
+    float.  One groupBy to value grain; the rank arithmetic runs on
+    the bounded aggregate (scalable_cumsum is the continuous-metric
+    swap, as for q_ks_test)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("v"), (F.col("user_id") % 2).alias("grp")
+    )
+    g = t.groupBy("v").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "c0",
+        "c1",
+        "ct",
+        F.coalesce(F.sum("ct").over(w), F.lit(0)).alias("cum_before"),
+    )
+    s = r.agg(
+        F.sum("c0").cast("bigint").alias("n0"),
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(
+            F.col("c0") * (2 * F.col("cum_before") + F.col("ct") + 1)
+        )
+        .cast("bigint")
+        .alias("two_r0"),
+        F.sum(
+            F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")
+        )
+        .cast("bigint")
+        .alias("tie3"),
+    )
+    n0d = F.col("n0").cast("double")
+    n1d = F.col("n1").cast("double")
+    u0 = F.col("two_r0").cast("double") / 2 - n0d * (F.col("n0") + 1) / 2
+    var = (
+        n0d
+        * n1d
+        / 12.0
+        * (
+            (F.col("n0") + F.col("n1") + 1)
+            - F.col("tie3").cast("double")
+            / ((n0d + n1d) * (n0d + n1d - 1))
+        )
+    )
+    return s.select(
+        "n0",
+        "n1",
+        F.round(u0, 1).alias("u0"),
+        F.round((u0 - n0d * n1d / 2) / F.sqrt(var), 6).alias("z"),
+    )
