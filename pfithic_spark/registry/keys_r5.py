@@ -1186,15 +1186,18 @@ g AS (
 ),
 c AS (
   SELECT SUM(c0) OVER (ORDER BY v) AS a0,
-         SUM(c1) OVER (ORDER BY v) AS a1
+         SUM(c1) OVER (ORDER BY v) AS a1,
+         SUM(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS n0,
+         SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS n1
   FROM g
-),
-n AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM g)
-SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
-       ROUND(CAST(MAX(ABS(c.a0 * n.n1 - c.a1 * n.n0)) AS DOUBLE)
-             / (n.n0 * n.n1), 9) AS d_stat
-FROM c CROSS JOIN n
-GROUP BY n.n0, n.n1
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       ROUND(CAST(MAX(ABS(a0 * n1 - a1 * n0)) AS DOUBLE)
+             / (n0 * n1), 9) AS d_stat
+FROM c
+GROUP BY n0, n1
 """,
 )
 def q_ks_test(spark, sf_dir):
@@ -1220,18 +1223,22 @@ def q_ks_test(spark, sf_dir):
         F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
     )
     w = W.orderBy("v")
-    c = g.select(
-        F.sum("c0").over(w).alias("a0"), F.sum("c1").over(w).alias("a1")
+    # totals via a FULL-FRAME window in the SAME window pass as the
+    # running sums: n0/n1 ride along each row, so the whole statistic
+    # is one scan, one shuffle, one sorted pass — a separate g.agg()
+    # branch would re-execute the aggregation subtree (Spark reuses
+    # exchanges only opportunistically), i.e. a second scan
+    w_full = W.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    # totals from the value-grain aggregate — a second aggregate over
-    # the raw events would rescan the table for numbers g already holds
-    n = g.agg(
-        F.sum("c0").alias("n0"),
-        F.sum("c1").alias("n1"),
+    c = g.select(
+        F.sum("c0").over(w).alias("a0"),
+        F.sum("c1").over(w).alias("a1"),
+        F.sum("c0").over(w_full).alias("n0"),
+        F.sum("c1").over(w_full).alias("n1"),
     )
     return (
-        c.crossJoin(F.broadcast(n))
-        .groupBy("n0", "n1")
+        c.groupBy("n0", "n1")
         .agg(
             F.round(
                 F.max(
@@ -1252,29 +1259,20 @@ WITH o AS (
   SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS obs
   FROM events GROUP BY event_type, user_id % 2
 ),
-tot AS (SELECT SUM(obs) AS n FROM o),
-rt AS (SELECT event_type, SUM(obs) AS r FROM o GROUP BY event_type),
-ct AS (SELECT cohort, SUM(obs) AS c FROM o GROUP BY cohort),
-terms AS (
-  SELECT ROUND(
-           CAST((o.obs * tot.n - rt.r * ct.c)
-                * (o.obs * tot.n - rt.r * ct.c) AS DOUBLE)
-           / (CAST(tot.n AS DOUBLE) * rt.r * ct.c), 9) AS term
+m AS (
+  SELECT event_type, cohort, obs,
+         SUM(obs) OVER (PARTITION BY event_type) AS r,
+         SUM(obs) OVER (PARTITION BY cohort) AS c,
+         SUM(obs) OVER () AS n
   FROM o
-  JOIN rt USING (event_type)
-  JOIN ct USING (cohort)
-  CROSS JOIN tot
-),
-dims AS (
-  SELECT (COUNT(DISTINCT event_type) - 1)
-         * (COUNT(DISTINCT user_id % 2) - 1) AS dof
-  FROM events
 )
-SELECT ROUND(CAST(SUM(CAST(terms.term AS DECIMAL(28,9))) AS DOUBLE), 6)
-         AS chi2,
-       CAST(dims.dof AS BIGINT) AS dof
-FROM terms CROSS JOIN dims
-GROUP BY dims.dof
+SELECT ROUND(CAST(SUM(CAST(ROUND(
+         CAST((obs * n - r * c) * (obs * n - r * c) AS DOUBLE)
+         / (CAST(n AS DOUBLE) * r * c), 9) AS DECIMAL(28,9)))
+       AS DOUBLE), 6) AS chi2,
+       CAST((COUNT(DISTINCT event_type) - 1)
+            * (COUNT(DISTINCT cohort) - 1) AS BIGINT) AS dof
+FROM m
 """,
 )
 def q_chi_square(spark, sf_dir):
@@ -1285,52 +1283,43 @@ def q_chi_square(spark, sf_dir):
     partitioning.  The crosstab is bounded, so everything after the
     one groupBy is scalar work."""
     ev = load_table(spark, sf_dir, "events")
-    # no persist: the crosstab is a cheap 2-column groupBy and a
-    # registry function returns a LAZY frame — a persist here would pin
-    # executor cache for the rest of the session with no one to release
-    # it (the skew-metrics collect-and-unpersist pattern doesn't apply)
+    from pyspark.sql import Window as W
+
+    # margins as WINDOWS over the bounded crosstab — one chain, one
+    # scan: branching o into rt/ct/tot/dims sub-aggregates would
+    # re-execute the events groupBy once per branch (Spark reuses
+    # exchanges only opportunistically), i.e. up to five scans of the
+    # fact table for numbers the crosstab already holds
     o = ev.groupBy(
         "event_type", (F.col("user_id") % 2).alias("cohort")
     ).agg(F.count(F.lit(1)).alias("obs"))
-    rt = o.groupBy("event_type").agg(F.sum("obs").alias("r"))
-    ct = o.groupBy("cohort").agg(F.sum("obs").alias("c"))
-    tot = o.agg(F.sum("obs").alias("n"))
-    terms = (
-        o.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "cohort")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.round(
-                (
-                    (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
-                    * (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
-                ).cast("double")
-                / (
-                    F.col("n").cast("double")
-                    * F.col("r")
-                    * F.col("c")
-                ),
-                9,
-            ).alias("term")
-        )
+    m = o.select(
+        "event_type",
+        "cohort",
+        "obs",
+        F.sum("obs").over(W.partitionBy("event_type")).alias("r"),
+        F.sum("obs").over(W.partitionBy("cohort")).alias("c"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
     )
-    dims = o.agg(
+    diff = F.col("obs") * F.col("n") - F.col("r") * F.col("c")
+    return m.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    (diff * diff).cast("double")
+                    / (F.col("n").cast("double") * F.col("r") * F.col("c")),
+                    9,
+                ).cast("decimal(28,9)")
+            ).cast("double"),
+            6,
+        ).alias("chi2"),
         (
             (F.countDistinct("event_type") - 1)
             * (F.countDistinct("cohort") - 1)
-        ).alias("dof")
-    )
-    out = (
-        terms.crossJoin(F.broadcast(dims))
-        .groupBy("dof")
-        .agg(
-            F.round(
-                F.sum(F.col("term").cast("decimal(28,9)")).cast("double"), 6
-            ).alias("chi2")
         )
-        .select("chi2", F.col("dof").cast("bigint").alias("dof"))
+        .cast("bigint")
+        .alias("dof"),
     )
-    return out
 
 
 @register(

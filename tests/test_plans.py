@@ -492,3 +492,29 @@ def test_edit_distance_dedup_is_equi_join(spark, sf_dir, queries):
     cartesian/nested-loop over the corpus."""
     plan = _plan(queries["q_edit_distance_dedup"](spark, sf_dir))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_ks_test_single_scan(spark, sf_dir, queries):
+    """n0/n1 derive from the value-grain aggregate — the raw events
+    table is scanned exactly once."""
+    plan = _plan(queries["q_ks_test"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
+
+
+def test_degree_dist_no_cartesian(spark, sf_dir, queries):
+    plan = _plan(queries["q_graph_degree_dist"](spark, sf_dir))
+    assert "Cartesian" not in plan
+
+
+def test_zipf_regression_on_bounded_topk(spark, sf_dir, queries):
+    """The OLS runs past a rank filter (rk <= 1000) — the plan carries
+    the window + filter, and raw text reaches only the token count."""
+    plan = _plan(queries["q_zipf_fit"](spark, sf_dir))
+    assert "Window" in plan
+
+
+def test_chi_square_single_scan(spark, sf_dir, queries):
+    """Margins ride windows over the bounded crosstab — one events
+    scan, not one per margin branch."""
+    plan = _plan(queries["q_chi_square"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
