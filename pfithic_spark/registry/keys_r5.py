@@ -1356,8 +1356,10 @@ def q_graph_degree_dist(spark, sf_dir):
         .filter((F.col("a") * 31 + F.col("b")) % 97 < 12)
         .distinct()
     )
-    nodes = edges.select(F.col("a").alias("v")).unionAll(
-        edges.select(F.col("b").alias("v"))
+    # both endpoints from ONE pass over the edge stream — a union of
+    # two selects would execute the whole pair pipeline twice
+    nodes = edges.select(
+        F.explode(F.array("a", "b")).alias("v")
     )
     deg = nodes.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     return deg.groupBy(F.col("d").alias("degree")).agg(

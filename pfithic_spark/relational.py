@@ -429,72 +429,91 @@ def cooccurrence_pairs(
     callers dedup across groups with ``.distinct()`` after any
     pair-level filter they want pushed first).
 
-    Hybrid shape, hot-basket safe (VERDICT r4): per-group pair
-    expansion is inherently quadratic in basket size, and the naive
-    in-row nested ``transform`` builds the WHOLE B²/2-struct array
-    inside one row — one 10⁵-item basket materializes ~5·10⁹ structs
-    in a single task's memory.  So:
+    Hot-basket-safe AND single-chain (r5: the first cut branched the
+    basket aggregate into a small-basket and a blocked-join path,
+    which re-executed the groupBy once per branch — up to 8 scans in a
+    degree-distribution consumer).  Every basket expands through the
+    SAME chunked-cell pipeline:
 
-    - baskets ≤ ``basket_cap``: in-row sorted-set expansion (zero
-      extra shuffle, map-side-combined collect_set, the common case
-      and bounded ≤ cap²/2 per row);
-    - baskets > ``basket_cap``: BLOCKED self-join — posexplode to
-      (group, pos, item), chunk positions by ``chunk``, replicate each
-      left row to every chunk ≥ its own, equi-join on (group, chunk)
-      and keep pos_i < pos_j.  Every pair is produced exactly once
-      (its lower-pos endpoint's replica at the higher-pos endpoint's
-      chunk), the quadratic work spreads over B/chunk reducers keyed
-      by (group, chunk), and the join STREAMS output rows through
-      downstream filters instead of buffering an array — per-task
-      memory is O(chunk), per-task work ≤ B·chunk.
+    - the sorted distinct item array is cut into cells of width
+      ``chunk`` (one cell for the whole basket when size ≤
+      ``basket_cap`` — the common case pays no chunking overhead);
+    - each basket row explodes into its (ci ≤ cj) CELL PAIRS — one
+      output row per cell pair, so a B-item hot basket becomes
+      (B/chunk)²/2 independent rows instead of one row materializing
+      B²/2 structs;
+    - per cell-pair row, a narrow nested transform emits the pairs:
+      i<j within a diagonal cell, full cross product between distinct
+      cells (items are globally sorted, so a < b always).
 
-    Both paths see the same sorted distinct item array, so outputs are
-    identical; only the physical strategy switches."""
+    Per-row memory is O(chunk²) structs — bounded by construction —
+    and the plan is one scan → one map-side-combined aggregate → two
+    narrow generates: no self-join, no second aggregate execution.
+    Work still totals B²/2 pairs (inherent), but it spreads across
+    cell-pair rows that Spark distributes and streams."""
     groups = df.groupBy(group_col).agg(
         F.sort_array(F.collect_set(item_col)).alias("ps")
     )
-    small = groups.filter(F.size("ps") <= basket_cap)
-    big = groups.filter(F.size("ps") > basket_cap)
-
-    pair_expr = F.flatten(
+    # cell width: whole basket when small, ``chunk`` when hot
+    cells = groups.select(
+        "ps",
+        F.when(F.size("ps") <= basket_cap, F.greatest(F.size("ps"), F.lit(1)))
+        .otherwise(F.lit(chunk))
+        .alias("w"),
+    ).select(
+        "ps",
+        "w",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("ps") / F.col("w")).cast("int") - 1,
+                    ),
+                    lambda ci: F.transform(
+                        F.sequence(
+                            ci,
+                            F.ceil(F.size(F.col("ps")) / F.col("w")).cast(
+                                "int"
+                            )
+                            - 1,
+                        ),
+                        lambda cj: F.struct(
+                            ci.alias("ci"), cj.alias("cj")
+                        ),
+                    ),
+                )
+            )
+        ).alias("cell"),
+    )
+    si = F.slice(F.col("ps"), F.col("cell.ci") * F.col("w") + 1, F.col("w"))
+    sj = F.slice(F.col("ps"), F.col("cell.cj") * F.col("w") + 1, F.col("w"))
+    diag_pairs = F.flatten(
         F.transform(
-            F.col("ps"),
+            si,
             lambda a, i: F.transform(
                 F.slice(
-                    F.col("ps"),
+                    si,
                     i.cast("int") + 2,
-                    F.size(F.col("ps")) - i.cast("int") - 1,
+                    F.greatest(
+                        F.size(si) - i.cast("int") - 1, F.lit(0)
+                    ),
                 ),
                 lambda b: F.struct(a.alias("a"), b.alias("b")),
             ),
         )
     )
-    pairs_small = small.select(F.explode(pair_expr).alias("e")).select(
-        "e.a", "e.b"
+    cross_pairs = F.flatten(
+        F.transform(
+            si,
+            lambda a: F.transform(
+                sj, lambda b: F.struct(a.alias("a"), b.alias("b"))
+            ),
+        )
     )
-
-    items = big.select(
-        group_col, F.posexplode("ps").alias("i", "a")
-    ).withColumn("ci", F.floor(F.col("i") / chunk).cast("int"))
-    nch = big.select(
-        group_col,
-        F.ceil(F.size("ps") / F.lit(chunk)).cast("int").alias("nch"),
+    pairs = F.when(
+        F.col("cell.ci") == F.col("cell.cj"), diag_pairs
+    ).otherwise(cross_pairs)
+    return (
+        cells.select(F.explode(pairs).alias("e")).select("e.a", "e.b")
     )
-    left = items.join(nch, group_col).select(
-        group_col,
-        "i",
-        "a",
-        F.explode(F.sequence(F.col("ci"), F.col("nch") - 1)).alias("cj"),
-    )
-    right = items.select(
-        F.col(group_col),
-        F.col("i").alias("j"),
-        F.col("a").alias("b"),
-        F.col("ci").alias("cj"),
-    )
-    pairs_big = (
-        left.join(right, [group_col, "cj"])
-        .filter(F.col("i") < F.col("j"))
-        .select("a", "b")
-    )
-    return pairs_small.unionByName(pairs_big)
