@@ -254,3 +254,15 @@ def test_heavy_hitter_candidates_property(spark, segments, k):
     counts = Counter(w for (w,) in rows)
     true_hh = {w for w, c in counts.items() if c > (2.0 / k) * n}
     assert true_hh <= set(cand)
+
+
+def test_cooccurrence_pairs_degenerate_baskets(spark):
+    """All-null and singleton baskets yield no pairs and no crash (the
+    empty basket's descending sequence(0,-1) fed slice a 0 start)."""
+    from pfithic_spark.relational import cooccurrence_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (1, None), (2, 7), (3, 1), (3, 2)], "g int, item int"
+    )
+    got = sorted(map(tuple, cooccurrence_pairs(df, "g", "item").collect()))
+    assert got == [(1, 2)]
