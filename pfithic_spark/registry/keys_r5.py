@@ -1267,12 +1267,14 @@ m AS (
   FROM o
 )
 SELECT ROUND(CAST(SUM(CAST(ROUND(
-         CAST((obs * n - r * c) * (obs * n - r * c) AS DOUBLE)
+         CAST(obs * n - r * c AS DOUBLE)
+         * CAST(obs * n - r * c AS DOUBLE)
          / (CAST(n AS DOUBLE) * r * c), 9) AS DECIMAL(28,9)))
        AS DOUBLE), 6) AS chi2,
        CAST((COUNT(DISTINCT event_type) - 1)
             * (COUNT(DISTINCT cohort) - 1) AS BIGINT) AS dof
 FROM m
+HAVING COUNT(*) > 0
 """,
 )
 def q_chi_square(spark, sf_dir):
@@ -1301,12 +1303,21 @@ def q_chi_square(spark, sf_dir):
         F.sum("obs").over(W.partitionBy("cohort")).alias("c"),
         F.sum("obs").over(W.partitionBy()).alias("n"),
     )
-    diff = F.col("obs") * F.col("n") - F.col("r") * F.col("c")
-    return m.agg(
+    # square AFTER the double cast: diff = obs·n − r·c is ≤ n² ≈
+    # 6.4e13 at the 8 M bench scale (exactly representable in a
+    # double), but diff² overflows int64 past |diff| ≈ 3e9 — under
+    # Spark 4's default ANSI mode that's a hard ARITHMETIC_OVERFLOW
+    # (review r5 #3); the double square is correctly rounded and
+    # identical in both engines
+    diff = (
+        F.col("obs") * F.col("n") - F.col("r") * F.col("c")
+    ).cast("double")
+    out = m.agg(
         F.round(
             F.sum(
                 F.round(
-                    (diff * diff).cast("double")
+                    diff
+                    * diff
                     / (F.col("n").cast("double") * F.col("r") * F.col("c")),
                     9,
                 ).cast("decimal(28,9)")
@@ -1320,6 +1331,9 @@ def q_chi_square(spark, sf_dir):
         .cast("bigint")
         .alias("dof"),
     )
+    # zero rows (not a NULL-chi2 row) on an empty table, matching the
+    # oracle's HAVING COUNT(*) > 0: chi2 is NULL iff no cells existed
+    return out.filter(F.col("chi2").isNotNull())
 
 
 @register(

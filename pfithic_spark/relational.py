@@ -461,11 +461,13 @@ def cooccurrence_pairs(
     )
     # cell width: whole basket when small, ``chunk`` when hot
     cells = groups.select(
-        "ps",
-        F.when(F.size("ps") <= basket_cap, F.greatest(F.size("ps"), F.lit(1)))
+        F.col(group_col),
+        F.col("ps"),
+        F.when(F.size("ps") <= basket_cap, F.size("ps"))
         .otherwise(F.lit(chunk))
         .alias("w"),
     ).select(
+        group_col,
         "ps",
         "w",
         F.explode(
@@ -498,6 +500,8 @@ def cooccurrence_pairs(
     # transform lambdas, which Spark evaluates INTERPRETED per element
     # — measured 6× slower at a 20k-item basket's 2·10⁸ pairs.
     sliced = cells.select(
+        F.col(group_col),
+        F.col("cell"),
         (F.col("cell.ci") == F.col("cell.cj")).alias("diag"),
         F.slice(
             F.col("ps"), F.col("cell.ci") * F.col("w") + 1, F.col("w")
@@ -506,6 +510,14 @@ def cooccurrence_pairs(
             F.col("ps"), F.col("cell.cj") * F.col("w") + 1, F.col("w")
         ).alias("sj"),
     )
+    # SPREAD the quadratic work: the chain so far is narrow, so all of
+    # a hot basket's (B/chunk)²/2 cell-pair rows would otherwise expand
+    # inside the single task holding its aggregated row — bounded
+    # memory but a straggler.  Repartitioning the SLICED rows (each
+    # carries only 2·chunk items, never the full basket) hashes cell
+    # pairs across the cluster; the common small-basket case moves one
+    # ~100-byte row per group.
+    sliced = sliced.repartition(group_col, "cell")
     lefts = sliced.select(
         "diag", "sj", F.posexplode("si").alias("i", "a")
     )
@@ -520,6 +532,4 @@ def cooccurrence_pairs(
             F.greatest(F.size("sj") - F.col("i") - 1, F.lit(0)),
         ),
     ).otherwise(F.col("sj"))
-    return lefts.select(
-        "a", F.explode(partners).alias("b")
-    ).select("a", "b")
+    return lefts.select("a", F.explode(partners).alias("b"))
