@@ -731,14 +731,13 @@ def q_skew_metrics(spark, sf_dir):
             "top10_share double, norm_entropy double",
         )
     n, n_keys = float(tot["n"]), int(tot["n_keys"])
-    r = c.select(
-        "cnt",
-        F.row_number()
-        .over(W.orderBy(F.col("cnt").desc(), "l_suppkey"))
-        .alias("rk"),
+    # top-10 via orderBy().limit() (TakeOrderedAndProject per-partition
+    # heaps) — a global row_number window would single-task the whole
+    # key table at scale
+    top = (
+        c.orderBy(F.col("cnt").desc(), "l_suppkey").limit(10).collect()
     )
-    top = r.filter(F.col("rk") <= 10).collect()
-    top1 = next(t["cnt"] for t in top if t["rk"] == 1)
+    top1 = top[0]["cnt"]
     top10 = sum(t["cnt"] for t in top)
     neg_h = (
         c.select(
@@ -1076,12 +1075,17 @@ def q_zipf_fit(spark, sf_dir):
     c = d.select(F.explode(llmops.tokens_col("text")).alias("w")).groupBy(
         "w"
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    r = c.select(
+    # top-k FIRST (TakeOrderedAndProject: per-partition heaps over the
+    # vocabulary, never a single-task global sort of the whole vocab),
+    # THEN rank within the bounded k rows — a global row_number window
+    # would move the entire 100M-type vocabulary to one task at scale
+    top = c.orderBy(F.col("cnt").desc(), "w").limit(_ZIPF_TOP)
+    r = top.select(
         "cnt",
         F.row_number()
         .over(W.orderBy(F.col("cnt").desc(), "w"))
         .alias("rk"),
-    ).filter(F.col("rk") <= _ZIPF_TOP)
+    )
     xy = r.select(
         F.round(F.log(F.col("rk").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
