@@ -1639,3 +1639,99 @@ def q_mann_whitney(spark, sf_dir):
         F.round(u0, 1).alias("u0"),
         F.round((u0 - n0d * n1d / 2) / F.sqrt(var), 6).alias("z"),
     )
+
+
+@register(
+    "q_wau",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+w AS (
+  SELECT d.day AS report_day, du.user_id
+  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+)
+SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM w GROUP BY report_day
+""",
+)
+def q_wau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day — THE engagement KPI,
+    and the classic hard rolling metric: COUNT(DISTINCT) does not
+    decompose over window frames, so no frame trick works.
+
+    Scale shape: dedup to (day, user) grain once, then each active-day
+    row REPLICATES to the ≤7 report days it contributes to via a
+    map-side sequence-explode — a bounded 7× row expansion feeding one
+    distinct-count shuffle.  The naive alternative (range join day
+    table × activity) builds the same pairs through a nested-loop
+    join; the explode form needs no join at all.  Report days restrict
+    to days actually observed (broadcast semi join on the tiny day
+    dimension)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias("day"),
+        "user_id",
+    ).distinct()
+    rep = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("report_day"),
+        "user_id",
+    )
+    days = du.select(F.col("day").alias("report_day")).distinct()
+    return (
+        rep.join(F.broadcast(days), "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+  FROM events
+),
+f AS (
+  SELECT day, user_id,
+         MIN(day) OVER (PARTITION BY user_id) AS first_day
+  FROM du
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning
+FROM f GROUP BY day
+""",
+)
+def q_new_vs_returning(spark, sf_dir):
+    """Daily new-vs-returning user split — the acquisition/retention
+    KPI next to q_wau and q_retention_cohorts.  One dedup to
+    (day, user) grain, one per-user window attaching the first-seen
+    day (shuffle on user_id, state bounded by the user dimension),
+    one day-grain groupBy.  All integers."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias("day"),
+        "user_id",
+    ).distinct()
+    f = du.withColumn(
+        "first_day", F.min("day").over(W.partitionBy("user_id"))
+    )
+    return f.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("day") == F.col("first_day")).cast("long")).alias(
+            "n_new"
+        ),
+        F.sum((F.col("day") > F.col("first_day")).cast("long")).alias(
+            "n_returning"
+        ),
+    )
