@@ -714,8 +714,6 @@ def q_skew_metrics(spark, sf_dir):
     per-key counts; every later stage runs on that bounded key table.
     Entropy terms are rounded then DECIMAL-summed (the q_entropy rule)
     so the scalar is partition-order-free."""
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem")
     c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
     c = c.persist()  # feeds four branches below
@@ -1675,17 +1673,24 @@ def q_wau(spark, sf_dir):
         F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias("day"),
         "user_id",
     ).distinct()
+    # posexplode carries the OFFSET, so "report day was actually
+    # observed" falls out of the same aggregate (a report day is
+    # observed iff some contributor has offset 0) — a separate
+    # distinct-days branch would re-scan and re-dedup events
     rep = du.select(
-        F.explode(
+        F.posexplode(
             F.sequence(F.col("day"), F.col("day") + 6)
-        ).alias("report_day"),
+        ).alias("off", "report_day"),
         "user_id",
     )
-    days = du.select(F.col("day").alias("report_day")).distinct()
     return (
-        rep.join(F.broadcast(days), "report_day", "left_semi")
-        .groupBy("report_day")
-        .agg(F.countDistinct("user_id").alias("wau"))
+        rep.groupBy("report_day")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.max((F.col("off") == 0).cast("int")).alias("_obs"),
+        )
+        .filter(F.col("_obs") == 1)
+        .select("report_day", "wau")
     )
 
 
