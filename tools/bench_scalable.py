@@ -888,6 +888,83 @@ def main() -> None:
     assert per_chr < 1.0 + 1e-4, per_chr
     assert n_bias == 8 * loci, n_bias
 
+    # ---- streaming materialized view at scale (8M-event batch) -------
+    # one availableNow micro-batch through agg_stream_sink; closed-form
+    # exact per-type decimal totals (value = (id%1000)/10, type = id%5,
+    # 5 | 1000 so each type sees the same 200-value cycle).
+    from pfithic_spark.io import read_parquet_atomic
+    from pfithic_spark.streaming import agg_stream_sink, read_event_stream
+
+    mv_dir = tempfile.mkdtemp(prefix="mv_bench_")
+    mv_tbl = tempfile.mkdtemp(prefix="mv_tbl_")
+    mv_ck = tempfile.mkdtemp(prefix="mv_ck_") + "/ck"
+    try:
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(F.lit(h_us) + F.col("id")).alias("ts"),
+            (F.col("id") % 97).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 5)).alias("event_type"),
+            ((F.col("id") % 1000).cast("double") / 10.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(8).write.mode("overwrite").parquet(mv_dir)
+        t0 = time.time()
+        q_mv = agg_stream_sink(
+            read_event_stream(spark, mv_dir, max_files_per_trigger=8),
+            mv_tbl,
+            mv_ck,
+        )
+        q_mv.awaitTermination(400)
+        state = {
+            r["g"]: (str(r["total"]), r["n"])
+            for r in read_parquet_atomic(spark, mv_tbl).collect()
+        }
+        mv_s = time.time() - t0
+        blocks = n // 1000
+        for t in range(5):
+            cyc = sum((t + 5 * j) / 10 for j in range(200))
+            want = blocks * cyc
+            got_total, got_n = state[f"t{t}"]
+            assert got_n == n // 5, (t, got_n)
+            assert abs(float(got_total) - want) < 1e-3, (t, got_total, want)
+    finally:
+        shutil.rmtree(mv_dir, ignore_errors=True)
+        shutil.rmtree(mv_tbl, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(mv_ck), ignore_errors=True)
+
+    # ---- rolling-7-day WAU at scale (8M events) ----------------------
+    # every user active every day: wau == U on each of the D observed
+    # days; exercises the dedup + sequence-explode + distinct-count
+    # pipeline end to end with a closed-form gate.
+    U_w, D_w = n // 80, 16  # 100k users x 16 days x 5 reps at n=8M
+    wau_dir = tempfile.mkdtemp(prefix="wau_bench_")
+    try:
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(h_us)
+                + ((F.col("id") / U_w).cast("bigint") % D_w)
+                * 86_400_000_000
+            ).alias("ts"),
+            (F.col("id") % U_w).alias("user_id"),
+            F.lit("e").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(wau_dir, "events.parquet")
+        )
+        t0 = time.time()
+        wau_rows = {
+            r["report_day"]: r["wau"]
+            for r in reg.QUERIES["q_wau"](spark, wau_dir).collect()
+        }
+        wau_s = time.time() - t0
+        assert len(wau_rows) == D_w, len(wau_rows)
+        assert all(v == U_w for v in wau_rows.values()), sorted(
+            set(wau_rows.values())
+        )
+    finally:
+        shutil.rmtree(wau_dir, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -921,6 +998,8 @@ def main() -> None:
                 "snapshot_diff_s": round(snapshot_diff_s, 2),
                 "kr_s": round(kr_s, 2),
                 "kr_loci": n_bias,
+                "stream_mv_s": round(mv_s, 2),
+                "wau_s": round(wau_s, 2),
             }
         )
     )
