@@ -342,3 +342,42 @@ def scalable_cummax_exclusive(
         .withColumn(out_col, F.greatest("_local_max", "_off"))
         .drop("_pid", "_local_max", "_off")
     )
+
+
+def rolling_distinct_approx(
+    df,
+    day_col: str,
+    key_col: str,
+    window_days: int = 7,
+    out_col: str = "approx_distinct",
+):
+    """Rolling N-day APPROXIMATE distinct count via mergeable HLL
+    sketches — the 100 TB form of q_wau's exact pipeline.
+
+    COUNT(DISTINCT) doesn't decompose over window frames, and the
+    exact sequence-explode form replicates every (day, key) row N×.
+    Sketches restore decomposability: ONE pass builds a fixed-size
+    (~KB) Datasketches HLL per day (``hll_sketch_agg`` — map-side
+    combined), then the rolling union merges N sketches per day over
+    the BOUNDED day-grain table (``hll_union_agg`` window) and
+    estimates.  Per-day cost at scale: one sketch shuffle of kilobytes
+    instead of N× the key traffic; ±~2% standard error at the default
+    lgConfigK=12.
+
+    Deliberately NOT a registry key: sketch estimates are
+    implementation-defined, so no DuckDB oracle can hash-match them —
+    the pytest gate bounds the error against the exact rolling count
+    instead (tests/test_streaming.py)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    daily = df.groupBy(day_col).agg(
+        F.hll_sketch_agg(key_col).alias("_sk")
+    )
+    w = W.orderBy(day_col).rowsBetween(-(window_days - 1), 0)
+    return daily.select(
+        day_col,
+        F.hll_sketch_estimate(F.hll_union_agg("_sk").over(w))
+        .cast("bigint")
+        .alias(out_col),
+    )

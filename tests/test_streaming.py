@@ -1158,3 +1158,130 @@ def test_agg_stream_sink_crash_and_replay_exact(spark, tmp_path):
         15,
         round(20.0 / 15, 6),
     )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(1, 4),            # user key
+                st.integers(0, 30),           # ts offset (seconds)
+                st.sampled_from([None, 1.0, 2.0, 3.0]),  # value
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_scd2_sink_matches_independent_fold(
+    spark, tmp_path_factory, batches
+):
+    """scd2_stream_sink vs an INDEPENDENT in-order python fold over
+    arbitrary random change logs (random keys, ts collisions, NULLs,
+    stale updates, multi-batch interleavings): per batch, each key's
+    latest non-null change applies iff the value differs and the event
+    time is strictly newer than the open version."""
+    import pandas as pd
+
+    from pfithic_spark.io import read_parquet_atomic
+
+    h = 1_700_000_000_000_000
+    tmp = tmp_path_factory.mktemp("scd2_prop")
+    rows_batches = []
+    eid = 0
+    for b in batches:
+        rows = []
+        for (k, off, val) in b:
+            rows.append((eid, h + off * 1_000_000, k, "set", val, "{}"))
+            eid += 1
+        rows_batches.append(rows)
+    src = _events_dir(tmp, "cdc", rows_batches)
+
+    # independent reference fold (batch granularity, same rules)
+    dim: dict = {}  # k -> list of [val, valid_from, valid_to, is_current]
+    for rows in rows_batches:
+        latest: dict = {}
+        for (e, ts, k, _t, val, _p) in rows:
+            if val is None:
+                continue
+            if k not in latest or (ts, e) > (latest[k][0], latest[k][1]):
+                latest[k] = (ts, e, val)
+        for k, (ts, e, val) in latest.items():
+            if k not in dim:
+                dim[k] = [[val, ts, None, True]]
+            else:
+                cur = dim[k][-1]
+                if cur[0] != val and ts > cur[1]:
+                    cur[2] = ts
+                    cur[3] = False
+                    dim[k].append([val, ts, None, True])
+    want = sorted(
+        (k, v[0], v[1], v[2], v[3])
+        for k, versions in dim.items()
+        for v in versions
+    )
+
+    table = str(tmp / "dim")
+    q = strm.scd2_stream_sink(
+        strm.read_event_stream(spark, src), table, str(tmp / "ck")
+    )
+    q.awaitTermination(180)
+    if not want:
+        try:
+            got_rows = read_parquet_atomic(spark, table).collect()
+        except FileNotFoundError:
+            got_rows = []  # no batch produced any change: no table
+    else:
+        got_rows = read_parquet_atomic(spark, table).collect()
+    got = sorted(
+        (r["k"], r["val"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in got_rows
+    )
+    assert got == want
+
+
+def test_rolling_distinct_approx_tracks_exact(spark, sf_dir):
+    """HLL rolling distinct (the at-scale WAU swap) stays within 5% of
+    the exact sequence-explode rolling count on the events fixture."""
+    from pfithic_spark import windows as winmod
+    from pfithic_spark.io import epoch_us, load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias("day"),
+        "user_id",
+    ).distinct()
+    approx = {
+        r["day"]: r["approx_distinct"]
+        for r in winmod.rolling_distinct_approx(
+            du, "day", "user_id"
+        ).collect()
+    }
+    # exact rolling 7-day distinct via the q_wau explode shape
+    rep = du.select(
+        F.posexplode(
+            F.sequence(F.col("day"), F.col("day") + 6)
+        ).alias("off", "report_day"),
+        "user_id",
+    )
+    exact = {
+        r["report_day"]: r["n"]
+        for r in rep.groupBy("report_day")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.max((F.col("off") == 0).cast("int")).alias("obs"),
+        )
+        .filter("obs = 1")
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for d, n in exact.items():
+        assert abs(approx[d] - n) <= max(3, 0.05 * n), (d, approx[d], n)
