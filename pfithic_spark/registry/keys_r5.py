@@ -1740,3 +1740,94 @@ def q_new_vs_returning(spark, sf_dir):
             "n_returning"
         ),
     )
+
+
+@register(
+    "q_duplicate_rate_report",
+    oracle="""
+WITH h AS (
+  SELECT source, MD5(LOWER(TRIM(text))) AS th FROM documents
+),
+g AS (
+  SELECT source, th, COUNT(*) AS n FROM h GROUP BY source, th
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dupes,
+       ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 9) AS dup_rate
+FROM g GROUP BY source
+""",
+)
+def q_duplicate_rate_report(spark, sf_dir):
+    """Per-source exact-duplicate rate report — the curation KPI that
+    decides where dedup effort goes (a source at 40% dup rate gets a
+    pipeline fix, not just filtering).  One hash projection (16-byte
+    md5 of normalized text — the q_dedup_exact key), one
+    (source, hash) groupBy, one source rollup; document text never
+    shuffles, only hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "source", F.md5(F.lower(F.trim("text"))).alias("th")
+        )
+        .groupBy("source", "th")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_dupes"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n"), 9
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "q_embedding_centroid",
+    oracle="""
+WITH e AS (
+  SELECT label, UNNEST(embedding) AS x,
+         GENERATE_SUBSCRIPTS(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 9)
+                AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS centroid
+FROM e GROUP BY label, dim
+""",
+)
+def q_embedding_centroid(spark, sf_dir):
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the embedding-QA primitive behind drift dashboards and the seed
+    step of k-means-style methods (q_sim_ivf's training shape).
+    posexplode fans vectors to (label, dim, x) and ONE groupBy builds
+    every centroid coordinate; components round(9) before the DECIMAL
+    mean so partition order can't move the result.  At 100 TB the
+    same aggregate runs map-side-combined at (labels × dims)
+    cardinality — no vector ever shuffles whole."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),  # 1-based like SQL
+        F.col("x").cast("double").alias("x"),
+    )
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        # NO final round: the exact-decimal sum, its correctly-rounded
+        # double cast, and the double division are each bit-identical
+        # across engines — a ROUND(…, 9) at the end REINTRODUCES
+        # divergence when the quotient's shortest repr straddles a
+        # .5e-9 tie (Spark rounds the repr, DuckDB multiplies by 1e9;
+        # observed 1-ulp split at sf0.01)
+        (
+            F.sum(F.round(F.col("x"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("centroid"),
+    )
