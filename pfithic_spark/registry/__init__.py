@@ -42,6 +42,7 @@ from .keys_r5 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
     # new in round 5 (§2.15) — no driver row yet
+    "q_join_pit",
     "q_duplicate_rate_report",
     "q_embedding_centroid",
     "q_wau",

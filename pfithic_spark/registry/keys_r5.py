@@ -1831,3 +1831,88 @@ def q_embedding_centroid(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("centroid"),
     )
+
+
+@register(
+    "q_join_pit",
+    oracle="""
+WITH dim AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS valid_from_us,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS valid_to_us
+  FROM events
+),
+probes AS (
+  SELECT event_id AS probe_id, user_id,
+         epoch_us(ts) + 1800000000 AS t_probe
+  FROM events
+)
+SELECT p.probe_id, p.user_id,
+       d.event_id AS version_event_id,
+       d.event_type AS version_type,
+       d.valid_from_us
+FROM probes p
+JOIN dim d
+  ON d.user_id = p.user_id
+ AND p.t_probe >= d.valid_from_us
+ AND (d.valid_to_us IS NULL OR p.t_probe < d.valid_to_us)
+""",
+)
+def q_join_pit(spark, sf_dir):
+    """POINT-IN-TIME join: each probe row joins the dimension VERSION
+    that was valid at its event time — the read side of the SCD2
+    contract (q_scd2_merge writes the versions; this consumes them for
+    leak-free training features and as-of reporting).  Probes are the
+    event stream shifted +30 min, so every probe lands inside exactly
+    one of its user's version intervals (the orders fixture's 1995-era
+    timestamps sit entirely outside the 2024 events timeline and would
+    make the key vacuously empty).
+
+    Versions are half-open [valid_from, valid_to) and non-overlapping
+    per key, so the equi-join on the key plus the interval predicate
+    yields EXACTLY ONE match per probe — no dedup window needed.
+    Physically one shuffle on the key for the version window and one
+    equi-join (the interval test rides the join as a post-condition);
+    at 100 TB, bucket both sides on the key so the join co-locates
+    (q_join_bucketed's lever)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us(ev, "ts").alias("valid_from_us"),
+    )
+    w = W.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+    dim = t.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w).alias("valid_to_us"),
+    )
+    probes = ev.select(
+        F.col("event_id").alias("probe_id"),
+        F.col("user_id").alias("p_user"),
+        (epoch_us(ev, "ts") + 1_800_000_000).alias("t_probe"),
+    )
+    return (
+        probes.join(dim, probes.p_user == dim.user_id)
+        .filter(
+            (F.col("t_probe") >= F.col("valid_from_us"))
+            & (
+                F.col("valid_to_us").isNull()
+                | (F.col("t_probe") < F.col("valid_to_us"))
+            )
+        )
+        .select(
+            "probe_id",
+            "user_id",
+            F.col("event_id").alias("version_event_id"),
+            F.col("event_type").alias("version_type"),
+            "valid_from_us",
+        )
+    )
