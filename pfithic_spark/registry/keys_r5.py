@@ -480,19 +480,34 @@ def q_autocorr(spark, sf_dir):
     )
 
 
+#: Edit-distance blocking: drop any (source, prefix) block larger than
+#: this — the max_df analog for record-linkage.  A block of B rows
+#: costs B²/2 levenshtein comparisons; 1000 bounds that at 5·10⁵ per
+#: block while real fixture blocks top out at 17 rows (sf0.1).  The
+#: oracle applies the identical cap, so the key stays exact whether or
+#: not the cap fires.
+EDIT_DEDUP_MAX_BLOCK = 1000
+
+
 @register(
     "q_edit_distance_dedup",
-    oracle="""
+    oracle=f"""
 WITH k AS (
   SELECT doc_id, source,
          SUBSTR(LOWER(TRIM(text)), 1, 32) AS pfx
   FROM documents
-)
+),
+kb AS (
+  SELECT doc_id, source, pfx, SUBSTR(pfx, 1, 4) AS blk,
+         COUNT(*) OVER (PARTITION BY source, SUBSTR(pfx, 1, 4)) AS bsz
+  FROM k
+),
+f AS (SELECT * FROM kb WHERE bsz <= {EDIT_DEDUP_MAX_BLOCK})
 SELECT a.doc_id AS id1, b.doc_id AS id2,
        CAST(LEVENSHTEIN(a.pfx, b.pfx) AS BIGINT) AS dist
-FROM k a JOIN k b
+FROM f a JOIN f b
   ON a.source = b.source
- AND SUBSTR(a.pfx, 1, 4) = SUBSTR(b.pfx, 1, 4)
+ AND a.blk = b.blk
  AND a.doc_id < b.doc_id
 WHERE LEVENSHTEIN(a.pfx, b.pfx) <= 8
 """,
@@ -503,25 +518,43 @@ def q_edit_distance_dedup(spark, sf_dir):
     within Levenshtein 8 — the classic blocking+comparison shape.  The
     O(L²)-per-pair Levenshtein only ever runs inside blocks (an
     equi-join), never all-pairs; the prefix block is the skew lever,
-    and widening it is the recall/cost dial.  Both engines run their
-    native JVM/C levenshtein — no Python in the loop."""
+    and widening it is the recall/cost dial.
+
+    Hot-block guard: blocks larger than EDIT_DEDUP_MAX_BLOCK are
+    DROPPED before the self-join (the ngram-dedup max_df analog) — a
+    web-boilerplate prefix like ``http`` or ``<!do`` shared by millions
+    of docs would otherwise recreate the O(B²) blow-up inside one
+    partition.  The block-size count rides a window over the SAME
+    (source, blk) hash partitioning the join needs, so the guard adds
+    no extra exchange; oversized blocks are the sorted-neighborhood
+    key's territory (q_dedup_sorted_neighborhood is O(n·w) regardless
+    of block shape).  Gated by a planted hot-prefix 8 M scale row
+    (tools/bench_scalable.py) that completes with bounded candidates
+    and full planted-pair recall.  Both engines run their native JVM/C
+    levenshtein — no Python in the loop."""
     d = load_table(spark, sf_dir, "documents")
     k = d.select(
         "doc_id",
         "source",
         F.substring(F.lower(F.trim("text")), 1, 32).alias("pfx"),
+    ).withColumn("blk", F.substring("pfx", 1, 4))
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("source", "blk")
+    k = k.withColumn("bsz", F.count(F.lit(1)).over(bw)).filter(
+        F.col("bsz") <= EDIT_DEDUP_MAX_BLOCK
     )
     a = k.select(
         F.col("doc_id").alias("id1"),
         F.col("source").alias("src"),
         F.col("pfx").alias("p1"),
-        F.substring("pfx", 1, 4).alias("blk"),
+        "blk",
     )
     b = k.select(
         F.col("doc_id").alias("id2"),
         F.col("source").alias("src"),
         F.col("pfx").alias("p2"),
-        F.substring("pfx", 1, 4).alias("blk"),
+        "blk",
     )
     return (
         a.join(b, ["src", "blk"])
@@ -716,39 +749,43 @@ def q_skew_metrics(spark, sf_dir):
     so the scalar is partition-order-free."""
     li = load_table(spark, sf_dir, "lineitem")
     c = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
-    c = c.persist()  # feeds four branches below
+    c = c.persist()  # feeds both driver actions below
+    # ONE collect for total/n_keys/entropy: the 1-row totals frame
+    # broadcast-cross-joins back onto the key table so the rounded
+    # entropy terms (identical algebra to the oracle) aggregate in the
+    # same pass that surfaces n and n_keys — no separate totals action
     tot = c.agg(
         F.sum("cnt").cast("double").alias("n"),
         F.count(F.lit(1)).alias("n_keys"),
-    ).collect()[0]
-    if tot["n"] is None:  # empty table: no keys, empty profile
+    )
+    term = F.round(
+        (F.col("cnt") / F.col("n")) * F.log(F.col("cnt") / F.col("n")), 9
+    ).cast("decimal(28,9)")
+    stats = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n").alias("n"),
+            F.first("n_keys").alias("n_keys"),
+            F.sum(term).cast("double").alias("neg_h"),
+        )
+        .collect()[0]
+    )
+    if stats["n"] is None:  # empty table: no keys, empty profile
         c.unpersist()
         return spark.createDataFrame(
             [],
             "n_keys long, top1_cnt long, top1_share double, "
             "top10_share double, norm_entropy double",
         )
-    n, n_keys = float(tot["n"]), int(tot["n_keys"])
+    n, n_keys, neg_h = float(stats["n"]), int(stats["n_keys"]), stats["neg_h"]
     # top-10 via orderBy().limit() (TakeOrderedAndProject per-partition
     # heaps) — a global row_number window would single-task the whole
-    # key table at scale
+    # key table at scale; top1 and top10 come out of this ONE collect
     top = (
         c.orderBy(F.col("cnt").desc(), "l_suppkey").limit(10).collect()
     )
     top1 = top[0]["cnt"]
     top10 = sum(t["cnt"] for t in top)
-    neg_h = (
-        c.select(
-            F.round(
-                (F.col("cnt") / F.lit(n)) * F.log(F.col("cnt") / F.lit(n)),
-                9,
-            )
-            .cast("decimal(28,9)")
-            .alias("term")
-        )
-        .agg(F.sum("term").cast("double").alias("s"))
-        .collect()[0]["s"]
-    )
     c.unpersist()
     import math
 
