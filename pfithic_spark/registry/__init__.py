@@ -39,61 +39,11 @@ from .keys_round3 import *  # noqa: F401,F403,E402
 from .keys_lakehouse import *  # noqa: F401,F403,E402
 from .keys_ext import *  # noqa: F401,F403,E402
 from .keys_r5 import *  # noqa: F401,F403,E402
+from .keys_r6 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # new in round 5 (§2.15) — no driver row yet
-    "q_join_pit",
-    "q_duplicate_rate_report",
-    "q_embedding_centroid",
-    "q_wau",
-    "q_new_vs_returning",
-    "q_ewma",
-    "q_mann_whitney",
-    "q_linear_regression",
-    "q_zipf_fit",
-    "q_gini",
-    "q_ks_test",
-    "q_chi_square",
-    "q_graph_degree_dist",
-    "q_burstiness",
-    "q_period_over_period",
-    "q_sample_reservoir",
-    "q_train_test_split",
-    "q_dq_checks",
-    "q_crosstab",
-    "q_corr_matrix",
-    "q_markov_transitions",
-    "q_rolling_median",
-    "q_autocorr",
-    "q_edit_distance_dedup",
-    "q_referential_orphans",
-    "q_dedup_sorted_neighborhood",
-    "q_skew_metrics",
-    "q_vector_norm_stats",
-    "q_incremental_agg",
-    "q_window_cume_dist",
-    "q_quantile_discretize",
-    # code/golden changed in round 5
-    "q_heavy_hitters",
-    "q_triangle_count",
-    "q_graph_bfs",
-    "q_kr_balance",
-    # r02-era driver rows (oldest backlog — VERDICT r4 #4)
-    "q_agg_percentile",
-    "q_array_explode",
-    "q_cap_per_group",
-    "q_contamination",
-    "q_corr_exact",
-    "q_dedup_embedding",
-    "q_dedup_ngram_global",
-    "q_fingerprint",
-    "q_lang_id",
-    "q_mix_sources",
-    "q_multimodal_features",
-    "q_multimodal_frames",
-    "q_multimodal_meta",
-    "q_multimodal_resize",
-    "q_ngram_coverage",
+    # r02-era driver rows — the LAST pre-r3 backlog (VERDICT r5 #1);
+    # all 20 fit in one 50-key sweep
     "q_pack_sequences",
     "q_pii_redact",
     "q_possible_pairs_frag",
@@ -114,7 +64,15 @@ _VERIFY_FIRST = [
     "q_token_count",
     "q_unpivot",
     "q_window_range_frame",
-    # r03-era backlog
+    # new in round 6 (§2.16) — no driver row yet
+    "q_dedup_substring",
+    "q_welch_ttest",
+    "q_benford",
+    "q_iqr_outliers",
+    # code changed in round 6 (hot-block cap; action fold)
+    "q_edit_distance_dedup",
+    "q_skew_metrics",
+    # r03-era backlog (oldest remaining after this sweep)
     "q_agg_approx",
     "q_agg_approx_quantile",
     "q_agg_bin",
