@@ -518,3 +518,35 @@ def test_chi_square_single_scan(spark, sf_dir, queries):
     scan, not one per margin branch."""
     plan = _plan(queries["q_chi_square"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
+
+
+def test_dedup_substring_jvm_side_no_python(spark, sf_dir, queries):
+    """The whole span pipeline (gram build, hash flag, islands) is
+    built-in expressions — no Python eval node may appear, and the
+    only shuffled text is the 32-hex md5, never raw grams."""
+    plan = _plan(queries["q_dedup_substring"](spark, sf_dir))
+    assert "EvalPython" not in plan and "Cartesian" not in plan
+
+
+def test_welch_ttest_single_scan(spark, sf_dir, queries):
+    """Both cohorts' sufficient statistics come out of ONE lineitem
+    scan (conditional aggregates), never a scan per group."""
+    plan = _plan(queries["q_welch_ttest"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2  # tree + detail of ONE scan
+
+
+def test_iqr_outliers_fences_broadcast(spark, sf_dir, queries):
+    """The <=5-row fence table must broadcast back onto the fact scan
+    — a sort-merge join here would shuffle the whole fact table."""
+    plan = _plan(queries["q_iqr_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_edit_distance_block_cap_shares_exchange(spark, sf_dir, queries):
+    """The hot-block-size window rides each join side's own
+    (source, blk) hash partitioning — the cap must not add any shuffle
+    beyond the two the self-join already pays (plus one broadcast).
+    Formatted plans list each node twice, so 3 exchanges = 6 hits."""
+    plan = _plan(queries["q_edit_distance_dedup"](spark, sf_dir))
+    assert plan.count("Exchange") <= 6

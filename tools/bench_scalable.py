@@ -965,6 +965,296 @@ def main() -> None:
     finally:
         shutil.rmtree(wau_dir, ignore_errors=True)
 
+    # ---- edit-distance dedup: planted hot-prefix block ---------------
+    # 50k planted near-dup pairs, each in its OWN base36 4-char block,
+    # plus ~7.9M boilerplate docs ALL sharing the 'http' prefix block.
+    # Without EDIT_DEDUP_MAX_BLOCK the hot block alone contributes
+    # ~3·10^13 intra-block comparisons (identical 32-char prefixes →
+    # none filtered) and the join never finishes; with the cap the hot
+    # block is dropped and EXACTLY the planted pairs survive.
+    P_ed = 50_000
+    ed_dir = tempfile.mkdtemp(prefix="edit_hot_")
+    try:
+        pid = (F.col("id") / 2).cast("long")
+        planted = spark.range(2 * P_ed).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lpad(F.lower(F.conv(pid.cast("string"), 10, 36)), 4, "0"),
+                F.lit(" tail"),
+                pid,
+                F.lit(" m"),
+                (F.col("id") % 2),
+                F.lit(" end filler words"),
+            ).alias("text"),
+        )
+        hot = spark.range(2 * P_ed, n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("http boilerplate terms of service agreement "),
+                F.col("id"),
+            ).alias("text"),
+        )
+        planted.unionByName(hot).select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.lit("web").alias("source"),
+            F.length("text").alias("n_chars"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(ed_dir, "documents.parquet")
+        )
+        t0 = time.time()
+        ed = reg.QUERIES["q_edit_distance_dedup"](spark, ed_dir)
+        n_ed, gmin, gmax, dmax, odd1 = ed.agg(
+            F.count(F.lit(1)),
+            F.min(F.col("id2") - F.col("id1")),
+            F.max(F.col("id2") - F.col("id1")),
+            F.max("dist"),
+            F.sum((F.col("id1") % 2).cast("long")),
+        ).collect()[0]
+        edit_hotblock_s = time.time() - t0
+        assert n_ed == P_ed, (n_ed, P_ed)
+        assert gmin == 1 and gmax == 1, (gmin, gmax)
+        assert dmax == 1 and odd1 == 0, (dmax, odd1)
+    finally:
+        shutil.rmtree(ed_dir, ignore_errors=True)
+
+    # ---- substring-level dedup: planted repeated spans at 8M tokens --
+    # 160k docs × 50 tokens.  5k doc pairs share a private 10-token
+    # span (positions 20–29); EVERY doc carries the same boilerplate
+    # 8-token span (40–47) — the df=160k hot anchor that proves the
+    # min/max cross-doc flag needs no posting list.  All other tokens
+    # are globally unique.  Closed form: planted docs cover 10+8=18
+    # dup tokens in 2 spans; everyone else exactly 8 in 1.
+    N_SS, PP = 160_000, 5_000
+    ss_dir = tempfile.mkdtemp(prefix="substr_")
+    try:
+        toks = []
+        for j in range(50):
+            base = F.concat(F.lit("t"), F.col("id"), F.lit(f"x{j}"))
+            if 40 <= j <= 47:
+                toks.append(F.lit(f"b{j}"))
+            elif 20 <= j <= 29:
+                toks.append(
+                    F.when(
+                        F.col("id") < 2 * PP,
+                        F.concat(
+                            F.lit("s"),
+                            (F.col("id") / 2).cast("long"),
+                            F.lit(f"_{j}"),
+                        ),
+                    ).otherwise(base)
+                )
+            else:
+                toks.append(base)
+        spark.range(N_SS).select(
+            F.col("id").alias("doc_id"),
+            F.array_join(F.array(*toks), " ").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("web").alias("source"),
+            F.lit(0).alias("n_chars"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(ss_dir, "documents.parquet")
+        )
+        t0 = time.time()
+        ss = reg.QUERIES["q_dedup_substring"](spark, ss_dir)
+        agg = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    (F.col("doc_id") < 2 * PP)
+                    & (F.col("dup_tokens") == 18)
+                    & (F.col("n_spans") == 2)
+                ).cast("long")
+            ).alias("ok_planted"),
+            F.sum(
+                (
+                    (F.col("doc_id") >= 2 * PP)
+                    & (F.col("dup_tokens") == 8)
+                    & (F.col("n_spans") == 1)
+                ).cast("long")
+            ).alias("ok_rest"),
+        ).collect()[0]
+        substring_s = time.time() - t0
+        assert agg["n"] == N_SS, agg
+        assert agg["ok_planted"] == 2 * PP, agg
+        assert agg["ok_rest"] == N_SS - 2 * PP, agg
+    finally:
+        shutil.rmtree(ss_dir, ignore_errors=True)
+
+    # ---- point-in-time join: 8M facts × 200k-user versioned dim ------
+    # hourly versions per user; probes shift +30 min, so every probe
+    # must match its OWN originating version — an n-row closed form.
+    U_pit = 200_000
+    pit_dir = tempfile.mkdtemp(prefix="pit_")
+    try:
+        spark.range(n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(h_us)
+                + (F.col("id") / U_pit).cast("bigint") * 3_600_000_000
+            ).alias("ts"),
+            (F.col("id") % U_pit).alias("user_id"),
+            F.concat(F.lit("t"), F.col("id") % 5).alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(pit_dir, "events.parquet")
+        )
+        t0 = time.time()
+        pit = reg.QUERIES["q_join_pit"](spark, pit_dir)
+        n_pit, n_self = pit.agg(
+            F.count(F.lit(1)),
+            F.sum(
+                (F.col("version_event_id") == F.col("probe_id")).cast("long")
+            ),
+        ).collect()[0]
+        join_pit_s = time.time() - t0
+        assert n_pit == n and n_self == n, (n_pit, n_self, n)
+    finally:
+        shutil.rmtree(pit_dir, ignore_errors=True)
+
+    # ---- corr matrix / quantile discretize: 8M-row lineitem ----------
+    # l_extendedprice = 2·l_quantity + 5 (corr exactly +1);
+    # l_discount cycles on the orthogonal grid axis (corr exactly 0
+    # over complete 1000×1000 grids — n must stay a multiple of 1e6).
+    cm_dir = tempfile.mkdtemp(prefix="cm_")
+    try:
+        x = (F.col("id") % 1000).cast("double")
+        y = ((F.col("id") / 1000).cast("bigint") % 1000).cast("double")
+        spark.range(n).select(
+            F.col("id").alias("l_orderkey"),
+            (F.col("id") % 7).cast("int").alias("l_linenumber"),
+            x.alias("l_quantity"),
+            (x * 2.0 + 5.0).alias("l_extendedprice"),
+            y.alias("l_discount"),
+            F.lit(0.0).alias("l_tax"),
+            F.concat(F.lit("g"), F.col("id") % 8).alias("l_returnflag"),
+            F.lit("O").alias("l_linestatus"),
+            F.timestamp_micros(F.lit(h_us)).alias("l_shipdate"),
+            F.lit(0).alias("l_partkey"),
+            F.lit(0).alias("l_suppkey"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(cm_dir, "lineitem.parquet")
+        )
+        t0 = time.time()
+        cm = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in reg.QUERIES["q_corr_matrix"](spark, cm_dir).collect()
+        }
+        corr_matrix_s = time.time() - t0
+        assert cm[("l_quantity", "l_extendedprice")] == 1.0, cm
+        assert cm[("l_quantity", "l_discount")] == 0.0, cm
+        assert cm[("l_extendedprice", "l_discount")] == 0.0, cm
+
+        # exact ntile deciles: 8 groups × 1M rows → 100k per bucket
+        t0 = time.time()
+        qd = reg.QUERIES["q_quantile_discretize"](spark, cm_dir)
+        sizes = [r["n"] for r in qd.collect()]
+        qdisc_exact_s = time.time() - t0
+        assert len(sizes) == 80 and all(s == n // 80 for s in sizes), (
+            len(sizes),
+            sorted(set(sizes)),
+        )
+
+        # the documented 100 TB swap: approx_percentile edges (one
+        # mergeable-sketch agg) + broadcast bucketize — no per-group
+        # single-task sort.  Gate: every bucket within 5% of n/80.
+        t0 = time.time()
+        li = spark.read.parquet(os.path.join(cm_dir, "lineitem.parquet"))
+        edges = li.groupBy("l_returnflag").agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, "
+                "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9), 10000)"
+            ).alias("e")
+        )
+        j = li.select("l_returnflag", "l_extendedprice").join(
+            F.broadcast(edges), "l_returnflag"
+        )
+        bucket = F.lit(1)
+        for i in range(9):
+            bucket = bucket + (
+                F.col("l_extendedprice") > F.col("e")[i]
+            ).cast("int")
+        ap = (
+            j.select("l_returnflag", bucket.alias("bucket"))
+            .groupBy("l_returnflag", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        qdisc_approx_s = time.time() - t0
+        tgt = n // 80
+        assert all(abs(r["n"] - tgt) <= tgt * 0.05 for r in ap), sorted(
+            (r["n"] for r in ap)
+        )[:5]
+    finally:
+        shutil.rmtree(cm_dir, ignore_errors=True)
+
+    # ---- IVF index at 8M embeddings: build + pruned probe + recall ---
+    # queries are 2× copies of planted corpus vectors (cosine is scale
+    # invariant and doubling is exact in binary floating point), so
+    # each query's true nearest neighbor is its planted source with
+    # cosine exactly 1.0 after round(6) — recall is closed-form gated.
+    DIM, KC, NQ = 16, 64, 32
+    ivf_dir = tempfile.mkdtemp(prefix="ivf8m_") + "/index"
+    try:
+        # per-dim DISTINCT prime moduli: the joint period is their
+        # product (~10^53), so no two corpus ids share a vector — a
+        # shared modulus would repeat vectors with that period and
+        # break the unique-nearest-neighbor gate
+        comps = [
+            (
+                ((F.col("id") * p + o) % m).cast("double") / 1000.0
+                - 1.0
+            ).cast("float")
+            for (p, o), m in zip(
+                [
+                    (7919, 13), (104729, 101), (1299709, 57),
+                    (15485863, 7), (32452843, 19), (49979687, 3),
+                    (67867967, 29), (86028121, 5), (2750159, 11),
+                    (4256233, 23), (5800079, 31), (7368787, 37),
+                    (8960453, 41), (10570841, 43), (12195257, 47),
+                    (13834103, 53),
+                ],
+                [
+                    1999, 2003, 2011, 2017, 2027, 2029, 2039, 2053,
+                    2063, 2069, 2081, 2083, 2087, 2089, 2099, 2111,
+                ],
+            )
+        ]
+        corpus = spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+        planted_ids = [jj * (n // NQ) + 17 for jj in range(NQ)]
+        queries = (
+            corpus.filter(F.col("vec_id").isin(planted_ids))
+            .select(
+                (F.col("vec_id") + n).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda v: (v * F.lit(2.0)).cast("float")
+                ).alias("embedding"),
+            )
+        )
+        cents = llmops.ivf_train_centroids(corpus, k=KC)
+        t0 = time.time()
+        llmops.ivf_write_index(corpus, cents, ivf_dir)
+        ivf_build_s = time.time() - t0
+        t0 = time.time()
+        top = llmops.ivf_topk_pruned(
+            spark, ivf_dir, queries, cents, k=10, nprobe=4
+        )
+        top1 = {
+            r["q_id"] - n: (r["e_id"], r["cosine"])
+            for r in top.filter(F.col("rn") == 1).collect()
+        }
+        ivf_probe_s = time.time() - t0
+        assert len(top1) == NQ, len(top1)
+        for jj, pid_ in enumerate(planted_ids):
+            got = top1[pid_]
+            assert got == (pid_, 1.0), (jj, pid_, got)
+    finally:
+        shutil.rmtree(os.path.dirname(ivf_dir), ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -1000,6 +1290,15 @@ def main() -> None:
                 "kr_loci": n_bias,
                 "stream_mv_s": round(mv_s, 2),
                 "wau_s": round(wau_s, 2),
+                "edit_hotblock_s": round(edit_hotblock_s, 2),
+                "edit_hotblock_pairs": int(n_ed),
+                "substring_s": round(substring_s, 2),
+                "join_pit_s": round(join_pit_s, 2),
+                "corr_matrix_s": round(corr_matrix_s, 2),
+                "qdisc_exact_s": round(qdisc_exact_s, 2),
+                "qdisc_approx_s": round(qdisc_approx_s, 2),
+                "ivf_build_s": round(ivf_build_s, 2),
+                "ivf_probe_s": round(ivf_probe_s, 2),
             }
         )
     )

@@ -32,6 +32,13 @@ PICKS = {
         "sorts only), lead()x2 candidates, JVM array_intersect "
         "scoring."
     ),
+    "q_dedup_substring": (
+        "Substring-span dedup: gram build is posexplode + lead "
+        "windows (whole-stage codegen, no Python anywhere); only "
+        "16-byte md5 hashes shuffle; the cross-doc flag is a "
+        "map-side-combinable min/max per hash (no posting lists); "
+        "span merge is a per-doc bounded gaps-and-islands window."
+    ),
     "q_agg_group": (
         "Flagship grouped aggregation: note the partial/final "
         "HashAggregate pair around a single hash Exchange, and the "
