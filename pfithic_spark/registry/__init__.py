@@ -69,6 +69,8 @@ _VERIFY_FIRST = [
     "q_welch_ttest",
     "q_benford",
     "q_iqr_outliers",
+    "q_dow_profile",
+    "q_source_vocab_overlap",
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",

@@ -415,3 +415,142 @@ def q_iqr_outliers(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "q_dow_profile",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         DATE_PART('dow', o_orderdate) AS dow,
+         CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1, 2
+),
+p AS (
+  SELECT CAST(dow AS BIGINT) AS dow, COUNT(*) AS n_days,
+         CAST(SUM(rev) AS DECIMAL(28,2)) AS total_rev
+  FROM d GROUP BY dow
+),
+t AS (SELECT CAST(SUM(total_rev) AS DOUBLE) AS g FROM p)
+SELECT p.dow, p.n_days,
+       ROUND(CAST(p.total_rev AS DOUBLE) / p.n_days, 4)
+         AS avg_daily_rev,
+       ROUND(CAST(p.total_rev AS DOUBLE) / t.g, 9) AS share
+FROM p CROSS JOIN t
+""",
+)
+def q_dow_profile(spark, sf_dir):
+    """Day-of-week seasonality profile of revenue — the weekly-cycle
+    screen behind staffing/capacity models.  Two-level aggregation:
+    the day grain collapses first (the only big shuffle), then the
+    bounded <=7-row dow table derives averages and shares with a
+    broadcast total.  dow is 0=Sunday on BOTH engines (Spark
+    dayofweek() is 1-based Sunday, minus 1; DuckDB DATE_PART('dow')
+    is 0-based Sunday).  Revenue sums are DECIMAL end to end — the
+    day AND dow levels both aggregate order-free."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    ).agg(
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    p = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rev").cast("decimal(28,2)").alias("total_rev"),
+    )
+    t = p.agg(F.sum("total_rev").cast("double").alias("g"))
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "dow",
+            "n_days",
+            # round(4), not round(9): the quotient's magnitude is
+            # ~1e6, and 9 decimals there is 16 significant digits —
+            # past double's shortest-repr boundary, where Spark's
+            # BigDecimal-via-toString ROUND and DuckDB's exact-binary
+            # ROUND can split by one ulp (FIXTURES §8.13 family)
+            F.round(
+                F.col("total_rev").cast("double") / F.col("n_days"), 4
+            ).alias("avg_daily_rev"),
+            F.round(
+                F.col("total_rev").cast("double") / F.col("g"), 9
+            ).alias("share"),
+        )
+    )
+
+
+@register(
+    "q_source_vocab_overlap",
+    oracle="""
+WITH st AS (
+  SELECT DISTINCT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+  FROM documents
+),
+sz AS (SELECT source, COUNT(*) AS nv FROM st GROUP BY source),
+inter AS (
+  SELECT a.source AS src1, b.source AS src2, COUNT(*) AS ni
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src1, i.src2,
+       CAST(sa.nv AS BIGINT) AS nv1, CAST(sb.nv AS BIGINT) AS nv2,
+       CAST(i.ni AS BIGINT) AS n_common,
+       ROUND(CAST(i.ni AS DOUBLE) / (sa.nv + sb.nv - i.ni), 9)
+         AS jaccard
+FROM inter i
+JOIN sz sa ON sa.source = i.src1
+JOIN sz sb ON sb.source = i.src2
+""",
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between corpus sources — the
+    source-mix diagnostic (near-identical vocabularies flag mirrored
+    crawls; disjoint ones flag domain shift).  Inverted-index shape at
+    SOURCE grain: distinct (source, token) first (the only corpus-size
+    shuffle), then a token-keyed self-join whose per-token fan-out is
+    bounded by the SOURCE COUNT (<= C(S,2) pairs per token — a token
+    lives in at most S sources after the distinct), so no hot-token
+    blow-up is possible no matter how common the token; the bounded
+    pair/size tables broadcast for the final closed form."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a = st.select(F.col("source").alias("src1"), "tok")
+    b = st.select(F.col("source").alias("src2"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sz.select(
+        F.col("source").alias("src1"), F.col("nv").alias("nv1")
+    )
+    sb = sz.select(
+        F.col("source").alias("src2"), F.col("nv").alias("nv2")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src1")
+        .join(F.broadcast(sb), "src2")
+        .select(
+            "src1",
+            "src2",
+            "nv1",
+            "nv2",
+            F.col("ni").alias("n_common"),
+            F.round(
+                F.col("ni").cast("double")
+                / (F.col("nv1") + F.col("nv2") - F.col("ni")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
