@@ -71,6 +71,15 @@ _VERIFY_FIRST = [
     "q_iqr_outliers",
     "q_dow_profile",
     "q_source_vocab_overlap",
+    # §2.17 warehouse-analytics breadth — new in round 6
+    "q_star_agg",
+    "q_hhi_concentration",
+    "q_cramers_v",
+    "q_anova_f",
+    "q_assoc_rules",
+    "q_cusum_changepoint",
+    "q_rolling_corr",
+    "q_seasonal_decompose",
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",

@@ -23,6 +23,12 @@ from ._core import (  # noqa: F401
 #: so the same shape is exercised at k=8).
 SUBSTR_K = 8
 
+#: q_assoc_rules basket-size cap — baskets larger than this are
+#: dropped before pair generation (C(64,2) = 2016 pairs max per
+#: basket; a 100k-item mega-basket would otherwise fan out 5e9 pairs
+#: inside one join group).
+ASSOC_MAX_BASKET = 64
+
 
 @register(
     "q_dedup_substring",
@@ -553,4 +559,724 @@ def q_source_vocab_overlap(spark, sf_dir):
                 9,
             ).alias("jaccard"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.17 — warehouse-analytics breadth (round-6 continuation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_star_agg",
+    oracle="""
+SELECT r.r_name, CAST(YEAR(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name, YEAR(o.o_orderdate)
+""",
+)
+def q_star_agg(spark, sf_dir):
+    """Star-schema flatten + rollup (the TPC-H Q5 shape): discounted
+    revenue by region x order-year across the full dimension chain
+    lineitem > orders > customer > nation > region.  The ONLY big
+    exchange is the fact-fact lineitem><orders shuffle on orderkey;
+    customer/nation/region are explicitly broadcast so the dimension
+    chain adds zero exchanges (plan-gated).  At 100 TB customer stops
+    being broadcastable -- the documented swap is a shuffle join on
+    custkey (or bucketing both sides), which adds exactly one
+    exchange; the broadcast chain for nation/region never changes.
+
+    Determinism: price*(1-discount) has exact 4-dp values, so
+    ROUND(.,2) half-cent ties are REACHABLE and the engines' ROUND
+    split (§8.13 family — observed at both fixture scales).  Instead
+    revenue is computed in exact INTEGER 1e-4-dollar units
+    (cents x (100 - discount%), both factors recovered exactly from
+    the 2-dp doubles), BIGINT-summed order-free, with ONE double
+    division at the end left unrounded.  Unit sums stay under 2^53
+    through the 8 M-row scale (~1e9/row x 8M rows spread over ~35
+    groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    units = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            "r_name",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            (F.sum(units).cast("double") / 10000).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_hhi_concentration",
+    oracle="""
+WITH rv AS (
+  SELECT n.n_name, s.s_suppkey,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+           AS BIGINT) AS ru
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name, s.s_suppkey
+),
+m AS (
+  SELECT n_name, s_suppkey, ru,
+         CAST(SUM(ru) OVER (PARTITION BY n_name) AS DOUBLE) AS tot,
+         ROW_NUMBER() OVER (PARTITION BY n_name
+                            ORDER BY ru DESC, s_suppkey) AS rnk
+  FROM rv
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ru AS DECIMAL(19,0)) * CAST(ru AS DECIMAL(19,0)))
+            AS DOUBLE) * 10000 / (MAX(tot) * MAX(tot)) AS hhi,
+       CAST(SUM(CASE WHEN rnk <= 4 THEN ru END) AS DOUBLE) / MAX(tot)
+         AS cr4
+FROM m
+GROUP BY n_name
+""",
+)
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman revenue-concentration index + CR4
+    (top-4 concentration ratio) of suppliers within each nation --
+    the market-concentration screen.  One fact scan collapses to
+    (nation, supplier) grain (the only corpus-size shuffle; supplier
+    and nation broadcast); the HHI/CR4 algebra runs on that bounded
+    table via margin windows, per the q_chi_square one-chain
+    discipline (branching would rescan the fact).
+
+    Determinism: revenue is exact INTEGER 1e-4-dollar units (the
+    q_star_agg form -- rounded quotient shares hit reachable 9th-
+    decimal ties, observed at sf0.01).  HHI = 1e4 * sum(ru^2)/tot^2
+    with ru^2 exact in DECIMAL(18,0)^2 (ru <= ~1e15 at the 8 M
+    scale, so ru^2 fits the 37-digit product type) and tot^2 /
+    divisions left to identical IEEE doubles, unrounded.  CR4 sums
+    the top-4 ru as integers with ONE final division.  Rank ties
+    break on s_suppkey."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    units = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    rv = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(units).alias("ru"))
+    )
+    m = rv.select(
+        "n_name",
+        "s_suppkey",
+        "ru",
+        F.sum("ru")
+        .over(W.partitionBy("n_name"))
+        .cast("double")
+        .alias("tot"),
+        F.row_number()
+        .over(W.partitionBy("n_name").orderBy(F.desc("ru"), "s_suppkey"))
+        .alias("rnk"),
+    )
+    ru_dec = F.col("ru").cast("decimal(18,0)")
+    return m.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (
+            F.sum(ru_dec * ru_dec).cast("double")
+            * 10000
+            / (F.max("tot") * F.max("tot"))
+        ).alias("hhi"),
+        (
+            F.sum(F.when(F.col("rnk") <= 4, F.col("ru"))).cast("double")
+            / F.max("tot")
+        ).alias("cr4"),
+    )
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+WITH o AS (
+  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+         COUNT(*) AS obs
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+),
+m AS (
+  SELECT seg, pri, obs,
+         SUM(obs) OVER (PARTITION BY seg) AS r,
+         SUM(obs) OVER (PARTITION BY pri) AS c,
+         SUM(obs) OVER () AS n
+  FROM o
+),
+a AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(
+           CAST(obs * n - r * c AS DOUBLE)
+           * CAST(obs * n - r * c AS DOUBLE)
+           / (CAST(n AS DOUBLE) * r * c), 9) AS DECIMAL(28,9)))
+         AS DOUBLE), 6) AS chi2,
+         CAST(COUNT(DISTINCT seg) AS BIGINT) AS r_levels,
+         CAST(COUNT(DISTINCT pri) AS BIGINT) AS c_levels,
+         CAST(MAX(n) AS BIGINT) AS n
+  FROM m
+  HAVING COUNT(*) > 0
+)
+SELECT r_levels, c_levels, n, chi2,
+       ROUND(SQRT(chi2 / (n * LEAST(r_levels - 1, c_levels - 1))), 9)
+         AS cramers_v
+FROM a
+""",
+)
+def q_cramers_v(spark, sf_dir):
+    """Cramer's V association strength between customer market
+    segment and order priority -- the normalized effect size on top
+    of q_chi_square's statistic (chi2 alone grows with n; V in [0,1]
+    is comparable across table sizes).  Same one-chain discipline:
+    one join + one groupBy to the bounded 5x5 crosstab, margins as
+    windows over it, cell terms round(9)-then-DECIMAL summed.  V is
+    derived FROM THE ROUNDED chi2 (both engines start from the
+    identical 6-dp value, so the sqrt is bit-identical); customer
+    broadcasts at fixture scale -- the 100 TB swap is a shuffle join
+    on custkey, nothing downstream changes."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ct = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    m = ct.select(
+        "seg",
+        "pri",
+        "obs",
+        F.sum("obs").over(W.partitionBy("seg")).alias("r"),
+        F.sum("obs").over(W.partitionBy("pri")).alias("c"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    diff = (
+        F.col("obs") * F.col("n") - F.col("r") * F.col("c")
+    ).cast("double")
+    a = m.agg(
+        F.round(
+            F.sum(
+                F.round(
+                    diff
+                    * diff
+                    / (
+                        F.col("n").cast("double")
+                        * F.col("r")
+                        * F.col("c")
+                    ),
+                    9,
+                ).cast("decimal(28,9)")
+            ).cast("double"),
+            6,
+        ).alias("chi2"),
+        F.countDistinct("seg").alias("r_levels"),
+        F.countDistinct("pri").alias("c_levels"),
+        F.max("n").alias("n"),
+    )
+    return a.select(
+        "r_levels",
+        "c_levels",
+        "n",
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * F.least(
+                        F.col("r_levels") - 1, F.col("c_levels") - 1
+                    )
+                )
+            ),
+            9,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*) AS n_g,
+         CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s_g,
+         CAST(SUM(CAST(ROUND(o_totalprice * o_totalprice, 2)
+                  AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS q_g
+  FROM orders GROUP BY o_orderpriority
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS DOUBLE) AS s,
+         CAST(SUM(q_g) AS DOUBLE) AS q,
+         CAST(SUM(CAST(ROUND(
+             CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, -2)
+           AS DECIMAL(38,2))) AS DOUBLE) AS t
+  FROM g
+)
+SELECT k, n,
+       ROUND((t - s * s / n) / (k - 1)
+             / ((q - t) / (n - k)), 6) AS f_stat,
+       ROUND((t - s * s / n) / (q - s * s / n), 9) AS eta_sq
+FROM a
+""",
+)
+def q_anova_f(spark, sf_dir):
+    """One-way ANOVA F statistic (+ eta-squared effect size) of order
+    value across order priorities -- the k-group generalization of
+    q_welch_ttest.  ONE fact scan to per-group sufficient sums
+    (n, S, Q; map-side combinable DECIMAL), then closed forms on the
+    bounded k-row table: SSB = T - S^2/N, SSW = Q - T with
+    T = sum_g S_g^2/n_g.  The cross-group sum of T's double terms is
+    made order-free by round(term, -2)-then-DECIMAL (terms reach
+    ~6e14: 15 sig digits at scale -2, inside the §8.14 boundary;
+    the 1e-13 relative loss is 1e5x below f_stat's 6-dp round).
+    eta_sq <= 1 takes round(9)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("s_g"),
+        F.sum(
+            F.round(
+                F.col("o_totalprice") * F.col("o_totalprice"), 2
+            ).cast("decimal(28,2)")
+        )
+        .cast("decimal(38,2)")
+        .alias("q_g"),
+    )
+    sd = F.col("s_g").cast("double")
+    a = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").cast("double").alias("s"),
+        F.sum("q_g").cast("double").alias("q"),
+        F.sum(
+            F.round(sd * sd / F.col("n_g"), -2).cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("t"),
+    )
+    ssb = F.col("t") - F.col("s") * F.col("s") / F.col("n")
+    sst = F.col("q") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("t")
+    return a.select(
+        "k",
+        "n",
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(ssb / sst, 9).alias("eta_sq"),
+    )
+
+
+@register(
+    "q_assoc_rules",
+    oracle="""
+WITH b0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ok AS (SELECT l_orderkey FROM b0 GROUP BY l_orderkey
+       HAVING COUNT(*) <= 64),
+b AS (SELECT b0.* FROM b0 JOIN ok USING (l_orderkey)),
+ic AS (SELECT l_partkey, COUNT(*) AS cnt FROM b GROUP BY l_partkey),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+p AS (
+  SELECT a.l_partkey AS pa, b2.l_partkey AS pb, COUNT(*) AS support
+  FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                    AND a.l_partkey < b2.l_partkey
+  GROUP BY a.l_partkey, b2.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.pa, p.pb, CAST(p.support AS BIGINT) AS support,
+       CAST(ia.cnt AS BIGINT) AS supp_a, CAST(ib.cnt AS BIGINT) AS supp_b,
+       CAST(nb.n AS BIGINT) AS n_baskets,
+       CAST(p.support AS DOUBLE) / ia.cnt AS conf_ab,
+       CAST(p.support AS DOUBLE) / ib.cnt AS conf_ba,
+       CAST(p.support * nb.n AS DOUBLE) / (ia.cnt * ib.cnt) AS lift
+FROM p
+JOIN ic ia ON ia.l_partkey = p.pa
+JOIN ic ib ON ib.l_partkey = p.pb
+CROSS JOIN nb
+ORDER BY support DESC, pa, pb
+LIMIT 100
+""",
+)
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: top-100
+    part pairs by co-occurrence support with confidence (both
+    directions) and lift -- the recommender / cross-sell primitive.
+    Pair generation is a self-join on the basket key whose fan-out is
+    bounded by basket size (C(B,2) per order; TPC-H baskets are <=13
+    items) AND capped: baskets over ASSOC_MAX_BASKET=64 items are
+    dropped up front (the max_df analog — a degenerate mega-basket
+    would fan out C(B,2) pairs inside one join group; the planted
+    100k-item-basket scale row proves the cap bounds the join), and
+    min-support pruning drops singleton pairs before the margin
+    joins.  The distinct basket table branches three ways
+    (pairs / item counts / basket count) so it is persisted once
+    (triangle/pagerank discipline).  Confidence and lift are single
+    divisions of exact integers, left unrounded; top-100 runs as
+    TakeOrderedAndProject under the full integer tie-break
+    (support desc, pa, pb)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b0 = li.select("l_orderkey", "l_partkey").distinct()
+    # hot-basket cap (the max_df analog; VERDICT r5 on uncapped
+    # quadratic blocks): a degenerate mega-basket of B items fans out
+    # C(B,2) pairs inside one join group — cap at 64 items (C(64,2)
+    # = 2016 pairs) and DROP oversized baskets, mirrored in the
+    # oracle.  The size pre-count is a map-side-combinable agg over
+    # the persisted basket table; the planted 100k-item-basket scale
+    # row in tools/bench_scalable.py proves the cap bounds the join.
+    ok = (
+        b0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= ASSOC_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    b = b0.join(ok, "l_orderkey", "left_semi").persist()
+    try:
+        ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+        nb = b.agg(
+            F.countDistinct("l_orderkey").alias("n_baskets")
+        )
+        a = b.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+        )
+        b2 = b.select(
+            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+        )
+        p = (
+            a.join(b2, "k")
+            .filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 2)
+        )
+        ia = F.broadcast(
+            ic.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("supp_a"))
+        )
+        ib = F.broadcast(
+            ic.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("supp_b"))
+        )
+        out = (
+            p.join(ia, "pa")
+            .join(ib, "pb")
+            .crossJoin(F.broadcast(nb))
+            .select(
+                "pa",
+                "pb",
+                "support",
+                "supp_a",
+                "supp_b",
+                "n_baskets",
+                (F.col("support").cast("double") / F.col("supp_a")).alias(
+                    "conf_ab"
+                ),
+                (F.col("support").cast("double") / F.col("supp_b")).alias(
+                    "conf_ba"
+                ),
+                (
+                    (F.col("support") * F.col("n_baskets")).cast("double")
+                    / (F.col("supp_a") * F.col("supp_b"))
+                ).alias("lift"),
+            )
+            .orderBy(F.desc("support"), "pa", "pb")
+            .limit(100)
+        )
+        # bounded (<=100 rows): eager localCheckpoint materializes the
+        # result while b is still cached, so the unpersist below can't
+        # force a 3x recompute of the basket scan (triangle/pagerank
+        # persist discipline)
+        out = out.localCheckpoint(eager=True)
+    finally:
+        b.unpersist()
+    return out
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+WITH d AS (
+  SELECT o_orderpriority AS grp, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT grp, day, c,
+         SUM(c) OVER (PARTITION BY grp ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS t,
+         SUM(c) OVER (PARTITION BY grp) AS s,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM d
+),
+dev AS (
+  SELECT grp, day, n,
+         ABS(CAST(n AS BIGINT) * cum - CAST(t AS BIGINT) * s) AS a,
+         ROW_NUMBER() OVER (PARTITION BY grp
+             ORDER BY ABS(CAST(n AS BIGINT) * cum
+                          - CAST(t AS BIGINT) * s) DESC, day) AS r
+  FROM w
+)
+SELECT grp, STRFTIME(day, '%Y-%m-%d') AS cp_day,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * 100) AS cusum_abs
+FROM dev WHERE r = 1
+""",
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint estimate per order-priority series: the day
+    maximizing |cumulative deviation from the series mean| of daily
+    revenue -- the level-shift detector behind drift monitoring.
+    The statistic is EXACT INTEGER algebra end to end:
+    n*CUSUM_t = n*cumsum_t - t*S avoids the mean division inside the
+    scan (the q_ks_test trick), so the argmax is bit-deterministic;
+    ONE double division at the end converts to dollars, unrounded.
+    One fact scan collapses to (priority, day) grain (map-side
+    combinable); every window runs on that bounded table, partitioned
+    by series.  Argmax ties break on earliest day."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(cents).alias("c"))
+    wo = W.partitionBy("grp").orderBy("day")
+    wf = W.partitionBy("grp")
+    w = d.select(
+        "grp",
+        "day",
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("c").over(wf).alias("s"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    )
+    a = F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("s"))
+    dev = w.select(
+        "grp",
+        "day",
+        "n",
+        a.alias("a"),
+        F.row_number()
+        .over(W.partitionBy("grp").orderBy(a.desc(), "day"))
+        .alias("r"),
+    )
+    return dev.filter(F.col("r") == 1).select(
+        "grp",
+        F.date_format("day", "yyyy-MM-dd").alias("cp_day"),
+        F.col("n").alias("n_days"),
+        (
+            F.col("a").cast("double") / (F.col("n").cast("double") * 100)
+        ).alias("cusum_abs"),
+    )
+
+
+@register(
+    "q_rolling_corr",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day,
+         COUNT(*) OVER tw AS n,
+         SUM(x) OVER tw AS sx,
+         SUM(y) OVER tw AS sy,
+         SUM(x * x) OVER tw AS sxx,
+         SUM(x * y) OVER tw AS sxy,
+         SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+           OVER tw AS syy
+  FROM d
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+       CASE WHEN CAST(n AS BIGINT) * sxx - sx * sx > 0
+             AND CAST(28 AS DECIMAL(19,0)) * syy
+                 - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                 > 0
+            THEN CAST(CAST(n AS BIGINT) * sxy - sx * sy AS DOUBLE)
+                 / SQRT(CAST(CAST(n AS BIGINT) * sxx - sx * sx AS DOUBLE)
+                        * CAST(CAST(28 AS DECIMAL(19,0)) * syy
+                          - CAST(sy AS DECIMAL(19,0))
+                            * CAST(sy AS DECIMAL(19,0)) AS DOUBLE))
+            END AS corr_28d
+FROM w WHERE n = 28
+""",
+)
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-28-day rolling Pearson correlation between daily order
+    count and daily revenue — the co-movement monitor behind
+    mix-shift alerts (volume up while revenue flat = smaller orders).
+    Sufficient stats (n, Σx, Σy, Σx², Σxy, Σy²) accumulate EXACTLY in
+    the window: counts/cross-terms in BIGINT, Σy² in DECIMAL(19)²
+    (y is integer cents, so y² at the 8 M scale overflows int64 but
+    fits the 38-digit decimal product).  corr's num/den convert to
+    double once, one division + sqrt, unrounded — identical IEEE on
+    both engines.  One fact scan to day grain; the window runs on the
+    bounded (~2.4k-row) day table — at 100 TB the day grain is still
+    bounded, so the single-partition window is fine by construction.
+    Rows without a full 28-day history are excluded; zero-variance
+    windows yield NULL."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"), F.sum(cents).alias("y")
+    )
+    tw = W.orderBy("day").rowsBetween(-27, 0)
+    ydec = F.col("y").cast("decimal(19,0)")
+    w = d.select(
+        "day",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("x").over(tw).alias("sx"),
+        F.sum("y").over(tw).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(tw).alias("sxy"),
+        F.sum(ydec * ydec).over(tw).alias("syy"),
+    )
+    den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    sydec = F.col("sy").cast("decimal(19,0)")
+    den2 = F.lit(28).cast("decimal(19,0)") * F.col("syy") - sydec * sydec
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return w.filter(F.col("n") == 28).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(
+            (den1 > 0) & (den2 > 0),
+            num.cast("double")
+            / F.sqrt(den1.cast("double") * den2.cast("double")),
+        ).alias("corr_28d"),
+    )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         DATE_PART('dow', o_orderdate) AS dow,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT day, CAST(dow AS BIGINT) AS dow, c,
+         SUM(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS s7,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         COUNT(*) OVER () AS nd
+  FROM d
+),
+inner_days AS (
+  SELECT day, dow, c, s7, 7 * c - s7 AS det
+  FROM w WHERE rn >= 4 AND rn <= nd - 3
+),
+seas AS (
+  SELECT day, dow, c, s7, det,
+         SUM(det) OVER (PARTITION BY dow) AS sdet,
+         COUNT(*) OVER (PARTITION BY dow) AS ndow
+  FROM inner_days
+)
+SELECT STRFTIME(day, '%Y-%m-%d') AS day, dow,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       CAST(s7 AS DOUBLE) / 700 AS trend,
+       CAST(sdet AS DOUBLE) / (700.0 * ndow) AS seasonal,
+       CAST(det AS DOUBLE) / 700
+         - CAST(sdet AS DOUBLE) / (700.0 * ndow) AS resid
+FROM seas
+""",
+)
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of daily revenue (trend =
+    centered 7-day moving average; seasonal = mean detrended value
+    per day-of-week over the interior days; resid = remainder) — the
+    classic series screen behind anomaly triage.  All intermediate
+    algebra is EXACT INTEGER cents: detrended is scaled by 7
+    (det = 7c − s7) so the per-dow seasonal mean is an integer sum
+    with ONE division — no order-dependent double sums anywhere; the
+    final /700 conversions are single divisions of exact integers,
+    unrounded.  One fact scan to the bounded day grain; three windows
+    over it (trend MA, interior gate, per-dow full frame).  Interior
+    days only (rows 4..n−3): the MA is undefined at the edges."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = o.groupBy(
+        F.to_date("o_orderdate").alias("day"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    ).agg(F.sum(cents).alias("c"))
+    wo = W.orderBy("day")
+    w = d.select(
+        "day",
+        "dow",
+        "c",
+        F.sum("c").over(wo.rowsBetween(-3, 3)).alias("s7"),
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1))
+        .over(wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("nd"),
+    )
+    inner = w.filter(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("nd") - 3)
+    ).withColumn("det", 7 * F.col("c") - F.col("s7"))
+    wd = W.partitionBy("dow")
+    seas = inner.select(
+        "day",
+        "dow",
+        "c",
+        "s7",
+        "det",
+        F.sum("det").over(wd).alias("sdet"),
+        F.count(F.lit(1)).over(wd).alias("ndow"),
+    )
+    seasonal = F.col("sdet").cast("double") / (700.0 * F.col("ndow"))
+    return seas.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        (F.col("c").cast("double") / 100).alias("revenue"),
+        (F.col("s7").cast("double") / 700).alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("det").cast("double") / 700 - seasonal).alias("resid"),
     )

@@ -550,3 +550,84 @@ def test_edit_distance_block_cap_shares_exchange(spark, sf_dir, queries):
     Formatted plans list each node twice, so 3 exchanges = 6 hits."""
     plan = _plan(queries["q_edit_distance_dedup"](spark, sf_dir))
     assert plan.count("Exchange") <= 6
+
+
+def test_star_agg_dims_broadcast_one_fact_shuffle(spark, sf_dir, queries):
+    """The dimension chain (customer/nation/region) must broadcast —
+    the only SortMergeJoin/shuffle-join allowed is lineitem><orders."""
+    plan = _plan(queries["q_star_agg"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) <= 1
+
+
+def test_hhi_single_scan_margin_windows(spark, sf_dir, queries):
+    """HHI/CR4 margins ride windows over the bounded (nation,
+    supplier) grain — one lineitem scan (plus the two broadcast
+    dims), never a scan per margin branch."""
+    plan = _plan(queries["q_hhi_concentration"](spark, sf_dir))
+    # formatted plans list each node twice: 3 tables x 2 = 6
+    assert plan.count("Scan parquet") == 6
+    assert "Window" in plan
+
+
+def test_cramers_v_single_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q_cramers_v"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 4  # orders + customer, x2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anova_single_scan(spark, sf_dir, queries):
+    """All per-group sufficient sums come from ONE orders scan."""
+    plan = _plan(queries["q_anova_f"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+
+
+def test_assoc_rules_no_cartesian_topk(spark, sf_dir, queries):
+    """Pair generation is an equi-join on the basket key (never a
+    cartesian), margins broadcast, and the top-100 is a
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(queries["q_assoc_rules"](spark, sf_dir))
+    # q_assoc_rules returns an eager localCheckpoint (bounded 100
+    # rows) — the interesting plan is the one that produced it, so
+    # re-derive the lazy form here: checkpointed plans show as scans.
+    import pfithic_spark.registry.keys_r6 as r6
+    from pfithic_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b2 = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    p = (
+        a.join(b2, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "pa", "pb")
+        .limit(100)
+    )
+    plan = _plan(p)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_one_scan_bounded_windows(spark, sf_dir, queries):
+    plan = _plan(queries["q_cusum_changepoint"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_rolling_corr_day_grain_window(spark, sf_dir, queries):
+    """The window runs on the day-grain aggregate — one orders scan,
+    sufficient stats inside the window frame."""
+    plan = _plan(queries["q_rolling_corr"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_seasonal_decompose_one_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q_seasonal_decompose"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan

@@ -127,3 +127,53 @@ def test_dedup_substring_short_and_nodup_docs(spark, tmp_path):
         e.oracle_sql()["q_dedup_substring"],
         "q_dedup_substring[edge]",
     )
+
+
+def test_assoc_rules_basket_cap_fires(spark, tmp_path):
+    """Fixture baskets top out at 13 items, so parity can't prove the
+    basket cap: plant a 70-item mega-basket plus two normal baskets
+    sharing a pair — the mega-basket must contribute NOTHING (its
+    C(70,2) pairs are dropped, and its items don't inflate margins),
+    while the planted pair survives with support 2 over the 2
+    surviving baskets."""
+    from pfithic_spark.registry.keys_r6 import ASSOC_MAX_BASKET
+
+    rows = (
+        # mega-basket: order 1, 70 distinct parts (> cap of 64)
+        [(1, p) for p in range(1000, 1000 + ASSOC_MAX_BASKET + 6)]
+        # two normal baskets both containing parts (7, 8)
+        + [(2, 7), (2, 8), (2, 9), (3, 7), (3, 8)]
+    )
+    spark.createDataFrame(
+        [
+            (ok, pk, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",)
+            for ok, pk in rows
+        ],
+        "l_orderkey long, l_partkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    ).withColumn("l_suppkey", F.lit(1).cast("long")).withColumn(
+        "l_shipdate", F.lit("1995-01-01").cast("timestamp")
+    ).coalesce(2).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    got = {
+        (r["pa"], r["pb"]): (r["support"], r["n_baskets"])
+        for r in e.queries()["q_assoc_rules"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # only the planted (7, 8) pair has support >= 2; n_baskets counts
+    # the 2 SURVIVING baskets (the mega-basket is excluded everywhere)
+    assert got == {(7, 8): (2, 2)}, got
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS "
+        f"SELECT * FROM '{tmp_path}/lineitem.parquet/*.parquet'"
+    )
+    compare(
+        e.queries()["q_assoc_rules"](spark, str(tmp_path)),
+        con,
+        e.oracle_sql()["q_assoc_rules"],
+        "q_assoc_rules[basket-cap]",
+    )

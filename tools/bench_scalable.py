@@ -1255,6 +1255,208 @@ def main() -> None:
     finally:
         shutil.rmtree(os.path.dirname(ivf_dir), ignore_errors=True)
 
+    # --- q_star_agg shape: 8M fact><fact shuffle + broadcast dims ----
+    # uniform modular construction => closed-form revenue: every
+    # lineitem is 10.00 at 10% discount = 9.00 net, so each of the 5
+    # regions books exactly (n/5) * 9.00 dollars
+    import tempfile
+
+    star_dir = tempfile.mkdtemp(prefix="star8m_")
+    try:
+        n_ord = n // 4
+        spark.range(n).select(
+            (F.col("id") % n_ord).alias("l_orderkey"),
+            (F.col("id") % 20000).alias("l_partkey"),
+            F.lit(10.00).alias("l_extendedprice"),
+            F.lit(0.10).alias("l_discount"),
+        ).write.mode("overwrite").parquet(f"{star_dir}/lineitem")
+        spark.range(n_ord).select(
+            F.col("id").alias("o_orderkey"),
+            (F.col("id") % 200000).alias("o_custkey"),
+            # year index = (id % 25) div 5 is INDEPENDENT of region =
+            # id % 5 (given 200000 % 25 == 0), so all 25 (region,
+            # year) cells fill with exactly n_ord/25 orders each
+            F.to_timestamp(
+                F.concat(
+                    (F.lit(1995) + F.expr("(id % 25) div 5")).cast(
+                        "string"
+                    ),
+                    F.lit("-06-01"),
+                )
+            ).alias("o_orderdate"),
+        ).write.mode("overwrite").parquet(f"{star_dir}/orders")
+        cust = spark.range(200000).select(
+            F.col("id").alias("c_custkey"),
+            (F.col("id") % 25).alias("c_nationkey"),
+        )
+        nat = spark.range(25).select(
+            F.col("id").alias("n_nationkey"),
+            (F.col("id") % 5).alias("n_regionkey"),
+        )
+        reg = spark.range(5).select(
+            F.col("id").alias("r_regionkey"),
+            F.concat(F.lit("R"), F.col("id")).alias("r_name"),
+        )
+        li8 = spark.read.parquet(f"{star_dir}/lineitem")
+        or8 = spark.read.parquet(f"{star_dir}/orders")
+        units = F.round(F.col("l_extendedprice") * 100, 0).cast(
+            "long"
+        ) * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        t0 = time.time()
+        star = (
+            li8.join(or8, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+            .groupBy("r_name", F.year("o_orderdate").alias("o_year"))
+            .agg((F.sum(units).cast("double") / 10000).alias("revenue"))
+        ).collect()
+        star_agg_s = time.time() - t0
+        # 5 regions x 5 years; revenue splits evenly by construction
+        assert len(star) == 25, len(star)
+        tot_rev = sum(r["revenue"] for r in star)
+        assert abs(tot_rev - n * 9.0) < 1e-6, (tot_rev, n * 9.0)
+    finally:
+        shutil.rmtree(star_dir, ignore_errors=True)
+
+    # --- q_assoc_rules basket cap: planted 100k-item mega-basket -----
+    # without the <=64-item cap the mega-basket alone fans out
+    # C(100k,2) ~ 5e9 pairs inside ONE join group and the run never
+    # finishes; with it, the planted support-(n/4)-pair dominates.
+    # layout: basket id b in [0, n/4) holds items {7, 8, 1000 + b%50,
+    # 2000 + b%50}; basket n/4 (the hot one) holds 100k distinct items.
+    from pfithic_spark.registry.keys_r6 import ASSOC_MAX_BASKET
+
+    n_b = n // 4
+    normal = spark.range(n_b).select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id").alias("k"), F.lit(7).cast("long").alias("i")),
+                F.struct(F.col("id").alias("k"), F.lit(8).cast("long").alias("i")),
+                F.struct(F.col("id").alias("k"), (1000 + F.col("id") % 50).alias("i")),
+                F.struct(F.col("id").alias("k"), (2000 + F.col("id") % 50).alias("i")),
+            )
+        ).alias("s")
+    ).select(F.col("s.k").alias("l_orderkey"), F.col("s.i").alias("l_partkey"))
+    hot = spark.range(100000).select(
+        F.lit(n_b).cast("long").alias("l_orderkey"),
+        (F.lit(1000000) + F.col("id")).alias("l_partkey"),
+    )
+    b0 = normal.unionAll(hot)
+    t0 = time.time()
+    ok = (
+        b0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= ASSOC_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    b = b0.join(ok, "l_orderkey", "left_semi")
+    pairs = (
+        b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+        .join(
+            b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")),
+            "k",
+        )
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    top_pair = pairs.orderBy(F.desc("support"), "pa", "pb").limit(1).collect()
+    assoc_cap_s = time.time() - t0
+    # planted truth: (7, 8) co-occurs in every one of the n/4 normal
+    # baskets; the capped mega-basket contributes zero pairs
+    assert top_pair[0]["pa"] == 7 and top_pair[0]["pb"] == 8, top_pair
+    assert top_pair[0]["support"] == n_b, (top_pair[0]["support"], n_b)
+
+    # --- q_cusum_changepoint: 8M facts -> bounded day grain ----------
+    # two series; series 1 steps +100 cents/value at day >= 1250 of
+    # 2500, so the closed-form CUSUM argmax is day index 1249
+    n_days = 2500
+    ev8 = spark.range(n).select(
+        (F.col("id") % 2).alias("grp"),
+        (F.col("id") % n_days).alias("day"),
+        F.when(
+            (F.col("id") % 2 == 1) & (F.col("id") % n_days >= n_days // 2),
+            F.lit(200),
+        )
+        .otherwise(F.lit(100))
+        .alias("c"),
+    )
+    from pyspark.sql import Window as W
+
+    t0 = time.time()
+    d8 = ev8.groupBy("grp", "day").agg(F.sum("c").alias("c"))
+    wo = W.partitionBy("grp").orderBy("day")
+    wf = W.partitionBy("grp")
+    w8 = d8.select(
+        "grp",
+        "day",
+        F.sum("c").over(wo.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wo).alias("t"),
+        F.sum("c").over(wf).alias("s"),
+        F.count(F.lit(1)).over(wf).alias("n"),
+    )
+    a8 = F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("s"))
+    cp = (
+        w8.select(
+            "grp",
+            "day",
+            F.row_number()
+            .over(W.partitionBy("grp").orderBy(a8.desc(), "day"))
+            .alias("r"),
+        )
+        .filter(F.col("r") == 1)
+        .collect()
+    )
+    cusum_s = time.time() - t0
+    got_cp = {r["grp"]: r["day"] for r in cp}
+    # series 1: level shift at the midpoint => argmax lands on the
+    # last pre-shift day (n_days//2 - 1); series 0 is flat (argmax
+    # degenerates to the earliest-day tiebreak, day 0)
+    assert got_cp[1] == n_days // 2 - 1, got_cp
+    assert got_cp[0] == 0, got_cp
+
+    # --- q_source_vocab_overlap: hot token across 8M docs ------------
+    # every doc contains "the" (df = n) — the C(S,2)-per-token bound
+    # is what keeps the self-join finite; 10 sources, planted vocab:
+    # source s owns tokens {s*1000 .. s*1000+999} plus the shared
+    # "the", and sources 2j/2j+1 additionally share token "pairj"
+    src_col = (F.col("id") % 10).cast("string")
+    docs8 = spark.range(n).select(
+        F.concat(F.lit("s"), src_col).alias("source"),
+        F.concat_ws(
+            " ",
+            F.lit("the"),
+            F.concat(F.lit("t"), (F.col("id") % 10) * 1000 + F.col("id") % 1000),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.concat(F.lit("pair"), (F.col("id") % 10) / 2),
+            ).otherwise(F.concat(F.lit("pair"), (F.col("id") % 10 - 1) / 2)),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    st8 = docs8.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    a8v = st8.select(F.col("source").alias("src1"), "tok")
+    b8v = st8.select(F.col("source").alias("src2"), "tok")
+    inter8 = (
+        a8v.join(b8v, "tok")
+        .filter(F.col("src1") < F.col("src2"))
+        .groupBy("src1", "src2")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .collect()
+    )
+    vocab_overlap_s = time.time() - t0
+    ni_map = {(r["src1"], r["src2"]): r["ni"] for r in inter8}
+    assert len(ni_map) == 45, len(ni_map)  # C(10,2) pairs exist via "the"
+    # paired sources share "the" + their pair token = 2; others just 1
+    for (s1, s2), ni in ni_map.items():
+        i1, i2 = int(s1[1:]), int(s2[1:])
+        want = 2 if (i1 // 2 == i2 // 2) else 1
+        assert ni == want, (s1, s2, ni, want)
+
     print(
         json.dumps(
             {
@@ -1299,6 +1501,10 @@ def main() -> None:
                 "qdisc_approx_s": round(qdisc_approx_s, 2),
                 "ivf_build_s": round(ivf_build_s, 2),
                 "ivf_probe_s": round(ivf_probe_s, 2),
+                "star_agg_s": round(star_agg_s, 2),
+                "assoc_cap_s": round(assoc_cap_s, 2),
+                "cusum_s": round(cusum_s, 2),
+                "vocab_overlap_s": round(vocab_overlap_s, 2),
             }
         )
     )
