@@ -1572,3 +1572,102 @@ def pca_project(
     return out.select(
         *cols, *[f"{out_prefix}{i+1}" for i in range(len(components))]
     )
+
+
+def lsh_plane_sign(j: int, i) -> Column:
+    """±1 weight of WALSH-HADAMARD hyperplane ``j`` at dimension ``i``:
+    (−1)^popcount(j & i) — a fixed integer formula both engines can
+    evaluate (no RNG, no floats), and the planes are mutually
+    ORTHOGONAL for j in 1..dims−1.  Orthogonality is load-bearing: a
+    lazier mix like ((j·31 + i·17) % 5) % 2 collapses to FIVE distinct
+    planes (period 5 in both arguments), so signatures take ≤ 2^5
+    values and every band bucket goes quadratic — measured as a 13 M-
+    pair candidate blow-up at 25 k vectors.  Callers must start planes
+    at j = 1 (j = 0 is the all-ones row)."""
+    jj = F.lit(int(j))
+    return F.when(
+        F.bit_count(jj.bitwiseAND(i).cast("long")) % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 16,
+    n_bands: int = 2,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs:
+    candidates = vector pairs sharing at least one signature band,
+    verified by exact cosine >= threshold.  The data-independent
+    blocking complement of :func:`cosine_pairs_blocked` (which needs
+    an external block key) and :func:`ivf_*` (which needs trained
+    centroids).
+
+    Determinism is the crux: a hyperplane dot computed as a FLOAT sum
+    would be order-dependent under distributed aggregation (sign flips
+    near 0 would change the candidate set).  Instead each component is
+    scaled to an EXACT integer first — floor(v[i] * 2^30) (power-of-
+    two scaling of a float32 is exact in double; floor has no rounding
+    tie) — and the ±1-weighted dot is an exact BIGINT sum: order-free,
+    map-side combinable, bit-identical on any engine.
+
+    Shape: posexplode to (id, dim, component) -> ONE groupBy(id) with
+    n_planes conditional integer sums (no per-plane row blow-up, no
+    join against a plane table) -> band keys by bit-packing ->
+    per-band self equi-joins unioned + distinct -> exact zip_with
+    cosine on the candidate pairs only.  Collisions per band bucket
+    set the join fan-out; more bands/planes sharpen it at 100 TB.
+    """
+    assert n_planes % n_bands == 0
+    per_band = n_planes // n_bands
+    xs = F.floor(F.col("x").cast("double") * F.lit(1073741824.0)).cast(
+        "long"
+    )
+    t = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(vec_col).alias("i", "x"),
+    ).select("id", "i", xs.alias("xs"))
+    dots = t.groupBy("id").agg(
+        *[
+            F.sum(lsh_plane_sign(j, F.col("i")) * F.col("xs")).alias(
+                f"d{j}"
+            )
+            for j in range(1, n_planes + 1)
+        ]
+    )
+    band_cols = []
+    for b in range(n_bands):
+        expr = F.lit(0).cast("long")
+        for k in range(per_band):
+            j = b * per_band + k + 1
+            expr = expr + (
+                (F.col(f"d{j}") >= 0).cast("long") * F.lit(1 << k)
+            )
+        band_cols.append(expr.alias(f"band{b}"))
+    sig = dots.select("id", *band_cols)
+    cand = None
+    for b in range(n_bands):
+        a = sig.select(F.col("id").alias("id1"), F.col(f"band{b}").alias("bk"))
+        c = sig.select(F.col("id").alias("id2"), F.col(f"band{b}").alias("bk"))
+        p = a.join(c, "bk").filter(F.col("id1") < F.col("id2")).select(
+            "id1", "id2"
+        )
+        cand = p if cand is None else cand.unionAll(p)
+    cand = cand.distinct()
+    e1 = embeddings.select(
+        F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
+    )
+    e2 = embeddings.select(
+        F.col(id_col).alias("id2"), F.col(vec_col).alias("v2")
+    )
+    cos = dot_double(F.col("v1"), F.col("v2")) / (
+        l2_norm(F.col("v1")) * l2_norm(F.col("v2"))
+    )
+    return (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .select("id1", "id2", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

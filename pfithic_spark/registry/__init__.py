@@ -80,6 +80,9 @@ _VERIFY_FIRST = [
     "q_cusum_changepoint",
     "q_rolling_corr",
     "q_seasonal_decompose",
+    "q_conversion_lag",
+    "q_gains_table",
+    "q_dedup_lsh_cosine",
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
-from ..io import load_table  # noqa: F401
+from ..io import epoch_us, load_table  # noqa: F401
 from ._core import (  # noqa: F401
     ORACLE_SQL,
     QUERIES,
@@ -1279,4 +1279,227 @@ def q_seasonal_decompose(spark, sf_dir):
         (F.col("s7").cast("double") / 700).alias("trend"),
         seasonal.alias("seasonal"),
         (F.col("det").cast("double") / 700 - seasonal).alias("resid"),
+    )
+
+
+@register(
+    "q_conversion_lag",
+    oracle="""
+WITH t AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END) AS fv,
+         MIN(CASE WHEN event_type = 'purchase' THEN EPOCH_US(ts) END)
+           AS fp
+  FROM events GROUP BY user_id
+),
+lag AS (
+  SELECT (fp - fv) // 1000000 AS lag_s
+  FROM t WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       QUANTILE_CONT(lag_s, 0.25) AS p25_s,
+       QUANTILE_CONT(lag_s, 0.50) AS p50_s,
+       QUANTILE_CONT(lag_s, 0.75) AS p75_s,
+       QUANTILE_CONT(lag_s, 0.90) AS p90_s,
+       CAST(SUM(lag_s) AS DOUBLE) / COUNT(*) AS mean_s
+FROM lag
+""",
+)
+def q_conversion_lag(spark, sf_dir):
+    """First-view -> first-purchase conversion latency distribution —
+    the funnel-velocity KPI behind q_funnel_steps' reach counts.  ONE
+    events scan to user grain via conditional MINs (map-side
+    combinable; no per-type branch scans), then exact interpolated
+    quantiles over integer lag seconds (Spark percentile == DuckDB
+    quantile_cont on the same integers) and a mean as one unrounded
+    division of exact integer sums.  Lag seconds use integer `div`
+    (both engines truncate identically on the non-negative domain —
+    FIXTURES §8.7).  Users who purchased before ever viewing are
+    excluded (attribution rule, documented).  At 100 TB the quantile
+    swap is approx_percentile, as in q_agg_percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us(ev)
+    t = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "view", us).alias("vus"),
+        F.when(F.col("event_type") == "purchase", us).alias("pus"),
+    ).groupBy("user_id").agg(
+        F.min("vus").alias("fv"), F.min("pus").alias("fp")
+    )
+    lag = t.filter(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(F.expr("(fp - fv) div 1000000").alias("lag_s"))
+    return lag.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.expr("percentile(lag_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(lag_s, 0.50)").alias("p50_s"),
+        F.expr("percentile(lag_s, 0.75)").alias("p75_s"),
+        F.expr("percentile(lag_s, 0.90)").alias("p90_s"),
+        (F.sum("lag_s").cast("double") / F.count(F.lit(1))).alias(
+            "mean_s"
+        ),
+    )
+
+
+@register(
+    "q_gains_table",
+    oracle="""
+WITH rc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+nt AS (
+  SELECT o_custkey, cents,
+         NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+  FROM rc
+),
+d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(cents) AS BIGINT) AS c
+  FROM nt GROUP BY decile
+),
+m AS (
+  SELECT decile, n_customers, c,
+         CAST(SUM(c) OVER () AS DOUBLE) AS tot,
+         CAST(SUM(c) OVER (ORDER BY decile
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum
+  FROM d
+)
+SELECT decile, n_customers,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       CAST(c AS DOUBLE) / tot AS share,
+       CAST(cum AS DOUBLE) / tot AS cum_share
+FROM m
+""",
+)
+def q_gains_table(spark, sf_dir):
+    """Decile gains/lift table: customers ranked by total spend,
+    cut into revenue deciles, with each decile's share and cumulative
+    share — the campaign-targeting curve ("top decile holds X% of
+    revenue").  NTILE runs under the fully deterministic order
+    (cents desc, custkey); Spark and DuckDB share the ceil-split
+    NTILE definition, so decile assignment is identical.  Revenue is
+    exact integer cents (§8.15); share/cum_share are single unrounded
+    divisions.  One orders scan to customer grain; the global ranking
+    window runs at CUSTOMER cardinality — bounded at fixture scale;
+    the 100 TB swap is the two-phase global order of
+    windows.scalable_cumsum feeding rank = cum_count, as in
+    q_ks_test's documented swap.  Downstream margins ride the 10-row
+    decile table."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rc = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    nt = rc.select(
+        "cents",
+        F.ntile(10)
+        .over(W.orderBy(F.desc("cents"), "o_custkey"))
+        .alias("decile"),
+    )
+    d = nt.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("c"),
+    )
+    m = d.select(
+        "decile",
+        "n_customers",
+        "c",
+        F.sum("c")
+        .over(W.orderBy("decile").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        ))
+        .cast("double")
+        .alias("tot"),
+        F.sum("c")
+        .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    return m.select(
+        "decile",
+        "n_customers",
+        (F.col("c").cast("double") / 100).alias("revenue"),
+        (F.col("c").cast("double") / F.col("tot")).alias("share"),
+        (F.col("cum").cast("double") / F.col("tot")).alias("cum_share"),
+    )
+
+
+@register(
+    "q_dedup_lsh_cosine",
+    oracle="""
+WITH bits AS (
+  SELECT e.vec_id, t.j,
+         CASE WHEN LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> (CASE WHEN BIT_COUNT(t.j & CAST(i - 1 AS BIGINT)) % 2 = 0
+                      THEN 1 ELSE -1 END)
+                * CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE)
+                             * 1073741824) AS BIGINT)
+         )) >= 0 THEN 1 ELSE 0 END AS b
+  FROM embeddings e, UNNEST(GENERATE_SERIES(1, 16)) AS t(j)
+),
+sig AS (
+  SELECT vec_id,
+         SUM(CASE WHEN j <= 8 THEN b * (1 << (j - 1)) ELSE 0 END)
+           AS band0,
+         SUM(CASE WHEN j > 8 THEN b * (1 << (j - 9)) ELSE 0 END)
+           AS band1
+  FROM bits GROUP BY vec_id
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+  FROM sig a JOIN sig b
+    ON a.vec_id < b.vec_id
+   AND (a.band0 = b.band0 OR a.band1 = b.band1)
+)
+SELECT c.id1, c.id2,
+       ROUND(
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> CAST(x.embedding[i] AS DOUBLE)
+                * CAST(y.embedding[i] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(x.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * SQRT(LIST_SUM(LIST_TRANSFORM(y.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+       6) AS cosine
+FROM cand c
+JOIN embeddings x ON x.vec_id = c.id1
+JOIN embeddings y ON y.vec_id = c.id2
+WHERE ROUND(
+         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> CAST(x.embedding[i] AS DOUBLE)
+                * CAST(y.embedding[i] AS DOUBLE)))
+         / (SQRT(LIST_SUM(LIST_TRANSFORM(x.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * SQRT(LIST_SUM(LIST_TRANSFORM(y.embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+       6) >= 0.25
+""",
+)
+def q_dedup_lsh_cosine(spark, sf_dir):
+    """Random-hyperplane LSH near-dup pairs over embeddings —
+    DATA-INDEPENDENT blocking (q_dedup_embedding needs an external
+    label; q_sim_ivf needs trained centroids; this needs nothing):
+    16 WALSH-HADAMARD ±1 hyperplanes (mutually orthogonal —
+    see llmops.lsh_plane_sign on why a lazy hash family collapses
+    into quadratic buckets) -> 2 signature bands of 8 bits;
+    pairs sharing a band verify by exact cosine >= 0.25.
+
+    The scale crux is SIGN DETERMINISM: hyperplane dots run on
+    floor(v[i]·2^30) EXACT INTEGERS (power-of-two float scaling is
+    exact; floor is tie-free), so the ±1-weighted sums are order-free
+    BIGINT aggregates — no float-sum sign flips near 0, bit-identical
+    under any partitioning.  One posexplode + ONE groupBy builds all
+    16 dots as conditional integer sums (no plane-table join, no
+    per-plane row blow-up); banding bounds the self-join per bucket
+    exactly as MinHash banding does for text (llmops.lsh_cosine_pairs)."""
+    from .. import llmops
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return llmops.lsh_cosine_pairs(
+        e, n_planes=16, n_bands=2, threshold=0.25
     )

@@ -631,3 +631,27 @@ def test_seasonal_decompose_one_scan(spark, sf_dir, queries):
     plan = _plan(queries["q_seasonal_decompose"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2
     assert "Window" in plan
+
+
+def test_conversion_lag_single_scan(spark, sf_dir, queries):
+    """Both event types' first-times come from ONE events scan via
+    conditional aggregates — never a scan per funnel step."""
+    plan = _plan(queries["q_conversion_lag"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+
+
+def test_gains_table_one_scan_decile_windows(spark, sf_dir, queries):
+    """The ranking window runs on the customer-grain aggregate and the
+    margins on the 10-row decile table — one orders scan total."""
+    plan = _plan(queries["q_gains_table"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_lsh_cosine_no_cartesian_banded(spark, sf_dir, queries):
+    """Candidate generation must be band-keyed equi-joins — never a
+    cartesian over the corpus — and the signature build must stay
+    JVM-side (no Python eval)."""
+    plan = _plan(queries["q_dedup_lsh_cosine"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan

@@ -1369,6 +1369,49 @@ def main() -> None:
     assert top_pair[0]["pa"] == 7 and top_pair[0]["pb"] == 8, top_pair
     assert top_pair[0]["support"] == n_b, (top_pair[0]["support"], n_b)
 
+    # --- q_dedup_lsh_cosine: 1M x 64-dim vectors, 32-plane LSH ------
+    # Walsh planes over 64 dims (j = 1..32 mutually orthogonal);
+    # 16-bit bands put ~nv^2/2^16 random pairs per band.  Data is
+    # xxhash64-mixed (a lattice generator clusters directions: the
+    # rank-1 construction measured 2e9+ candidate pairs at 500k
+    # vectors).  nv/2 planted exact-dup twins (i, i + nv/2 share the
+    # hash base) must collide in every band and verify at cosine 1.0.
+    from pfithic_spark import llmops as llm
+
+    nv = n // 8
+    base8 = (F.col("id") % (nv // 2)).cast("long")
+    vec64 = F.array(
+        *[
+            (F.xxhash64(base8, F.lit(d)) % 999983).cast("float")
+            for d in range(64)
+        ]
+    )
+    emb8 = spark.range(nv).select(
+        F.col("id").alias("vec_id"), vec64.alias("embedding")
+    )
+    t0 = time.time()
+    lsh_pairs = llm.lsh_cosine_pairs(
+        emb8, n_planes=32, n_bands=2, threshold=0.99
+    )
+    # ONE aggregation (branching would re-run the whole LSH chain)
+    n_all, n_planted = lsh_pairs.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            (F.col("id2") - F.col("id1") == nv // 2).cast("long")
+        ),
+    ).collect()[0]
+    lsh_s = time.time() - t0
+    # every planted twin (identical vectors -> identical signatures ->
+    # both bands collide) must be recovered at cosine >= 0.99
+    assert n_planted == nv // 2, (n_planted, nv // 2)
+    # uniform 16-bit buckets give ~nv^2/2^16 random candidates per
+    # band; 40x headroom still catches a clustering regression (a hot
+    # bucket is quadratic: 3e11 pairs at nv=1M)
+    assert n_planted <= n_all <= nv // 2 + 40 * (nv**2 // 65536), (
+        n_all,
+        nv,
+    )
+
     # --- q_cusum_changepoint: 8M facts -> bounded day grain ----------
     # two series; series 1 steps +100 cents/value at day >= 1250 of
     # 2500, so the closed-form CUSUM argmax is day index 1249
@@ -1504,6 +1547,8 @@ def main() -> None:
                 "star_agg_s": round(star_agg_s, 2),
                 "assoc_cap_s": round(assoc_cap_s, 2),
                 "cusum_s": round(cusum_s, 2),
+                "lsh_cosine_s": round(lsh_s, 2),
+                "lsh_cosine_pairs": int(n_all),
                 "vocab_overlap_s": round(vocab_overlap_s, 2),
             }
         )

@@ -32,6 +32,19 @@ PICKS = {
         "sorts only), lead()x2 candidates, JVM array_intersect "
         "scoring."
     ),
+    "q_star_agg": (
+        "Star-schema rollup: ONE fact-fact shuffle (lineitem><orders "
+        "on orderkey); the customer/nation/region dimension chain is "
+        "all BroadcastHashJoin — zero extra exchanges; revenue is an "
+        "exact-integer-unit sum pushed into the map-side combine."
+    ),
+    "q_dedup_lsh_cosine": (
+        "Random-hyperplane LSH near-dup: Walsh-plane signature build "
+        "is one posexplode + ONE groupBy of exact-integer conditional "
+        "sums (order-free signs); band-keyed equi-joins bound the "
+        "candidate space; exact zip_with cosine verifies only "
+        "candidates."
+    ),
     "q_dedup_substring": (
         "Substring-span dedup: gram build is posexplode + lead "
         "windows (whole-stage codegen, no Python anywhere); only "
