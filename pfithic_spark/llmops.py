@@ -1615,10 +1615,11 @@ def lsh_cosine_pairs(
 
     Shape: posexplode to (id, dim, component) -> ONE groupBy(id) with
     n_planes conditional integer sums (no per-plane row blow-up, no
-    join against a plane table) -> band keys by bit-packing ->
-    per-band self equi-joins unioned + distinct -> exact zip_with
-    cosine on the candidate pairs only.  Collisions per band bucket
-    set the join fan-out; more bands/planes sharpen it at 100 TB.
+    join against a plane table) -> band keys by bit-packing -> CACHED
+    signature table -> (band, key)-exploded single self equi-join +
+    distinct -> exact zip_with cosine on the candidate pairs only.
+    Collisions per band bucket set the join fan-out; more bands/planes
+    sharpen it at 100 TB.
     """
     assert n_planes % n_bands == 0
     per_band = n_planes // n_bands
@@ -1639,6 +1640,7 @@ def lsh_cosine_pairs(
     )
     band_cols = []
     for b in range(n_bands):
+        # bit k of band b comes from plane j = b*per_band + k + 1
         expr = F.lit(0).cast("long")
         for k in range(per_band):
             j = b * per_band + k + 1
@@ -1646,16 +1648,38 @@ def lsh_cosine_pairs(
                 (F.col(f"d{j}") >= 0).cast("long") * F.lit(1 << k)
             )
         band_cols.append(expr.alias(f"band{b}"))
-    sig = dots.select("id", *band_cols)
-    cand = None
-    for b in range(n_bands):
-        a = sig.select(F.col("id").alias("id1"), F.col(f"band{b}").alias("bk"))
-        c = sig.select(F.col("id").alias("id2"), F.col(f"band{b}").alias("bk"))
-        p = a.join(c, "bk").filter(F.col("id1") < F.col("id2")).select(
-            "id1", "id2"
+    # signature table CACHED (the _track_sig_cache discipline of
+    # minhash_lsh_pairs): a per-band join over uncached signatures
+    # would re-run the posexplode+groupBy build once per band per join
+    # side — measured as 4 signature passes / 6 source scans with
+    # zero exchange reuse (column pruning makes each subtree distinct)
+    sig = _track_sig_cache(dots.select("id", *band_cols).cache())
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col(f"band{b}").alias("bk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.band", "s.bk")
+    ba = banded.alias("a")
+    bb = banded.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
         )
-        cand = p if cand is None else cand.unionAll(p)
-    cand = cand.distinct()
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
     e1 = embeddings.select(
         F.col(id_col).alias("id1"), F.col(vec_col).alias("v1")
     )

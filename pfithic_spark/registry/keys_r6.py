@@ -904,6 +904,73 @@ def q_anova_f(spark, sf_dir):
     )
 
 
+def assoc_basket_table(li):
+    """Distinct (basket, item) table with the hot-basket cap applied
+    (baskets over ASSOC_MAX_BASKET items dropped — the max_df analog).
+    Factored out so test_plans can gate the REAL plan including the
+    cap's size-count + left-semi join."""
+    b0 = li.select("l_orderkey", "l_partkey").distinct()
+    ok = (
+        b0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") <= ASSOC_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    return b0.join(ok, "l_orderkey", "left_semi")
+
+
+def assoc_rules_from_baskets(b):
+    """Lazy assoc-rules plan over a (capped) basket table: pair
+    self-join -> min-support prune -> broadcast margins -> top-100
+    under the full integer tie-break."""
+    ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    nb = b.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    a = b.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b2 = b.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    p = (
+        a.join(b2, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    ia = F.broadcast(
+        ic.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("supp_a"))
+    )
+    ib = F.broadcast(
+        ic.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("supp_b"))
+    )
+    return (
+        p.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa",
+            "pb",
+            "support",
+            "supp_a",
+            "supp_b",
+            "n_baskets",
+            (F.col("support").cast("double") / F.col("supp_a")).alias(
+                "conf_ab"
+            ),
+            (F.col("support").cast("double") / F.col("supp_b")).alias(
+                "conf_ba"
+            ),
+            (
+                (F.col("support") * F.col("n_baskets")).cast("double")
+                / (F.col("supp_a") * F.col("supp_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "pa", "pb")
+        .limit(100)
+    )
+
+
 @register(
     "q_assoc_rules",
     oracle="""
@@ -945,77 +1012,17 @@ def q_assoc_rules(spark, sf_dir):
     would fan out C(B,2) pairs inside one join group; the planted
     100k-item-basket scale row proves the cap bounds the join), and
     min-support pruning drops singleton pairs before the margin
-    joins.  The distinct basket table branches three ways
-    (pairs / item counts / basket count) so it is persisted once
-    (triangle/pagerank discipline).  Confidence and lift are single
-    divisions of exact integers, left unrounded; top-100 runs as
-    TakeOrderedAndProject under the full integer tie-break
-    (support desc, pa, pb)."""
+    joins.  The capped basket table branches three ways (pairs / item
+    counts / basket count) so it is persisted once (triangle/pagerank
+    discipline).  Confidence and lift are single divisions of exact
+    integers, left unrounded; top-100 runs as TakeOrderedAndProject
+    under the full integer tie-break (support desc, pa, pb).  Plan
+    construction lives in assoc_basket_table / assoc_rules_from_
+    baskets so test_plans gates the REAL shipped plan."""
     li = load_table(spark, sf_dir, "lineitem")
-    b0 = li.select("l_orderkey", "l_partkey").distinct()
-    # hot-basket cap (the max_df analog; VERDICT r5 on uncapped
-    # quadratic blocks): a degenerate mega-basket of B items fans out
-    # C(B,2) pairs inside one join group — cap at 64 items (C(64,2)
-    # = 2016 pairs) and DROP oversized baskets, mirrored in the
-    # oracle.  The size pre-count is a map-side-combinable agg over
-    # the persisted basket table; the planted 100k-item-basket scale
-    # row in tools/bench_scalable.py proves the cap bounds the join.
-    ok = (
-        b0.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") <= ASSOC_MAX_BASKET)
-        .select("l_orderkey")
-    )
-    b = b0.join(ok, "l_orderkey", "left_semi").persist()
+    b = assoc_basket_table(li).persist()
     try:
-        ic = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-        nb = b.agg(
-            F.countDistinct("l_orderkey").alias("n_baskets")
-        )
-        a = b.select(
-            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-        )
-        b2 = b.select(
-            F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
-        )
-        p = (
-            a.join(b2, "k")
-            .filter(F.col("pa") < F.col("pb"))
-            .groupBy("pa", "pb")
-            .agg(F.count(F.lit(1)).alias("support"))
-            .filter(F.col("support") >= 2)
-        )
-        ia = F.broadcast(
-            ic.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("supp_a"))
-        )
-        ib = F.broadcast(
-            ic.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("supp_b"))
-        )
-        out = (
-            p.join(ia, "pa")
-            .join(ib, "pb")
-            .crossJoin(F.broadcast(nb))
-            .select(
-                "pa",
-                "pb",
-                "support",
-                "supp_a",
-                "supp_b",
-                "n_baskets",
-                (F.col("support").cast("double") / F.col("supp_a")).alias(
-                    "conf_ab"
-                ),
-                (F.col("support").cast("double") / F.col("supp_b")).alias(
-                    "conf_ba"
-                ),
-                (
-                    (F.col("support") * F.col("n_baskets")).cast("double")
-                    / (F.col("supp_a") * F.col("supp_b"))
-                ).alias("lift"),
-            )
-            .orderBy(F.desc("support"), "pa", "pb")
-            .limit(100)
-        )
+        out = assoc_rules_from_baskets(b)
         # bounded (<=100 rows): eager localCheckpoint materializes the
         # result while b is still cached, so the unpersist below can't
         # force a 3x recompute of the basket scan (triangle/pagerank
@@ -1065,7 +1072,9 @@ def q_cusum_changepoint(spark, sf_dir):
     revenue -- the level-shift detector behind drift monitoring.
     The statistic is EXACT INTEGER algebra end to end:
     n*CUSUM_t = n*cumsum_t - t*S avoids the mean division inside the
-    scan (the q_ks_test trick), so the argmax is bit-deterministic;
+    scan (the q_ks_test trick) — products run in DECIMAL(38,0)
+    (exact to cumsum ~1e27; DuckDB's HUGEINT window sums match), so
+    the argmax is bit-deterministic at any fixture scale;
     ONE double division at the end converts to dollars, unrounded.
     One fact scan collapses to (priority, day) grain (map-side
     combinable); every window runs on that bounded table, partitioned
@@ -1088,7 +1097,16 @@ def q_cusum_changepoint(spark, sf_dir):
         F.sum("c").over(wf).alias("s"),
         F.count(F.lit(1)).over(wf).alias("n"),
     )
-    a = F.abs(F.col("n") * F.col("cum") - F.col("t") * F.col("s"))
+    # DECIMAL, not int64: n*cum at the 8 M scale is ~3e17 (only ~30x
+    # of headroom under 2^63, and a bigger fixture would first hit
+    # Spark's ANSI overflow error while DuckDB's HUGEINT window sums
+    # stay exact).  (10,0)x(27,0) products stay inside DECIMAL(38,0),
+    # exact to cum ~ 1e27 — effectively unbounded for revenue cents
+    a = F.abs(
+        F.col("n").cast("decimal(10,0)")
+        * F.col("cum").cast("decimal(27,0)")
+        - F.col("t").cast("decimal(10,0)") * F.col("s").cast("decimal(27,0)")
+    )
     dev = w.select(
         "grp",
         "day",

@@ -1390,25 +1390,33 @@ def main() -> None:
         F.col("id").alias("vec_id"), vec64.alias("embedding")
     )
     t0 = time.time()
+    # threshold=-1.01 keeps EVERY candidate (cosine in [-1, 1]), so
+    # n_cand really counts band-bucket candidates — a post-threshold
+    # count would stay ~nv/2 no matter how quadratic the buckets got,
+    # hiding exactly the clustering regression this row exists to
+    # catch
     lsh_pairs = llm.lsh_cosine_pairs(
-        emb8, n_planes=32, n_bands=2, threshold=0.99
+        emb8, n_planes=32, n_bands=2, threshold=-1.01
     )
     # ONE aggregation (branching would re-run the whole LSH chain)
-    n_all, n_planted = lsh_pairs.agg(
+    n_cand, n_planted = lsh_pairs.agg(
         F.count(F.lit(1)),
         F.sum(
-            (F.col("id2") - F.col("id1") == nv // 2).cast("long")
+            (
+                (F.col("id2") - F.col("id1") == nv // 2)
+                & (F.col("cosine") >= 0.999999)
+            ).cast("long")
         ),
     ).collect()[0]
     lsh_s = time.time() - t0
     # every planted twin (identical vectors -> identical signatures ->
-    # both bands collide) must be recovered at cosine >= 0.99
+    # both bands collide) must be recovered at cosine 1.0
     assert n_planted == nv // 2, (n_planted, nv // 2)
-    # uniform 16-bit buckets give ~nv^2/2^16 random candidates per
+    # uniform 16-bit buckets give ~nv^2/2^16 random CANDIDATES per
     # band; 40x headroom still catches a clustering regression (a hot
     # bucket is quadratic: 3e11 pairs at nv=1M)
-    assert n_planted <= n_all <= nv // 2 + 40 * (nv**2 // 65536), (
-        n_all,
+    assert n_planted <= n_cand <= nv // 2 + 40 * (nv**2 // 65536), (
+        n_cand,
         nv,
     )
 
@@ -1416,11 +1424,16 @@ def main() -> None:
     # two series; series 1 steps +100 cents/value at day >= 1250 of
     # 2500, so the closed-form CUSUM argmax is day index 1249
     n_days = 2500
+    # grp = (id div n_days) % 2, NOT id % 2: with an even n_days the
+    # latter parity-locks series to alternating days (each series
+    # would hold only 1250 of the 2500 days and the closed-form gate
+    # would pass by parity coincidence)
+    grp8 = (F.col("id") / n_days).cast("long") % 2
     ev8 = spark.range(n).select(
-        (F.col("id") % 2).alias("grp"),
+        grp8.alias("grp"),
         (F.col("id") % n_days).alias("day"),
         F.when(
-            (F.col("id") % 2 == 1) & (F.col("id") % n_days >= n_days // 2),
+            (grp8 == 1) & (F.col("id") % n_days >= n_days // 2),
             F.lit(200),
         )
         .otherwise(F.lit(100))
@@ -1548,7 +1561,7 @@ def main() -> None:
                 "assoc_cap_s": round(assoc_cap_s, 2),
                 "cusum_s": round(cusum_s, 2),
                 "lsh_cosine_s": round(lsh_s, 2),
-                "lsh_cosine_pairs": int(n_all),
+                "lsh_cosine_candidates": int(n_cand),
                 "vocab_overlap_s": round(vocab_overlap_s, 2),
             }
         )
