@@ -83,6 +83,8 @@ _VERIFY_FIRST = [
     "q_conversion_lag",
     "q_gains_table",
     "q_dedup_lsh_cosine",
+    "q_control_chart",
+    "q_topk_movers",
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",

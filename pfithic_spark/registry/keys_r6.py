@@ -1521,3 +1521,177 @@ def q_dedup_lsh_cosine(spark, sf_dir):
     return llmops.lsh_cosine_pairs(
         e, n_planes=16, n_bands=2, threshold=0.25
     )
+
+
+@register(
+    "q_control_chart",
+    oracle="""
+WITH d AS (
+  SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS err
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT day, n, err,
+         SUM(n) OVER () AS tn, SUM(err) OVER () AS te
+  FROM d
+),
+c AS (
+  SELECT day, n, err,
+         CAST(err AS DOUBLE) / n AS rate,
+         CAST(te AS DOUBLE) / tn AS pbar,
+         3 * SQRT(CAST(te AS DOUBLE) / tn
+                  * (1 - CAST(te AS DOUBLE) / tn) / n) AS sigma3
+  FROM m
+)
+SELECT day, n, err, rate,
+       pbar + sigma3 AS ucl,
+       GREATEST(pbar - sigma3, 0.0) AS lcl,
+       CAST(rate > pbar + sigma3
+            OR rate < GREATEST(pbar - sigma3, 0.0) AS BOOLEAN)
+         AS out_of_control
+FROM c
+""",
+)
+def q_control_chart(spark, sf_dir):
+    """p-chart (attribute control chart) of the daily error-event
+    rate with 3-sigma Shewhart limits — the SPC screen behind
+    reliability alerting.  One events scan to day grain; the global
+    center line p-bar rides a full-frame window over the bounded day
+    table (one chain — branching into a separate global agg would
+    rescan events).  Every number derives from exact integer counts
+    through IDENTICAL double expressions (one division each, sqrt is
+    correctly rounded IEEE), left unrounded; the out_of_control flag
+    compares those identical doubles, so it cannot disagree between
+    engines."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("err"),
+    )
+    wf = W.partitionBy()
+    m = d.select(
+        "day",
+        "n",
+        "err",
+        F.sum("n").over(wf).alias("tn"),
+        F.sum("err").over(wf).alias("te"),
+    )
+    rate = F.col("err").cast("double") / F.col("n")
+    pbar = F.col("te").cast("double") / F.col("tn")
+    sigma3 = 3 * F.sqrt(
+        F.col("te").cast("double")
+        / F.col("tn")
+        * (1 - F.col("te").cast("double") / F.col("tn"))
+        / F.col("n")
+    )
+    ucl = pbar + sigma3
+    lcl = F.greatest(pbar - sigma3, F.lit(0.0))
+    return m.select(
+        "day",
+        "n",
+        "err",
+        rate.alias("rate"),
+        ucl.alias("ucl"),
+        lcl.alias("lcl"),
+        ((rate > ucl) | (rate < lcl)).alias("out_of_control"),
+    )
+
+
+@register(
+    "q_topk_movers",
+    oracle="""
+WITH r AS (
+  SELECT l.l_partkey AS part,
+         CASE WHEN YEAR(o.o_orderdate) < 1998 THEN 0 ELSE 1 END AS per,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+              * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
+           AS BIGINT) AS ru
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT part, per, ru,
+         ROW_NUMBER() OVER (PARTITION BY per ORDER BY ru DESC, part)
+           AS rnk
+  FROM r
+)
+SELECT a.part,
+       CAST(a.rnk AS BIGINT) AS rank_early,
+       CAST(b.rnk AS BIGINT) AS rank_late,
+       CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain,
+       CAST(a.ru AS DOUBLE) / 10000 AS rev_early,
+       CAST(b.ru AS DOUBLE) / 10000 AS rev_late
+FROM rk a JOIN rk b ON a.part = b.part AND a.per = 0 AND b.per = 1
+ORDER BY ABS(a.rnk - b.rnk) DESC, a.part
+LIMIT 20
+""",
+)
+def q_topk_movers(spark, sf_dir):
+    """Top-20 rank movers: parts whose revenue rank shifted most
+    between the early (<1998) and late (>=1998) periods — the
+    movers-and-shakers report behind assortment reviews.  Revenue is
+    exact integer units (§8.15); ranks are ROW_NUMBER under the full
+    integer tie-break (units desc, part) per period, so the rank
+    join, gain, and the |gain| top-20 (TakeOrderedAndProject with
+    part as the tie-break) are all bit-deterministic.  ONE fact scan
+    to (part, period) grain; rank windows partition BY PERIOD over
+    the part-grain aggregate (bounded; the 100 TB swap is the
+    two-phase scalable_cumsum rank, as in q_gains_table)."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    units = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    r = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.year("o_orderdate") >= 1998).cast("int").alias("per"),
+        )
+        .agg(F.sum(units).alias("ru"))
+    )
+    rk = r.select(
+        "part",
+        "per",
+        "ru",
+        F.row_number()
+        .over(W.partitionBy("per").orderBy(F.desc("ru"), "part"))
+        .alias("rnk"),
+    )
+    # pivot the two periods on the SAME chain — splitting rk into
+    # per==0 / per==1 branches and self-joining would RE-EXECUTE the
+    # scan+join+agg+window subtree once per branch (the q_chi_square
+    # branch-re-execution rule); conditional max() over the <=2 rows
+    # per part is the one-chain pivot
+    pv = rk.groupBy("part").agg(
+        F.max(F.when(F.col("per") == 0, F.col("rnk"))).alias("rank_early"),
+        F.max(F.when(F.col("per") == 1, F.col("rnk"))).alias("rank_late"),
+        F.max(F.when(F.col("per") == 0, F.col("ru"))).alias("ru_e"),
+        F.max(F.when(F.col("per") == 1, F.col("ru"))).alias("ru_l"),
+    )
+    return (
+        pv.filter(
+            F.col("rank_early").isNotNull() & F.col("rank_late").isNotNull()
+        )
+        .select(
+            "part",
+            "rank_early",
+            "rank_late",
+            (F.col("rank_early") - F.col("rank_late")).alias("rank_gain"),
+            (F.col("ru_e").cast("double") / 10000).alias("rev_early"),
+            (F.col("ru_l").cast("double") / 10000).alias("rev_late"),
+        )
+        .orderBy(
+            F.abs(F.col("rank_early") - F.col("rank_late")).desc(), "part"
+        )
+        .limit(20)
+    )

@@ -650,3 +650,21 @@ def test_lsh_cosine_no_cartesian_banded(spark, sf_dir, queries):
     plan = _plan(queries["q_dedup_lsh_cosine"](spark, sf_dir))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+def test_control_chart_single_scan(spark, sf_dir, queries):
+    """p-bar rides a full-frame window over the day grain — one
+    events scan, never a separate global-total branch."""
+    plan = _plan(queries["q_control_chart"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_topk_movers_one_chain(spark, sf_dir, queries):
+    """Both periods pivot on ONE chain: each fact table is scanned
+    exactly once (a per-period branch self-join would double the
+    scan+join+window subtree), and the |gain| top-20 is a
+    TakeOrderedAndProject."""
+    plan = _plan(queries["q_topk_movers"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 4  # lineitem + orders, x2
+    assert "TakeOrderedAndProject" in plan
