@@ -1527,7 +1527,7 @@ def q_dedup_lsh_cosine(spark, sf_dir):
     "q_control_chart",
     oracle="""
 WITH d AS (
-  SELECT STRFTIME(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  SELECT EPOCH_US(ts) // 86400000000 AS day,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
               AS BIGINT) AS err
@@ -1569,11 +1569,19 @@ def q_control_chart(spark, sf_dir):
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
+    # day index via epoch_us (the q_wau form): event-time arithmetic
+    # must survive the fixture ts-encoding flips recorded in
+    # FIXTURES/io.epoch_us — never to_date(ts) directly.  The err sum
+    # uses WHEN/OTHERWISE(0), not a bool cast: an all-NULL-event_type
+    # day would make sum(cast) NULL while the oracle's CASE..ELSE 0
+    # yields 0
     d = ev.groupBy(
-        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("event_type") == "error").cast("long")).alias("err"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("err"),
     )
     wf = W.partitionBy()
     m = d.select(
@@ -1609,7 +1617,7 @@ def q_control_chart(spark, sf_dir):
     oracle="""
 WITH r AS (
   SELECT l.l_partkey AS part,
-         CASE WHEN YEAR(o.o_orderdate) < 1998 THEN 0 ELSE 1 END AS per,
+         CASE WHEN YEAR(o.o_orderdate) >= 1998 THEN 1 ELSE 0 END AS per,
          CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
               * (100 - CAST(ROUND(l.l_discount * 100, 0) AS BIGINT)))
            AS BIGINT) AS ru
@@ -1655,7 +1663,12 @@ def q_topk_movers(spark, sf_dir):
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
             F.col("l_partkey").alias("part"),
-            (F.year("o_orderdate") >= 1998).cast("int").alias("per"),
+            # WHEN/OTHERWISE(0), not a bool cast: a NULL orderdate
+            # must land in period 0 on BOTH engines (the oracle's
+            # CASE..ELSE 0), not in a NULL group the pivot ignores
+            F.when(F.year("o_orderdate") >= 1998, 1)
+            .otherwise(0)
+            .alias("per"),
         )
         .agg(F.sum(units).alias("ru"))
     )
