@@ -85,6 +85,9 @@ _VERIFY_FIRST = [
     "q_dedup_lsh_cosine",
     "q_control_chart",
     "q_topk_movers",
+    "q_forecast_naive_eval",
+    "q_two_proportion_ztest",
+    "q_histogram_2d",
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",

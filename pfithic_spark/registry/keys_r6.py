@@ -1708,3 +1708,184 @@ def q_topk_movers(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@register(
+    "q_forecast_naive_eval",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM orders GROUP BY 1
+),
+w AS (
+  SELECT day, c, LAG(c, 7) OVER (ORDER BY day) AS pred
+  FROM d
+),
+e AS (
+  SELECT ABS(c - pred) AS ae, c FROM w WHERE pred IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ae) AS DOUBLE) / (COUNT(*) * 100.0) AS mae,
+       CAST(SUM(ae * 1000000 // c) AS DOUBLE) / (COUNT(*) * 1e6)
+         AS mape
+FROM e
+""",
+)
+def q_forecast_naive_eval(spark, sf_dir):
+    """Seasonal-naive forecast backtest: predict each day's revenue
+    by the value 7 days (rows) earlier and report MAE / MAPE — the
+    baseline every real forecasting model must beat, and the
+    evaluation harness shape (lag-k prediction + error aggregate)
+    that any backtest reuses.  EXACT INTEGER end to end: absolute
+    errors are integer cents; MAPE's per-day ratio is computed as an
+    integer floor((ae·1e6)/c) (both engines' integer division
+    truncates identically on the non-negative domain, §8.7; ae·1e6
+    stays inside int64 to ~$92 B/day of error) and summed as
+    integers, so both final statistics are single unrounded
+    divisions at 1e-6 resolution.  One scan to the bounded day
+    grain; the lag window rides it."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(cents).alias("c")
+    )
+    w = d.select(
+        "day", "c", F.lag("c", 7).over(W.orderBy("day")).alias("pred")
+    )
+    e = w.filter(F.col("pred").isNotNull()).select(
+        F.abs(F.col("c") - F.col("pred")).alias("ae"), "c"
+    )
+    return e.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum("ae").cast("double") / (F.count(F.lit(1)) * 100.0)
+        ).alias("mae"),
+        (
+            F.sum(F.expr("ae * 1000000 div c")).cast("double")
+            / (F.count(F.lit(1)) * 1e6)
+        ).alias("mape"),
+    )
+
+
+@register(
+    "q_two_proportion_ztest",
+    oracle="""
+WITH s AS (
+  SELECT
+    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'error'
+             THEN 1 ELSE 0 END) AS x0,
+    SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'error'
+             THEN 1 ELSE 0 END) AS x1
+  FROM events
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       CAST(x0 AS BIGINT) AS x0, CAST(x1 AS BIGINT) AS x1,
+       CAST(x0 AS DOUBLE) / n0 AS rate0,
+       CAST(x1 AS DOUBLE) / n1 AS rate1,
+       CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+         (CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)
+         / SQRT(CAST(x0 + x1 AS DOUBLE) / (n0 + n1)
+                * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                * (1.0 / n0 + 1.0 / n1))
+       END AS z_stat
+FROM s
+""",
+)
+def q_two_proportion_ztest(spark, sf_dir):
+    """Two-proportion z-test on the error-event rate between the two
+    user cohorts — the A/B primitive for RATES, next to q_welch_ttest
+    (means) and q_chi_square (independence).  Event grain, not user
+    grain: the fixture's ~670 events/user make any per-user
+    "converted at least once" flag degenerate (100% both cohorts →
+    pooled variance 0 → ANSI divide-by-zero, observed).  ONE events
+    scan collapses to four sufficient integers via conditional sums;
+    rates and the pooled-variance z are IDENTICAL double expressions
+    of exact integers, unrounded; a degenerate pool (all or none)
+    yields NULL z on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    coh = F.col("user_id") % 2
+    is_err = F.col("event_type") == "error"
+    s = ev.agg(
+        F.sum(F.when(coh == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(coh == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when((coh == 0) & is_err, 1).otherwise(0)).alias("x0"),
+        F.sum(F.when((coh == 1) & is_err, 1).otherwise(0)).alias("x1"),
+    )
+    r0 = F.col("x0").cast("double") / F.col("n0")
+    r1 = F.col("x1").cast("double") / F.col("n1")
+    tot_x = F.col("x0") + F.col("x1")
+    tot_n = F.col("n0") + F.col("n1")
+    pp = tot_x.cast("double") / tot_n
+    return s.select(
+        "n0",
+        "n1",
+        "x0",
+        "x1",
+        r0.alias("rate0"),
+        r1.alias("rate1"),
+        F.when(
+            (tot_x > 0) & (tot_x < tot_n),
+            (r0 - r1)
+            / F.sqrt(
+                pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+            ),
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "q_histogram_2d",
+    oracle="""
+WITH t AS (
+  SELECT EPOCH_US(ts) // 86400000000 AS dayidx,
+         EPOCH_US(ts) % 86400000000 // 3600000000 AS hour
+  FROM events
+),
+c AS (
+  SELECT (dayidx + 4) % 7 AS dow, hour, COUNT(*) AS n
+  FROM t GROUP BY 1, 2
+),
+m AS (SELECT dow, hour, n, SUM(n) OVER () AS tot FROM c)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / tot AS share
+FROM m
+""",
+)
+def q_histogram_2d(spark, sf_dir):
+    """Day-of-week × hour-of-day activity heatmap (the 7×24 usage
+    grid behind capacity planning and anomaly baselines).  Bin
+    indexes are pure INTEGER arithmetic on epoch microseconds
+    (io.epoch_us — survives the fixture ts-encoding flips; epoch day
+    0 = Thursday, so dow = (dayidx + 4) mod 7 keeps 0=Sunday, the
+    q_dow_profile convention); shares divide exact integers once,
+    unrounded.  One scan to the ≤168-cell grid, total via one
+    full-frame window over it."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    t = ev.select(
+        F.floor(us / F.lit(86_400_000_000)).alias("dayidx"),
+        F.floor(
+            (us % F.lit(86_400_000_000)) / F.lit(3_600_000_000)
+        ).alias("hour"),
+    )
+    c = t.groupBy(
+        ((F.col("dayidx") + 4) % 7).alias("dow"), "hour"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = c.select(
+        "dow", "hour", "n", F.sum("n").over(W.partitionBy()).alias("tot")
+    )
+    return m.select(
+        "dow",
+        "hour",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("share"),
+    )

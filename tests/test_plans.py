@@ -668,3 +668,21 @@ def test_topk_movers_one_chain(spark, sf_dir, queries):
     plan = _plan(queries["q_topk_movers"](spark, sf_dir))
     assert plan.count("Scan parquet") == 4  # lineitem + orders, x2
     assert "TakeOrderedAndProject" in plan
+
+
+def test_forecast_eval_one_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q_forecast_naive_eval"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_two_proportion_ztest_one_scan(spark, sf_dir, queries):
+    """All four sufficient integers come from ONE events scan."""
+    plan = _plan(queries["q_two_proportion_ztest"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+
+
+def test_histogram_2d_one_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q_histogram_2d"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
