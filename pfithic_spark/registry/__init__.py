@@ -40,6 +40,7 @@ from .keys_lakehouse import *  # noqa: F401,F403,E402
 from .keys_ext import *  # noqa: F401,F403,E402
 from .keys_r5 import *  # noqa: F401,F403,E402
 from .keys_r6 import *  # noqa: F401,F403,E402
+from .keys_r6b import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
     # r02-era driver rows — the LAST pre-r3 backlog (VERDICT r5 #1);
@@ -88,6 +89,13 @@ _VERIFY_FIRST = [
     "q_forecast_naive_eval",
     "q_two_proportion_ztest",
     "q_histogram_2d",
+    # §2.18 lifecycle / robust-stats breadth — new in round 6
+    "q_cohort_ltv",
+    "q_theil_sen_trend",
+    "q_abc_classification",
+    "q_runs_test",
+    "q_winsorized_stats",
+    "q_session_paths",
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",

@@ -686,3 +686,46 @@ def test_histogram_2d_one_scan(spark, sf_dir, queries):
     plan = _plan(queries["q_histogram_2d"](spark, sf_dir))
     assert plan.count("Scan parquet") == 2
     assert "Window" in plan
+
+
+def test_cohort_ltv_windows_after_custkey_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["q_cohort_ltv"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_theil_sen_broadcasts_day_grain(spark, sf_dir, queries):
+    """The O(D^2) pair join is a broadcast NLJ over the bounded day
+    table, never a shuffled cartesian."""
+    plan = _plan(queries["q_theil_sen_trend"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_classification_one_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q_abc_classification"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    assert "Window" in plan
+
+
+def test_runs_test_one_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q_runs_test"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+
+
+def test_winsorized_single_exchange(spark, sf_dir, queries):
+    """Windows + groupBy all cluster on c_nationkey: ONE shuffle."""
+    plan = _plan(queries["q_winsorized_stats"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    import re
+    assert len(re.findall(r"\bExchange\b", plan)) == 2  # 1 real, x2 fmt
+
+
+def test_session_paths_single_fact_exchange(spark, sf_dir, queries):
+    """All three windows + the session groupBy reuse the user_id
+    exchange; only the tiny path groupBy adds a second."""
+    plan = _plan(queries["q_session_paths"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 2
+    import re
+    assert len(re.findall(r"\bExchange\b", plan)) == 4  # 2 real, x2 fmt
+    assert "TakeOrderedAndProject" in plan
