@@ -858,7 +858,13 @@ def q_skyline(spark, sf_dir):
         epoch_us(o, "o_orderdate").alias("y"),
     )
     gx = pts.groupBy("x").agg(F.max("y").alias("ymax"))
-    cnt = pts.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+    # Distinct column names on the count side: both branches descend
+    # from pts, and joining on cross-Dataset attribute refs trips
+    # Spark's ambiguous-self-join detection once the keep side's
+    # lineage is checkpoint-truncated inside scalable_cummax_exclusive.
+    cnt = pts.groupBy(
+        F.col("x").alias("cx"), F.col("y").alias("cy")
+    ).agg(F.count(F.lit(1)).alias("n"))
     m = win.scalable_cummax_exclusive(
         gx, "x", "ymax", "prevmax", descending=True
     )
@@ -868,11 +874,11 @@ def q_skyline(spark, sf_dir):
     return (
         keep.join(
             cnt,
-            (keep.x == cnt.x) & (keep.ymax == cnt.y),
+            (F.col("x") == F.col("cx")) & (F.col("ymax") == F.col("cy")),
         )
         .select(
-            keep.x.alias("price"),
-            keep.ymax.alias("odate_us"),
+            F.col("x").alias("price"),
+            F.col("ymax").alias("odate_us"),
             F.col("n").alias("n_orders"),
         )
     )

@@ -1727,8 +1727,10 @@ e AS (
   SELECT ABS(c - pred) AS ae, c FROM w WHERE pred IS NOT NULL
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-       CAST(SUM(ae) AS DOUBLE) / (COUNT(*) * 100.0) AS mae,
-       CAST(SUM(ae * 1000000 // c) AS DOUBLE) / (COUNT(*) * 1e6)
+       CAST(SUM(CAST(ae AS HUGEINT)) AS DOUBLE)
+         / (COUNT(*) * 100.0) AS mae,
+       CAST(SUM(CAST(ae AS HUGEINT) * 1000000 // CAST(c AS HUGEINT))
+            AS DOUBLE) / (COUNT(*) * 1e6)
          AS mape
 FROM e
 """,
@@ -1739,13 +1741,17 @@ def q_forecast_naive_eval(spark, sf_dir):
     baseline every real forecasting model must beat, and the
     evaluation harness shape (lag-k prediction + error aggregate)
     that any backtest reuses.  EXACT INTEGER end to end: absolute
-    errors are integer cents; MAPE's per-day ratio is computed as an
-    integer floor((ae·1e6)/c) (both engines' integer division
-    truncates identically on the non-negative domain, §8.7; ae·1e6
-    stays inside int64 to ~$92 B/day of error) and summed as
-    integers, so both final statistics are single unrounded
-    divisions at 1e-6 resolution.  One scan to the bounded day
-    grain; the lag window rides it."""
+    errors are integer cents; MAPE's per-day ratio is the exact
+    integer floor((ae·1e6)/c) computed by BASE-1000 LONG DIVISION
+    (q1 = ae div c, then two more digit groups off the remainders —
+    every intermediate ≤ c·1000 so nothing approaches int64 even at
+    100 TB daily-revenue cents; a naive ae·1e6 wraps past ~$92 B/day
+    of error in non-ANSI Spark while the DuckDB oracle errors — the
+    CUSUM DECIMAL-headroom precedent, caught at round-6 review), and
+    both day sums carry 128-bit headroom (DECIMAL(38,0) / HUGEINT),
+    so both final statistics are single unrounded divisions at 1e-6
+    resolution.  One scan to the bounded day grain; the lag window
+    rides it."""
     from pyspark.sql import Window as W
 
     o = load_table(spark, sf_dir, "orders")
@@ -1759,13 +1765,22 @@ def q_forecast_naive_eval(spark, sf_dir):
     e = w.filter(F.col("pred").isNotNull()).select(
         F.abs(F.col("c") - F.col("pred")).alias("ae"), "c"
     )
+    # floor(ae*1e6/c) in three base-1000 digit groups: every
+    # intermediate stays < c*1000, so the exact quotient never needs
+    # more than int64 regardless of the cents magnitude.
+    term = F.expr(
+        "(ae div c) * 1000000"
+        " + (((ae % c) * 1000) div c) * 1000"
+        " + (((((ae % c) * 1000) % c) * 1000) div c)"
+    )
     return e.agg(
         F.count(F.lit(1)).alias("n_days"),
         (
-            F.sum("ae").cast("double") / (F.count(F.lit(1)) * 100.0)
+            F.sum(F.col("ae").cast("decimal(20,0)")).cast("double")
+            / (F.count(F.lit(1)) * 100.0)
         ).alias("mae"),
         (
-            F.sum(F.expr("ae * 1000000 div c")).cast("double")
+            F.sum(term.cast("decimal(20,0)")).cast("double")
             / (F.count(F.lit(1)) * 1e6)
         ).alias("mape"),
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
 from pyspark.sql import functions as F  # noqa: F401
 
+from .. import windows as win  # noqa: F401
 from ..io import epoch_us, load_table  # noqa: F401
 from ._core import (  # noqa: F401
     ORACLE_SQL,
@@ -31,6 +32,14 @@ _PATH_LEN = 3
 
 #: q_session_paths reports the top-k most common paths.
 _PATH_TOPK = 20
+
+#: Conditional-aggregation path slots, generated from _PATH_LEN so the
+#: constant actually drives BOTH engines (a hardcoded 3-slot concat
+#: would silently ignore a changed _PATH_LEN).
+_PATH_SLOTS_SQL = ",\n           ".join(
+    f"MAX(CASE WHEN r = {i} THEN event_type END)"
+    for i in range(1, _PATH_LEN + 1)
+)
 
 
 # ========================================================================
@@ -62,7 +71,8 @@ w AS (
          CAST(SUM(c) OVER cw AS BIGINT) AS cum,
          FIRST_VALUE(n_active) OVER cw AS size
   FROM g
-  WINDOW cw AS (PARTITION BY m0 ORDER BY age ROWS UNBOUNDED PRECEDING)
+  WINDOW cw AS (PARTITION BY m0 ORDER BY age NULLS LAST
+                ROWS UNBOUNDED PRECEDING)
 )
 SELECT PRINTF('%04d-%02d', m0 // 12, m0 % 12 + 1) AS cohort,
        age, n_active,
@@ -104,9 +114,14 @@ def q_cohort_ltv(spark, sf_dir):
         F.countDistinct("o_custkey").alias("n_active"),
         F.sum("cents").alias("c"),
     )
+    # Explicit NULLS LAST: Spark defaults ASC NULLS FIRST while DuckDB
+    # defaults ASC NULLS LAST — a NULL-derived age (NULL o_orderdate
+    # after a fixture regeneration) would otherwise shift every
+    # cumulative value of its cohort on one engine only (the same
+    # hardening q_topk_movers carries for period 0).
     cw = (
         Window.partitionBy("m0")
-        .orderBy("age")
+        .orderBy(F.col("age").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w = g.select(
@@ -178,16 +193,44 @@ def q_theil_sen_trend(spark, sf_dir):
     inside the §8.14 magnitude-aware rounding bound (cents at
     round(9) would sit at 17).
 
-    The median itself is a TWO-PHASE DISTRIBUTED RANK SELECTION, not
-    percentile(): Spark's exact percentile is a TypedImperative
-    value→count map whose partial-merge on ~3 M mostly-distinct
-    doubles measured 13.7 s at sf0.1, and a bare global row_number
-    is a one-task sort.  Here: range-repartition by slope →
-    per-partition row_number + broadcast partition-count offsets =
-    global rank (the windows.scalable_cumsum offset pattern) →
-    filter the two middle ranks → avg.  Measured 3.4 s warm, same
-    value to the last ulp; rank ties among equal slopes are
-    value-neutral."""
+    The median itself is a TWO-PHASE DISTRIBUTED RANK SELECTION via
+    ``windows.scalable_rank``, not percentile(): Spark's exact
+    percentile is a TypedImperative value→count map whose
+    partial-merge on ~3 M mostly-distinct doubles measured 13.7 s at
+    sf0.1, and a bare global row_number is a one-task sort.  The
+    helper range-repartitions by slope, EAGERLY CHECKPOINTS (the
+    local-rank and partition-count branches must read the same
+    physical partitions — ``spark_partition_id`` consistency across a
+    lineage branch is otherwise only an AQE exchange-reuse accident;
+    round-6 adversarial review), then per-partition row_number +
+    broadcast prefix-count offsets = global rank → filter the two
+    middle ranks → avg.  Measured 3.4 s warm, same value to the last
+    ulp; rank ties among equal slopes are value-neutral."""
+    p, d = _theil_sen_slopes(spark, sf_dir)
+    ranked = win.scalable_rank(
+        p, [F.col("slope")], rank_col="_grank", tot_col="_tot"
+    )
+    sel = ranked.filter(
+        (F.col("_grank") == F.expr("(_tot + 1) div 2"))
+        | (F.col("_grank") == F.expr("(_tot + 2) div 2"))
+    )
+    med = sel.agg(
+        F.max("_tot").alias("n_pairs"),
+        F.round(F.avg("slope") / 100, 6).alias("trend_usd_per_day"),
+    )
+    span = d.agg(
+        (F.max("dayidx") - F.min("dayidx")).cast("long").alias("day_span")
+    )
+    return med.crossJoin(span).select(
+        "n_pairs", "day_span", "trend_usd_per_day"
+    )
+
+
+def _theil_sen_slopes(spark, sf_dir):
+    """Lazy slope builder (day grain → broadcast pair join), factored
+    out so test_plans gates the REAL pre-checkpoint plan — the
+    checkpoint inside scalable_rank makes the full key's plan opaque
+    to explain.  Returns (slopes, day_table)."""
     o = load_table(spark, sf_dir, "orders")
     us = epoch_us(o, "o_orderdate")
     d = o.groupBy(
@@ -207,50 +250,7 @@ def q_theil_sen_trend(spark, sf_dir):
             / (F.col("b.dayidx") - F.col("a.dayidx"))
         ).alias("slope")
     )
-    parted = p.repartitionByRange(32, "slope").withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    local = parted.withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy("_pid").orderBy("slope")),
-    )
-    cnts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    offs = cnts.select(
-        "_pid",
-        F.coalesce(
-            F.sum("_c").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("_off"),
-        F.sum("_c")
-        .over(
-            Window.orderBy("_pid").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("_tot"),
-    )
-    sel = (
-        local.join(F.broadcast(offs), "_pid")
-        .withColumn("_grank", F.col("_rn") + F.col("_off"))
-        .filter(
-            (F.col("_grank") == F.expr("(_tot + 1) div 2"))
-            | (F.col("_grank") == F.expr("(_tot + 2) div 2"))
-        )
-    )
-    med = sel.agg(
-        F.max("_tot").alias("n_pairs"),
-        F.round(F.avg("slope") / 100, 6).alias("trend_usd_per_day"),
-    )
-    span = d.agg(
-        (F.max("dayidx") - F.min("dayidx")).cast("long").alias("day_span")
-    )
-    return med.crossJoin(span).select(
-        "n_pairs", "day_span", "trend_usd_per_day"
-    )
+    return p, d
 
 
 # ========================================================================
@@ -597,9 +597,7 @@ rn AS (
 ),
 p AS (
   SELECT CONCAT_WS('>',
-           MAX(CASE WHEN r = 1 THEN event_type END),
-           MAX(CASE WHEN r = 2 THEN event_type END),
-           MAX(CASE WHEN r = 3 THEN event_type END)) AS path
+           {_PATH_SLOTS_SQL}) AS path
   FROM rn WHERE r <= {_PATH_LEN} GROUP BY user_id, sess
 )
 SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
@@ -648,9 +646,10 @@ def q_session_paths(spark, sf_dir):
     p = rn.groupBy("user_id", "sess").agg(
         F.concat_ws(
             ">",
-            F.max(F.when(F.col("r") == 1, F.col("event_type"))),
-            F.max(F.when(F.col("r") == 2, F.col("event_type"))),
-            F.max(F.when(F.col("r") == 3, F.col("event_type"))),
+            *[
+                F.max(F.when(F.col("r") == i, F.col("event_type")))
+                for i in range(1, _PATH_LEN + 1)
+            ],
         ).alias("path")
     )
     return (

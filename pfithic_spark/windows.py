@@ -14,12 +14,97 @@ two-phase form here (SURVEY.md §4.4) keeps every step distributed:
    over the tiny totals table → broadcast join back.
 
 All in DataFrame ops, so Catalyst/AQE still optimize around it.
+
+CORRECTNESS NOTE (round 6, adversarial review): every two-phase helper
+branches its lineage at the range-repartitioned, ``spark_partition_id``
+-stamped DataFrame — one branch takes the per-partition window, the
+other the per-partition totals.  The two branches only see CONSISTENT
+``_pid`` values if they read the SAME physical partitions.  With
+exchange reuse / AQE enabled (the default) the identical
+``rangepartitioning`` exchanges dedupe at runtime, but that is an
+OPTIMIZATION, not a guarantee: with ``spark.sql.exchange.reuse=false``
+each branch re-executes ``repartitionByRange`` with an independently
+sampled RangePartitioner (the sampler seeds from the new rdd.id), the
+partition boundaries can differ, and the offset join silently
+mis-ranks.  The helpers therefore MATERIALIZE the stamped DataFrame
+(eager ``localCheckpoint``) before the branch point — correctness must
+not depend on an optimizer flag.  ``materialize=False`` exists ONLY so
+tests can gate the pre-checkpoint plan shape (checkpointed results are
+opaque to ``explain``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+def _parted_by_range(
+    df: DataFrame,
+    order_exprs: list,
+    num_partitions: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """Range-repartition, stamp ``_pid``, and (by default) materialize
+    via eager localCheckpoint so every downstream lineage branch reads
+    the same physical partitions (see module docstring)."""
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    parted = df.repartitionByRange(n, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    if materialize:
+        parted = parted.localCheckpoint(eager=True)
+    return parted
+
+
+def scalable_rank(
+    df: DataFrame,
+    order_cols: list,
+    num_partitions: int | None = None,
+    rank_col: str = "_rk",
+    tot_col: str | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Two-phase distributed global row_number over ``order_cols``
+    (which must be made total by a tiebreak chain when exact per-row
+    ranks matter; ties are fine when rank use is value-neutral, e.g.
+    median selection over the value being ordered).
+
+    Range repartition on the order → eager checkpoint (``_pid``
+    consistency across the branch, see module docstring) →
+    per-partition row_number + broadcast prefix-count offsets.
+    Returns the input columns plus ``rank_col`` (1-based global rank),
+    ``_pid`` (callers running further per-partition phases need it —
+    drop it otherwise), and optionally ``tot_col`` (the global row
+    count, same on every row)."""
+    parted = _parted_by_range(df, order_cols, num_partitions, materialize)
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    d = parted.withColumn("_lrk", F.row_number().over(w_local))
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    w_pre = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    sel = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_off"),
+    ]
+    if tot_col is not None:
+        sel.append(
+            F.sum("_cnt")
+            .over(
+                W.orderBy("_pid").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            )
+            .alias(tot_col)
+        )
+    offs = counts.select(*sel)
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(rank_col, (F.col("_lrk") + F.col("_off")).cast("long"))
+        .drop("_lrk", "_off")
+    )
 
 
 def scalable_cumsum(
@@ -30,6 +115,7 @@ def scalable_cumsum(
     num_partitions: int | None = None,
     small_threshold: int | None = None,
     precomputed_count: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Globally ordered running sum without a single-task global window.
 
@@ -55,11 +141,8 @@ def scalable_cumsum(
                 W.unboundedPreceding, W.currentRow
             )
             return df.withColumn(out_col, F.sum(value_col).over(w))
-    n = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
-    parted = df.repartitionByRange(int(n), F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    parted = _parted_by_range(
+        df, [F.col(order_col)], num_partitions, materialize
     )
     w_local = (
         W.partitionBy("_pid")
@@ -244,15 +327,17 @@ def bh_fdr_scalable(
     tiebreak: list[str] | None = None,
     q_col: str = "q_value",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distributed BH-FDR: identical semantics to :func:`bh_fdr` with no
     single-task global window.
 
-    Two-phase global rank (range repartition on the total order →
-    per-partition row_number + broadcast prefix-count offsets) and
-    two-phase suffix-min for the monotonicity step (per-partition
-    suffix-min + broadcast min-of-later-partitions).  The tiebreak chain
-    must make the ordering total.
+    Two-phase global rank (:func:`scalable_rank` — range repartition on
+    the total order → eager checkpoint → per-partition row_number +
+    broadcast prefix-count offsets) and two-phase suffix-min for the
+    monotonicity step (per-partition suffix-min + broadcast
+    min-of-later-partitions).  The tiebreak chain must make the
+    ordering total.
     """
     tiebreak = tiebreak or []
     if m is None:
@@ -263,18 +348,9 @@ def bh_fdr_scalable(
         or 32
     )
     order_cols = [F.col(p_col)] + [F.col(c) for c in tiebreak]
-    d = df.repartitionByRange(n, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w_local = W.partitionBy("_pid").orderBy(*order_cols)
-    d = d.withColumn("_lrk", F.row_number().over(w_local))
-    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    w_pre = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offs = counts.select(
-        "_pid", F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_off")
-    )
-    d = d.join(F.broadcast(offs), "_pid").withColumn(
-        "_rk", (F.col("_lrk") + F.col("_off")).cast("long")
+    d = scalable_rank(
+        df, order_cols, num_partitions=n, rank_col="_rk",
+        materialize=materialize,
     )
     d = d.withColumn(
         "_q_raw",
@@ -302,7 +378,7 @@ def bh_fdr_scalable(
     d = d.join(F.broadcast(tails), "_pid").withColumn(
         q_col, F.least(F.col("_sfx"), F.col("_tailmin"))
     )
-    return d.drop("_pid", "_lrk", "_off", "_rk", "_q_raw", "_sfx", "_tailmin")
+    return d.drop("_pid", "_rk", "_q_raw", "_sfx", "_tailmin")
 
 
 def scalable_cummax_exclusive(
@@ -312,6 +388,7 @@ def scalable_cummax_exclusive(
     out_col: str,
     descending: bool = False,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Running max over all STRICTLY-PRECEDING rows in a global order,
     without a single-task global window — same two-phase shape as
@@ -319,13 +396,8 @@ def scalable_cummax_exclusive(
     broadcast prefix offsets), max instead of sum, exclusive frame.
     ``order_col`` values must be unique per row (pre-aggregate first).
     Rows with no predecessor get NULL."""
-    n = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
     ord_expr = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    parted = df.repartitionByRange(int(n), ord_expr).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    parted = _parted_by_range(df, [ord_expr], num_partitions, materialize)
     w_local = (
         W.partitionBy("_pid")
         .orderBy(ord_expr)

@@ -231,10 +231,17 @@ def test_forced_two_phase_paths(spark):
     df = spark.range(n).select(
         F.col("id").alias("d"), ((F.col("id") * 37) % 97 + 1).alias("cc")
     )
-    two = win.scalable_cumsum(df, "d", "cc", "run", small_threshold=None)
-    plan = _plan(two)
+    # Plan-shape gates on the PRE-CHECKPOINT form (materialize=False —
+    # the shipped default checkpoints at the branch point, which hides
+    # the exchange from explain); value gates on the shipped default.
+    shape = win.scalable_cumsum(
+        df, "d", "cc", "run", small_threshold=None, materialize=False
+    )
+    plan = _plan(shape)
     assert "rangepartitioning" in plan.lower(), "big side must range-partition"
     assert "_pid" in plan, "running window must partition by _pid"
+    two = win.scalable_cumsum(df, "d", "cc", "run", small_threshold=None)
+    assert "ExistingRDD" in _plan(two), "branch point must be materialized"
     i = np.arange(n, dtype=np.int64)
     cs = np.cumsum((i * 37) % 97 + 1)
     probe = [0, 12_345, n - 1]
@@ -246,6 +253,7 @@ def test_forced_two_phase_paths(spark):
     )
     a = win.bh_fdr_scalable(scored, "p_value", m=n, tiebreak=["d"])
     assert "_pid" in _plan(a)
+    assert "ExistingRDD" in _plan(a), "rank branch point must be materialized"
     b = win.bh_fdr(scored, "p_value", m=n, tiebreak=["d"])
     diff = (
         a.select("d", F.col("q_value").alias("qa"))
@@ -254,6 +262,52 @@ def test_forced_two_phase_paths(spark):
         .collect()[0][0]
     )
     assert diff == 0.0, f"scalable BH diverges from single-window BH by {diff}"
+
+
+def test_scalable_rank_survives_disabled_exchange_reuse(spark):
+    """Round-6 review regression: an UNMATERIALIZED two-phase rank is
+    only correct because AQE dedupes the two identical
+    rangepartitioning exchanges — with exchange reuse and AQE off,
+    each lineage branch re-samples partition boundaries independently
+    and the _pid offsets mis-rank.  scalable_rank checkpoints the
+    branch point, so its ranks must equal the single-window
+    row_number under ANY optimizer flags."""
+    from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.xxhash64(F.col("id")) % 10_000).alias("v"), "id"
+    )
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        ranked = win.scalable_rank(
+            df, [F.col("v"), F.col("id")], rank_col="rk", tot_col="tot"
+        )
+        got = {r["id"]: r["rk"] for r in ranked.collect()}
+        exp_df = df.withColumn(
+            "rk", F.row_number().over(W.orderBy("v", "id")).cast("long")
+        )
+        exp = {r["id"]: r["rk"] for r in exp_df.collect()}
+        assert got == exp
+        assert ranked.select("tot").first()["tot"] == n
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_outer_join_aggregates_before_join(spark, sf_dir, queries):
@@ -696,10 +750,24 @@ def test_cohort_ltv_windows_after_custkey_shuffle(spark, sf_dir, queries):
 
 def test_theil_sen_broadcasts_day_grain(spark, sf_dir, queries):
     """The O(D^2) pair join is a broadcast NLJ over the bounded day
-    table, never a shuffled cartesian."""
-    plan = _plan(queries["q_theil_sen_trend"](spark, sf_dir))
+    table, never a shuffled cartesian.  Gated on the LAZY slope
+    builder — the full key checkpoints inside scalable_rank (for
+    _pid branch consistency), which makes the final plan opaque."""
+    from pfithic_spark.registry.keys_r6b import _theil_sen_slopes
+
+    slopes, _d = _theil_sen_slopes(spark, sf_dir)
+    plan = _plan(slopes)
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_theil_sen_rank_phase_materialized(spark, sf_dir, queries):
+    """The two-phase median's global rank must NOT depend on AQE
+    exchange reuse for spark_partition_id consistency: the full key's
+    plan must read the rank input from a checkpointed RDD (the
+    branch-point materialization), not re-derive it per branch."""
+    plan = _plan(queries["q_theil_sen_trend"](spark, sf_dir))
+    assert "ExistingRDD" in plan
 
 
 def test_abc_classification_one_scan(spark, sf_dir, queries):
