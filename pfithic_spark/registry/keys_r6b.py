@@ -198,17 +198,18 @@ def q_theil_sen_trend(spark, sf_dir):
     percentile is a TypedImperative value→count map whose
     partial-merge on ~3 M mostly-distinct doubles measured 13.7 s at
     sf0.1, and a bare global row_number is a one-task sort.  The
-    helper range-repartitions by slope, EAGERLY CHECKPOINTS (the
-    local-rank and partition-count branches must read the same
-    physical partitions — ``spark_partition_id`` consistency across a
-    lineage branch is otherwise only an AQE exchange-reuse accident;
-    round-6 adversarial review), then per-partition row_number +
-    broadcast prefix-count offsets = global rank → filter the two
-    middle ranks → avg.  Measured 3.4 s warm, same value to the last
-    ulp; rank ties among equal slopes are value-neutral."""
+    helper buckets by VALUE-DETERMINISTIC slope boundaries (frozen
+    driver-side literals — the local-rank and bucket-count lineage
+    branches must agree on every row's bucket, and a
+    ``spark_partition_id`` stamp only agrees when AQE exchange reuse
+    happens to dedupe the exchanges; round-6 adversarial review), then
+    per-bucket row_number + broadcast prefix-count offsets = global
+    rank → filter the two middle ranks → avg.  Measured 3.4 s warm,
+    same value to the last ulp; rank ties among equal slopes are
+    value-neutral."""
     p, d = _theil_sen_slopes(spark, sf_dir)
     ranked = win.scalable_rank(
-        p, [F.col("slope")], rank_col="_grank", tot_col="_tot"
+        p, [F.col("slope")], "slope", rank_col="_grank", tot_col="_tot"
     )
     sel = ranked.filter(
         (F.col("_grank") == F.expr("(_tot + 1) div 2"))
@@ -227,10 +228,9 @@ def q_theil_sen_trend(spark, sf_dir):
 
 
 def _theil_sen_slopes(spark, sf_dir):
-    """Lazy slope builder (day grain → broadcast pair join), factored
-    out so test_plans gates the REAL pre-checkpoint plan — the
-    checkpoint inside scalable_rank makes the full key's plan opaque
-    to explain.  Returns (slopes, day_table)."""
+    """Slope builder (day grain → broadcast pair join), factored out
+    to keep the rank-selection phase readable.  Returns
+    (slopes, day_table)."""
     o = load_table(spark, sf_dir, "orders")
     us = epoch_us(o, "o_orderdate")
     d = o.groupBy(

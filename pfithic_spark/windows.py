@@ -16,21 +16,27 @@ two-phase form here (SURVEY.md §4.4) keeps every step distributed:
 All in DataFrame ops, so Catalyst/AQE still optimize around it.
 
 CORRECTNESS NOTE (round 6, adversarial review): every two-phase helper
-branches its lineage at the range-repartitioned, ``spark_partition_id``
--stamped DataFrame — one branch takes the per-partition window, the
-other the per-partition totals.  The two branches only see CONSISTENT
-``_pid`` values if they read the SAME physical partitions.  With
-exchange reuse / AQE enabled (the default) the identical
-``rangepartitioning`` exchanges dedupe at runtime, but that is an
-OPTIMIZATION, not a guarantee: with ``spark.sql.exchange.reuse=false``
-each branch re-executes ``repartitionByRange`` with an independently
-sampled RangePartitioner (the sampler seeds from the new rdd.id), the
-partition boundaries can differ, and the offset join silently
-mis-ranks.  The helpers therefore MATERIALIZE the stamped DataFrame
-(eager ``localCheckpoint``) before the branch point — correctness must
-not depend on an optimizer flag.  ``materialize=False`` exists ONLY so
-tests can gate the pre-checkpoint plan shape (checkpointed results are
-opaque to ``explain``).
+branches its lineage at the bucket-stamped DataFrame — one branch takes
+the per-bucket window, the other the per-bucket totals — so the two
+branches MUST agree on every row's bucket id.  The original form
+stamped ``spark_partition_id()`` after ``repartitionByRange`` and was
+only consistent because AQE exchange reuse happened to dedupe the two
+identical ``rangepartitioning`` exchanges: with
+``spark.sql.exchange.reuse=false`` each branch re-executes the
+repartition with an independently SAMPLED RangePartitioner (the sampler
+seeds from the new rdd.id), boundaries can differ, and the offset join
+silently mis-ranks.  The fix makes ``_pid`` a PURE FUNCTION OF THE
+ORDER VALUE: quantile boundaries of the leading order column are
+collected ONCE driver-side (a one-pass approxQuantile, no shuffle) and
+frozen as literals, so any re-execution of any branch derives identical
+bucket ids by construction — no materialization, no optimizer
+dependence, and exchange reuse remains a pure optimization (identical
+deterministic subtrees still dedupe at runtime).  Equal leading-column
+values always share a bucket (strict boundary compares), so global
+ranks stay exact for any total order led by that column; a heavily tied
+leading column degrades to fewer effective buckets — the same skew
+behavior range partitioning had.  Leading order columns must be numeric
+and non-null (all callers pre-aggregate or derive them).
 """
 
 from __future__ import annotations
@@ -39,48 +45,65 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _parted_by_range(
+def _bucketed_by_value(
     df: DataFrame,
-    order_exprs: list,
+    bucket_col: str,
     num_partitions: int | None,
-    materialize: bool,
+    descending: bool = False,
 ) -> DataFrame:
-    """Range-repartition, stamp ``_pid``, and (by default) materialize
-    via eager localCheckpoint so every downstream lineage branch reads
-    the same physical partitions (see module docstring)."""
+    """Stamp ``_pid`` as a pure function of ``bucket_col``: quantile
+    boundaries are collected once driver-side and frozen as literals,
+    so every lineage branch derives identical bucket ids no matter how
+    many times it re-executes (see module docstring).  Rows equal to a
+    boundary all land in the lower bucket — equal values never split
+    across buckets, which is what keeps ranks exact under tiebreak
+    chains led by ``bucket_col``."""
     n = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    parted = df.repartitionByRange(n, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    if materialize:
-        parted = parted.localCheckpoint(eager=True)
-    return parted
+    bounds: list = []
+    if n > 1:
+        probs = [i / n for i in range(1, n)]
+        # one pass, no shuffle; boundaries are a partitioning CHOICE —
+        # any value produces correct ranks, so the sketch's epsilon
+        # only affects balance
+        qs = df.stat.approxQuantile(bucket_col, probs, 1.0 / (4 * n))
+        bounds = sorted(set(qs), reverse=descending)
+    pid = F.lit(0)
+    for b in bounds:
+        hit = (
+            (F.col(bucket_col) < F.lit(b))
+            if descending
+            else (F.col(bucket_col) > F.lit(b))
+        )
+        pid = pid + F.when(hit, 1).otherwise(0)
+    return df.withColumn("_pid", pid.cast("int"))
 
 
 def scalable_rank(
     df: DataFrame,
     order_cols: list,
+    bucket_col: str,
     num_partitions: int | None = None,
     rank_col: str = "_rk",
     tot_col: str | None = None,
-    materialize: bool = True,
+    descending: bool = False,
 ) -> DataFrame:
     """Two-phase distributed global row_number over ``order_cols``
     (which must be made total by a tiebreak chain when exact per-row
     ranks matter; ties are fine when rank use is value-neutral, e.g.
-    median selection over the value being ordered).
+    median selection over the value being ordered).  ``bucket_col``
+    names the LEADING order column (numeric, non-null; pass
+    ``descending=True`` when it leads descending).
 
-    Range repartition on the order → eager checkpoint (``_pid``
-    consistency across the branch, see module docstring) →
-    per-partition row_number + broadcast prefix-count offsets.
+    Value-deterministic bucketing (see module docstring) →
+    per-bucket row_number + broadcast prefix-count offsets.
     Returns the input columns plus ``rank_col`` (1-based global rank),
-    ``_pid`` (callers running further per-partition phases need it —
+    ``_pid`` (callers running further per-bucket phases need it —
     drop it otherwise), and optionally ``tot_col`` (the global row
     count, same on every row)."""
-    parted = _parted_by_range(df, order_cols, num_partitions, materialize)
+    parted = _bucketed_by_value(df, bucket_col, num_partitions, descending)
     w_local = W.partitionBy("_pid").orderBy(*order_cols)
     d = parted.withColumn("_lrk", F.row_number().over(w_local))
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
@@ -115,7 +138,6 @@ def scalable_cumsum(
     num_partitions: int | None = None,
     small_threshold: int | None = None,
     precomputed_count: int | None = None,
-    materialize: bool = True,
 ) -> DataFrame:
     """Globally ordered running sum without a single-task global window.
 
@@ -141,9 +163,7 @@ def scalable_cumsum(
                 W.unboundedPreceding, W.currentRow
             )
             return df.withColumn(out_col, F.sum(value_col).over(w))
-    parted = _parted_by_range(
-        df, [F.col(order_col)], num_partitions, materialize
-    )
+    parted = _bucketed_by_value(df, order_col, num_partitions)
     w_local = (
         W.partitionBy("_pid")
         .orderBy(order_col)
@@ -327,17 +347,15 @@ def bh_fdr_scalable(
     tiebreak: list[str] | None = None,
     q_col: str = "q_value",
     num_partitions: int | None = None,
-    materialize: bool = True,
 ) -> DataFrame:
     """Distributed BH-FDR: identical semantics to :func:`bh_fdr` with no
     single-task global window.
 
-    Two-phase global rank (:func:`scalable_rank` — range repartition on
-    the total order → eager checkpoint → per-partition row_number +
-    broadcast prefix-count offsets) and two-phase suffix-min for the
-    monotonicity step (per-partition suffix-min + broadcast
-    min-of-later-partitions).  The tiebreak chain must make the
-    ordering total.
+    Two-phase global rank (:func:`scalable_rank` — value-deterministic
+    p-value buckets → per-bucket row_number + broadcast prefix-count
+    offsets) and two-phase suffix-min for the monotonicity step
+    (per-bucket suffix-min + broadcast min-of-later-buckets).  The
+    tiebreak chain must make the ordering total.
     """
     tiebreak = tiebreak or []
     if m is None:
@@ -349,8 +367,7 @@ def bh_fdr_scalable(
     )
     order_cols = [F.col(p_col)] + [F.col(c) for c in tiebreak]
     d = scalable_rank(
-        df, order_cols, num_partitions=n, rank_col="_rk",
-        materialize=materialize,
+        df, order_cols, p_col, num_partitions=n, rank_col="_rk"
     )
     d = d.withColumn(
         "_q_raw",
@@ -388,16 +405,17 @@ def scalable_cummax_exclusive(
     out_col: str,
     descending: bool = False,
     num_partitions: int | None = None,
-    materialize: bool = True,
 ) -> DataFrame:
     """Running max over all STRICTLY-PRECEDING rows in a global order,
     without a single-task global window — same two-phase shape as
-    :func:`scalable_cumsum` (range repartition → per-partition window →
-    broadcast prefix offsets), max instead of sum, exclusive frame.
-    ``order_col`` values must be unique per row (pre-aggregate first).
-    Rows with no predecessor get NULL."""
+    :func:`scalable_cumsum` (value-deterministic buckets →
+    per-bucket window → broadcast prefix offsets), max instead of
+    sum, exclusive frame.  ``order_col`` values must be unique per row
+    (pre-aggregate first).  Rows with no predecessor get NULL."""
     ord_expr = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    parted = _parted_by_range(df, [ord_expr], num_partitions, materialize)
+    parted = _bucketed_by_value(
+        df, order_col, num_partitions, descending=descending
+    )
     w_local = (
         W.partitionBy("_pid")
         .orderBy(ord_expr)

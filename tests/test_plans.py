@@ -231,17 +231,13 @@ def test_forced_two_phase_paths(spark):
     df = spark.range(n).select(
         F.col("id").alias("d"), ((F.col("id") * 37) % 97 + 1).alias("cc")
     )
-    # Plan-shape gates on the PRE-CHECKPOINT form (materialize=False —
-    # the shipped default checkpoints at the branch point, which hides
-    # the exchange from explain); value gates on the shipped default.
-    shape = win.scalable_cumsum(
-        df, "d", "cc", "run", small_threshold=None, materialize=False
-    )
-    plan = _plan(shape)
-    assert "rangepartitioning" in plan.lower(), "big side must range-partition"
-    assert "_pid" in plan, "running window must partition by _pid"
     two = win.scalable_cumsum(df, "d", "cc", "run", small_threshold=None)
-    assert "ExistingRDD" in _plan(two), "branch point must be materialized"
+    plan = _plan(two)
+    assert "_pid" in plan, "running window must partition by _pid"
+    # bucket ids must be a pure function of the order VALUE, never the
+    # physical partition id (branch consistency must not depend on AQE
+    # exchange reuse — round-6 review)
+    assert "SPARK_PARTITION_ID" not in plan.upper()
     i = np.arange(n, dtype=np.int64)
     cs = np.cumsum((i * 37) % 97 + 1)
     probe = [0, 12_345, n - 1]
@@ -253,7 +249,7 @@ def test_forced_two_phase_paths(spark):
     )
     a = win.bh_fdr_scalable(scored, "p_value", m=n, tiebreak=["d"])
     assert "_pid" in _plan(a)
-    assert "ExistingRDD" in _plan(a), "rank branch point must be materialized"
+    assert "SPARK_PARTITION_ID" not in _plan(a).upper()
     b = win.bh_fdr(scored, "p_value", m=n, tiebreak=["d"])
     diff = (
         a.select("d", F.col("q_value").alias("qa"))
@@ -293,7 +289,7 @@ def test_scalable_rank_survives_disabled_exchange_reuse(spark):
         spark.conf.set(k, v)
     try:
         ranked = win.scalable_rank(
-            df, [F.col("v"), F.col("id")], rank_col="rk", tot_col="tot"
+            df, [F.col("v"), F.col("id")], "v", rank_col="rk", tot_col="tot"
         )
         got = {r["id"]: r["rk"] for r in ranked.collect()}
         exp_df = df.withColumn(
@@ -750,24 +746,14 @@ def test_cohort_ltv_windows_after_custkey_shuffle(spark, sf_dir, queries):
 
 def test_theil_sen_broadcasts_day_grain(spark, sf_dir, queries):
     """The O(D^2) pair join is a broadcast NLJ over the bounded day
-    table, never a shuffled cartesian.  Gated on the LAZY slope
-    builder — the full key checkpoints inside scalable_rank (for
-    _pid branch consistency), which makes the final plan opaque."""
-    from pfithic_spark.registry.keys_r6b import _theil_sen_slopes
-
-    slopes, _d = _theil_sen_slopes(spark, sf_dir)
-    plan = _plan(slopes)
+    table, never a shuffled cartesian; and the two-phase median's
+    bucket ids must be value-deterministic (never a
+    spark_partition_id stamp, whose cross-branch consistency is only
+    an AQE exchange-reuse accident — round-6 review)."""
+    plan = _plan(queries["q_theil_sen_trend"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
-
-
-def test_theil_sen_rank_phase_materialized(spark, sf_dir, queries):
-    """The two-phase median's global rank must NOT depend on AQE
-    exchange reuse for spark_partition_id consistency: the full key's
-    plan must read the rank input from a checkpointed RDD (the
-    branch-point materialization), not re-derive it per branch."""
-    plan = _plan(queries["q_theil_sen_trend"](spark, sf_dir))
-    assert "ExistingRDD" in plan
+    assert "SPARK_PARTITION_ID" not in plan.upper()
 
 
 def test_abc_classification_one_scan(spark, sf_dir, queries):

@@ -1513,6 +1513,209 @@ def main() -> None:
         want = 2 if (i1 // 2 == i2 // 2) else 1
         assert ni == want, (s1, s2, ni, want)
 
+    # --- q_theil_sen_trend: 8M orders -> 2,000-day grain -> 2M slopes
+    # Daily totals: c(d) = 100_000 + 250*d + jitter(d) cents, jitter a
+    # deterministic ±500 hash mix — slopes spread (no degenerate
+    # all-equal range partition) while numpy recomputes the exact
+    # expected median from the same closed-form day table.  The row
+    # also times scalable_rank's branch-point checkpoint at 2M rows.
+    n_days_ts = 2_000
+    per_day_ts = n // n_days_ts
+    day_ts = (F.col("id") % n_days_ts).cast("long")
+    jit = (day_ts * 2654435761) % 1001 - 500
+    daily_total = F.lit(100_000) + day_ts * 250 + jit
+    j_ts = (F.col("id") / n_days_ts).cast("long")
+    ord_ts = spark.range(n).select(
+        day_ts.alias("day"),
+        F.when(
+            j_ts == 0, daily_total - (per_day_ts - 1) * 25
+        ).otherwise(F.lit(25)).cast("long").alias("cents"),
+    )
+    t0 = time.time()
+    d_ts = ord_ts.groupBy("day").agg(F.sum("cents").alias("c"))
+    a_ts = d_ts.alias("a")
+    b_ts = d_ts.alias("b")
+    p_ts = a_ts.join(
+        F.broadcast(b_ts), F.col("a.day") < F.col("b.day")
+    ).select(
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.day") - F.col("a.day"))
+        ).alias("slope")
+    )
+    ranked_ts = win.scalable_rank(
+        p_ts, [F.col("slope")], "slope", rank_col="rk", tot_col="tot"
+    )
+    med_row = (
+        ranked_ts.filter(
+            (F.col("rk") == F.expr("(tot + 1) div 2"))
+            | (F.col("rk") == F.expr("(tot + 2) div 2"))
+        )
+        .agg(F.max("tot").alias("tot"), F.avg("slope").alias("med"))
+        .collect()[0]
+    )
+    theil_sen_s = time.time() - t0
+    dd = np.arange(n_days_ts, dtype=np.int64)
+    cd = 100_000 + 250 * dd + (dd * 2654435761) % 1001 - 500
+    i_idx, j_idx = np.triu_indices(n_days_ts, k=1)
+    slopes_np = (cd[j_idx] - cd[i_idx]).astype(np.float64) / (
+        j_idx - i_idx
+    )
+    slopes_np.sort()
+    m_np = slopes_np.shape[0]
+    exp_med = (
+        slopes_np[(m_np + 1) // 2 - 1] + slopes_np[(m_np + 2) // 2 - 1]
+    ) / 2.0
+    assert med_row["tot"] == n_days_ts * (n_days_ts - 1) // 2, med_row
+    assert med_row["med"] == exp_med, (med_row["med"], exp_med)
+
+    # --- q_gains_table's documented 100 TB swap: two-phase decile ----
+    # 8M customers with distinct cents 1..n ranked desc via
+    # scalable_rank; decile sums have exact arithmetic closed forms.
+    rc_g = spark.range(n).select(
+        F.col("id").alias("cust"), (F.col("id") + 1).alias("cents")
+    )
+    t0 = time.time()
+    rk_g = win.scalable_rank(
+        rc_g,
+        [F.col("cents").desc(), F.col("cust")],
+        "cents",
+        rank_col="rk",
+        descending=True,
+    )
+    dec_g = (
+        rk_g.withColumn(
+            "decile", F.expr(f"((rk - 1) * 10) div {n} + 1")
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_c"), F.sum("cents").alias("c"))
+        .collect()
+    )
+    gains_rank_s = time.time() - t0
+    assert len(dec_g) == 10, len(dec_g)
+    got_dec = {r["decile"]: (r["n_c"], r["c"]) for r in dec_g}
+    for q in range(1, 11):
+        # decile q holds cents values (n - q*n/10, n - (q-1)*n/10]
+        hi = n - (q - 1) * n // 10
+        lo = n - q * n // 10
+        want_sum = hi * (hi + 1) // 2 - lo * (lo + 1) // 2
+        assert got_dec[q] == (n // 10, want_sum), (q, got_dec[q])
+
+    # --- q_cohort_ltv: 7.68M orders, 192k customers x 40 months ------
+    # customer c cohorts at month c % 24 and orders 10.00 monthly for
+    # 40 months: the (cohort, age) grid is exactly 24 x 40 with
+    # n_active = 8,000 everywhere, retention 1.0, cum_ltv = 10*(age+1).
+    u_cl = 192_000
+    n_cl = u_cl * 40
+    cust_cl = (F.col("id") / 40).cast("long")
+    ord_cl = spark.range(n_cl).select(
+        cust_cl.alias("cust"),
+        ((cust_cl % 24) + F.col("id") % 40).cast("long").alias("ym"),
+        F.lit(1000).cast("long").alias("cents"),
+    )
+    t0 = time.time()
+    from pyspark.sql import Window as W
+
+    m_cl = ord_cl.withColumn(
+        "m0", F.min("ym").over(W.partitionBy("cust"))
+    )
+    g_cl = m_cl.groupBy(
+        "m0", (F.col("ym") - F.col("m0")).alias("age")
+    ).agg(
+        F.countDistinct("cust").alias("n_active"),
+        F.sum("cents").alias("c"),
+    )
+    cw_cl = (
+        W.partitionBy("m0")
+        .orderBy(F.col("age").asc_nulls_last())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    grid = g_cl.select(
+        "m0",
+        "age",
+        "n_active",
+        "c",
+        F.sum("c").over(cw_cl).alias("cum"),
+        F.first("n_active").over(cw_cl).alias("size"),
+    ).collect()
+    cohort_ltv_s = time.time() - t0
+    assert len(grid) == 24 * 40, len(grid)
+    for r in grid:
+        assert r["n_active"] == 8_000, r
+        assert r["c"] == 8_000 * 1000, r
+        assert r["cum"] == 8_000 * 1000 * (r["age"] + 1), r
+        assert r["size"] == 8_000, r
+
+    # --- q_session_paths: 8M events, 100k users x 20 sessions --------
+    # 4-event sessions 40 min apart (gap > 30 min), event types cycle
+    # by variant (u + sess) % 4 -> exactly 4 distinct 3-step paths at
+    # 500k sessions each; the whole chain (lag gap flag, running
+    # session id, in-session row_number, conditional-agg path) is the
+    # registered key's, fed µs directly.
+    u_sp = 100_000
+    e_per = 80
+    uid = (F.col("id") / e_per).cast("long")
+    j_sp = F.col("id") % e_per
+    sess_sp = (j_sp / 4).cast("long")
+    pos_sp = j_sp % 4
+    var_sp = (uid + sess_sp) % 4
+    ev_sp = spark.range(u_sp * e_per).select(
+        uid.alias("user_id"),
+        F.col("id").alias("event_id"),
+        (sess_sp * 2_400_000_000 + pos_sp * 60_000_000)
+        .cast("long")
+        .alias("us"),
+        F.concat(F.lit("e"), ((var_sp + pos_sp) % 5)).alias(
+            "event_type"
+        ),
+    )
+    t0 = time.time()
+    uw_sp = W.partitionBy("user_id").orderBy("us", "event_id")
+    gap_sp = F.col("us") - F.lag("us", 1).over(uw_sp)
+    s_sp = ev_sp.withColumn(
+        "new_s",
+        F.when(gap_sp.isNull() | (gap_sp > 30 * 60 * 1_000_000), 1)
+        .otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_s").over(
+            uw_sp.rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    rn_sp = s_sp.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("user_id", "sess").orderBy("us", "event_id")
+        ),
+    ).filter(F.col("r") <= 3)
+    p_sp = rn_sp.groupBy("user_id", "sess").agg(
+        F.concat_ws(
+            ">",
+            *[
+                F.max(F.when(F.col("r") == i, F.col("event_type")))
+                for i in (1, 2, 3)
+            ],
+        ).alias("path")
+    )
+    paths = (
+        p_sp.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+        .collect()
+    )
+    session_paths_s = time.time() - t0
+    assert len(paths) == 4, [r["path"] for r in paths]
+    want_paths = {
+        "e0>e1>e2",
+        "e1>e2>e3",
+        "e2>e3>e4",
+        "e3>e4>e0",
+    }
+    assert {r["path"] for r in paths} == want_paths, paths
+    for r in paths:
+        assert r["n_sessions"] == 500_000, r
+
     print(
         json.dumps(
             {
@@ -1563,6 +1766,10 @@ def main() -> None:
                 "lsh_cosine_s": round(lsh_s, 2),
                 "lsh_cosine_candidates": int(n_cand),
                 "vocab_overlap_s": round(vocab_overlap_s, 2),
+                "theil_sen_s": round(theil_sen_s, 2),
+                "gains_rank_s": round(gains_rank_s, 2),
+                "cohort_ltv_s": round(cohort_ltv_s, 2),
+                "session_paths_s": round(session_paths_s, 2),
             }
         )
     )
