@@ -427,17 +427,17 @@ def write_parquet_atomic(
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     seq = int(prev.get("seq", 0)) + 1
     txids, watermarks = _txid_record(path, prev, txid)
-    manifest = os.path.join(path, f"manifest-{seq:010d}-{txid}.json")
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(
-            {
-                "seq": seq,
-                "txid": txid,
-                "txids": txids,
-                "tx_watermarks": watermarks,
-                "files": files,
-                "stats": stats,
+    return _commit_manifest_json(
+        path,
+        seq,
+        txid,
+        {
+            "seq": seq,
+            "txid": txid,
+            "txids": txids,
+            "tx_watermarks": watermarks,
+            "files": files,
+            "stats": stats,
                 # Logical schema of THIS snapshot (Spark StructType
                 # json).  Lets readers materialize a correct empty
                 # DataFrame when the snapshot has zero files (overwrite
@@ -450,13 +450,33 @@ def write_parquet_atomic(
                 # retained files may carry columns this batch lacks —
                 # recording only the delta schema would silently drop
                 # them from pruned-empty reads).
-                "schema": _snapshot_schema_json(
-                    prev.get("schema") if mode == "append" else None,
-                    df.schema,
-                ),
-            },
-            fh,
-        )
+            # Logical schema of THIS snapshot (Spark StructType json):
+            # lets readers materialize a correct empty DataFrame when
+            # the snapshot has zero files or stats pruning drops every
+            # file.  On APPEND it is the MERGE of the previous
+            # snapshot's schema and the batch's (additive evolution —
+            # retained files may carry columns this batch lacks).
+            "schema": _snapshot_schema_json(
+                prev.get("schema") if mode == "append" else None,
+                df.schema,
+            ),
+        },
+    )
+
+
+def _commit_manifest_json(
+    path: str, seq: int, txid: str, meta: dict
+) -> str:
+    """Publish a manifest dict atomically (temp + rename — the commit
+    point) with the crash-test failpoints.  Shared by the writer and
+    the incremental compactor so both commit identically."""
+    import json
+    import os
+
+    manifest = os.path.join(path, f"manifest-{seq:010d}-{txid}.json")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
     if _FAILPOINT_BEFORE_COMMIT is not None:
         _FAILPOINT_BEFORE_COMMIT(path, txid)
     os.rename(tmp, manifest)  # the commit point
@@ -979,6 +999,149 @@ def compact_parquet_atomic(
         return write_parquet_atomic(staged, path, mode="overwrite")
     finally:
         staged.unpersist()
+
+
+#: Test-only failpoint: called after the optimize rewrite lands in
+#: staging but BEFORE the conflict re-check — lets tests inject a
+#: concurrent append into exactly the race window the check guards.
+_FAILPOINT_OPTIMIZE_BEFORE_CHECK = None
+
+
+def optimize_parquet_atomic(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    small_file_bytes: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """INCREMENTAL bin-packed compaction — the OPTIMIZE every
+    append-heavy table needs at 100 TB, where
+    :func:`compact_parquet_atomic`'s whole-snapshot rewrite is not an
+    option: only files smaller than ``small_file_bytes`` (default
+    ``target_bytes // 2``) are rewritten, first-fit-decreasing packed
+    into bins of at most ``target_bytes``; every other file is carried
+    into the new manifest UNTOUCHED (a manifest is just a file list,
+    so referencing bytes from older snapshots is free — the
+    Delta/Iceberg OPTIMIZE shape).  Bins that would hold a single file
+    are left alone (a 1→1 rewrite buys nothing).
+
+    Byte-identical rows, pure physical re-layout: readers pinned to
+    prior snapshots are undisturbed, time travel stays valid, and
+    :func:`vacuum_parquet_atomic` keeps every file the new manifest
+    references (its retention is reference-based, not age-based).
+    Rewritten bins are read under the SNAPSHOT schema, so
+    additive-evolution files merge correctly (old files' missing
+    columns surface as nulls, exactly as a reader would see them).
+    Per-file [min, max] stats envelopes are recomputed from the new
+    files' footers when the table carries stats, so file-skipping
+    keeps working across an optimize.
+
+    CONFLICT CHECK (same rule as compact): the new manifest would
+    silently drop an append committed after the planning read, so the
+    commit is refused (ValueError — caller retries) if the newest seq
+    moved during the rewrite.
+
+    ``dry_run=True`` returns the plan (counts + bins) without touching
+    storage.  Returns a dict with ``kept_files``, ``rewritten_files``,
+    ``bins``, ``manifest`` (None when nothing to do or dry-run).
+    """
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.types import StructType
+
+    prev_name, prev = _newest_manifest_entry(path)
+    files = list(prev.get("files", []))
+    if small_file_bytes is None:
+        small_file_bytes = target_bytes // 2
+    sized = []
+    for rel in files:
+        fp = os.path.join(path, rel)
+        sized.append((rel, os.path.getsize(fp)))
+    eligible = [(r, s) for r, s in sized if s < small_file_bytes]
+    kept = [r for r, s in sized if s >= small_file_bytes]
+    # first-fit-decreasing: sort by size desc, drop each file into the
+    # first bin with room — the classic 11/9-optimal packing, and
+    # deterministic (ties broken by the stable rel-path order)
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for rel, sz in sorted(eligible, key=lambda t: (-t[1], t[0])):
+        for i, load in enumerate(loads):
+            if load + sz <= target_bytes:
+                bins[i].append(rel)
+                loads[i] += sz
+                break
+        else:
+            bins.append([rel])
+            loads.append(sz)
+    singletons = [b[0] for b in bins if len(b) == 1]
+    kept += singletons
+    bins = [b for b in bins if len(b) > 1]
+    plan = {
+        "kept_files": len(kept),
+        "rewritten_files": sum(len(b) for b in bins),
+        "bins": len(bins),
+        "manifest": None,
+    }
+    if dry_run or not bins:
+        return plan
+    schema_raw = prev.get("schema")
+    reader = spark.read
+    if schema_raw:
+        reader = reader.schema(StructType.fromJson(json.loads(schema_raw)))
+    txid = uuid.uuid4().hex[:12]
+    staging = os.path.join(path, f"_staging_{txid}")
+    new_rels: list[str] = []
+    for i, bin_files in enumerate(bins):
+        out_dir = os.path.join(staging, f"bin-{i:05d}")
+        reader.parquet(
+            *[os.path.join(path, rel) for rel in bin_files]
+        ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+        new_rels.extend(
+            sorted(
+                os.path.join(f"_staging_{txid}", f"bin-{i:05d}", f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            )
+        )
+    if _FAILPOINT_OPTIMIZE_BEFORE_CHECK is not None:
+        _FAILPOINT_OPTIMIZE_BEFORE_CHECK(path, txid)
+    now_name, now = _newest_manifest_entry(path)
+    if now_name != prev_name:
+        raise ValueError(
+            "optimize conflict: snapshot advanced "
+            f"{prev.get('seq')} -> {now.get('seq')} during rewrite; retry"
+        )
+    prev_stats = dict(prev.get("stats", {}))
+    stats = {rel: prev_stats[rel] for rel in kept if rel in prev_stats}
+    stats_cols = sorted(
+        {c for per_file in prev_stats.values() for c in per_file}
+    )
+    if stats_cols:
+        for rel in new_rels:
+            stats[rel] = _parquet_file_stats(
+                os.path.join(path, rel), stats_cols
+            )
+    seq = int(prev.get("seq", 0)) + 1
+    txids, watermarks = _txid_record(path, prev, txid)
+    plan["manifest"] = _commit_manifest_json(
+        path,
+        seq,
+        txid,
+        {
+            "seq": seq,
+            "txid": txid,
+            "txids": txids,
+            "tx_watermarks": watermarks,
+            # kept first, then rewritten — stable, and keeps the file
+            # list deterministic for manifest diffing
+            "files": sorted(kept) + new_rels,
+            "stats": stats,
+            "schema": schema_raw,
+        },
+    )
+    return plan
 
 
 # --- spline-fit plot sink (dependency-free SVG) --------------------------

@@ -208,6 +208,12 @@ def q_theil_sen_trend(spark, sf_dir):
     same value to the last ulp; rank ties among equal slopes are
     value-neutral."""
     p, d = _theil_sen_slopes(spark, sf_dir)
+    # Persist the slope table: the rank helper's boundary scan, bucket
+    # counts, and bucket windows each traverse it (the branch-DAG
+    # persist discipline).  Purely perf — bucket ids are a function of
+    # the value, so an evicted/recomputed partition is still
+    # consistent.
+    p = p.persist()
     ranked = win.scalable_rank(
         p, [F.col("slope")], "slope", rank_col="_grank", tot_col="_tot"
     )

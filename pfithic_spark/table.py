@@ -4,13 +4,18 @@ manifest-based table needs alongside the query engine:
     python -m pfithic_spark.table snapshots <path>
     python -m pfithic_spark.table vacuum <path> [--keep N] [--keep-staging]
     python -m pfithic_spark.table compact <path> [--target-files N]
+    python -m pfithic_spark.table optimize <path> [--target-bytes N]
+                                          [--small-file-bytes N] [--dry-run]
 
 ``snapshots`` lists committed manifests (seq, txid, file count) without
 touching Spark; ``vacuum`` expires old snapshots + unreferenced data
 files + crashed-writer staging dirs (io.vacuum_parquet_atomic);
 ``compact`` rewrites the newest snapshot into fewer files as a new
 snapshot with the lost-update conflict check (io.compact_parquet_atomic,
-needs a SparkSession).  Kept separate from the reference-shaped
+needs a SparkSession); ``optimize`` is the INCREMENTAL form — bin-pack
+only the small files, reference everything else untouched
+(io.optimize_parquet_atomic, the 100 TB-viable maintenance pass).
+Kept separate from the reference-shaped
 ``python -m pfithic_spark`` pipeline CLI so that surface stays
 argument-compatible with upstream.
 """
@@ -66,6 +71,13 @@ def main(argv: list[str] | None = None) -> None:
     cp = sub.add_parser("compact", help="rewrite newest snapshot")
     cp.add_argument("path")
     cp.add_argument("--target-files", type=int, default=1)
+    op = sub.add_parser(
+        "optimize", help="bin-pack small files incrementally"
+    )
+    op.add_argument("path")
+    op.add_argument("--target-bytes", type=int, default=128 * 1024 * 1024)
+    op.add_argument("--small-file-bytes", type=int, default=None)
+    op.add_argument("--dry-run", action="store_true")
     args = ap.parse_args(argv)
 
     if args.cmd == "snapshots":
@@ -90,6 +102,22 @@ def main(argv: list[str] | None = None) -> None:
             spark, args.path, target_files=args.target_files
         )
         print(json.dumps({"manifest": os.path.basename(manifest)}))
+        spark.stop()
+    elif args.cmd == "optimize":
+        from .io import optimize_parquet_atomic
+        from .session import get_spark
+
+        spark = get_spark(app="pfithic-table-optimize")
+        plan = optimize_parquet_atomic(
+            spark,
+            args.path,
+            target_bytes=args.target_bytes,
+            small_file_bytes=args.small_file_bytes,
+            dry_run=args.dry_run,
+        )
+        if plan["manifest"]:
+            plan["manifest"] = os.path.basename(plan["manifest"])
+        print(json.dumps(plan))
         spark.stop()
 
 

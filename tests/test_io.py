@@ -755,3 +755,238 @@ def test_vacuum_sees_nested_writer_activity(spark, tmp_path):
         os.utime(p, (old, old))
     vacuum_parquet_atomic(path, keep_last_n=1, staging_grace_seconds=3600)
     assert os.path.exists(leaf), "active nested writer was swept"
+
+
+def test_optimize_binpacks_small_files_only(spark, tmp_path):
+    """Incremental OPTIMIZE: small files bin-pack into few rewritten
+    files; the large file is carried into the new manifest UNTOUCHED
+    (same relative path — no bytes rewritten); rows identical; time
+    travel to the pre-optimize snapshot intact; a further optimize is
+    a no-op."""
+    import json
+
+    from pfithic_spark.io import (
+        optimize_parquet_atomic,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "opt_ds")
+    # one "large" file: 5k rows in a single part
+    write_parquet_atomic(
+        spark.range(5000).withColumnRenamed("id", "v").coalesce(1),
+        path,
+        mode="overwrite",
+    )
+    big_manifest = json.load(open(write_parquet_atomic(
+        spark.range(5000, 5008).withColumnRenamed("id", "v")
+        .repartition(8),
+        path,
+        mode="append",
+    )))
+    # round-robin repartition drops empty partitions, so count what
+    # actually landed rather than assuming 8 part files
+    n_files = len(big_manifest["files"])
+    assert n_files >= 4
+    sizes = {}
+    import os
+
+    for rel in big_manifest["files"]:
+        sizes[rel] = os.path.getsize(os.path.join(path, rel))
+    big_rel = max(sizes, key=sizes.get)
+    # threshold between the tiny 1-row files and the 5k-row file
+    plan = optimize_parquet_atomic(
+        spark,
+        path,
+        target_bytes=1 << 30,
+        small_file_bytes=sizes[big_rel],
+    )
+    assert plan["rewritten_files"] == n_files - 1 and plan["bins"] == 1
+    assert plan["kept_files"] == 1
+    m = json.load(open(plan["manifest"]))
+    assert m["seq"] == 3
+    assert big_rel in m["files"], "large file must be referenced, not rewritten"
+    assert len(m["files"]) == 2  # big + one packed file
+    after = read_parquet_atomic(spark, path)
+    assert sorted(r["v"] for r in after.collect()) == list(range(5008))
+    # pre-optimize snapshot intact
+    assert read_parquet_atomic(spark, path, as_of_seq=2).count() == 5008
+    # idempotent: nothing small remains -> no-op, no new manifest
+    plan2 = optimize_parquet_atomic(
+        spark, path, target_bytes=1 << 30, small_file_bytes=sizes[big_rel]
+    )
+    assert plan2["manifest"] is None and plan2["bins"] == 0
+
+
+def test_optimize_dry_run_and_singleton_bins(spark, tmp_path):
+    """dry_run plans without touching storage; a bin that would hold
+    one file is never rewritten (1->1 buys nothing)."""
+    import json
+    import os
+
+    from pfithic_spark.io import (
+        optimize_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "opt_dry")
+    write_parquet_atomic(
+        spark.range(6).withColumnRenamed("id", "v").repartition(3),
+        path,
+        mode="overwrite",
+    )
+    before = sorted(os.listdir(path))
+    plan = optimize_parquet_atomic(
+        spark, path, target_bytes=1 << 30, dry_run=True
+    )
+    assert plan["manifest"] is None
+    assert plan["rewritten_files"] == 3 and plan["bins"] == 1
+    assert sorted(os.listdir(path)) == before, "dry run must not write"
+    # target so small every file lands in its own bin -> all singletons
+    plan1 = optimize_parquet_atomic(spark, path, target_bytes=1)
+    assert plan1["bins"] == 0 and plan1["manifest"] is None
+    # manifest count unchanged
+    manifests = [n for n in os.listdir(path) if n.startswith("manifest-")]
+    assert len(manifests) == 1
+    # sanity: a real run afterwards does commit
+    plan2 = optimize_parquet_atomic(spark, path, target_bytes=1 << 30)
+    assert plan2["manifest"] is not None
+    m = json.load(open(plan2["manifest"]))
+    assert len(m["files"]) == 1
+
+
+def test_optimize_conflict_refused_and_stats_recomputed(spark, tmp_path):
+    """An append landing during the rewrite is detected at the commit
+    re-check (ValueError, caller retries); with stats-carrying tables
+    the rewritten files get fresh [min,max] envelopes so file-skipping
+    keeps working."""
+    import json
+
+    import pytest
+
+    from pfithic_spark import io as pio
+    from pfithic_spark.io import (
+        optimize_parquet_atomic,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "opt_conflict")
+    write_parquet_atomic(
+        spark.range(8).withColumnRenamed("id", "v").repartition(4),
+        path,
+        mode="overwrite",
+        stats_cols=["v"],
+    )
+
+    def inject_append(p, txid):
+        write_parquet_atomic(
+            spark.range(8, 9).withColumnRenamed("id", "v"),
+            p,
+            mode="append",
+            stats_cols=["v"],
+        )
+
+    pio._FAILPOINT_OPTIMIZE_BEFORE_CHECK = inject_append
+    try:
+        with pytest.raises(ValueError, match="optimize conflict"):
+            optimize_parquet_atomic(spark, path, target_bytes=1 << 30)
+    finally:
+        pio._FAILPOINT_OPTIMIZE_BEFORE_CHECK = None
+    # retry after the conflict succeeds and rows are intact
+    plan = optimize_parquet_atomic(spark, path, target_bytes=1 << 30)
+    assert plan["manifest"] is not None
+    m = json.load(open(plan["manifest"]))
+    # every file carries a fresh/carried stats envelope for v
+    assert set(m["stats"]) == set(m["files"])
+    lo = min(s["v"][0] for s in m["stats"].values())
+    hi = max(s["v"][1] for s in m["stats"].values())
+    assert (lo, hi) == (0, 8)
+    after = read_parquet_atomic(spark, path)
+    assert sorted(r["v"] for r in after.collect()) == list(range(9))
+
+
+def test_optimize_respects_schema_evolution(spark, tmp_path):
+    """Rewritten bins are read under the SNAPSHOT schema: files
+    written before an additive column still optimize correctly, the
+    missing column surfacing as nulls exactly as a reader sees it."""
+    from pyspark.sql import functions as F
+
+    from pfithic_spark.io import (
+        optimize_parquet_atomic,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "opt_evo")
+    write_parquet_atomic(
+        spark.range(3).withColumnRenamed("id", "v").repartition(3),
+        path,
+        mode="overwrite",
+    )
+    write_parquet_atomic(
+        spark.range(3, 6)
+        .withColumnRenamed("id", "v")
+        .withColumn("extra", F.col("v") * 10)
+        .repartition(3),
+        path,
+        mode="append",
+    )
+    plan = optimize_parquet_atomic(spark, path, target_bytes=1 << 30)
+    assert plan["bins"] == 1 and plan["rewritten_files"] >= 2
+    after = read_parquet_atomic(spark, path).orderBy("v").collect()
+    assert [r["v"] for r in after] == [0, 1, 2, 3, 4, 5]
+    assert [r["extra"] for r in after] == [None, None, None, 30, 40, 50]
+
+
+def test_optimize_then_vacuum_keeps_referenced_files(spark, tmp_path):
+    """vacuum(keep_last_n=1) after an optimize removes the superseded
+    small files but keeps every file the optimize manifest references
+    (retention is reference-based), and the table still reads."""
+    from pfithic_spark.io import (
+        optimize_parquet_atomic,
+        read_parquet_atomic,
+        vacuum_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "opt_vac")
+    write_parquet_atomic(
+        spark.range(10).withColumnRenamed("id", "v").repartition(5),
+        path,
+        mode="overwrite",
+    )
+    plan = optimize_parquet_atomic(spark, path, target_bytes=1 << 30)
+    assert plan["bins"] == 1
+    out = vacuum_parquet_atomic(path, keep_last_n=1, staging_grace_seconds=0)
+    assert out["manifests_removed"] == 1
+    assert out["data_files_removed"] == 5  # the superseded small files
+    assert sorted(
+        r["v"] for r in read_parquet_atomic(spark, path).collect()
+    ) == list(range(10))
+
+
+def test_table_cli_optimize(spark, tmp_path, capsys, monkeypatch):
+    """optimize subcommand: dry-run plans, real run commits.  The CLI
+    owns its session lifecycle, so the test pins get_spark to the
+    shared session and neutralizes stop()."""
+    import json
+
+    import pfithic_spark.session as sess
+    from pfithic_spark.io import write_parquet_atomic
+    from pfithic_spark.table import main as table_main
+
+    monkeypatch.setattr(sess, "get_spark", lambda **kw: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    path = str(tmp_path / "tcli_opt")
+    write_parquet_atomic(
+        spark.range(6).withColumnRenamed("id", "v").repartition(3),
+        path,
+        mode="overwrite",
+    )
+    table_main(["optimize", path, "--dry-run"])
+    plan = json.loads(capsys.readouterr().out.strip())
+    assert plan["manifest"] is None and plan["bins"] == 1
+    table_main(["optimize", path])
+    plan = json.loads(capsys.readouterr().out.strip())
+    assert plan["manifest"] is not None and plan["rewritten_files"] == 3
