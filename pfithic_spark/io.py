@@ -438,18 +438,6 @@ def write_parquet_atomic(
             "tx_watermarks": watermarks,
             "files": files,
             "stats": stats,
-                # Logical schema of THIS snapshot (Spark StructType
-                # json).  Lets readers materialize a correct empty
-                # DataFrame when the snapshot has zero files (overwrite
-                # of an empty frame — e.g. an SCD2 batch fully
-                # filtered out) or when stats pruning drops every file:
-                # without it an empty table is unreadable because there
-                # is no parquet footer to infer from.  On APPEND the
-                # snapshot's schema is the MERGE of the previous
-                # snapshot's and the batch's (additive evolution:
-                # retained files may carry columns this batch lacks —
-                # recording only the delta schema would silently drop
-                # them from pruned-empty reads).
             # Logical schema of THIS snapshot (Spark StructType json):
             # lets readers materialize a correct empty DataFrame when
             # the snapshot has zero files or stats pruning drops every
@@ -1090,6 +1078,11 @@ def optimize_parquet_atomic(
     reader = spark.read
     if schema_raw:
         reader = reader.schema(StructType.fromJson(json.loads(schema_raw)))
+    else:
+        # legacy manifest with no stored schema: merge footers so a
+        # bin mixing pre- and post-evolution files cannot silently
+        # drop the newer files' columns from the rewrite
+        reader = reader.option("mergeSchema", "true")
     txid = uuid.uuid4().hex[:12]
     staging = os.path.join(path, f"_staging_{txid}")
     new_rels: list[str] = []

@@ -860,8 +860,10 @@ def q_skyline(spark, sf_dir):
     gx = pts.groupBy("x").agg(F.max("y").alias("ymax"))
     # Distinct column names on the count side: both branches descend
     # from pts, and joining on cross-Dataset attribute refs trips
-    # Spark's ambiguous-self-join detection once the keep side's
-    # lineage is checkpoint-truncated inside scalable_cummax_exclusive.
+    # Spark's ambiguous-self-join detection when the keep side's plan
+    # shape shifts inside scalable_cummax_exclusive (observed with a
+    # lineage-truncating variant at review; name-based refs are robust
+    # to any internal form).
     cnt = pts.groupBy(
         F.col("x").alias("cx"), F.col("y").alias("cy")
     ).agg(F.count(F.lit(1)).alias("n"))

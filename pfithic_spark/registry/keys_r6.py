@@ -1765,11 +1765,15 @@ def q_forecast_naive_eval(spark, sf_dir):
     e = w.filter(F.col("pred").isNotNull()).select(
         F.abs(F.col("c") - F.col("pred")).alias("ae"), "c"
     )
-    # floor(ae*1e6/c) in three base-1000 digit groups: every
-    # intermediate stays < c*1000, so the exact quotient never needs
-    # more than int64 regardless of the cents magnitude.
+    # floor(ae*1e6/c) in three base-1000 digit groups: the second and
+    # third groups are remainders scaled by 1000 (< c*1000, int64-safe
+    # at any cents magnitude) and each quotient digit is < 1000; the
+    # FIRST group ae div c is unbounded by c (a near-zero-revenue day
+    # against a huge error makes it arbitrarily large), so it widens
+    # to DECIMAL before the *1e6 — raw int64 there wraps exactly the
+    # way the original ae*1e6 did (second review pass).
     term = F.expr(
-        "(ae div c) * 1000000"
+        "CAST((ae div c) AS DECIMAL(28,0)) * 1000000"
         " + (((ae % c) * 1000) div c) * 1000"
         " + (((((ae % c) * 1000) % c) * 1000) div c)"
     )
@@ -1780,7 +1784,7 @@ def q_forecast_naive_eval(spark, sf_dir):
             / (F.count(F.lit(1)) * 100.0)
         ).alias("mae"),
         (
-            F.sum(term.cast("decimal(20,0)")).cast("double")
+            F.sum(term.cast("decimal(30,0)")).cast("double")
             / (F.count(F.lit(1)) * 1e6)
         ).alias("mape"),
     )

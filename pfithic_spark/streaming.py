@@ -394,6 +394,8 @@ def write_stream_atomic(
     table_path: str,
     checkpoint: str,
     available_now: bool = True,
+    optimize_every_n_batches: int | None = None,
+    optimize_target_bytes: int = 128 * 1024 * 1024,
 ):
     """Stream into an ATOMIC manifest-committed table with exactly-once
     batch commits: each micro-batch appends via
@@ -416,8 +418,29 @@ def write_stream_atomic(
     changes with cwd-relative spelling or file:/ URI form across
     restarts, which would break dedup exactly when it matters.  Same
     checkpoint (however spelled) → same app id → replays dedup; fresh
-    checkpoint / second query → new marker → both commit."""
-    from .io import write_parquet_atomic
+    checkpoint / second query → new marker → both commit.
+
+    ``optimize_every_n_batches``: AUTO-COMPACTION — a streaming sink is
+    the worst small-file generator a table has (one file set per
+    micro-batch, forever), so every Nth committed epoch triggers
+    :func:`io.optimize_parquet_atomic` (bin-pack small files, reference
+    the rest untouched) right after the batch commit.  Safe under
+    at-least-once replay: the rewrite is a pure physical re-layout of
+    already-committed bytes (byte-identical rows, own txid), and a
+    replayed trigger at worst re-runs a no-op optimize.  A concurrent
+    writer landing an append in the race window makes optimize raise
+    its conflict error — logged and SKIPPED, never failing the batch
+    (the next cycle retries); compaction is maintenance, not data.
+
+    TRADE-OFF for downstream INCREMENTAL consumers
+    (io.read_parquet_atomic_incremental): an optimize snapshot is
+    non-append history, so an incremental diff spanning it REFUSES
+    loudly (ValueError directing a full re-diff) instead of risking
+    double counts — consumers of an auto-compacted table must either
+    handle that fallback, align their cursor advance to the optimize
+    cadence, or leave auto-compaction off and run
+    ``table optimize`` in a maintenance window instead."""
+    from .io import optimize_parquet_atomic, write_parquet_atomic
 
     app_id = _checkpoint_app_id(checkpoint)
 
@@ -428,6 +451,25 @@ def write_stream_atomic(
             mode="append",
             txid=f"app-{app_id}-batch-{int(epoch_id):010d}",
         )
+        n = optimize_every_n_batches
+        if n and int(epoch_id) % n == n - 1:
+            try:
+                optimize_parquet_atomic(
+                    df.sparkSession,
+                    table_path,
+                    target_bytes=optimize_target_bytes,
+                )
+            except ValueError as exc:
+                if "optimize conflict" not in str(exc):
+                    raise  # only the documented race is skippable
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "auto-optimize skipped at epoch %s (%s); "
+                    "next cycle retries",
+                    epoch_id,
+                    exc,
+                )
 
     writer = stream_df.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint

@@ -69,15 +69,19 @@ def _bucketed_by_value(
         # any value produces correct ranks, so the sketch's epsilon
         # only affects balance
         qs = df.stat.approxQuantile(bucket_col, probs, 1.0 / (4 * n))
-        bounds = sorted(set(qs), reverse=descending)
-    pid = F.lit(0)
-    for b in bounds:
-        hit = (
-            (F.col(bucket_col) < F.lit(b))
-            if descending
-            else (F.col(bucket_col) > F.lit(b))
-        )
-        pid = pid + F.when(hit, 1).otherwise(0)
+        bounds = sorted(set(qs))
+    if not bounds:
+        return df.withColumn("_pid", F.lit(0))
+    # bucket id = count of boundaries strictly on the "earlier" side
+    # of the value — ONE array literal + a runtime filter, not an
+    # O(num_partitions) chained CASE (which bloats analysis/codegen at
+    # production shuffle-partition settings)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col(bucket_col).cast("double")
+    if descending:
+        pid = F.size(F.filter(arr, lambda b: b > v))
+    else:
+        pid = F.size(F.filter(arr, lambda b: b < v))
     return df.withColumn("_pid", pid.cast("int"))
 
 

@@ -842,9 +842,25 @@ def test_optimize_dry_run_and_singleton_bins(spark, tmp_path):
     assert plan["manifest"] is None
     assert plan["rewritten_files"] == 3 and plan["bins"] == 1
     assert sorted(os.listdir(path)) == before, "dry run must not write"
-    # target so small every file lands in its own bin -> all singletons
-    plan1 = optimize_parquet_atomic(spark, path, target_bytes=1)
+    # singleton demotion: make every file ELIGIBLE (explicit
+    # small_file_bytes above all sizes) but the bin capacity too small
+    # for any two files -> every bin is a singleton -> demoted back to
+    # kept, nothing rewritten (a 1->1 rewrite buys nothing)
+    m0 = json.load(
+        open(os.path.join(path, [n for n in before if n.startswith("manifest-")][0]))
+    )
+    sizes = sorted(
+        os.path.getsize(os.path.join(path, rel)) for rel in m0["files"]
+    )
+    plan1 = optimize_parquet_atomic(
+        spark,
+        path,
+        target_bytes=sizes[0] + sizes[1] - 1,
+        small_file_bytes=sizes[-1] + 1,
+    )
     assert plan1["bins"] == 0 and plan1["manifest"] is None
+    assert plan1["kept_files"] == len(m0["files"])
+    assert plan1["rewritten_files"] == 0
     # manifest count unchanged
     manifests = [n for n in os.listdir(path) if n.startswith("manifest-")]
     assert len(manifests) == 1

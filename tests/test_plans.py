@@ -261,13 +261,14 @@ def test_forced_two_phase_paths(spark):
 
 
 def test_scalable_rank_survives_disabled_exchange_reuse(spark):
-    """Round-6 review regression: an UNMATERIALIZED two-phase rank is
-    only correct because AQE dedupes the two identical
-    rangepartitioning exchanges — with exchange reuse and AQE off,
-    each lineage branch re-samples partition boundaries independently
-    and the _pid offsets mis-rank.  scalable_rank checkpoints the
-    branch point, so its ranks must equal the single-window
-    row_number under ANY optimizer flags."""
+    """Round-6 review regression: a spark_partition_id-stamped
+    two-phase rank is only correct because AQE dedupes the two
+    identical rangepartitioning exchanges — with exchange reuse and
+    AQE off, each lineage branch re-samples partition boundaries
+    independently and the _pid offsets mis-rank.  scalable_rank
+    instead derives bucket ids as a pure function of the order value
+    (frozen quantile-boundary literals), so its ranks must equal the
+    single-window row_number under ANY optimizer flags."""
     from pyspark.sql import Window as W
 
     from pfithic_spark import windows as win

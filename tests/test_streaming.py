@@ -1285,3 +1285,50 @@ def test_rolling_distinct_approx_tracks_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for d, n in exact.items():
         assert abs(approx[d] - n) <= max(3, 0.05 * n), (d, approx[d], n)
+
+
+def test_stream_sink_auto_optimize(spark, sf_dir, tmp_path):
+    """optimize_every_n_batches: every Nth epoch bin-packs the small
+    batch files right after its commit — the newest snapshot stays at
+    O(1) files while rows and exactly-once semantics are untouched."""
+    import os
+
+    from pfithic_spark.io import read_parquet_atomic
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(40)
+    pdf = ev.toPandas()
+    for i in range(4):
+        spark.createDataFrame(pdf.iloc[i * 10:(i + 1) * 10]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src_dir / f"f{i}"))
+    # flatten: the file source wants files in one listable dir
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import shutil
+
+    for i in range(4):
+        part = next(
+            p for p in os.listdir(src_dir / f"f{i}")
+            if p.endswith(".parquet")
+        )
+        shutil.copy(src_dir / f"f{i}" / part, flat / f"part-{i:03d}.parquet")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    stream = strm.read_event_stream(spark, str(flat))  # 1 file/trigger
+    q = strm.write_stream_atomic(
+        stream, table, ckpt, optimize_every_n_batches=2
+    )
+    q.awaitTermination(120)
+    got = read_parquet_atomic(spark, table)
+    assert got.count() == 40
+    manifests = sorted(
+        n for n in os.listdir(table) if n.startswith("manifest-")
+    )
+    # 4 batch appends + 2 auto-optimizes (epochs 1 and 3)
+    assert len(manifests) == 6, manifests
+    import json
+
+    newest = json.load(open(os.path.join(table, manifests[-1])))
+    assert len(newest["files"]) == 1, newest["files"]
