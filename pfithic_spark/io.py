@@ -995,6 +995,33 @@ def compact_parquet_atomic(
 _FAILPOINT_OPTIMIZE_BEFORE_CHECK = None
 
 
+def _binpack_ffd(
+    sized: list[tuple[str, int]], target_bytes: int
+) -> tuple[list[list[str]], list[str]]:
+    """First-fit-decreasing packing for OPTIMIZE: sort by size desc
+    (ties broken by the stable name order — deterministic plans), drop
+    each item into the first bin with room, open a new bin otherwise.
+    Classic 11/9-OPT guarantee.  Returns (multi-item bins, demoted
+    singletons) — a bin that would hold one file is never rewritten
+    (1→1 buys nothing), it is handed back for the caller to keep.
+    Property-gated in tests/test_property_round4c.py: bins cover the
+    input exactly once, every multi-item bin respects target_bytes,
+    and the packing is permutation-invariant."""
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for rel, sz in sorted(sized, key=lambda t: (-t[1], t[0])):
+        for i, load in enumerate(loads):
+            if load + sz <= target_bytes:
+                bins[i].append(rel)
+                loads[i] += sz
+                break
+        else:
+            bins.append([rel])
+            loads.append(sz)
+    singletons = [b[0] for b in bins if len(b) == 1]
+    return [b for b in bins if len(b) > 1], singletons
+
+
 def optimize_parquet_atomic(
     spark: SparkSession,
     path: str,
@@ -1049,23 +1076,8 @@ def optimize_parquet_atomic(
         sized.append((rel, os.path.getsize(fp)))
     eligible = [(r, s) for r, s in sized if s < small_file_bytes]
     kept = [r for r, s in sized if s >= small_file_bytes]
-    # first-fit-decreasing: sort by size desc, drop each file into the
-    # first bin with room — the classic 11/9-optimal packing, and
-    # deterministic (ties broken by the stable rel-path order)
-    bins: list[list[str]] = []
-    loads: list[int] = []
-    for rel, sz in sorted(eligible, key=lambda t: (-t[1], t[0])):
-        for i, load in enumerate(loads):
-            if load + sz <= target_bytes:
-                bins[i].append(rel)
-                loads[i] += sz
-                break
-        else:
-            bins.append([rel])
-            loads.append(sz)
-    singletons = [b[0] for b in bins if len(b) == 1]
+    bins, singletons = _binpack_ffd(eligible, target_bytes)
     kept += singletons
-    bins = [b for b in bins if len(b) > 1]
     plan = {
         "kept_files": len(kept),
         "rewritten_files": sum(len(b) for b in bins),

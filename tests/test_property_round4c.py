@@ -290,3 +290,33 @@ def test_bfs_fast_path_equals_distributed(spark, sf_dir, monkeypatch):
         for r in registry.QUERIES["q_graph_bfs"](spark, sf_dir).collect()
     )
     assert fast == dist and len(fast) > 1
+
+
+@given(
+    sizes=hs.lists(hs.integers(min_value=1, max_value=10_000), max_size=60),
+    target=hs.integers(min_value=1, max_value=20_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_binpack_ffd_properties(sizes, target):
+    """OPTIMIZE's packer: (1) bins + singletons partition the input
+    exactly (no file lost or duplicated); (2) every emitted bin holds
+    >= 2 files and respects target_bytes; (3) the result is invariant
+    under input permutation (the internal sort makes plans
+    deterministic regardless of listing order)."""
+    from pfithic_spark.io import _binpack_ffd
+
+    sized = [(f"f{i:04d}", s) for i, s in enumerate(sizes)]
+    bins, singles = _binpack_ffd(sized, target)
+    emitted = [f for b in bins for f in b] + singles
+    assert sorted(emitted) == sorted(f for f, _ in sized)
+    by_name = dict(sized)
+    for b in bins:
+        assert len(b) >= 2
+        # every multi-bin fits the target; the opening (largest) item
+        # may exceed it only when it could never fit anywhere, but
+        # then nothing else joins that bin, so it is a singleton by
+        # construction and never reaches here
+        assert sum(by_name[f] for f in b) <= target
+    perm = list(reversed(sized))
+    bins2, singles2 = _binpack_ffd(perm, target)
+    assert bins2 == bins and singles2 == singles
