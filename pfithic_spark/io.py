@@ -316,6 +316,7 @@ def write_parquet_atomic(
     zorder_files: int = 8,
     stats_cols: list[str] | None = None,
     txid: str | None = None,
+    checks: dict[str, "Column"] | None = None,
 ) -> str:
     """Publish a parquet dataset ATOMICALLY without relying on
     directory rename: the mini commit protocol every object-store
@@ -375,6 +376,16 @@ def write_parquet_atomic(
     committed id.  Tables written before the registry existed fall
     back to a one-time full-history scan, harvested into the registry
     at the next commit.
+
+    ``checks`` maps constraint names to boolean Column expressions
+    every batch row must satisfy (CHECK constraints): one aggregate
+    pass counts violations and a non-zero count REFUSES the commit
+    before any bytes land.  NULL results count as violations —
+    deliberate deviation from SQL CHECK (silent NULL-passes are the
+    data-quality bug this exists to catch).  On APPEND the batch
+    schema is also ENFORCED against the snapshot schema: additive
+    columns are fine, a type change on an existing column raises
+    (overwrite replaces the schema and is exempt).
     """
     import json
     import os
@@ -388,6 +399,52 @@ def write_parquet_atomic(
             return os.path.join(path, newest_name)  # replay no-op
     else:
         txid = uuid.uuid4().hex[:12]
+    # SCHEMA ENFORCEMENT (append): additive evolution is welcome, but
+    # a column whose TYPE differs from the snapshot schema would
+    # poison every future read of the table (mixed-type files under
+    # one stored schema) — refuse before any bytes land, like every
+    # production table format.  Overwrite replaces the schema, so it
+    # is exempt.  Best-effort-early on POSIX (same residual
+    # check-to-commit window as the rest of the protocol).
+    if mode == "append":
+        prev_schema_raw = _newest_manifest_meta(path).get("schema")
+        if prev_schema_raw:
+            from pyspark.sql.types import StructType
+
+            prev_fields = {
+                f.name: f.dataType
+                for f in StructType.fromJson(
+                    json.loads(prev_schema_raw)
+                ).fields
+            }
+            for f in df.schema.fields:
+                if f.name in prev_fields and f.dataType != prev_fields[f.name]:
+                    raise ValueError(
+                        f"schema enforcement: column {f.name!r} is "
+                        f"{prev_fields[f.name].simpleString()} in the "
+                        f"table but {f.dataType.simpleString()} in the "
+                        "batch; type changes need an explicit "
+                        "overwrite migration"
+                    )
+    # CHECK CONSTRAINTS: named boolean expressions every batch row
+    # must satisfy (the Delta CHECK-constraint shape).  ONE aggregate
+    # pass counts violations per constraint; any violation refuses the
+    # commit before staging, so a bad batch never becomes a snapshot.
+    # NULL check results count as violations (SQL CHECK semantics
+    # accept NULL, but for data-quality gating silent NULL-passes are
+    # the bug, not the feature — documented deviation).
+    if checks:
+        viol = df.agg(
+            *[
+                F.sum(
+                    F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+                ).alias(name)
+                for name, expr in checks.items()
+            ]
+        ).collect()[0]
+        bad = {n: int(viol[n]) for n in checks if viol[n]}
+        if bad:
+            raise ValueError(f"check constraints violated: {bad}")
     staging = os.path.join(path, f"_staging_{txid}")
     if zorder_by:
         zdf, zkey = zorder_key(df, zorder_by)

@@ -1006,3 +1006,70 @@ def test_table_cli_optimize(spark, tmp_path, capsys, monkeypatch):
     table_main(["optimize", path])
     plan = json.loads(capsys.readouterr().out.strip())
     assert plan["manifest"] is not None and plan["rewritten_files"] == 3
+
+
+def test_append_schema_type_conflict_refused(spark, tmp_path):
+    """Additive evolution appends fine; a TYPE change on an existing
+    column refuses the commit before any bytes land (mixed-type files
+    under one stored schema poison every future read)."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "enforce")
+    write_parquet_atomic(
+        spark.range(3).select(F.col("id").alias("v")),
+        path,
+        mode="overwrite",
+    )
+    # additive: ok
+    write_parquet_atomic(
+        spark.range(3).select(
+            F.col("id").alias("v"), F.lit("x").alias("tag")
+        ),
+        path,
+        mode="append",
+    )
+    before = sorted(os.listdir(path))
+    with pytest.raises(ValueError, match="schema enforcement.*'v'"):
+        write_parquet_atomic(
+            spark.range(3).select(F.col("id").cast("string").alias("v")),
+            path,
+            mode="append",
+        )
+    assert sorted(os.listdir(path)) == before, "refusal must land no bytes"
+    # overwrite migration IS the sanctioned path for a type change
+    write_parquet_atomic(
+        spark.range(3).select(F.col("id").cast("string").alias("v")),
+        path,
+        mode="overwrite",
+    )
+    assert read_parquet_atomic(spark, path).schema["v"].dataType.simpleString() == "string"
+
+
+def test_check_constraints_gate_commits(spark, tmp_path):
+    """CHECK constraints: a violating batch is refused with per-
+    constraint counts (NULLs count as violations); a clean batch
+    commits; the table never saw the bad rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "checked")
+    checks = {
+        "v_nonneg": F.col("v") >= 0,
+        "tag_not_null": F.col("tag").isNotNull(),
+    }
+    bad = spark.createDataFrame(
+        [(1, "a"), (-2, None), (3, None)], "v long, tag string"
+    )
+    with pytest.raises(ValueError, match="v_nonneg.*1") as ei:
+        write_parquet_atomic(bad, path, mode="append", checks=checks)
+    assert "tag_not_null" in str(ei.value)
+    good = spark.createDataFrame([(1, "a"), (3, "b")], "v long, tag string")
+    write_parquet_atomic(good, path, mode="append", checks=checks)
+    assert read_parquet_atomic(spark, path).count() == 2

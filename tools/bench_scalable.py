@@ -1543,6 +1543,7 @@ def main() -> None:
             / (F.col("b.day") - F.col("a.day"))
         ).alias("slope")
     )
+    p_ts = p_ts.persist()  # the shipped key's shape: one slope build
     ranked_ts = win.scalable_rank(
         p_ts, [F.col("slope")], "slope", rank_col="rk", tot_col="tot"
     )
@@ -1716,6 +1717,58 @@ def main() -> None:
     for r in paths:
         assert r["n_sessions"] == 500_000, r
 
+    # --- incremental OPTIMIZE at 8M rows / 256 small files -----------
+    # The maintenance pass itself, forced to scale: a 256-file
+    # snapshot bin-packs into ~8 target-size files while the row set
+    # and an order-free checksum stay exactly intact.
+    import os as _os
+    import shutil as _shutil
+
+    from pfithic_spark.io import (
+        optimize_parquet_atomic,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    opt_path = "/tmp/pfithic_bench_optimize_tbl"
+    _shutil.rmtree(opt_path, ignore_errors=True)
+    src_opt = spark.range(n).select(
+        F.col("id").alias("v"),
+        (F.xxhash64(F.col("id")) % 1000).alias("h"),
+    )
+    write_parquet_atomic(
+        src_opt.repartition(256), opt_path, mode="overwrite"
+    )
+    import json as _json
+
+    m_names = sorted(
+        x for x in _os.listdir(opt_path) if x.startswith("manifest-")
+    )
+    m0_opt = _json.load(open(_os.path.join(opt_path, m_names[-1])))
+    szs = [
+        _os.path.getsize(_os.path.join(opt_path, rel))
+        for rel in m0_opt["files"]
+    ]
+    assert len(szs) == 256, len(szs)
+    t0 = time.time()
+    plan_opt = optimize_parquet_atomic(
+        spark,
+        opt_path,
+        target_bytes=(sum(szs) + 7) // 8,
+        small_file_bytes=max(szs) + 1,
+    )
+    optimize_s = time.time() - t0
+    assert plan_opt["rewritten_files"] == 256, plan_opt
+    m1_opt = _json.load(open(plan_opt["manifest"]))
+    assert len(m1_opt["files"]) <= 16, len(m1_opt["files"])
+    got_opt = (
+        read_parquet_atomic(spark, opt_path)
+        .agg(F.count(F.lit(1)), F.sum("v"))
+        .collect()[0]
+    )
+    assert got_opt[0] == n and got_opt[1] == n * (n - 1) // 2, got_opt
+    _shutil.rmtree(opt_path, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -1770,6 +1823,7 @@ def main() -> None:
                 "gains_rank_s": round(gains_rank_s, 2),
                 "cohort_ltv_s": round(cohort_ltv_s, 2),
                 "session_paths_s": round(session_paths_s, 2),
+                "optimize_s": round(optimize_s, 2),
             }
         )
     )
