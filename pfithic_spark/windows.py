@@ -62,6 +62,12 @@ def _bucketed_by_value(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # Cap the bucket count: each boundary adds one term to the bucket
+    # expression, and phase-2 parallelism equals the bucket count —
+    # 256 single-bucket windows saturate any realistic stage while
+    # keeping the expression compact at production shuffle-partition
+    # settings (2000+).
+    n = min(n, 256)
     bounds: list = []
     if n > 1:
         probs = [i / n for i in range(1, n)]
@@ -70,18 +76,23 @@ def _bucketed_by_value(
         # only affects balance
         qs = df.stat.approxQuantile(bucket_col, probs, 1.0 / (4 * n))
         bounds = sorted(set(qs))
-    if not bounds:
-        return df.withColumn("_pid", F.lit(0))
     # bucket id = count of boundaries strictly on the "earlier" side
-    # of the value — ONE array literal + a runtime filter, not an
-    # O(num_partitions) chained CASE (which bloats analysis/codegen at
-    # production shuffle-partition settings)
-    arr = F.array(*[F.lit(float(b)) for b in bounds])
-    v = F.col(bucket_col).cast("double")
-    if descending:
-        pid = F.size(F.filter(arr, lambda b: b > v))
-    else:
-        pid = F.size(F.filter(arr, lambda b: b < v))
+    # of the value, as a flat sum of when() terms.  Deliberately NOT
+    # the prettier array+filter higher-order function: a HOF lambda
+    # capturing an outer column, consumed as a derived groupBy key
+    # under a window with AQE/exchange-reuse disabled, hits a Spark
+    # 4.1 optimizer bug ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] — the
+    # outer reference is pruned out of the window's child), observed
+    # flakily in the reuse-off regression test.  The flat form has no
+    # outer capture and survives every flag combination.
+    pid = F.lit(0)
+    for b in bounds:
+        hit = (
+            (F.col(bucket_col) < F.lit(b))
+            if descending
+            else (F.col(bucket_col) > F.lit(b))
+        )
+        pid = pid + F.when(hit, 1).otherwise(0)
     return df.withColumn("_pid", pid.cast("int"))
 
 

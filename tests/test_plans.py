@@ -299,6 +299,36 @@ def test_scalable_rank_survives_disabled_exchange_reuse(spark):
         exp = {r["id"]: r["rk"] for r in exp_df.collect()}
         assert got == exp
         assert ranked.select("tot").first()["tot"] == n
+        # same gate for the sibling helpers — cumsum and exclusive
+        # cummax branch at the identical point
+        uniq = df.groupBy("id").agg(F.max("v").alias("val"))
+        cs = win.scalable_cumsum(
+            uniq, "id", "val", "run", small_threshold=None
+        )
+        w_all = W.orderBy("id").rowsBetween(W.unboundedPreceding, 0)
+        cs_exp = uniq.withColumn("run", F.sum("val").over(w_all))
+        diff = (
+            cs.select("id", F.col("run").alias("a"))
+            .join(cs_exp.select("id", F.col("run").alias("b")), "id")
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert diff == 0
+        cm = win.scalable_cummax_exclusive(uniq, "id", "val", "prevmax")
+        w_ex = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+        cm_exp = uniq.withColumn("prevmax", F.max("val").over(w_ex))
+        diff2 = (
+            cm.select("id", F.col("prevmax").alias("a"))
+            .join(cm_exp.select("id", F.col("prevmax").alias("b")), "id")
+            .filter(
+                ~(
+                    (F.col("a") == F.col("b"))
+                    | (F.col("a").isNull() & F.col("b").isNull())
+                )
+            )
+            .count()
+        )
+        assert diff2 == 0
     finally:
         for k, v in old.items():
             if v is None:
