@@ -316,7 +316,7 @@ def write_parquet_atomic(
     zorder_files: int = 8,
     stats_cols: list[str] | None = None,
     txid: str | None = None,
-    checks: dict[str, "Column"] | None = None,
+    checks: dict[str, str] | None = None,
 ) -> str:
     """Publish a parquet dataset ATOMICALLY without relying on
     directory rename: the mini commit protocol every object-store
@@ -377,15 +377,25 @@ def write_parquet_atomic(
     back to a one-time full-history scan, harvested into the registry
     at the next commit.
 
-    ``checks`` maps constraint names to boolean Column expressions
-    every batch row must satisfy (CHECK constraints): one aggregate
-    pass counts violations and a non-zero count REFUSES the commit
-    before any bytes land.  NULL results count as violations —
-    deliberate deviation from SQL CHECK (silent NULL-passes are the
-    data-quality bug this exists to catch).  On APPEND the batch
-    schema is also ENFORCED against the snapshot schema: additive
-    columns are fine, a type change on an existing column raises
-    (overwrite replaces the schema and is exempt).
+    ``checks`` maps constraint names to boolean SQL expression strings
+    (CHECK constraints) and is TABLE-SCOPED: constraints are stored in
+    the manifest, carried forward on every append (unioned with any
+    new ones this call adds) and replaced by an overwrite — so a
+    writer that omits the argument is still bound by the table's
+    stored constraints, the Delta model.  One aggregate pass counts
+    violations; a non-zero count REFUSES the commit before any bytes
+    land, and the batch is persisted across check + write so a
+    non-deterministic DataFrame cannot pass the check with one
+    materialization and commit another.  NULL results count as
+    violations — deliberate deviation from SQL CHECK (silent
+    NULL-passes are the data-quality bug this exists to catch).  On
+    APPEND the batch schema is also ENFORCED against the snapshot
+    schema: additive columns are fine, a type change on an existing
+    column raises (nullability-normalized — equal structures never
+    refuse; overwrite replaces the schema and is exempt); the type
+    check runs fail-fast at entry AND again against the commit-point
+    manifest read, closing the staging-long race a concurrent
+    migration would otherwise win.
     """
     import json
     import os
@@ -404,46 +414,47 @@ def write_parquet_atomic(
     # poison every future read of the table (mixed-type files under
     # one stored schema) — refuse before any bytes land, like every
     # production table format.  Overwrite replaces the schema, so it
-    # is exempt.  Best-effort-early on POSIX (same residual
-    # check-to-commit window as the rest of the protocol).
+    # is exempt.  Early fail-fast check here; RE-CHECKED against the
+    # commit-point manifest read below, so a concurrent schema
+    # migration during the staging write is also caught.
+    early_meta: dict = {}
     if mode == "append":
-        prev_schema_raw = _newest_manifest_meta(path).get("schema")
-        if prev_schema_raw:
-            from pyspark.sql.types import StructType
-
-            prev_fields = {
-                f.name: f.dataType
-                for f in StructType.fromJson(
-                    json.loads(prev_schema_raw)
-                ).fields
-            }
-            for f in df.schema.fields:
-                if f.name in prev_fields and f.dataType != prev_fields[f.name]:
-                    raise ValueError(
-                        f"schema enforcement: column {f.name!r} is "
-                        f"{prev_fields[f.name].simpleString()} in the "
-                        f"table but {f.dataType.simpleString()} in the "
-                        "batch; type changes need an explicit "
-                        "overwrite migration"
-                    )
-    # CHECK CONSTRAINTS: named boolean expressions every batch row
-    # must satisfy (the Delta CHECK-constraint shape).  ONE aggregate
-    # pass counts violations per constraint; any violation refuses the
-    # commit before staging, so a bad batch never becomes a snapshot.
-    # NULL check results count as violations (SQL CHECK semantics
-    # accept NULL, but for data-quality gating silent NULL-passes are
-    # the bug, not the feature — documented deviation).
-    if checks:
+        early_meta = _newest_manifest_meta(path)
+        _enforce_append_types(early_meta.get("schema"), df.schema)
+    # CHECK CONSTRAINTS: TABLE-SCOPED named boolean SQL expressions
+    # every appended row must satisfy (the Delta model — constraints
+    # are table metadata binding ALL writers, not a per-call
+    # courtesy).  Constraints given here are unioned with the ones
+    # stored in the table's manifest (an overwrite replaces the
+    # stored set with this call's); one aggregate pass counts
+    # violations per constraint and any violation refuses the commit
+    # before staging.  NULL check results count as violations (SQL
+    # CHECK accepts NULL; for data-quality gating a silent NULL-pass
+    # is the bug, not the feature — documented deviation).  The batch
+    # is PERSISTED across check + write so a non-deterministic
+    # DataFrame cannot pass the check with one materialization and
+    # commit another.
+    stored_checks = (
+        dict(early_meta.get("checks", {})) if mode == "append" else {}
+    )
+    active_checks = {**stored_checks, **(checks or {})}
+    df_persisted = False
+    if active_checks:
+        df = df.persist()
+        df_persisted = True
         viol = df.agg(
             *[
                 F.sum(
-                    F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+                    F.when(
+                        F.coalesce(F.expr(sql), F.lit(False)), 0
+                    ).otherwise(1)
                 ).alias(name)
-                for name, expr in checks.items()
+                for name, sql in active_checks.items()
             ]
         ).collect()[0]
-        bad = {n: int(viol[n]) for n in checks if viol[n]}
+        bad = {n: int(viol[n]) for n in active_checks if viol[n]}
         if bad:
+            df.unpersist()
             raise ValueError(f"check constraints violated: {bad}")
     staging = os.path.join(path, f"_staging_{txid}")
     if zorder_by:
@@ -480,8 +491,30 @@ def write_parquet_atomic(
     if mode == "append":
         files = prev_files + files
         stats = {**prev_stats, **stats}
+        # re-run the (driver-cheap) type check against the SAME
+        # manifest the commit merges from: a schema migration that
+        # landed during the staging write is caught here instead of
+        # publishing mixed-type files under the migrated schema
+        _enforce_append_types(prev.get("schema"), df.schema)
+        # constraints added to the table while this batch staged bind
+        # it too — fail rather than publish an unchecked batch
+        late_checks = {
+            k: v
+            for k, v in dict(prev.get("checks", {})).items()
+            if k not in active_checks
+        }
+        if late_checks:
+            if df_persisted:
+                df.unpersist()
+            raise ValueError(
+                "check constraints added concurrently during this "
+                f"write: {sorted(late_checks)}; retry the append"
+            )
+        active_checks = {**dict(prev.get("checks", {})), **active_checks}
     elif mode != "overwrite":
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if df_persisted:
+        df.unpersist()
     seq = int(prev.get("seq", 0)) + 1
     txids, watermarks = _txid_record(path, prev, txid)
     return _commit_manifest_json(
@@ -505,8 +538,67 @@ def write_parquet_atomic(
                 prev.get("schema") if mode == "append" else None,
                 df.schema,
             ),
+            # Table-scoped CHECK constraints: carried forward on
+            # append (plus this call's), replaced on overwrite — so
+            # every future append is bound regardless of which writer
+            # spelled them first.
+            "checks": active_checks,
         },
     )
+
+
+def _normalize_nullable(dt):
+    """Recursively set every nullable/containsNull/valueContainsNull
+    flag to True so type equality compares STRUCTURE, not the
+    incidental nullability a builder happened to produce (F.struct /
+    F.array emit non-null inner flags that a stored schema read back
+    from json reports as nullable — identical simpleStrings, spurious
+    'type change')."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _normalize_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_normalize_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _normalize_nullable(dt.keyType),
+            _normalize_nullable(dt.valueType),
+            True,
+        )
+    return dt
+
+
+def _enforce_append_types(prev_schema_raw, batch_schema) -> None:
+    """Refuse an append whose batch changes the TYPE of a column the
+    snapshot schema already carries (additive columns are fine) —
+    nullability-normalized so equal structures never refuse."""
+    import json as _json
+
+    if not prev_schema_raw:
+        return
+    from pyspark.sql.types import StructType
+
+    prev_fields = {
+        f.name: _normalize_nullable(f.dataType)
+        for f in StructType.fromJson(_json.loads(prev_schema_raw)).fields
+    }
+    for f in batch_schema.fields:
+        if f.name in prev_fields:
+            got = _normalize_nullable(f.dataType)
+            if got != prev_fields[f.name]:
+                raise ValueError(
+                    f"schema enforcement: column {f.name!r} is "
+                    f"{prev_fields[f.name].simpleString()} in the "
+                    f"table but {f.dataType.simpleString()} in the "
+                    "batch; type changes need an explicit "
+                    "overwrite migration"
+                )
 
 
 def _commit_manifest_json(
@@ -1201,6 +1293,9 @@ def optimize_parquet_atomic(
             "files": sorted(kept) + new_rels,
             "stats": stats,
             "schema": schema_raw,
+            # pure physical re-layout: table-scoped CHECK constraints
+            # carry through unchanged
+            "checks": dict(prev.get("checks", {})),
         },
     )
     return plan

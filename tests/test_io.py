@@ -1053,16 +1053,17 @@ def test_append_schema_type_conflict_refused(spark, tmp_path):
 def test_check_constraints_gate_commits(spark, tmp_path):
     """CHECK constraints: a violating batch is refused with per-
     constraint counts (NULLs count as violations); a clean batch
-    commits; the table never saw the bad rows."""
+    commits; and the constraints are TABLE-SCOPED — a later writer
+    that omits checks= is still bound by the stored set, and an
+    overwrite replaces it."""
     import pytest
-    from pyspark.sql import functions as F
 
     from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
 
     path = str(tmp_path / "checked")
     checks = {
-        "v_nonneg": F.col("v") >= 0,
-        "tag_not_null": F.col("tag").isNotNull(),
+        "v_nonneg": "v >= 0",
+        "tag_not_null": "tag IS NOT NULL",
     }
     bad = spark.createDataFrame(
         [(1, "a"), (-2, None), (3, None)], "v long, tag string"
@@ -1072,4 +1073,50 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     assert "tag_not_null" in str(ei.value)
     good = spark.createDataFrame([(1, "a"), (3, "b")], "v long, tag string")
     write_parquet_atomic(good, path, mode="append", checks=checks)
+    assert read_parquet_atomic(spark, path).count() == 2
+    # table-scoped: a writer that never heard of the constraints is
+    # still gated by the manifest-stored set
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_parquet_atomic(
+            spark.createDataFrame([(-1, "x")], "v long, tag string"),
+            path,
+            mode="append",
+        )
+    # ...and a clean anonymous append commits (stored checks pass)
+    write_parquet_atomic(
+        spark.createDataFrame([(9, "c")], "v long, tag string"),
+        path,
+        mode="append",
+    )
+    assert read_parquet_atomic(spark, path).count() == 3
+    # overwrite REPLACES the stored constraint set
+    write_parquet_atomic(
+        spark.createDataFrame([(-5, None)], "v long, tag string"),
+        path,
+        mode="overwrite",
+    )
+    assert read_parquet_atomic(spark, path).count() == 1
+
+
+def test_append_nullability_difference_not_refused(spark, tmp_path):
+    """Schema enforcement compares STRUCTURE, not incidental
+    nullability: a struct built by F.struct (inner nullable=false)
+    appends onto a stored schema whose inner field is nullable."""
+    from pyspark.sql import functions as F
+
+    from pfithic_spark.io import read_parquet_atomic, write_parquet_atomic
+
+    path = str(tmp_path / "nullability")
+    write_parquet_atomic(
+        spark.createDataFrame([((1,),)], "s struct<a: bigint>"),
+        path,
+        mode="overwrite",
+    )
+    write_parquet_atomic(
+        spark.range(1).select(
+            F.struct(F.lit(2).cast("long").alias("a")).alias("s")
+        ),
+        path,
+        mode="append",
+    )
     assert read_parquet_atomic(spark, path).count() == 2

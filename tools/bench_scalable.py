@@ -1556,6 +1556,7 @@ def main() -> None:
         .collect()[0]
     )
     theil_sen_s = time.time() - t0
+    p_ts.unpersist()  # release before the later 8M sections
     dd = np.arange(n_days_ts, dtype=np.int64)
     cd = 100_000 + 250 * dd + (dd * 2654435761) % 1001 - 500
     i_idx, j_idx = np.triu_indices(n_days_ts, k=1)
