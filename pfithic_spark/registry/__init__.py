@@ -99,6 +99,14 @@ _VERIFY_FIRST = [
     # code changed in round 6 (hot-block cap; action fold)
     "q_edit_distance_dedup",
     "q_skew_metrics",
+    # --- 50-key sweep boundary (driver checks the first 50) ---
+    # Late-round-6 code changes NOT fitting this round's sweep: the
+    # two-phase helper redesign (value-deterministic buckets) touched
+    # these keys' plans, and q_skyline's rejoin was rewritten.  All
+    # re-verified this round by the 192-key vanilla replica + parity
+    # suite; put them first in round 7's rotation for driver rows.
+    "q_skyline",
+    "q_window_running",
     # r03-era backlog (oldest remaining after this sweep)
     "q_agg_approx",
     "q_agg_approx_quantile",
