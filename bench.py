@@ -42,6 +42,12 @@ def main() -> None:
     from pfithic_spark.session import get_spark
     import __spark_entry__ as e
 
+    # Host-load snapshot (VERDICT r6 #6): round-over-round comparisons
+    # are only meaningful against a quiet floor — BENCH_r06 drifted a
+    # uniform 1.26× vs r5 purely from VM load.  Recording 1/5/15-min
+    # loadavg before and after lets the reader separate code movement
+    # from box contention.
+    load_before = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark(app="pfithic-bench", cpus=CPUS)
     # ERROR-only logging for the bench process: the driver json-parses
     # the last 2000 chars of captured output, and a single WARN emitted
@@ -118,6 +124,8 @@ def main() -> None:
         "n_queries": len(best),
         "n_failed": sum(1 for t in best.values() if t < 0),
         "sf": float(sf) if sf else None,
+        "loadavg_before": load_before,
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "detail_file": "BENCH_DETAIL.json",
     }
     # Per-query maps go to a detail file: the driver that records

@@ -317,6 +317,7 @@ def write_parquet_atomic(
     stats_cols: list[str] | None = None,
     txid: str | None = None,
     checks: dict[str, str] | None = None,
+    carry_checks: dict[str, str] | None = None,
 ) -> str:
     """Publish a parquet dataset ATOMICALLY without relying on
     directory rename: the mini commit protocol every object-store
@@ -388,7 +389,10 @@ def write_parquet_atomic(
     non-deterministic DataFrame cannot pass the check with one
     materialization and commit another.  NULL results count as
     violations — deliberate deviation from SQL CHECK (silent
-    NULL-passes are the data-quality bug this exists to catch).  On
+    NULL-passes are the data-quality bug this exists to catch;
+    SURVEY.md SC-8).  Callers wanting SQL three-valued semantics for a
+    constraint spell it in the expression: ``COALESCE(<expr>, TRUE)``
+    — it round-trips through the manifest unchanged.  On
     APPEND the batch schema is also ENFORCED against the snapshot
     schema: additive columns are fine, a type change on an existing
     column raises (nullability-normalized — equal structures never
@@ -396,11 +400,27 @@ def write_parquet_atomic(
     check runs fail-fast at entry AND again against the commit-point
     manifest read, closing the staging-long race a concurrent
     migration would otherwise win.
+
+    ``carry_checks`` (overwrite-only) stores the given constraint set
+    in the new manifest WITHOUT validating the batch against it — the
+    escape hatch for pure physical rewrites (compaction/OPTIMIZE),
+    whose rows already live in the table: re-validating would turn a
+    relayout into a retroactive data gate (a constraint added after
+    old rows were written may legally be violated by them, the Delta
+    model), while omitting the set would silently strip the table's
+    constraints and leave every future append unguarded.  Constraints
+    passed via ``checks`` are still validated and take precedence on
+    name collision.
     """
     import json
     import os
     import uuid
 
+    if carry_checks and mode != "overwrite":
+        raise ValueError(
+            "carry_checks is for physical-rewrite overwrites only; "
+            "append carries the stored constraint set automatically"
+        )
     if txid is not None:
         if not _re.fullmatch(r"[A-Za-z0-9_.-]{1,100}", txid):
             raise ValueError("txid must be [A-Za-z0-9_.-]{1,100}")
@@ -440,6 +460,25 @@ def write_parquet_atomic(
     active_checks = {**stored_checks, **(checks or {})}
     df_persisted = False
     if active_checks:
+        # Pre-resolve every constraint against THIS batch's columns:
+        # type-only schema enforcement legally admits an additive batch
+        # missing a constrained column, and F.expr would then die with
+        # a raw AnalysisException inside the violation aggregate.
+        # Resolve each expression individually (driver-side analysis,
+        # no job) so the refusal names the constraint.
+        from pyspark.errors import AnalysisException
+
+        for _name, _sql in active_checks.items():
+            try:
+                df.select(F.expr(_sql)).schema
+            except AnalysisException as exc:
+                raise ValueError(
+                    f"check constraint {_name!r} ({_sql}) cannot be "
+                    f"evaluated against this batch (columns: "
+                    f"{df.columns}) — it likely references a column "
+                    f"absent from the append; include the constrained "
+                    f"column or drop the constraint via overwrite"
+                ) from exc
         df = df.persist()
         df_persisted = True
         viol = df.agg(
@@ -496,19 +535,27 @@ def write_parquet_atomic(
         # landed during the staging write is caught here instead of
         # publishing mixed-type files under the migrated schema
         _enforce_append_types(prev.get("schema"), df.schema)
-        # constraints added to the table while this batch staged bind
-        # it too — fail rather than publish an unchecked batch
+        # constraints added OR MODIFIED on the table while this batch
+        # staged bind it too — fail rather than publish a batch that
+        # was validated against a stale constraint set.  A (name, sql)
+        # pair in the commit-point manifest conflicts when it matches
+        # neither what this write validated (active_checks) nor what
+        # the table stored when the write began (stored_checks) — the
+        # second clause keeps a caller's deliberate same-name
+        # constraint update from self-conflicting when nothing moved
+        # concurrently.
         late_checks = {
             k: v
             for k, v in dict(prev.get("checks", {})).items()
-            if k not in active_checks
+            if v != active_checks.get(k) and v != stored_checks.get(k)
         }
         if late_checks:
             if df_persisted:
                 df.unpersist()
             raise ValueError(
-                "check constraints added concurrently during this "
-                f"write: {sorted(late_checks)}; retry the append"
+                "check constraints added or modified concurrently "
+                f"during this write: {sorted(late_checks)}; retry the "
+                "append"
             )
         active_checks = {**dict(prev.get("checks", {})), **active_checks}
     elif mode != "overwrite":
@@ -541,8 +588,10 @@ def write_parquet_atomic(
             # Table-scoped CHECK constraints: carried forward on
             # append (plus this call's), replaced on overwrite — so
             # every future append is bound regardless of which writer
-            # spelled them first.
-            "checks": active_checks,
+            # spelled them first.  Physical rewrites carry the prior
+            # set unvalidated via carry_checks (validated checks win
+            # name collisions).
+            "checks": {**(carry_checks or {}), **active_checks},
         },
     )
 
@@ -1119,8 +1168,17 @@ def compact_parquet_atomic(
     the commit is refused (ValueError — caller retries) if the newest
     seq moved during the rewrite.  A residual check-to-commit window
     remains on plain POSIX; true serialization is the conditional-PUT
-    CAS the protocol docstring names for object stores."""
-    base_seq, _ = _newest_manifest(path)
+    CAS the protocol docstring names for object stores.
+
+    The table's CHECK constraints are CARRIED THROUGH the rewrite
+    unvalidated (``carry_checks`` — same rule as
+    :func:`optimize_parquet_atomic`): a compaction is a physical
+    relayout of rows that already live in the table, so it neither
+    re-gates them (a later-added constraint may legally predate old
+    rows) nor strips the stored set (which would leave every future
+    append unguarded)."""
+    base_meta = _newest_manifest_meta(path)
+    base_seq = int(base_meta.get("seq", 0))
     df = read_parquet_atomic(spark, path).coalesce(int(target_files))
     # materialize the rewrite BEFORE re-checking: the write is the
     # slow part, so the race window shrinks to the manifest publish
@@ -1133,7 +1191,12 @@ def compact_parquet_atomic(
                 f"compaction conflict: snapshot advanced {base_seq} -> "
                 f"{now_seq} during rewrite; retry"
             )
-        return write_parquet_atomic(staged, path, mode="overwrite")
+        return write_parquet_atomic(
+            staged,
+            path,
+            mode="overwrite",
+            carry_checks=dict(base_meta.get("checks", {})),
+        )
     finally:
         staged.unpersist()
 

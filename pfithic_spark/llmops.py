@@ -1621,7 +1621,15 @@ def lsh_cosine_pairs(
     Collisions per band bucket set the join fan-out; more bands/planes
     sharpen it at 100 TB.
     """
-    assert n_planes % n_bands == 0
+    if n_planes % n_bands != 0:
+        # an explicit error, not an assert: asserts vanish under -O and
+        # floor division would then silently drop the high planes from
+        # every band, degrading candidate recall with no signal
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by n_bands "
+            f"({n_bands}) — every band gets n_planes/n_bands signature "
+            f"bits"
+        )
     per_band = n_planes // n_bands
     xs = F.floor(F.col("x").cast("double") * F.lit(1073741824.0)).cast(
         "long"

@@ -43,71 +43,15 @@ from .keys_r6 import *  # noqa: F401,F403,E402
 from .keys_r6b import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # r02-era driver rows — the LAST pre-r3 backlog (VERDICT r5 #1);
-    # all 20 fit in one 50-key sweep
-    "q_pack_sequences",
-    "q_pii_redact",
-    "q_possible_pairs_frag",
-    "q_repetition_filter",
-    "q_sample_stratified",
-    "q_sim_topk",
-    "q_stream_dedup",
-    "q_stream_join",
-    "q_stream_session",
-    "q_stream_sliding",
-    "q_stream_stateful",
-    "q_stream_topk",
-    "q_stream_tumbling",
-    "q_struct_funcs",
-    "q_text_clean",
-    "q_text_stats",
-    "q_tfidf_terms",
-    "q_token_count",
-    "q_unpivot",
-    "q_window_range_frame",
-    # new in round 6 (§2.16) — no driver row yet
-    "q_dedup_substring",
-    "q_welch_ttest",
-    "q_benford",
-    "q_iqr_outliers",
-    "q_dow_profile",
-    "q_source_vocab_overlap",
-    # §2.17 warehouse-analytics breadth — new in round 6
-    "q_star_agg",
-    "q_hhi_concentration",
-    "q_cramers_v",
-    "q_anova_f",
-    "q_assoc_rules",
-    "q_cusum_changepoint",
-    "q_rolling_corr",
-    "q_seasonal_decompose",
-    "q_conversion_lag",
-    "q_gains_table",
-    "q_dedup_lsh_cosine",
-    "q_control_chart",
-    "q_topk_movers",
-    "q_forecast_naive_eval",
-    "q_two_proportion_ztest",
-    "q_histogram_2d",
-    # §2.18 lifecycle / robust-stats breadth — new in round 6
-    "q_cohort_ltv",
-    "q_theil_sen_trend",
-    "q_abc_classification",
-    "q_runs_test",
-    "q_winsorized_stats",
-    "q_session_paths",
-    # code changed in round 6 (hot-block cap; action fold)
-    "q_edit_distance_dedup",
-    "q_skew_metrics",
-    # --- 50-key sweep boundary (driver checks the first 50) ---
-    # Late-round-6 code changes NOT fitting this round's sweep: the
-    # two-phase helper redesign (value-deterministic buckets) touched
-    # these keys' plans, and q_skyline's rejoin was rewritten.  All
-    # re-verified this round by the 192-key vanilla replica + parity
-    # suite; put them first in round 7's rotation for driver rows.
+    # Round-7 sweep (driver checks the first 50).  VERDICT r6 #2:
+    # lead with the two keys whose plans the late-r6 windows.py
+    # redesign / rejoin rewrite touched, then the 46-key r3-era
+    # backlog (oldest remaining driver rows).  48 keys; the driver's
+    # 50-key window picks up the next two insertion-order keys as
+    # spares.  Previous duplicate q_window_running entry dropped.
     "q_skyline",
     "q_window_running",
-    # r03-era backlog (oldest remaining after this sweep)
+    # r03-era backlog — oldest remaining driver rows
     "q_agg_approx",
     "q_agg_approx_quantile",
     "q_agg_bin",
@@ -154,7 +98,6 @@ _VERIFY_FIRST = [
     "q_sort_limit",
     "q_spline_fit_eval",
     "q_union",
-    "q_window_running",
 ]
 
 

@@ -36,13 +36,52 @@ values always share a bucket (strict boundary compares), so global
 ranks stay exact for any total order led by that column; a heavily tied
 leading column degrades to fewer effective buckets — the same skew
 behavior range partitioning had.  Leading order columns must be numeric
-and non-null (all callers pre-aggregate or derive them).
+(enforced fail-fast; all callers pre-aggregate or derive them); NULLs
+are routed to the bucket Spark's default null ordering would place them
+in, so they rank exactly as under a plain ``Window.orderBy``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+
+#: Phase-2 parallelism of every two-phase helper equals the bucket
+#: count; 2048 covers any realistic shuffle-partition setting while the
+#: log-depth bucket expression keeps per-row cost at ~11 comparisons.
+_MAX_BUCKETS = 2048
+
+
+def _bsearch_bucket(col: Column, seq: list, descending: bool, lo: int, hi: int):
+    """Balanced nested-when binary search over the frozen boundary
+    literals ``seq[lo:hi]``: returns a literal bucket id equal to the
+    count of boundaries the value strictly passes (ascending: value >
+    boundary; descending: value < boundary — ``seq`` must be sorted in
+    bucket order, i.e. reverse-sorted when descending).
+
+    Invariant: boundaries before ``lo`` are passed, boundaries from
+    ``hi`` on are not; ``seq`` is strictly monotone (deduped), so
+    passing ``seq[mid]`` passes every earlier boundary too.  Depth is
+    ``ceil(log2(len(seq)+1))`` — ~11 comparisons per row at 2048
+    buckets versus the 2047 comparisons+adds of a flat when()-sum.
+    Deliberately NOT an array+filter higher-order function: a HOF
+    lambda capturing an outer column, consumed as a derived groupBy key
+    under a window with AQE/exchange-reuse disabled, hits a Spark 4.1
+    optimizer bug ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] — the outer
+    reference is pruned out of the window's child).  Nested when() has
+    no outer capture and survives every flag combination (reuse-off
+    regression: test_scalable_rank_survives_disabled_exchange_reuse).
+    """
+    if lo >= hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    passed = (
+        (col < F.lit(seq[mid])) if descending else (col > F.lit(seq[mid]))
+    )
+    return F.when(
+        passed, _bsearch_bucket(col, seq, descending, mid + 1, hi)
+    ).otherwise(_bsearch_bucket(col, seq, descending, lo, mid))
 
 
 def _bucketed_by_value(
@@ -57,17 +96,31 @@ def _bucketed_by_value(
     many times it re-executes (see module docstring).  Rows equal to a
     boundary all land in the lower bucket — equal values never split
     across buckets, which is what keeps ranks exact under tiebreak
-    chains led by ``bucket_col``."""
+    chains led by ``bucket_col``.
+
+    ``bucket_col`` must be NUMERIC (approxQuantile's contract) — a
+    non-numeric column fails fast here with a targeted error instead of
+    a py4j IllegalArgumentException mid-job.  NULL values (which
+    approxQuantile ignores, so they never become boundaries) are routed
+    to the bucket matching Spark's default window null placement —
+    first bucket for ascending order (NULLS FIRST), last for descending
+    (NULLS LAST) — so the per-bucket window's own null ordering yields
+    the same global order a plain ``Window.orderBy`` would.
+    """
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[bucket_col].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"two-phase window helpers order by a numeric leading "
+            f"column; {bucket_col!r} is {dt.simpleString()} — derive a "
+            f"numeric sort key first (e.g. io.epoch_us for timestamps)"
+        )
     n = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # Cap the bucket count: each boundary adds one term to the bucket
-    # expression, and phase-2 parallelism equals the bucket count —
-    # 256 single-bucket windows saturate any realistic stage while
-    # keeping the expression compact at production shuffle-partition
-    # settings (2000+).
-    n = min(n, 256)
+    n = min(n, _MAX_BUCKETS)
     bounds: list = []
     if n > 1:
         probs = [i / n for i in range(1, n)]
@@ -75,24 +128,16 @@ def _bucketed_by_value(
         # any value produces correct ranks, so the sketch's epsilon
         # only affects balance
         qs = df.stat.approxQuantile(bucket_col, probs, 1.0 / (4 * n))
-        bounds = sorted(set(qs))
-    # bucket id = count of boundaries strictly on the "earlier" side
-    # of the value, as a flat sum of when() terms.  Deliberately NOT
-    # the prettier array+filter higher-order function: a HOF lambda
-    # capturing an outer column, consumed as a derived groupBy key
-    # under a window with AQE/exchange-reuse disabled, hits a Spark
-    # 4.1 optimizer bug ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] — the
-    # outer reference is pruned out of the window's child), observed
-    # flakily in the reuse-off regression test.  The flat form has no
-    # outer capture and survives every flag combination.
-    pid = F.lit(0)
-    for b in bounds:
-        hit = (
-            (F.col(bucket_col) < F.lit(b))
-            if descending
-            else (F.col(bucket_col) > F.lit(b))
-        )
-        pid = pid + F.when(hit, 1).otherwise(0)
+        # bucket order: ascending boundaries for ascending ranks,
+        # reversed for descending (so "passes seq[mid] → passes every
+        # earlier boundary" holds in both directions)
+        bounds = sorted(set(qs), reverse=descending)
+    pid = _bsearch_bucket(F.col(bucket_col), bounds, descending, 0, len(bounds))
+    if bounds:
+        null_bucket = 0 if not descending else len(bounds)
+        pid = F.when(
+            F.col(bucket_col).isNull(), F.lit(null_bucket)
+        ).otherwise(pid)
     return df.withColumn("_pid", pid.cast("int"))
 
 

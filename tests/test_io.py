@@ -1098,6 +1098,124 @@ def test_check_constraints_gate_commits(spark, tmp_path):
     assert read_parquet_atomic(spark, path).count() == 1
 
 
+def test_compact_carries_check_constraints(spark, tmp_path):
+    """ADVICE r6 (high): compaction is a pure physical rewrite — it
+    must CARRY the table's stored CHECK constraints through its
+    overwrite commit (previously the manifest came out with checks:{},
+    silently unguarding every future append) and must NOT re-validate
+    rows that already live in the table against constraints added
+    after they were written."""
+    import pytest
+
+    from pfithic_spark.io import (
+        _newest_manifest_meta,
+        compact_parquet_atomic,
+        read_parquet_atomic,
+        write_parquet_atomic,
+    )
+
+    path = str(tmp_path / "compact_checks")
+    # batch 1 predates the constraint and legally violates it
+    write_parquet_atomic(
+        spark.createDataFrame([(-1,)], "v long"), path, mode="append"
+    )
+    write_parquet_atomic(
+        spark.createDataFrame([(5,)], "v long"),
+        path,
+        mode="append",
+        checks={"v_nonneg": "v >= 0"},
+    )
+    # compaction succeeds despite the pre-constraint -1 row...
+    compact_parquet_atomic(spark, path, target_files=1)
+    assert read_parquet_atomic(spark, path).count() == 2
+    # ...and the constraint SURVIVES the rewrite: stored in the new
+    # manifest and still gating appends
+    assert _newest_manifest_meta(path).get("checks") == {
+        "v_nonneg": "v >= 0"
+    }
+    with pytest.raises(ValueError, match="v_nonneg"):
+        write_parquet_atomic(
+            spark.createDataFrame([(-9,)], "v long"), path, mode="append"
+        )
+
+
+def test_concurrent_check_modification_conflicts(spark, tmp_path, monkeypatch):
+    """ADVICE r6 (medium): a constraint whose SQL was MODIFIED (same
+    name) while a batch staged means the batch was validated against a
+    stale expression — the commit must refuse, not silently write the
+    stale SQL back over the concurrent change.  A caller's own
+    deliberate same-name update must NOT self-conflict."""
+    import pytest
+
+    import pfithic_spark.io as pio
+
+    path = str(tmp_path / "concurrent_mod")
+    pio.write_parquet_atomic(
+        spark.createDataFrame([(10,)], "v long"),
+        path,
+        mode="append",
+        checks={"v_min": "v >= 0"},
+    )
+    # deliberate same-name update by the caller: no concurrency, no
+    # conflict, new SQL lands in the manifest
+    pio.write_parquet_atomic(
+        spark.createDataFrame([(11,)], "v long"),
+        path,
+        mode="append",
+        checks={"v_min": "v >= 1"},
+    )
+    assert pio._newest_manifest_meta(path).get("checks") == {
+        "v_min": "v >= 1"
+    }
+    # concurrent modification injected between the entry read and the
+    # commit-point read (the zorder hook runs inside that window)
+    orig = pio.zorder_key
+
+    def hijack(df, cols):
+        pio.write_parquet_atomic(
+            spark.createDataFrame([(99,)], "v long"),
+            path,
+            mode="append",
+            checks={"v_min": "v >= 50"},
+        )
+        return orig(df, cols)
+
+    monkeypatch.setattr(pio, "zorder_key", hijack)
+    with pytest.raises(ValueError, match="modified concurrently"):
+        pio.write_parquet_atomic(
+            spark.createDataFrame([(12,)], "v long"),
+            path,
+            mode="append",
+            zorder_by=["v"],
+        )
+    # the concurrent writer's constraint is what the table stores
+    assert pio._newest_manifest_meta(path).get("checks") == {
+        "v_min": "v >= 50"
+    }
+
+
+def test_check_on_absent_column_targeted_error(spark, tmp_path):
+    """ADVICE r6 (low): an additive append missing a constrained
+    column (legal under type-only schema enforcement) must be refused
+    with an error naming the constraint, not die inside the violation
+    aggregate with a raw AnalysisException."""
+    import pytest
+
+    from pfithic_spark.io import write_parquet_atomic
+
+    path = str(tmp_path / "absent_col")
+    write_parquet_atomic(
+        spark.createDataFrame([(1, "a")], "v long, tag string"),
+        path,
+        mode="append",
+        checks={"tag_not_null": "tag IS NOT NULL"},
+    )
+    with pytest.raises(ValueError, match="tag_not_null"):
+        write_parquet_atomic(
+            spark.createDataFrame([(2,)], "v long"), path, mode="append"
+        )
+
+
 def test_append_nullability_difference_not_refused(spark, tmp_path):
     """Schema enforcement compares STRUCTURE, not incidental
     nullability: a struct built by F.struct (inner nullable=false)

@@ -337,6 +337,104 @@ def test_scalable_rank_survives_disabled_exchange_reuse(spark):
                 spark.conf.set(k, v)
 
 
+def test_bucketed_by_value_above_256_buckets(spark):
+    """Round-7 (VERDICT r6 #1): the 256-bucket cap in
+    _bucketed_by_value ceilinged phase-2 parallelism of the two-phase
+    helpers; the log-depth nested-when binary search lifts it to 2048.
+    At 1024 requested buckets the helper must actually produce >256
+    distinct _pid values AND keep ranks exact against the single-window
+    form (the binary-search bucket id must equal the flat
+    count-of-boundaries-passed semantics for every row)."""
+    from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
+
+    n = 200_000
+    df = spark.range(n).select(
+        (F.xxhash64(F.col("id")) % 1_000_003).alias("v"), "id"
+    )
+    parted = win._bucketed_by_value(df, "v", 1024)
+    n_pids = parted.select("_pid").distinct().count()
+    assert n_pids > 256, f"cap not lifted: {n_pids} buckets"
+    ranked = win.scalable_rank(
+        df, [F.col("v"), F.col("id")], "v", num_partitions=1024, rank_col="rk"
+    )
+    exp = df.withColumn(
+        "rk", F.row_number().over(W.orderBy("v", "id")).cast("long")
+    )
+    diff = (
+        ranked.select("id", F.col("rk").alias("a"))
+        .join(exp.select("id", F.col("rk").alias("b")), "id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
+    # descending direction shares the binary-search builder — gate it too
+    desc = win.scalable_cummax_exclusive(
+        df.groupBy("id").agg(F.max("v").alias("val")),
+        "id",
+        "val",
+        "prevmax",
+        descending=True,
+        num_partitions=1024,
+    )
+    w_ex = W.orderBy(F.col("id").desc()).rowsBetween(W.unboundedPreceding, -1)
+    exp2 = (
+        df.groupBy("id")
+        .agg(F.max("v").alias("val"))
+        .withColumn("prevmax", F.max("val").over(w_ex))
+    )
+    bad = (
+        desc.select("id", F.col("prevmax").alias("a"))
+        .join(exp2.select("id", F.col("prevmax").alias("b")), "id")
+        .filter(
+            ~(
+                (F.col("a") == F.col("b"))
+                | (F.col("a").isNull() & F.col("b").isNull())
+            )
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_bucketed_by_value_nulls_and_dtype(spark):
+    """ADVICE r6: non-numeric bucket_col must fail fast with a targeted
+    error (not a py4j IllegalArgumentException mid-job); NULL order
+    values must rank exactly where a plain Window.orderBy puts them
+    (NULLS FIRST ascending) instead of being silently mis-bucketed."""
+    import pytest
+
+    from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
+
+    sdf = spark.range(10).select(F.col("id").cast("string").alias("s"), "id")
+    with pytest.raises(ValueError, match="numeric"):
+        win._bucketed_by_value(sdf, "s", 8)
+
+    n = 5_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 97 == 0, F.lit(None)).otherwise(
+            F.xxhash64(F.col("id")) % 10_000
+        ).alias("v"),
+        "id",
+    )
+    ranked = win.scalable_rank(
+        df, [F.col("v"), F.col("id")], "v", num_partitions=64, rank_col="rk"
+    )
+    exp = df.withColumn(
+        "rk", F.row_number().over(W.orderBy("v", "id")).cast("long")
+    )
+    diff = (
+        ranked.select("id", F.col("rk").alias("a"))
+        .join(exp.select("id", F.col("rk").alias("b")), "id")
+        .filter(F.col("a") != F.col("b"))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_outer_join_aggregates_before_join(spark, sf_dir, queries):
     """q_join_outer's order side pre-aggregates (partial+final) before
     the join — the join input is per-key, not per-order-row."""
