@@ -494,6 +494,122 @@ def scalable_cummax_exclusive(
     )
 
 
+def scalable_trailing_aggs(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    aggs: dict[str, Column],
+    lookback: int,
+    include_current: bool = False,
+    chunk: int | None = None,
+    num_partitions: int | None = None,
+    small_threshold: int | None = None,
+) -> DataFrame:
+    """Trailing bounded-frame window aggregates — frame
+    ``ROWS BETWEEN lookback PRECEDING AND (1 PRECEDING | CURRENT ROW)``
+    over ``order_cols`` within ``part_cols`` — WITHOUT one task per
+    partition value (round 7; the q_anomaly_zscore modernization).
+
+    ``W.partitionBy(event_type)`` parallelism equals the number of
+    distinct partition values: with a handful of event types, 100 TB of
+    events serialize onto a handful of window tasks.  A bounded ROWS
+    frame only ever needs the ``lookback`` preceding rows, so the
+    window can be chunked with replicated context:
+
+    1. value-deterministic buckets on the leading order column
+       (:func:`_bucketed_by_value` — frozen quantile literals, so every
+       lineage branch agrees);
+    2. per-(part, bucket) row_number + per-part prefix-count offsets
+       (the two-phase rank shape) → exact per-part rank ``r``;
+    3. re-chunk by rank: ``_rb = (r-1) // C`` with
+       ``C = max(lookback, chunk)`` — every chunk except a part's last
+       holds exactly C >= lookback rows, so a row's whole frame lives
+       in its own chunk plus the previous chunk's tail;
+    4. rows in a chunk's last ``lookback`` positions are REPLICATED
+       into the next chunk as context (flagged, excluded from output);
+    5. one ordinary window per (part, _rb) computes the aggregates;
+       context rows participate in frames but are dropped after.
+
+    Row replication overhead is ``lookback / C`` (< 0.2% at the 65536
+    default) and phase-2 parallelism is ``n_part_rows / C`` per
+    partition value instead of 1.  ``aggs`` maps output column names to
+    aggregate Columns (e.g. ``F.sum(expr)``) — anything legal over a
+    running ROWS frame.  ``order_cols`` must totally order rows within
+    a part (add a tiebreak column); the leading order column must be
+    numeric (:func:`_bucketed_by_value`'s contract).
+
+    ``small_threshold``: when set, the input is cached + counted and at
+    or below the threshold the plain partitioned window is used — the
+    bounded-grain fast path of :func:`scalable_cumsum`, because the
+    two-phase machinery costs several extra jobs that dwarf small
+    inputs.  Pass None to force the scalable form.
+    """
+    lo = -int(lookback)
+    hi = 0 if include_current else -1
+    if small_threshold:
+        df = df.cache()
+        if df.count() <= small_threshold:
+            w = (
+                W.partitionBy(*part_cols)
+                .orderBy(*order_cols)
+                .rowsBetween(lo, hi)
+            )
+            return df.select(
+                "*", *[c.over(w).alias(name) for name, c in aggs.items()]
+            )
+    C = int(max(lookback, chunk or 65536))
+    parted = _bucketed_by_value(df, order_cols[0], num_partitions)
+    w_local = W.partitionBy(*part_cols, "_pid").orderBy(*order_cols)
+    d = parted.withColumn("_lr", F.row_number().over(w_local))
+    counts = parted.groupBy(*part_cols, "_pid").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_pre = (
+        W.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *part_cols,
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_off"),
+    )
+    d = d.join(offs, [*part_cols, "_pid"]).withColumn(
+        "_r", (F.col("_lr") + F.col("_off")).cast("long")
+    )
+    rb = F.floor((F.col("_r") - 1) / C).cast("long")
+    ro = (F.col("_r") - 1) % C
+    # 1-or-2-copy explode instead of a self-union: context replication
+    # in the SAME pass (no second execution of the rank phase, no
+    # lineage branch to keep consistent)
+    copies = F.concat(
+        F.array(F.struct(rb.alias("rb"), F.lit(0).alias("ctx"))),
+        F.when(
+            ro >= C - lookback,
+            F.array(F.struct((rb + 1).alias("rb"), F.lit(1).alias("ctx"))),
+        ).otherwise(
+            F.array().cast("array<struct<rb:bigint,ctx:int>>")
+        ),
+    )
+    both = (
+        d.select("*", F.explode(copies).alias("_e"))
+        .withColumn("_rb", F.col("_e.rb"))
+        .withColumn("_ctx", F.col("_e.ctx"))
+        .drop("_e")
+    )
+    w2 = (
+        W.partitionBy(*part_cols, "_rb")
+        .orderBy("_r")
+        .rowsBetween(lo, hi)
+    )
+    out = both.select(
+        "*", *[c.over(w2).alias(name) for name, c in aggs.items()]
+    )
+    return out.filter(F.col("_ctx") == 0).drop(
+        "_pid", "_lr", "_off", "_r", "_rb", "_ctx"
+    )
+
+
 def rolling_distinct_approx(
     df,
     day_col: str,

@@ -337,6 +337,94 @@ def test_scalable_rank_survives_disabled_exchange_reuse(spark):
                 spark.conf.set(k, v)
 
 
+def test_scalable_trailing_aggs_matches_plain_window(spark):
+    """Round-7: scalable_trailing_aggs (rank-chunked trailing frame
+    with replicated context rows) must equal the plain
+    W.partitionBy(part).orderBy(...).rowsBetween(-L, -1|0) window
+    EXACTLY — multiple parts, chunk smaller than parts' row counts so
+    many chunk boundaries are crossed, both frame variants, and under
+    exchange-reuse/AQE disabled (branch-consistency gate)."""
+    from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
+
+    n = 30_000
+    df = spark.range(n).select(
+        (F.col("id") % 3).alias("g"),
+        (F.xxhash64(F.col("id")) % 100_000).alias("t"),
+        "id",
+        ((F.col("id") * 37) % 97).cast("decimal(18,4)").alias("v"),
+    )
+    aggs = {
+        "n": F.count(F.lit(1)),
+        "s": F.sum(F.col("v")),
+        "mx": F.max(F.col("v")),
+    }
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        for include_current in (False, True):
+            got = win.scalable_trailing_aggs(
+                df,
+                ["g"],
+                ["t", "id"],
+                aggs,
+                lookback=100,
+                include_current=include_current,
+                chunk=500,  # far below per-part rows -> many boundaries
+                small_threshold=None,
+            )
+            fr = (
+                W.partitionBy("g")
+                .orderBy("t", "id")
+                .rowsBetween(-100, 0 if include_current else -1)
+            )
+            exp = df.select(
+                "id", *[c.over(fr).alias(k2) for k2, c in aggs.items()]
+            )
+            bad = (
+                got.select("id", "n", "s", "mx")
+                .join(
+                    exp.select(
+                        "id",
+                        F.col("n").alias("n2"),
+                        F.col("s").alias("s2"),
+                        F.col("mx").alias("mx2"),
+                    ),
+                    "id",
+                )
+                .filter(
+                    (F.col("n") != F.col("n2"))
+                    | ~(
+                        (F.col("s") == F.col("s2"))
+                        | (F.col("s").isNull() & F.col("s2").isNull())
+                    )
+                    | ~(
+                        (F.col("mx") == F.col("mx2"))
+                        | (F.col("mx").isNull() & F.col("mx2").isNull())
+                    )
+                )
+                .count()
+            )
+            assert bad == 0, f"include_current={include_current}"
+            assert got.count() == n, "context rows must not leak"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_by_value_above_256_buckets(spark):
     """Round-7 (VERDICT r6 #1): the 256-bucket cap in
     _bucketed_by_value ceilinged phase-2 parallelism of the two-phase
