@@ -409,12 +409,54 @@ _MINHASH_A = _rng.integers(1, _MINHASH_P, size=_MINHASH_N, dtype=np.int64)
 _MINHASH_B = _rng.integers(0, _MINHASH_P, size=_MINHASH_N, dtype=np.int64)
 
 
+#: Hot-bucket cap for the LSH pair generators (round-7 hardening; same
+#: lever family as max_df / EDIT_DEDUP_MAX_BLOCK / ASSOC_MAX_BASKET):
+#: a band bucket holding B documents emits C(B,2) candidate pairs, and
+#: mass-duplicated boilerplate (a page template copied 10⁶×) collides
+#: in EVERY band — the one shape where "bucketed, never all-pairs"
+#: still goes quadratic.  Buckets above the cap are dropped from
+#: candidate generation; members of such a bucket are near-identical
+#: by construction, so exact dedup (dedup_exact, which is linear)
+#: is the right tool for them — the documented division of labor.
+LSH_MAX_BUCKET = 1000
+
+
+def _drop_hot_buckets(
+    banded: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Anti-join away band buckets holding more than ``max_bucket``
+    members before the candidate self-join (map-side-combinable count,
+    broadcast hot list — the max_df shape on bucket keys).
+
+    A driver probe (``limit(1)`` on the aggregated hot list — the agg
+    runs once, at most ONE row transfers, so the materialization is
+    bounded regardless of corpus size) short-circuits the
+    overwhelmingly common healthy-corpus case: with zero hot buckets
+    the candidate join keeps its uncapped plan, paying only the one
+    count pass instead of a per-side broadcast anti-join (measured 2×
+    → 1.5× key cost at sf0.1).  When hot buckets exist the count agg
+    runs a second time inside the anti-join — one extra aggregated
+    pass in the rare pathological case, the documented trade."""
+    if max_bucket is None:
+        return banded
+    hot = (
+        banded.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select(*key_cols)
+    )
+    if not hot.limit(1).collect():
+        return banded
+    return banded.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 16,
     est_threshold: float = 0.2,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -423,6 +465,13 @@ def minhash_lsh_pairs(
     on (band, band-hash) — shuffle keys only, at any corpus size.
     Output: (id1, id2, est_jaccard) with est_jaccard = matching
     signature fraction, filtered to ``est_threshold``.
+
+    ``max_bucket`` drops band buckets holding more than that many
+    documents from candidate generation (see :data:`LSH_MAX_BUCKET`):
+    a mass-duplicated document collides in every band, and C(B,2)
+    within one hot bucket is the only quadratic left in the banded
+    shape.  Pairs lost this way are exact/near-exact duplicates —
+    route them through the linear ``dedup_exact`` pass first.
     """
     rows_per_band = _MINHASH_N // bands
     hashed = shingle_rows(docs, text_col, id_col, dedup=False).select(
@@ -469,6 +518,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.bkey")
+    banded = _drop_hot_buckets(banded, ["band", "bkey"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -581,6 +631,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 7,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming — EXACT
     within the radius, by the pigeonhole guarantee: the 64-bit signature
@@ -592,7 +643,15 @@ def simhash_pairs(
     <=7, 16 covers <=15); radii above 15 would need 2-bit chunks whose
     buckets degenerate toward all-pairs, so they are rejected rather
     than silently under-recalled (the round-1 4×16 banding claimed
-    radius 12 but guaranteed only 3)."""
+    radius 12 but guaranteed only 3).
+
+    ``max_bucket``: chunk buckets holding more than this many
+    signatures are dropped from candidate generation (see
+    :data:`LSH_MAX_BUCKET`) — mass-duplicated documents share ALL
+    chunks, and C(B,2) inside one hot chunk bucket is the residual
+    quadratic; their members belong to ``dedup_exact``.  Note the
+    pigeonhole exactness guarantee then holds for every pair not
+    wholly inside dropped buckets — the documented recall trade."""
     if max_hamming <= 3:
         bands = 4
     elif max_hamming <= 7:
@@ -629,6 +688,7 @@ def simhash_pairs(
     banded = sigs.select("doc_id", "sig", chunk.alias("c")).select(
         "doc_id", "sig", "c.band", "c.ckey"
     )
+    banded = _drop_hot_buckets(banded, ["band", "ckey"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (

@@ -57,7 +57,11 @@ def q_dedup_exact(spark, sf_dir):
 @register("q_dedup_near", oracle=_golden_oracle("q_dedup_near"))
 def q_dedup_near(spark, sf_dir):
     """MinHash(64) + 16-band LSH candidate pairs with signature-estimated
-    Jaccard (shingle→minhash→band→bucket-join)."""
+    Jaccard (shingle→minhash→band→bucket-join).  Band buckets larger
+    than LSH_MAX_BUCKET (1000) are dropped from candidate generation
+    (round-7 hardening — a mass-duplicated document collides in every
+    band, the one residual quadratic in the banded shape; such docs
+    belong to the linear q_dedup_exact pass)."""
     return llmops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -67,7 +71,10 @@ def q_dedup_simhash(spark, sf_dir):
     standard near-dup radius: 4×16-bit chunk banding + bit_count(xor)
     verification).  Banding is sized to the requested radius — wider
     radii (≤15) cost more candidate pairs; recall gate vs a brute-force
-    Hamming self-join: tests/test_llmops.py."""
+    Hamming self-join: tests/test_llmops.py.  Chunk buckets larger than
+    LSH_MAX_BUCKET (1000) are dropped from candidate generation
+    (round-7 hardening — mass-duplicated docs share all chunks; they
+    belong to the linear q_dedup_exact pass)."""
     return llmops.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3
     )

@@ -52,9 +52,14 @@ sh AS (
   FROM toks
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.source, s.shingle FROM sh s JOIN freq f USING (shingle)
+  WHERE f.df <= 1000
+),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
-  FROM sh a JOIN sh b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -85,11 +90,15 @@ def q_dedup_clusters(spark, sf_dir):
     is transitive in practice, so representatives come from components
     of the pair graph, not pairwise output.  The DuckDB oracle closes
     the same edge set with a recursive CTE; transitivity on multi-hop
-    chains is pinned by tests/test_llmops.py (chain + star graphs)."""
+    chains is pinned by tests/test_llmops.py (chain + star graphs).
+    max_df=1000 (round-7 hardening, mirrored in the oracle's freq/kept
+    CTEs): a boilerplate shingle shared corpus-wide would alone emit
+    ~n² candidate edges — the same skew lever as q_dedup_ngram_global,
+    with Jaccard denominators still using FULL shingle-set sizes."""
     d = load_table(spark, sf_dir, "documents")
-    edges = llmops.ngram_jaccard_pairs(d, block_col="source", max_df=None).filter(
-        F.col("jaccard") >= 0.2
-    )
+    edges = llmops.ngram_jaccard_pairs(
+        d, block_col="source", max_df=1000
+    ).filter(F.col("jaccard") >= 0.2)
     return llmops.connected_components(edges, d, id_col="doc_id")
 
 
@@ -160,9 +169,14 @@ sh AS (
   FROM toks
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.source, s.shingle FROM sh s JOIN freq f USING (shingle)
+  WHERE f.df <= 1000
+),
 pairs AS (
   SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS common
-  FROM sh a JOIN sh b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
@@ -198,10 +212,16 @@ def q_curation_pipeline(spark, sf_dir):
     llmops.connected_components); the keep-list is their semi-join —
     corpus text never shuffles, only ids and 16-byte hashes.  The
     dataflow lives in llmops.curation_keep_list (shared with the
-    api.run_curation_files surface)."""
+    api.run_curation_files surface).  max_df=1000 caps hot-shingle
+    candidate generation (round-7 hardening, mirrored in the oracle's
+    freq/kept CTEs — same lever as q_dedup_clusters)."""
     d = load_table(spark, sf_dir, "documents")
     return llmops.curation_keep_list(
-        d, min_quality=0.6, jaccard_threshold=0.2, block_col="source"
+        d,
+        min_quality=0.6,
+        jaccard_threshold=0.2,
+        block_col="source",
+        max_df=1000,
     )
 
 
@@ -412,27 +432,38 @@ def q_anomaly_zscore(spark, sf_dir):
     Σv²) accumulate as DECIMAL — exact, order-independent — and only
     the closed-form z expression runs in double, so Spark's running
     window and DuckDB's segment-tree window agree bit-for-bit (raw
-    double window sums would drift in the low bits)."""
-    from pyspark.sql import Window as W
+    double window sums would drift in the low bits).
+
+    Round-7 modernization: the trailing frame runs through
+    windows.scalable_trailing_aggs — W.partitionBy(event_type)
+    parallelism equals the number of EVENT TYPES, so 100 TB of events
+    would serialize onto a handful of window tasks; the helper
+    re-chunks each type by per-type rank with replicated context rows
+    so the bounded frame parallelizes at any volume (small inputs take
+    the plain-window fast path, the scalable_cumsum convention)."""
+    from pfithic_spark import windows as win
 
     ev_raw = load_table(spark, sf_dir, "events")
     ev = ev_raw.select(
         "event_id", "event_type", "value", epoch_us(ev_raw, "ts").alias("us")
     )
-    fr = (
-        W.partitionBy("event_type")
-        .orderBy("us", "event_id")
-        .rowsBetween(-100, -1)
-    )
     dec = F.col("value").cast("decimal(18,4)")
-    w = ev.select(
-        "event_id",
-        "event_type",
-        "value",
-        F.count(F.lit(1)).over(fr).alias("n"),
-        F.sum(dec).over(fr).alias("s"),
-        F.sum(dec * dec).over(fr).alias("s2"),
-    ).filter(F.col("n") >= 30)
+    w = (
+        win.scalable_trailing_aggs(
+            ev,
+            ["event_type"],
+            ["us", "event_id"],
+            {
+                "n": F.count(F.lit(1)),
+                "s": F.sum(dec),
+                "s2": F.sum(dec * dec),
+            },
+            lookback=100,
+            small_threshold=2_000_000,
+        )
+        .filter(F.col("n") >= 30)
+        .select("event_id", "event_type", "value", "n", "s", "s2")
+    )
     sd = F.col("s").cast("double")
     s2d = F.col("s2").cast("double")
     mean = sd / F.col("n")

@@ -52,6 +52,62 @@ def test_simhash_finds_near_dup(corpus):
     assert (1, 4) not in found and (2, 4) not in found and (3, 4) not in found
 
 
+def test_lsh_hot_bucket_cap_fires(spark):
+    """Round-7 hardening: a mass-duplicated document collides in EVERY
+    band/chunk bucket — C(B,2) inside one hot bucket is the residual
+    quadratic of the banded LSH shape.  With max_bucket set, the hot
+    buckets are dropped (no pairs among the mass-dup clones) while a
+    planted near-dup pair OUTSIDE the hot cluster is still recovered;
+    with max_bucket=None the clone pairs all appear (exhaustive
+    baseline proving the cap is what suppressed them)."""
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    # the cold pair is an exact dup (identical signatures -> identical
+    # buckets of size 2, never hot): the test gates the CAP, not the
+    # banding's near-dup recall (covered elsewhere)
+    pair_text = "spark shuffles partition data across many executors tonight"
+    n_clones = 30
+    rows = [(i, base, "src0") for i in range(n_clones)]
+    rows += [(1000, pair_text, "src0"), (1001, pair_text, "src0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+    capped = llmops.minhash_lsh_pairs(
+        docs, est_threshold=0.2, max_bucket=10
+    ).collect()
+    got = {(r["id1"], r["id2"]) for r in capped}
+    assert (1000, 1001) in got, "cap must not drop cold-bucket pairs"
+    assert not any(p[0] < n_clones for p in got), (
+        "hot-bucket clone pairs must be dropped",
+        sorted(got)[:5],
+    )
+    exhaustive = llmops.minhash_lsh_pairs(
+        docs, est_threshold=0.2, max_bucket=None
+    ).collect()
+    clone_pairs = {
+        (r["id1"], r["id2"])
+        for r in exhaustive
+        if r["id1"] < n_clones and r["id2"] < n_clones
+    }
+    assert len(clone_pairs) == n_clones * (n_clones - 1) // 2
+
+    s_capped = llmops.simhash_pairs(
+        docs, max_hamming=3, max_bucket=10
+    ).collect()
+    s_got = {(r["id1"], r["id2"]) for r in s_capped}
+    assert (1000, 1001) in s_got
+    assert not any(p[0] < n_clones for p in s_got)
+    s_exh = llmops.simhash_pairs(
+        docs, max_hamming=3, max_bucket=None
+    ).collect()
+    s_clone = {
+        (r["id1"], r["id2"])
+        for r in s_exh
+        if r["id1"] < n_clones and r["id2"] < n_clones
+    }
+    assert len(s_clone) == n_clones * (n_clones - 1) // 2
+
+
 def test_ngram_jaccard_max_df_prunes_hot_shingles(spark):
     """max_df drops ubiquitous shingles from candidate generation (the
     100 TB skew lever) while max_df=None stays exhaustive: docs sharing
