@@ -119,6 +119,70 @@ def main() -> None:
     # ones pruned by max_df, denominators keep full sizes → 5/11
     assert jmin is not None and abs(jmin - 5.0 / 11.0) < 1e-6, jmin
 
+    # --- minhash LSH hot-bucket cap: planted mass-dup cluster --------
+    # (round-7 hardening) A 200k-clone document collides in EVERY band
+    # -> C(200k,2) ≈ 2e10 candidate pairs uncapped (unfinishable); with
+    # the default LSH_MAX_BUCKET=1000 the clone buckets are dropped
+    # and the output is EXACTLY the planted twin pairs.  Twins (i,
+    # i+400k) share identical unique text -> signature match 1.0 in
+    # buckets of size 2, untouched by the cap.
+    n_mh = n // 8
+    n_clones_mh = n_mh // 5
+    rest = n_mh - n_clones_mh
+    tw = ((F.col("id") - n_clones_mh) % (rest // 2)).cast("long")
+    mh_docs = spark.range(n_mh).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < n_clones_mh,
+            F.lit("all rights reserved worldwide template page body here"),
+        )
+        .otherwise(
+            # NO words shared across tw values (each modulus is prime
+            # and > rest//2, so every slot is collision-free): disjoint
+            # shingle sets keep non-twin signature matches at hash-
+            # coincidence level, far under est_threshold — a shared
+            # prefix word measurably leaks ~1e-4 of chance pairs past
+            # 0.2 (56 at 400k planted, first run of this row)
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("ta"), tw),
+                F.concat(F.lit("tb"), (tw * 31) % 999983),
+                F.concat(F.lit("tc"), (tw * 57) % 999979),
+                F.concat(F.lit("td"), (tw * 91) % 999961),
+                F.concat(F.lit("te"), (tw * 17) % 999959),
+            )
+        )
+        .alias("text"),
+    )
+    t0 = time.time()
+    mh_pairs = llmops.minhash_lsh_pairs(mh_docs, est_threshold=0.2)
+    n_mh_pairs, n_mh_twins, n_mh_clone = mh_pairs.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            (
+                (F.col("id2") - F.col("id1") == rest // 2)
+                & (F.col("est_jaccard") == 1.0)
+            ).cast("long")
+        ),
+        F.sum(
+            (
+                (F.col("id1") < n_clones_mh) & (F.col("id2") < n_clones_mh)
+            ).cast("long")
+        ),
+    ).collect()[0]
+    minhash_cap_s = time.time() - t0
+    # THE cap gate: zero pairs inside the 200k-clone cluster (uncapped
+    # it alone is ~2e10 candidate pairs and the run never finishes)
+    assert n_mh_clone == 0, n_mh_clone
+    # every planted twin recovered at signature match 1.0
+    assert n_mh_twins == rest // 2, (n_mh_twins, rest // 2)
+    # residual extras are 31-bit shingle-hash collisions between
+    # 3-shingle docs (a collided shingle makes hash-level jaccard
+    # exactly 1/5 = the threshold; ~half of the ~C(1.2M,2)/2^31
+    # collision pairs estimate over it) — deterministic, measured 32
+    # at this scale; a missed hot bucket would put ~10^10 here
+    assert n_mh_pairs - n_mh_twins <= 64, (n_mh_pairs, n_mh_twins)
+
     # --- pack_sequences: one giant source, hash-sharded packing ------
     # worst-case mixture: EVERY doc in the same source group; the
     # (group, shard) sharding is what keeps the cumsum window parallel
@@ -1540,6 +1604,37 @@ def main() -> None:
     assert got_cp[1] == n_days // 2 - 1, got_cp
     assert got_cp[0] == 0, got_cp
 
+    # --- scalable_trailing_aggs: 8M rows, TWO partition values -------
+    # (round-7: the q_anomaly_zscore modernization) A plain
+    # W.partitionBy(part) trailing window would serialize 4M rows onto
+    # each of TWO tasks; the rank-chunked form parallelizes at any
+    # volume.  value=1 gives the closed form: per part of m rows,
+    # Σ_r min(100, r-1) = 4950 + (m-100)·100.
+    tr_in = spark.range(n).select(
+        (F.col("id") % 2).alias("g"),
+        F.floor(F.col("id") / 2).cast("long").alias("t"),
+        "id",
+        F.lit(1).cast("decimal(18,4)").alias("v"),
+    )
+    t0 = time.time()
+    tr = win.scalable_trailing_aggs(
+        tr_in,
+        ["g"],
+        ["t", "id"],
+        {"tn": F.count(F.lit(1)), "ts": F.sum(F.col("v"))},
+        lookback=100,
+        small_threshold=None,
+    )
+    tr_rows, tr_n, tr_s = tr.agg(
+        F.count(F.lit(1)), F.sum("tn"), F.sum("ts")
+    ).collect()[0]
+    trailing_s = time.time() - t0
+    m = n // 2
+    want = 2 * (4950 + (m - 100) * 100)
+    assert tr_rows == n, tr_rows
+    assert tr_n == want, (tr_n, want)
+    assert int(tr_s) == want, (tr_s, want)
+
     # --- q_source_vocab_overlap: hot token across 8M docs ------------
     # every doc contains "the" (df = n) — the C(S,2)-per-token bound
     # is what keeps the self-join finite; 10 sources, planted vocab:
@@ -1884,8 +1979,11 @@ def main() -> None:
                 "star_agg_s": round(star_agg_s, 2),
                 "assoc_cap_s": round(assoc_cap_s, 2),
                 "cusum_s": round(cusum_s, 2),
+                "trailing_s": round(trailing_s, 2),
                 "lsh_cosine_s": round(lsh_s, 2),
                 "lsh_cosine_candidates": int(n_cand),
+                "minhash_cap_s": round(minhash_cap_s, 2),
+                "minhash_cap_pairs": int(n_mh_pairs),
                 "lsh_graded_s": round(lsh_graded_s, 2),
                 "lsh_graded_out": int(g["n_out"]),
                 "lsh_graded_k2_recall": round(g["k2"] / n_grade, 4),
