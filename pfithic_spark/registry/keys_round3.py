@@ -121,22 +121,37 @@ FROM h
 def q_shuffle_shards(spark, sf_dir):
     """Deterministic training-order shuffle: every document gets a
     (shard, position) from a Knuth multiplicative hash — the corpus
-    order is reproducible across engines and runs (rand() is neither),
-    a training job reads shard files independently, and the per-shard
-    ROW_NUMBER windows parallelize across shards with no global sort.
-    At 100 TB raise the shard count so each window stays
-    executor-sized."""
+    order is reproducible across engines and runs (rand() is neither)
+    and a training job reads shard files independently.
+
+    Round-7 modernization: position = per-shard row_number, and
+    ``W.partitionBy(shard)`` parallelism equals the SHARD COUNT — a
+    semantic parameter (8 here), not a tuning knob, so "raise the
+    shard count" was never a real 100 TB lever.  The rank now runs
+    through windows.scalable_part_rank (value-deterministic hkey
+    buckets → per-(shard, bucket) row_number + broadcast prefix
+    offsets): parallelism is shards × buckets at any volume.  Small
+    inputs take the plain-window fast path (scalable_cumsum's
+    bounded-grain convention)."""
     from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
 
     d = load_table(spark, sf_dir, "documents")
     hkey = llmops.knuth_hash("doc_id")
-    t = d.select("doc_id", hkey.alias("hkey"), (hkey % 8).cast("long").alias("shard"))
-    w = W.partitionBy("shard").orderBy("hkey", "doc_id")
-    return t.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
+    t = d.select(
+        "doc_id", hkey.alias("hkey"), (hkey % 8).cast("long").alias("shard")
     )
+    t = t.cache()
+    if t.count() <= 2_000_000:
+        w = W.partitionBy("shard").orderBy("hkey", "doc_id")
+        pos = F.row_number().over(w).cast("long")
+    else:
+        t = win.scalable_part_rank(
+            t, ["shard"], ["hkey", "doc_id"], rank_col="_pos"
+        )
+        pos = F.col("_pos").cast("long")
+    return t.select("doc_id", "shard", pos.alias("pos"))
 
 
 @register(

@@ -558,24 +558,8 @@ def scalable_trailing_aggs(
                 "*", *[c.over(w).alias(name) for name, c in aggs.items()]
             )
     C = int(max(lookback, chunk or 65536))
-    parted = _bucketed_by_value(df, order_cols[0], num_partitions)
-    w_local = W.partitionBy(*part_cols, "_pid").orderBy(*order_cols)
-    d = parted.withColumn("_lr", F.row_number().over(w_local))
-    counts = parted.groupBy(*part_cols, "_pid").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    )
-    w_pre = (
-        W.partitionBy(*part_cols)
-        .orderBy("_pid")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offs = counts.select(
-        *part_cols,
-        "_pid",
-        F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_off"),
-    )
-    d = d.join(offs, [*part_cols, "_pid"]).withColumn(
-        "_r", (F.col("_lr") + F.col("_off")).cast("long")
+    d = scalable_part_rank(
+        df, part_cols, order_cols, rank_col="_r", num_partitions=num_partitions
     )
     rb = F.floor((F.col("_r") - 1) / C).cast("long")
     ro = (F.col("_r") - 1) % C
@@ -605,8 +589,53 @@ def scalable_trailing_aggs(
     out = both.select(
         "*", *[c.over(w2).alias(name) for name, c in aggs.items()]
     )
-    return out.filter(F.col("_ctx") == 0).drop(
-        "_pid", "_lr", "_off", "_r", "_rb", "_ctx"
+    return out.filter(F.col("_ctx") == 0).drop("_r", "_rb", "_ctx")
+
+
+def scalable_part_rank(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "_r",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact per-partition row_number over ``order_cols`` within
+    ``part_cols`` WITHOUT one task per partition value — the per-part
+    generalization of :func:`scalable_rank` (factored out of
+    :func:`scalable_trailing_aggs` phase 1–2, round 7).
+
+    ``W.partitionBy(part).orderBy(...)`` row_number serializes each
+    partition value onto one task; with few values (shards, event
+    types) that is a handful of tasks at any data volume.  Here:
+    value-deterministic buckets on the LEADING order column
+    (:func:`_bucketed_by_value` — numeric, frozen quantile literals so
+    every lineage branch agrees) → per-(part, bucket) row_number →
+    broadcast per-part prefix-count offsets.  Parallelism is
+    #parts × #buckets.  ``order_cols`` must totally order rows within
+    a part when exact per-row ranks matter (add a tiebreak chain).
+
+    Returns the input columns plus ``rank_col`` (1-based within each
+    part).  Internals (``_pid``, ``_lr``, ``_off``) are dropped."""
+    parted = _bucketed_by_value(df, order_cols[0], num_partitions)
+    w_local = W.partitionBy(*part_cols, "_pid").orderBy(*order_cols)
+    d = parted.withColumn("_lr", F.row_number().over(w_local))
+    counts = parted.groupBy(*part_cols, "_pid").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_pre = (
+        W.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        *part_cols,
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_pre), F.lit(0)).alias("_off"),
+    )
+    return (
+        d.join(offs, [*part_cols, "_pid"])
+        .withColumn(rank_col, (F.col("_lr") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lr", "_off")
     )
 
 

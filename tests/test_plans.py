@@ -425,6 +425,60 @@ def test_scalable_trailing_aggs_matches_plain_window(spark):
                 spark.conf.set(k, v)
 
 
+def test_scalable_part_rank_matches_plain_window(spark):
+    """Round-7: scalable_part_rank (per-part two-phase rank, factored
+    out of scalable_trailing_aggs) must equal the plain
+    W.partitionBy(part).orderBy(...) row_number EXACTLY — several
+    partition values, heavy ties in the leading order column (forces
+    the tiebreak chain through bucket boundaries), reuse/AQE off
+    (branch-consistency gate, the _pid determinism contract)."""
+    from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
+
+    n = 50_000
+    df = spark.range(n).select(
+        (F.col("id") % 5).alias("g"),
+        # only 97 distinct leading values -> every bucket boundary
+        # lands inside a tie run
+        (F.xxhash64(F.col("id")) % 97).alias("t"),
+        "id",
+    )
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        got = win.scalable_part_rank(
+            df, ["g"], ["t", "id"], rank_col="r", num_partitions=64
+        )
+        exp = df.withColumn(
+            "r", F.row_number().over(W.partitionBy("g").orderBy("t", "id"))
+        )
+        bad = (
+            got.select("id", F.col("r").alias("a"))
+            .join(exp.select("id", F.col("r").cast("long").alias("b")), "id")
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert bad == 0
+        assert got.count() == n
+        assert set(got.columns) == {"g", "t", "id", "r"}, got.columns
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_bucketed_by_value_above_256_buckets(spark):
     """Round-7 (VERDICT r6 #1): the 256-bucket cap in
     _bucketed_by_value ceilinged phase-2 parallelism of the two-phase
