@@ -331,6 +331,90 @@ def contamination_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    block_col: str | None = "source",
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment pairs: |Sa ∩ Sb| / |Sa| ≥
+    threshold emits (contained=a, container=b) — the asymmetric
+    near-dup form Jaccard misses (a short doc quoted wholesale inside
+    a long one has tiny Jaccard but containment ≈ 1; Broder's
+    original resemblance/containment split).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shingle
+    equi-join, optional ``block_col`` blocking, ``max_df`` hot-shingle
+    cap with FULL-size denominators).  Each undirected co-shingle pair
+    is scored ONCE and fans out to at most two directional rows via a
+    2-element explode.  The threshold is a RATIONAL
+    (``threshold_num/threshold_den``) tested by integer cross-multiply
+    — ``den·common ≥ num·sz`` — so the cut is exact on both engines
+    (a ``0.6·sz`` double compare is correctly-rounded-identical today
+    but the integer form can't even in principle straddle a ulp)."""
+    extra = (block_col,) if block_col else ()
+    sh = shingle_rows(docs, text_col, id_col, k, extra_cols=extra).select(
+        "doc_id", *extra, F.xxhash64("shingle").alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    pairs = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
+    j = pairs.join(s1, "id1").join(s2, "id2")
+    dirs = F.array(
+        F.struct(
+            F.col("id1").alias("contained"),
+            F.col("id2").alias("container"),
+            F.col("sz1").alias("sz"),
+        ),
+        F.struct(
+            F.col("id2").alias("contained"),
+            F.col("id1").alias("container"),
+            F.col("sz2").alias("sz"),
+        ),
+    )
+    return (
+        j.select("common", F.explode(dirs).alias("d"))
+        .filter(
+            F.lit(threshold_den) * F.col("common")
+            >= F.lit(threshold_num) * F.col("d.sz")
+        )
+        .select(
+            F.col("d.contained").alias("contained"),
+            F.col("d.container").alias("container"),
+            F.col("common").cast("long").alias("common"),
+            F.col("d.sz").cast("long").alias("set_sz"),
+            F.round(
+                F.col("common").cast("double") / F.col("d.sz"), 9
+            ).alias("containment"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -658,3 +658,29 @@ def test_heavy_hitter_candidates_empty_input(spark):
     toks = spark.createDataFrame([], "w string")
     cand, n = heavy_hitter_candidates(toks, 10)
     assert cand == [] and n == 0
+
+
+def test_containment_is_directional(spark):
+    """Round-7 q_dedup_containment: a short doc whose shingles are a
+    subset of a long doc's must be reported as CONTAINED in it
+    (containment 1.0) while the reverse direction fails the threshold
+    — the asymmetry Jaccard cannot express (here J ≈ 0.14 < 0.6)."""
+    short = "alpha bravo charlie delta echo"  # 3 shingles
+    longd = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey"
+    )  # 21 shingles, the first 3 shared
+    docs = spark.createDataFrame(
+        [(1, short, "s"), (2, longd, "s"), (3, "zulu yankee xray whiskey", "s")],
+        "doc_id long, text string, source string",
+    )
+    rows = llmops.ngram_containment_pairs(
+        docs, threshold_num=3, threshold_den=5, max_df=None
+    ).collect()
+    got = {(r["contained"], r["container"]): r for r in rows}
+    assert (1, 2) in got, rows
+    assert got[(1, 2)]["containment"] == 1.0
+    assert got[(1, 2)]["common"] == 3 and got[(1, 2)]["set_sz"] == 3
+    assert (2, 1) not in got, "reverse direction must fail the threshold"
+    assert not any(3 in k for k in got), "disjoint doc must not pair"
