@@ -331,31 +331,23 @@ def contamination_pairs(
     )
 
 
-def ngram_containment_pairs(
+def _co_shingle_pairs(
     docs: DataFrame,
-    threshold_num: int = 3,
-    threshold_den: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    block_col: str | None = "source",
-    max_df: int | None = None,
-) -> DataFrame:
-    """DIRECTIONAL shingle containment pairs: |Sa ∩ Sb| / |Sa| ≥
-    threshold emits (contained=a, container=b) — the asymmetric
-    near-dup form Jaccard misses (a short doc quoted wholesale inside
-    a long one has tiny Jaccard but containment ≈ 1; Broder's
-    original resemblance/containment split).
+    text_col: str,
+    id_col: str,
+    k: int,
+    block_col: str | None,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared inverted-index core of :func:`ngram_jaccard_pairs` and
+    :func:`ngram_containment_pairs` (factored in round 7 so hardening
+    levers land in ONE place): k-gram shingle hashes → per-doc set
+    sizes → optional max_df hot-shingle anti-join → blocked co-shingle
+    equi-join counting |Sa ∩ Sb| per undirected (id1 < id2) pair.
 
-    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shingle
-    equi-join, optional ``block_col`` blocking, ``max_df`` hot-shingle
-    cap with FULL-size denominators).  Each undirected co-shingle pair
-    is scored ONCE and fans out to at most two directional rows via a
-    2-element explode.  The threshold is a RATIONAL
-    (``threshold_num/threshold_den``) tested by integer cross-multiply
-    — ``den·common ≥ num·sz`` — so the cut is exact on both engines
-    (a ``0.6·sz`` double compare is correctly-rounded-identical today
-    but the integer form can't even in principle straddle a ulp)."""
+    Returns ``(pairs, sizes)``: pairs(id1, id2, common) and
+    sizes(doc_id, sz) with sz the FULL (uncapped) shingle-set size —
+    max_df prunes candidate generation only, never denominators."""
     extra = (block_col,) if block_col else ()
     sh = shingle_rows(docs, text_col, id_col, k, extra_cols=extra).select(
         "doc_id", *extra, F.xxhash64("shingle").alias("shingle")
@@ -381,6 +373,37 @@ def ngram_containment_pairs(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
         .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return pairs, sizes
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    block_col: str | None = "source",
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL shingle containment pairs: |Sa ∩ Sb| / |Sa| ≥
+    threshold emits (contained=a, container=b) — the asymmetric
+    near-dup form Jaccard misses (a short doc quoted wholesale inside
+    a long one has tiny Jaccard but containment ≈ 1; Broder's
+    original resemblance/containment split).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (shingle
+    equi-join, optional ``block_col`` blocking, ``max_df`` hot-shingle
+    cap with FULL-size denominators).  Each undirected co-shingle pair
+    is scored ONCE and fans out to at most two directional rows via a
+    2-element explode.  The threshold is a RATIONAL
+    (``threshold_num/threshold_den``) tested by integer cross-multiply
+    — ``den·common ≥ num·sz`` — so the cut is exact on both engines
+    (a ``0.6·sz`` double compare is correctly-rounded-identical today
+    but the integer form can't even in principle straddle a ulp)."""
+    pairs, sizes = _co_shingle_pairs(
+        docs, text_col, id_col, k, block_col, max_df
     )
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
@@ -437,29 +460,8 @@ def ngram_jaccard_pairs(
     max_df only prunes candidate generation / common-counts of hot
     shingles (a documented recall/containment trade, not silent).
     """
-    extra = (block_col,) if block_col else ()
-    sh = shingle_rows(docs, text_col, id_col, k, extra_cols=extra).select(
-        "doc_id", *extra, F.xxhash64("shingle").alias("shingle")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    if max_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
-        F.col("a.doc_id") < F.col("b.doc_id")
-    )
-    if block_col:
-        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    pairs = (
-        a.join(b, cond)
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.count(F.lit(1)).alias("common"))
+    pairs, sizes = _co_shingle_pairs(
+        docs, text_col, id_col, k, block_col, max_df
     )
     s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("sz").alias("sz2"))
@@ -512,15 +514,23 @@ def _drop_hot_buckets(
     members before the candidate self-join (map-side-combinable count,
     broadcast hot list — the max_df shape on bucket keys).
 
-    A driver probe (``limit(1)`` on the aggregated hot list — the agg
-    runs once, at most ONE row transfers, so the materialization is
-    bounded regardless of corpus size) short-circuits the
-    overwhelmingly common healthy-corpus case: with zero hot buckets
-    the candidate join keeps its uncapped plan, paying only the one
-    count pass instead of a per-side broadcast anti-join (measured 2×
-    → 1.5× key cost at sf0.1).  When hot buckets exist the count agg
-    runs a second time inside the anti-join — one extra aggregated
-    pass in the rare pathological case, the documented trade."""
+    A driver probe (collect of the aggregated hot list, capped at
+    100k keys — the number of hot buckets is bounded by n/max_bucket,
+    so the transfer is small even on pathological corpora)
+    short-circuits the overwhelmingly common healthy-corpus case: with
+    zero hot buckets the candidate join keeps its uncapped plan,
+    paying only the one count pass instead of a per-side broadcast
+    anti-join (measured 2× → 1.5× key cost at sf0.1).  When hot
+    buckets exist, the COLLECTED keys become a literal broadcast
+    frame, so the heavy count aggregation never re-executes inside the
+    anti-join (round-7 review finding: the earlier limit(1) probe ran
+    it twice).  Beyond the 100k cap the plan-based anti-join is the
+    fallback — one extra aggregated pass in the pathological² case.
+
+    Note the probe is EAGER: constructing the capped pair plan runs
+    the count job at DataFrame-build time (registry keys execute
+    immediately after construction, so the trade is one job, not a
+    surprise)."""
     if max_bucket is None:
         return banded
     hot = (
@@ -529,9 +539,18 @@ def _drop_hot_buckets(
         .filter(F.col("_bn") > max_bucket)
         .select(*key_cols)
     )
-    if not hot.limit(1).collect():
+    probe_cap = 100_000
+    hot_rows = hot.limit(probe_cap + 1).collect()
+    if not hot_rows:
         return banded
-    return banded.join(F.broadcast(hot), key_cols, "left_anti")
+    if len(hot_rows) > probe_cap:
+        # more hot buckets than the literal path should ship — fall
+        # back to the lazy anti-join (re-runs the agg once)
+        return banded.join(F.broadcast(hot), key_cols, "left_anti")
+    lit_hot = banded.sparkSession.createDataFrame(
+        hot_rows, schema=hot.schema
+    )
+    return banded.join(F.broadcast(lit_hot), key_cols, "left_anti")
 
 
 def minhash_lsh_pairs(

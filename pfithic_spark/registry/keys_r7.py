@@ -486,7 +486,7 @@ def q_mutual_information(spark, sf_dir):
             .cast("double"),
             6,
         ).alias("mi_nats"),
-    ).drop("term")
+    )
 
 
 # ========================================================================
@@ -818,10 +818,13 @@ ch AS (
   WHERE (nxt IS NULL OR nxt > wk + 1) AND wk + 1 <= mx.maxwk
   GROUP BY wk + 1
 )
-SELECT CAST(a.wk AS BIGINT) AS week,
-       a.n_active, a.n_new, a.n_retained, a.n_resurrected,
+SELECT CAST(COALESCE(a.wk, c.wk) AS BIGINT) AS week,
+       COALESCE(a.n_active, 0) AS n_active,
+       COALESCE(a.n_new, 0) AS n_new,
+       COALESCE(a.n_retained, 0) AS n_retained,
+       COALESCE(a.n_resurrected, 0) AS n_resurrected,
        COALESCE(c.n_churned, 0) AS n_churned
-FROM act a LEFT JOIN ch c ON a.wk = c.wk
+FROM act a FULL OUTER JOIN ch c ON a.wk = c.wk
 """,
 )
 def q_growth_accounting(spark, sf_dir):
@@ -883,14 +886,836 @@ def q_growth_accounting(spark, sf_dir):
         .groupBy((F.col("wk") + 1).alias("wk"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
     )
-    out = act.join(ch, "wk", "left")
+    # FULL outer: a week where everyone churned and nobody was active
+    # has a churn row but no active row — a left join would silently
+    # drop that census (round-7 review finding)
+    out = act.join(ch, "wk", "full")
+    zero = F.lit(0).cast("long")
     return out.select(
         F.col("wk").cast("long").alias("week"),
-        "n_active",
-        "n_new",
-        "n_retained",
-        "n_resurrected",
-        F.coalesce(F.col("n_churned"), F.lit(0))
+        F.coalesce(F.col("n_active"), zero).alias("n_active"),
+        F.coalesce(F.col("n_new"), zero).alias("n_new"),
+        F.coalesce(F.col("n_retained"), zero).alias("n_retained"),
+        F.coalesce(F.col("n_resurrected"), zero).alias("n_resurrected"),
+        F.coalesce(F.col("n_churned"), zero).alias("n_churned"),
+    )
+
+
+# ========================================================================
+# q_js_divergence — pairwise Jensen–Shannon divergence between sources
+# ========================================================================
+
+
+@register(
+    "q_js_divergence",
+    oracle="""
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS tok
+  FROM documents
+),
+tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, tok
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY source),
+common AS (
+  SELECT a.source AS source1, b.source AS source2,
+         a.c AS c1, b.c AS c2, t1.n AS n1, t2.n AS n2
+  FROM tc a
+  JOIN tc b ON a.tok = b.tok AND a.source < b.source
+  JOIN tot t1 ON a.source = t1.source
+  JOIN tot t2 ON b.source = t2.source
+),
+agg AS (
+  SELECT source1, source2,
+         CAST(COUNT(*) AS BIGINT) AS n_common_tokens,
+         SUM(CAST(ROUND(
+           (CAST(c1 AS DOUBLE) / n1)
+           * LN((2.0 * (CAST(c1 AS DOUBLE) / n1))
+                / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)), 9)
+           AS DECIMAL(28,9))) AS sp,
+         SUM(CAST(ROUND(
+           (CAST(c2 AS DOUBLE) / n2)
+           * LN((2.0 * (CAST(c2 AS DOUBLE) / n2))
+                / (CAST(c1 AS DOUBLE) / n1 + CAST(c2 AS DOUBLE) / n2)), 9)
+           AS DECIMAL(28,9))) AS sq,
+         SUM(CAST(ROUND(CAST(c1 AS DOUBLE) / n1, 9) AS DECIMAL(28,9)))
+           AS pmass,
+         SUM(CAST(ROUND(CAST(c2 AS DOUBLE) / n2, 9) AS DECIMAL(28,9)))
+           AS qmass
+  FROM common GROUP BY source1, source2
+),
+grid AS (
+  SELECT s1.source AS source1, s2.source AS source2
+  FROM tot s1 JOIN tot s2 ON s1.source < s2.source
+)
+SELECT g.source1, g.source2,
+       COALESCE(a.n_common_tokens, 0) AS n_common_tokens,
+       ROUND(0.5 * (CAST(COALESCE(a.sp, 0) AS DOUBLE)
+                    + (1.0 - CAST(COALESCE(a.pmass, 0) AS DOUBLE)) * LN(2.0))
+           + 0.5 * (CAST(COALESCE(a.sq, 0) AS DOUBLE)
+                    + (1.0 - CAST(COALESCE(a.qmass, 0) AS DOUBLE)) * LN(2.0)),
+           6) AS jsd_nats
+FROM grid g LEFT JOIN agg a
+  ON g.source1 = a.source1 AND g.source2 = a.source2
+""",
+)
+def q_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence (nats) between the token
+    distributions of every source pair — the bounded, symmetric
+    domain-shift measure behind corpus-mix dashboards (KL is infinite
+    on disjoint support; JSD ≤ ln 2).  Complements
+    q_source_vocab_overlap (set overlap) with a MASS-weighted one.
+
+    Tokens exclusive to one side never join, but their JSD
+    contribution has a CLOSED FORM — p·ln(2p/(p+0)) = p·ln 2 — so the
+    exclusive mass is (1 − Σ_common p) and only CO-OCCURRING tokens
+    need the join: per-token fan-out is bounded by C(S,2) PER TOKEN
+    (the q_source_vocab_overlap rule — hot tokens cannot blow up) and
+    no outer join materializes each pair's full union vocabulary.
+    Counts and totals are exact integers; per-token terms run
+    identical double algebra and round(9) → DECIMAL so the cross-token
+    sums are ORDER-FREE (q_entropy precedent); the exclusive-mass
+    correction and final ×0.5 happen once per pair."""
+    d = load_table(spark, sf_dir, "documents")
+    from .. import llmops
+
+    tc = (
+        d.select(
+            "source",
+            F.explode(F.split(llmops.norm_text("text"), " ")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a, b = tc.alias("a"), tc.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source1"),
+            F.col("b.source").alias("source2"),
+            F.col("a.c").alias("c1"),
+            F.col("b.c").alias("c2"),
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source1"), F.col("n").alias("n1"))),
+            "source1",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("source").alias("source2"), F.col("n").alias("n2"))),
+            "source2",
+        )
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    agg = common.groupBy("source1", "source2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+        F.sum(
+            F.round(p * F.log(F.lit(2.0) * p / (p + q)), 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("sp"),
+        F.sum(
+            F.round(q * F.log(F.lit(2.0) * q / (p + q)), 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("sq"),
+        F.sum(F.round(p, 9).cast("decimal(28,9)")).alias("pmass"),
+        F.sum(F.round(q, 9).cast("decimal(28,9)")).alias("qmass"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    # pair GRID, not just co-occurring pairs: two sources with DISJOINT
+    # vocabularies never survive the token join, but their JSD is
+    # exactly ln 2 — the maximal-divergence row a corpus-mix dashboard
+    # most needs (round-7 review finding).  Sources are bounded, so the
+    # grid is a broadcast self-join of the totals table.
+    s1 = tot.select(F.col("source").alias("source1"))
+    s2 = tot.select(F.col("source").alias("source2"))
+    grid = s1.join(F.broadcast(s2), F.col("source1") < F.col("source2"))
+    j = grid.join(agg, ["source1", "source2"], "left")
+    zd = F.lit(0).cast("decimal(28,9)")
+    return j.select(
+        "source1",
+        "source2",
+        F.coalesce(F.col("n_common_tokens"), F.lit(0))
         .cast("long")
-        .alias("n_churned"),
+        .alias("n_common_tokens"),
+        F.round(
+            F.lit(0.5)
+            * (
+                F.coalesce(F.col("sp"), zd).cast("double")
+                + (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("pmass"), zd).cast("double")
+                )
+                * ln2
+            )
+            + F.lit(0.5)
+            * (
+                F.coalesce(F.col("sq"), zd).cast("double")
+                + (
+                    F.lit(1.0)
+                    - F.coalesce(F.col("qmass"), zd).cast("double")
+                )
+                * ln2
+            ),
+            6,
+        ).alias("jsd_nats"),
+    )
+
+
+# ========================================================================
+# q_psi_drift — population stability index of order value, 1997 → 1998
+# ========================================================================
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+WITH f AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+),
+cuts AS (
+  SELECT UNNEST(quantile_cont(cents,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS cut
+  FROM f WHERE yr = 1997
+),
+binned AS (
+  SELECT yr,
+         1 + (SELECT COUNT(*) FROM cuts WHERE cut < f.cents) AS bin
+  FROM f
+),
+g AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN yr = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM binned GROUP BY bin
+),
+t AS (
+  SELECT bin, n_ref, n_cur,
+         CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p_ref,
+         CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS p_cur
+  FROM g
+),
+terms AS (
+  SELECT bin, n_ref, n_cur,
+         ROUND(p_ref, 9) AS p_ref, ROUND(p_cur, 9) AS p_cur,
+         CASE WHEN n_ref > 0 AND n_cur > 0
+              THEN ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 9)
+              ELSE NULL END AS term
+  FROM t
+)
+SELECT bin, n_ref, n_cur, p_ref, p_cur, term AS psi_term,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER () AS DOUBLE), 6)
+         AS psi
+FROM terms
+""",
+)
+def q_psi_drift(spark, sf_dir):
+    """Population stability index of the order-value distribution
+    between 1997 (reference) and 1998 (current) over reference-decile
+    bins — the standard ML-monitoring drift score (PSI < 0.1 stable,
+    > 0.25 shifted), beside q_ks_test's distribution test.
+
+    Bin edges are EXACT interpolated deciles of the reference year
+    (Spark percentile ≡ DuckDB quantile_cont — the q_iqr_outliers
+    contract; approx_percentile is the documented 100 TB swap); both
+    years then bin through ONE broadcast fan-out join against the
+    9-row cut table (bin = 1 + #cuts strictly below — identical cut
+    doubles make the comparison consistent even on boundary ties).
+    Counts are exact integers, shares and terms run identical double
+    algebra, terms round(9) → DECIMAL so the cross-bin sum is
+    order-free, and every bin row carries the table PSI via a
+    full-frame window (q_control_chart shape).  Bins empty in either
+    year are excluded from the sum (the standard finite-PSI
+    convention), mirrored in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    in_span = (
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ) & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    f = o.filter(in_span).select(
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cuts = (
+        f.filter(F.col("yr") == 1997)
+        .agg(
+            F.expr(
+                "percentile(cents, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ).alias("cuts")
+        )
+        .select(F.explode("cuts").alias("cut"))
+    )
+    # count rows per (yr, cents) FIRST, then fan the value grain out
+    # against the 9 cuts — the ×9 join never touches row multiplicity
+    vc = f.groupBy("yr", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    binned = (
+        vc.crossJoin(F.broadcast(cuts))
+        .groupBy("yr", "cents", "m")
+        .agg(
+            F.sum(F.when(F.col("cut") < F.col("cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("below")
+        )
+        .select("yr", "m", (F.lit(1) + F.col("below")).alias("bin"))
+    )
+    g = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("yr") == 1997, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("yr") == 1998, F.col("m")).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    wall = Window.partitionBy()
+    p_ref = F.col("n_ref").cast("double") / F.sum("n_ref").over(wall)
+    p_cur = F.col("n_cur").cast("double") / F.sum("n_cur").over(wall)
+    t = g.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 9).alias("p_ref"),
+        F.round(p_cur, 9).alias("p_cur"),
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9),
+        ).alias("term"),
+    )
+    return t.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "p_cur",
+        F.col("term").alias("psi_term"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,9)"))
+            .over(wall)
+            .cast("double"),
+            6,
+        ).alias("psi"),
+    )
+
+
+# ========================================================================
+# q_stratified_kfold — deterministic hash folds, stratified by source
+# ========================================================================
+
+
+@register(
+    "q_stratified_kfold",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) AS a
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source, n_chars,
+         (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END) % 4 AS fold
+  FROM h
+)
+SELECT source, CAST(fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM f GROUP BY source, fold
+""",
+)
+def q_stratified_kfold(spark, sf_dir):
+    """Deterministic stratified k-fold assignment (k=4, strata =
+    source): fold = first MD5 hex digit of the document id, mod 4 —
+    reproducible across engines, runs, and cluster sizes (rand() is
+    none of those; q_train_test_split's hash-split discipline extended
+    to folds), with per-(source, fold) balance census the training
+    job reads before trusting the split.
+
+    MD5 of the DECIMAL STRING id is the cross-engine contract (both
+    engines hash the same bytes); the hex digit maps through the same
+    explicit CASE on ASCII codes on both sides (Spark conv() and a
+    DuckDB hex parse could disagree on case/width; ASCII arithmetic
+    cannot), and 16 % 4 = 0 keeps the digit→fold map unbiased.  One
+    map-side-combinable aggregate; the mean is a single unrounded
+    division of exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    a = F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1))
+    fold = (
+        F.when(a >= 97, a - 87).otherwise(a - 48) % 4
+    ).cast("long")
+    return (
+        d.select("doc_id", "source", "n_chars", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+                "mean_chars"
+            ),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    )
+
+
+# ========================================================================
+# q_embedding_outliers — farthest-from-centroid census per label
+# ========================================================================
+
+
+@register(
+    "q_embedding_outliers",
+    oracle="""
+WITH x AS (
+  SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           / COUNT(*) AS m
+  FROM x GROUP BY label, dim
+),
+d2 AS (
+  SELECT x.vec_id, x.label,
+         CAST(SUM(CAST(ROUND((x.v - c.m) * (x.v - c.m), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS dist2
+  FROM x JOIN cent c ON x.label = c.label AND x.dim = c.dim
+  GROUP BY x.vec_id, x.label
+),
+r AS (
+  SELECT label, vec_id, dist2,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id) AS rn
+  FROM d2
+)
+SELECT label, CAST(rn AS BIGINT) AS rn, vec_id, ROUND(dist2, 6) AS dist2
+FROM r WHERE rn <= 5
+""",
+)
+def q_embedding_outliers(spark, sf_dir):
+    """Top-5 farthest-from-centroid vectors per label (squared L2 to
+    the label mean) — the embedding-QA screen for mislabeled /
+    corrupt vectors next to q_embedding_centroid (which reports the
+    centroids themselves).
+
+    One posexplode to (label, dim, x); centroids aggregate at
+    (labels × dims) cardinality (round(9) → DECIMAL means, the
+    q_embedding_centroid contract) and BROADCAST back onto the
+    component stream; per-vector distances are Σ over dims of
+    (x−m)² with each term round(9) → DECIMAL so the 64-term sum is
+    ORDER-FREE (a raw double sum would drift with partitioning);
+    DECIMAL distances make the per-label top-5 rank exact, with
+    vec_id as the total tie-break.  At 100 TB: no vector shuffles
+    whole — components flow through two map-side-combinable
+    aggregates and one broadcast join; the rank is per-label top-k
+    (q_topk_per_group shape)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "v0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    cent = x.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    d2 = (
+        x.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("v") - F.col("m")) * (F.col("v") - F.col("m")), 9
+                ).cast("decimal(28,9)")
+            ).alias("dist2_dec")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_dec").desc(), "vec_id"
+    )
+    return (
+        d2.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "label",
+            "rn",
+            "vec_id",
+            F.round(F.col("dist2_dec").cast("double"), 6).alias("dist2"),
+        )
+    )
+
+
+# ========================================================================
+# q_survival_curve — empirical activity-span survival over users
+# ========================================================================
+
+
+@register(
+    "q_survival_curve",
+    oracle="""
+WITH uw AS (
+  SELECT user_id, (EPOCH_US(ts) // 86400000000) // 7 AS wk
+  FROM events
+),
+span AS (
+  SELECT user_id, MAX(wk) - MIN(wk) AS span FROM uw GROUP BY user_id
+),
+sc AS (
+  SELECT span, CAST(COUNT(*) AS BIGINT) AS c FROM span GROUP BY span
+),
+grid AS (
+  SELECT UNNEST(GENERATE_SERIES(0, (SELECT MAX(span) FROM span)))
+    AS week_offset
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM span)
+SELECT g.week_offset,
+       CAST((SELECT SUM(c) FROM sc WHERE sc.span >= g.week_offset)
+            AS BIGINT) AS n_surviving,
+       CAST((SELECT SUM(c) FROM sc WHERE sc.span >= g.week_offset)
+            AS DOUBLE) / n.n_users AS survival
+FROM grid g, n
+""",
+)
+def q_survival_curve(spark, sf_dir):
+    """Empirical survival function of user ACTIVITY SPAN (weeks between
+    first and last event): S(w) = share of users still active ≥ w weeks
+    after their first event — the lifetime curve product teams read
+    next to q_retention_cohorts (which conditions on calendar cohorts;
+    this marginalizes them out).  No Kaplan–Meier product is needed:
+    with full observation of the fixture window the empirical form is
+    exact, integer-countable, and order-free (a KM running product of
+    doubles would be neither).
+
+    Spans aggregate at user grain (one shuffle), collapse to the
+    BOUNDED span grain, and the survival counts are one reverse
+    running sum over the ≤(max-span) grid; survival = single division
+    of exact integers, left unrounded (identical quotient both
+    engines — q_embedding_centroid rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.floor(
+        F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)) / F.lit(7)
+    ).cast("long")
+    span = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg((F.max("wk") - F.min("wk")).alias("span"))
+    )
+    sc = span.groupBy("span").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    grid = sc.agg(F.max("span").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("week_offset")
+    )
+    n = span.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    w_rev = (
+        Window.orderBy(F.col("span").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    surv = sc.select(
+        "span", F.sum("c").over(w_rev).cast("long").alias("n_surviving")
+    )
+    return (
+        grid.join(surv, grid.week_offset == surv.span, "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "week_offset",
+            # a week_offset with no exact span match still has survivors
+            # (those with larger spans) — fill from the nearest larger
+            # span via a running max over descending week_offset
+            "n_surviving",
+            "n_users",
+        )
+        .withColumn(
+            "n_surviving",
+            F.coalesce(
+                F.last("n_surviving", ignorenulls=True).over(
+                    Window.orderBy(F.col("week_offset").desc()).rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select(
+            "week_offset",
+            "n_surviving",
+            (F.col("n_surviving").cast("double") / F.col("n_users")).alias(
+                "survival"
+            ),
+        )
+    )
+
+
+# ========================================================================
+# q_order_cycle_time — order→ship latency distribution per priority
+# ========================================================================
+
+
+@register(
+    "q_order_cycle_time",
+    oracle="""
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         MIN(EPOCH_US(l.l_shipdate) // 86400000000)
+           - ANY_VALUE(EPOCH_US(o.o_orderdate) // 86400000000)
+           AS d_first,
+         MAX(EPOCH_US(l.l_shipdate) // 86400000000)
+           - ANY_VALUE(EPOCH_US(o.o_orderdate) // 86400000000)
+           AS d_full
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(d_first) AS DOUBLE) / COUNT(*) AS mean_days_first,
+       quantile_cont(d_first, 0.5) AS p50_first,
+       quantile_cont(d_first, 0.9) AS p90_first,
+       CAST(SUM(d_full) AS DOUBLE) / COUNT(*) AS mean_days_full,
+       quantile_cont(d_full, 0.5) AS p50_full,
+       quantile_cont(d_full, 0.9) AS p90_full
+FROM lag GROUP BY priority
+""",
+)
+def q_order_cycle_time(spark, sf_dir):
+    """Order fulfilment cycle times per priority: days from order to
+    FIRST ship and to FULL ship (last lineitem), with mean / exact
+    p50 / p90 — the ops-latency companion to q_conversion_lag (user
+    funnel) and q_open_order_backlog (level): does priority actually
+    buy faster fulfilment?
+
+    One fact-fact orderkey join (q_star_agg's only full-data shuffle)
+    aggregates to order grain; lags are exact integer day diffs
+    (io.epoch_us floor-division); the ≤5-row priority table carries
+    means as single unrounded divisions of exact integers and EXACT
+    interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont,
+    the q_iqr_outliers contract; approx_percentile is the documented
+    100 TB swap)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    oday = F.floor(epoch_us(o, "o_orderdate") / F.lit(86_400_000_000))
+    sday = F.floor(epoch_us(li, "l_shipdate") / F.lit(86_400_000_000))
+    lag = (
+        o.select("o_orderkey", F.col("o_orderpriority").alias("priority"), oday.alias("od"))
+        .join(
+            li.groupBy("l_orderkey").agg(
+                F.min(sday).alias("s1"), F.max(sday).alias("s2")
+            ),
+            o.o_orderkey == F.col("l_orderkey"),
+        )
+        .select(
+            "priority",
+            (F.col("s1") - F.col("od")).cast("long").alias("d_first"),
+            (F.col("s2") - F.col("od")).cast("long").alias("d_full"),
+        )
+    )
+    return lag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (F.sum("d_first").cast("double") / F.count(F.lit(1))).alias(
+            "mean_days_first"
+        ),
+        F.expr("percentile(d_first, 0.5)").alias("p50_first"),
+        F.expr("percentile(d_first, 0.9)").alias("p90_first"),
+        (F.sum("d_full").cast("double") / F.count(F.lit(1))).alias(
+            "mean_days_full"
+        ),
+        F.expr("percentile(d_full, 0.5)").alias("p50_full"),
+        F.expr("percentile(d_full, 0.9)").alias("p90_full"),
+    )
+
+
+# ========================================================================
+# q_adamic_adar — co-purchase link prediction over parts
+# ========================================================================
+
+
+@register(
+    "q_adamic_adar",
+    oracle="""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+),
+bs AS (
+  SELECT okey, CAST(COUNT(*) AS BIGINT) AS b FROM basket GROUP BY okey
+  HAVING COUNT(*) BETWEEN 2 AND 64
+),
+pairs AS (
+  SELECT a.pk AS part1, b.pk AS part2, s.b
+  FROM basket a JOIN basket b ON a.okey = b.okey AND a.pk < b.pk
+  JOIN bs s ON a.okey = s.okey
+),
+agg AS (
+  SELECT part1, part2,
+         CAST(COUNT(*) AS BIGINT) AS n_common_orders,
+         SUM(CAST(ROUND(1.0 / LN(CAST(b AS DOUBLE)), 9)
+                  AS DECIMAL(28,9))) AS aa_dec
+  FROM pairs GROUP BY part1, part2
+)
+SELECT part1, part2, n_common_orders,
+       ROUND(CAST(aa_dec AS DOUBLE), 6) AS aa_score
+FROM agg
+ORDER BY aa_dec DESC, part1, part2
+LIMIT 20
+""",
+)
+def q_adamic_adar(spark, sf_dir):
+    """Top-20 part pairs by Adamic–Adar score over the co-order
+    bipartite graph: AA(x,y) = Σ over shared orders of 1/ln(basket
+    size) — small baskets are strong evidence, mega-baskets weak; the
+    link-prediction ranking next to q_assoc_rules' support/confidence
+    (which ignores basket informativeness).
+
+    Pair generation fans C(b,2) per order, bounded by the 64-item
+    basket cap (ASSOC_MAX_BASKET discipline — mirrored in the oracle's
+    HAVING; single-item baskets produce no pairs and ln(1)=0 never
+    divides).  Weights follow the LN-term rule (round(9) → DECIMAL) so
+    per-pair sums are ORDER-FREE and the DECIMAL score makes the
+    top-20 rank exact under the (score, part1, part2) tie chain —
+    TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    bs = (
+        basket.groupBy("okey")
+        .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        .filter((F.col("b") >= 2) & (F.col("b") <= 64))
+    )
+    # the cap must land BEFORE the self-join — joining then filtering
+    # would emit C(b,2) rows for a mega-basket first (Catalyst does not
+    # reorder inner joins without CBO); the keys_r6 assoc discipline
+    kept = basket.join(bs, "okey")
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.okey") == F.col("b.okey"))
+        & (F.col("a.pk") < F.col("b.pk")),
+    ).select(
+        F.col("a.pk").alias("part1"),
+        F.col("b.pk").alias("part2"),
+        F.col("a.b").alias("b"),
+    )
+    agg = pairs.groupBy("part1", "part2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_orders"),
+        F.sum(
+            F.round(
+                F.lit(1.0) / F.log(F.col("b").cast("double")), 9
+            ).cast("decimal(28,9)")
+        ).alias("aa_dec"),
+    )
+    return (
+        agg.orderBy(F.col("aa_dec").desc(), "part1", "part2")
+        .limit(20)
+        .select(
+            "part1",
+            "part2",
+            "n_common_orders",
+            F.round(F.col("aa_dec").cast("double"), 6).alias("aa_score"),
+        )
+    )
+
+
+# ========================================================================
+# q_benjamini_yekutieli — BY-FDR under arbitrary dependence
+# ========================================================================
+
+#: Harmonic number H(M) for M = POSSIBLE_PAIRS_M (249,500) — computed
+#: ONCE in Python and embedded as the same literal in both engines
+#: (a distributed Σ1/i would need the round→DECIMAL dance; a frozen
+#: constant cannot drift).  BY = BH with M_eff = M·H(M).
+_BY_HARMONIC = 13.004431863082075
+_BY_M_EFF = 249_500 * _BY_HARMONIC
+
+
+from .. import fixtures as fx  # noqa: E402
+from .keys_agg_window import _SCORED_CTE  # noqa: E402
+
+
+@register(
+    "q_benjamini_yekutieli",
+    oracle=f"""
+WITH {fx.contacts_cte()},
+{_SCORED_CTE},
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, chr1, mid1, mid2) AS rk
+  FROM scored
+),
+q0 AS (
+  SELECT *, LEAST(1.0, p_value * {_BY_M_EFF!r} / rk) AS q_raw FROM ranked
+)
+SELECT chr1, mid1, chr2, mid2, contact_count,
+       ROUND(p_value, 9) AS p_value,
+       ROUND(MIN(q_raw) OVER (ORDER BY rk DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+         AS by_q_value
+FROM q0
+""",
+)
+def q_benjamini_yekutieli(spark, sf_dir):
+    """Benjamini–Yekutieli q-values — FDR control under ARBITRARY
+    dependence: BH's thresholds shrunk by the harmonic factor
+    H(M) = Σ 1/i, i.e. BH computed with M_eff = M·H(M) then the same
+    suffix-min (q_i = min_{{j≥i}} min(1, p_j·M_eff/j)).  The
+    conservative companion the multiple-testing user reaches for when
+    p-values correlate (neighboring genomic bins do) and q_bh_fdr's
+    independence assumption is in doubt.
+
+    Same deterministic synthetic p column and operator shape as
+    q_bh_fdr (windows.bh_fdr — at 100 TB bh_fdr_scalable is the
+    documented swap); H(249,500) is a Python-frozen literal shared by
+    both engines."""
+    from . import keys_agg_window as kaw
+
+    if kaw.POSSIBLE_PAIRS_M != 249_500:
+        raise ValueError(
+            "q_benjamini_yekutieli's frozen harmonic H(249500) no longer "
+            f"matches POSSIBLE_PAIRS_M={kaw.POSSIBLE_PAIRS_M}; recompute "
+            "_BY_HARMONIC/_BY_M_EFF for the new grid (a stale constant "
+            "would ship wrong q-values through a PASSING oracle check)"
+        )
+    c = kaw.fx.fixture_contacts(spark, sf_dir)
+    scored = c.withColumn(
+        "p_value",
+        (
+            (
+                F.col("mid1") * 31
+                + F.col("mid2") * 17
+                + F.col("contact_count") * 7919
+            )
+            % 1000003
+        ).cast("double")
+        / 1000003.0,
+    )
+    out = win.bh_fdr(
+        scored,
+        "p_value",
+        m=_BY_M_EFF,
+        tiebreak=["chr1", "mid1", "mid2"],
+        q_col="by_q_value",
+    )
+    return out.select(
+        "chr1",
+        "mid1",
+        "chr2",
+        "mid2",
+        "contact_count",
+        F.round("p_value", 9).alias("p_value"),
+        F.round("by_q_value", 9).alias("by_q_value"),
     )

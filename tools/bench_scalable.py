@@ -1932,10 +1932,199 @@ def main() -> None:
     assert got_opt[0] == n and got_opt[1] == n * (n - 1) // 2, got_opt
     _shutil.rmtree(opt_path, ignore_errors=True)
 
+    # --- scalable_part_rank: 8M rows over 8 shards (q_shuffle_shards)
+    # (round-7) A plain partitionBy(shard) row_number is 8 tasks at any
+    # volume; the per-part two-phase rank parallelizes per bucket.
+    # Gate: within every shard, ranks are a permutation of 1..m —
+    # Σrank = m(m+1)/2 and max = m, checked per shard.
+    pr_in = spark.range(n).select(
+        "id",
+        F.xxhash64("id").alias("hkey"),
+        F.pmod(F.xxhash64("id"), F.lit(8)).cast("long").alias("shard"),
+    )
+    t0 = time.time()
+    pr = win.scalable_part_rank(pr_in, ["shard"], ["hkey", "id"], "pos")
+    pr_chk = (
+        pr.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("pos").alias("sr"),
+            F.max("pos").alias("mx"),
+        )
+        .select(
+            F.sum(
+                F.when(
+                    (F.col("sr") == F.col("m") * (F.col("m") + 1) / 2)
+                    & (F.col("mx") == F.col("m")),
+                    0,
+                ).otherwise(1)
+            ).alias("bad"),
+            F.sum("m").alias("tot"),
+        )
+        .collect()[0]
+    )
+    part_rank_s = time.time() - t0
+    assert pr_chk["bad"] == 0 and pr_chk["tot"] == n, pr_chk
+
+    # --- q_open_order_backlog shape: 8M intervals [s, s+9] ----------
+    # (round-7) Each interval contributes two delta rows; the day grid
+    # is calendar-bounded.  With starts uniform over D days (n = k·D
+    # exactly), steady-state backlog (days 9..D−1) is exactly 10·k and
+    # ramp-up day d < 9 holds (d+1)·k.
+    bk_days = 2000
+    bk_k = n // bk_days  # n divisible: 8M / 2000 = 4000
+    iv = spark.range(bk_days * bk_k).select(
+        (F.col("id") % bk_days).cast("long").alias("s")
+    ).withColumn("e", F.col("s") + 9)
+    t0 = time.time()
+    bk_deltas = iv.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("dayidx"), F.lit(1).alias("dl")),
+                F.struct((F.col("e") + 1).alias("dayidx"), F.lit(-1).alias("dl")),
+            )
+        ).alias("x")
+    ).select("x.dayidx", "x.dl")
+    bk_dd = bk_deltas.groupBy("dayidx").agg(F.sum("dl").alias("d"))
+    from pyspark.sql import Window as W
+
+    bk = bk_dd.select(
+        "dayidx",
+        F.sum("d")
+        .over(
+            W.orderBy("dayidx").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("backlog"),
+    )
+    bk_chk = (
+        bk.filter((F.col("dayidx") >= 9) & (F.col("dayidx") < bk_days))
+        .agg(F.min("backlog"), F.max("backlog"))
+        .collect()[0]
+    )
+    backlog_s = time.time() - t0
+    assert bk_chk[0] == 10 * bk_k and bk_chk[1] == 10 * bk_k, bk_chk
+
+    # --- q_embedding_outliers shape: 2^20 vectors × 64 dims ---------
+    # (round-7) One-hot vectors, hot dim (id div 4) % 64, 4 labels:
+    # per-(label, dim) counts are exactly 4096/262144 = 1/64, so the
+    # centroid means and every vector's dist² are EXACT binary values
+    # with a closed form; after the key's round(9) term discipline,
+    # dist² = round((63/64)², 9) + 63·round((1/64)², 9) for EVERY
+    # vector, and the desc-rank tie-break picks the 5 smallest vec_ids
+    # per label.
+    n_emb = 1 << 20
+    hot = (F.floor(F.col("id") / 4) % 64).cast("int")
+    emb_x = spark.range(n_emb).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        hot.alias("hot"),
+    )
+    t0 = time.time()
+    x8 = (
+        emb_x.select(
+            "vec_id",
+            "label",
+            "hot",
+            F.explode(F.sequence(F.lit(1), F.lit(64))).alias("dim"),
+        )
+        .withColumn(
+            "v",
+            F.when(F.col("dim") == F.col("hot") + 1, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .drop("hot")
+    )
+    cent8 = x8.groupBy("label", "dim").agg(
+        (
+            F.sum(F.round(F.col("v"), 9).cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    d28 = (
+        x8.join(F.broadcast(cent8), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("v") - F.col("m")) * (F.col("v") - F.col("m")), 9
+                ).cast("decimal(28,9)")
+            ).alias("dist2_dec")
+        )
+    )
+    w8 = W.partitionBy("label").orderBy(F.col("dist2_dec").desc(), "vec_id")
+    top8 = (
+        d28.withColumn("rn", F.row_number().over(w8))
+        .filter(F.col("rn") <= 5)
+        .select("label", "rn", "vec_id", F.col("dist2_dec").cast("double").alias("dist2"))
+        .collect()
+    )
+    emb_outliers_s = time.time() - t0
+    want_d2 = round(
+        round((63 / 64) ** 2 * 1e9) / 1e9 + 63 * (round((1 / 64) ** 2 * 1e9) / 1e9),
+        12,
+    )
+    assert len(top8) == 20, len(top8)
+    for r in top8:
+        assert abs(r["dist2"] - want_d2) < 1e-9, (r, want_d2)
+        assert r["vec_id"] == r["label"] + 4 * (r["rn"] - 1), r
+
+    # --- q_growth_accounting shape: 100k users × 40 biweekly actives -
+    # (round-7) Every user active in EVEN weeks 0,2,..,78: week 0 all
+    # NEW; every later even week all RESURRECTED (gap of 1); every odd
+    # week ≤ 78 has all 100k users CHURNED (once per gap).
+    n_users = 100_000
+    ga = spark.range(n_users * 40).select(
+        (F.col("id") % n_users).alias("user_id"),
+        (2 * F.floor(F.col("id") / n_users)).cast("long").alias("wk"),
+    )
+    t0 = time.time()
+    wug = W.partitionBy("user_id").orderBy("wk")
+    lag8 = ga.select(
+        "wk",
+        F.lag("wk").over(wug).alias("prev"),
+        F.lead("wk").over(wug).alias("nxt"),
+    )
+    act8 = lag8.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("prev").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("prev") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_res"),
+    )
+    ch8 = (
+        lag8.filter(
+            (F.col("nxt").isNull() | (F.col("nxt") > F.col("wk") + 1))
+            & (F.col("wk") + 1 <= 78)
+        )
+        .groupBy((F.col("wk") + 1).alias("wk"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    ga_chk = (
+        act8.agg(
+            F.sum(F.when(F.col("n_active") != n_users, 1).otherwise(0)),
+            F.sum("n_new"),
+            F.sum("n_res"),
+        ).collect()[0],
+        ch8.agg(F.count(F.lit(1)), F.sum("n_churned")).collect()[0],
+    )
+    growth_s = time.time() - t0
+    assert ga_chk[0][0] == 0, ga_chk  # every active week holds all users
+    assert ga_chk[0][1] == n_users, ga_chk  # new only at week 0
+    assert ga_chk[0][2] == 39 * n_users, ga_chk  # resurrected elsewhere
+    assert ga_chk[1][0] == 39 and ga_chk[1][1] == 39 * n_users, ga_chk
+
     print(
         json.dumps(
             {
                 "n": n,
+                "part_rank_s": round(part_rank_s, 2),
+                "backlog_s": round(backlog_s, 2),
+                "emb_outliers_s": round(emb_outliers_s, 2),
+                "growth_s": round(growth_s, 2),
                 "cumsum_s": round(cumsum_s, 2),
                 "bh_s": round(bh_s, 2),
                 "bh_single_window_s": round(bh_single_s, 2),
