@@ -1179,10 +1179,14 @@ def q_rfm(spark, sf_dir):
     (data-derived, deterministic — no wall clock, FIXTURES §4).
 
     One aggregation over events collapses to per-USER rows before any
-    window — the ntile quartiles run over the bounded user dimension,
-    not the event stream (the same post-aggregation-cardinality rule
-    the Hi-C bin tables follow).  Monetary uses round-then-DECIMAL
-    sums; ntile ties break on user_id in both dialects."""
+    window — the ntile quartiles run over the user dimension, not the
+    event stream (the same post-aggregation-cardinality rule the Hi-C
+    bin tables follow).  Monetary uses round-then-DECIMAL sums; ntile
+    ties break on user_id in both dialects.  The user grain is small
+    relative to events but NOT bounded: at 100 TB the three global
+    ntile sorts swap to windows.scalable_rank-derived quartiles
+    (rank·4 div n — q_gains_table's documented two-phase swap),
+    one rank pass per score dimension."""
     from pyspark.sql import Window as W
 
     ev_raw = load_table(spark, sf_dir, "events")
