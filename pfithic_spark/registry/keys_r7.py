@@ -988,6 +988,12 @@ def q_js_divergence(spark, sf_dir):
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # the token-count table feeds BOTH sides of the self-join plus the
+    # totals (which feed two broadcasts and the pair grid) — persist so
+    # the heaviest stage (scan+explode+groupBy) runs once, not once per
+    # lineage branch (the q_adamic_adar self-join discipline; round-7
+    # review finding)
+    tc = tc.persist()
     tot = tc.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     a, b = tc.alias("a"), tc.alias("b")
     common = (
@@ -1039,7 +1045,7 @@ def q_js_divergence(spark, sf_dir):
     grid = s1.join(F.broadcast(s2), F.col("source1") < F.col("source2"))
     j = grid.join(agg, ["source1", "source2"], "left")
     zd = F.lit(0).cast("decimal(28,9)")
-    return j.select(
+    out = j.select(
         "source1",
         "source2",
         F.coalesce(F.col("n_common_tokens"), F.lit(0))
@@ -1067,6 +1073,12 @@ def q_js_divergence(spark, sf_dir):
             6,
         ).alias("jsd_nats"),
     )
+    # bounded (C(S,2) rows): eager localCheckpoint materializes while
+    # tc is cached, so unpersist can't trigger a recompute
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        tc.unpersist()
 
 
 # ========================================================================
@@ -1101,8 +1113,8 @@ g AS (
 ),
 t AS (
   SELECT bin, n_ref, n_cur,
-         CAST(n_ref AS DOUBLE) / SUM(n_ref) OVER () AS p_ref,
-         CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER () AS p_cur
+         CAST(n_ref AS DOUBLE) / NULLIF(SUM(n_ref) OVER (), 0) AS p_ref,
+         CAST(n_cur AS DOUBLE) / NULLIF(SUM(n_cur) OVER (), 0) AS p_cur
   FROM g
 ),
 terms AS (
@@ -1160,7 +1172,13 @@ def q_psi_drift(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("m")
     )
     binned = (
-        vc.crossJoin(F.broadcast(cuts))
+        # LEFT join on an always-true condition, not crossJoin: with an
+        # EMPTY reference year (no cuts) a cross join would annihilate
+        # every row including the current-year census, while the
+        # oracle's correlated COUNT puts everything in bin 1 — the left
+        # join's null cut falls to otherwise(0) and matches (round-7
+        # review finding)
+        vc.join(F.broadcast(cuts), F.lit(True), "left")
         .groupBy("yr", "cents", "m")
         .agg(
             F.sum(F.when(F.col("cut") < F.col("cents"), 1).otherwise(0))
@@ -1178,8 +1196,12 @@ def q_psi_drift(spark, sf_dir):
         .alias("n_cur"),
     )
     wall = Window.partitionBy()
-    p_ref = F.col("n_ref").cast("double") / F.sum("n_ref").over(wall)
-    p_cur = F.col("n_cur").cast("double") / F.sum("n_cur").over(wall)
+    # NULL share when a period is entirely absent (mirrors the oracle's
+    # NULLIF; a bare division trips ANSI divide-by-zero)
+    tref = F.sum("n_ref").over(wall)
+    tcur = F.sum("n_cur").over(wall)
+    p_ref = F.when(tref > 0, F.col("n_ref").cast("double") / tref)
+    p_cur = F.when(tcur > 0, F.col("n_cur").cast("double") / tcur)
     t = g.select(
         "bin",
         "n_ref",
@@ -1290,18 +1312,22 @@ cent AS (
 ),
 d2 AS (
   SELECT x.vec_id, x.label,
-         CAST(SUM(CAST(ROUND((x.v - c.m) * (x.v - c.m), 9)
-                       AS DECIMAL(28,9))) AS DOUBLE) AS dist2
+         SUM(CAST(ROUND((x.v - c.m) * (x.v - c.m), 9)
+                  AS DECIMAL(28,9))) AS dist2_dec
   FROM x JOIN cent c ON x.label = c.label AND x.dim = c.dim
   GROUP BY x.vec_id, x.label
 ),
 r AS (
-  SELECT label, vec_id, dist2,
+  -- rank on the DECIMAL sum, matching the Spark side: a double cast
+  -- before ranking could collapse 1e-9 differences at magnitudes
+  -- > ~4.5e6 and tie-break differently (round-7 review finding)
+  SELECT label, vec_id, dist2_dec,
          ROW_NUMBER() OVER (PARTITION BY label
-                            ORDER BY dist2 DESC, vec_id) AS rn
+                            ORDER BY dist2_dec DESC, vec_id) AS rn
   FROM d2
 )
-SELECT label, CAST(rn AS BIGINT) AS rn, vec_id, ROUND(dist2, 6) AS dist2
+SELECT label, CAST(rn AS BIGINT) AS rn, vec_id,
+       ROUND(CAST(dist2_dec AS DOUBLE), 6) AS dist2
 FROM r WHERE rn <= 5
 """,
 )

@@ -73,3 +73,27 @@ def test_js_divergence_disjoint_sources_is_ln2(spark, tmp_path):
     assert abs(ab["jsd_nats"] - round(math.log(2.0), 6)) < 1e-9
     # overlapping pairs are strictly below ln 2
     assert out[("srcA", "srcC")]["jsd_nats"] < math.log(2.0)
+
+
+def test_psi_drift_empty_reference_year(spark, tmp_path):
+    """With NO reference-year rows, the cut list is empty: a cross join
+    would annihilate the current-year census entirely (round-7 review
+    finding) — everything must land in bin 1 with NULL shares/PSI
+    (NULLIF semantics, both engines)."""
+    import __spark_entry__ as e
+
+    spark.range(100).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit(1).alias("o_custkey"),
+        F.lit("O").alias("o_orderstatus"),
+        (F.col("id") * 11 % 1000 + 100.0).alias("o_totalprice"),
+        F.lit("1998-06-01 00:00:00")
+        .cast("timestamp_ntz")
+        .alias("o_orderdate"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    rows = e.queries()["q_psi_drift"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert r["bin"] == 1 and r["n_ref"] == 0 and r["n_cur"] == 100
+    assert r["p_ref"] is None and r["psi_term"] is None and r["psi"] is None
