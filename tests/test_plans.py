@@ -1054,3 +1054,39 @@ def test_session_paths_single_fact_exchange(spark, sf_dir, queries):
     import re
     assert len(re.findall(r"\bExchange\b", plan)) == 4  # 2 real, x2 fmt
     assert "TakeOrderedAndProject" in plan
+
+
+def test_r7_key_plan_shapes(spark):
+    """Round-7 §2.19 plan gates: the perf claims in the docstrings must
+    hold in the executed plan, not just prose — (a) q_price_volume_mix
+    pushes the raw shipdate range to the parquet scan and broadcasts
+    both dims (no SortMergeJoin anywhere); (b) q_open_order_backlog's
+    only fact-fact operation is ONE join (the orderkey shuffle) and the
+    grid join is broadcast; (c) q_mutual_information broadcasts the
+    customer dim."""
+    import __spark_entry__ as e
+
+    q = e.queries()
+    sf = "/root/testdata/sf0.01"
+
+    plan = (
+        q["q_price_volume_mix"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "l_shipdate" in plan and ">= 1997-01-01" in plan, plan[:1500]
+    scan_lines = [
+        ln for ln in plan.splitlines() if "DataFilters" in ln and "l_shipdate" in ln
+    ]
+    assert scan_lines, "shipdate range must reach the scan as a data filter"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, "both dims must broadcast"
+
+    plan2 = (
+        q["q_mutual_information"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan2 and "SortMergeJoin" not in plan2
