@@ -1757,3 +1757,139 @@ def q_benjamini_yekutieli(spark, sf_dir):
         F.round("p_value", 9).alias("p_value"),
         F.round("by_q_value", 9).alias("by_q_value"),
     )
+
+
+# ========================================================================
+# q_ljung_box — portmanteau autocorrelation test on daily revenue
+# ========================================================================
+
+#: χ²(0.95, df=7) — a GEOMETRY-INDEPENDENT mathematical constant (unlike
+#: the BY harmonic, nothing in the fixtures can drift under it), frozen
+#: once and shared by both engines.
+_LB_CRIT_95_DF7 = 14.067140
+
+_LB_LAGS = 7
+
+
+@register(
+    "q_ljung_box",
+    oracle=f"""
+WITH d AS (
+{_DAILY_SQL}
+),
+st AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+  FROM d
+),
+z AS (
+  SELECT dayidx, CAST(st.n * d.cents - st.s AS DECIMAL(19,0)) AS z
+  FROM d, st
+),
+lagged AS (
+  SELECT z,
+         {", ".join(f"LAG(z, {k}) OVER (ORDER BY dayidx) AS z{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM z
+),
+agg AS (
+  SELECT (SELECT n FROM st) AS n,
+         SUM(z * z) AS den,
+         {", ".join(f"SUM(z * z{k}) AS num{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM lagged
+),
+rows_ AS (
+  SELECT a.n, a.den, g.lag,
+         CASE g.lag {" ".join(f"WHEN {k} THEN a.num{k}" for k in range(1, _LB_LAGS + 1))} END AS num
+  FROM agg a, (SELECT UNNEST(GENERATE_SERIES(1, {_LB_LAGS})) AS lag) g
+),
+terms AS (
+  SELECT n, CAST(lag AS BIGINT) AS lag,
+         ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS rho,
+         ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+               * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+               / (n - lag), 12) AS term
+  FROM rows_
+)
+SELECT lag, rho,
+       ROUND(n * (n + 2.0)
+             * CAST(SUM(CAST(term AS DECIMAL(28,12))) OVER () AS DOUBLE),
+             6) AS q_stat,
+       (n * (n + 2.0)
+        * CAST(SUM(CAST(term AS DECIMAL(28,12))) OVER () AS DOUBLE))
+         > {_LB_CRIT_95_DF7!r} AS reject_white_noise
+FROM terms
+""",
+)
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box portmanteau test on daily revenue — "is this series
+    white noise?": Q = n(n+2)·Σ_k ρ_k²/(n−k) over lags 1..7 against
+    χ²(0.95, 7), with the per-lag autocorrelations.  The aggregate
+    serial-dependence screen beside q_autocorr (single lags) and
+    q_runs_test (sign runs).
+
+    The mean never divides: z_t = n·y_t − Σy keeps centering EXACT
+    INTEGER (ρ_k = Σz_t z_{{t−k}} / Σz_t² is invariant to the n²
+    scaling), products run in DECIMAL(19)×DECIMAL(19) → DECIMAL(38)
+    (int128 on DuckDB — §8 lesson: int64 physical would overflow at
+    ~3e25), and the lag windows ride the calendar-bounded day grain.
+    ρ and the Q terms are identical double expressions; terms
+    round(12) → DECIMAL so the 7-term sum is order-free; the χ²
+    critical value is a frozen mathematical literal (no geometry to
+    drift under it, unlike the BY harmonic).  Both engines compare
+    the SAME unrounded Q expression against it, so the verdict flag
+    cannot disagree (q_control_chart rule)."""
+    d = _daily_series(spark, sf_dir)
+    st = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    )
+    z = d.crossJoin(F.broadcast(st)).select(
+        "dayidx",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("s"))
+        .cast("decimal(19,0)")
+        .alias("z"),
+    )
+    w = Window.orderBy("dayidx")
+    lagged = z.select(
+        "n",
+        "z",
+        *[F.lag("z", k).over(w).alias(f"z{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    agg = lagged.groupBy("n").agg(
+        F.sum(F.col("z") * F.col("z")).alias("den"),
+        *[
+            F.sum(F.col("z") * F.col(f"z{k}")).alias(f"num{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    grid = spark.range(1, _LB_LAGS + 1).select(F.col("id").alias("lag"))
+    pick = None
+    for k in range(1, _LB_LAGS + 1):
+        cond = F.when(F.col("lag") == k, F.col(f"num{k}"))
+        pick = cond if pick is None else pick.when(
+            F.col("lag") == k, F.col(f"num{k}")
+        )
+    rows_ = agg.crossJoin(F.broadcast(grid)).select(
+        "n", "den", F.col("lag").cast("long").alias("lag"), pick.alias("num")
+    )
+    rho = F.col("num").cast("double") / F.col("den").cast("double")
+    terms = rows_.select(
+        "n",
+        "lag",
+        F.round(rho, 6).alias("rho"),
+        F.round(rho * rho / (F.col("n") - F.col("lag")), 12).alias("term"),
+    )
+    wall = Window.partitionBy()
+    q_expr = (
+        F.col("n")
+        * (F.col("n") + F.lit(2.0))
+        * F.sum(F.col("term").cast("decimal(28,12)"))
+        .over(wall)
+        .cast("double")
+    )
+    return terms.select(
+        "lag",
+        "rho",
+        F.round(q_expr, 6).alias("q_stat"),
+        (q_expr > F.lit(_LB_CRIT_95_DF7)).alias("reject_white_noise"),
+    )
