@@ -1893,3 +1893,125 @@ def q_ljung_box(spark, sf_dir):
         F.round(q_expr, 6).alias("q_stat"),
         (q_expr > F.lit(_LB_CRIT_95_DF7)).alias("reject_white_noise"),
     )
+
+
+# ========================================================================
+# q_cohens_d — standardized effect size between customer segments
+# ========================================================================
+
+
+@register(
+    "q_cohens_d",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+),
+s AS (
+  SELECT
+    SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS n2,
+    CAST(SUM(CAST(ROUND(CASE WHEN seg = 'BUILDING' THEN x END, 2)
+              AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+    CAST(SUM(CAST(ROUND(CASE WHEN seg = 'MACHINERY' THEN x END, 2)
+              AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+    CAST(SUM(CAST(ROUND(CASE WHEN seg = 'BUILDING' THEN x * x END, 4)
+              AS DECIMAL(28,4))) AS DOUBLE) AS sq1,
+    CAST(SUM(CAST(ROUND(CASE WHEN seg = 'MACHINERY' THEN x * x END, 4)
+              AS DECIMAL(28,4))) AS DOUBLE) AS sq2
+  FROM j
+),
+m AS (
+  SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+         (sq1 - sx1 * sx1 / n1) / (n1 - 1) AS v1,
+         (sq2 - sx2 * sx2 / n2) / (n2 - 1) AS v2
+  FROM s
+),
+d AS (
+  SELECT n1, n2, m1, m2,
+         SQRT(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)) AS sp,
+         (m1 - m2) / SQRT(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+           AS cd
+  FROM m
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(m1, 9) AS mean1, ROUND(m2, 9) AS mean2,
+       ROUND(sp, 6) AS pooled_sd,
+       ROUND(cd, 6) AS cohens_d,
+       ROUND(cd * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+FROM d
+""",
+)
+def q_cohens_d(spark, sf_dir):
+    """Cohen's d (pooled-SD standardized mean difference) + the
+    small-sample Hedges' g correction between BUILDING and MACHINERY
+    customers' order values — the EFFECT-SIZE companion to
+    q_welch_ttest (a t-statistic says "significant"; d says "big
+    enough to matter", the number an experimentation platform reports
+    beside every p-value).
+
+    Same one-scan conditional-DECIMAL sufficient-statistics shape as
+    q_welch_ttest (map-side combinable, order-free), over the
+    broadcast customer-dim join with the segment predicate pushed to
+    the dim scan; the closed form runs on a 1-row frame with
+    identical double-arithmetic order on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = (
+        o.join(
+            F.broadcast(
+                c.filter(
+                    F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                )
+            ),
+            o.o_custkey == c.c_custkey,
+        )
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x"))
+    )
+
+    def cond(seg, expr, scale, prec):
+        return F.sum(
+            F.round(F.when(F.col("seg") == seg, expr), scale).cast(
+                f"decimal({prec},{scale})"
+            )
+        ).cast("double")
+
+    x = F.col("x")
+    s = j.agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("n2"),
+        cond("BUILDING", x, 2, 18).alias("sx1"),
+        cond("MACHINERY", x, 2, 18).alias("sx2"),
+        cond("BUILDING", x * x, 4, 28).alias("sq1"),
+        cond("MACHINERY", x * x, 4, 28).alias("sq2"),
+    )
+    m1 = F.col("sx1") / F.col("n1")
+    m2 = F.col("sx2") / F.col("n2")
+    v1 = (F.col("sq1") - F.col("sx1") * F.col("sx1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v2 = (F.col("sq2") - F.col("sx2") * F.col("sx2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    sp = F.sqrt(
+        ((F.col("n1") - 1) * v1 + (F.col("n2") - 1) * v2)
+        / (F.col("n1") + F.col("n2") - 2)
+    )
+    cd = (m1 - m2) / sp
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(m1, 9).alias("mean1"),
+        F.round(m2, 9).alias("mean2"),
+        F.round(sp, 6).alias("pooled_sd"),
+        F.round(cd, 6).alias("cohens_d"),
+        F.round(
+            cd
+            * (
+                F.lit(1.0)
+                - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2")) - 9.0)
+            ),
+            6,
+        ).alias("hedges_g"),
+    )
