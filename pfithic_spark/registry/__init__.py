@@ -44,61 +44,63 @@ from .keys_r6b import *  # noqa: F401,F403,E402
 from .keys_r7 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # Round-7 sweep (driver checks the first 50).  VERDICT r6 #2:
-    # lead with the two keys whose plans the late-r6 windows.py
-    # redesign / rejoin rewrite touched, then the 46-key r3-era
-    # backlog (oldest remaining driver rows).  48 keys; the driver's
-    # 50-key window picks up the next two insertion-order keys as
-    # spares.  Previous duplicate q_window_running entry dropped.
-    "q_skyline",
-    "q_window_running",
-    # r03-era backlog — oldest remaining driver rows
-    "q_agg_approx",
-    "q_agg_approx_quantile",
-    "q_agg_bin",
-    "q_agg_collect",
-    "q_agg_distinct",
-    "q_agg_mode",
-    "q_anomaly_zscore",
-    "q_bh_fdr",
-    "q_binom_sf",
-    "q_contact_prior",
-    "q_contact_prior_inter",
-    "q_cube",
-    "q_curation_pipeline",
-    "q_dedup_clusters",
-    "q_dedup_near",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_equal_occupancy_binning",
-    "q_except",
-    "q_filter_mappability",
-    "q_funnel_steps",
-    "q_grouping_sets",
-    "q_hic_significance",
-    "q_hic_significance_all",
-    "q_histogram",
-    "q_intersect",
-    "q_join_anti",
-    "q_join_asof",
-    "q_join_bias",
-    "q_join_broadcast",
-    "q_join_interval_overlap",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_shuffle",
-    "q_pagerank",
-    "q_pivot",
-    "q_possible_pairs",
-    "q_profile_columns",
-    "q_quality_score",
-    "q_resample_fill",
-    "q_retention_cohorts",
-    "q_rollup",
-    "q_shuffle_shards",
-    "q_sort_limit",
-    "q_spline_fit_eval",
-    "q_union",
+    # Round-8 sweep (driver checks the first 50).  VERDICT r7 #1:
+    # the 18 §2.19 keys (registered in round 7, zero driver rows
+    # ever) followed by the 32 oldest r4-era keys (newest driver row
+    # = r4; first 32 of the 44 in registry insertion order — the
+    # remaining 12 rotate in round 9).  18 + 32 fills the 50-key
+    # window exactly.
+    "q_kendall_tau",
+    "q_spearman_corr",
+    "q_mann_kendall",
+    "q_mutual_information",
+    "q_dedup_containment",
+    "q_open_order_backlog",
+    "q_price_volume_mix",
+    "q_growth_accounting",
+    "q_js_divergence",
+    "q_psi_drift",
+    "q_stratified_kfold",
+    "q_embedding_outliers",
+    "q_survival_curve",
+    "q_order_cycle_time",
+    "q_adamic_adar",
+    "q_benjamini_yekutieli",
+    "q_ljung_box",
+    "q_cohens_d",
+    # r4-era backlog — oldest remaining driver rows (32 of 44)
+    "q_filter_range",
+    "q_agg_group",
+    "q_agg_global",
+    "q_agg_marginal",
+    "q_filter_in",
+    "q_window_ntile",
+    "q_join_outer",
+    "q_window_rank",
+    "q_window_frame",
+    "q_window_lead_lag",
+    "q_topk_per_group",
+    "q_math_funcs",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_json_funcs",
+    "q_dedup_exact",
+    "q_join_asof_tol",
+    "q_sim_ivf",
+    "q_canonicalize",
+    "q_join_skew_salted",
+    "q_bootstrap_ci",
+    "q_rfm",
+    "q_attribution",
+    "q_interval_coalesce",
+    "q_pmi_bigrams",
+    "q_gaps_islands",
+    "q_entropy",
+    "q_pca",
+    "q_sessionize",
+    "q_time_weighted_avg",
 ]
 
 
