@@ -609,7 +609,29 @@ def q_open_order_backlog(spark, sf_dir):
     days still carry their backlog level; the cumulative window rides
     the bounded grid (single-partition by construction; the day grain
     cannot grow with volume — scalable_cumsum would be the swap if it
-    could)."""
+    could).  The day-grain delta table `dd` is persisted and BOTH the
+    grid bounds and the calendar join read it (round-8 ADVICE: deltas
+    and grid were previously two lineage branches of `po`, so the one
+    fact-fact join executed twice); bounds are exact — min(dayidx)
+    over open deltas = min(s), max(dayidx) over close deltas =
+    max(e)+1 — with no shipdate≥orderdate assumption."""
+    out, invariants = open_order_backlog_lazy(spark, sf_dir)
+    try:
+        # bounded (day grain): eager localCheckpoint materializes while
+        # dd is still cached, so the unpersist can't trigger a recompute
+        return out.localCheckpoint(eager=True)
+    finally:
+        for inv in invariants:
+            inv.unpersist()
+
+
+def open_order_backlog_lazy(spark, sf_dir):
+    """Lazy dataflow for q_open_order_backlog: returns (out, [dd])
+    with dd persisted and NOT yet unpersisted, and no checkpoint — the
+    plan gate in tests/test_plans.py reads the executed plan off `out`
+    (the registered key's own return is an ExistingRDD scan after the
+    eager localCheckpoint, same split as pagerank_lazy).  Callers must
+    unpersist every frame in the second element."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s_day = F.floor(
@@ -644,9 +666,10 @@ def q_open_order_backlog(spark, sf_dir):
     dd = deltas.groupBy("dayidx").agg(
         F.sum("op").cast("long").alias("op"),
         F.sum("cl").cast("long").alias("cl"),
-    )
-    grid = po.agg(
-        F.min("s").alias("lo"), (F.max("e") + 1).alias("hi")
+    ).persist()
+    grid = dd.agg(
+        F.min(F.when(F.col("op") > 0, F.col("dayidx"))).alias("lo"),
+        F.max(F.when(F.col("cl") > 0, F.col("dayidx"))).alias("hi"),
     ).select(F.explode(F.sequence("lo", "hi")).alias("dayidx"))
     g = grid.join(dd, "dayidx", "left").select(
         "dayidx",
@@ -656,7 +679,7 @@ def q_open_order_backlog(spark, sf_dir):
     w = Window.orderBy("dayidx").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return g.select(
+    out = g.select(
         "dayidx",
         "n_opened",
         "n_closed",
@@ -665,6 +688,7 @@ def q_open_order_backlog(spark, sf_dir):
         .cast("long")
         .alias("backlog"),
     )
+    return out, [dd]
 
 
 # ========================================================================

@@ -1090,3 +1090,31 @@ def test_r7_key_plan_shapes(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan2 and "SortMergeJoin" not in plan2
+
+    # (b) q_open_order_backlog: the registered key returns an eager
+    # localCheckpoint (ExistingRDD scan), so the gate reads the lazy
+    # dataflow — same split as pagerank_lazy.  ONE fact-fact orderkey
+    # join (whatever strategy AQE picks at this scale), the day-grid
+    # calendar join broadcast, and no cartesian anywhere.
+    from pfithic_spark.registry import open_order_backlog_lazy
+
+    out, invariants = open_order_backlog_lazy(spark, sf)
+    try:
+        plan3 = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for inv in invariants:
+            inv.unpersist()
+    import re
+
+    # The orderkey join must live ONLY inside the persisted dd's
+    # lineage: the plan string reprints the InMemoryRelation subtree
+    # once per cache reader (bounds branch + calendar join branch), so
+    # every textual okey-join occurrence must be one of those reprints
+    # — equal counts means zero okey joins outside the cache, i.e. the
+    # fact-fact join executes exactly once, at dd materialization.
+    okey_joins = re.findall(r"\w*Join \[okey", plan3)
+    cache_blocks = plan3.count("InMemoryRelation [")
+    assert cache_blocks == 2, plan3[:1500]
+    assert len(okey_joins) == cache_blocks, okey_joins
+    assert re.search(r"BroadcastHashJoin \[dayidx", plan3), plan3[:1500]
+    assert "CartesianProduct" not in plan3
