@@ -530,9 +530,22 @@ def _drop_hot_buckets(
     Note the probe is EAGER: constructing the capped pair plan runs
     the count job at DataFrame-build time (registry keys execute
     immediately after construction, so the trade is one job, not a
-    surprise)."""
+    surprise; the public pair generators' docstrings carry the same
+    note).  ``banded`` is persisted (tracked, so
+    release_signature_caches / the next generator call frees it)
+    BEFORE the probe: the probe's count job materializes it once, the
+    candidate self-join's two reads then hit the cache instead of
+    re-deriving the band explode, and the collected hot list describes
+    the same materialized snapshot the join will read (round-8 ADVICE:
+    the unpersisted pipeline re-executed per reader, and the frozen
+    hot list could describe different data than the join saw).  The
+    frozen list is still construction-time state: if the underlying
+    files change before the plan runs AND the cache is evicted, a
+    newly-hot bucket is not capped — re-call the generator on changed
+    data."""
     if max_bucket is None:
         return banded
+    banded = _track_sig_cache(banded.persist())
     hot = (
         banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -575,6 +588,12 @@ def minhash_lsh_pairs(
     within one hot bucket is the only quadratic left in the banded
     shape.  Pairs lost this way are exact/near-exact duplicates —
     route them through the linear ``dedup_exact`` pass first.
+
+    With ``max_bucket`` set, CALLING this function runs a Spark job
+    (the hot-bucket probe materializes the persisted band table at
+    DataFrame-construction time — see :func:`_drop_hot_buckets`); the
+    hot list is frozen then, so re-call the generator if the input
+    files change before the returned plan executes.
     """
     rows_per_band = _MINHASH_N // bands
     hashed = shingle_rows(docs, text_col, id_col, dedup=False).select(
@@ -653,20 +672,22 @@ def minhash_lsh_pairs(
     )
 
 
-#: Signature tables cached by minhash_lsh_pairs / simhash_pairs, kept
-#: so the pair generators' self-joins read them twice without
-#: recompute.  Tracked here so long-lived sessions sweeping many
-#: corpora never accrue executor memory: the tracker keeps only the
-#: TWO most recent caches (so building a minhash and a simhash
-#: pipeline before materializing either — the common interleave —
-#: keeps both warm), evicting older ones; callers can force release
-#: with release_signature_caches().  Eviction is only a perf event:
+#: Signature/band tables cached by minhash_lsh_pairs / simhash_pairs
+#: (each generator tracks its signature table AND, when the hot-bucket
+#: cap is active, its banded table), kept so the pair generators'
+#: self-joins read them without recompute.  Tracked here so long-lived
+#: sessions sweeping many corpora never accrue executor memory: the
+#: tracker keeps only the FOUR most recent caches — two frames per
+#: generator, so building a minhash and a simhash pipeline before
+#: materializing either (the common interleave) keeps both warm —
+#: evicting older ones; callers can force release with
+#: release_signature_caches().  Eviction is only a perf event:
 #: unpersist never invalidates a lazy result, it just recomputes.
 import threading as _threading
 
 _LIVE_SIG_CACHES: list[DataFrame] = []
 _SIG_CACHE_LOCK = _threading.Lock()
-_SIG_CACHE_KEEP = 2
+_SIG_CACHE_KEEP = 4
 
 
 def release_signature_caches() -> None:
@@ -754,7 +775,13 @@ def simhash_pairs(
     chunks, and C(B,2) inside one hot chunk bucket is the residual
     quadratic; their members belong to ``dedup_exact``.  Note the
     pigeonhole exactness guarantee then holds for every pair not
-    wholly inside dropped buckets — the documented recall trade."""
+    wholly inside dropped buckets — the documented recall trade.
+
+    With ``max_bucket`` set, CALLING this function runs a Spark job
+    (the hot-bucket probe materializes the persisted chunk table at
+    DataFrame-construction time — see :func:`_drop_hot_buckets`); the
+    hot list is frozen then, so re-call the generator if the input
+    files change before the returned plan executes."""
     if max_hamming <= 3:
         bands = 4
     elif max_hamming <= 7:
