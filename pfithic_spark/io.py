@@ -557,7 +557,14 @@ def write_parquet_atomic(
                 f"during this write: {sorted(late_checks)}; retry the "
                 "append"
             )
-        active_checks = {**dict(prev.get("checks", {})), **active_checks}
+        # Merge the COMMIT-POINT stored set with only THIS CALL'S own
+        # constraints — not the full begin-time active_checks: merging
+        # the stale stored_checks back in would silently resurrect any
+        # constraint a concurrent writer DROPPED while this batch
+        # staged (round-8 ADVICE: adds/modifies conflict above, but
+        # drops were lost-updates).  A concurrent drop needs no
+        # conflict: it only relaxes what this batch already validated.
+        active_checks = {**dict(prev.get("checks", {})), **(checks or {})}
     elif mode != "overwrite":
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if df_persisted:

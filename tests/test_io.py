@@ -1194,6 +1194,51 @@ def test_concurrent_check_modification_conflicts(spark, tmp_path, monkeypatch):
     }
 
 
+def test_concurrent_check_drop_not_resurrected(spark, tmp_path, monkeypatch):
+    """round-8 ADVICE (low): a constraint DROPPED concurrently (an
+    overwrite replacing the stored set) while a batch staged must stay
+    dropped — the commit previously merged the begin-time stored set
+    back over the commit-point manifest, silently resurrecting it
+    (lost update).  A drop needs no conflict: it only relaxes what the
+    staged batch already validated."""
+    import pfithic_spark.io as pio
+
+    path = str(tmp_path / "concurrent_drop")
+    pio.write_parquet_atomic(
+        spark.createDataFrame([(10,)], "v long"),
+        path,
+        mode="append",
+        checks={"v_min": "v >= 0"},
+    )
+    # concurrent constraint drop injected between the entry read and
+    # the commit-point read (the zorder hook runs inside that window)
+    orig = pio.zorder_key
+
+    def hijack(df, cols):
+        pio.write_parquet_atomic(
+            spark.createDataFrame([(99,)], "v long"),
+            path,
+            mode="overwrite",  # replaces the stored set: drops v_min
+        )
+        return orig(df, cols)
+
+    monkeypatch.setattr(pio, "zorder_key", hijack)
+    pio.write_parquet_atomic(
+        spark.createDataFrame([(12,)], "v long"),
+        path,
+        mode="append",
+        zorder_by=["v"],
+    )
+    assert pio._newest_manifest_meta(path).get("checks") == {}
+    monkeypatch.setattr(pio, "zorder_key", orig)
+    # the drop is real: a row the dead constraint would have refused
+    # now appends cleanly
+    pio.write_parquet_atomic(
+        spark.createDataFrame([(-5,)], "v long"), path, mode="append"
+    )
+    assert pio.read_parquet_atomic(spark, path).count() == 3
+
+
 def test_check_on_absent_column_targeted_error(spark, tmp_path):
     """ADVICE r6 (low): an additive append missing a constrained
     column (legal under type-only schema enforcement) must be refused
