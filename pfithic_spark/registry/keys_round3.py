@@ -142,7 +142,9 @@ def q_shuffle_shards(spark, sf_dir):
     t = d.select(
         "doc_id", hkey.alias("hkey"), (hkey % 8).cast("long").alias("shard")
     )
-    t = t.cache()
+    # threshold probe counts WITHOUT caching (round-8 ADVICE: a probe
+    # cache has no safe unpersist point and leaked across long
+    # sessions; t's lineage is one column-pruned parquet scan)
     if t.count() <= 2_000_000:
         w = W.partitionBy("shard").orderBy("hkey", "doc_id")
         pos = F.row_number().over(w).cast("long")

@@ -205,18 +205,22 @@ def scalable_cumsum(
     first — which the callers do, and which also bounds cardinality:
     distances ≤ chromosome_length/resolution).
 
-    ``small_threshold``: when set, the input is cached and counted
-    (count skipped when the caller passes ``precomputed_count``); at
-    or below the threshold a plain single-partition window is used —
-    for bounded-cardinality inputs the two-phase machinery (range
+    ``small_threshold``: when set, the input is counted (count skipped
+    when the caller passes ``precomputed_count``); at or below the
+    threshold a plain single-partition window is used — for
+    bounded-cardinality inputs the two-phase machinery (range
     repartition + sampling + offset join) costs several extra jobs that
-    dwarf a one-task window.  Pass None (default) to force the
+    dwarf a one-task window.  The probe count does NOT cache the input
+    (round-8 ADVICE: a probe cache has no safe unpersist point — the
+    returned plan reads it lazily — so it leaked executor memory
+    across long sessions; the count scan is column-pruned, and callers
+    with expensive lineage should persist before calling or pass
+    ``precomputed_count``).  Pass None (default) to force the
     two-phase form.
     """
     if small_threshold:
         n_in = precomputed_count
         if n_in is None:
-            df = df.cache()
             n_in = df.count()
         if n_in <= small_threshold:
             w = W.orderBy(order_col).rowsBetween(
@@ -538,16 +542,20 @@ def scalable_trailing_aggs(
     a part (add a tiebreak column); the leading order column must be
     numeric (:func:`_bucketed_by_value`'s contract).
 
-    ``small_threshold``: when set, the input is cached + counted and at
-    or below the threshold the plain partitioned window is used — the
+    ``small_threshold``: when set, the input is counted and at or
+    below the threshold the plain partitioned window is used — the
     bounded-grain fast path of :func:`scalable_cumsum`, because the
     two-phase machinery costs several extra jobs that dwarf small
-    inputs.  Pass None to force the scalable form.
+    inputs.  The probe count does NOT cache the input (round-8 ADVICE:
+    a probe cache has no safe unpersist point — the returned plan
+    reads it lazily — so it leaked executor memory across long
+    sessions; the count scan is column-pruned, and callers with
+    expensive lineage should persist before calling).  Pass None to
+    force the scalable form.
     """
     lo = -int(lookback)
     hi = 0 if include_current else -1
     if small_threshold:
-        df = df.cache()
         if df.count() <= small_threshold:
             w = (
                 W.partitionBy(*part_cols)
