@@ -2117,6 +2117,226 @@ def main() -> None:
     assert ga_chk[0][2] == 39 * n_users, ga_chk  # resurrected elsewhere
     assert ga_chk[1][0] == 39 and ga_chk[1][1] == 39 * n_users, ga_chk
 
+    # --- q_dedup_containment: hot-shingle cap under CONTAINMENT -----
+    # (round-8; VERDICT r7 #4) The shared _co_shingle_pairs core's
+    # max_df lever has a planted row under JACCARD scoring above; this
+    # row proves it under the CONTAINMENT scoring path, whose
+    # FULL-size denominators and directional threshold are the parts
+    # the jaccard row never exercises.  Layout: every doc opens with a
+    # 5-word boilerplate (3 pure-boilerplate k3-shingles, df = n →
+    # capped); doc i < half is an 8-word SHORT doc whose word sequence
+    # is a strict PREFIX of doc i+half's 12-word LONG doc.  Kept
+    # common shingles per pair = 3 (two boundary + one unique);
+    # containment short→long = 3/6 = exactly the 1/2 threshold (the ≥
+    # boundary), long→short = 3/10 fails — so exactly the n/2
+    # DIRECTED rows (contained=i, container=i+half) survive.  Without
+    # the cap the df=n boilerplate shingles alone fan ~n²/2 candidate
+    # pairs and the run never finishes at 8M.
+    u2 = (F.col("id") % half).cast("long")
+    b5 = F.lit("terms of service apply here")
+    ushort = F.concat_ws(
+        " ",
+        F.concat(F.lit("ua"), u2),
+        F.concat(F.lit("ub"), (u2 * 31) % 999983),
+        F.concat(F.lit("uc"), (u2 * 57) % 999979),
+    )
+    xtail = F.concat_ws(
+        " ",
+        F.concat(F.lit("xa"), u2),
+        F.concat(F.lit("xb"), (u2 * 17) % 999959),
+        F.concat(F.lit("xc"), (u2 * 91) % 999961),
+        F.concat(F.lit("xd"), (u2 * 13) % 999953),
+    )
+    cdocs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < half, F.concat_ws(" ", b5, ushort)
+        ).otherwise(F.concat_ws(" ", b5, ushort, xtail)).alias("text"),
+    )
+    t0 = time.time()
+    cpairs = llmops.ngram_containment_pairs(
+        cdocs,
+        threshold_num=1,
+        threshold_den=2,
+        k=3,
+        block_col=None,
+        max_df=100,
+    )
+    n_cp, cmin, cmax, maxcontained, cont_lo, cont_hi = cpairs.agg(
+        F.count(F.lit(1)),
+        F.min(F.col("container") - F.col("contained")),
+        F.max(F.col("container") - F.col("contained")),
+        F.max("contained"),
+        F.min("containment"),
+        F.max("containment"),
+    ).collect()[0]
+    containment_cap_s = time.time() - t0
+    assert n_cp == half, (n_cp, half)
+    assert cmin == half and cmax == half, (cmin, cmax, half)
+    assert maxcontained == half - 1, maxcontained  # one direction only
+    assert cont_lo == 0.5 and cont_hi == 0.5, (cont_lo, cont_hi)
+
+    # --- q_adamic_adar: pre-join basket cap at 8M lineitems ---------
+    # (round-8; VERDICT r7 #4) Same planted corpus as the assoc row
+    # (n/4 four-item baskets {7, 8, 1000+b%50, 2000+b%50} + one
+    # 100k-item mega-basket) driven through the AA shape: cap BEFORE
+    # the self-join (C(100k,2) ≈ 5e9 pairs otherwise), persisted
+    # capped basket, LN weights round(9)→DECIMAL, DECIMAL top-20 rank.
+    # Closed form: (7,8) co-occurs in all n/4 kept baskets of size 4,
+    # so aa = (n/4)·HALF_UP9(1/ln 4) exactly; the mega-basket's parts
+    # (≥ 1e6) must be absent from the whole top-20.
+    t0 = time.time()
+    aa_kept = b0.join(
+        b0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("bsz"))
+        .filter((F.col("bsz") >= 2) & (F.col("bsz") <= 64)),
+        "l_orderkey",
+    ).persist()
+    try:
+        aa_a, aa_b = aa_kept.alias("a"), aa_kept.alias("b")
+        aa_top = (
+            aa_a.join(
+                aa_b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("part1"),
+                F.col("b.l_partkey").alias("part2"),
+                F.col("a.bsz").alias("bsz"),
+            )
+            .groupBy("part1", "part2")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_common"),
+                F.sum(
+                    F.round(
+                        F.lit(1.0) / F.log(F.col("bsz").cast("double")), 9
+                    ).cast("decimal(28,9)")
+                ).alias("aa_dec"),
+            )
+            .orderBy(F.col("aa_dec").desc(), "part1", "part2")
+            .limit(20)
+            .collect()
+        )
+    finally:
+        aa_kept.unpersist()
+    adamic_adar_cap_s = time.time() - t0
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    aa_w = Decimal(repr(1.0 / math.log(4.0))).quantize(
+        Decimal("1e-9"), ROUND_HALF_UP
+    )
+    assert aa_top[0]["part1"] == 7 and aa_top[0]["part2"] == 8, aa_top[0]
+    assert aa_top[0]["n_common"] == n_b, aa_top[0]
+    assert aa_top[0]["aa_dec"] == aa_w * n_b, (aa_top[0]["aa_dec"], aa_w * n_b)
+    assert all(
+        r["part1"] < 1_000_000 and r["part2"] < 1_000_000 for r in aa_top
+    ), aa_top
+
+    # --- q_js_divergence: 8M-token vocabulary, hot common token -----
+    # (round-8; VERDICT r7 #4) Synthetic per-source token counts fed
+    # through the key's exact algebra: 4 sources, each with n/4 unique
+    # count-1 tokens (df = 1 → no join partners) plus ONE hot token
+    # common to all four with count n/4 (p = q = 1/2 → co-occurring
+    # term ln(1) = 0 exactly).  The only full-data stage is the token
+    # self-join shuffle; the hot token fans C(4,2) = 6 rows, bounded
+    # by the SOURCE count, never the corpus (the closed-form
+    # exclusive-mass design).  Closed form per pair: jsd = 0.5·ln 2.
+    jtc = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("s"), F.col("id") % 4).alias("source"),
+            F.concat(F.lit("u"), F.col("id")).alias("tok"),
+            F.lit(1).cast("long").alias("c"),
+        )
+        .unionAll(
+            spark.range(4).select(
+                F.concat(F.lit("s"), F.col("id")).alias("source"),
+                F.lit("hot").alias("tok"),
+                F.lit(n // 4).cast("long").alias("c"),
+            )
+        )
+    )
+    t0 = time.time()
+    jtc = jtc.persist()
+    jtot = jtc.groupBy("source").agg(F.sum("c").cast("long").alias("nn"))
+    ja, jb = jtc.alias("a"), jtc.alias("b")
+    jcommon = (
+        ja.join(
+            jb,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .select(
+            F.col("a.source").alias("source1"),
+            F.col("b.source").alias("source2"),
+            F.col("a.c").alias("c1"),
+            F.col("b.c").alias("c2"),
+        )
+        .join(
+            F.broadcast(
+                jtot.select(
+                    F.col("source").alias("source1"), F.col("nn").alias("n1")
+                )
+            ),
+            "source1",
+        )
+        .join(
+            F.broadcast(
+                jtot.select(
+                    F.col("source").alias("source2"), F.col("nn").alias("n2")
+                )
+            ),
+            "source2",
+        )
+    )
+    jp = F.col("c1").cast("double") / F.col("n1")
+    jq = F.col("c2").cast("double") / F.col("n2")
+    jagg = jcommon.groupBy("source1", "source2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common_tokens"),
+        F.sum(
+            F.round(jp * F.log(F.lit(2.0) * jp / (jp + jq)), 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("sp"),
+        F.sum(
+            F.round(jq * F.log(F.lit(2.0) * jq / (jp + jq)), 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("sq"),
+        F.sum(F.round(jp, 9).cast("decimal(28,9)")).alias("pmass"),
+        F.sum(F.round(jq, 9).cast("decimal(28,9)")).alias("qmass"),
+    )
+    jln2 = F.log(F.lit(2.0))
+    jzd = F.lit(0).cast("decimal(28,9)")
+    jsd_rows = jagg.select(
+        "source1",
+        "source2",
+        "n_common_tokens",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.coalesce(F.col("sp"), jzd).cast("double")
+                + (F.lit(1.0) - F.coalesce(F.col("pmass"), jzd).cast("double"))
+                * jln2
+            )
+            + F.lit(0.5)
+            * (
+                F.coalesce(F.col("sq"), jzd).cast("double")
+                + (F.lit(1.0) - F.coalesce(F.col("qmass"), jzd).cast("double"))
+                * jln2
+            ),
+            6,
+        ).alias("jsd_nats"),
+    ).collect()
+    jtc.unpersist()
+    jsd_s = time.time() - t0
+    assert len(jsd_rows) == 6, jsd_rows
+    for r in jsd_rows:
+        assert r["n_common_tokens"] == 1, r
+        assert abs(r["jsd_nats"] - 0.346574) < 1e-9, r
+
     print(
         json.dumps(
             {
@@ -2183,6 +2403,9 @@ def main() -> None:
                 "cohort_ltv_s": round(cohort_ltv_s, 2),
                 "session_paths_s": round(session_paths_s, 2),
                 "optimize_s": round(optimize_s, 2),
+                "containment_cap_s": round(containment_cap_s, 2),
+                "adamic_adar_cap_s": round(adamic_adar_cap_s, 2),
+                "jsd_s": round(jsd_s, 2),
             }
         )
     )
