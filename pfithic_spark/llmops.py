@@ -1893,3 +1893,67 @@ def lsh_cosine_pairs(
         .select("id1", "id2", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pq_train_codebook(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0xF17,
+    sample_size: int = 8192,
+) -> "pd.DataFrame":
+    """Train a product-quantization codebook: split the vector into
+    ``m`` equal sub-spaces and run an independent k-means (k
+    centroids, plain Lloyd) in each — the classic PQ memory lever: a
+    d-dim float32 vector compresses to m bytes (one centroid id per
+    sub-space) while distances remain computable from the m small
+    codebooks (ADC).  Training is OFFLINE (the faiss deployment
+    shape: train once on a bounded sample, ship the model) — the
+    registered q_pq_codes key loads the committed frozen codebook,
+    never retrains (q_sim_ivf discipline; k-means is the one
+    layout/host-nondeterministic step).
+
+    Returns a long-form pandas frame (subspace, centroid, dim, value)
+    with float64 values — the committed model format.  Deterministic
+    given the same input sample: seeded init, argmin ties to the
+    lowest centroid id, empty clusters reseeded from the farthest
+    point (stable order).
+    """
+    import pandas as pd
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(int(sample_size))
+        .toPandas()
+    )
+    X = np.array([list(map(float, v)) for v in rows[vec_col]])
+    n, d = X.shape
+    sub = d // m
+    assert sub * m == d, (d, m)
+    rng = np.random.default_rng(seed)
+    out = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        idx = rng.choice(n, size=min(k, n), replace=False)
+        C = Xs[np.sort(idx)].copy()
+        for _ in range(max_iter):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # ties -> lowest id
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+                else:
+                    # deterministic reseed: farthest point overall
+                    far = int(np.argmax(d2.min(axis=1)))
+                    C[c] = Xs[far]
+        for c in range(len(C)):
+            for dim in range(sub):
+                out.append((s, c, dim, float(C[c, dim])))
+    return pd.DataFrame(
+        out, columns=["subspace", "centroid", "dim", "value"]
+    )

@@ -1118,3 +1118,56 @@ def test_r7_key_plan_shapes(spark):
     assert len(okey_joins) == cache_blocks, okey_joins
     assert re.search(r"BroadcastHashJoin \[dayidx", plan3), plan3[:1500]
     assert "CartesianProduct" not in plan3
+
+
+def test_r8_key_plan_shapes(spark):
+    """Round-8 §2.20 plan gates: (a) q_tdigest_quantiles' global rank
+    runs the two-phase bucket machinery (windows partitioned by _pid —
+    never an unpartitioned one-task sort) over exactly TWO pruned
+    lineitem scans (the rank-window branch and the bucket-count
+    branch; at 100 TB two 3-column scans beat caching the full fact
+    table, which is why the input is deliberately NOT persisted —
+    unlike q_theil_sen_trend, whose rank input is a bounded pair
+    table); (b)
+    q_weighted_sample is a stateless hash projection into
+    TakeOrderedAndProject — one scan, no shuffle-join anywhere; (c)
+    q_markov_attribution reads events EXACTLY ONCE (the terminal
+    transition rides the same pass via the explode-delta pattern, not
+    a self-union re-scan); (d) q_pq_codes broadcasts the codebook
+    (never a shuffled join against the 1,024-row model) and no
+    cartesian appears; (e) q_negative_sampling broadcasts the brand
+    dim on both uses."""
+    import re
+
+    import __spark_entry__ as e
+
+    q = e.queries()
+    sf = "/root/testdata/sf0.01"
+
+    def plan(key):
+        return _plan(q[key](spark, sf))
+
+    p = plan("q_tdigest_quantiles")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p[:1500]
+    assert "windowspecdefinition(_pid" in p, p[:1500]
+    assert "CartesianProduct" not in p
+
+    p = plan("q_weighted_sample")
+    assert "TakeOrderedAndProject" in p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+    p = plan("q_markov_attribution")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, (
+        "events must be scanned once — the terminal row rides the "
+        "explode, not a union re-scan"
+    )
+    assert "CartesianProduct" not in p
+
+    p = plan("q_pq_codes")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan("q_kruskal_wallis")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1

@@ -390,6 +390,35 @@ def prepare_ivf_centroids(spark) -> None:
     print(f"ivf_centroids: trained and froze {len(cents)} centroids -> {path}")
 
 
+def _pq_codebook_path() -> str:
+    return os.path.join(GOLDEN_DIR, "pq_codebook.parquet")
+
+
+def prepare_pq_codebook(spark) -> None:
+    """Train the product-quantization codebook ONCE at the gate scale
+    and freeze it as a committed long-form parquet (subspace,
+    centroid, dim, value float64) — k-means is the one
+    host/layout-nondeterministic step of the PQ path, so freezing the
+    model is what lets q_pq_codes carry a FULL SQL oracle (the
+    assignment itself is exact integer arithmetic on both engines).
+    Train-if-missing: an existing frozen model is never overwritten."""
+    path = _pq_codebook_path()
+    if os.path.exists(path):
+        print(f"pq_codebook: frozen model already present ({path})")
+        return
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    cb = llmops.pq_train_codebook(e, m=8, k=16, max_iter=10)
+    cb.to_parquet(path, index=False)
+    print(
+        f"pq_codebook: trained and froze {len(cb)} rows "
+        f"({cb['subspace'].nunique()} subspaces x "
+        f"{cb['centroid'].nunique()} centroids) -> {path}"
+    )
+
+
 def check_sim_ivf(pdf: pd.DataFrame) -> None:
     """Replicate the ENTIRE IVF probe in pure python/fsum — normalize,
     cell-assign (argmax, smallest-cell tie-break), nprobe=4 query cells,
@@ -668,6 +697,7 @@ def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     spark = get_spark(app="pfithic-goldens")
     prepare_ivf_centroids(spark)
+    prepare_pq_codebook(spark)
     queries = e.queries()
     # optional key filter: make_goldens.py [sf_dir] [key ...]
     only = set(sys.argv[2:])
