@@ -1724,3 +1724,181 @@ def q_pq_codes(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("qdist").cast("long").alias("sum_qdist"),
     )
+
+
+# ========================================================================
+# q_brown_forsythe — variance-homogeneity test (Levene, median centers)
+# ========================================================================
+
+#: F(0.95; df1=4, df2=∞) = χ²(0.95,4)/4 — frozen literal shared by both
+#: engines (the asymptotic gate; the q_kruskal_wallis discipline, with
+#: the verdict NULLed when a priority class is absent).
+_BF_F_95_DF4_INF = 2.3719322591952885
+
+
+@register(
+    "q_brown_forsythe",
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+         o_orderpriority AS grp
+  FROM orders
+),
+med AS (
+  SELECT grp, CAST(2.0 * MEDIAN(v) AS BIGINT) AS m2
+  FROM t GROUP BY grp
+),
+z AS (
+  SELECT t.grp, ABS(2 * t.v - med.m2) AS w
+  FROM t JOIN med ON t.grp = med.grp
+),
+s AS (
+  SELECT
+    {", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN w ELSE 0 END) AS BIGINT)"
+        f" AS w{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN (w * w) // 4294967296"
+        f" ELSE 0 END) AS BIGINT) AS qh{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN (w * w) % 4294967296"
+        f" ELSE 0 END) AS BIGINT) AS ql{i}"
+        for i, p in enumerate(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+            start=1,
+        )
+    )}
+  FROM z
+),
+h AS (
+  SELECT n1 + n2 + n3 + n4 + n5 AS n,
+         (CASE WHEN n1 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n2 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n3 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n4 > 0 THEN 1 ELSE 0 END
+          + CASE WHEN n5 > 0 THEN 1 ELSE 0 END) AS k,
+         (((CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE) / n1
+           + CAST(w2 AS DOUBLE) * CAST(w2 AS DOUBLE) / n2)
+           + CAST(w3 AS DOUBLE) * CAST(w3 AS DOUBLE) / n3)
+           + CAST(w4 AS DOUBLE) * CAST(w4 AS DOUBLE) / n4)
+           + CAST(w5 AS DOUBLE) * CAST(w5 AS DOUBLE) / n5 AS sum_wg2,
+         CAST(w1 + w2 + w3 + w4 + w5 AS DOUBLE) AS wtot,
+         ((((CAST(qh1 AS DOUBLE) + CAST(qh2 AS DOUBLE))
+            + CAST(qh3 AS DOUBLE)) + CAST(qh4 AS DOUBLE))
+            + CAST(qh5 AS DOUBLE)) * 4294967296.0
+           + ((((CAST(ql1 AS DOUBLE) + CAST(ql2 AS DOUBLE))
+            + CAST(ql3 AS DOUBLE)) + CAST(ql4 AS DOUBLE))
+            + CAST(ql5 AS DOUBLE)) AS qtot
+  FROM s
+),
+f AS (
+  SELECT n, k,
+         ((CAST(n AS DOUBLE) - k) / (k - 1.0))
+         * (sum_wg2 - (wtot * wtot) / n)
+         / (qtot - sum_wg2) AS bf_f
+  FROM h
+)
+SELECT n AS n_total, k AS k_groups,
+       CAST(k - 1 AS BIGINT) AS df1,
+       CAST(n - k AS BIGINT) AS df2,
+       bf_f,
+       CASE WHEN k = 5 THEN bf_f > {_BF_F_95_DF4_INF!r} ELSE NULL END
+         AS reject_equal_variance
+FROM f
+""",
+)
+def q_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity test of order value across
+    the five priorities — "do the groups differ in SPREAD?": a
+    one-way ANOVA (q_anova_f shape) on z = |x − median_g|, the
+    median-centered Levene variant that stays level-accurate under
+    the heavy-tailed revenue distributions where the mean-centered
+    original (and q_anova_f's equal-variance assumption itself)
+    breaks.  The diagnostic to run BEFORE trusting q_anova_f /
+    q_welch_ttest's pooled-variance flavor.
+
+    Determinism: per-group medians via the exact percentile ≡
+    quantile_cont contract; 2·median is an exact integer-valued
+    double (the interpolated midpoint of two int64 cents), so
+    w = |2x − 2·med| is EXACT INT64 (the /2 scale cancels in the F
+    ratio, both numerator and denominator being quadratic in w).
+    Σw is int64; Σw² exceeds int64 → hi/lo int64 pair split at 2³²
+    (§8.21) reconstructed through the shared five-term fixed-order
+    double chain; W_g² squares AFTER the int64→double cast (the
+    q_kruskal_wallis rule — an exact DECIMAL square would hit
+    DuckDB's truncating wide-decimal cast).  Named per-group columns
+    keep every cross-group sum in explicit fixed order.  Verdict vs
+    the frozen asymptotic F(0.95; 4, ∞) literal, NULL when a priority
+    class is absent.
+
+    Scale shape: ONE scan + one 5-row median aggregate broadcast back
+    (the medians are the only percentile machinery —
+    approx_percentile is the documented swap if the group count could
+    grow); the census is one map-side-combinable conditional
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("v"),
+        F.col("o_orderpriority").alias("grp"),
+    )
+    med = t.groupBy("grp").agg(
+        F.expr("CAST(2.0 * percentile(v, 0.5) AS BIGINT)").alias("m2")
+    )
+    z = t.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("v") - F.col("m2")).alias("w")
+    )
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aggs = []
+    for i, p in enumerate(pris, start=1):
+        g = F.col("grp") == p
+        aggs += [
+            F.sum(F.when(g, 1).otherwise(0)).cast("long").alias(f"n{i}"),
+            F.sum(F.when(g, F.col("w")).otherwise(0))
+            .cast("long")
+            .alias(f"w{i}"),
+            F.sum(
+                F.when(g, F.expr("(w * w) div 4294967296")).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"qh{i}"),
+            F.sum(
+                F.when(g, (F.col("w") * F.col("w")) % F.lit(4294967296))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias(f"ql{i}"),
+        ]
+    s = z.agg(*aggs)
+    wg2 = [
+        F.col(f"w{i}").cast("double")
+        * F.col(f"w{i}").cast("double")
+        / F.col(f"n{i}")
+        for i in range(1, 6)
+    ]
+    sum_wg2 = (((wg2[0] + wg2[1]) + wg2[2]) + wg2[3]) + wg2[4]
+    n = sum(F.col(f"n{i}") for i in range(1, 6))
+    k = sum(
+        F.when(F.col(f"n{i}") > 0, 1).otherwise(0) for i in range(1, 6)
+    )
+    wtot = sum(F.col(f"w{i}") for i in range(1, 6)).cast("double")
+    qh = [F.col(f"qh{i}").cast("double") for i in range(1, 6)]
+    ql = [F.col(f"ql{i}").cast("double") for i in range(1, 6)]
+    qtot = ((((qh[0] + qh[1]) + qh[2]) + qh[3]) + qh[4]) * F.lit(
+        4294967296.0
+    ) + ((((ql[0] + ql[1]) + ql[2]) + ql[3]) + ql[4])
+    nd = n.cast("double")
+    bf_f = (
+        ((nd - k) / (k - 1.0))
+        * (sum_wg2 - (wtot * wtot) / n)
+        / (qtot - sum_wg2)
+    )
+    return s.select(
+        n.alias("n_total"),
+        k.alias("k_groups"),
+        (k - 1).cast("long").alias("df1"),
+        (n - k).cast("long").alias("df2"),
+        bf_f.alias("bf_f"),
+        F.when(k == 5, bf_f > F.lit(_BF_F_95_DF4_INF))
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("reject_equal_variance"),
+    )

@@ -1171,3 +1171,10 @@ def test_r8_key_plan_shapes(spark):
 
     p = plan("q_kruskal_wallis")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+
+    # (f) q_brown_forsythe: the 5-row median table broadcasts back to
+    # the fact scan (two pruned scans — median branch + join branch;
+    # persisting the full fact at 100 TB would be worse), never a SMJ.
+    p = plan("q_brown_forsythe")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p[:1500]
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p

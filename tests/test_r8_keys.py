@@ -330,3 +330,56 @@ def test_pq_codes_invariants(spark):
         by_sub[r["subspace"]] += r["n_vecs"]
     assert sorted(by_sub) == list(range(8)), sorted(by_sub)
     assert all(v == n for v in by_sub.values()), by_sub
+
+
+def test_brown_forsythe_spread_separation(spark, tmp_path):
+    """Five groups of {c−d, c, c+d}: equal d everywhere → the
+    between-group spread term cancels EXACTLY (bf_f = 0.0, no
+    rejection); one group with a much larger d → rejection."""
+    import __spark_entry__ as e
+
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+    def write(ds):
+        rows = []
+        for gi, (p, dd) in enumerate(zip(pris, ds)):
+            c = 1000 * (gi + 1)
+            for v in (c - dd, c, c + dd):
+                rows.append(
+                    (len(rows) + 1, 1, "1997-01-01", v / 100.0, p)
+                )
+        (
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, d string, "
+                "o_totalprice double, o_orderpriority string",
+            )
+            .select(
+                "o_orderkey",
+                "o_custkey",
+                F.col("d").cast("date").alias("o_orderdate"),
+                "o_totalprice",
+                "o_orderpriority",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{tmp_path}/orders.parquet")
+        )
+
+    write([5, 5, 5, 5, 5])
+    r = e.queries()["q_brown_forsythe"](spark, str(tmp_path)).collect()[0]
+    assert r["n_total"] == 15 and r["k_groups"] == 5
+    assert r["df1"] == 4 and r["df2"] == 10
+    # the between term cancels mathematically; doubles leave ~1e-16
+    assert abs(r["bf_f"]) < 1e-12, r["bf_f"]
+    assert r["reject_equal_variance"] is False
+
+    write([5, 5, 5, 5, 500])
+    r = e.queries()["q_brown_forsythe"](spark, str(tmp_path)).collect()[0]
+    assert r["bf_f"] > _bf_crit()
+    assert r["reject_equal_variance"] is True
+
+
+def _bf_crit():
+    from pfithic_spark.registry.keys_r8 import _BF_F_95_DF4_INF
+
+    return _BF_F_95_DF4_INF
