@@ -651,8 +651,12 @@ m AS (
 )
 SELECT n_name,
        CAST(COUNT(*) AS BIGINT) AS n_suppliers,
-       CAST(SUM(CAST(ru AS DECIMAL(19,0)) * CAST(ru AS DECIMAL(19,0)))
-            AS DOUBLE) * 10000 / (MAX(tot) * MAX(tot)) AS hhi,
+       (CAST(SUM((ru // 1048576) * (ru // 1048576)) AS DOUBLE)
+          * 1099511627776.0
+        + CAST(SUM(2 * (ru // 1048576) * (ru % 1048576)) AS DOUBLE)
+          * 1048576.0
+        + CAST(SUM((ru % 1048576) * (ru % 1048576)) AS DOUBLE))
+         * 10000 / (MAX(tot) * MAX(tot)) AS hhi,
        CAST(SUM(CASE WHEN rnk <= 4 THEN ru END) AS DOUBLE) / MAX(tot)
          AS cr4
 FROM m
@@ -670,12 +674,18 @@ def q_hhi_concentration(spark, sf_dir):
 
     Determinism: revenue is exact INTEGER 1e-4-dollar units (the
     q_star_agg form -- rounded quotient shares hit reachable 9th-
-    decimal ties, observed at sf0.01).  HHI = 1e4 * sum(ru^2)/tot^2
-    with ru^2 exact in DECIMAL(18,0)^2 (ru <= ~1e15 at the 8 M
-    scale, so ru^2 fits the 37-digit product type) and tot^2 /
-    divisions left to identical IEEE doubles, unrounded.  CR4 sums
-    the top-4 ru as integers with ONE final division.  Rank ties
-    break on s_suppkey."""
+    decimal ties, observed at sf0.01).  HHI = 1e4 * sum(ru^2)/tot^2;
+    sum(ru^2) exceeds int64, and DuckDB's wide-DECIMAL->DOUBLE cast
+    is not correctly rounded (~0.7% of values land 1 ulp low --
+    round-8 finding, FIXTURES 8.21; with this key's UNROUNDED hhi a
+    fixture regeneration had real odds of a hash flip), so ru splits
+    at 2^20 into int64 hi/lo piece-sums reconstructed through the
+    shared spelling A*2^40 + B*2^20 + C (power-of-two multiplies
+    exact, two identical rounded adds; budget holds to ru < ~2^43
+    with <=1e6 suppliers per nation -- wider pieces are the swap).
+    tot^2 / divisions stay identical IEEE doubles, unrounded.  CR4
+    sums the top-4 ru as integers (< 2^53, hardware-exact cast) with
+    ONE final division.  Rank ties break on s_suppkey."""
     from pyspark.sql import Window as W
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -702,14 +712,16 @@ def q_hhi_concentration(spark, sf_dir):
         .over(W.partitionBy("n_name").orderBy(F.desc("ru"), "s_suppkey"))
         .alias("rnk"),
     )
-    ru_dec = F.col("ru").cast("decimal(18,0)")
+    rh = F.expr("ru div 1048576")
+    rl = F.col("ru") % F.lit(1048576)
+    syy = (
+        F.sum(rh * rh).cast("double") * F.lit(1099511627776.0)
+        + F.sum(2 * rh * rl).cast("double") * F.lit(1048576.0)
+        + F.sum(rl * rl).cast("double")
+    )
     return m.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        (
-            F.sum(ru_dec * ru_dec).cast("double")
-            * 10000
-            / (F.max("tot") * F.max("tot"))
-        ).alias("hhi"),
+        (syy * 10000 / (F.max("tot") * F.max("tot"))).alias("hhi"),
         (
             F.sum(F.when(F.col("rnk") <= 4, F.col("ru"))).cast("double")
             / F.max("tot")
@@ -1144,7 +1156,13 @@ w AS (
          SUM(x * x) OVER tw AS sxx,
          SUM(x * y) OVER tw AS sxy,
          SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
-           OVER tw AS syy
+           OVER tw AS syy,
+         CAST(SUM((y // 1048576) * (y // 1048576)) OVER tw AS BIGINT)
+           AS syy_a,
+         CAST(SUM(2 * (y // 1048576) * (y % 1048576)) OVER tw AS BIGINT)
+           AS syy_b,
+         CAST(SUM((y % 1048576) * (y % 1048576)) OVER tw AS BIGINT)
+           AS syy_c
   FROM d
   WINDOW tw AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
 )
@@ -1155,9 +1173,11 @@ SELECT STRFTIME(day, '%Y-%m-%d') AS day,
                  > 0
             THEN CAST(CAST(n AS BIGINT) * sxy - sx * sy AS DOUBLE)
                  / SQRT(CAST(CAST(n AS BIGINT) * sxx - sx * sx AS DOUBLE)
-                        * CAST(CAST(28 AS DECIMAL(19,0)) * syy
-                          - CAST(sy AS DECIMAL(19,0))
-                            * CAST(sy AS DECIMAL(19,0)) AS DOUBLE))
+                        * (28.0
+                           * (CAST(syy_a AS DOUBLE) * 1099511627776.0
+                              + CAST(syy_b AS DOUBLE) * 1048576.0
+                              + CAST(syy_c AS DOUBLE))
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
             END AS corr_28d
 FROM w WHERE n = 28
 """,
@@ -1167,11 +1187,15 @@ def q_rolling_corr(spark, sf_dir):
     count and daily revenue — the co-movement monitor behind
     mix-shift alerts (volume up while revenue flat = smaller orders).
     Sufficient stats (n, Σx, Σy, Σx², Σxy, Σy²) accumulate EXACTLY in
-    the window: counts/cross-terms in BIGINT, Σy² in DECIMAL(19)²
-    (y is integer cents, so y² at the 8 M scale overflows int64 but
-    fits the 38-digit decimal product).  corr's num/den convert to
-    double once, one division + sqrt, unrounded — identical IEEE on
-    both engines.  One fact scan to day grain; the window runs on the
+    the window: counts/cross-terms in BIGINT; Σy² is carried TWICE —
+    once in DECIMAL(19)² for the exact zero-variance GUARD (compare
+    only, never cast), and once as 2²⁰-split int64 piece-sums whose
+    shared reconstruction A·2⁴⁰ + B·2²⁰ + C feeds the VALUE path
+    (round-8 FIXTURES §8.21: DuckDB's wide-DECIMAL→DOUBLE cast lands
+    1 ulp low on ~0.7% of values, a real hash-flip risk for this
+    key's unrounded output; the split budget holds while daily cents
+    < 2⁴⁰ ≈ 100× the sf0.1 level).  corr's num/den then run one
+    division + sqrt, unrounded — identical IEEE on both engines.  One fact scan to day grain; the window runs on the
     bounded (~2.4k-row) day table — at 100 TB the day grain is still
     bounded, so the single-partition window is fine by construction.
     Rows without a full 28-day history are excluded; zero-variance
@@ -1185,6 +1209,8 @@ def q_rolling_corr(spark, sf_dir):
     )
     tw = W.orderBy("day").rowsBetween(-27, 0)
     ydec = F.col("y").cast("decimal(19,0)")
+    yh = F.expr("y div 1048576")
+    yl = F.col("y") % F.lit(1048576)
     w = d.select(
         "day",
         F.count(F.lit(1)).over(tw).alias("n"),
@@ -1193,17 +1219,35 @@ def q_rolling_corr(spark, sf_dir):
         F.sum(F.col("x") * F.col("x")).over(tw).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).over(tw).alias("sxy"),
         F.sum(ydec * ydec).over(tw).alias("syy"),
+        F.sum(yh * yh).over(tw).cast("long").alias("syy_a"),
+        F.sum(2 * yh * yl).over(tw).cast("long").alias("syy_b"),
+        F.sum(yl * yl).over(tw).cast("long").alias("syy_c"),
     )
     den1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     sydec = F.col("sy").cast("decimal(19,0)")
-    den2 = F.lit(28).cast("decimal(19,0)") * F.col("syy") - sydec * sydec
+    # the GUARD compares the exact DECIMAL (no cast, no rounding risk)
+    den2_exact = (
+        F.lit(28).cast("decimal(19,0)") * F.col("syy") - sydec * sydec
+    )
+    # the VALUE reconstructs Σy² from 2^20-split int64 piece-sums
+    # (§8.21: DuckDB's wide-DECIMAL→DOUBLE cast is not correctly
+    # rounded; with this key's unrounded output a fixture regeneration
+    # had ~0.7%-per-window odds of a hash flip)
+    syy_d = (
+        F.col("syy_a").cast("double") * F.lit(1099511627776.0)
+        + F.col("syy_b").cast("double") * F.lit(1048576.0)
+        + F.col("syy_c").cast("double")
+    )
+    den2_d = (
+        F.lit(28.0) * syy_d
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     return w.filter(F.col("n") == 28).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.when(
-            (den1 > 0) & (den2 > 0),
-            num.cast("double")
-            / F.sqrt(den1.cast("double") * den2.cast("double")),
+            (den1 > 0) & (den2_exact > 0),
+            num.cast("double") / F.sqrt(den1.cast("double") * den2_d),
         ).alias("corr_28d"),
     )
 
