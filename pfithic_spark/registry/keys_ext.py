@@ -929,36 +929,54 @@ def q_pmi_bigrams(spark, sf_dir):
     information (PMI = ln(c12·N / c1·c2), min count 5) — the classic
     phrase detector (word2vec's phrase pass, quality-signal n-grams).
 
-    Three count aggregations over the bigram stream (pair + two
-    marginals — inverted-index keys, no pair-to-pair join), marginals
-    equi-joined back, scalar N broadcast.  Global top-k plans as
+    ONE full-data pass (round-8 modernization; the original ran the
+    scan + explode FOUR times — n, pair counts and both marginals
+    were separate lineage branches of the unpersisted bigram stream —
+    and built bigrams with a per-doc lead() window, paying a doc_id
+    shuffle before the counts): consecutive pairs now come from an
+    array-side slice/zip (no window, no pre-shuffle), the ONLY
+    corpus-size shuffle is the (w1, w2) groupBy, and N plus both
+    marginals derive from the PERSISTED bigram-count table (bounded
+    by the co-occurring vocabulary, the q_js_divergence branch-DAG
+    discipline — c1 = Σ_w2 c12 exactly, since the marginals count the
+    same unfiltered stream).  Global top-k plans as
     TakeOrderedAndProject (per-partition heaps, no global sort).
     Rank is on the ROUNDED pmi with (w1, w2) tie-breakers
     (FIXTURES.md §5.5); the pre-round expression is one fixed-order
     IEEE chain, identical in both dialects."""
-    from pyspark.sql import Window as W
+    out, invariants = pmi_bigrams_lazy(spark, sf_dir)
+    try:
+        # bounded (50 rows): eager localCheckpoint materializes while
+        # pc is still cached (adamic-adar persist discipline)
+        return out.localCheckpoint(eager=True)
+    finally:
+        for inv in invariants:
+            inv.unpersist()
 
+
+def pmi_bigrams_lazy(spark, sf_dir):
+    """Lazy dataflow for q_pmi_bigrams: returns (out, [pc]) with the
+    bigram-count table persisted and NOT yet unpersisted, no
+    checkpoint — the plan gate reads the executed plan off `out`
+    (pagerank_lazy / open_order_backlog_lazy split)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        F.col("doc_id"),
-        F.posexplode(F.split(llmops.norm_text("text"), " ")).alias(
-            "pos", "w1"
-        ),
+    arr = F.split(llmops.norm_text("text"), " ")
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("w1"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
     )
-    wspec = W.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        t.select("doc_id", "w1", F.lead("w1", 1).over(wspec).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-        .select("w1", "w2")
-    )
-    n_df = bi.agg(F.count(F.lit(1)).alias("n"))
-    c12 = (
-        bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .filter(F.col("c12") >= _PMI_MIN_COUNT)
-    )
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    pc = pc.persist()
+    n_df = pc.agg(F.sum("c12").alias("n"))
+    c12 = pc.filter(F.col("c12") >= _PMI_MIN_COUNT)
+    c1 = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    c2 = pc.groupBy("w2").agg(F.sum("c12").alias("c2"))
     scored = (
         c12.join(c1, "w1")
         .join(c2, "w2")
@@ -977,9 +995,10 @@ def q_pmi_bigrams(spark, sf_dir):
             ).alias("pmi"),
         )
     )
-    return scored.orderBy(
-        F.col("pmi").desc(), "w1", "w2"
-    ).limit(_PMI_TOPK)
+    out = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(
+        _PMI_TOPK
+    )
+    return out, [pc]
 
 
 @register(

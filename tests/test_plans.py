@@ -1178,3 +1178,31 @@ def test_r8_key_plan_shapes(spark):
     p = plan("q_brown_forsythe")
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p[:1500]
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_pmi_bigrams_single_pass_no_window(spark, sf_dir):
+    """q_pmi_bigrams (round-8 modernization): ONE documents scan —
+    N and both marginals derive from the persisted bigram-count table,
+    never from re-executed corpus branches — and the bigram stream is
+    an array-side slice/zip with NO per-doc window (the old lead()
+    spelling paid a doc_id shuffle before the counts).  The lazy
+    dataflow is gated (the registered key returns a checkpoint)."""
+    import re
+
+    from pfithic_spark.registry import pmi_bigrams_lazy
+
+    out, invariants = pmi_bigrams_lazy(spark, sf_dir)
+    try:
+        plan = _plan(out)
+    finally:
+        for inv in invariants:
+            inv.unpersist()
+    # the InMemoryRelation detail blocks reprint the cached subtree's
+    # scan once per cache reader; every textual scan must be such a
+    # reprint — equal counts means no scan outside the cache
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    caches = len(re.findall(r"\(\d+\) InMemoryTableScan", plan))
+    assert caches >= 4, plan[:1200]  # n, c12-filter, c1, c2 readers
+    assert scans <= caches, (scans, caches)
+    assert "Window" not in plan, "bigrams must not use a per-doc window"
+    assert "TakeOrderedAndProject" in plan
