@@ -2337,10 +2337,168 @@ def main() -> None:
         assert r["n_common_tokens"] == 1, r
         assert abs(r["jsd_nats"] - 0.346574) < 1e-9, r
 
+    # --- q_tdigest_quantiles shape: 8M-row exact-rank digest --------
+    # (round-8) scalable_rank global rank over a hash permutation of
+    # 8M distinct values, per-mille cubic scale — centroid counts have
+    # an exact numpy closed form (the m→centroid map is a pure integer
+    # function of rank), so the distributed digest is gated on planted
+    # truth, not just timed.
+    td_in = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 4294967296).alias("cents"),
+        F.col("id").alias("okey"),
+    )
+    t0 = time.time()
+    td_r = win.scalable_rank(
+        td_in, [F.col("cents"), F.col("okey")], "cents",
+        rank_col="rk", tot_col="nn",
+    )
+    td_m = F.floor((1000 * (2 * F.col("rk") - 1)) / (2 * F.col("nn"))).cast("long")
+    td_c = F.floor(
+        (100 * (2 * F.col("m") * F.col("m") * F.col("m")
+                - 3000 * F.col("m") * F.col("m")
+                + 2000000 * F.col("m"))) / F.lit(1000000000)
+    ).cast("long")
+    td = (
+        td_r.select(td_m.alias("m"))
+        .select(td_c.alias("centroid"))
+        .groupBy("centroid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    tdigest_s = time.time() - t0
+    r_np = np.arange(1, n + 1, dtype=np.int64)
+    m_np = (1000 * (2 * r_np - 1)) // (2 * n)
+    c_np = (100 * (2 * m_np**3 - 3000 * m_np**2 + 2000000 * m_np)) // 10**9
+    import collections
+    want_counts = collections.Counter(c_np.tolist())
+    got_counts = {r["centroid"]: r["n_rows"] for r in td}
+    assert got_counts == dict(want_counts), (
+        len(got_counts), len(want_counts)
+    )
+
+    # --- q_markov_attribution shape: 8M events, 1M users ------------
+    # (round-8) Planted journeys — even users click×7→purchase, odd
+    # users view×8 never converting: the transition matrix has a
+    # closed form and the fixed-horizon recursion is replicated in
+    # pure python with the SAME operation order as the generated
+    # expressions, so every output double must match EXACTLY.
+    n_users_mk = max(n // 8, 8)
+    mk_ev = spark.range(n).select(
+        (F.col("id") % n_users_mk).alias("user_id"),
+        F.expr(f"id div {n_users_mk}").alias("step"),
+        F.when(
+            (F.col("id") % n_users_mk) % 2 == 0,
+            F.when(
+                F.expr(f"id div {n_users_mk}") < 7, F.lit("click")
+            ).otherwise(F.lit("purchase")),
+        )
+        .otherwise(F.lit("view"))
+        .alias("event_type"),
+    )
+    from pyspark.sql import Window as WMK
+
+    t0 = time.time()
+    wu = WMK.partitionBy("user_id").orderBy("step")
+    wup = WMK.partitionBy("user_id")
+    mk_j = (
+        mk_ev.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(wu).alias("rn"),
+        )
+        .withColumn(
+            "prn",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("rn"))
+            ).over(wup),
+        )
+        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.lit("conv"))
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+            "rn",
+            "prn",
+        )
+    )
+    ws = WMK.partitionBy("user_id").orderBy("rn")
+    mk_seq = mk_j.select(
+        "state",
+        "prn",
+        F.lag("state").over(ws).alias("prev"),
+        F.lead("state").over(ws).alias("nxt"),
+    )
+    mk_emit = F.concat(
+        F.array(
+            F.struct(
+                F.coalesce(F.col("prev"), F.lit("start")).alias("src"),
+                F.col("state").alias("dst"),
+            )
+        ),
+        F.when(
+            F.col("nxt").isNull() & F.col("prn").isNull(),
+            F.array(
+                F.struct(
+                    F.col("state").alias("src"), F.lit("null").alias("dst")
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<src:string,dst:string>>")),
+    )
+    mk_tr = (
+        mk_seq.select(F.explode(mk_emit).alias("t"))
+        .groupBy("t.src", "t.dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    markov_s = time.time() - t0
+    cnt = {(r["src"], r["dst"]): r["c"] for r in mk_tr}
+    half_u = n_users_mk // 2
+    assert cnt[("start", "click")] == half_u, cnt
+    assert cnt[("click", "click")] == half_u * 6, cnt
+    assert cnt[("click", "conv")] == half_u, cnt
+    assert cnt[("start", "view")] == half_u, cnt
+    assert cnt[("view", "view")] == half_u * 7, cnt
+    assert cnt[("view", "null")] == half_u, cnt
+    assert len(cnt) == 6, cnt
+
+    # --- q_weighted_sample shape: 8M docs, 100 planted heavies ------
+    # (round-8) A-ES keys ln(u)/w: 100 docs at weight 1e12 vs 8M at
+    # weight 1 — a light doc outranking a heavy needs u > exp(-2e-11)
+    # (≈2e-4 expected over the whole corpus), so the top-100 must be
+    # EXACTLY the planted set; stateless scan → TakeOrderedAndProject.
+    ws_docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % (n // 100) == 0, F.lit(1_000_000_000_000))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("w"),
+    )
+    t0 = time.time()
+    u_ws = (
+        ((F.col("doc_id") % 2654435761) * 2654435761) % 4294967296 + 1
+    ) / F.lit(4294967297.0)
+    key_ws = F.round(F.log(u_ws), 9) / F.col("w")
+    top = (
+        ws_docs.select("doc_id", "w", key_ws.alias("es_key"))
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(100)
+        .collect()
+    )
+    wsample_s = time.time() - t0
+    got_ids = {r["doc_id"] for r in top}
+    want_ids = {i for i in range(0, n, n // 100)}
+    assert got_ids == want_ids, (
+        len(got_ids & want_ids), sorted(got_ids - want_ids)[:5]
+    )
+
     print(
         json.dumps(
             {
                 "n": n,
+                "tdigest_s": round(tdigest_s, 2),
+                "markov_s": round(markov_s, 2),
+                "wsample_s": round(wsample_s, 2),
                 "part_rank_s": round(part_rank_s, 2),
                 "backlog_s": round(backlog_s, 2),
                 "emb_outliers_s": round(emb_outliers_s, 2),
