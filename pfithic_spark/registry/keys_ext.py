@@ -298,51 +298,83 @@ def q_bm25(spark, sf_dir):
     for a fixed query term set — the classic lexical scorer behind
     search/contamination tooling.
 
-    Physically: tokenization is narrow; tf is an aggregation keyed on
-    (doc_id, term) AFTER a broadcast semi-join against the tiny query
-    term set (the corpus-wide token stream is filtered to query terms
-    before any shuffle); df/N/avg_dl are small aggregates broadcast
-    back.  Nothing joins corpus-to-corpus.  Determinism: each
-    doc-term score is one fixed-order IEEE expression rounded to 9 dp,
-    then DECIMAL-summed per doc (FIXTURES.md §7)."""
+    Physically (round-8 modernization; the original exploded the
+    token stream TWICE — once for document lengths, once for query-term
+    frequencies — then paid a doc-keyed shuffle join to reunite them):
+    ONE corpus pass now computes dl AND the per-term tf columns as
+    conditional aggregates of the same doc_id groupBy (the query set is
+    a fixed literal, so tf pivots into named columns for free); the
+    doc-grain wide table is persisted (4 ints per doc — far smaller
+    than the token stream it replaces) and feeds both the scalar
+    stats/df aggregate and the scoring pass, so nothing joins
+    corpus-to-corpus and no second explode ever runs.  Determinism:
+    each doc-term score is one fixed-order IEEE expression rounded to
+    9 dp, then DECIMAL-added across the (fixed, named) term columns
+    (FIXTURES.md §7)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(llmops.tokens_col("text")).alias("w")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats_df = dl.agg(
+    wide = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, 1)).alias(f"tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    # doc-grain invariant read by two consumers (stats and scoring);
+    # output is corpus-keyed, so the shared keep-4 eviction pool owns
+    # the release (q_lm_score discipline)
+    wide = llmops._track_sig_cache(wide.persist())
+    stats_df = wide.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
-    q = spark.createDataFrame(
-        [(t,) for t in _BM25_TERMS], "w string"
-    )
-    tf = (
-        toks.join(F.broadcast(q), "w")
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log(
-        (F.col("n_docs").cast("double") - F.col("df") + 0.5)
-        / (F.col("df") + 0.5)
-        + 1.0
-    )
-    denom = F.col("tf") + _BM25_K1 * (
-        1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avg_dl"))
-    )
-    term_score = F.round(
-        idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom, 9
-    ).cast("decimal(28,9)")
-    scored = (
-        tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats_df))
-        .select("doc_id", term_score.alias("term_score"))
-    )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.round(F.sum("term_score").cast("double"), 6).alias("bm25"),
+
+    def term_score(i):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = tf + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * (F.col("dl") / F.col("avg_dl"))
+        )
+        score = F.round(idf * (tf * (_BM25_K1 + 1.0)) / denom, 9).cast(
+            "decimal(28,9)"
+        )
+        return F.when(tf > 0, score).otherwise(
+            F.lit(0).cast("decimal(28,9)")
+        )
+
+    hits = [
+        (F.col(f"tf_{i}") > 0).cast("long")
+        for i in range(len(_BM25_TERMS))
+    ]
+    total = term_score(0)
+    n_hit = hits[0]
+    for i in range(1, len(_BM25_TERMS)):
+        total = total + term_score(i)
+        n_hit = n_hit + hits[i]
+    return (
+        wide.crossJoin(F.broadcast(stats_df))
+        .filter(
+            sum(
+                [F.col(f"tf_{i}") for i in range(len(_BM25_TERMS))],
+                F.lit(0),
+            )
+            > 0
+        )
+        .select(
+            "doc_id",
+            n_hit.alias("n_terms_hit"),
+            F.round(total.cast("double"), 6).alias("bm25"),
+        )
     )
 
 

@@ -437,35 +437,47 @@ def q_lm_score(spark, sf_dir):
     log-probability (and the perplexity exp(-avg)).  The standard
     quality gate between raw crawl and training mix.
 
-    100 TB shape: two count aggregations (bigram and prefix counts —
-    inverted-index keys, never a pair join), a scalar vocab aggregate,
-    then equi-joins back to the per-doc bigram rows.  Determinism: the
-    per-bigram log-prob is a correctly-rounded double expression
-    rounded to 9 dp and summed as DECIMAL (order-independent exact
-    sum), so the per-doc average — and the oracle hash — is bit-stable
-    under any partition order (same discipline as q_corr_exact)."""
-    from pyspark.sql import Window as W
-
+    100 TB shape (round-8 modernization; the original built bigrams
+    with a per-doc lead() window — a doc_id shuffle before any
+    counting — and re-executed the unpersisted bigram stream THREE
+    times for c12, c1 and the scoring join): bigrams now come from an
+    array-side slice/zip (narrow, zero-shuffle, the q_pmi_bigrams
+    spelling), the (w1, w2) count table is built once and PERSISTED
+    (bounded by co-occurring vocabulary, not corpus size), and the
+    prefix counts derive from it exactly (c1 = Σ_w2 c12 — both count
+    the same unfiltered stream).  The scoring pass re-reads the narrow
+    bigram branch (scan + split + zip, no shuffle — recomputation is
+    cheaper than persisting a corpus-sized table) and equi-joins the
+    vocabulary-bounded model.  Determinism: the per-bigram log-prob is
+    a correctly-rounded double expression rounded to 9 dp and summed
+    as DECIMAL (order-independent exact sum), so the per-doc average —
+    and the oracle hash — is bit-stable under any partition order
+    (same discipline as q_corr_exact)."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
+    arr = F.split(llmops.norm_text("text"), " ")
+    bi = d.select(
         F.col("doc_id"),
-        F.posexplode(F.split(llmops.norm_text("text"), " ")).alias(
-            "pos", "w1"
-        ),
-    )
-    wspec = W.partitionBy("doc_id").orderBy("pos")
-    bi = (
-        t.select("doc_id", "w1", F.lead("w1", 1).over(wspec).alias("w2"))
-        .filter(F.col("w2").isNotNull())
-    )
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("w1"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
     # one tokenization definition (llmops.tokens_col == the oracle's
     # STRING_SPLIT(LOWER(TRIM(text)), ' ')) for vocab and bigrams alike
     toks = d.select(F.explode(llmops.tokens_col("text")).alias("w"))
     vocab = toks.agg(F.countDistinct("w").alias("vocab"))
-    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # vocabulary-bounded model table read by three consumers (c1, the
+    # scoring join's build side twice); the output is corpus-keyed so
+    # there is no bounded materialization point to unpersist behind —
+    # registered in the shared eviction pool instead (keep-4, the LSH
+    # signature-cache discipline)
+    pc = llmops._track_sig_cache(pc.persist())
+    c1 = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
-        bi.join(c12, ["w1", "w2"])
+        bi.join(pc, ["w1", "w2"])
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(

@@ -741,11 +741,14 @@ def test_sessionize_single_shuffle(spark, sf_dir, queries):
 
 
 def test_bm25_filters_through_broadcast(spark, sf_dir, queries):
-    """The corpus token stream must meet the query-term set through
-    broadcast joins (never a shuffle join against 3 terms), and the
-    whole scorer stays JVM-side."""
+    """The query-term set is a fixed literal, so (round-8) tf pivots
+    into conditional aggregates of the SAME doc_id groupBy that counts
+    document length — the token stream never joins anything (the r4
+    spelling broadcast-joined the 3-term set, then shuffle-joined tf
+    back to dl doc-by-doc), and the whole scorer stays JVM-side."""
     plan = _plan(queries["q_bm25"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
 
 
@@ -1206,3 +1209,46 @@ def test_pmi_bigrams_single_pass_no_window(spark, sf_dir):
     assert scans <= caches, (scans, caches)
     assert "Window" not in plan, "bigrams must not use a per-doc window"
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_single_pass_no_fact_join(spark, sf_dir):
+    """q_bm25 (round-8 modernization): ONE token-stream pass — dl and
+    the per-term tf columns are conditional aggregates of the same
+    doc_id groupBy, the doc-grain wide table is cached, and the scalar
+    stats attach by broadcast — so the old doc-keyed tf-to-dl shuffle
+    join is gone.  Every textual parquet scan must be the cached
+    subtree's reprint (q_pmi_bigrams gate discipline)."""
+    import re
+
+    from __spark_entry__ import queries
+
+    out = queries()["q_bm25"](spark, sf_dir)
+    plan = _plan(out)
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    caches = len(re.findall(r"\(\d+\) InMemoryTableScan", plan))
+    assert caches >= 2, plan[:1200]  # stats reader + scoring reader
+    assert scans <= caches, (scans, caches)
+    assert "SortMergeJoin" not in plan, "no doc-keyed fact join"
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats attach
+
+
+def test_lm_score_no_window_model_cached(spark, sf_dir):
+    """q_lm_score (round-8 modernization): bigrams come from an
+    array-side slice/zip (NO per-doc lead() window — the old spelling
+    paid a doc_id shuffle before any counting), and the
+    vocabulary-bounded (w1, w2) model table is cached and feeds both
+    the prefix counts (c1 = sum of c12) and the scoring join.  The
+    narrow bigram branch recomputes for scoring (scan + split + zip,
+    zero shuffles) — so at most TWO live corpus scans (vocab + scoring)
+    appear beyond the cached subtree's reprints."""
+    import re
+
+    from __spark_entry__ import queries
+
+    out = queries()["q_lm_score"](spark, sf_dir)
+    plan = _plan(out)
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    caches = len(re.findall(r"\(\d+\) InMemoryTableScan", plan))
+    assert caches >= 2, plan[:1200]  # c1 reader + scoring-join reader
+    assert scans <= 2 + caches, (scans, caches)
+    assert "Window" not in plan, "bigrams must not use a per-doc window"
