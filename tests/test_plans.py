@@ -1252,3 +1252,52 @@ def test_lm_score_no_window_model_cached(spark, sf_dir):
     assert caches >= 2, plan[:1200]  # c1 reader + scoring-join reader
     assert scans <= 2 + caches, (scans, caches)
     assert "Window" not in plan, "bigrams must not use a per-doc window"
+
+
+def test_r8b_key_plan_shapes(spark, sf_dir, queries):
+    """§2.21 performance claims pinned to physical plans:
+    (a) q_roc_auc / q_mcnemar / q_calibration_bins / q_feature_hash
+        are single-scan, join-free plans (value/customer/decile/vocab
+        grain aggregation only);
+    (b) q_split_information_gain reads lineitem ONCE (inline-array
+        explode, not a unionAll double-scan) and its windows run on
+        the bounded feature-value grain;
+    (c) q_hll_sketch touches events exactly twice (registers + the
+        exact-count certification column) with broadcast-only joins;
+    (d) q_silhouette_score broadcasts the codebook onto the component
+        stream — vectors never join vectors;
+    (e) q_ndcg plans no shuffle join and one parquet scan.
+    Everything stays JVM-side (no EvalPython anywhere)."""
+    import re
+
+    def plan(key):
+        df = queries[key](spark, sf_dir)
+        return _plan(df)
+
+    def scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    for k in ("q_roc_auc", "q_mcnemar", "q_calibration_bins",
+              "q_feature_hash"):
+        p = plan(k)
+        assert scans(p) == 1, (k, p[:1200])
+        assert "Join" not in p, k
+        assert "EvalPython" not in p, k
+
+    p = plan("q_split_information_gain")
+    assert scans(p) == 1, p[:1500]
+    assert "Generate" in p  # the 2-feature inline explode
+    assert "Join" not in p
+
+    p = plan("q_hll_sketch")
+    assert scans(p) == 2, p[:1500]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+    p = plan("q_silhouette_score")
+    assert scans(p) == 2, p[:1500]  # embeddings + codebook parquet
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+    p = plan("q_ndcg")
+    assert scans(p) == 1, p[:1500]
+    assert "SortMergeJoin" not in p and "EvalPython" not in p

@@ -1,0 +1,400 @@
+"""Round-8 §2.21 key edge cases the sf fixtures cannot reach —
+closed-form planted inputs for the evaluation-metric / feature-
+engineering / sketch keys (keys_r8b.py)."""
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _knuth(x: int) -> int:
+    return ((x % 2654435761) * 2654435761) % 4294967296
+
+
+def _md5_digit(s: str, pos: int) -> int:
+    ch = hashlib.md5(s.encode()).hexdigest()[pos - 1]
+    a = ord(ch)
+    return a - 87 if a >= 97 else a - 48
+
+
+def _write_orders(spark, sf, rows):
+    """rows: (okey, custkey, date_str, totalprice, priority, status)"""
+    (
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, d string, "
+            "o_totalprice double, o_orderpriority string, "
+            "o_orderstatus string",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("d").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/orders.parquet")
+    )
+
+
+def _write_documents(spark, sf, rows):
+    """rows: (doc_id, text, source)"""
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{sf}/documents.parquet")
+    )
+
+
+def test_roc_auc_half_weight_ties(spark, tmp_path):
+    """Scores (cents) [100−, 200−, 200+, 300+]: U = 1.5 + 2 = 3.5
+    (the tied 200 pair counts half), AUC = 3.5/4 = 0.875, two_u=7."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    _write_orders(
+        spark,
+        sf,
+        [
+            (1, 1, "1997-01-01", 1.00, "5-LOW", "O"),
+            (2, 1, "1997-01-01", 2.00, "5-LOW", "O"),
+            (3, 1, "1997-01-01", 2.00, "1-URGENT", "O"),
+            (4, 1, "1997-01-01", 3.00, "1-URGENT", "O"),
+        ],
+    )
+    r = e.queries()["q_roc_auc"](spark, sf).collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["two_u"]) == (2, 2, 7)
+    assert r["auc"] == 0.875
+
+
+def test_roc_auc_single_class_is_null(spark, tmp_path):
+    """An all-positive corpus has no ranking to grade — NULL, not a
+    divide-by-zero throw (§8.17)."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    _write_orders(
+        spark, sf, [(1, 1, "1997-01-01", 1.00, "1-URGENT", "O")]
+    )
+    r = e.queries()["q_roc_auc"](spark, sf).collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_mcnemar_discordant_closed_form(spark, tmp_path):
+    """n10=1, n01=3 → chi2_cc = (|1−3|−1)²/4 = 0.25, not significant;
+    the both-years and neither-year customers are concordant noise."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    rows = [
+        # c1: urgent 1995 only  -> n10
+        (1, 1, "1995-06-01", 1.0, "1-URGENT", "O"),
+        (2, 1, "1996-06-01", 1.0, "5-LOW", "O"),
+        # c2..c4: urgent 1996 only -> n01 ×3
+        (3, 2, "1996-06-01", 1.0, "1-URGENT", "O"),
+        (4, 3, "1996-06-01", 1.0, "1-URGENT", "O"),
+        (5, 4, "1996-06-01", 1.0, "1-URGENT", "O"),
+        # c5: both years (concordant)
+        (6, 5, "1995-06-01", 1.0, "1-URGENT", "O"),
+        (7, 5, "1996-06-01", 1.0, "1-URGENT", "O"),
+        # c6: neither (non-urgent both years)
+        (8, 6, "1995-06-01", 1.0, "5-LOW", "O"),
+    ]
+    _write_orders(spark, sf, rows)
+    r = e.queries()["q_mcnemar"](spark, sf).collect()[0]
+    assert (r["n_subjects"], r["n10"], r["n01"]) == (6, 1, 3)
+    assert r["chi2_cc"] == 0.25 and r["significant"] is False
+
+
+def test_mcnemar_all_concordant_is_null(spark, tmp_path):
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    _write_orders(
+        spark, sf, [(1, 1, "1995-06-01", 1.0, "1-URGENT", "O"),
+                    (2, 1, "1996-06-01", 1.0, "1-URGENT", "O")]
+    )
+    r = e.queries()["q_mcnemar"](spark, sf).collect()[0]
+    assert r["chi2_cc"] is None and r["significant"] is None
+
+
+def test_target_encoding_smoothing_closed_form(spark, tmp_path):
+    """Cell A: 2 customers, 1 positive; cell B: 2 customers, 0.
+    prior = 1/4; enc_A = (1 + 10/4)/12 = 7/24, enc_B = (10/4)/12 =
+    5/24 — exact rational chains both reachable as doubles."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    (
+        spark.createDataFrame(
+            [
+                (1, "AUTO", 0),
+                (2, "AUTO", 0),
+                (3, "BLDG", 1),
+                (4, "BLDG", 1),
+            ],
+            "c_custkey long, c_mktsegment string, c_nationkey int",
+        )
+        .withColumn("c_acctbal", F.lit(0.0))
+        .write.mode("overwrite")
+        .parquet(f"{sf}/customer.parquet")
+    )
+    _write_orders(
+        spark, sf, [(1, 1, "1997-01-01", 1.0, "1-URGENT", "O")]
+    )
+    out = {
+        r["segment"]: r
+        for r in e.queries()["q_target_encoding"](spark, sf).collect()
+    }
+    a, b = out["AUTO"], out["BLDG"]
+    assert (a["n_cust"], a["n_pos"]) == (2, 1)
+    assert (b["n_cust"], b["n_pos"]) == (2, 0)
+    assert a["enc"] == (1.0 + 10 * 0.25) / 12.0
+    assert b["enc"] == (10 * 0.25) / 12.0
+
+
+def test_split_information_gain_perfect_split(spark, tmp_path):
+    """discount 0 → never returned, discount 0.10 → always returned
+    (balanced): IG at threshold 0 is the full parent entropy ln 2;
+    the constant quantity feature yields NO split rows (nl < n)."""
+    import __spark_entry__ as e
+
+    rows = []
+    for i, (disc, flag) in enumerate(
+        [(0.0, "N"), (0.0, "N"), (0.10, "R"), (0.10, "R")]
+    ):
+        rows.append((1, i, 5.0, disc, flag))
+    (
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber int, l_quantity double, "
+            "l_discount double, l_returnflag string",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/lineitem.parquet")
+    )
+    out = e.queries()["q_split_information_gain"](
+        spark, str(tmp_path)
+    ).collect()
+    by_feat = {}
+    for r in out:
+        by_feat.setdefault(r["feature"], []).append(r)
+    assert "quantity" not in by_feat  # single value → no valid split
+    (d0,) = by_feat["discount"]
+    assert d0["threshold"] == 0 and d0["n_left"] == 2
+    assert d0["pos_left"] == 0
+    assert float(d0["info_gain"]) == round(math.log(2.0), 9)
+
+
+def test_calibration_bins_single_row_closed_form(spark, tmp_path):
+    """One order: p6 = (knuth(k)·10⁶) div 2³², brier =
+    (p6 − y·10⁶)²/10¹² — replicated exactly in python ints."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    _write_orders(spark, sf, [(7, 1, "1997-01-01", 1.0, "5-LOW", "F")])
+    p6 = (_knuth(7) * 1000000) // 4294967296
+    r = e.queries()["q_calibration_bins"](spark, sf).collect()[0]
+    assert r["bin"] == p6 // 100000 and r["n"] == 1
+    assert r["mean_pred"] == p6 / 1e6
+    assert r["obs_rate"] == 1.0
+    sq = (p6 - 1000000) ** 2
+    want = ((sq // 4294967296) * 4294967296.0 + (sq % 4294967296)) / 1e12
+    assert r["brier"] == want
+
+
+def test_feature_hash_buckets_match_python_md5(spark, tmp_path):
+    """'alpha alpha beta': bucket(w) = 3 MD5 hex digits mod 512,
+    replicated in python; counts exact."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    _write_documents(spark, sf, [(1, "alpha alpha beta", "s0")])
+
+    def bucket(w):
+        return (
+            _md5_digit(w, 1) * 256 + _md5_digit(w, 2) * 16 + _md5_digit(w, 3)
+        ) % 512
+
+    out = {
+        r["bucket"]: (r["n_distinct"], r["n_tokens"])
+        for r in e.queries()["q_feature_hash"](spark, sf).collect()
+    }
+    want = {}
+    for w, c in [("alpha", 2), ("beta", 1)]:
+        b = bucket(w)
+        nd, nt = want.get(b, (0, 0))
+        want[b] = (nd + 1, nt + c)
+    assert out == want
+
+
+def test_token_chi2_perfect_separator(spark, tmp_path):
+    """Token 'hot' in all 5 docs of source A and none of B's 5:
+    chi2 = 10·(5·5−0)²/(5·5·5·5) = 10 for both sources; a token in
+    EVERY doc is excluded (df_w < n)."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    docs = []
+    for i in range(5):
+        docs.append((i, "hot common x" + str(i), "A"))
+    for i in range(5, 10):
+        docs.append((i, "cold common x" + str(i), "B"))
+    _write_documents(spark, sf, docs)
+    out = e.queries()["q_token_chi2"](spark, sf).collect()
+    toks = {(r["token"], r["source"]): r for r in out}
+    assert ("common", "A") not in toks  # df_w == n excluded
+    hot_a = toks[("hot", "A")]
+    assert hot_a["df_in_source"] == 5 and hot_a["df_total"] == 5
+    assert float(hot_a["chi2"]) == 10.0
+    assert float(toks[("cold", "B")]["chi2"]) == 10.0
+
+
+def test_cross_correlation_perfect_lead(spark, tmp_path):
+    """Urgent volume replays total volume one day later over the
+    overlap: xcorr at lag +1 is exactly 1.0 (integer-exact sums,
+    sqrt of a perfect square)."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    rows = []
+    okey = 0
+    x = [1, 2, 3, 9]  # total orders per day
+    y = [0, 1, 2, 3]  # urgent per day = x shifted by one
+    for d in range(4):
+        for j in range(x[d]):
+            okey += 1
+            pri = "1-URGENT" if j < y[d] else "5-LOW"
+            rows.append(
+                (okey, 1, f"1997-01-{d + 1:02d}", 1.0, pri, "O")
+            )
+    _write_orders(spark, sf, rows)
+    out = {
+        r["lag"]: r
+        for r in e.queries()["q_cross_correlation"](spark, sf).collect()
+    }
+    assert out[1]["n_days"] == 3
+    assert out[1]["xcorr"] == 1.0
+    # lags with no overlapping days emit no row at all (inner join)
+    assert -7 not in out and 7 not in out
+    # lag +3: single overlapping day → zero variance → NULL (§8.17)
+    assert out[3]["n_days"] == 1 and out[3]["xcorr"] is None
+
+
+def test_hll_sketch_registers_match_python(spark, tmp_path):
+    """Small user set: z_scaled and the linear-counting estimate are
+    replicated exactly in python ints (HALF_UP round of the ln term
+    per §8.8)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    users = [3, 17, 99, 12345, 999983]
+    (
+        spark.createDataFrame(
+            [(i, u) for i, u in enumerate(users)],
+            "event_id long, user_id long",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/events.parquet")
+    )
+    regs = {}
+    for u in set(users):
+        h = _knuth(u)
+        b, w = h // 16777216, h % 16777216
+        rho = 25 if w == 0 else 25 - len(bin(w)[2:])
+        regs[b] = max(regs.get(b, 0), rho)
+    z = sum(1 << (32 - regs.get(b, 0)) for b in range(256))
+    n_zero = 256 - len(regs)
+    r = e.queries()["q_hll_sketch"](spark, sf).collect()[0]
+    assert (r["m"], r["n_zero"], r["z_scaled"], r["n_exact"]) == (
+        256,
+        n_zero,
+        z,
+        len(set(users)),
+    )
+    e_raw = (0.7213 / (1 + 1.079 / 256)) * 65536.0 * 4294967296.0 / z
+    if e_raw <= 640.0 and n_zero > 0:
+        ln9 = float(
+            Decimal(repr(math.log(256.0 / n_zero))).quantize(
+                Decimal("1e-9"), ROUND_HALF_UP
+            )
+        )
+        assert r["estimate"] == 256.0 * ln9
+    else:
+        assert r["estimate"] == e_raw
+
+
+def test_countmin_estimate_bounds(spark, tmp_path):
+    """CM estimates never undercount; with a single-token vocabulary
+    the estimate is exact."""
+    import __spark_entry__ as e
+
+    sf = str(tmp_path)
+    _write_documents(spark, sf, [(1, "solo solo solo", "s0")])
+    r = e.queries()["q_countmin_sketch"](spark, sf).collect()
+    assert len(r) == 1
+    assert r[0]["token"] == "solo" and r[0]["exact_count"] == 3
+    assert r[0]["cm_estimate"] == 3 and r[0]["overcount"] == 0
+
+
+def test_ndcg_uniform_gains_is_one_and_zero_gain_null(spark, tmp_path):
+    """All retrieved docs share one grade → ideal ordering == retrieved
+    ordering → NDCG exactly 1.0; an all-grade-0 group → NULL."""
+    import __spark_entry__ as e
+
+    # custkeys with h%4 == 3 (gain 7) for nation 0; h%4 == 0 for nation 1
+    g3 = [k for k in range(1, 4000) if _knuth(k) % 4 == 3][:5]
+    g0 = [k for k in range(1, 4000) if _knuth(k) % 4 == 0][:5]
+    rows = [(k, "S", 0, float(k)) for k in g3] + [
+        (k, "S", 1, float(k)) for k in g0
+    ]
+    (
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_mktsegment string, c_nationkey int, "
+            "c_acctbal double",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/customer.parquet")
+    )
+    out = {
+        r["nationkey"]: r
+        for r in e.queries()["q_ndcg"](spark, str(tmp_path)).collect()
+    }
+    assert out[0]["n_ranked"] == 5 and out[0]["ndcg"] == 1.0
+    assert out[1]["ndcg"] is None and float(out[1]["idcg"]) == 0.0
+
+
+def test_silhouette_vector_on_centroid(spark, tmp_path):
+    """A vector planted (in float32) on frozen centroid 0 lands in
+    cluster 0 with silhouette ≈ 1 (a ≈ 0 up to float32 rounding)."""
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from pfithic_spark.registry.keys_r8b import _SIL_CENTROIDS_PATH
+
+    cb = pd.read_parquet(_SIL_CENTROIDS_PATH).sort_values("cell")
+    c0 = [float(np.float32(v)) for v in cb.iloc[0]["centroid"]]
+    (
+        spark.createDataFrame(
+            pd.DataFrame({"vec_id": [1], "embedding": [c0], "label": [0]}),
+            "vec_id long, embedding array<float>, label int",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    )
+    r = e.queries()["q_silhouette_score"](spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["cluster"] == 0
+    assert r[0]["n_vecs"] == 1
+    assert r[0]["mean_silhouette"] > 0.999
