@@ -1456,3 +1456,508 @@ def q_silhouette_score(spark, sf_dir):
             )
         ).alias("mean_silhouette"),
     )
+
+
+# ========================================================================
+# q_cochran_armitage — trend-in-proportions across ordered categories
+# ========================================================================
+
+#: N(0,1) two-sided 0.95 critical value (frozen pure-math literal).
+_CA_CRIT = 1.959963984540054
+
+
+@register(
+    "q_cochran_armitage",
+    oracle=f"""
+WITH g AS (
+  SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r_g
+  FROM orders GROUP BY 1
+),
+s AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(r_g) AS BIGINT) AS r,
+         CAST(SUM(w * n_g) AS BIGINT) AS swn,
+         CAST(SUM(w * r_g) AS BIGINT) AS swr,
+         CAST(SUM(w * w * n_g) AS BIGINT) AS sw2n
+  FROM g
+),
+c AS (
+  SELECT n, r, swn, swr, sw2n,
+         CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+         CAST(swr AS DOUBLE)
+           - (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+             * CAST(swn AS DOUBLE) AS num,
+         (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+           * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(sw2n AS DOUBLE)
+              - (CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE))
+                / CAST(n AS DOUBLE)) AS var
+  FROM s
+)
+SELECT n, r, swr,
+       CASE WHEN var <= 0 THEN NULL ELSE num / SQRT(var) END AS z,
+       CASE WHEN var <= 0 THEN NULL
+            ELSE ABS(num / SQRT(var)) > {_CA_CRIT!r} END AS significant
+FROM c
+""",
+)
+def q_cochran_armitage(spark, sf_dir):
+    """Cochran–Armitage trend test: does the order-failure proportion
+    trend MONOTONICALLY across the five ordered priorities (scores
+    1..5 from the priority prefix digit)?  The dose-response test a
+    plain chi-square (q_chi_square) cannot express — chi² sees
+    association, this sees DIRECTION, with one degree of freedom.
+
+    100 TB shape: one 5-cell conditional aggregate (map-side
+    combinable), then scalar algebra — no joins, no windows.
+    Determinism: every sufficient statistic is an exact int64 (Σw·n ≤
+    5N — 40 margin bits at 8 M), the z statistic is one fixed-order
+    double chain over hardware-exact casts (divisions and sqrt are
+    IEEE-correctly-rounded in both engines — no libm terms, rule 22
+    does not apply), NULL when the outcome is constant (§8.17)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum((F.col("o_orderstatus") == "F").cast("int"))
+        .cast("long")
+        .alias("r_g"),
+    )
+    s = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("r_g").cast("long").alias("r"),
+        F.sum(F.col("w") * F.col("n_g")).cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("r_g")).cast("long").alias("swr"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_g"))
+        .cast("long")
+        .alias("sw2n"),
+    )
+    nd = F.col("n").cast("double")
+    pbar = F.col("r").cast("double") / nd
+    num = F.col("swr").cast("double") - pbar * F.col("swn").cast("double")
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("sw2n").cast("double")
+            - (
+                F.col("swn").cast("double") * F.col("swn").cast("double")
+            )
+            / nd
+        )
+    )
+    z = num / F.sqrt(var)
+    return s.select(
+        "n",
+        "r",
+        "swr",
+        F.when(var <= 0, F.lit(None).cast("double")).otherwise(z).alias(
+            "z"
+        ),
+        F.when(var <= 0, F.lit(None).cast("boolean"))
+        .otherwise(F.abs(z) > _CA_CRIT)
+        .alias("significant"),
+    )
+
+
+# ========================================================================
+# q_cliffs_delta — ordinal effect size between two cohorts
+# ========================================================================
+
+
+@register(
+    "q_cliffs_delta",
+    oracle="""
+WITH t AS (
+  SELECT value AS v, user_id % 2 AS grp FROM events
+  WHERE value IS NOT NULL
+),
+g AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1
+  FROM t GROUP BY v
+),
+r AS (
+  SELECT c0, c1,
+         COALESCE(SUM(c1) OVER (
+           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum1_before
+  FROM g
+),
+s AS (
+  SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+         CAST(SUM(c1) AS BIGINT) AS n1,
+         CAST(SUM(c0 * (2 * cum1_before + c1)) AS BIGINT) AS two_u0
+  FROM r
+),
+d AS (
+  SELECT n0, n1,
+         CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+              ELSE CAST(two_u0 - n0 * n1 AS DOUBLE)
+                   / CAST(n0 * n1 AS DOUBLE) END AS delta
+  FROM s
+)
+SELECT n0, n1, delta,
+       CASE WHEN delta IS NULL THEN NULL
+            WHEN ABS(delta) < 0.147 THEN 'negligible'
+            WHEN ABS(delta) < 0.33 THEN 'small'
+            WHEN ABS(delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+""",
+)
+def q_cliffs_delta(spark, sf_dir):
+    """Cliff's delta between the two event cohorts: the ORDINAL effect
+    size P(x>y) − P(x<y) — what q_cohens_d's standardized mean
+    difference overstates under skew/outliers, and the size statistic
+    to report NEXT TO q_mann_whitney's significance (significance at
+    8 M rows is free; size is the decision input).  Romano bands
+    classify the magnitude.
+
+    100 TB shape: the q_mann_whitney value-grain machinery verbatim —
+    ONE groupBy to value grain, a prefix sum over the bounded grain
+    (windows.scalable_cumsum is the continuous swap), scalar census.
+    Determinism: 2U₀ = Σ c₀·(2·cum₁ + c₁) counts ties at half weight
+    exactly (δ = (2U₀ − n₀n₁)/(n₀n₁) — all int64), ONE final division;
+    the band cuts compare identical doubles against frozen literals;
+    single-cohort input yields NULL (§8.17)."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.filter(F.col("value").isNotNull()).select(
+        F.col("value").alias("v"), (F.col("user_id") % 2).alias("grp")
+    )
+    g = t.groupBy("v").agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "c0",
+        "c1",
+        F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("cum1_before"),
+    )
+    s = r.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("c0") * (2 * F.col("cum1_before") + F.col("c1")))
+        .cast("long")
+        .alias("two_u0"),
+    )
+    degenerate = (F.col("n0") == 0) | (F.col("n1") == 0)
+    delta = (
+        F.col("two_u0") - F.col("n0") * F.col("n1")
+    ).cast("double") / (F.col("n0") * F.col("n1")).cast("double")
+    d = s.select(
+        "n0",
+        "n1",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(delta)
+        .alias("delta"),
+    )
+    mag = (
+        F.when(F.col("delta").isNull(), F.lit(None).cast("string"))
+        .when(F.abs(F.col("delta")) < 0.147, "negligible")
+        .when(F.abs(F.col("delta")) < 0.33, "small")
+        .when(F.abs(F.col("delta")) < 0.474, "medium")
+        .otherwise("large")
+    )
+    return d.select("n0", "n1", "delta", mag.alias("magnitude"))
+
+
+# ========================================================================
+# q_ab_srm — sample-ratio-mismatch check on a hash split
+# ========================================================================
+
+#: chi2(0.999, df=1) — SRM checks alarm at 0.001, not 0.05 (an SRM is
+#: a BUG signal, not a hypothesis; industry-standard threshold).
+_SRM_CRIT = 10.827566170662733
+
+
+@register(
+    "q_ab_srm",
+    oracle=f"""
+WITH assign AS (
+  SELECT CASE WHEN ((c_custkey % 2654435761) * 2654435761)
+                   % 4294967296 % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM customer
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM assign
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a + n_b = 0 THEN NULL
+            ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE) END AS chi2,
+       CASE WHEN n_a + n_b = 0 THEN NULL
+            ELSE CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+                 / CAST(n_a + n_b AS DOUBLE) > {_SRM_CRIT!r} END
+         AS srm_detected
+FROM s
+""",
+)
+def q_ab_srm(spark, sf_dir):
+    """Sample-ratio-mismatch check of a 50/50 hash split — the FIRST
+    validity gate any experimentation pipeline runs before reading a
+    metric: chi² goodness-of-fit of the realized A/B counts against
+    the designed ratio (for 50/50 it reduces to (n_A−n_B)²/N, df=1),
+    alarmed at 0.001 (an SRM is a telemetry/assignment BUG signal, not
+    a hypothesis test).  The split is the same deterministic Knuth-
+    hash assignment q_train_test_split ships, so this key certifies
+    that assignment's balance.
+
+    100 TB shape: one map-side-combinable scalar census — no joins.
+    Determinism: exact int64 until ONE division (§8.21 hardware-exact
+    casts); frozen chi²(0.999, 1) literal; NULL on empty input
+    (§8.17)."""
+    c = load_table(spark, sf_dir, "customer")
+    arm = F.when(
+        llmops.knuth_hash("c_custkey") % 2 == 0, "A"
+    ).otherwise("B")
+    s = c.select(arm.alias("arm")).agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("long").alias("n_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("long").alias("n_b"),
+    )
+    tot = F.col("n_a") + F.col("n_b")
+    diff = F.col("n_a") - F.col("n_b")
+    chi2 = (diff * diff).cast("double") / tot.cast("double")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.when(tot == 0, F.lit(None).cast("double"))
+        .otherwise(chi2)
+        .alias("chi2"),
+        F.when(tot == 0, F.lit(None).cast("boolean"))
+        .otherwise(chi2 > _SRM_CRIT)
+        .alias("srm_detected"),
+    )
+
+
+# ========================================================================
+# q_granger_lag1 — lag-1 Granger causality on the day grain
+# ========================================================================
+
+#: F(0.95; 1, inf) = chi2(0.95, 1) — frozen asymptotic verdict literal
+#: (the q_brown_forsythe convention: T-3 is ~2,400 at the day grain,
+#: indistinguishable from the asymptote at 3 decimals).
+_GRANGER_CRIT = 3.841458820694124
+
+
+@register(
+    "q_granger_lag1",
+    oracle="""
+WITH d AS (
+  SELECT EPOCH_US(o_orderdate) // 86400000000 AS dayidx,
+         CAST(COUNT(*) AS BIGINT) AS y,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+p AS (
+  SELECT cur.y AS yy, prev.y AS l, prev.x AS xx
+  FROM d cur JOIN d prev ON cur.dayidx = prev.dayidx + 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(yy) AS BIGINT) AS sy,
+         CAST(SUM(l) AS BIGINT) AS sl,
+         CAST(SUM(xx) AS BIGINT) AS sx,
+         CAST(SUM((yy * yy) // 4294967296) AS BIGINT) AS syy_hi,
+         CAST(SUM((yy * yy) % 4294967296) AS BIGINT) AS syy_lo,
+         CAST(SUM((l * l) // 4294967296) AS BIGINT) AS sll_hi,
+         CAST(SUM((l * l) % 4294967296) AS BIGINT) AS sll_lo,
+         CAST(SUM((xx * xx) // 4294967296) AS BIGINT) AS sxx_hi,
+         CAST(SUM((xx * xx) % 4294967296) AS BIGINT) AS sxx_lo,
+         CAST(SUM((l * yy) // 4294967296) AS BIGINT) AS sly_hi,
+         CAST(SUM((l * yy) % 4294967296) AS BIGINT) AS sly_lo,
+         CAST(SUM((xx * yy) // 4294967296) AS BIGINT) AS sxy_hi,
+         CAST(SUM((xx * yy) % 4294967296) AS BIGINT) AS sxy_lo,
+         CAST(SUM((l * xx) // 4294967296) AS BIGINT) AS slx_hi,
+         CAST(SUM((l * xx) % 4294967296) AS BIGINT) AS slx_lo
+  FROM p
+),
+c AS (
+  SELECT t,
+         CAST(t AS DOUBLE) AS td,
+         CAST(sy AS DOUBLE) AS syd,
+         CAST(sl AS DOUBLE) AS sld,
+         CAST(sx AS DOUBLE) AS sxd,
+         CAST(syy_hi AS DOUBLE) * 4294967296.0 + CAST(syy_lo AS DOUBLE)
+           AS syyd,
+         CAST(sll_hi AS DOUBLE) * 4294967296.0 + CAST(sll_lo AS DOUBLE)
+           AS slld,
+         CAST(sxx_hi AS DOUBLE) * 4294967296.0 + CAST(sxx_lo AS DOUBLE)
+           AS sxxd,
+         CAST(sly_hi AS DOUBLE) * 4294967296.0 + CAST(sly_lo AS DOUBLE)
+           AS slyd,
+         CAST(sxy_hi AS DOUBLE) * 4294967296.0 + CAST(sxy_lo AS DOUBLE)
+           AS sxyd,
+         CAST(slx_hi AS DOUBLE) * 4294967296.0 + CAST(slx_lo AS DOUBLE)
+           AS slxd
+  FROM s
+),
+m AS (
+  SELECT t,
+         syyd - (syd * syd) / td AS cyy,
+         slld - (sld * sld) / td AS cll,
+         sxxd - (sxd * sxd) / td AS cxx,
+         slyd - (sld * syd) / td AS cly,
+         sxyd - (sxd * syd) / td AS cxy,
+         slxd - (sld * sxd) / td AS clx
+  FROM c
+),
+f AS (
+  SELECT t, cyy, cll, cxx, cly, cxy, clx,
+         cll * cxx - clx * clx AS det
+  FROM m
+),
+r AS (
+  SELECT t,
+         cyy - (cly * cly) / NULLIF(cll, 0) AS rss_r,
+         cyy - ((cly * cxx - cxy * clx) / NULLIF(det, 0)) * cly
+             - ((cxy * cll - cly * clx) / NULLIF(det, 0)) * cxy
+           AS rss_u,
+         cll, det
+  FROM f
+)
+SELECT t AS n_obs,
+       CASE WHEN cll <= 0 THEN NULL ELSE rss_r END AS rss_r,
+       CASE WHEN cll <= 0 OR det <= 0 THEN NULL ELSE rss_u END
+         AS rss_u,
+       CASE WHEN t <= 3 OR cll <= 0 OR det <= 0 OR rss_u <= 0
+            THEN NULL
+            ELSE (rss_r - rss_u) / (rss_u / CAST(t - 3 AS DOUBLE)) END
+         AS f_stat,
+       CASE WHEN t <= 3 OR cll <= 0 OR det <= 0 OR rss_u <= 0
+            THEN NULL
+            ELSE (rss_r - rss_u) / (rss_u / CAST(t - 3 AS DOUBLE))
+                 > 3.841458820694124 END AS x_causes_y
+FROM r
+""",
+)
+def q_granger_lag1(spark, sf_dir):
+    """Lag-1 Granger causality: does yesterday's URGENT order volume
+    improve today's TOTAL volume forecast beyond what yesterday's
+    total already explains?  Restricted AR(1) vs unrestricted
+    two-regressor OLS, F-test on the RSS drop — the causal-direction
+    verdict q_cross_correlation's symmetric lead/lag screen cannot
+    give.
+
+    100 TB shape: both series collapse to the CALENDAR-BOUNDED day
+    grain, the lag alignment is one self-join on adjacent days over
+    ~2,400 rows, and both regressions are CLOSED FORMS of ten scalar
+    sufficient statistics (no iterative solver, no matrix library —
+    the 2×2 normal equations solve by Cramer in four multiplies).
+    Determinism (§8.21): per-day counts int64; products carried as
+    hi/lo piece-sums, reconstructed with the shared hi·2³² + lo
+    spelling; then ONE fixed-order double chain (divisions only — no
+    libm terms, rule 22 not in play) mirrored textually in the
+    oracle; degenerate inputs (constant regressors, T ≤ 3, perfect
+    fit) yield NULL (§8.17).  Asymptotic F(0.95; 1, ∞) frozen verdict
+    literal (q_brown_forsythe convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    us = epoch_us(o, "o_orderdate")
+    d = o.groupBy(
+        F.floor(us / F.lit(86_400_000_000)).alias("dayidx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("y"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("long"))
+        .cast("long")
+        .alias("x"),
+    )
+    d = d.persist()  # day-grain invariant: both sides of the lag join
+    cur = d.select(F.col("dayidx").alias("di_c"), F.col("y").alias("yy"))
+    prev = d.select(
+        F.col("dayidx").alias("di_p"),
+        F.col("y").alias("l"),
+        F.col("x").alias("xx"),
+    )
+    p = cur.join(
+        F.broadcast(prev), F.col("di_c") == F.col("di_p") + 1
+    ).select("yy", "l", "xx")
+
+    def hi_lo(t, name):
+        return [
+            F.sum(F.expr(f"({t}) div 4294967296"))
+            .cast("long")
+            .alias(f"{name}_hi"),
+            F.sum(F.expr(f"({t}) % 4294967296"))
+            .cast("long")
+            .alias(f"{name}_lo"),
+        ]
+
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("yy").cast("long").alias("sy"),
+        F.sum("l").cast("long").alias("sl"),
+        F.sum("xx").cast("long").alias("sx"),
+        *hi_lo("yy * yy", "syy"),
+        *hi_lo("l * l", "sll"),
+        *hi_lo("xx * xx", "sxx"),
+        *hi_lo("l * yy", "sly"),
+        *hi_lo("xx * yy", "sxy"),
+        *hi_lo("l * xx", "slx"),
+    )
+
+    def recon(name):
+        return F.col(f"{name}_hi").cast("double") * F.lit(
+            4294967296.0
+        ) + F.col(f"{name}_lo").cast("double")
+
+    td = F.col("t").cast("double")
+    syd, sld, sxd = (
+        F.col("sy").cast("double"),
+        F.col("sl").cast("double"),
+        F.col("sx").cast("double"),
+    )
+    cyy = recon("syy") - (syd * syd) / td
+    cll = recon("sll") - (sld * sld) / td
+    cxx = recon("sxx") - (sxd * sxd) / td
+    cly = recon("sly") - (sld * syd) / td
+    cxy = recon("sxy") - (sxd * syd) / td
+    clx = recon("slx") - (sld * sxd) / td
+    det = cll * cxx - clx * clx
+    # NULLIF-equivalent guards: ANSI Spark throws on /0 where DuckDB
+    # emits inf (§8.17) — divide by NULL instead, which both engines
+    # propagate as NULL
+    cll_nz = F.when(cll == 0, F.lit(None).cast("double")).otherwise(cll)
+    det_nz = F.when(det == 0, F.lit(None).cast("double")).otherwise(det)
+    rss_r = cyy - (cly * cly) / cll_nz
+    rss_u = (
+        cyy
+        - ((cly * cxx - cxy * clx) / det_nz) * cly
+        - ((cxy * cll - cly * clx) / det_nz) * cxy
+    )
+    f_stat = (rss_r - rss_u) / (rss_u / (F.col("t") - 3).cast("double"))
+    bad = (
+        (F.col("t") <= 3) | (cll <= 0) | (det <= 0) | (rss_u <= 0)
+    )
+    out = s.select(
+        F.col("t").alias("n_obs"),
+        F.when(cll <= 0, F.lit(None).cast("double"))
+        .otherwise(rss_r)
+        .alias("rss_r"),
+        F.when((cll <= 0) | (det <= 0), F.lit(None).cast("double"))
+        .otherwise(rss_u)
+        .alias("rss_u"),
+        F.when(bad, F.lit(None).cast("double"))
+        .otherwise(f_stat)
+        .alias("f_stat"),
+        F.when(bad, F.lit(None).cast("boolean"))
+        .otherwise(f_stat > _GRANGER_CRIT)
+        .alias("x_causes_y"),
+    )
+    try:
+        # 1-row result: eager checkpoint materializes through the
+        # persisted day grain (q_cross_correlation discipline)
+        return out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()

@@ -1301,3 +1301,16 @@ def test_r8b_key_plan_shapes(spark, sf_dir, queries):
     p = plan("q_ndcg")
     assert scans(p) == 1, p[:1500]
     assert "SortMergeJoin" not in p and "EvalPython" not in p
+
+
+def test_r8b_scalar_census_keys_join_free(spark, sf_dir, queries):
+    """q_cochran_armitage / q_ab_srm are single-scan join-free scalar
+    censuses; q_cliffs_delta is the q_mann_whitney value-grain shape
+    (one scan, no join, bounded-grain window)."""
+    import re
+
+    for k in ("q_cochran_armitage", "q_ab_srm", "q_cliffs_delta"):
+        p = _plan(queries[k](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, k
+        assert "Join" not in p, k
+        assert "EvalPython" not in p, k

@@ -398,3 +398,165 @@ def test_silhouette_vector_on_centroid(spark, tmp_path):
     assert len(r) == 1 and r[0]["cluster"] == 0
     assert r[0]["n_vecs"] == 1
     assert r[0]["mean_silhouette"] > 0.999
+
+
+def test_cochran_armitage_perfect_trend(spark, tmp_path):
+    """Failure rate rises 0/2 → 2/2 across the five ordered
+    priorities: z replicated by the identical python IEEE chain."""
+    import __spark_entry__ as e
+
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    fails = [0, 0, 1, 2, 2]
+    rows, okey = [], 0
+    for w, (p, nf) in enumerate(zip(pris, fails), start=1):
+        for j in range(2):
+            okey += 1
+            st = "F" if j < nf else "O"
+            rows.append((okey, 1, "1997-01-01", 1.0, p, st))
+    _write_orders(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_cochran_armitage"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    n, rr = 10, 5
+    swn = sum(w * 2 for w in range(1, 6))
+    swr = sum(w * f for w, f in zip(range(1, 6), fails))
+    sw2n = sum(w * w * 2 for w in range(1, 6))
+    pbar = float(rr) / float(n)
+    num = float(swr) - pbar * float(swn)
+    var = pbar * (1.0 - pbar) * (
+        float(sw2n) - (float(swn) * float(swn)) / float(n)
+    )
+    assert (r["n"], r["r"], r["swr"]) == (n, rr, swr)
+    assert r["z"] == num / math.sqrt(var)
+    assert r["significant"] == (abs(num / math.sqrt(var)) > 1.959963984540054)
+
+
+def test_cochran_armitage_constant_outcome_null(spark, tmp_path):
+    import __spark_entry__ as e
+
+    _write_orders(
+        spark, tmp_path.as_posix(),
+        [(1, 1, "1997-01-01", 1.0, "1-URGENT", "O"),
+         (2, 1, "1997-01-01", 1.0, "5-LOW", "O")],
+    )
+    r = e.queries()["q_cochran_armitage"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["z"] is None and r["significant"] is None
+
+
+def _write_events_values(spark, sf, rows):
+    """rows: (event_id, user_id, value)"""
+    (
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, value double"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/events.parquet")
+    )
+
+
+def test_cliffs_delta_full_separation_and_ties(spark, tmp_path):
+    """grp0 strictly dominates grp1 → delta exactly 1.0 ('large');
+    all-equal values → delta exactly 0.0 ('negligible')."""
+    import __spark_entry__ as e
+
+    sf = tmp_path.as_posix()
+    _write_events_values(
+        spark, sf,
+        [(1, 0, 10.0), (2, 0, 20.0), (3, 1, 1.0), (4, 1, 2.0)],
+    )
+    r = e.queries()["q_cliffs_delta"](spark, sf).collect()[0]
+    assert (r["n0"], r["n1"]) == (2, 2)
+    assert r["delta"] == 1.0 and r["magnitude"] == "large"
+
+    _write_events_values(
+        spark, sf, [(1, 0, 5.0), (2, 1, 5.0), (3, 0, 5.0), (4, 1, 5.0)]
+    )
+    r = e.queries()["q_cliffs_delta"](spark, sf).collect()[0]
+    assert r["delta"] == 0.0 and r["magnitude"] == "negligible"
+
+
+def test_ab_srm_closed_form(spark, tmp_path):
+    """Known-parity custkeys: chi2 = (nA−nB)²/N replicated in ints;
+    a 9:1 split over 10k subjects alarms, a fair split does not."""
+    import __spark_entry__ as e
+
+    even = [k for k in range(1, 50000) if _knuth(k) % 2 == 0]
+    odd = [k for k in range(1, 50000) if _knuth(k) % 2 == 1]
+    keys = even[:9000] + odd[:1000]
+    (
+        spark.createDataFrame(
+            [(k, "S", 0, 0.0) for k in keys],
+            "c_custkey long, c_mktsegment string, c_nationkey int, "
+            "c_acctbal double",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/customer.parquet")
+    )
+    r = e.queries()["q_ab_srm"](spark, tmp_path.as_posix()).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (9000, 1000)
+    assert r["chi2"] == (8000 * 8000) / 10000.0
+    assert r["srm_detected"] is True
+
+
+def test_granger_lag1_python_replica(spark, tmp_path):
+    """Deterministic small series: every sufficient statistic and the
+    final F replicated in python with the SAME IEEE operation order —
+    exact equality, no tolerance."""
+    import __spark_entry__ as e
+
+    y = [3, 5, 2, 7, 4, 6, 3, 8]   # daily order counts
+    x = [1, 2, 0, 3, 1, 2, 0, 4]   # daily urgent counts (x <= y)
+    rows, okey = [], 0
+    for d, (yd, xd) in enumerate(zip(y, x)):
+        for j in range(yd):
+            okey += 1
+            pri = "1-URGENT" if j < xd else "5-LOW"
+            rows.append((okey, 1, f"1997-01-{d + 1:02d}", 1.0, pri, "O"))
+    _write_orders(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_granger_lag1"](spark, tmp_path.as_posix()).collect()[0]
+
+    yy = y[1:]
+    ll = y[:-1]
+    xx = x[:-1]
+    t = float(len(yy))
+    sy, sl, sx = float(sum(yy)), float(sum(ll)), float(sum(xx))
+    syy, sll = float(sum(v * v for v in yy)), float(sum(v * v for v in ll))
+    sxx = float(sum(v * v for v in xx))
+    sly = float(sum(a * b for a, b in zip(ll, yy)))
+    sxy = float(sum(a * b for a, b in zip(xx, yy)))
+    slx = float(sum(a * b for a, b in zip(ll, xx)))
+    cyy = syy - (sy * sy) / t
+    cll = sll - (sl * sl) / t
+    cxx = sxx - (sx * sx) / t
+    cly = sly - (sl * sy) / t
+    cxy = sxy - (sx * sy) / t
+    clx = slx - (sl * sx) / t
+    det = cll * cxx - clx * clx
+    rss_r = cyy - (cly * cly) / cll
+    rss_u = (
+        cyy
+        - ((cly * cxx - cxy * clx) / det) * cly
+        - ((cxy * cll - cly * clx) / det) * cxy
+    )
+    f_stat = (rss_r - rss_u) / (rss_u / (len(yy) - 3))
+    assert r["n_obs"] == len(yy)
+    assert r["rss_r"] == rss_r and r["rss_u"] == rss_u
+    assert r["f_stat"] == f_stat
+
+
+def test_granger_lag1_constant_regressor_null(spark, tmp_path):
+    """x identically zero → cxx = 0 → singular normal equations →
+    NULL (never a divide-by-zero throw, §8.17)."""
+    import __spark_entry__ as e
+
+    rows, okey = [], 0
+    for d, yd in enumerate([2, 3, 2, 4, 3]):
+        for _ in range(yd):
+            okey += 1
+            rows.append((okey, 1, f"1997-01-{d + 1:02d}", 1.0, "5-LOW", "O"))
+    _write_orders(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_granger_lag1"](spark, tmp_path.as_posix()).collect()[0]
+    assert r["f_stat"] is None and r["x_causes_y"] is None
+    assert r["rss_u"] is None  # guarded, not inf
