@@ -2492,11 +2492,102 @@ def main() -> None:
         len(got_ids & want_ids), sorted(got_ids - want_ids)[:5]
     )
 
+    # --- q_hll_sketch shape: 8M-event register build ----------------
+    # (round-8b) ONE max-aggregate at 256-bucket grain; the register
+    # table and scaled Z have an exact numpy mirror (vectorized knuth
+    # hash + bit_length), so the distributed sketch is gated on
+    # planted truth, not just timed.  user_id = id*3 gives ~n distinct
+    # users with a nontrivial hash spread.
+    hll_ev = spark.range(n).select((F.col("id") * 3).alias("user_id"))
+    t0 = time.time()
+    hll_h = F.expr(
+        "((user_id % 2654435761) * 2654435761) % 4294967296"
+    )
+    hll_split = hll_ev.select(
+        F.expr(
+            "(((user_id % 2654435761) * 2654435761) % 4294967296)"
+            " div 16777216"
+        ).alias("bucket"),
+        (hll_h % F.lit(16_777_216)).alias("w"),
+    )
+    hll_rho = F.when(F.col("w") == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(F.col("w")))
+    )
+    hll_reg = {
+        r["bucket"]: r["rho"]
+        for r in hll_split.groupBy("bucket")
+        .agg(F.max(hll_rho).alias("rho"))
+        .collect()
+    }
+    hll_s = time.time() - t0
+    u_np = np.arange(n, dtype=np.int64) * 3
+    h_np = ((u_np % 2654435761) * 2654435761) % 4294967296
+    b_np, w_np = h_np // 16777216, h_np % 16777216
+    # exact integer bit_length (a float log2-floor is fragile at
+    # 2^k boundaries)
+    blen = np.zeros_like(w_np)
+    ww = w_np.copy()
+    while (ww > 0).any():
+        blen[ww > 0] += 1
+        ww >>= 1
+    rho_np = np.where(w_np == 0, 25, 25 - blen)
+    want_reg = {}
+    for b, r in zip(b_np.tolist(), rho_np.tolist()):
+        if want_reg.get(b, -1) < r:
+            want_reg[b] = r
+    assert hll_reg == want_reg, (
+        len(hll_reg), len(want_reg),
+        sorted(set(hll_reg.items()) ^ set(want_reg.items()))[:5],
+    )
+
+    # --- q_roc_auc shape: 8M rows, bounded value grain ---------------
+    # (round-8b) mann-whitney rank machinery at value grain: scores
+    # quantized to 1000 distinct values, label planted so the exact
+    # tie-corrected AUC has an integer closed form computed in numpy.
+    auc_t = spark.range(n).select(
+        (F.col("id") % 1000).alias("cents"),
+        ((F.col("id") % 3) == 0).cast("long").alias("y"),
+    )
+    t0 = time.time()
+    from pyspark.sql import Window as WAUC
+
+    auc_g = auc_t.groupBy("cents").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    w_auc = WAUC.orderBy("cents").rowsBetween(
+        WAUC.unboundedPreceding, -1
+    )
+    auc_r = auc_g.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_auc), F.lit(0)).alias("cum_neg"),
+    )
+    auc_row = auc_r.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg")))
+        .cast("long")
+        .alias("two_u"),
+    ).collect()[0]
+    roc_auc_s = time.time() - t0
+    c_np = np.arange(n, dtype=np.int64) % 1000
+    y_np = (np.arange(n, dtype=np.int64) % 3 == 0).astype(np.int64)
+    pos_v = np.bincount(c_np[y_np == 1], minlength=1000).astype(np.int64)
+    neg_v = np.bincount(c_np[y_np == 0], minlength=1000).astype(np.int64)
+    cumneg = np.concatenate(([0], np.cumsum(neg_v)[:-1]))
+    want_two_u = int(np.sum(pos_v * (2 * cumneg + neg_v)))
+    assert auc_row["two_u"] == want_two_u, (auc_row, want_two_u)
+    assert auc_row["n_pos"] == int(pos_v.sum())
+    assert auc_row["n_neg"] == int(neg_v.sum())
+
     print(
         json.dumps(
             {
                 "n": n,
                 "tdigest_s": round(tdigest_s, 2),
+                "hll_s": round(hll_s, 2),
+                "roc_auc_s": round(roc_auc_s, 2),
                 "markov_s": round(markov_s, 2),
                 "wsample_s": round(wsample_s, 2),
                 "part_rank_s": round(part_rank_s, 2),
