@@ -80,7 +80,9 @@ def q_target_encoding(spark, sf_dir):
     customer has placed an urgent order" — the leakage-controlled
     categorical featurizer every tabular training pipeline runs before
     a GBM, emitted as the encoding TABLE (125 cells) a scoring join
-    broadcasts.
+    broadcasts.  NOTE: the 125-cell grain materializes at
+    CONSTRUCTION time (eager localCheckpoint) so the customer-orders
+    join runs exactly once.
 
     100 TB shape: the target collapses to customer grain in one
     map-side-combinable aggregate, ONE equi-join folds it onto the
@@ -707,7 +709,13 @@ def q_token_chi2(spark, sf_dir):
     (one-vs-rest 2×2 per (token, source) on DOCUMENT frequency) — the
     classic text-classification feature ranker (sklearn chi2 /
     SelectKBest shape): which tokens are evidence of which corpus
-    slice.  Top-50 by chi², full (token, source) tie-break.
+    slice.  Top-50 by chi², full (token, source) tie-break.  Scored
+    pairs are those where the token OCCURS in the source (a ≥ 1) —
+    absence-only evidence surfaces through the complementary sources'
+    rows, and a pure absence row can never outrank them.  NOTE: like
+    q_adamic_adar, the registered key materializes at CONSTRUCTION
+    time (eager checkpoint of the 50-row result while the
+    vocab×source cache is alive).
 
     100 TB shape: per-doc DISTINCT tokens (array_distinct before the
     explode — document frequency, not term frequency), ONE
@@ -863,7 +871,8 @@ def q_cross_correlation(spark, sf_dir):
     volume and daily urgent-order volume — the "does X lead Y"
     screen run before any causal claim (and the input to transfer-
     function / Granger modeling).  Positive lag ℓ correlates x_t with
-    y_{t+ℓ}.
+    y_{t+ℓ}.  NOTE: the 15-row result materializes at CONSTRUCTION
+    time (eager checkpoint through the persisted day grain).
 
     100 TB shape: both series collapse to the CALENDAR-BOUNDED day
     grain in one pass, so the 15-lag alignment join and the Pearson
@@ -1131,7 +1140,9 @@ def q_countmin_sketch(spark, sf_dir):
     a 100 TB stream keeps when the exact vocabulary groupBy is the
     thing being avoided (rows merge by elementwise ADD across
     shards/streams; the exact column here is the certification the
-    sketch replaces).
+    sketch replaces).  NOTE: the 20-row result materializes at
+    CONSTRUCTION time (eager checkpoint while the vocabulary cache is
+    alive).
 
     100 TB shape: ONE vocabulary-grain count aggregate (persisted —
     vocabulary-bounded, read by both bucket rows and the top-k), then
@@ -1849,7 +1860,8 @@ def q_granger_lag1(spark, sf_dir):
     total already explains?  Restricted AR(1) vs unrestricted
     two-regressor OLS, F-test on the RSS drop — the causal-direction
     verdict q_cross_correlation's symmetric lead/lag screen cannot
-    give.
+    give.  NOTE: the 1-row result materializes at CONSTRUCTION time
+    (eager checkpoint through the persisted day grain).
 
     100 TB shape: both series collapse to the CALENDAR-BOUNDED day
     grain, the lag alignment is one self-join on adjacent days over
