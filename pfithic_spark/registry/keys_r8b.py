@@ -1973,3 +1973,211 @@ def q_granger_lag1(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         d.unpersist()
+
+
+# ========================================================================
+# q_fisher_exact — Fisher's exact test on a calendar-bounded 2×2
+# ========================================================================
+
+
+@register(
+    "q_fisher_exact",
+    oracle="""
+WITH d AS (
+  SELECT EPOCH_US(o_orderdate) // 86400000000 AS dayidx,
+         CAST(MIN(EXTRACT(MONTH FROM o_orderdate)) AS BIGINT) AS mon,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+med AS (SELECT MEDIAN(cents) AS med FROM d),
+cls AS (
+  SELECT CASE WHEN d.mon <= 6 THEN 1 ELSE 0 END AS h1,
+         CASE WHEN CAST(d.cents AS DOUBLE) > m.med THEN 1 ELSE 0 END
+           AS hi
+  FROM d CROSS JOIN med m
+),
+tab AS (
+  SELECT CAST(SUM(h1 * hi) AS BIGINT) AS a,
+         CAST(SUM(h1 * (1 - hi)) AS BIGINT) AS b,
+         CAST(SUM((1 - h1) * hi) AS BIGINT) AS c,
+         CAST(SUM((1 - h1) * (1 - hi)) AS BIGINT) AS d
+  FROM cls
+),
+lf AS (
+  SELECT k,
+         CAST(COALESCE(SUM(CAST(ROUND(LN(CAST(k2 AS DOUBLE)), 9)
+                                AS DECIMAL(28,9)))
+                       OVER (ORDER BY k), 0) AS DECIMAL(28,9)) AS lnf
+  FROM (
+    SELECT k, k AS k2
+    FROM (SELECT UNNEST(GENERATE_SERIES(0,
+           (SELECT CAST(a + b + c + d AS INTEGER) FROM tab))) AS k)
+    WHERE k >= 1
+    UNION ALL SELECT 0, NULL
+  )
+),
+marg AS (
+  SELECT a, b, c, d,
+         a + b AS r1, c + d AS r2, a + c AS c1,
+         a + b + c + d AS n
+  FROM tab
+),
+ks AS (
+  SELECT m.*, g.k
+  FROM marg m,
+       (SELECT UNNEST(GENERATE_SERIES(0,
+          (SELECT CAST(LEAST(a + b, a + c) AS INTEGER) FROM tab)))
+          AS k) g
+  WHERE g.k >= GREATEST(0, m.c1 - m.r2)
+),
+logp AS (
+  SELECT ks.k, ks.a,
+         CAST(
+           (l_r1.lnf - l_k.lnf - l_r1k.lnf)
+           + (l_r2.lnf - l_c1k.lnf - l_r2c1k.lnf)
+           - (l_n.lnf - l_c1.lnf - l_nc1.lnf)
+         AS DECIMAL(28,9)) AS lp
+  FROM ks
+  JOIN lf l_r1 ON l_r1.k = ks.r1
+  JOIN lf l_k ON l_k.k = ks.k
+  JOIN lf l_r1k ON l_r1k.k = ks.r1 - ks.k
+  JOIN lf l_r2 ON l_r2.k = ks.r2
+  JOIN lf l_c1k ON l_c1k.k = ks.c1 - ks.k
+  JOIN lf l_r2c1k ON l_r2c1k.k = ks.r2 - (ks.c1 - ks.k)
+  JOIN lf l_n ON l_n.k = ks.n
+  JOIN lf l_c1 ON l_c1.k = ks.c1
+  JOIN lf l_nc1 ON l_nc1.k = ks.n - ks.c1
+),
+obs AS (SELECT lp AS lp_obs FROM logp WHERE k = a),
+psum AS (
+  SELECT CAST(SUM(CAST(ROUND(EXP(CAST(l.lp AS DOUBLE)), 12)
+                       AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS p2
+  FROM logp l CROSS JOIN obs o
+  WHERE l.lp <= o.lp_obs
+)
+SELECT t.a, t.b, t.c, t.d,
+       CASE WHEN t.b = 0 OR t.c = 0 THEN NULL
+            ELSE (CAST(t.a AS DOUBLE) * CAST(t.d AS DOUBLE))
+                 / (CAST(t.b AS DOUBLE) * CAST(t.c AS DOUBLE)) END
+         AS odds_ratio,
+       CAST(p.p2 AS DOUBLE) AS p_two_sided
+FROM tab t CROSS JOIN psum p
+""",
+)
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's EXACT test on a calendar-bounded 2×2: are
+    above-median-revenue days associated with the first calendar half
+    (month ≤ 6)?  The hypergeometric tail sum a chi-square only
+    approximates — and the one combinatorial-exact test in the suite.
+    Two-sided convention: sum P(k) over all tables whose log-
+    probability is ≤ the observed table's, compared as EXACT DECIMALS
+    (scipy's 1+1e-7 relative fudge replaced by a deterministic
+    decimal comparison — documented semantic choice).
+
+    100 TB shape: the 2×2 lives on the DAY grain, so N ≈ 2,400 AT ANY
+    DATA VOLUME — the ln-factorial table (a bounded decimal cumsum),
+    the k-range sweep (≤ min margin), and the nine lnfact lookups per
+    k are all calendar-bounded broadcast joins; only the day-grain
+    collapse touches full data (q_theil_sen_trend discipline).
+    Exact-test semantics are inherently small-N — the day grain is
+    what makes them honest at scale.  Determinism: lnfact(k) =
+    Σ round(ln i, 9)→DECIMAL (rule 22: every libm term rounds), lnC
+    and logp stay exact decimal arithmetic; each probability term
+    round(exp(logp), 12)→DECIMAL(38,12) order-free sum; odds ratio is
+    a fixed-order double chain with NULL zero-cell guard (§8.17);
+    the median day-revenue cut mirrors q_outlier_mad's
+    percentile/MEDIAN interpolation contract."""
+    o = load_table(spark, sf_dir, "orders")
+    us = epoch_us(o, "o_orderdate")
+    d = o.groupBy(
+        F.floor(us / F.lit(86_400_000_000)).alias("dayidx")
+    ).agg(
+        F.min(F.month("o_orderdate")).cast("long").alias("mon"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents"),
+    )
+    med = d.agg(F.expr("percentile(cents, 0.5D)").alias("med"))
+    cls = d.crossJoin(F.broadcast(med)).select(
+        F.when(F.col("mon") <= 6, 1).otherwise(0).alias("h1"),
+        F.when(F.col("cents").cast("double") > F.col("med"), 1)
+        .otherwise(0)
+        .alias("hi"),
+    )
+    tab = cls.agg(
+        F.sum(F.col("h1") * F.col("hi")).cast("long").alias("a"),
+        F.sum(F.col("h1") * (1 - F.col("hi"))).cast("long").alias("b"),
+        F.sum((1 - F.col("h1")) * F.col("hi")).cast("long").alias("c"),
+        F.sum((1 - F.col("h1")) * (1 - F.col("hi")))
+        .cast("long")
+        .alias("d"),
+    )
+    # the 2x2 is four scalars at the bounded day grain — driver-sync
+    # here is the q_hic_significance <=100-row precedent, and the
+    # lnfact/k-range tables below need its values as literals
+    trow = tab.collect()[0]
+    a_, b_, c_, d_ = trow["a"], trow["b"], trow["c"], trow["d"]
+    r1, r2, c1 = a_ + b_, c_ + d_, a_ + c_
+    n_ = a_ + b_ + c_ + d_
+    lf = (
+        spark.range(0, n_ + 1)
+        .select(F.col("id").alias("k"))
+        .select(
+            "k",
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("k") >= 1,
+                        F.round(F.log(F.col("k").cast("double")), 9).cast(
+                            "decimal(28,9)"
+                        ),
+                    )
+                ).over(
+                    Window.orderBy("k").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+                F.lit(0).cast("decimal(28,9)"),
+            )
+            .cast("decimal(28,9)")
+            .alias("lnf"),
+        )
+    )
+    lfm = {r["k"]: r["lnf"] for r in lf.collect()}
+
+    def lnC(nn, kk):
+        return lfm[nn] - lfm[kk] - lfm[nn - kk]
+
+    klo, khi = max(0, c1 - r2), min(r1, c1)
+    rows = []
+    for k in range(klo, khi + 1):
+        lp = lnC(r1, k) + lnC(r2, c1 - k) - lnC(n_, c1)
+        rows.append((k, lp))
+    lp_obs = dict(rows)[a_]
+    logp = spark.createDataFrame(rows, "k long, lp decimal(28,9)")
+    psum = logp.filter(F.col("lp") <= F.lit(lp_obs)).agg(
+        F.sum(
+            F.round(F.exp(F.col("lp").cast("double")), 12).cast(
+                "decimal(38,12)"
+            )
+        )
+        .cast("decimal(38,12)")
+        .alias("p2")
+    )
+    orr = (
+        F.col("a").cast("double") * F.col("d").cast("double")
+    ) / (F.col("b").cast("double") * F.col("c").cast("double"))
+    return tab.crossJoin(F.broadcast(psum)).select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(
+            (F.col("b") == 0) | (F.col("c") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(orr)
+        .alias("odds_ratio"),
+        F.col("p2").cast("double").alias("p_two_sided"),
+    )

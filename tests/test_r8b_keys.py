@@ -560,3 +560,23 @@ def test_granger_lag1_constant_regressor_null(spark, tmp_path):
     r = e.queries()["q_granger_lag1"](spark, tmp_path.as_posix()).collect()[0]
     assert r["f_stat"] is None and r["x_causes_y"] is None
     assert r["rss_u"] is None  # guarded, not inf
+
+
+def test_fisher_exact_separated_table(spark, tmp_path):
+    """Three high-revenue H1 days vs three low H2 days: a perfect
+    2×2 (3,0,0,3) — hypergeometric two-sided p = 2·C(3,3)C(3,0)/C(6,3)
+    = 0.1; zero cells → odds ratio NULL."""
+    import __spark_entry__ as e
+
+    rows, okey = [], 0
+    for d in range(3):  # January, 20 cents
+        okey += 1
+        rows.append((okey, 1, f"1997-01-{d + 1:02d}", 0.20, "5-LOW", "O"))
+    for d in range(3):  # July, 10 cents
+        okey += 1
+        rows.append((okey, 1, f"1997-07-{d + 1:02d}", 0.10, "5-LOW", "O"))
+    _write_orders(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_fisher_exact"](spark, tmp_path.as_posix()).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (3, 0, 0, 3)
+    assert r["odds_ratio"] is None
+    assert abs(r["p_two_sided"] - 0.1) < 1e-8

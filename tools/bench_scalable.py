@@ -2581,10 +2581,108 @@ def main() -> None:
     assert auc_row["n_pos"] == int(pos_v.sum())
     assert auc_row["n_neg"] == int(neg_v.sum())
 
+    # --- q_silhouette_score shape: n vectors x 16 centroids ----------
+    # (round-8b) component explode + broadcast codebook + map-side
+    # (vec, cell) reduce + bounded top-2 selection.  Synthetic
+    # centroids occupy disjoint 4-dim blocks at magnitude 10; vector i
+    # = centroid (i%16) + e_0, so a = 1e12 exactly and b has an exact
+    # python closed form per cluster — every output row gated.
+    sil_cents = []
+    for j in range(16):
+        c = [0.0] * 64
+        for dd in range(4 * j, 4 * j + 4):
+            c[dd] = 10.0
+        sil_cents.append((j, c))
+    sil_cb = spark.createDataFrame(
+        sil_cents, "cell long, centroid array<double>"
+    )
+    n_sil = max(n // 8, 16 * 1024)
+    n_sil -= n_sil % 16
+    sil_e = spark.range(n_sil).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), d -> CAST("
+            "  (CASE WHEN d div 4 = id % 16 THEN 10.0 ELSE 0.0 END)"
+            "  + (CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    sil_comp = sil_e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("dim", "xf"),
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    sil_cbc = sil_cb.select(
+        "cell", F.posexplode(F.col("centroid")).alias("dim", "cval")
+    )
+    sil_diff = F.col("x") - F.col("cval")
+    sil_q = (
+        sil_comp.join(F.broadcast(sil_cbc), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.sum(
+                F.floor(F.lit(1e12) * (sil_diff * sil_diff)).cast("long")
+            )
+            .cast("long")
+            .alias("qdist")
+        )
+    )
+    sil_lst = sil_q.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("qdist"), F.col("cell")))
+        ).alias("l")
+    )
+    sa = F.col("l")[0]["qdist"]
+    sb = F.col("l")[1]["qdist"]
+    s_expr = F.when(F.greatest(sa, sb) == 0, F.lit(0.0)).otherwise(
+        (sb - sa).cast("double") / F.greatest(sa, sb).cast("double")
+    )
+    sil_rows = (
+        sil_lst.select(
+            F.col("l")[0]["cell"].alias("cluster"),
+            F.floor(F.lit(1e9) * s_expr).cast("long").alias("s9"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("s9").alias("ss9"),
+        )
+        .collect()
+    )
+    sil_s = time.time() - t0
+    import math as _math
+
+    want_sil = {}
+    for k in range(16):
+        v = [0.0] * 64
+        for dd in range(4 * k, 4 * k + 4):
+            v[dd] = 10.0
+        v[0] += 1.0
+        dists = []
+        for j, c in sil_cents:
+            q = sum(
+                _math.floor(1e12 * ((v[dd] - c[dd]) * (v[dd] - c[dd])))
+                for dd in range(64)
+            )
+            dists.append((q, j))
+        dists.sort()
+        (qa, ja), (qb, _jb) = dists[0], dists[1]
+        assert ja == k, (k, dists[:2])
+        s_val = 0.0 if max(qa, qb) == 0 else float(qb - qa) / float(
+            max(qa, qb)
+        )
+        want_sil[k] = (n_sil // 16, _math.floor(1e9 * s_val) * (n_sil // 16))
+    got_sil = {r["cluster"]: (r["n_vecs"], r["ss9"]) for r in sil_rows}
+    assert got_sil == want_sil, (
+        {k: got_sil[k] for k in list(got_sil)[:2]},
+        {k: want_sil[k] for k in list(want_sil)[:2]},
+    )
+
     print(
         json.dumps(
             {
                 "n": n,
+                "sil_n": n_sil,
+                "sil_s": round(sil_s, 2),
                 "tdigest_s": round(tdigest_s, 2),
                 "hll_s": round(hll_s, 2),
                 "roc_auc_s": round(roc_auc_s, 2),
