@@ -2181,3 +2181,186 @@ def q_fisher_exact(spark, sf_dir):
         .alias("odds_ratio"),
         F.col("p2").cast("double").alias("p_two_sided"),
     )
+
+
+# ========================================================================
+# q_knn_classify — k-nearest-neighbor label prediction over embeddings
+# ========================================================================
+
+_KNN_K = 5
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, label AS true_label
+  FROM embeddings WHERE vec_id < 10
+),
+cand AS (
+  SELECT vec_id AS e_id, embedding AS e_vec, label AS nbr_label
+  FROM embeddings WHERE vec_id >= 10
+),
+pairs AS (
+  SELECT q.q_id, q.true_label, c.e_id, c.nbr_label,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(q.q_vec[i] AS DOUBLE)
+                  * CAST(c.e_vec[i] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(q.q_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(c.e_vec,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine
+  FROM q JOIN cand c ON TRUE
+),
+nn AS (
+  SELECT q_id, true_label, nbr_label,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cosine DESC, e_id) AS rn
+  FROM pairs
+),
+votes AS (
+  SELECT q_id, true_label, nbr_label, COUNT(*) AS n_votes
+  FROM nn WHERE rn <= {_KNN_K}
+  GROUP BY q_id, true_label, nbr_label
+),
+pred AS (
+  SELECT q_id, true_label, nbr_label AS pred_label, n_votes,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY n_votes DESC, nbr_label) AS pr
+  FROM votes
+)
+SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes,
+       pred_label = true_label AS correct
+FROM pred WHERE pr = 1
+""",
+)
+def q_knn_classify(spark, sf_dir):
+    """k-NN classification (k=5, cosine) of held-out query vectors
+    against the labeled corpus — majority vote with a deterministic
+    (count desc, label) tie-break — the zero-training classifier that
+    closes the ANN stack (q_sim_topk retrieves, this PREDICTS; IVF/LSH
+    pruning swaps in for the brute-force scan the same way).
+
+    100 TB shape: the bounded query side broadcasts onto the corpus
+    scan (llmops.cosine_topk — zip_with dot, no component explode),
+    WindowGroupLimit prunes to k per query before the bounded vote
+    aggregate; the corpus is read once and never self-joins.
+    Determinism: q_sim_topk's rank convention (round(6) cosine with
+    e_id tie-break — ties are measure-zero on sqrt-normalized dots);
+    votes and the majority rank are exact integers with full
+    tie-break chains."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    cand = e.filter(F.col("vec_id") >= 10)
+    nn = llmops.cosine_topk(cand, queries, k=_KNN_K)
+    lbl = cand.select(
+        F.col("vec_id").alias("e_id"), F.col("label").alias("nbr_label")
+    )
+    tl = queries.select(
+        F.col("vec_id").alias("q_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        nn.join(lbl, "e_id")
+        .groupBy("q_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    wmaj = Window.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), "nbr_label"
+    )
+    pred = votes.withColumn("pr", F.row_number().over(wmaj)).filter(
+        F.col("pr") == 1
+    )
+    return pred.join(F.broadcast(tl), "q_id").select(
+        "q_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("nbr_label").cast("long").alias("pred_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+# ========================================================================
+# q_readability — Flesch reading ease from deterministic text counts
+# ========================================================================
+
+
+@register(
+    "q_readability",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CAST(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS BIGINT)
+           AS n_words,
+         CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(TRIM(text)), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206.835 AS DOUBLE)
+         - CAST(1.015 AS DOUBLE)
+           * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - CAST(84.6 AS DOUBLE)
+           * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         AS flesch
+FROM t
+""",
+)
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document from fully deterministic text
+    counts (words = whitespace tokens, sentences = terminal-punct
+    runs clamped ≥ 1, syllables ≈ vowel-group count — the standard
+    cheap heuristic) — the grade-level quality signal a curation
+    stack runs beside q_quality_score's length/punct ratios and
+    q_lm_score's perplexity (readability bands are a common training-
+    mix steering feature).
+
+    100 TB shape: three regexp counters in one narrow projection —
+    zero shuffles, zero joins; output stays on the partition that
+    read the document.  Determinism: all three counts are exact
+    integers from character-class regexes (identical RE semantics in
+    both engines — the q_token_count contract); the score is one
+    fixed-order double chain over hardware-exact casts (constants
+    CAST to DOUBLE on the oracle side — DuckDB parses bare decimal
+    literals as DECIMAL); n_words ≥ 1 always (split of an empty
+    string yields one token), n_sentences clamped, so no division
+    guard is needed."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = llmops.norm_text("text")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(nt, " ")).cast("long").alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(nt, F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.col("n_words").cast("double")
+            / F.col("n_sentences").cast("double")
+        )
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.col("n_words").cast("double")
+        )
+    )
+    return t.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.alias("flesch"),
+    )

@@ -1314,3 +1314,19 @@ def test_r8b_scalar_census_keys_join_free(spark, sf_dir, queries):
         assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, k
         assert "Join" not in p, k
         assert "EvalPython" not in p, k
+
+
+def test_knn_and_readability_plan_shapes(spark, sf_dir, queries):
+    """q_knn_classify: broadcast query side onto one corpus scan with
+    WindowGroupLimit pruning to k before the vote; q_readability: a
+    narrow zero-shuffle projection (multimodal-gate discipline)."""
+    import re
+
+    p = _plan(queries["q_knn_classify"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p  # q_id != e_id non-equi
+    assert "WindowGroupLimit" in p
+    assert "EvalPython" not in p
+
+    p = _plan(queries["q_readability"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Exchange" not in p, "readability gained a shuffle"

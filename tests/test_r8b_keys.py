@@ -580,3 +580,65 @@ def test_fisher_exact_separated_table(spark, tmp_path):
     assert (r["a"], r["b"], r["c"], r["d"]) == (3, 0, 0, 3)
     assert r["odds_ratio"] is None
     assert abs(r["p_two_sided"] - 0.1) < 1e-8
+
+
+def test_knn_classify_majority_vote(spark, tmp_path):
+    """Two orthogonal query vectors; 3 exact label-0 copies vs 4 exact
+    label-1 copies: q0 wins 3-2 on label 0 (the two zero-cosine
+    fillers tie-break by e_id), q1 wins 4-1 on label 1."""
+    import pandas as pd
+
+    import __spark_entry__ as e
+
+    def vec(axis):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        return v
+
+    rows = [
+        (0, vec(0), 0), (1, vec(1), 1),            # queries (<10)
+        (10, vec(0), 0), (11, vec(0), 0), (12, vec(0), 0),
+        (13, vec(1), 1), (14, vec(1), 1), (15, vec(1), 1),
+        (16, vec(1), 1),
+    ]
+    (
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]),
+            "vec_id long, embedding array<float>, label int",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/embeddings.parquet")
+    )
+    out = {
+        r["q_id"]: r
+        for r in e.queries()["q_knn_classify"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert out[0]["pred_label"] == 0 and out[0]["n_votes"] == 3
+    assert out[0]["correct"] is True
+    assert out[1]["pred_label"] == 1 and out[1]["n_votes"] == 4
+    assert out[1]["correct"] is True
+
+
+def test_readability_closed_form(spark, tmp_path):
+    """'the cat sat. it ran!': 5 words, 2 sentence-punct runs, 5 vowel
+    groups → flesch replicated by the identical python chain; a
+    punctuation-free doc clamps sentences to 1."""
+    import __spark_entry__ as e
+
+    _write_documents(
+        spark, tmp_path.as_posix(),
+        [(1, "the cat sat. it ran!", "s0"), (2, "no stops here", "s0")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in e.queries()["q_readability"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    r1 = out[1]
+    assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == (5, 2, 5)
+    assert r1["flesch"] == 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    r2 = out[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 3
