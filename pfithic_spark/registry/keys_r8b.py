@@ -2117,9 +2117,21 @@ def q_fisher_exact(spark, sf_dir):
     # here is the q_hic_significance <=100-row precedent, and the
     # lnfact/k-range tables below need its values as literals
     trow = tab.collect()[0]
-    a_, b_, c_, d_ = trow["a"], trow["b"], trow["c"], trow["d"]
+    # SUM over zero rows is NULL in both engines — an empty slice is
+    # the all-zero table (test_empty_inputs contract: degenerate row,
+    # never a stack trace)
+    a_ = trow["a"] or 0
+    b_ = trow["b"] or 0
+    c_ = trow["c"] or 0
+    d_ = trow["d"] or 0
     r1, r2, c1 = a_ + b_, c_ + d_, a_ + c_
     n_ = a_ + b_ + c_ + d_
+    if n_ == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0, 0, None, None)],
+            "a long, b long, c long, d long, odds_ratio double, "
+            "p_two_sided double",
+        )
     lf = (
         spark.range(0, n_ + 1)
         .select(F.col("id").alias("k"))
