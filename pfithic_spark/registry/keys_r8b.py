@@ -2376,3 +2376,61 @@ def q_readability(spark, sf_dir):
         "n_syllables",
         flesch.alias("flesch"),
     )
+
+
+# ========================================================================
+# q_intersect_all / q_except_all — bag-semantics set operators
+# ========================================================================
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics): each nation key survives
+    min(customer-side multiplicity, supplier-side multiplicity) times
+    — the SQL surface q_intersect's DISTINCT form cannot express
+    (multiplicity carries the answer to "how many matched slots", the
+    reconciliation-count shape).
+
+    100 TB shape: Spark plans intersectAll as a count-aggregate per
+    side + generate (one shuffle per side on the compared columns,
+    never a row-by-row pairing); identical physical story to the
+    DISTINCT form plus a replicate."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersectAll(s)
+
+
+@register(
+    "q_except_all",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def q_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics): each nation key survives
+    max(0, customer multiplicity − supplier multiplicity) times — the
+    surplus-per-key operator (unmatched-slot reconciliation) that
+    DISTINCT EXCEPT collapses to a membership test.
+
+    Same physical story as q_intersect_all: per-side count aggregate
+    + generate, one shuffle per side."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s)

@@ -642,3 +642,39 @@ def test_readability_closed_form(spark, tmp_path):
     assert r1["flesch"] == 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
     r2 = out[2]
     assert r2["n_sentences"] == 1 and r2["n_words"] == 3
+
+
+def test_bag_set_ops_multiplicity(spark, tmp_path):
+    """customer nations {1:3 copies, 2:1}, supplier nations {1:1, 3:2}:
+    INTERSECT ALL → one 1; EXCEPT ALL → two 1s and one 2."""
+    import __spark_entry__ as e
+
+    (
+        spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 2)],
+            "c_custkey long, c_nationkey int",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/customer.parquet")
+    )
+    (
+        spark.createDataFrame(
+            [(1, 1), (2, 3), (3, 3)], "s_suppkey long, s_nationkey int"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/supplier.parquet")
+    )
+    ia = sorted(
+        r["nationkey"]
+        for r in e.queries()["q_intersect_all"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    )
+    ea = sorted(
+        r["nationkey"]
+        for r in e.queries()["q_except_all"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    )
+    assert ia == [1]
+    assert ea == [1, 1, 2]
