@@ -2434,3 +2434,148 @@ def q_except_all(spark, sf_dir):
         F.col("s_nationkey").alias("nationkey")
     )
     return c.exceptAll(s)
+
+
+# ========================================================================
+# q_record_linkage — Fellegi–Sunter probabilistic record linkage
+# ========================================================================
+
+#: Frozen per-field match weights in MICRO-NATS (w = round(1e6·ln(m/u))
+#: / round(1e6·ln((1−m)/(1−u))) for the agree / disagree case),
+#: hardcoded as integer literals so no runtime ln (rule 22) and no
+#: host-dependent rounding can enter:
+#:   name_digit  m=0.95, u=0.10   → +2251292 / −2890372
+#:   bal_band    m=0.90, u=0.05   → +2890372 / −2251292
+#:   key_hash    m=0.85, u=1/97   → +4412192 / −1886757
+_RL_W = {
+    "f_name": (2251292, -2890372),
+    "f_band": (2890372, -2251292),
+    "f_hash": (4412192, -1886757),
+}
+#: link / possible thresholds in micro-nats (upper ≈ 4 nats ≈ odds
+#: ratio e⁴ ≈ 55:1; lower = even odds).
+_RL_UPPER = 4_000_000
+_RL_LOWER = 0
+#: Per-block member cap (the EDIT_DEDUP_MAX_BLOCK discipline): a block
+#: of B members fans C(B,2) pairs — rank members by key and keep the
+#: first 100, so one mega-block cannot go quadratic.
+_RL_MAX_BLOCK = 100
+
+
+@register(
+    "q_record_linkage",
+    oracle=f"""
+WITH m AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         SUBSTR(c_name, LENGTH(c_name), 1) AS name_digit,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) // 100000 AS band,
+         c_custkey % 97 AS keyhash,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey
+         ) AS rn
+  FROM customer
+),
+k AS (SELECT * FROM m WHERE rn <= {_RL_MAX_BLOCK}),
+pairs AS (
+  SELECT (CASE WHEN a.name_digit = b.name_digit
+               THEN {_RL_W["f_name"][0]} ELSE {_RL_W["f_name"][1]} END
+        + CASE WHEN a.band = b.band
+               THEN {_RL_W["f_band"][0]} ELSE {_RL_W["f_band"][1]} END
+        + CASE WHEN a.keyhash = b.keyhash
+               THEN {_RL_W["f_hash"][0]} ELSE {_RL_W["f_hash"][1]} END)
+           AS w
+  FROM k a JOIN k b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.rn < b.rn
+),
+cls AS (
+  SELECT CASE WHEN w >= {_RL_UPPER} THEN 'link'
+              WHEN w >= {_RL_LOWER} THEN 'possible'
+              ELSE 'non_link' END AS classification,
+         w
+  FROM pairs
+)
+SELECT classification,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(w) AS BIGINT) AS sum_w_micro,
+       CAST(SUM(w) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS avg_w_nats
+FROM cls GROUP BY classification
+""",
+)
+def q_record_linkage(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage over the customer
+    table: blocked candidate pairs scored by summed per-field
+    agreement log-odds (name terminal digit, account-balance band,
+    key-hash — frozen m/u priors), classified link / possible /
+    non-link against decision thresholds — the identity-resolution
+    classic that completes the dedup family (every other form matches
+    CONTENT; this one weighs EVIDENCE per field).  Output is the
+    per-class census a linkage run is judged by before anyone reads
+    pairs.
+
+    100 TB shape: candidate pairs exist ONLY within
+    (nation, segment) blocks — an equi-join, never a cross product —
+    and each block is CAPPED at 100 ranked members before the
+    self-join (C(B,2) dies at the cap, the EDIT_DEDUP_MAX_BLOCK
+    discipline; the cap fires deterministically on custkey rank).
+    Determinism: weights are hardcoded INTEGER micro-nat literals (no
+    runtime ln — rule 22 cannot enter), so pair scores and their sums
+    are exact int64 (≤ 9.6 nats·10⁶ per pair); the block key uses
+    tie-free integer cents banding (§8.15) with div/`//` truncation
+    pairing (§8.21 — balances go negative); ONE final double division
+    per class row (§8.13)."""
+    c = load_table(spark, sf_dir, "customer")
+    wblock = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_custkey"
+    )
+    m = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring(
+            F.col("c_name"), F.length("c_name"), 1
+        ).alias("name_digit"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) div 100000"
+        ).alias("band"),
+        (F.col("c_custkey") % 97).alias("keyhash"),
+        F.row_number().over(wblock).alias("rn"),
+    ).filter(F.col("rn") <= _RL_MAX_BLOCK)
+    a = m.alias("a")
+    b = m.alias("b")
+    w = (
+        F.when(
+            F.col("a.name_digit") == F.col("b.name_digit"),
+            F.lit(_RL_W["f_name"][0]),
+        ).otherwise(F.lit(_RL_W["f_name"][1]))
+        + F.when(
+            F.col("a.band") == F.col("b.band"), F.lit(_RL_W["f_band"][0])
+        ).otherwise(F.lit(_RL_W["f_band"][1]))
+        + F.when(
+            F.col("a.keyhash") == F.col("b.keyhash"),
+            F.lit(_RL_W["f_hash"][0]),
+        ).otherwise(F.lit(_RL_W["f_hash"][1]))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    ).select(w.cast("long").alias("w"))
+    cls = pairs.select(
+        F.when(F.col("w") >= _RL_UPPER, "link")
+        .when(F.col("w") >= _RL_LOWER, "possible")
+        .otherwise("non_link")
+        .alias("classification"),
+        "w",
+    )
+    return cls.groupBy("classification").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("w").cast("long").alias("sum_w_micro"),
+        (
+            F.sum("w").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
+        ).alias("avg_w_nats"),
+    )

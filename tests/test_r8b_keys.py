@@ -678,3 +678,61 @@ def test_bag_set_ops_multiplicity(spark, tmp_path):
     )
     assert ia == [1]
     assert ea == [1, 1, 2]
+
+
+def _write_customers_rl(spark, sf, rows):
+    """rows: (custkey, name, nationkey, segment, acctbal)"""
+    (
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_mktsegment string, c_acctbal double",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/customer.parquet")
+    )
+
+
+def test_record_linkage_classification(spark, tmp_path):
+    """Twins (keys 1 and 98 ≡ 1 mod 97, same name digit, same band)
+    score +9.553856 nats → link; the third member agrees on name+band
+    only (+3.254907) → possible, twice."""
+    import __spark_entry__ as e
+
+    _write_customers_rl(
+        spark, tmp_path.as_posix(),
+        [
+            (1, "Cust#001", 0, "S", 100.0),
+            (98, "Cust#011", 0, "S", 100.0),
+            (2, "Cust#021", 0, "S", 100.0),
+        ],
+    )
+    out = {
+        r["classification"]: r
+        for r in e.queries()["q_record_linkage"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert out["link"]["n_pairs"] == 1
+    assert out["link"]["sum_w_micro"] == 2251292 + 2890372 + 4412192
+    assert out["possible"]["n_pairs"] == 2
+    assert out["possible"]["sum_w_micro"] == 2 * (
+        2251292 + 2890372 - 1886757
+    )
+    assert "non_link" not in out
+
+
+def test_record_linkage_block_cap(spark, tmp_path):
+    """A 102-member block keeps its first 100 ranked members: exactly
+    C(100,2) = 4950 pairs ever score — the quadratic lever."""
+    import __spark_entry__ as e
+
+    rows = [
+        (k, f"Cust#{k:03d}", 0, "S", float(k))
+        for k in range(1, 103)
+    ]
+    _write_customers_rl(spark, tmp_path.as_posix(), rows)
+    out = e.queries()["q_record_linkage"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    assert sum(r["n_pairs"] for r in out) == 4950
