@@ -1330,3 +1330,16 @@ def test_knn_and_readability_plan_shapes(spark, sf_dir, queries):
     p = _plan(queries["q_readability"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Exchange" not in p, "readability gained a shuffle"
+
+
+def test_record_linkage_blocked_capped_join(spark, sf_dir, queries):
+    """q_record_linkage: candidate pairs come from an equi-join on the
+    block key (never a cartesian product), and the rn <= cap filter
+    sits BELOW the self-join on both sides (the quadratic lever fires
+    before any pair exists)."""
+    p = _plan(queries["q_record_linkage"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # both sides of the self-join carry the rn cap predicate
+    assert p.count("rn#") >= 2 and "100" in p
+    assert "EvalPython" not in p
