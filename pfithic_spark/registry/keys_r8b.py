@@ -2579,3 +2579,185 @@ def q_record_linkage(spark, sf_dir):
             / (F.count(F.lit(1)).cast("double") * F.lit(1000000.0))
         ).alias("avg_w_nats"),
     )
+
+
+# ========================================================================
+# q_weighted_quantile — weight-carried quantiles at value grain
+# ========================================================================
+
+
+@register(
+    "q_weighted_quantile",
+    oracle="""
+WITH g AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1
+),
+c AS (
+  SELECT cents, w,
+         CAST(SUM(w) OVER (ORDER BY cents) AS BIGINT) AS cumw,
+         CAST(SUM(w) OVER () AS BIGINT) AS tot
+  FROM g
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(MIN(tot) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 4 * cumw >= tot THEN cents END) AS BIGINT)
+         AS p25_cents,
+       CAST(MIN(CASE WHEN 2 * cumw >= tot THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(MIN(CASE WHEN 4 * cumw >= 3 * tot THEN cents END) AS BIGINT)
+         AS p75_cents
+FROM c
+""",
+)
+def q_weighted_quantile(spark, sf_dir):
+    """Weight-carried quantiles: the quantity-WEIGHTED quartiles of
+    unit price — "the price below which half the UNITS (not half the
+    rows) were sold", the inventory/revenue-mass location statistic
+    every plain percentile key answers wrongly on weighted questions.
+    Lower weighted-quantile convention: smallest value whose
+    cumulative weight reaches q·W (nearest-rank, no interpolation —
+    the convention is part of the contract and is exactly integral).
+
+    100 TB shape: ONE groupBy to the value grain (integer cents,
+    §8.15 tie-free), a prefix sum over the bounded grain
+    (windows.scalable_cumsum is the continuous swap — the
+    q_mann_whitney machinery), and one conditional-min census.
+    Determinism: INTEGERS END TO END — weights are exact unit counts,
+    thresholds cut by integer cross-multiply (4·cumw ≥ q·W, §8.19 —
+    never a double quotient), outputs are integer cents; there is no
+    floating-point operation anywhere in this key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    ).agg(
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long"))
+        .cast("long")
+        .alias("w")
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "cents",
+        F.sum("w").over(wc).cast("long").alias("cumw"),
+        F.sum("w").over(wt).cast("long").alias("tot"),
+    )
+    return c.agg(
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        F.min("tot").cast("long").alias("total_weight"),
+        F.min(
+            F.when(4 * F.col("cumw") >= F.col("tot"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p25_cents"),
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("tot"), F.col("cents"))
+        )
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(
+            F.when(
+                4 * F.col("cumw") >= 3 * F.col("tot"), F.col("cents")
+            )
+        )
+        .cast("long")
+        .alias("p75_cents"),
+    )
+
+
+# ========================================================================
+# q_quantile_normalize — rank-align per-source distributions
+# ========================================================================
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id
+         ) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+p AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grk,
+         COUNT(*) OVER () AS n
+  FROM documents
+),
+d AS (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS decile),
+src_pts AS (
+  SELECT r.source, d.decile, r.n_chars AS raw_chars
+  FROM r JOIN d ON r.rk = (d.decile * r.n_s + 9) // 10
+),
+pool_pts AS (
+  SELECT d.decile, p.n_chars AS normalized_chars
+  FROM p JOIN d ON p.grk = (d.decile * p.n + 9) // 10
+)
+SELECT s.source, CAST(s.decile AS BIGINT) AS decile,
+       CAST(s.raw_chars AS BIGINT) AS raw_chars,
+       CAST(pp.normalized_chars AS BIGINT) AS normalized_chars
+FROM src_pts s JOIN pool_pts pp ON s.decile = pp.decile
+""",
+)
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization (rank alignment) of each source's
+    document-length distribution onto the POOLED corpus distribution —
+    the batch-effect corrector (microarray/omics classic, and the
+    fair-mixing answer when one crawl source runs systematically
+    long): a source's d-th decile value maps to the pooled d-th decile
+    value.  Emitted as the per-(source, decile) mapping table a
+    normalizing join would broadcast.  Nearest-rank convention
+    (ceil(d·n/10), integer — no interpolation) is part of the
+    contract.
+
+    100 TB shape: one per-source rank window + one global rank
+    (windows.scalable_rank is the documented swap for the global
+    spine) over a column-pruned (source, n_chars, doc_id) projection;
+    the decile-position probe joins a broadcast 10-row grid on exact
+    rank equality, so only ~10 rows per source survive to the final
+    broadcast join.  Determinism: ranks are total orders on
+    (n_chars, doc_id); positions are integer ceil-divisions spelled
+    (d·n + 9) div 10 ↔ `// ` (§8.7, non-negative); INTEGERS END TO
+    END."""
+    d = load_table(spark, sf_dir, "documents")
+    wsrc = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wsn = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wsrc).alias("rk"),
+        F.count(F.lit(1)).over(wsn).alias("n_s"),
+    )
+    wg = Window.orderBy("n_chars", "doc_id")
+    wn = Window.orderBy("n_chars", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = d.select(
+        "n_chars",
+        F.row_number().over(wg).alias("grk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    src_pts = r.crossJoin(F.broadcast(deciles)).filter(
+        F.col("rk")
+        == F.expr("(decile * n_s + 9) div 10")
+    ).select("source", "decile", F.col("n_chars").alias("raw_chars"))
+    pool_pts = p.crossJoin(F.broadcast(deciles)).filter(
+        F.col("grk") == F.expr("(decile * n + 9) div 10")
+    ).select("decile", F.col("n_chars").alias("normalized_chars"))
+    return src_pts.join(F.broadcast(pool_pts), "decile").select(
+        "source",
+        F.col("decile").cast("long").alias("decile"),
+        F.col("raw_chars").cast("long").alias("raw_chars"),
+        F.col("normalized_chars").cast("long").alias("normalized_chars"),
+    )

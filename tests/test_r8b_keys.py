@@ -736,3 +736,64 @@ def test_record_linkage_block_cap(spark, tmp_path):
         spark, tmp_path.as_posix()
     ).collect()
     assert sum(r["n_pairs"] for r in out) == 4950
+
+
+def test_weighted_quantile_mass_not_rows(spark, tmp_path):
+    """One 1-cent row carrying weight 97 vs three heavy-price rows of
+    weight 1: every quartile of the UNIT mass is 1 cent — a row-wise
+    percentile would say ~200."""
+    import __spark_entry__ as e
+
+    rows = [
+        (1, 1, 0.01, 97.0),
+        (2, 2, 2.00, 1.0),
+        (3, 3, 3.00, 1.0),
+        (4, 4, 4.00, 1.0),
+    ]
+    (
+        spark.createDataFrame(
+            [(k, ln, 1.0, 0.0, "N", p, q) for k, ln, p, q in [
+                (r[0], r[1], r[2], r[3]) for r in rows
+            ]],
+            "l_orderkey long, l_linenumber int, l_discount double, "
+            "l_tax double, l_returnflag string, l_extendedprice double, "
+            "l_quantity double",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/lineitem.parquet")
+    )
+    r = e.queries()["q_weighted_quantile"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["total_weight"] == 100 and r["n_values"] == 4
+    assert (r["p25_cents"], r["p50_cents"], r["p75_cents"]) == (1, 1, 1)
+
+
+def test_quantile_normalize_rank_alignment(spark, tmp_path):
+    """Source A lengths 10× source B's: every decile of A maps to the
+    pooled decile, computed by the exact nearest-rank python mirror."""
+    import __spark_entry__ as e
+
+    docs = []
+    lens_a = [100, 200, 300, 400, 500]
+    lens_b = [10, 20, 30, 40, 50]
+    i = 0
+    for L in lens_a:
+        docs.append((i, "x" * L, "A")); i += 1
+    for L in lens_b:
+        docs.append((i, "x" * L, "B")); i += 1
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    out = {
+        (r["source"], r["decile"]): (r["raw_chars"], r["normalized_chars"])
+        for r in e.queries()["q_quantile_normalize"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    pooled = sorted(lens_a + lens_b)
+    n = len(pooled)
+    for src, lens in [("A", sorted(lens_a)), ("B", sorted(lens_b))]:
+        ns = len(lens)
+        for dec in range(1, 11):
+            raw = lens[(dec * ns + 9) // 10 - 1]
+            norm = pooled[(dec * n + 9) // 10 - 1]
+            assert out[(src, dec)] == (raw, norm), (src, dec)
