@@ -2761,3 +2761,175 @@ def q_quantile_normalize(spark, sf_dir):
         F.col("raw_chars").cast("long").alias("raw_chars"),
         F.col("normalized_chars").cast("long").alias("normalized_chars"),
     )
+
+
+# ========================================================================
+# q_changepoint_binary — best single split of the daily revenue series
+# ========================================================================
+
+
+@register(
+    "q_changepoint_binary",
+    oracle="""
+WITH d AS (
+  SELECT EPOCH_US(o_orderdate) // 86400000000 AS dayidx,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+c AS (
+  SELECT dayidx,
+         CAST(ROW_NUMBER() OVER (ORDER BY dayidx) AS BIGINT) AS k,
+         CAST(SUM(cents) OVER (ORDER BY dayidx) AS BIGINT) AS cum,
+         CAST(SUM(cents) OVER () AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nd
+  FROM d
+),
+g AS (
+  SELECT dayidx, k, nd,
+         (CAST(cum AS DOUBLE) * CAST(cum AS DOUBLE))
+           / CAST(k AS DOUBLE)
+         + (CAST(tot - cum AS DOUBLE) * CAST(tot - cum AS DOUBLE))
+           / CAST(nd - k AS DOUBLE)
+         - (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+           / CAST(nd AS DOUBLE) AS gain,
+         CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left_cents,
+         CAST(tot - cum AS DOUBLE) / CAST(nd - k AS DOUBLE)
+           AS mean_right_cents
+  FROM c WHERE k < nd
+)
+SELECT dayidx AS split_after_day, k AS n_left,
+       nd - k AS n_right, gain, mean_left_cents, mean_right_cents
+FROM g
+ORDER BY gain DESC, dayidx
+LIMIT 1
+""",
+)
+def q_changepoint_binary(spark, sf_dir):
+    """Binary-segmentation changepoint: the single split of the daily
+    revenue series that maximizes the SSE reduction
+    L²/n_l + R²/n_r − T²/n (the exact sum-identity form — no per-day
+    residual pass), i.e. the first step of binary segmentation and the
+    LOCATION complement to q_cusum_changepoint's drift alarm.
+
+    100 TB shape: the series collapses to the CALENDAR-BOUNDED day
+    grain; prefix sums and the O(D) candidate sweep ride ~2,400 rows
+    regardless of volume (q_theil_sen_trend discipline).  Determinism:
+    day cents and their prefix sums are exact int64; the gain is one
+    fixed-order double chain over int64 casts (hardware-correct at any
+    magnitude in both engines, §8.21 — divisions only, no libm), so
+    the ORDER BY ranks IDENTICAL doubles with a dayidx tie-break;
+    means are single unrounded divisions (§8.13)."""
+    o = load_table(spark, sf_dir, "orders")
+    us = epoch_us(o, "o_orderdate")
+    d = o.groupBy(
+        F.floor(us / F.lit(86_400_000_000)).alias("dayidx")
+    ).agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("cents")
+    )
+    wcum = Window.orderBy("dayidx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("dayidx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "dayidx",
+        F.row_number().over(Window.orderBy("dayidx"))
+        .cast("long")
+        .alias("k"),
+        F.sum("cents").over(wcum).cast("long").alias("cum"),
+        F.sum("cents").over(wall).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+    )
+    cumd = F.col("cum").cast("double")
+    rd = (F.col("tot") - F.col("cum")).cast("double")
+    kd = F.col("k").cast("double")
+    nrd = (F.col("nd") - F.col("k")).cast("double")
+    totd = F.col("tot").cast("double")
+    ndd = F.col("nd").cast("double")
+    gain = (
+        (cumd * cumd) / kd + (rd * rd) / nrd - (totd * totd) / ndd
+    )
+    g = c.filter(F.col("k") < F.col("nd")).select(
+        F.col("dayidx").alias("split_after_day"),
+        F.col("k").alias("n_left"),
+        (F.col("nd") - F.col("k")).alias("n_right"),
+        gain.alias("gain"),
+        (cumd / kd).alias("mean_left_cents"),
+        (rd / nrd).alias("mean_right_cents"),
+    )
+    return g.orderBy(F.col("gain").desc(), "split_after_day").limit(1)
+
+
+# ========================================================================
+# q_oov_rate — out-of-vocabulary rate per source vs the pooled top-k
+# ========================================================================
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "q_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+  FROM documents
+),
+ws AS (SELECT source, w, COUNT(*) AS c FROM toks GROUP BY source, w),
+pooled AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM ws GROUP BY w),
+vocab AS (
+  SELECT w FROM pooled ORDER BY cw DESC, w LIMIT {_OOV_VOCAB_K}
+)
+SELECT ws.source,
+       CAST(SUM(ws.c) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN ws.c ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN ws.c ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(ws.c) AS DOUBLE) AS oov_rate
+FROM ws LEFT JOIN vocab v ON ws.w = v.w
+GROUP BY ws.source
+""",
+)
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per source against the pooled top-1000
+    vocabulary — the tokenizer-coverage / domain-shift signal a
+    curation stack reads before fixing a training mix (a source whose
+    OOV rate spikes is the one blowing up the token budget or the
+    fertility).
+
+    100 TB shape: ONE corpus explode to the vocab×source grain
+    (persisted, q_pmi_bigrams derived-marginal discipline); the pooled
+    counts DERIVE from it (Σ over sources), the top-k vocabulary is a
+    TakeOrdered over the bounded vocab grain and broadcasts back onto
+    the same cached table — the token stream never shuffles twice.
+    Determinism: integer counts end to end with full (count desc,
+    token) tie-break on the vocabulary cut; ONE final division
+    (§8.13; n_tokens ≥ 1 whenever a source row exists)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(llmops.tokens_col("text")).alias("w")
+    )
+    ws = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ws = llmops._track_sig_cache(ws.persist())
+    pooled = ws.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
+    vocab = (
+        pooled.orderBy(F.col("cw").desc(), "w")
+        .limit(_OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    j = ws.join(F.broadcast(vocab), "w", "left")
+    oov_c = F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(
+        F.lit(0)
+    )
+    return j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(oov_c).cast("long").alias("n_oov"),
+        (
+            F.sum(oov_c).cast("double") / F.sum("c").cast("double")
+        ).alias("oov_rate"),
+    )

@@ -797,3 +797,50 @@ def test_quantile_normalize_rank_alignment(spark, tmp_path):
             raw = lens[(dec * ns + 9) // 10 - 1]
             norm = pooled[(dec * n + 9) // 10 - 1]
             assert out[(src, dec)] == (raw, norm), (src, dec)
+
+
+def test_changepoint_binary_level_shift(spark, tmp_path):
+    """[10, 10, 10, 50, 50] cents: the best split is after day 3, and
+    the gain equals the python IEEE chain exactly."""
+    import __spark_entry__ as e
+
+    rows = []
+    for d, cents in enumerate([10, 10, 10, 50, 50]):
+        rows.append((d + 1, 1, f"1997-01-{d + 1:02d}", cents / 100.0,
+                     "5-LOW", "O"))
+    _write_orders(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_changepoint_binary"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert (r["split_after_day"] % 100000, r["n_left"], r["n_right"])[1:] \
+        == (3, 2)
+    cum, tot, k, nd = 30.0, 130.0, 3.0, 5.0
+    gain = (cum * cum) / k + ((tot - cum) * (tot - cum)) / (nd - k) \
+        - (tot * tot) / nd
+    assert r["gain"] == gain
+    assert r["mean_left_cents"] == 10.0
+    assert r["mean_right_cents"] == 50.0
+
+
+def test_oov_rate_against_planted_vocab(spark, tmp_path):
+    """Pooled top-1000 = the 1000 double-counted tokens; source B's
+    ten singleton rares are OOV → rate exactly 10/11."""
+    import __spark_entry__ as e
+
+    common = " ".join(f"w{i:04d}" for i in range(1000))
+    docs = [
+        (1, common, "A"),
+        (2, common, "A"),
+        (3, "w0000 " + " ".join(f"rare{i}" for i in range(10)), "B"),
+    ]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    out = {
+        r["source"]: r
+        for r in e.queries()["q_oov_rate"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert out["A"]["n_oov"] == 0 and out["A"]["oov_rate"] == 0.0
+    b = out["B"]
+    assert (b["n_tokens"], b["n_oov"]) == (11, 10)
+    assert b["oov_rate"] == 10.0 / 11.0
