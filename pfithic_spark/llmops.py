@@ -1943,14 +1943,17 @@ def pq_train_codebook(
         for _ in range(max_iter):
             d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)  # ties -> lowest id
+            # deterministic reseed: farthest points, one PER empty
+            # cluster (descending min-distance order) — two empty
+            # clusters must not receive the same point, or they stay
+            # duplicate dead codes forever (argmin ties to lower id)
+            far_order = iter(np.argsort(-d2.min(axis=1), kind="stable"))
             for c in range(len(C)):
                 mask = assign == c
                 if mask.any():
                     C[c] = Xs[mask].mean(axis=0)
                 else:
-                    # deterministic reseed: farthest point overall
-                    far = int(np.argmax(d2.min(axis=1)))
-                    C[c] = Xs[far]
+                    C[c] = Xs[int(next(far_order))]
         for c in range(len(C)):
             for dim in range(sub):
                 out.append((s, c, dim, float(C[c, dim])))

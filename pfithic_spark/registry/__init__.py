@@ -46,63 +46,66 @@ from .keys_r8 import *  # noqa: F401,F403,E402
 from .keys_r8b import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # Round-8 sweep (driver checks the first 50).  VERDICT r7 #1:
-    # the 18 §2.19 keys (registered in round 7, zero driver rows
-    # ever) followed by the 32 oldest r4-era keys (newest driver row
-    # = r4; first 32 of the 44 in registry insertion order — the
-    # remaining 12 rotate in round 9).  18 + 32 fills the 50-key
-    # window exactly.
-    "q_kendall_tau",
-    "q_spearman_corr",
-    "q_mann_kendall",
-    "q_mutual_information",
-    "q_dedup_containment",
-    "q_open_order_backlog",
-    "q_price_volume_mix",
-    "q_growth_accounting",
-    "q_js_divergence",
-    "q_psi_drift",
-    "q_stratified_kfold",
-    "q_embedding_outliers",
-    "q_survival_curve",
-    "q_order_cycle_time",
-    "q_adamic_adar",
-    "q_benjamini_yekutieli",
-    "q_ljung_box",
-    "q_cohens_d",
-    # r4-era backlog — oldest remaining driver rows (32 of 44)
-    "q_filter_range",
-    "q_agg_group",
-    "q_agg_global",
-    "q_agg_marginal",
-    "q_filter_in",
-    "q_window_ntile",
-    "q_join_outer",
-    "q_window_rank",
-    "q_window_frame",
-    "q_window_lead_lag",
-    "q_topk_per_group",
-    "q_math_funcs",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_array_funcs",
-    "q_map_funcs",
-    "q_json_funcs",
-    "q_dedup_exact",
-    "q_join_asof_tol",
-    "q_sim_ivf",
-    "q_canonicalize",
-    "q_join_skew_salted",
-    "q_bootstrap_ci",
-    "q_rfm",
-    "q_attribution",
-    "q_interval_coalesce",
-    "q_pmi_bigrams",
-    "q_gaps_islands",
-    "q_entropy",
-    "q_pca",
-    "q_sessionize",
-    "q_time_weighted_avg",
+    # Round-9 sweep (driver checks the first 50).  VERDICT r8 #1:
+    # the 38 round-8 keys (§2.20 keys_r8.py + §2.21 keys_r8b.py,
+    # zero driver rows ever) followed by the 12 remaining r4-era
+    # keys whose newest driver row predates r5.  38 + 12 fills the
+    # 50-key window exactly, and re-rows q_bm25/q_lm_score (and via
+    # the r8 window q_pmi_bigrams already rotated) on their round-8
+    # re-planned single-corpus-pass plans.
+    # §2.20 (keys_r8.py)
+    "q_theil_index",
+    "q_hodges_lehmann",
+    "q_isotonic_trend",
+    "q_kruskal_wallis",
+    "q_weighted_sample",
+    "q_negative_sampling",
+    "q_tdigest_quantiles",
+    "q_huber_regression",
+    "q_partial_autocorr",
+    "q_markov_attribution",
+    "q_pq_codes",
+    "q_brown_forsythe",
+    # §2.21 (keys_r8b.py)
+    "q_target_encoding",
+    "q_mcnemar",
+    "q_split_information_gain",
+    "q_feature_hash",
+    "q_calibration_bins",
+    "q_roc_auc",
+    "q_token_chi2",
+    "q_cross_correlation",
+    "q_hll_sketch",
+    "q_countmin_sketch",
+    "q_ndcg",
+    "q_silhouette_score",
+    "q_cochran_armitage",
+    "q_cliffs_delta",
+    "q_ab_srm",
+    "q_granger_lag1",
+    "q_fisher_exact",
+    "q_knn_classify",
+    "q_readability",
+    "q_intersect_all",
+    "q_except_all",
+    "q_record_linkage",
+    "q_weighted_quantile",
+    "q_quantile_normalize",
+    "q_changepoint_binary",
+    "q_oov_rate",
+    # r4-era backlog — the 12 keys whose newest driver row is still r4
+    "q_chunk_documents",
+    "q_bm25",
+    "q_outlier_mad",
+    "q_merge_upsert",
+    "q_snapshot_diff",
+    "q_lm_score",
+    "q_bpe_train",
+    "q_bpe_tokenize",
+    "q_join_bucketed",
+    "q_join_bloom",
+    "q_scd2_merge",
+    "q_embedding_quantize",
 ]
 
 

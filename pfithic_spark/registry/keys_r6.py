@@ -681,8 +681,12 @@ def q_hhi_concentration(spark, sf_dir):
     fixture regeneration had real odds of a hash flip), so ru splits
     at 2^20 into int64 hi/lo piece-sums reconstructed through the
     shared spelling A*2^40 + B*2^20 + C (power-of-two multiplies
-    exact, two identical rounded adds; budget holds to ru < ~2^43
-    with <=1e6 suppliers per nation -- wider pieces are the swap).
+    exact, two identical rounded adds; budget: the binding piece-sum
+    is sum((ru div 2^20)^2) <= 2^62, i.e. ru < ~2^41 at <=1e6
+    suppliers per nation -- ADVICE r8 correction; Spark's sum(long)
+    wraps silently past it while DuckDB promotes to HUGEINT, so
+    wider pieces / a 2^22 split are the swap BEFORE the budget, not
+    after a divergence).
     tot^2 / divisions stay identical IEEE doubles, unrounded.  CR4
     sums the top-4 ru as integers (< 2^53, hardware-exact cast) with
     ONE final division.  Rank ties break on s_suppkey."""
@@ -1193,8 +1197,9 @@ def q_rolling_corr(spark, sf_dir):
     shared reconstruction A·2⁴⁰ + B·2²⁰ + C feeds the VALUE path
     (round-8 FIXTURES §8.21: DuckDB's wide-DECIMAL→DOUBLE cast lands
     1 ulp low on ~0.7% of values, a real hash-flip risk for this
-    key's unrounded output; the split budget holds while daily cents
-    < 2⁴⁰ ≈ 100× the sf0.1 level).  corr's num/den then run one
+    key's unrounded output; binding piece-sum is the 28-row
+    Σ(y div 2²⁰)² ≤ 2⁶² ⇒ daily cents < ~2⁴⁸ — the stated working
+    budget 2⁴⁰ ≈ 100× the sf0.1 level sits well inside it).  corr's num/den then run one
     division + sqrt, unrounded — identical IEEE on both engines.  One fact scan to day grain; the window runs on the
     bounded (~2.4k-row) day table — at 100 TB the day grain is still
     bounded, so the single-partition window is fine by construction.

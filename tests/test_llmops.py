@@ -684,3 +684,26 @@ def test_containment_is_directional(spark):
     assert got[(1, 2)]["common"] == 3 and got[(1, 2)]["set_sz"] == 3
     assert (2, 1) not in got, "reverse direction must fail the threshold"
     assert not any(3 in k for k in got), "disjoint doc must not pair"
+
+
+def test_pq_reseed_gives_distinct_points_per_empty_cluster(spark):
+    """ADVICE r8: when ≥2 clusters go empty in the same Lloyd
+    iteration, each must be reseeded from a DIFFERENT farthest point
+    (descending min-distance order), not all from the single farthest
+    — duplicate reseeds stay dead codes forever (argmin ties to the
+    lower id).  Data/seed chosen so init picks three identical
+    centroids (value 0), emptying clusters 1 and 2 in iteration 1:
+    the two reseeds must be the two distinct outlier values."""
+    vals = [0, 0, 0, 0, 0, 0, 0, 0, 50, 100]
+    df = spark.createDataFrame(
+        [(i, [float(v)]) for i, v in enumerate(vals)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = llmops.pq_train_codebook(
+        df, m=1, k=3, max_iter=1, seed=1, sample_size=10
+    )
+    # cluster 0 keeps the mean of all 10 assigned points (15.0); the
+    # two empties take the two distinct outliers.  Pre-fix output was
+    # [15.0, 100.0, 100.0] — one dead duplicate.
+    cents = sorted(cb["value"].tolist())
+    assert cents == [15.0, 50.0, 100.0], cents

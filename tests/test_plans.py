@@ -1343,3 +1343,20 @@ def test_record_linkage_blocked_capped_join(spark, sf_dir, queries):
     # both sides of the self-join carry the rn cap predicate
     assert p.count("rn#") >= 2 and "100" in p
     assert "EvalPython" not in p
+
+
+def test_quantile_normalize_pooled_rank_scalable(spark, sf_dir, queries):
+    """q_quantile_normalize (VERDICT r8 `weak` fix): the pooled-corpus
+    rank spine routes through windows.scalable_rank — every window in
+    the executed plan is partitioned by _pid (two-phase bucket
+    machinery; the ~32-row broadcast prefix-offset window also orders
+    by _pid) or by source (the per-source decile rank).  A raw
+    corpus-grain `Window.orderBy(n_chars, doc_id)` row_number — the
+    §4.4 one-task collapse at 100 TB — must NOT appear."""
+    import re
+
+    p = _plan(queries["q_quantile_normalize"](spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs, p[:1500]
+    assert all(s in ("_pid", "source") for s in specs), specs
+    assert "CartesianProduct" not in p

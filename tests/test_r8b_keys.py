@@ -844,3 +844,43 @@ def test_oov_rate_against_planted_vocab(spark, tmp_path):
     b = out["B"]
     assert (b["n_tokens"], b["n_oov"]) == (11, 10)
     assert b["oov_rate"] == 10.0 / 11.0
+
+
+def test_quantile_normalize_stable_reuse_off(spark, sf_dir):
+    """The scalable_rank pooled spine (VERDICT r8 `weak` fix) must
+    produce identical decile mappings with exchange reuse and AQE
+    disabled — bucket ids are frozen-literal functions of n_chars, so
+    no lineage branch can re-sample boundaries and mis-rank."""
+    import __spark_entry__ as e
+
+    k = e.queries()["q_quantile_normalize"]
+    base = {
+        (r["source"], r["decile"]): (r["raw_chars"], r["normalized_chars"])
+        for r in k(spark, sf_dir).collect()
+    }
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {}
+    for key, v in confs.items():
+        try:
+            old[key] = spark.conf.get(key)
+        except Exception:
+            old[key] = None
+        spark.conf.set(key, v)
+    try:
+        off = {
+            (r["source"], r["decile"]): (
+                r["raw_chars"],
+                r["normalized_chars"],
+            )
+            for r in k(spark, sf_dir).collect()
+        }
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+    assert off == base and len(base) > 0
