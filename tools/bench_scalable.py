@@ -2677,11 +2677,262 @@ def main() -> None:
         {k: want_sil[k] for k in list(want_sil)[:2]},
     )
 
+    # --- q_token_chi2 shape: ~7.5M-token stream, bounded vocab -------
+    # (round-9, VERDICT r8 #4) ONE corpus scan → per-doc distinct
+    # explode → vocab×source-grain aggregate with DERIVED marginals.
+    # Planted truth: docs alternate sources A/B; "common" is in every
+    # doc (cut by the df_w < N filter), "toka"/"tokb" are perfectly
+    # source-pure (closed-form chi2 = N exactly), and 13 filler tokens
+    # per doc cycle i % 499 residue classes (499 odd → each filler
+    # splits EXACTLY evenly across sources → det = ad−bc = 0 →
+    # chi2 = 0).  Gate: top-2 rows are exactly the pure tokens at
+    # chi2 == N, every other surviving row is 0.
+    n_chi_docs = max((n // 16 // 998) * 998, 998)
+    chi_i = F.col("id")
+    chi_fill = [
+        F.concat(F.lit(f"f{j}_"), ((chi_i % 499) * 13 + j))
+        for j in range(13)
+    ]
+    chi_docs = spark.range(n_chi_docs).select(
+        chi_i.alias("doc_id"),
+        F.when(chi_i % 2 == 0, F.lit("sA")).otherwise(F.lit("sB")).alias(
+            "source"
+        ),
+        F.concat_ws(
+            " ",
+            F.lit("common"),
+            F.when(chi_i % 2 == 0, F.lit("toka")).otherwise(F.lit("tokb")),
+            *chi_fill,
+        ).alias("text"),
+    )
+    t0 = time.time()
+    chi_dt = chi_docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("w"),
+    )
+    chi_ws = chi_dt.groupBy("w", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    ).persist()
+    chi_wtot = chi_ws.groupBy("w").agg(
+        F.sum("a").cast("long").alias("df_w")
+    )
+    chi_stot = chi_docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    chi_ntot = chi_docs.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    chi_cells = (
+        chi_ws.join(chi_wtot, "w")
+        .filter(F.col("df_w") >= 5)
+        .join(F.broadcast(chi_stot), "source")
+        .crossJoin(F.broadcast(chi_ntot))
+        .filter(F.col("df_w") < F.col("nn"))
+    )
+    chi_det = (
+        F.col("a") * (F.col("nn") - F.col("n_s") - (F.col("df_w") - F.col("a")))
+        - (F.col("df_w") - F.col("a")) * (F.col("n_s") - F.col("a"))
+    ).cast("double")
+    chi_b = F.col("df_w") - F.col("a")
+    chi_c = F.col("n_s") - F.col("a")
+    chi_d = F.col("nn") - F.col("n_s") - chi_b
+    chi2_expr = (
+        F.col("nn").cast("double")
+        * (chi_det * chi_det)
+        / (
+            (F.col("a") + chi_b).cast("double")
+            * (chi_c + chi_d).cast("double")
+            * (F.col("a") + chi_c).cast("double")
+            * (chi_b + chi_d).cast("double")
+        )
+    )
+    chi_top = (
+        chi_cells.select(
+            "w",
+            "source",
+            F.round(chi2_expr, 6).cast("decimal(24,6)").alias("chi2"),
+        )
+        .orderBy(F.col("chi2").desc(), "w", "source")
+        .limit(50)
+        .collect()
+    )
+    chi_ws.unpersist()
+    token_chi2_s = time.time() - t0
+    assert len(chi_top) == 50, len(chi_top)
+    got_pure = {(r["w"], r["source"]): float(r["chi2"]) for r in chi_top[:2]}
+    assert got_pure == {
+        ("toka", "sA"): float(n_chi_docs),
+        ("tokb", "sB"): float(n_chi_docs),
+    }, got_pure
+    assert all(float(r["chi2"]) == 0.0 for r in chi_top[2:]), [
+        (r["w"], r["source"], r["chi2"]) for r in chi_top[2:5]
+    ]
+
+    # --- q_record_linkage shape: 8M customers, one 4M-row mega-block -
+    # (round-9, VERDICT r8 #4) half the rows share one
+    # (nation, segment) block — uncapped, that block alone fans
+    # C(4M, 2) ≈ 8·10¹² pairs; the rn ≤ 100 cap fires BELOW the
+    # self-join, so 25 blocks yield exactly 25·C(100,2) = 123,750
+    # scored pairs.  The class census (n_pairs + exact integer
+    # micro-nat sums) is mirrored pair-by-pair in python over the
+    # kept members.
+    from pyspark.sql import Window as WRL
+
+    rl_half = n // 2
+    rl_nation = F.when(F.col("id") < rl_half, F.lit(0)).otherwise(
+        F.col("id") % 24 + 1
+    )
+    rl_cust = spark.range(n).select(
+        F.col("id").alias("c_custkey"),
+        rl_nation.alias("c_nationkey"),
+        F.lit("SEG").alias("c_mktsegment"),
+        (F.col("id") % 10).cast("string").alias("name_digit"),
+        (F.col("id") % 3).alias("band"),
+        (F.col("id") % 97).alias("keyhash"),
+    )
+    t0 = time.time()
+    rl_w = WRL.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_custkey"
+    )
+    rl_m = rl_cust.withColumn(
+        "rn", F.row_number().over(rl_w)
+    ).filter(F.col("rn") <= 100)
+    ra, rb = rl_m.alias("a"), rl_m.alias("b")
+    W_NAME, W_BAND, W_HASH = (
+        (2251292, -2890372),
+        (2890372, -2251292),
+        (4412192, -1886757),
+    )
+    rl_score = (
+        F.when(
+            F.col("a.name_digit") == F.col("b.name_digit"),
+            F.lit(W_NAME[0]),
+        ).otherwise(F.lit(W_NAME[1]))
+        + F.when(
+            F.col("a.band") == F.col("b.band"), F.lit(W_BAND[0])
+        ).otherwise(F.lit(W_BAND[1]))
+        + F.when(
+            F.col("a.keyhash") == F.col("b.keyhash"), F.lit(W_HASH[0])
+        ).otherwise(F.lit(W_HASH[1]))
+    )
+    rl_pairs = ra.join(
+        rb,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    ).select(rl_score.alias("w"))
+    rl_cls = rl_pairs.select(
+        F.when(F.col("w") >= 4_000_000, F.lit("link"))
+        .when(F.col("w") >= 0, F.lit("possible"))
+        .otherwise(F.lit("non_link"))
+        .alias("classification"),
+        "w",
+    )
+    rl_rows = (
+        rl_cls.groupBy("classification")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("w").cast("long").alias("sum_w_micro"),
+        )
+        .collect()
+    )
+    record_linkage_s = time.time() - t0
+    # python mirror over the kept members (block 0: ids 0..99; block
+    # b≥1: the first 100 ids ≥ rl_half with id % 24 == b − 1)
+    want_rl: dict = {}
+    for blk in range(25):
+        if blk == 0:
+            members = list(range(100))
+        else:
+            first = rl_half + ((blk - 1 - rl_half) % 24)
+            members = [first + 24 * j for j in range(100)]
+        for x in range(100):
+            for y in range(x + 1, 100):
+                ia, ib = members[x], members[y]
+                wv = (
+                    (W_NAME[0] if ia % 10 == ib % 10 else W_NAME[1])
+                    + (W_BAND[0] if ia % 3 == ib % 3 else W_BAND[1])
+                    + (W_HASH[0] if ia % 97 == ib % 97 else W_HASH[1])
+                )
+                cls = (
+                    "link"
+                    if wv >= 4_000_000
+                    else ("possible" if wv >= 0 else "non_link")
+                )
+                cnt, sw = want_rl.get(cls, (0, 0))
+                want_rl[cls] = (cnt + 1, sw + wv)
+    got_rl = {
+        r["classification"]: (r["n_pairs"], r["sum_w_micro"])
+        for r in rl_rows
+    }
+    assert sum(v[0] for v in got_rl.values()) == 25 * 4950, got_rl
+    assert got_rl == want_rl, (got_rl, want_rl)
+
+    # --- q_knn_classify shape: 1M corpus × 100 broadcast queries -----
+    # (round-9, VERDICT r8 #4) llmops.cosine_topk — broadcast query
+    # side, ONE corpus scan, zip_with dot (no component explode),
+    # WindowGroupLimit to k before the vote.  Corpus vec i lights the
+    # 4-dim block (i mod 16); query q = block(q mod 16) + e₀, so every
+    # same-block corpus vector ties at the max cosine and the e_id
+    # tie-break elects the 5 smallest same-block ids — all label
+    # q mod 16, a unanimous 5-vote correct prediction for all 100
+    # queries.
+    from pfithic_spark import llmops as _llm
+
+    n_knn = max(n // 8, 160_000)
+    knn_corpus = spark.range(100, 100 + n_knn).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d -> CAST("
+            "  CASE WHEN d div 4 = id % 16 THEN 10.0 ELSE 0.0 END"
+            "  AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    knn_q = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 16).alias("label"),
+        F.expr(
+            "transform(sequence(0, 63), d -> CAST("
+            "  (CASE WHEN d div 4 = id % 16 THEN 10.0 ELSE 0.0 END)"
+            "  + (CASE WHEN d = 0 THEN 1.0 ELSE 0.0 END) AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    knn_nn = _llm.cosine_topk(knn_corpus, knn_q, k=5)
+    knn_lbl = knn_corpus.select(
+        F.col("vec_id").alias("e_id"), F.col("label").alias("nbr_label")
+    )
+    knn_votes = (
+        knn_nn.join(knn_lbl, "e_id")
+        .groupBy("q_id", "nbr_label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w_knn = WRL.partitionBy("q_id").orderBy(
+        F.col("n_votes").desc(), "nbr_label"
+    )
+    knn_pred = (
+        knn_votes.withColumn("pr", F.row_number().over(w_knn))
+        .filter(F.col("pr") == 1)
+        .collect()
+    )
+    knn_s = time.time() - t0
+    assert len(knn_pred) == 100, len(knn_pred)
+    for r in knn_pred:
+        assert r["nbr_label"] == r["q_id"] % 16 and r["n_votes"] == 5, r
+
     print(
         json.dumps(
             {
                 "n": n,
                 "sil_n": n_sil,
+                "knn_corpus_n": n_knn,
+                "token_chi2_docs": n_chi_docs,
+                "token_chi2_s": round(token_chi2_s, 2),
+                "record_linkage_s": round(record_linkage_s, 2),
+                "record_linkage_pairs": int(
+                    sum(v[0] for v in got_rl.values())
+                ),
+                "knn_s": round(knn_s, 2),
                 "sil_s": round(sil_s, 2),
                 "tdigest_s": round(tdigest_s, 2),
                 "hll_s": round(hll_s, 2),
