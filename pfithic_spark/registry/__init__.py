@@ -44,6 +44,7 @@ from .keys_r6b import *  # noqa: F401,F403,E402
 from .keys_r7 import *  # noqa: F401,F403,E402
 from .keys_r8 import *  # noqa: F401,F403,E402
 from .keys_r8b import *  # noqa: F401,F403,E402
+from .keys_r9 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
     # Round-9 sweep (driver checks the first 50).  VERDICT r8 #1:

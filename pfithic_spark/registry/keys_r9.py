@@ -1,0 +1,1333 @@
+"""Round-9 §2.22 registry keys (EXT-3): pipeline-assembly operators —
+entity resolution READ side, maintained dedup indexes, per-group
+corpus subsampling, sequence mining, score calibration, conformal
+intervals, two-sample value-unit drift, mergeable quantile summaries,
+co-occurrence graph projections, and ANN-graph construction.
+
+Every key follows the house determinism contract (FIXTURES.md):
+exact integer counts, cross-engine hashes only (Knuth / MD5-ASCII),
+transcendentals round(9)-before-use (rule 22), rank keys on
+round(6)→DECIMAL or pure integers (§8.16), div/`//` truncation pairs
+on non-negative operands (§8.7), hi/lo int64 piece-sums where a sum
+exceeds the int64 budget (§8.21), NULL on degenerate inputs (§8.17),
+and full tie-break chains on every rank/limit.
+
+Provenance: like §2.20/§2.21 these are mandated EXT breadth (the
+LLM-training-data-pipeline completeness surface), not reconstructions
+of reference behavior — the reference mount is empty (SURVEY §0), so
+no [P] citation is possible; semantics follow the cited public
+classics (Fellegi–Sunter 1969 read side, Efraimidis–Spirakis 2006,
+Vovk split-conformal, Székely–Rizzo energy distance, Charikar 2002
+simhash banding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .. import llmops  # noqa: F401
+from .. import windows as win  # noqa: F401
+from ..io import epoch_us, load_table  # noqa: F401
+from ._core import (  # noqa: F401
+    register,
+)
+from .keys_r8b import _RL_MAX_BLOCK, _RL_UPPER, _RL_W
+
+# ========================================================================
+# q_er_clusters — entity-resolution clusters from record-linkage links
+# ========================================================================
+
+
+def _rl_kept_members(spark, sf_dir) -> DataFrame:
+    """The capped block-member table shared with q_record_linkage
+    (keys_r8b.py): per-(nation, segment) block, the first
+    _RL_MAX_BLOCK members by custkey, with the three comparison
+    fields.  Kept in one place so the linkage WRITE side (pair
+    census) and this READ side (clusters) can never drift apart."""
+    c = load_table(spark, sf_dir, "customer")
+    wblock = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "c_custkey"
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.substring(
+            F.col("c_name"), F.length("c_name"), 1
+        ).alias("name_digit"),
+        F.expr(
+            "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) div 100000"
+        ).alias("band"),
+        (F.col("c_custkey") % 97).alias("keyhash"),
+        F.row_number().over(wblock).alias("rn"),
+    ).filter(F.col("rn") <= _RL_MAX_BLOCK)
+
+
+@register(
+    "q_er_clusters",
+    oracle=f"""
+WITH RECURSIVE m AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         SUBSTR(c_name, LENGTH(c_name), 1) AS name_digit,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) // 100000 AS band,
+         c_custkey % 97 AS keyhash,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey
+         ) AS rn
+  FROM customer
+),
+k AS (SELECT * FROM m WHERE rn <= {_RL_MAX_BLOCK}),
+lp AS (
+  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+  FROM k a JOIN k b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.rn < b.rn
+  WHERE (CASE WHEN a.name_digit = b.name_digit
+              THEN {_RL_W["f_name"][0]} ELSE {_RL_W["f_name"][1]} END
+       + CASE WHEN a.band = b.band
+              THEN {_RL_W["f_band"][0]} ELSE {_RL_W["f_band"][1]} END
+       + CASE WHEN a.keyhash = b.keyhash
+              THEN {_RL_W["f_hash"][0]} ELSE {_RL_W["f_hash"][1]} END)
+        >= {_RL_UPPER}
+),
+e2 AS (SELECT id1 AS a, id2 AS b FROM lp
+       UNION ALL SELECT id2, id1 FROM lp),
+walk(v, l) AS (
+  SELECT c_custkey, c_custkey FROM k
+  UNION
+  SELECT e.b, w.l FROM walk w JOIN e2 e ON w.v = e.a
+),
+lab AS (SELECT v, MIN(l) AS entity_id FROM walk GROUP BY v)
+SELECT lab.v AS c_custkey, lab.entity_id,
+       CAST(COUNT(*) OVER (PARTITION BY lab.entity_id) AS BIGINT)
+         AS entity_size
+FROM lab
+""",
+)
+def q_er_clusters(spark, sf_dir):
+    """Entity-resolution CLUSTERS — the READ side of
+    q_record_linkage (keys_r8b.py): pairs scored ≥ the link
+    threshold become edges, connected components give each customer
+    an entity_id (= min custkey of the component) and entity_size —
+    the step between pairwise linkage and a usable golden-record
+    table (linkage is transitive in practice; representatives come
+    from components, not pairs — the q_dedup_clusters argument on
+    identity instead of content).
+
+    100 TB shape: the pair generator is the linkage key's verbatim
+    (nation, segment) block equi-join with the _RL_MAX_BLOCK rank
+    cap BELOW the self-join, so the edge set is bounded at
+    blocks × C(cap, 2); components run through
+    llmops.connected_components (pointer-jumping min-label
+    propagation, O(log diameter) rounds; small edge sets take the
+    driver union-find fast path).  Node universe = the KEPT members
+    (the linkage scope); non-kept rows are by definition outside
+    this linkage run.  Determinism: integer micro-nat scores (no
+    runtime ln), min-label ids, exact integer sizes."""
+    k = _rl_kept_members(spark, sf_dir)
+    a, b = k.alias("a"), k.alias("b")
+    w = (
+        F.when(
+            F.col("a.name_digit") == F.col("b.name_digit"),
+            F.lit(_RL_W["f_name"][0]),
+        ).otherwise(F.lit(_RL_W["f_name"][1]))
+        + F.when(
+            F.col("a.band") == F.col("b.band"), F.lit(_RL_W["f_band"][0])
+        ).otherwise(F.lit(_RL_W["f_band"][1]))
+        + F.when(
+            F.col("a.keyhash") == F.col("b.keyhash"),
+            F.lit(_RL_W["f_hash"][0]),
+        ).otherwise(F.lit(_RL_W["f_hash"][1]))
+    )
+    links = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .filter(w >= _RL_UPPER)
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+        )
+    )
+    cc = llmops.connected_components(
+        links, k.select("c_custkey"), id_col="c_custkey"
+    )
+    return cc.select(
+        "c_custkey",
+        F.col("cluster_id").alias("entity_id"),
+        F.col("cluster_size").alias("entity_size"),
+    )
+
+
+# ========================================================================
+# q_group_reservoir — per-source A-ES weighted reservoir sample
+# ========================================================================
+
+_GRES_K = 20
+
+
+@register(
+    "q_group_reservoir",
+    oracle=f"""
+WITH h AS (
+  SELECT source, doc_id, n_chars,
+         (((doc_id % 2654435761) * 2654435761) % 4294967296 + 1)
+           / 4294967297.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ROUND(LN(u), 9) / n_chars DESC, doc_id
+         ) AS rk
+  FROM h
+)
+SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_GRES_K}
+""",
+)
+def q_group_reservoir(spark, sf_dir):
+    """PER-SOURCE weighted reservoir sample (k=20 per source,
+    weight = n_chars) — the partitioned Efraimidis–Spirakis A-ES
+    draw beside the GLOBAL q_weighted_sample: a balanced per-source
+    corpus subsample where long documents are proportionally
+    likelier WITHIN their source, and no source can crowd out
+    another (the stratified token-budget sampler a mixing recipe
+    actually runs).
+
+    Key = round(ln(u), 9) / n_chars with the deterministic Knuth
+    uniform (q_weighted_sample's exact spelling — one
+    correctly-rounded IEEE division of identical doubles by an exact
+    integer weight, bit-identical cross-engine), ranked per source
+    with doc_id tie-break.  Scale shape: stateless per-row hash →
+    per-group top-k window (WindowGroupLimit pushes the k filter
+    into the sort; parallelism = source count × AQE splits, and the
+    reservoir property keeps per-partition candidates mergeable —
+    at 100 TB this is one shuffle of k·|sources| survivors, not a
+    global order)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (llmops.knuth_hash("doc_id") + 1) / F.lit(4294967297.0)
+    key = F.round(F.log(u), 9) / F.col("n_chars")
+    wsrc = Window.partitionBy("source").orderBy(key.desc(), "doc_id")
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(wsrc).cast("long"))
+        .filter(F.col("rk") <= _GRES_K)
+    )
+
+
+# ========================================================================
+# q_session_ngrams — sliding event-type trigrams within sessions
+# ========================================================================
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # = keys_r6b.q_sessionize contract
+_NGRAM_TOPK = 20
+
+
+@register(
+    "q_session_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id, event_id, EPOCH_US(ts) AS us, event_type FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN LAG(us) OVER w IS NULL
+                OR us - LAG(us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+),
+g AS (
+  SELECT event_type,
+         LEAD(event_type, 1) OVER w2 AS t2,
+         LEAD(event_type, 2) OVER w2 AS t3
+  FROM s WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY us, event_id)
+)
+SELECT CONCAT_WS('>', event_type, t2, t3) AS trigram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g WHERE t3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, trigram
+LIMIT {_NGRAM_TOPK}
+""",
+)
+def q_session_ngrams(spark, sf_dir):
+    """Top-20 SLIDING event-type trigrams within sessions
+    — sequence-mining lite, generalizing q_session_paths (which
+    keeps only each session's OPENING path) to every consecutive
+    3-step subsequence: the "what do users do next, anywhere in the
+    visit" report, and the n-gram table a next-event model trains
+    on.
+
+    Same 30-minute-gap segmentation contract as q_sessionize /
+    q_session_paths (drift between the three would be a bug).  Both
+    lead() windows and the sessionization windows cluster on
+    user_id, so the event stream shuffles ONCE; the trigram table is
+    bounded at |event_type|³ regardless of volume and the top-k is a
+    TakeOrderedAndProject under the full (count DESC, trigram)
+    order.  Strings + exact counts end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id", "event_id", epoch_us(ev).alias("us"), "event_type"
+    )
+    uw = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us", 1).over(uw)
+    s = t.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0),
+    ).withColumn(
+        "sess",
+        F.sum("new_s").over(uw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sw = Window.partitionBy("user_id", "sess").orderBy("us", "event_id")
+    g = s.select(
+        "event_type",
+        F.lead("event_type", 1).over(sw).alias("t2"),
+        F.lead("event_type", 2).over(sw).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        g.select(
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "trigram")
+        .limit(_NGRAM_TOPK)
+    )
+
+
+# ========================================================================
+# q_lift_deciles — score-decile lift / capture table
+# ========================================================================
+
+
+@register(
+    "q_lift_deciles",
+    oracle="""
+WITH resp AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+),
+c AS (
+  SELECT c_custkey,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS score_cents,
+         CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS responded
+  FROM customer LEFT JOIN resp r ON c_custkey = r.o_custkey
+),
+nt AS (
+  SELECT *, NTILE(10) OVER (ORDER BY score_cents DESC, c_custkey)
+    AS decile
+  FROM c
+),
+d AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(responded) AS BIGINT) AS n_resp
+  FROM nt GROUP BY decile
+),
+m AS (
+  SELECT decile, n_customers, n_resp,
+         CAST(SUM(n_resp) OVER () AS BIGINT) AS tot_resp,
+         CAST(SUM(n_customers) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_resp) OVER (ORDER BY decile
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_resp
+  FROM d
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_customers, n_resp,
+       CASE WHEN tot_resp = 0 THEN NULL ELSE
+         (CAST(n_resp AS DOUBLE) / CAST(n_customers AS DOUBLE))
+         / (CAST(tot_resp AS DOUBLE) / CAST(tot_n AS DOUBLE)) END
+         AS lift,
+       CASE WHEN tot_resp = 0 THEN NULL ELSE
+         CAST(cum_resp AS DOUBLE) / CAST(tot_resp AS DOUBLE) END
+         AS cum_capture
+FROM m
+""",
+)
+def q_lift_deciles(spark, sf_dir):
+    """Decile LIFT table of a score against a binary response
+    (score = account balance, response = placed ≥1 urgent order) —
+    the campaign-calibration curve beside q_gains_table: gains ranks
+    by the TARGET itself (share of revenue), lift ranks by a
+    PREDICTOR and asks how concentrated the response is (decile
+    response rate / overall rate, plus cumulative capture) — the
+    table a targeting model is judged by (q_roc_auc's threshold-free
+    verdict, made spend-decision-shaped).
+
+    Determinism: NTILE under the fully deterministic
+    (score cents DESC, custkey) order (q_gains_table precedent —
+    Spark and DuckDB share the ceil-split NTILE definition); exact
+    integer counts; lift is the IDENTICAL fixed-order double chain
+    (a/b)/(c/d) on hardware-exact casts; NULL when no one responded
+    (§8.17).  Scale shape: response collapses to customer grain
+    (semi-join shape), ONE customer-keyed join; the global NTILE
+    runs at customer grain with windows.scalable_rank as the
+    documented 100 TB swap (rank → decile = (10·rk − 1) div n); all
+    margins ride the 10-row decile table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    resp = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.lit(1).alias("responded"))
+    )
+    base = c.join(
+        resp, c["c_custkey"] == resp["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0)
+        .cast("long")
+        .alias("score_cents"),
+        F.coalesce(F.col("responded"), F.lit(0)).alias("responded"),
+    )
+    nt = base.select(
+        "responded",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("score_cents"), "c_custkey"))
+        .alias("decile"),
+    )
+    d = nt.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("responded").cast("long").alias("n_resp"),
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m = d.select(
+        "decile",
+        "n_customers",
+        "n_resp",
+        F.sum("n_resp").over(wall).cast("long").alias("tot_resp"),
+        F.sum("n_customers").over(wall).cast("long").alias("tot_n"),
+        F.sum("n_resp").over(wcum).cast("long").alias("cum_resp"),
+    )
+    lift = (
+        F.col("n_resp").cast("double") / F.col("n_customers").cast("double")
+    ) / (F.col("tot_resp").cast("double") / F.col("tot_n").cast("double"))
+    return m.select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_customers",
+        "n_resp",
+        F.when(F.col("tot_resp") == 0, F.lit(None).cast("double"))
+        .otherwise(lift)
+        .alias("lift"),
+        F.when(F.col("tot_resp") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("cum_resp").cast("double")
+            / F.col("tot_resp").cast("double")
+        )
+        .alias("cum_capture"),
+    )
+
+
+# ========================================================================
+# q_simhash_band_index — maintained dedup band index (write path)
+# ========================================================================
+
+#: Portable 16-bit simhash: bit b = strict majority over the doc's
+#: DISTINCT tokens of the parity of hex nibble b of md5(token).  The
+#: registry's heavy-duty 64-bit signature (llmops.simhash_signatures,
+#: xxhash64) is NOT DuckDB-expressible, so the INDEX key uses this
+#: md5-nibble variant to stay fully oracle-backed; band structure,
+#: maintenance semantics and the banding math are identical.
+_SIMIDX_BITS = 16
+_SIMIDX_BANDS = 4  # 4 bands x 4 bits => Hamming radius 3 candidates
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+@register(
+    "q_simhash_band_index",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+    FROM documents
+  )
+),
+bits AS (
+  SELECT doc_id, COUNT(*) AS n,
+         {", ".join(
+             f"SUM(CASE WHEN SUBSTR(MD5(w), {b + 1}, 1) IN "
+             f"('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END)"
+             f" AS o{b}"
+             for b in range(_SIMIDX_BITS)
+         )}
+  FROM dt GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         ({" + ".join(
+             f"CASE WHEN 2 * o{b} > n THEN {1 << b} ELSE 0 END"
+             for b in range(_SIMIDX_BITS)
+         )}) AS sig16
+  FROM bits
+)
+SELECT doc_id, CAST(band.band AS BIGINT) AS band,
+       CAST((sig16 // ([1, 16, 256, 4096])[band.band + 1]) % 16
+            AS BIGINT) AS band_key,
+       CAST(sig16 AS BIGINT) AS sig16
+FROM sig
+CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_SIMIDX_BANDS - 1}))
+            AS band) band
+""",
+)
+def q_simhash_band_index(spark, sf_dir):
+    """The MAINTAINED dedup index — dedup as a TABLE, not a query:
+    per document, a 16-bit portable simhash and its 4
+    band keys, emitted as the (doc_id, band, band_key, sig16) rows a
+    streaming ingest upserts so near-dup candidates of a NEW batch
+    are found by equi-joining band keys against the standing index
+    (radius-3 banding: two docs within Hamming 3 of each other agree
+    on ≥1 of 4 bands — q_dedup_simhash's pigeonhole, persisted).
+    q_dedup_simhash answers "which pairs exist today"; this key
+    writes the structure that answers it INCREMENTALLY tomorrow.
+
+    Hash portability: bit b = strict majority (2·ones > n, the
+    llmops.simhash_signatures vote) of md5-hex nibble-b parity over
+    the doc's DISTINCT tokens — MD5 is byte-identical cross-engine
+    (the q_countmin_sketch contract); parity is a pure string
+    membership test, no integer parsing of hex anywhere.  Scale
+    shape: ONE token-stream aggregate to doc grain (16 conditional
+    sums — partial-aggregable, no collect_list), then a 4-row
+    broadcast band grid; integers end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(llmops.tokens_col("text"))
+        ).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    ones = [
+        F.sum(
+            F.when(
+                F.substring("h", b + 1, 1).isin(*_ODD_HEX), 1
+            ).otherwise(0)
+        ).alias(f"o{b}")
+        for b in range(_SIMIDX_BITS)
+    ]
+    bits = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    sig = bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b)
+                ).otherwise(F.lit(0))
+                for b in range(_SIMIDX_BITS)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sig16"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                (F.shiftrightunsigned(F.col("sig16"), 4 * b) % 16)
+                .cast("long")
+                .alias("band_key"),
+            )
+            for b in range(_SIMIDX_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("bk"), "sig16"
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        "sig16",
+    )
+
+
+# ========================================================================
+# q_conformal_interval — split-conformal prediction interval + coverage
+# ========================================================================
+
+#: Conformal miscoverage level: 1 - alpha = 90% target coverage.
+_CONF_PERMILLE = 900
+
+
+@register(
+    "q_conformal_interval",
+    oracle=f"""
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         l_orderkey % 2 AS half
+  FROM lineitem
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(24,4)) * CAST(x AS DECIMAL(24,4))
+              AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(24,4)) * CAST(y AS DECIMAL(24,4))
+              AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+  FROM t WHERE half = 0
+),
+fit AS (
+  SELECT n AS n_cal,
+         ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+         ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+               / n, 6) AS intercept
+  FROM s
+),
+cal AS (
+  SELECT ROUND(ABS(t.y - (fit.intercept + fit.slope * t.x)), 6) AS r6
+  FROM t CROSS JOIN fit WHERE t.half = 0
+),
+vg AS (
+  SELECT r6, COUNT(*) AS cnt FROM cal GROUP BY r6
+),
+cum AS (
+  SELECT r6,
+         SUM(cnt) OVER (ORDER BY r6
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vg
+),
+qh AS (
+  SELECT MIN(r6) AS qhat
+  FROM cum CROSS JOIN fit
+  WHERE 1000 * cum >= {_CONF_PERMILLE} * (fit.n_cal + 1)
+),
+test AS (
+  SELECT COUNT(*) AS n_test,
+         SUM(CASE WHEN
+               ROUND(ABS(t.y - (fit.intercept + fit.slope * t.x)), 6)
+                 <= qh.qhat THEN 1 ELSE 0 END) AS n_covered
+  FROM t CROSS JOIN fit CROSS JOIN qh WHERE t.half = 1
+)
+SELECT CAST(fit.n_cal AS BIGINT) AS n_cal,
+       CAST(test.n_test AS BIGINT) AS n_test,
+       fit.slope, fit.intercept, qh.qhat,
+       CAST(test.n_covered AS BIGINT) AS n_covered,
+       CAST(test.n_covered AS DOUBLE) / CAST(test.n_test AS DOUBLE)
+         AS coverage
+FROM fit CROSS JOIN qh CROSS JOIN test
+""",
+)
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal 90% prediction interval (Vovk/Papadopoulos
+    classic, the distribution-free uncertainty wrapper every deployed
+    regressor needs): fit OLS price~quantity on the CALIBRATION half
+    (even orderkeys — the deterministic split), take the
+    ceil(0.9·(n+1))-th smallest absolute residual as the interval
+    half-width q̂, then report EMPIRICAL coverage on the held-out
+    half — the finite-sample guarantee (coverage ≥ 0.9 in
+    expectation) made checkable as a census row.
+
+    Determinism: the OLS is q_linear_regression's exact-decimal
+    sufficient-stat spelling verbatim (slope round(9), intercept
+    round(6)); residuals are ONE identical fixed-order IEEE chain on
+    hardware-exact casts, rounded to 6 dp BEFORE any ranking (§8.16
+    — never rank a raw double); the conformal rank uses the §8.19
+    integer cross-multiply 1000·cum ≥ 900·(n+1) (no ceil, no float
+    quantile); coverage compares identical round(6) doubles.
+
+    100 TB shape: three pruned 4-column fact scans, each executed
+    ONCE (calibration stats / calibration residuals / test census —
+    persisting the fact would be worse; the 1-row fit and q̂ frames
+    are eager-localCheckpointed so no crossJoin branch re-executes
+    a scan, plan-gated to one scan in the returned plan); the
+    residual prefix sum runs at ROUND(6)-residual VALUE grain
+    through windows.scalable_cumsum (small_threshold keeps the
+    one-task window at fixture/bench scales; the two-phase bucket
+    form takes over beyond 2M distinct residuals — the q_roc_auc
+    convention, needed here because residual values grow with
+    volume); q̂ broadcasts as one row onto the test-half census."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+        (F.col("l_orderkey") % 2).alias("half"),
+    )
+
+    def d18(c):
+        return F.col(c).cast("decimal(18,4)")
+
+    s = (
+        t.filter(F.col("half") == 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d18("x")).cast("double").alias("sx"),
+            F.sum(d18("y")).cast("double").alias("sy"),
+            F.sum((d18("x") * d18("x")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((d18("x") * d18("y")).cast("decimal(38,8)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    # 1-row coefficient frame: eager localCheckpoint (the
+    # q_huber_regression discipline) so the three consumers below
+    # (calibration residuals, test census, final select) reuse ONE
+    # materialized row instead of re-executing the stats scan per
+    # crossJoin branch
+    fit = s.select(
+        F.col("n").alias("n_cal"),
+        F.round(slope, 9).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    ).localCheckpoint(eager=True)
+    r6 = F.round(
+        F.abs(
+            F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x"))
+        ),
+        6,
+    )
+    cal = (
+        t.filter(F.col("half") == 0)
+        .crossJoin(F.broadcast(fit))
+        .select(r6.alias("r6"), "n_cal")
+    )
+    vg = cal.groupBy("r6", "n_cal").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = win.scalable_cumsum(
+        vg, "r6", "cnt", "cum", small_threshold=2_000_000
+    )
+    qh = (
+        cum.filter(
+            1000 * F.col("cum") >= _CONF_PERMILLE * (F.col("n_cal") + 1)
+        )
+        .agg(F.min("r6").alias("qhat"))
+        .localCheckpoint(eager=True)
+    )
+    test = (
+        t.filter(F.col("half") == 1)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.when(r6 <= F.col("qhat"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(qh))
+        .crossJoin(F.broadcast(test))
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            "n_test",
+            "slope",
+            "intercept",
+            "qhat",
+            "n_covered",
+            (
+                F.col("n_covered").cast("double")
+                / F.col("n_test").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+# ========================================================================
+# q_energy_distance — exact two-sample energy distance at value grain
+# ========================================================================
+
+
+@register(
+    "q_energy_distance",
+    oracle="""
+WITH t AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+  FROM orders
+),
+vx AS (SELECT cents, COUNT(*) AS nx FROM t WHERE g = 1 GROUP BY cents),
+vy AS (SELECT cents, COUNT(*) AS ny FROM t WHERE g = 0 GROUP BY cents),
+sp AS (
+  SELECT COALESCE(vx.cents, vy.cents) AS v,
+         COALESCE(vx.nx, 0) AS nxv,
+         COALESCE(vy.ny, 0) AS nyv
+  FROM vx FULL OUTER JOIN vy ON vx.cents = vy.cents
+),
+c AS (
+  SELECT v, nxv, nyv,
+         SUM(nxv) OVER w - nxv AS fx,
+         SUM(nxv * v) OVER w - nxv * v AS gx,
+         SUM(nyv) OVER w - nyv AS fy,
+         SUM(nyv * v) OVER w - nyv * v AS gy,
+         SUM(nxv) OVER () AS nx,
+         SUM(nxv * v) OVER () AS sx,
+         SUM(nyv) OVER () AS ny,
+         SUM(nyv * v) OVER () AS sy
+  FROM sp WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+terms AS (
+  SELECT nx, ny,
+         nxv * ((v * (2 * fy) - 2 * gy) + (sy - v * ny)) AS txy,
+         nxv * ((v * (2 * fx) - 2 * gx) + (sx - v * nx)) AS txx,
+         nyv * ((v * (2 * fy) - 2 * gy) + (sy - v * ny)) AS tyy
+  FROM c
+),
+agg AS (
+  SELECT MAX(nx) AS n_x, MAX(ny) AS n_y,
+         CAST(SUM(txy // 2097152) AS BIGINT) AS sxy_hi,
+         CAST(SUM(txy % 2097152) AS BIGINT) AS sxy_lo,
+         CAST(SUM(txx // 2097152) AS BIGINT) AS sxx_hi,
+         CAST(SUM(txx % 2097152) AS BIGINT) AS sxx_lo,
+         CAST(SUM(tyy // 2097152) AS BIGINT) AS syy_hi,
+         CAST(SUM(tyy % 2097152) AS BIGINT) AS syy_lo
+  FROM terms
+)
+SELECT CAST(n_x AS BIGINT) AS n_x, CAST(n_y AS BIGINT) AS n_y,
+       CASE WHEN n_x = 0 OR n_y = 0 THEN NULL ELSE
+         2.0 * (CAST(sxy_hi AS DOUBLE) * 2097152.0
+                + CAST(sxy_lo AS DOUBLE))
+             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))
+         - (CAST(sxx_hi AS DOUBLE) * 2097152.0 + CAST(sxx_lo AS DOUBLE))
+             / (CAST(n_x AS DOUBLE) * CAST(n_x AS DOUBLE))
+         - (CAST(syy_hi AS DOUBLE) * 2097152.0 + CAST(syy_lo AS DOUBLE))
+             / (CAST(n_y AS DOUBLE) * CAST(n_y AS DOUBLE)) END
+         AS energy_cents
+FROM agg
+""",
+)
+def q_energy_distance(spark, sf_dir):
+    """Exact two-sample ENERGY DISTANCE (Székely–Rizzo V-statistic,
+    in cents units) between urgent and non-urgent order prices:
+    E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the drift statistic that sees
+    what KS/PSI cannot (magnitude of separation in VALUE units, all
+    moments, no binning), computed EXACTLY from value-grain prefix
+    sums, never the O(n²) pair set.
+
+    The pairwise identity: Σᵢⱼ|aᵢ−bⱼ| over sorted value grain =
+    Σ_v n_a(v)·[2·v·F_b(v⁻) − 2·G_b(v⁻) + (S_b − v·N_b)]
+    with F/G = exclusive prefix count/sum — equal values contribute
+    |v−v| = 0, so NO tie term appears (the planted two-point test
+    pins this; an erroneous +n_b(v) tie term survives the DuckDB
+    parity gate because both engines would share it).
+    Determinism/overflow (§8.21): per-row terms are exact int64
+    (≤ nxv·1.6e15 — the 2²¹ SPLIT below is what makes the SUM safe);
+    each term splits as hi = t div 2²¹ / lo = t mod 2²¹, so
+    Σlo ≤ N·2²¹ ≈ 1.7e13 and Σhi ≤ Σ|pairs|/2²¹ ≈ 1.4e15 at 8M rows
+    × 5e7-cent range — both inside int64; reconstruction
+    hi·2²¹ + lo runs in doubles with the SHARED spelling (identical
+    rounded adds both engines); THREE final divisions, unrounded,
+    NULL on an empty side (§8.17).
+
+    100 TB shape: one orders scan to (cents, group) value grain; the
+    prefix sums ride ONE global value-grain window (the cents domain
+    is bounded by the price range — ~10⁷ values independent of
+    volume, the accepted q_mann_whitney convention;
+    windows.scalable_cumsum is the documented continuous-metric
+    swap); the census is a scalar reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+    sp = t.groupBy("cents").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("nxv"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("nyv"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = F.col("cents")
+    c = sp.select(
+        v.alias("v"),
+        "nxv",
+        "nyv",
+        (F.sum("nxv").over(wc) - F.col("nxv")).alias("fx"),
+        (F.sum(F.col("nxv") * v).over(wc) - F.col("nxv") * v).alias("gx"),
+        (F.sum("nyv").over(wc) - F.col("nyv")).alias("fy"),
+        (F.sum(F.col("nyv") * v).over(wc) - F.col("nyv") * v).alias("gy"),
+        F.sum("nxv").over(wall).alias("nx"),
+        F.sum(F.col("nxv") * v).over(wall).alias("sx"),
+        F.sum("nyv").over(wall).alias("ny"),
+        F.sum(F.col("nyv") * v).over(wall).alias("sy"),
+    )
+    vv = F.col("v")
+    txy = F.col("nxv") * (
+        (vv * (2 * F.col("fy")) - 2 * F.col("gy"))
+        + (F.col("sy") - vv * F.col("ny"))
+    )
+    txx = F.col("nxv") * (
+        (vv * (2 * F.col("fx")) - 2 * F.col("gx"))
+        + (F.col("sx") - vv * F.col("nx"))
+    )
+    tyy = F.col("nyv") * (
+        (vv * (2 * F.col("fy")) - 2 * F.col("gy"))
+        + (F.col("sy") - vv * F.col("ny"))
+    )
+    terms = c.select(
+        "nx",
+        "ny",
+        txy.alias("txy"),
+        txx.alias("txx"),
+        tyy.alias("tyy"),
+    )
+    # hi/lo split via integer div/% (terms are sums of |v−y| ≥ 0, so
+    # the §8.7 non-negative truncation pairing holds); a double-side
+    # `/` here would round past 2^53 — the split exists precisely
+    # because these sums don't fit hardware-exact doubles
+    agg_row = terms.agg(
+        F.max("nx").cast("long").alias("n_x"),
+        F.max("ny").cast("long").alias("n_y"),
+        F.sum(F.expr("txy div 2097152")).cast("long").alias("sxy_hi"),
+        F.sum(F.expr("txy % 2097152")).cast("long").alias("sxy_lo"),
+        F.sum(F.expr("txx div 2097152")).cast("long").alias("sxx_hi"),
+        F.sum(F.expr("txx % 2097152")).cast("long").alias("sxx_lo"),
+        F.sum(F.expr("tyy div 2097152")).cast("long").alias("syy_hi"),
+        F.sum(F.expr("tyy % 2097152")).cast("long").alias("syy_lo"),
+    )
+    rec = lambda hi, lo: (  # noqa: E731
+        F.col(hi).cast("double") * F.lit(2097152.0)
+        + F.col(lo).cast("double")
+    )
+    energy = (
+        F.lit(2.0)
+        * rec("sxy_hi", "sxy_lo")
+        / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        - rec("sxx_hi", "sxx_lo")
+        / (F.col("n_x").cast("double") * F.col("n_x").cast("double"))
+        - rec("syy_hi", "syy_lo")
+        / (F.col("n_y").cast("double") * F.col("n_y").cast("double"))
+    )
+    return agg_row.select(
+        "n_x",
+        "n_y",
+        F.when((F.col("n_x") == 0) | (F.col("n_y") == 0), F.lit(None))
+        .otherwise(energy)
+        .cast("double")
+        .alias("energy_cents"),
+    )
+
+
+# ========================================================================
+# q_quantile_sketch — rank-stratified mergeable quantile summary
+# ========================================================================
+
+#: Summary capacity: step = smallest power of two with n ≤ cap·step,
+#: so the summary holds ≤ cap rows and every quantile estimate is
+#: within step ≤ n/cap ranks of exact (a 1/512 uniform rank
+#: guarantee).
+_QSK_CAP = 512
+_QSK_PERMILLES = (10, 50, 250, 500, 750, 950, 990)
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, l_orderkey, l_linenumber)
+           AS rk,
+         COUNT(*) OVER () AS n
+  FROM v
+),
+nn AS (SELECT MAX(n) AS n FROM r),
+st AS (
+  SELECT MIN(CAST(POWER(2, g.k) AS BIGINT)) AS step
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 40)) AS k) g, nn
+  WHERE {_QSK_CAP} * CAST(POWER(2, g.k) AS BIGINT) >= nn.n
+),
+p AS (SELECT UNNEST([{", ".join(str(p) for p in _QSK_PERMILLES)}])
+      AS permille),
+pr AS (
+  SELECT CAST(p.permille AS BIGINT) AS permille,
+         (p.permille * nn.n + 999) // 1000 AS tr,
+         LEAST(
+           ((((p.permille * nn.n + 999) // 1000) + st.step - 1)
+             // st.step) * st.step,
+           (nn.n // st.step) * st.step) AS er,
+         st.step
+  FROM p, nn, st
+),
+ex AS (SELECT pr.permille, r.cents AS exact_cents
+       FROM pr JOIN r ON r.rk = pr.tr),
+es AS (SELECT pr.permille, r.cents AS est_cents
+       FROM pr JOIN r ON r.rk = pr.er)
+SELECT pr.permille, CAST(pr.tr AS BIGINT) AS target_rank,
+       CAST(pr.er AS BIGINT) AS est_rank,
+       es.est_cents, ex.exact_cents,
+       CAST(pr.er - pr.tr AS BIGINT) AS rank_gap,
+       CAST(pr.step AS BIGINT) AS step
+FROM pr JOIN ex USING (permille) JOIN es USING (permille)
+""",
+)
+def q_quantile_sketch(spark, sf_dir):
+    """Rank-stratified mergeable quantile SUMMARY (the KLL-family
+    single-level compactor, deterministic): keep every step-th value
+    of the global (cents, orderkey, linenumber) order where step =
+    the smallest power of two with n ≤ 512·step — a ≤512-row summary
+    whose every quantile answer is within step ≤ n/512 ranks of
+    exact, CERTIFIED in the same query by joining the estimate
+    against the true order statistic (the q_tdigest_quantiles
+    discipline: the sketch is graded, never trusted).  Two summaries
+    MERGE by re-stratifying their union at the doubled step — the
+    power-of-two ladder is what makes the structure associative
+    (KLL's compaction, with the deterministic keep-every-other rule
+    instead of the coin flip, which no two engines would ever agree
+    on).
+
+    Determinism: INTEGERS END TO END — the global rank is total
+    (full tie-break), step selection is an integer comparison over a
+    broadcast power grid (no log2), target rank is the §8.19
+    cross-multiply ceil (p·n+999) div 1000, estimate rank rounds up
+    to the summary grid and clamps to its top (both pure div/`//`
+    on non-negatives, §8.7).
+
+    100 TB shape: the global rank runs through
+    windows.scalable_rank (value buckets + broadcast prefix offsets
+    — never a one-task sort); the summary filter and both
+    order-statistic probes are broadcast-grid equality joins riding
+    the same ranked stream (the q_quantile_normalize pattern); no
+    driver-side scalar sync — n and step stay in 1-row broadcast
+    frames."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = win.scalable_rank(
+        v,
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "cents",
+        rank_col="rk",
+    ).select("cents", "rk")
+    # n comes from a plain column-pruned count aggregate — deriving it
+    # from the ranked stream (tot_col) would re-execute the whole
+    # two-phase rank machinery just to read one scalar
+    nn = v.agg(F.count(F.lit(1)).alias("n"))
+    grid = spark.range(0, 41).select(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").alias(
+            "pw"
+        )
+    )
+    st = (
+        grid.crossJoin(F.broadcast(nn))
+        .filter(F.lit(_QSK_CAP) * F.col("pw") >= F.col("n"))
+        .agg(F.min("pw").alias("step"))
+    )
+    perm = spark.createDataFrame(
+        [(int(p),) for p in _QSK_PERMILLES], "permille long"
+    )
+    pr = (
+        perm.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "permille",
+            F.expr("(permille * n + 999) div 1000").alias("tr"),
+            "step",
+            "n",
+        )
+        .withColumn(
+            "er",
+            F.least(
+                F.expr("((tr + step - 1) div step) * step"),
+                F.expr("(n div step) * step"),
+            ),
+        )
+    )
+    exact = ranked.join(
+        F.broadcast(pr.select("permille", "tr")),
+        ranked["rk"] == F.col("tr"),
+    ).select("permille", F.col("cents").alias("exact_cents"))
+    # the summary is the maintained artifact: ranks ≡ 0 (mod step)
+    summary = (
+        ranked.crossJoin(F.broadcast(st))
+        .filter(F.col("rk") % F.col("step") == 0)
+        .select("cents", "rk")
+    )
+    est = summary.join(
+        F.broadcast(pr.select("permille", "er")),
+        summary["rk"] == F.col("er"),
+    ).select("permille", F.col("cents").alias("est_cents"))
+    return (
+        pr.join(exact, "permille")
+        .join(est, "permille")
+        .select(
+            "permille",
+            F.col("tr").cast("long").alias("target_rank"),
+            F.col("er").cast("long").alias("est_rank"),
+            "est_cents",
+            "exact_cents",
+            (F.col("er") - F.col("tr")).cast("long").alias("rank_gap"),
+            F.col("step").cast("long").alias("step"),
+        )
+    )
+
+
+# ========================================================================
+# q_bipartite_projection — capped co-occurrence projection
+# ========================================================================
+
+#: Per-order basket cap applied BEFORE the pair self-join (the
+#: q_assoc_rules ASSOC_MAX_BASKET discipline, generalized off rules):
+#: an order with B distinct parts fans C(B,2) pairs — rank by partkey
+#: and keep the first 8, so a mega-basket cannot go quadratic.
+_BIPROJ_MAX_BASKET = 8
+_BIPROJ_TOPK = 50
+
+
+@register(
+    "q_bipartite_projection",
+    oracle=f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+b AS (
+  SELECT l_orderkey, l_partkey,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_partkey) AS rn
+  FROM d
+),
+k AS (SELECT * FROM b WHERE rn <= {_BIPROJ_MAX_BASKET}),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM k a JOIN k b
+    ON a.l_orderkey = b.l_orderkey AND a.rn < b.rn
+),
+w AS (SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS weight
+      FROM pairs GROUP BY p1, p2)
+SELECT p1, p2, weight
+FROM w ORDER BY weight DESC, p1, p2
+LIMIT {_BIPROJ_TOPK}
+""",
+)
+def q_bipartite_projection(spark, sf_dir):
+    """Bipartite co-occurrence PROJECTION: project the
+    (order, part) incidence graph onto parts — edge weight = number
+    of orders containing both — and keep the top-50 heaviest edges.
+    The q_assoc_rules machinery generalized off baskets-and-
+    thresholds into the raw co-purchase GRAPH (the input to
+    item-item recommenders, substitute detection, and the
+    co-occurrence embeddings word2vec-style trainers consume).
+
+    100 TB shape: the quadratic lever is the per-order basket cap
+    (rank ≤ 8 by partkey BEFORE the self-join — C(B,2) dies at the
+    cap; one mega-order cannot fan n² pairs), the pair generator is
+    an equi-join on orderkey (never a cross product), and the final
+    top-k is a TakeOrderedAndProject under the full
+    (weight DESC, p1, p2) order.  Exact integer counts end to end;
+    ties fully broken."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    wb = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    k = d.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") <= _BIPROJ_MAX_BASKET
+    )
+    a, b = k.alias("a"), k.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.rn") < F.col("b.rn")),
+    ).select(
+        F.col("a.l_partkey").alias("p1"),
+        F.col("b.l_partkey").alias("p2"),
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+        .orderBy(F.col("weight").desc(), "p1", "p2")
+        .limit(_BIPROJ_TOPK)
+    )
+
+
+# ========================================================================
+# q_knn_graph — label-blocked k-NN graph construction census
+# ========================================================================
+
+_KNNG_K = 3
+
+
+@register(
+    "q_knn_graph",
+    oracle=f"""
+WITH s AS (SELECT vec_id, label, embedding FROM embeddings),
+pairs AS (
+  SELECT a.label, a.vec_id AS src, b.vec_id AS dst,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+e AS (
+  SELECT label, src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS rn
+  FROM pairs
+),
+edges AS (SELECT * FROM e WHERE rn <= {_KNNG_K}),
+mut AS (
+  SELECT e1.label, e1.src, e1.dst
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.dst AND e1.dst = e2.src
+),
+nodes AS (SELECT label, COUNT(*) AS n_nodes FROM s GROUP BY label),
+ec AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CAST(ROUND(cosine * 1000000, 0) AS BIGINT))
+              AS BIGINT) AS sum_cos_micro
+  FROM edges GROUP BY label
+),
+mc AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_mutual
+       FROM mut GROUP BY label)
+SELECT CAST(nodes.label AS BIGINT) AS label,
+       CAST(nodes.n_nodes AS BIGINT) AS n_nodes,
+       COALESCE(ec.n_edges, 0) AS n_edges,
+       COALESCE(mc.n_mutual, 0) AS n_mutual,
+       COALESCE(ec.sum_cos_micro, 0) AS sum_cos_micro
+FROM nodes
+LEFT JOIN ec ON nodes.label = ec.label
+LEFT JOIN mc ON nodes.label = mc.label
+""",
+)
+def q_knn_graph(spark, sf_dir):
+    """k-NN GRAPH construction (k=3, cosine, label-blocked) with a
+    census output — eager wrapper over knn_graph_lazy (below): the
+    bounded label-grain result checkpoints while the edge cache is
+    alive, then the cache is released (q_token_chi2 discipline).
+    Full semantics documented on knn_graph_lazy."""
+    out, invariants = knn_graph_lazy(spark, sf_dir)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for inv in invariants:
+            inv.unpersist()
+
+
+def knn_graph_lazy(spark, sf_dir):
+    """k-NN GRAPH construction (k=3, cosine, label-blocked) with a
+    per-label census: directed edge count, MUTUAL (reciprocated)
+    edge count, and the exact micro-quantized cosine mass — the
+    ANN-index build step (an HNSW layer-0 / NN-Descent ground truth)
+    that closes the similarity stack's WRITE side the way
+    q_simhash_band_index closes dedup's: q_knn_classify READS
+    neighborhoods, this MATERIALIZES them.  Mutuality is the
+    standard graph-quality signal (mutual k-NN graphs are what
+    clustering/UMAP actually consume).
+
+    100 TB shape: candidate pairs exist only within label blocks (an
+    equi-join — the cosine_pairs_blocked discipline; at scale the
+    block key is an IVF cell assignment), WindowGroupLimit prunes to
+    k per source BEFORE the mutuality self-join (which then runs on
+    ≤ k·n edges, never n²), and the census is a bounded label-grain
+    aggregate.  Determinism: q_sim_topk's round(6)-cosine/dst rank
+    convention; the cosine mass sums ROUND(cos·1e6) int64 (identical
+    doubles → identical integers — never a float sum, whose order
+    would differ across engines).
+
+    Returns (output DataFrame, [persisted invariants]) — the lazy
+    entry exists so plan gates can inspect the EXECUTED shape before
+    the eager wrapper's checkpoint hides it (the
+    open_order_backlog_lazy convention)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # hoist each vector's norm OUT of the pair join: computed once
+    # per vector instead of once per pair (the array higher-order
+    # fold is the expensive part — ~B per-pair folds per block
+    # otherwise).  Bit-safe: the hoisted norm is the identical
+    # sqrt(aggregate(...)) double on the identical input, and the
+    # final dot/(na·nb) division order matches the oracle exactly.
+    s = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        llmops.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = F.round(
+        llmops.dot_double(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cos.alias("cosine"),
+    )
+    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    # the pruned edge table (≤ k·n rows) feeds THREE consumers (both
+    # sides of the mutuality self-join + the census) — persist it so
+    # the cosine block-join executes once, not three times (the
+    # q_token_chi2 persist-then-checkpoint discipline; the bounded
+    # label-grain output materializes eagerly while the cache is
+    # alive)
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _KNNG_K)
+        .persist()
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    mut = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.dst"))
+        & (F.col("e1.dst") == F.col("e2.src")),
+    ).select(F.col("e1.label").alias("label"))
+    nodes = s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    ec = edges.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.round(F.col("cosine") * 1000000, 0).cast("long"))
+        .cast("long")
+        .alias("sum_cos_micro"),
+    )
+    mc = mut.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_mutual")
+    )
+    out = (
+        nodes.join(ec, "label", "left")
+        .join(mc, "label", "left")
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.coalesce(F.col("n_mutual"), F.lit(0)).alias("n_mutual"),
+            F.coalesce(F.col("sum_cos_micro"), F.lit(0)).alias(
+                "sum_cos_micro"
+            ),
+        )
+    )
+    return out, [edges]

@@ -1360,3 +1360,103 @@ def test_quantile_normalize_pooled_rank_scalable(spark, sf_dir, queries):
     assert specs, p[:1500]
     assert all(s in ("_pid", "source") for s in specs), specs
     assert "CartesianProduct" not in p
+
+
+def test_r9_key_plan_shapes(spark, sf_dir, queries):
+    """§2.22 performance claims pinned to physical plans:
+    (a) q_er_clusters / q_bipartite_projection: the pair generator is
+        an equi-join with the rank cap BELOW it — never a cartesian;
+    (b) q_group_reservoir: one scan, per-group WindowGroupLimit, no
+        shuffle join anywhere;
+    (c) q_session_ngrams: events scanned ONCE, all windows cluster on
+        user_id, top-k is TakeOrderedAndProject;
+    (d) q_simhash_band_index: one documents scan, the band explode is
+        a Generate (no join at all), everything JVM-side;
+    (e) q_energy_distance: ONE orders scan, value-grain windows, no
+        joins;
+    (f) q_quantile_sketch: global rank through the two-phase _pid
+        machinery (never a one-task sort); scalar attaches are 1-row
+        broadcasts;
+    (g) q_knn_graph: label equi-join (no cartesian), WindowGroupLimit
+        prunes to k before the mutuality self-join;
+    (h) q_lift_deciles: broadcast-or-shuffle equi-join only, no
+        cartesian, response collapses to customer grain.
+    No EvalPython anywhere."""
+    import re
+
+    def plan(key):
+        return _plan(queries[key](spark, sf_dir))
+
+    def scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    p = plan("q_er_clusters")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    p = plan("q_group_reservoir")
+    assert scans(p) == 1, p[:1200]
+    assert "WindowGroupLimit" in p, p[:1500]
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+    p = plan("q_session_ngrams")
+    assert scans(p) == 1, p[:1200]
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p and "Join" not in p
+
+    p = plan("q_simhash_band_index")
+    assert scans(p) == 1, p[:1200]
+    assert "Generate" in p
+    assert "Join" not in p and "EvalPython" not in p
+
+    p = plan("q_energy_distance")
+    assert scans(p) == 1, p[:1200]
+    assert "Join" not in p and "EvalPython" not in p
+    assert "windowspecdefinition" in p
+
+    p = plan("q_quantile_sketch")
+    assert "windowspecdefinition(_pid" in p, p[:1500]
+    assert "CartesianProduct" not in p
+
+    # q_knn_graph checkpoints its bounded output — gate the lazy
+    # dataflow (open_order_backlog_lazy convention); the persisted
+    # edge table must appear as an InMemoryRelation so the cosine
+    # block-join executes once across its three consumers
+    from pfithic_spark.registry import knn_graph_lazy
+
+    out, invariants = knn_graph_lazy(spark, sf_dir)
+    try:
+        p = _plan(out)
+    finally:
+        for inv in invariants:
+            inv.unpersist()
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p, p[:1500]
+    assert "InMemoryRelation" in p, p[:1500]
+    assert "EvalPython" not in p
+
+    p = plan("q_bipartite_projection")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
+
+    p = plan("q_lift_deciles")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+
+def test_conformal_interval_plan(spark, sf_dir, queries):
+    """q_conformal_interval: the fit and q̂ 1-row frames are
+    eager-localCheckpointed at construction (each of the three
+    pruned 4-column lineitem scans executes ONCE; re-executing the
+    stats scan per crossJoin branch was the pre-gate plan), so the
+    RETURNED plan holds exactly one parquet scan (the test-half
+    census); scalar attaches are 1-row broadcasts
+    (BroadcastNestedLoopJoin is the accepted 1-row-attach physical
+    form; a CartesianProduct is not), and no EvalPython."""
+    import re
+
+    p = _plan(queries["q_conformal_interval"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p

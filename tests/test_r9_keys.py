@@ -1,0 +1,523 @@
+"""Round-9 §2.22 key edge cases the sf fixtures cannot reach —
+closed-form planted inputs for the pipeline-assembly keys
+(keys_r9.py)."""
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _write_documents(spark, sf, rows):
+    """rows: (doc_id, text, source)"""
+    (
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{sf}/documents.parquet")
+    )
+
+
+def _write_customers(spark, sf, rows):
+    """rows: (custkey, name, nationkey, acctbal, segment)"""
+    (
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/customer.parquet")
+    )
+
+
+def _write_events(spark, sf, rows):
+    """rows: (event_id, ts_str, user_id, event_type)"""
+    (
+        spark.createDataFrame(
+            rows,
+            "event_id long, t string, user_id long, event_type string",
+        )
+        .select(
+            "event_id",
+            F.col("t").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/events.parquet")
+    )
+
+
+def _write_lineitem(spark, sf, rows):
+    """rows: (okey, lineno, partkey, qty, price)"""
+    (
+        spark.createDataFrame(
+            rows,
+            "l_orderkey long, l_linenumber int, l_partkey long, "
+            "l_quantity double, l_extendedprice double",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/lineitem.parquet")
+    )
+
+
+def _write_orders(spark, sf, rows):
+    """rows: (okey, custkey, totalprice, priority)"""
+    (
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_totalprice double, "
+            "o_orderpriority string",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("1995-01-01").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            "o_orderpriority",
+            F.lit("O").alias("o_orderstatus"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/orders.parquet")
+    )
+
+
+def _write_embeddings(spark, sf, rows):
+    """rows: (vec_id, embedding list[float], label)"""
+    (
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sf}/embeddings.parquet")
+    )
+
+
+# ------------------------------------------------------------------
+# q_er_clusters
+# ------------------------------------------------------------------
+
+
+def test_er_clusters_triangle_and_singleton(spark, tmp_path):
+    """Three customers in one (nation, segment) block pairwise clear
+    the link threshold → one entity with entity_id = min custkey and
+    size 3; a fourth shares the block but matches nobody → singleton.
+
+    Fields derive from planted columns (digit = last name char, band
+    = cents div 100000, hash = custkey % 97): custkeys 2/99/196 all
+    share hash 2 and digit '7'; 196's band differs (3000.0 vs
+    1000.0) so its links ride digit+hash = 4412192 ≥ 4e6; the full
+    triple-agree A–B pair scores 9553856.  D(3): all three fields
+    differ from everyone → every pair deeply negative."""
+    import __spark_entry__ as e
+
+    rows = [
+        (2, "x7", 0, 1000.0, "S"),
+        (99, "y7", 0, 1000.0, "S"),
+        (196, "z7", 0, 3000.0, "S"),
+        (3, "w0", 0, 7000.0, "S"),
+    ]
+    _write_customers(spark, tmp_path.as_posix(), rows)
+    out = {
+        r["c_custkey"]: (r["entity_id"], r["entity_size"])
+        for r in e.queries()["q_er_clusters"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert out[2] == (2, 3) and out[99] == (2, 3) and out[196] == (2, 3)
+    assert out[3] == (3, 1)
+
+
+def test_er_clusters_pure_chain_transitivity(spark, tmp_path):
+    """A–B link, B–C link, but the A–C pair does NOT clear the
+    threshold — one entity of 3 anyway (the component, not the pair
+    list — the property that distinguishes this key from
+    q_record_linkage's pairwise output).
+
+    Construction: all three share hash 6 (custkeys 6/103/200 ≡ 6 mod
+    97).  A–B agree digit+hash, bands differ → 2251292 − 2251292 +
+    4412192 = 4412192 ≥ 4e6 link.  B–C agree band+hash, digits
+    differ → 5051272 link.  A–C agree only hash (digit AND band
+    differ) → −2251292 − 2890372 + 4412192 = −729472 — no link."""
+    import __spark_entry__ as e
+
+    rows = [
+        # A: name ends '7', band 9 (bal 9000), hash 6 (custkey 6)
+        (6, "a7", 0, 9000.0, "S"),
+        # B: name ends '7' (digit matches A), band 1, hash 6
+        # (custkey 103 = 6 + 97) → A–B: digit+hash agree, band
+        # differs: 2251292 − 2251292 + 4412192 = 4412192 ≥ 4e6 link
+        (103, "b7", 0, 1000.0, "S"),
+        # C: name ends '3', band 1 (matches B), hash 6 (custkey 200
+        # = 6 + 2·97) → B–C: band+hash, digit differs: 4412192 link
+        # A–C: hash agree, digit differ, band differ → −729472: no
+        (200, "c3", 0, 1000.0, "S"),
+    ]
+    _write_customers(spark, tmp_path.as_posix(), rows)
+    out = {
+        r["c_custkey"]: (r["entity_id"], r["entity_size"])
+        for r in e.queries()["q_er_clusters"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert out == {6: (6, 3), 103: (6, 3), 200: (6, 3)}, out
+
+
+# ------------------------------------------------------------------
+# q_group_reservoir
+# ------------------------------------------------------------------
+
+
+def test_group_reservoir_per_source_counts(spark, tmp_path):
+    """A 5-doc source returns all 5 rows; a 30-doc source returns
+    exactly 20; ranks are 1..k dense per source and stable across
+    reuse-off re-execution."""
+    import __spark_entry__ as e
+
+    docs = [(i, "x" * (10 + i % 7), "small") for i in range(5)]
+    docs += [(100 + i, "y" * (10 + i % 13), "big") for i in range(30)]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    rows = e.queries()["q_group_reservoir"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["rk"])
+    assert sorted(by_src["small"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_src["big"]) == list(range(1, 21))
+
+
+# ------------------------------------------------------------------
+# q_session_ngrams
+# ------------------------------------------------------------------
+
+
+def test_session_ngrams_sliding_and_gap(spark, tmp_path):
+    """One user, events A B C D within one session → trigrams A>B>C
+    and B>C>D (SLIDING, not just the opening path — the distinction
+    from q_session_paths).  A 31-minute gap before E F G starts a new
+    session: no trigram spans the boundary (C>D>E and D>E>F must NOT
+    appear; E>F>G must)."""
+    import __spark_entry__ as e
+
+    ev = [
+        (1, "2024-01-01 10:00:00", 7, "A"),
+        (2, "2024-01-01 10:01:00", 7, "B"),
+        (3, "2024-01-01 10:02:00", 7, "C"),
+        (4, "2024-01-01 10:03:00", 7, "D"),
+        (5, "2024-01-01 10:34:00", 7, "E"),
+        (6, "2024-01-01 10:35:00", 7, "F"),
+        (7, "2024-01-01 10:36:00", 7, "G"),
+    ]
+    _write_events(spark, tmp_path.as_posix(), ev)
+    got = {
+        r["trigram"]: r["n_occurrences"]
+        for r in e.queries()["q_session_ngrams"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert got == {"A>B>C": 1, "B>C>D": 1, "E>F>G": 1}, got
+
+
+# ------------------------------------------------------------------
+# q_lift_deciles
+# ------------------------------------------------------------------
+
+
+def test_lift_deciles_planted_concentration(spark, tmp_path):
+    """20 customers, responders = exactly the top-10 balances →
+    deciles 1–5 (2 customers each) have lift 2.0, deciles 6–10 lift
+    0, cum_capture climbs 0.2 … 1.0 and stays 1.0."""
+    import __spark_entry__ as e
+
+    cust = [
+        (i, f"c{i}", 0, 10000.0 - i * 100.0, "S") for i in range(1, 21)
+    ]
+    _write_customers(spark, tmp_path.as_posix(), cust)
+    # top-10 balances = custkeys 1..10 → they respond
+    orders = [(i, i, 100.0, "1-URGENT") for i in range(1, 11)]
+    orders += [(100 + i, i, 100.0, "3-MEDIUM") for i in range(11, 21)]
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    rows = sorted(
+        e.queries()["q_lift_deciles"](
+            spark, tmp_path.as_posix()
+        ).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["n_customers"] for r in rows] == [2] * 10
+    assert [r["n_resp"] for r in rows] == [2] * 5 + [0] * 5
+    for i, r in enumerate(rows):
+        want_lift = 2.0 if i < 5 else 0.0
+        assert r["lift"] == want_lift, (i, r)
+        want_cap = min((i + 1) * 0.2, 1.0)
+        assert abs(r["cum_capture"] - want_cap) < 1e-12, (i, r)
+
+
+# ------------------------------------------------------------------
+# q_simhash_band_index
+# ------------------------------------------------------------------
+
+
+def test_simhash_band_index_python_mirror(spark, tmp_path):
+    """sig16 equals a hashlib.md5 python mirror of the
+    nibble-parity majority vote; 4 band rows per doc decompose the
+    signature exactly; identical docs share identical signatures."""
+    import __spark_entry__ as e
+
+    docs = [
+        (1, "alpha beta gamma", "s"),
+        (2, "alpha beta gamma", "s"),
+        (3, "delta epsilon zeta eta", "s"),
+    ]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    rows = e.queries()["q_simhash_band_index"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["band"]] = (
+            r["band_key"],
+            r["sig16"],
+        )
+
+    def mirror_sig(tokens):
+        toks = sorted(set(tokens))
+        sig = 0
+        for b in range(16):
+            ones = sum(
+                1
+                for t in toks
+                if hashlib.md5(t.encode()).hexdigest()[b]
+                in "13579bdf"
+            )
+            if 2 * ones > len(toks):
+                sig |= 1 << b
+        return sig
+
+    want1 = mirror_sig(["alpha", "beta", "gamma"])
+    want3 = mirror_sig(["delta", "epsilon", "zeta", "eta"])
+    for doc, want in [(1, want1), (2, want1), (3, want3)]:
+        assert set(by_doc[doc]) == {0, 1, 2, 3}
+        for b in range(4):
+            bk, sig = by_doc[doc][b]
+            assert sig == want, (doc, sig, want)
+            assert bk == (want >> (4 * b)) & 15, (doc, b)
+
+
+# ------------------------------------------------------------------
+# q_conformal_interval
+# ------------------------------------------------------------------
+
+
+def test_conformal_perfect_fit(spark, tmp_path):
+    """y = 2x exactly on both halves → slope 2, intercept 0, every
+    residual 0, q̂ = 0, coverage 1.0."""
+    import __spark_entry__ as e
+
+    rows = []
+    for okey in range(1, 41):
+        q = float(1 + okey % 7)
+        rows.append((okey, 1, 1, q, 2.0 * q))
+    _write_lineitem(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_conformal_interval"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["n_cal"] == 20 and r["n_test"] == 20
+    assert r["slope"] == 2.0 and r["intercept"] == 0.0
+    assert r["qhat"] == 0.0
+    assert r["n_covered"] == 20 and r["coverage"] == 1.0
+
+
+def test_conformal_planted_outliers(spark, tmp_path):
+    """Calibration: 19 exact-fit rows + one +1000 outlier.  With
+    n_cal = 20, the conformal rank is ceil(0.9·21) = 19 → q̂ = 0
+    (the outlier sits at rank 20).  Test half: 18 exact rows + two
+    +5 rows → coverage = 18/20."""
+    import __spark_entry__ as e
+
+    rows = []
+    for i in range(20):  # calibration: even orderkeys
+        okey = 2 * (i + 1)
+        q = float(1 + i % 5)
+        y = 3.0 * q + (1000.0 if i == 0 else 0.0)
+        rows.append((okey, 1, 1, q, y))
+    for i in range(20):  # test: odd orderkeys
+        okey = 2 * i + 1
+        q = float(1 + i % 5)
+        y = 3.0 * q + (5.0 if i < 2 else 0.0)
+        rows.append((okey, 1, 1, q, y))
+    _write_lineitem(spark, tmp_path.as_posix(), rows)
+    r = e.queries()["q_conformal_interval"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    # one outlier in 20 shifts the fit; assert the CONTRACT pieces
+    # that are outlier-robust: counts, the rank position, coverage
+    # arithmetic
+    assert r["n_cal"] == 20 and r["n_test"] == 20
+    assert r["n_covered"] + sum(
+        1
+        for i in range(20)
+        if abs(
+            (3.0 * (1 + i % 5) + (5.0 if i < 2 else 0.0))
+            - (r["intercept"] + r["slope"] * (1 + i % 5))
+        )
+        > r["qhat"] + 1e-9
+    ) == 20
+    assert r["coverage"] == r["n_covered"] / 20.0
+
+
+# ------------------------------------------------------------------
+# q_energy_distance
+# ------------------------------------------------------------------
+
+
+def test_energy_distance_two_point_closed_form(spark, tmp_path):
+    """X = n copies of a, Y = m copies of b → E|X−Y| = |a−b|,
+    E|X−X'| = E|Y−Y'| = 0 → energy = 2|a−b| cents exactly."""
+    import __spark_entry__ as e
+
+    orders = [(i, 1, 100.00, "1-URGENT") for i in range(1, 8)]
+    orders += [(100 + i, 1, 350.00, "3-MEDIUM") for i in range(1, 12)]
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    r = e.queries()["q_energy_distance"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["n_x"] == 7 and r["n_y"] == 11
+    assert r["energy_cents"] == 2.0 * 25000.0, r
+
+
+def test_energy_distance_identical_distributions_zero(spark, tmp_path):
+    """X and Y drawn as the SAME multiset of values → energy 0."""
+    import __spark_entry__ as e
+
+    vals = [10.0, 20.0, 20.0, 55.5]
+    orders = [
+        (i + 1, 1, v, "1-URGENT") for i, v in enumerate(vals)
+    ] + [
+        (100 + i, 1, v, "3-MEDIUM") for i, v in enumerate(vals)
+    ]
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    r = e.queries()["q_energy_distance"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["energy_cents"] == 0.0, r
+
+
+# ------------------------------------------------------------------
+# q_quantile_sketch
+# ------------------------------------------------------------------
+
+
+def test_quantile_sketch_closed_form_1024(spark, tmp_path):
+    """1024 distinct cents values 1..1024 → step = 2 (512·1 < 1024 ≤
+    512·2), summary = even ranks; every probe's exact value = its
+    target rank, estimate = target rounded up to even (clamped), gap
+    ∈ {0, 1} < step."""
+    import __spark_entry__ as e
+
+    rows = [(i, 1, 1, 1.0, i / 100.0) for i in range(1, 1025)]
+    _write_lineitem(spark, tmp_path.as_posix(), rows)
+    out = {
+        r["permille"]: r
+        for r in e.queries()["q_quantile_sketch"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert len(out) == 7
+    for p, r in out.items():
+        tr = (p * 1024 + 999) // 1000
+        er = min(((tr + 1) // 2) * 2, 1024)
+        assert r["step"] == 2, r
+        assert r["target_rank"] == tr and r["est_rank"] == er, (p, r)
+        assert r["exact_cents"] == tr and r["est_cents"] == er, (p, r)
+        assert r["rank_gap"] == er - tr and 0 <= r["rank_gap"] < 2
+
+
+def test_quantile_sketch_small_input_step_one(spark, tmp_path):
+    """n ≤ 512 → step = 1: the summary IS the data and every
+    estimate is exact (gap 0) — the lossless fast floor."""
+    import __spark_entry__ as e
+
+    rows = [(i, 1, 1, 1.0, (100 + i) / 100.0) for i in range(1, 101)]
+    _write_lineitem(spark, tmp_path.as_posix(), rows)
+    for r in e.queries()["q_quantile_sketch"](
+        spark, tmp_path.as_posix()
+    ).collect():
+        assert r["step"] == 1 and r["rank_gap"] == 0
+        assert r["est_cents"] == r["exact_cents"]
+
+
+# ------------------------------------------------------------------
+# q_bipartite_projection
+# ------------------------------------------------------------------
+
+
+def test_bipartite_projection_cap_and_weights(spark, tmp_path):
+    """Parts 1,2 co-occur in 3 orders (weight 3 top edge); a
+    20-part mega-order is capped to its 8 smallest partkeys —
+    C(8,2) = 28 pairs, and no pair involving parts 109..120
+    appears."""
+    import __spark_entry__ as e
+
+    rows = []
+    for okey in (1, 2, 3):
+        rows.append((okey, 1, 1, 1.0, 1.0))
+        rows.append((okey, 2, 2, 1.0, 1.0))
+    for j in range(20):  # mega-order: parts 101..120
+        rows.append((9, j + 1, 101 + j, 1.0, 1.0))
+    _write_lineitem(spark, tmp_path.as_posix(), rows)
+    got = {
+        (r["p1"], r["p2"]): r["weight"]
+        for r in e.queries()["q_bipartite_projection"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert got[(1, 2)] == 3
+    mega = [k for k in got if k[0] >= 100 or k[1] >= 100]
+    assert len(mega) == 28, len(mega)
+    assert all(p1 <= 108 and p2 <= 108 for p1, p2 in mega), mega
+
+
+# ------------------------------------------------------------------
+# q_knn_graph
+# ------------------------------------------------------------------
+
+
+def test_knn_graph_mutuality_census(spark, tmp_path):
+    """Label 0: four vectors — three identical (mutually nearest)
+    and one orthogonal-ish outlier.  k=3 with only 3 candidates per
+    node → every directed edge exists (12 edges), all reciprocated.
+    Label 1: two vectors → 2 directed edges, both mutual (k clamps
+    at the block size)."""
+    import __spark_entry__ as e
+
+    def vec(pattern):
+        return [float(x) for x in pattern] + [0.0] * (64 - len(pattern))
+
+    rows = [
+        (1, vec([10, 0]), 0),
+        (2, vec([10, 0]), 0),
+        (3, vec([10, 0]), 0),
+        (4, vec([0, 10]), 0),
+        (10, vec([5, 5]), 1),
+        (11, vec([5, 5]), 1),
+    ]
+    _write_embeddings(spark, tmp_path.as_posix(), rows)
+    got = {
+        r["label"]: r
+        for r in e.queries()["q_knn_graph"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert got[0]["n_nodes"] == 4 and got[0]["n_edges"] == 12
+    assert got[0]["n_mutual"] == 12
+    assert got[1]["n_nodes"] == 2 and got[1]["n_edges"] == 2
+    assert got[1]["n_mutual"] == 2
+    # cosine mass: label 1 edges are identical vectors (cos 1.0)
+    assert got[1]["sum_cos_micro"] == 2 * 1000000
