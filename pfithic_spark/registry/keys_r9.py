@@ -1331,3 +1331,494 @@ def knn_graph_lazy(spark, sf_dir):
         )
     )
     return out, [edges]
+
+
+# ========================================================================
+# q_rrf_fusion — reciprocal-rank fusion of two retrieval rankings
+# ========================================================================
+
+#: Standard RRF damping constant (Cormack et al. 2009).
+_RRF_K = 60
+_RRF_TOPK = 20
+
+
+@register(
+    "q_rrf_fusion",
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r_lex
+  FROM documents
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ((doc_id % 2654435761) * 2654435761) % 4294967296,
+                    doc_id
+         ) AS r_sem
+  FROM documents
+),
+f AS (
+  SELECT lex.doc_id,
+         CAST(lex.r_lex AS BIGINT) AS rank_lex,
+         CAST(sem.r_sem AS BIGINT) AS rank_sem,
+         CAST(1000000000000 // ({_RRF_K} + lex.r_lex)
+              + 1000000000000 // ({_RRF_K} + sem.r_sem) AS BIGINT)
+           AS rrf_micro
+  FROM lex JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_micro
+FROM f ORDER BY rrf_micro DESC, doc_id
+LIMIT {_RRF_TOPK}
+""",
+)
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (RRF, k=60 — Cormack et al. 2009) of
+    two retrieval rankings — THE hybrid-search combiner: a lexical
+    ranking (n_chars DESC as the deterministic BM25-score proxy) and
+    a semantic ranking (Knuth hash order as the deterministic
+    vector-score proxy) fuse by Σ 1/(60+rankᵢ), top-20.  The operator
+    a retrieval pipeline runs between q_bm25 and q_sim_topk — fusing
+    RANKS needs no score calibration, which is why RRF beats score
+    averaging in practice.
+
+    Determinism: the textbook float 1/(60+r) is replaced by the
+    documented SC choice 10¹² div (60+r) — EXACT INTEGER reciprocal
+    micro-units (the q_record_linkage micro-nat discipline), so
+    fusion scores, their order, and all ties (broken by doc_id) are
+    pure int64 — no float enters the key at all.
+
+    100 TB shape: BOTH global rankings run through
+    windows.scalable_rank (n_chars- and hash-bucketed two-phase
+    ranks — a raw corpus-grain Window.orderBy is the §4.4 collapse;
+    plan-gated to _pid-partitioned windows only), a doc_id equi-join
+    aligns them, and the top-k is a TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = win.scalable_rank(
+        d.select("doc_id", "n_chars"),
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "n_chars",
+        rank_col="r_lex",
+        descending=True,
+    ).select("doc_id", "r_lex")
+    sem_in = d.select(
+        "doc_id", llmops.knuth_hash("doc_id").alias("h")
+    )
+    sem = win.scalable_rank(
+        sem_in,
+        [F.col("h"), F.col("doc_id")],
+        "h",
+        rank_col="r_sem",
+    ).select("doc_id", "r_sem")
+    f = lex.join(sem, "doc_id").select(
+        "doc_id",
+        F.col("r_lex").cast("long").alias("rank_lex"),
+        F.col("r_sem").cast("long").alias("rank_sem"),
+        (
+            F.expr(f"CAST(1000000000000 AS BIGINT) div ({_RRF_K} + r_lex)")
+            + F.expr(
+                f"CAST(1000000000000 AS BIGINT) div ({_RRF_K} + r_sem)"
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return f.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(_RRF_TOPK)
+
+
+# ========================================================================
+# q_mixture_allocation — capped proportional token-budget allocation
+# ========================================================================
+
+#: Budget = this permille of the total available characters.
+_MIX_BUDGET_PERMILLE = 500
+#: Per-source cap = this permille of the source's own characters (a
+#: repetition/epoch cap: never take more than 80% of any one source).
+_MIX_CAP_PERMILLE = 800
+
+
+@register(
+    "q_mixture_allocation",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(SUM(n_chars) AS BIGINT) AS avail
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, w, avail,
+         (avail * {_MIX_CAP_PERMILLE}) // 1000 AS cap,
+         SUM(w) OVER () AS wtot,
+         (SUM(avail) OVER () * {_MIX_BUDGET_PERMILLE}) // 1000 AS budget
+  FROM s
+),
+p1 AS (
+  SELECT *, LEAST(cap, (budget * w) // wtot) AS a1,
+         CASE WHEN (budget * w) // wtot >= cap THEN 1 ELSE 0 END
+           AS capped
+  FROM t
+),
+p2 AS (
+  SELECT *,
+         budget - SUM(a1) OVER () AS l1,
+         SUM(CASE WHEN capped = 0 THEN w END) OVER () AS w2
+  FROM p1
+),
+fin AS (
+  SELECT source, w, cap, a1, capped, l1,
+         CASE WHEN capped = 0 AND w2 > 0
+              THEN LEAST(cap - a1, (l1 * w) // w2)
+              ELSE 0 END AS g
+  FROM p2
+)
+SELECT source, w AS weight, cap AS cap_chars,
+       CAST(a1 + g AS BIGINT) AS alloc_chars,
+       CAST(ROUND(CAST(a1 + g AS DOUBLE) / CAST(cap AS DOUBLE), 6)
+            AS DOUBLE) AS fill_rate
+FROM fin
+""",
+)
+def q_mixture_allocation(spark, sf_dir):
+    """Training-mixture ALLOCATION: split a token budget (50% of
+    total corpus characters) across sources proportionally to weight
+    (doc count) under a per-source repetition cap (80% of the
+    source's own characters) — the data-mixing step between the
+    curation scores and the actual sampling run (q_group_reservoir
+    then draws within each source's allocation).  Two deterministic
+    passes: capped floor-proportional, then ONE redistribution of
+    the leftover among uncapped sources (documented contract — the
+    remainder after pass 2 stays unallocated rather than looping;
+    a report, not an optimizer).
+
+    Determinism: INTEGERS END TO END — every share is a
+    budget·w div W floor division (§8.7 non-negative pairing), caps
+    and leftovers exact int64 (char sums ≤ 2⁵³ at any realistic
+    corpus; the §8.21 split is the documented swap); fill_rate is
+    one round(6) division for display.  Scale shape: everything
+    after the ONE corpus scan rides the bounded |sources|-row table
+    through margin windows (the q_hhi_concentration one-chain
+    discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("w"),
+        F.sum("n_chars").cast("long").alias("avail"),
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = s.select(
+        "source",
+        "w",
+        "avail",
+        F.expr(f"(avail * {_MIX_CAP_PERMILLE}) div 1000").alias("cap"),
+        F.sum("w").over(wall).alias("wtot"),
+        F.expr(
+            f"CAST({_MIX_BUDGET_PERMILLE} AS BIGINT)"
+        ).alias("_bp"),
+    ).withColumn(
+        "budget",
+        F.expr("(sum(avail) over ()) * _bp div 1000"),
+    ).drop("_bp")
+    p1 = t.select(
+        "*",
+        F.least(F.col("cap"), F.expr("(budget * w) div wtot")).alias("a1"),
+        F.when(
+            F.expr("(budget * w) div wtot") >= F.col("cap"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("capped"),
+    )
+    p2 = p1.select(
+        "*",
+        (F.col("budget") - F.sum("a1").over(wall)).alias("l1"),
+        F.sum(F.when(F.col("capped") == 0, F.col("w")))
+        .over(wall)
+        .alias("w2"),
+    )
+    fin = p2.select(
+        "source",
+        "w",
+        "cap",
+        "a1",
+        F.when(
+            (F.col("capped") == 0) & (F.col("w2") > 0),
+            F.least(
+                F.col("cap") - F.col("a1"),
+                F.expr("(l1 * w) div w2"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("g"),
+    )
+    return fin.select(
+        "source",
+        F.col("w").alias("weight"),
+        F.col("cap").alias("cap_chars"),
+        (F.col("a1") + F.col("g")).cast("long").alias("alloc_chars"),
+        F.round(
+            (F.col("a1") + F.col("g")).cast("double")
+            / F.col("cap").cast("double"),
+            6,
+        ).alias("fill_rate"),
+    )
+
+
+# ========================================================================
+# q_interarrival_stats — per-event-type inter-arrival cadence census
+# ========================================================================
+
+
+@register(
+    "q_interarrival_stats",
+    oracle="""
+WITH t AS (
+  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us FROM events
+),
+g AS (
+  SELECT event_type, user_id, event_id,
+         us - LAG(us) OVER (PARTITION BY user_id, event_type
+                            ORDER BY us, event_id) AS gap
+  FROM t
+),
+gg AS (SELECT * FROM g WHERE gap IS NOT NULL),
+r AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY gap, user_id, event_id) AS rk
+  FROM gg
+),
+n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap) AS BIGINT) AS sum_gap,
+         CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+         CAST(MAX(gap) AS BIGINT) AS max_gap_us
+  FROM gg GROUP BY event_type
+)
+SELECT n.event_type, n.n_gaps,
+       CAST(n.sum_gap AS DOUBLE) / CAST(n.n_gaps AS DOUBLE)
+         AS mean_gap_us,
+       n.min_gap_us, n.max_gap_us,
+       CAST(r.gap AS BIGINT) AS median_gap_us
+FROM n JOIN r
+  ON n.event_type = r.event_type AND r.rk = (n.n_gaps + 1) // 2
+""",
+)
+def q_interarrival_stats(spark, sf_dir):
+    """Per-event-type inter-arrival cadence census: gaps between a
+    user's consecutive events of the SAME type (count, exact mean,
+    min/max, lower-median) — the arrival-process panel behind rate
+    limits, anomaly baselines and session-gap calibration (is 30 min
+    the right q_sessionize threshold? this table answers).
+
+    Determinism: gaps are exact integer microseconds; mean is ONE
+    double division of hardware-exact casts; the median is the
+    nearest-rank (n+1) div 2 order statistic under a FULL
+    (gap, user_id, event_id) tie-break — never a percentile
+    interpolation (engines disagree on those).
+
+    100 TB shape: the lag window clusters on user_id (one event
+    shuffle, shared with the sessionize family); the median rank
+    runs through windows.scalable_part_rank (per-(type, bucket)
+    row_number + broadcast offsets — a plain per-type window would
+    serialize each event type onto ONE task at any volume, the
+    q_shuffle_shards lesson); the census is a bounded
+    |event_type|-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id", "event_id", "event_type", epoch_us(ev).alias("us")
+    )
+    uw = Window.partitionBy("user_id", "event_type").orderBy(
+        "us", "event_id"
+    )
+    gg = (
+        t.withColumn("gap", F.col("us") - F.lag("us", 1).over(uw))
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", "user_id", "event_id", "gap")
+    )
+    r = win.scalable_part_rank(
+        gg,
+        ["event_type"],
+        ["gap", "user_id", "event_id"],
+        rank_col="rk",
+    )
+    # rename the census's type column before joining back onto the
+    # ranked stream (both derive from gg — qualified refs would be
+    # ambiguous under Spark's self-join analyzer)
+    n = gg.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+    )
+    med = r.join(
+        F.broadcast(n),
+        (F.col("event_type") == F.col("et"))
+        & (F.col("rk") == F.expr("(n_gaps + 1) div 2")),
+    ).select(
+        "event_type",
+        "n_gaps",
+        (
+            F.col("sum_gap").cast("double")
+            / F.col("n_gaps").cast("double")
+        ).alias("mean_gap_us"),
+        "min_gap_us",
+        "max_gap_us",
+        F.col("gap").cast("long").alias("median_gap_us"),
+    )
+    return med
+
+
+# ========================================================================
+# q_ngram_novelty — held-out trigram novelty per source
+# ========================================================================
+
+
+@register(
+    "q_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, doc_id % 2 AS half,
+         STRING_SPLIT(LOWER(TRIM(text)), ' ') AS tk
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, source, half,
+         UNNEST(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(tk) - 2),
+           i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2])
+         )) AS g
+  FROM toks
+),
+train AS (SELECT DISTINCT g FROM tri WHERE half = 0),
+test AS (
+  SELECT t.source, t.g,
+         CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END AS novel
+  FROM tri t LEFT JOIN train tr ON t.g = tr.g
+  WHERE t.half = 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_test_trigrams,
+       CAST(SUM(novel) AS BIGINT) AS n_novel,
+       CAST(SUM(novel) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS novelty_rate
+FROM test GROUP BY source
+""",
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Held-out trigram NOVELTY per source: split the corpus by
+    doc_id parity, build the train half's distinct-trigram set, and
+    measure what fraction of each source's test-half trigram
+    OCCURRENCES never appear in training — the generalization-gap /
+    domain-shift complement to q_contamination (which flags probe
+    docs CONTAINED in the corpus; this measures how much of tomorrow
+    the corpus has never seen) and the memorization-risk denominator
+    (0% novelty = the test half is pure repetition).
+
+    100 TB shape: one corpus scan explodes to the trigram stream;
+    the train side collapses to DISTINCT trigrams (inverted-index
+    shape, hot trigrams collapse to one row — the join right side
+    cannot skew); one hash equi-join flags novelty; the census is a
+    bounded |sources|-row aggregate.  Exact counts, ONE final
+    division (§8.13), tokenization = the shared llmops.tokens_col
+    cross-engine contract."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        llmops.tokens_col("text").alias("tk"),
+    )
+    tri = tk.select(
+        "doc_id",
+        "source",
+        "half",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tk) - 2, 0)),"
+                " i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"
+            )
+        ).alias("g"),
+    )
+    train = (
+        tri.filter(F.col("half") == 0).select("g").distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test = (
+        tri.filter(F.col("half") == 1)
+        .join(train, "g", "left")
+        .select(
+            "source",
+            F.when(F.col("seen").isNull(), 1).otherwise(0).alias("novel"),
+        )
+    )
+    return test.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_trigrams"),
+        F.sum("novel").cast("long").alias("n_novel"),
+        (
+            F.sum("novel").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_rate"),
+    )
+
+
+# ========================================================================
+# q_length_log2_histogram — per-source log2 doc-length histogram
+# ========================================================================
+
+
+@register(
+    "q_length_log2_histogram",
+    oracle="""
+WITH b AS (
+  SELECT source,
+         CAST(LENGTH(BIN(CAST(n_chars AS BIGINT))) - 1 AS BIGINT)
+           AS log2_bucket
+  FROM documents WHERE n_chars >= 1
+),
+c AS (
+  SELECT source, log2_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM b GROUP BY source, log2_bucket
+)
+SELECT source, log2_bucket, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS share
+FROM c
+""",
+)
+def q_length_log2_histogram(spark, sf_dir):
+    """Per-source log₂ document-length histogram (bucket =
+    ⌊log₂ n_chars⌋, share within source) — the standard corpus-panel
+    length distribution at a glance (truncation spikes, boilerplate
+    shelves, and source length mismatch all show up as bucket-share
+    anomalies before any model sees the data).
+
+    Determinism: the bucket is LENGTH(BIN(n)) − 1 — pure
+    integer/string arithmetic, byte-identical cross-engine (the
+    q_hll_sketch rho trick; a float log2 is 1-ulp fragile exactly at
+    the 2^k bucket edges that matter); share is one unrounded
+    division of exact counts per §8.13.  Scale shape: ONE
+    column-pruned scan → map-side-combinable (source, bucket)-grain
+    aggregate (≤ |sources|·64 rows at any volume) → margins on the
+    bounded grain."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.filter(F.col("n_chars") >= 1).select(
+        "source",
+        (F.length(F.bin(F.col("n_chars").cast("long"))) - 1)
+        .cast("long")
+        .alias("log2_bucket"),
+    )
+    c = b.groupBy("source", "log2_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wsrc = Window.partitionBy("source")
+    return c.select(
+        "source",
+        "log2_bucket",
+        "n_docs",
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(wsrc).cast("double")
+        ).alias("share"),
+    )

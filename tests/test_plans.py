@@ -1460,3 +1460,49 @@ def test_conformal_interval_plan(spark, sf_dir, queries):
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1500]
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+
+
+def test_r9b_key_plan_shapes(spark, sf_dir, queries):
+    """Second §2.22 batch plan gates:
+    (a) q_rrf_fusion: BOTH global rankings run the two-phase _pid
+        machinery — every window in the plan is _pid-partitioned
+        (raw corpus-grain Window.orderBy is the §4.4 collapse);
+        fused top-k is TakeOrderedAndProject;
+    (b) q_mixture_allocation: ONE corpus scan; all windows ride the
+        bounded |sources|-row grain;
+    (c) q_interarrival_stats: the median rank runs through
+        scalable_part_rank (windows carry _pid beside the lag
+        window's user_id clustering); census join broadcasts;
+    (d) q_ngram_novelty: train side collapses to DISTINCT before the
+        join (HashAggregate below the join), no cartesian;
+    (e) q_length_log2_histogram: single scan, join-free, no
+        EvalPython anywhere."""
+    import re
+
+    def plan(key):
+        return _plan(queries[key](spark, sf_dir))
+
+    def scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    p = plan("q_rrf_fusion")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "_pid" for s in specs), specs
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+    p = plan("q_mixture_allocation")
+    assert scans(p) == 1, p[:1200]
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = plan("q_interarrival_stats")
+    assert "windowspecdefinition" in p
+    assert "_pid" in p, p[:1500]
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+    p = plan("q_ngram_novelty")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = plan("q_length_log2_histogram")
+    assert scans(p) == 1, p[:1200]
+    assert "Join" not in p and "EvalPython" not in p

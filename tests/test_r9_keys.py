@@ -521,3 +521,151 @@ def test_knn_graph_mutuality_census(spark, tmp_path):
     assert got[1]["n_mutual"] == 2
     # cosine mass: label 1 edges are identical vectors (cos 1.0)
     assert got[1]["sum_cos_micro"] == 2 * 1000000
+
+
+# ------------------------------------------------------------------
+# q_rrf_fusion
+# ------------------------------------------------------------------
+
+
+def test_rrf_fusion_integer_mirror(spark, tmp_path):
+    """Fused micro-scores equal a pure-python integer mirror of both
+    rankings (length-desc and Knuth-hash-asc) — the whole key is
+    int64, so the mirror is exact, not approximate."""
+    import __spark_entry__ as e
+
+    n = 40
+    docs = [(i, "x" * (10 + (i * 7) % 31), "s") for i in range(n)]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    got = {
+        r["doc_id"]: (r["rank_lex"], r["rank_sem"], r["rrf_micro"])
+        for r in e.queries()["q_rrf_fusion"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+
+    def knuth(x):
+        return ((x % 2654435761) * 2654435761) % 4294967296
+
+    lens = {i: 10 + (i * 7) % 31 for i in range(n)}
+    lex = sorted(range(n), key=lambda i: (-lens[i], i))
+    sem = sorted(range(n), key=lambda i: (knuth(i), i))
+    r_lex = {d: r + 1 for r, d in enumerate(lex)}
+    r_sem = {d: r + 1 for r, d in enumerate(sem)}
+    score = {
+        d: 10**12 // (60 + r_lex[d]) + 10**12 // (60 + r_sem[d])
+        for d in range(n)
+    }
+    want_top = sorted(range(n), key=lambda d: (-score[d], d))[:20]
+    assert set(got) == set(want_top), (sorted(got), sorted(want_top))
+    for d in want_top:
+        assert got[d] == (r_lex[d], r_sem[d], score[d]), (d, got[d])
+
+
+# ------------------------------------------------------------------
+# q_mixture_allocation
+# ------------------------------------------------------------------
+
+
+def test_mixture_allocation_cap_and_redistribution(spark, tmp_path):
+    """Source A (weight 2, avail 1000) hits its 800-char cap on the
+    proportional pass; the 200-char leftover redistributes entirely
+    to B.  Exact integer closed form: A → 800 (fill 1.0), B → 4200
+    of cap 7200."""
+    import __spark_entry__ as e
+
+    docs = [(i, "a" * 500, "A") for i in range(2)]
+    docs += [(10 + i, "b" * 1125, "B") for i in range(8)]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    got = {
+        r["source"]: r
+        for r in e.queries()["q_mixture_allocation"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    a, b = got["A"], got["B"]
+    assert a["weight"] == 2 and a["cap_chars"] == 800
+    assert a["alloc_chars"] == 800 and a["fill_rate"] == 1.0
+    assert b["weight"] == 8 and b["cap_chars"] == 7200
+    assert b["alloc_chars"] == 4200, b
+    assert b["fill_rate"] == round(4200 / 7200, 6)
+
+
+# ------------------------------------------------------------------
+# q_interarrival_stats
+# ------------------------------------------------------------------
+
+
+def test_interarrival_planted_gaps(spark, tmp_path):
+    """One user, one type, gaps 60 s / 120 s / 60 s → n=3, exact mean
+    80 s, lower-median 60 s (rank (3+1) div 2 = 2 of sorted
+    [60, 60, 120]); a second type with one event yields no gap row."""
+    import __spark_entry__ as e
+
+    ev = [
+        (1, "2024-01-01 10:00:00", 7, "A"),
+        (2, "2024-01-01 10:01:00", 7, "A"),
+        (3, "2024-01-01 10:03:00", 7, "A"),
+        (4, "2024-01-01 10:04:00", 7, "A"),
+        (5, "2024-01-01 10:00:30", 7, "B"),
+    ]
+    _write_events(spark, tmp_path.as_posix(), ev)
+    rows = e.queries()["q_interarrival_stats"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    assert len(rows) == 1 and rows[0]["event_type"] == "A"
+    r = rows[0]
+    assert r["n_gaps"] == 3
+    assert r["mean_gap_us"] == 80_000_000.0
+    assert r["min_gap_us"] == 60_000_000
+    assert r["max_gap_us"] == 120_000_000
+    assert r["median_gap_us"] == 60_000_000
+
+
+# ------------------------------------------------------------------
+# q_ngram_novelty
+# ------------------------------------------------------------------
+
+
+def test_ngram_novelty_closed_form(spark, tmp_path):
+    """Train half (doc 0): 'a b c d' → trigram set {a b c, b c d}.
+    Test half (doc 1): 'a b c x y z' → 4 trigrams, 3 novel →
+    novelty_rate 0.75 exactly."""
+    import __spark_entry__ as e
+
+    docs = [(0, "a b c d", "s"), (1, "a b c x y z", "s")]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    r = e.queries()["q_ngram_novelty"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    assert len(r) == 1
+    assert r[0]["n_test_trigrams"] == 4
+    assert r[0]["n_novel"] == 3
+    assert r[0]["novelty_rate"] == 0.75
+
+
+# ------------------------------------------------------------------
+# q_length_log2_histogram
+# ------------------------------------------------------------------
+
+
+def test_length_log2_histogram_bucket_edges(spark, tmp_path):
+    """Lengths 1 / 2,3 / 4..7 land in buckets 0 / 1 / 2 exactly (the
+    2^k edges are where a float log2 would be 1-ulp fragile); shares
+    are exact fractions of the source total."""
+    import __spark_entry__ as e
+
+    lens = [1, 2, 3, 4, 5, 6, 7]
+    docs = [(i, "x" * ln, "s") for i, ln in enumerate(lens)]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    got = {
+        r["log2_bucket"]: (r["n_docs"], r["share"])
+        for r in e.queries()["q_length_log2_histogram"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert got == {
+        0: (1, 1 / 7),
+        1: (2, 2 / 7),
+        2: (4, 4 / 7),
+    }, got
