@@ -1822,3 +1822,605 @@ def q_length_log2_histogram(spark, sf_dir):
             / F.sum("n_docs").over(wsrc).cast("double")
         ).alias("share"),
     )
+
+
+# ========================================================================
+# q_auc_by_group — sliced ROC-AUC per customer segment
+# ========================================================================
+
+
+@register(
+    "q_auc_by_group",
+    oracle="""
+WITH t AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (
+  SELECT segment, cents,
+         SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+  FROM t GROUP BY segment, cents
+),
+r AS (
+  SELECT segment, pos, neg,
+         COALESCE(SUM(neg) OVER (
+           PARTITION BY segment ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_neg
+  FROM g
+),
+s AS (
+  SELECT segment,
+         CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(neg) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cum_neg + neg)) AS BIGINT) AS two_u
+  FROM r GROUP BY segment
+)
+SELECT segment, n_pos, n_neg,
+       CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+            ELSE CAST(two_u AS DOUBLE)
+                 / (2.0 * (CAST(n_pos AS DOUBLE)
+                           * CAST(n_neg AS DOUBLE))) END AS auc
+FROM s
+""",
+)
+def q_auc_by_group(spark, sf_dir):
+    """SLICED ROC-AUC: q_roc_auc's exact tie-corrected rank-sum AUC
+    computed PER CUSTOMER SEGMENT — the sliced-evaluation table
+    (fairness audits, per-cohort regression hunts: a model that
+    holds 0.75 global AUC while one slice sits at 0.5 is broken, and
+    only this table shows it).
+
+    Same determinism contract as q_roc_auc (§8.15 integer cents
+    value grain, exact int64 2U, ONE division, NULL on single-class
+    slices §8.17).  100 TB shape: ONE fact join to attach the slice
+    key, groupBy to (segment, cents) grain, and the prefix sum rides
+    a window PARTITIONED by segment over the bounded per-segment
+    cents domain (the partitioned form never has q_roc_auc's
+    unbounded-grain concern — parallelism = |segments|, each value
+    grain price-range-bounded; scalable_cumsum per slice is the
+    documented swap if a slice's score grain ever grows with
+    volume)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    t = o.join(
+        c, o["o_custkey"] == c["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias(
+            "cents"
+        ),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+    )
+    g = t.groupBy("segment", "cents").agg(
+        F.sum("y").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = g.select(
+        "segment",
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum_neg"),
+    )
+    s = r.groupBy("segment").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(F.col("pos") * (2 * F.col("cum_neg") + F.col("neg")))
+        .cast("long")
+        .alias("two_u"),
+    )
+    degenerate = (F.col("n_pos") == 0) | (F.col("n_neg") == 0)
+    auc = F.col("two_u").cast("double") / (
+        F.lit(2.0)
+        * (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+    )
+    return s.select(
+        "segment",
+        "n_pos",
+        "n_neg",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(auc)
+        .alias("auc"),
+    )
+
+
+# ========================================================================
+# q_power_mde — A/B test power analysis (minimum detectable effect)
+# ========================================================================
+
+#: z(97.5%) + z(80%) — frozen literals (rule 22: no runtime quantile
+#: function), the standard 95%-confidence / 80%-power pairing.
+_MDE_Z_SUM = 1.959964 + 0.841621
+
+
+@register(
+    "q_power_mde",
+    oracle=f"""
+WITH arm AS (
+  SELECT c_custkey,
+         (((c_custkey % 2654435761) * 2654435761) % 4294967296) % 2
+           AS arm
+  FROM customer
+),
+resp AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+),
+j AS (
+  SELECT a.arm,
+         CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS y
+  FROM arm a LEFT JOIN resp r ON a.c_custkey = r.o_custkey
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(y) AS BIGINT) AS n_resp,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM j
+)
+SELECT n_a, n_b, n_resp,
+       CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE) AS pooled_rate,
+       CASE WHEN n_resp = 0 OR n_resp = n THEN NULL ELSE
+         {_MDE_Z_SUM} * SQRT(
+           2.0 * (CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(LEAST(n_a, n_b) AS DOUBLE)) END AS mde_abs,
+       CASE WHEN n_resp = 0 OR n_resp = n THEN NULL ELSE
+         ({_MDE_Z_SUM} * SQRT(
+           2.0 * (CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE))
+               * (1.0 - CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE))
+               / CAST(LEAST(n_a, n_b) AS DOUBLE)))
+         / (CAST(n_resp AS DOUBLE) / CAST(n AS DOUBLE)) END AS mde_rel
+FROM s
+""",
+)
+def q_power_mde(spark, sf_dir):
+    """A/B power analysis: the MINIMUM DETECTABLE EFFECT of the
+    deterministic hash split at 95% confidence / 80% power — the
+    question every experimenter must answer BEFORE reading a metric
+    (q_ab_srm validates the split; this says what it can even see):
+    mde = (z₀.₉₇₅+z₀.₈)·√(2·p̂(1−p̂)/n_arm) with the pooled response
+    rate p̂ and the smaller arm's n.
+
+    Determinism: exact integer counts → ONE fixed-order double chain
+    (divisions, one multiply, one correctly-rounded SQRT — no libm
+    beyond sqrt, which IEEE 754 requires correctly rounded); z-sum
+    is a frozen literal (rule 22); NULL when p̂ ∈ {{0, 1}} (§8.17).
+    100 TB shape: response collapses to customer grain, one
+    customer-keyed join, a scalar census — no window anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    arm = c.select(
+        "c_custkey", (llmops.knuth_hash("c_custkey") % 2).alias("arm")
+    )
+    resp = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.lit(1).alias("responded"))
+    )
+    j = arm.join(
+        resp, arm["c_custkey"] == resp["o_custkey"], "left"
+    ).select(
+        "arm", F.coalesce(F.col("responded"), F.lit(0)).alias("y")
+    )
+    s = j.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum("y").cast("long").alias("n_resp"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    p = F.col("n_resp").cast("double") / F.col("n").cast("double")
+    mde = F.lit(_MDE_Z_SUM) * F.sqrt(
+        F.lit(2.0)
+        * p
+        * (F.lit(1.0) - p)
+        / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+    )
+    degenerate = (F.col("n_resp") == 0) | (
+        F.col("n_resp") == F.col("n")
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "n_resp",
+        p.alias("pooled_rate"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(mde)
+        .alias("mde_abs"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(mde / p)
+        .alias("mde_rel"),
+    )
+
+
+# ========================================================================
+# q_bloom_membership — Bloom filter build + planted-non-member FPR
+# ========================================================================
+
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_PROBES = 1000
+
+
+@register(
+    "q_bloom_membership",
+    oracle=f"""
+WITH ks AS (SELECT c_custkey AS x FROM customer),
+mx AS (SELECT MAX(x) AS mx FROM ks),
+bits AS (
+  SELECT DISTINCT
+    ((((x * (2 * j.j + 1) + j.j) % 2654435761) * 2654435761)
+      % 4294967296) % {_BLOOM_M} AS b
+  FROM ks CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_BLOOM_K - 1}))
+                      AS j) j
+),
+bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits),
+probes AS (
+  SELECT mx.mx + p.p AS x
+  FROM mx CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_BLOOM_PROBES}))
+                      AS p) p
+),
+pb AS (
+  SELECT probes.x,
+         ((((probes.x * (2 * j.j + 1) + j.j) % 2654435761)
+            * 2654435761) % 4294967296) % {_BLOOM_M} AS b
+  FROM probes CROSS JOIN (SELECT UNNEST(
+    GENERATE_SERIES(0, {_BLOOM_K - 1})) AS j) j
+),
+hits AS (
+  SELECT pb.x, COUNT(*) AS n_hit
+  FROM pb JOIN bits ON pb.b = bits.b
+  GROUP BY pb.x
+),
+fp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fp
+  FROM hits WHERE n_hit = {_BLOOM_K}
+),
+nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM ks)
+SELECT CAST({_BLOOM_M} AS BIGINT) AS m, CAST({_BLOOM_K} AS BIGINT) AS k,
+       nk.n_keys, bs.bits_set,
+       CAST({_BLOOM_PROBES} AS BIGINT) AS n_probes, fp.n_fp,
+       CAST(fp.n_fp AS DOUBLE) / {_BLOOM_PROBES}.0 AS fpr_measured,
+       (CAST(bs.bits_set AS DOUBLE) / {_BLOOM_M}.0)
+         * (CAST(bs.bits_set AS DOUBLE) / {_BLOOM_M}.0)
+         * (CAST(bs.bits_set AS DOUBLE) / {_BLOOM_M}.0)
+         AS fpr_expected
+FROM nk CROSS JOIN bs CROSS JOIN fp
+""",
+)
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter MEMBERSHIP sketch (m=4096 bits, k=3 salted Knuth
+    hashes) built over the customer keys, then GRADED on 1,000
+    planted non-members (keys beyond max(custkey)) — measured false-
+    positive rate beside the load-factor expectation (bits_set/m)^k.
+    Completes the sketch family: HLL counts distinct, count-min
+    counts frequency, Bloom answers membership — the pre-join filter
+    (q_join_bloom USES one; this key builds and certifies one as
+    data).
+
+    Determinism: the bit set is exact integers (salted hash
+    (x·(2j+1)+j) through the Knuth chain — mod-first keeps the int64
+    product in budget for x < ~2⁶⁰/…; fixture keys ≪ that, the
+    knuth_hash reduction is the documented big-id swap); DISTINCT
+    bit positions; membership = an exact 3-way position join;
+    expectation is a fixed-order double cube of one exact ratio.
+    100 TB shape: ONE key scan → k·n hashes → 4096-row DISTINCT (the
+    whole filter is kilobytes — the point of the structure);
+    broadcast-join the 1,000-probe grid against the bit set."""
+    c = load_table(spark, sf_dir, "customer")
+    ks = c.select(F.col("c_custkey").alias("x"))
+    jg = spark.range(_BLOOM_K).select(F.col("id").alias("j"))
+    bits = (
+        ks.crossJoin(F.broadcast(jg))
+        .select(
+            (
+                (
+                    ((F.col("x") * (2 * F.col("j") + 1) + F.col("j"))
+                     % F.lit(2654435761))
+                    * F.lit(2654435761)
+                )
+                % F.lit(4294967296)
+                % F.lit(_BLOOM_M)
+            ).alias("b")
+        )
+        .distinct()
+    )
+    bs = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    mx = ks.agg(F.max("x").alias("mx"))
+    probes = (
+        spark.range(1, _BLOOM_PROBES + 1)
+        .select(F.col("id").alias("p"))
+        .crossJoin(F.broadcast(mx))
+        .select((F.col("mx") + F.col("p")).alias("x"))
+    )
+    pb = probes.crossJoin(F.broadcast(jg)).select(
+        "x",
+        (
+            (
+                ((F.col("x") * (2 * F.col("j") + 1) + F.col("j"))
+                 % F.lit(2654435761))
+                * F.lit(2654435761)
+            )
+            % F.lit(4294967296)
+            % F.lit(_BLOOM_M)
+        ).alias("b"),
+    )
+    hits = (
+        pb.join(bits, "b")
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    fp = hits.filter(F.col("n_hit") == _BLOOM_K).agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    nk = ks.agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    ratio = F.col("bits_set").cast("double") / F.lit(float(_BLOOM_M))
+    return (
+        nk.crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(fp))
+        .select(
+            F.lit(_BLOOM_M).cast("long").alias("m"),
+            F.lit(_BLOOM_K).cast("long").alias("k"),
+            "n_keys",
+            "bits_set",
+            F.lit(_BLOOM_PROBES).cast("long").alias("n_probes"),
+            "n_fp",
+            (
+                F.col("n_fp").cast("double")
+                / F.lit(float(_BLOOM_PROBES))
+            ).alias("fpr_measured"),
+            (ratio * ratio * ratio).alias("fpr_expected"),
+        )
+    )
+
+
+# ========================================================================
+# q_gini_coefficient — revenue inequality across customers
+# ========================================================================
+
+
+@register(
+    "q_gini_coefficient",
+    oracle="""
+WITH rc AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(cents) OVER () AS tot
+  FROM rc
+),
+s AS (
+  SELECT MAX(n) AS n, MAX(tot) AS tot,
+         CAST(SUM(i * cents) AS BIGINT) AS s_ix
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(tot AS BIGINT) AS total_cents,
+       CASE WHEN tot = 0 THEN NULL ELSE
+         (2.0 * CAST(s_ix AS DOUBLE)
+          - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) END AS gini
+FROM s
+""",
+)
+def q_gini_coefficient(spark, sf_dir):
+    """Gini coefficient of revenue across customers — the INEQUALITY
+    statistic beside q_hhi_concentration's per-market concentration
+    (HHI asks "is one supplier dominant in a nation"; Gini asks "how
+    skewed is the whole customer base") and the scalar the
+    q_gains_table curve integrates to.  Rank formula over the sorted
+    revenue vector: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx).
+
+    Determinism: Σ i·xᵢ is exact int64 (i ≤ n, x ≤ per-customer
+    cents; at 8 M × 10⁹-cent whales ≈ 2⁵³ — 10 margin bits; the hi/lo
+    split is the documented 100 TB swap); the closing expression is
+    ONE fixed-order double chain, NULL on zero revenue (§8.17).
+    100 TB shape: one orders scan to customer grain; the global rank
+    runs through windows.scalable_rank (never a one-task sort); the
+    census is a scalar reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    rc = o.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    r = win.scalable_rank(
+        rc,
+        [F.col("cents"), F.col("o_custkey")],
+        "cents",
+        rank_col="i",
+        tot_col="n",
+    )
+    s = r.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s_ix"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("s_ix").cast("double")
+        - (F.col("n").cast("double") + F.lit(1.0))
+        * F.col("tot").cast("double")
+    ) / (F.col("n").cast("double") * F.col("tot").cast("double"))
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("tot").alias("total_cents"),
+        F.when(F.col("tot") == 0, F.lit(None).cast("double"))
+        .otherwise(gini)
+        .alias("gini"),
+    )
+
+
+# ========================================================================
+# q_dp_counts — seeded-Laplace differentially-private count release
+# ========================================================================
+
+#: Laplace scale b = sensitivity / epsilon = 1 / 1.0.
+_DP_EPSILON = 1.0
+
+
+@register(
+    "q_dp_counts",
+    oracle=f"""
+WITH c AS (
+  SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT)
+    AS true_count
+  FROM customer GROUP BY c_mktsegment
+),
+seeded AS (
+  SELECT segment, true_count,
+         ROW_NUMBER() OVER (ORDER BY segment) AS seed
+  FROM c
+),
+u AS (
+  SELECT segment, true_count,
+         (((seed % 2654435761) * 2654435761) % 4294967296 + 1)
+           / 4294967297.0 AS u
+  FROM seeded
+),
+lap AS (
+  SELECT segment, true_count,
+         CASE WHEN u >= 0.5
+              THEN -(1.0 / {_DP_EPSILON}) * ROUND(LN(2.0 - 2.0 * u), 9)
+              ELSE  (1.0 / {_DP_EPSILON}) * ROUND(LN(2.0 * u), 9) END
+           AS noise
+  FROM u
+)
+SELECT segment, true_count, noise,
+       CAST(true_count AS DOUBLE) + noise AS noisy_count,
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+FROM lap
+""",
+)
+def q_dp_counts(spark, sf_dir):
+    """Differentially-private count release (ε=1 Laplace mechanism)
+    of the per-segment customer census — the privacy-preserving
+    telemetry export shape: true counts never leave the boundary,
+    noisy counts do.  The noise draw is SEEDED (inverse-CDF of the
+    Knuth uniform keyed on the segment's sorted position) so every
+    engine, run and retry releases the SAME noisy value — a
+    nondeterministic release would let an observer average the noise
+    away across retries, destroying the ε guarantee (determinism
+    here is not just a testing convenience; it is part of the
+    mechanism's soundness under replay).  True counts are kept in
+    the output for the AUDIT side of the boundary (and the oracle
+    gate); a production export drops the column.
+
+    Laplace via inverse CDF: u < ½ → b·ln(2u), u ≥ ½ → −b·ln(2−2u);
+    ln is round(9)-before-use (rule 22 — JVM vs libm log is 1-ulp),
+    after which the chain is identical IEEE.  100 TB shape: one
+    map-side-combinable segment census; the noise attach is pure
+    per-row arithmetic on the bounded grain."""
+    c = load_table(spark, sf_dir, "customer")
+    cnt = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    # bounded |segments| grain — the one-task window is fine by
+    # construction (q_rolling_corr day-grain argument)
+    seeded = cnt.withColumn(
+        "seed", F.row_number().over(Window.orderBy("segment"))
+    )
+    u = (llmops.knuth_hash("seed") + 1) / F.lit(4294967297.0)
+    b = 1.0 / _DP_EPSILON
+    noise = F.when(
+        u >= 0.5, -F.lit(b) * F.round(F.log(F.lit(2.0) - 2.0 * u), 9)
+    ).otherwise(F.lit(b) * F.round(F.log(2.0 * u), 9))
+    return seeded.select(
+        "segment",
+        "true_count",
+        noise.alias("noise"),
+        (F.col("true_count").cast("double") + noise).alias(
+            "noisy_count"
+        ),
+        F.lit(float(_DP_EPSILON)).alias("epsilon"),
+    )
+
+
+# ========================================================================
+# q_holdout_leakage — exact-duplicate leakage across a train/test split
+# ========================================================================
+
+
+@register(
+    "q_holdout_leakage",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, source, doc_id % 2 AS half,
+         MD5(LOWER(TRIM(text))) AS sig
+  FROM documents
+),
+train AS (SELECT DISTINCT sig FROM h WHERE half = 0),
+test AS (
+  SELECT h.source, h.sig,
+         CASE WHEN t.sig IS NOT NULL THEN 1 ELSE 0 END AS leaked
+  FROM h LEFT JOIN train t ON h.sig = t.sig
+  WHERE h.half = 1
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+       CAST(SUM(leaked) AS BIGINT) AS n_leaked,
+       CAST(SUM(leaked) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS leak_rate
+FROM test GROUP BY source
+""",
+)
+def q_holdout_leakage(spark, sf_dir):
+    """EXACT-duplicate leakage across the train/test split (doc_id
+    parity): test-half documents whose normalized-text MD5 also
+    appears in the train half, per source — the eval-integrity gate
+    run before any benchmark number is believed (q_ngram_novelty
+    measures phrase-level overlap; this catches the whole-document
+    copies that silently inflate eval scores).
+
+    Determinism: MD5 of the shared LOWER(TRIM(text)) normalization
+    (byte-identical cross-engine, the q_dedup_exact contract); exact
+    counts, ONE division (§8.13).  100 TB shape: one corpus scan
+    projected to 16-byte signatures; the train side collapses to
+    DISTINCT sigs (duplicate-heavy sources cannot skew the join's
+    right side); one hash equi-join; bounded source-grain census."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.md5(llmops.norm_text("text")).alias("sig"),
+    )
+    train = (
+        h.filter(F.col("half") == 0)
+        .select("sig")
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    test = (
+        h.filter(F.col("half") == 1)
+        .join(train, "sig", "left")
+        .select(
+            "source",
+            F.when(F.col("seen").isNull(), 0).otherwise(1).alias(
+                "leaked"
+            ),
+        )
+    )
+    return test.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_docs"),
+        F.sum("leaked").cast("long").alias("n_leaked"),
+        (
+            F.sum("leaked").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("leak_rate"),
+    )

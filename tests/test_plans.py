@@ -1506,3 +1506,47 @@ def test_r9b_key_plan_shapes(spark, sf_dir, queries):
     p = plan("q_length_log2_histogram")
     assert scans(p) == 1, p[:1200]
     assert "Join" not in p and "EvalPython" not in p
+
+
+def test_r9c_key_plan_shapes(spark, sf_dir, queries):
+    """Third §2.22 batch plan gates:
+    (a) q_auc_by_group: the prefix sum is PARTITIONED by segment
+        (windowspecdefinition leads with the slice key — never an
+        unpartitioned score window), join is an equi-join;
+    (b) q_power_mde: scalar census — no window at all, no cartesian;
+    (c) q_bloom_membership: the filter collapses to a DISTINCT bit
+        set (HashAggregate) and probes join it by equality; scalar
+        attaches are 1-row broadcasts, never a CartesianProduct;
+    (d) q_gini_coefficient: the global rank is two-phase (_pid
+        windows only);
+    (e) q_dp_counts / q_holdout_leakage: single-pass censuses, no
+        EvalPython, no cartesian."""
+    import re
+
+    def plan(key):
+        return _plan(queries[key](spark, sf_dir))
+
+    p = plan("q_auc_by_group")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "segment" for s in specs), specs
+    assert "CartesianProduct" not in p
+
+    p = plan("q_power_mde")
+    assert "windowspecdefinition" not in p, p[:1200]
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = plan("q_bloom_membership")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+    assert "EvalPython" not in p
+
+    p = plan("q_gini_coefficient")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert specs and all(s == "_pid" for s in specs), specs
+    assert "CartesianProduct" not in p
+
+    p = plan("q_dp_counts")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = plan("q_holdout_leakage")
+    assert "CartesianProduct" not in p and "EvalPython" not in p

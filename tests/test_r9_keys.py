@@ -669,3 +669,211 @@ def test_length_log2_histogram_bucket_edges(spark, tmp_path):
         1: (2, 2 / 7),
         2: (4, 4 / 7),
     }, got
+
+
+# ------------------------------------------------------------------
+# q_auc_by_group
+# ------------------------------------------------------------------
+
+
+def test_auc_by_group_perfect_and_degenerate(spark, tmp_path):
+    """Segment P: urgent orders all priced above non-urgent → AUC
+    exactly 1.0.  Segment S: every order urgent → single-class NULL
+    (the §8.17 guard, per slice)."""
+    import __spark_entry__ as e
+
+    cust = [(1, "a", 0, 0.0, "P"), (2, "b", 0, 0.0, "S")]
+    _write_customers(spark, tmp_path.as_posix(), cust)
+    orders = [
+        (1, 1, 500.0, "1-URGENT"),
+        (2, 1, 400.0, "1-URGENT"),
+        (3, 1, 100.0, "3-MEDIUM"),
+        (4, 1, 50.0, "3-MEDIUM"),
+        (5, 2, 70.0, "1-URGENT"),
+        (6, 2, 90.0, "1-URGENT"),
+    ]
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    got = {
+        r["segment"]: r
+        for r in e.queries()["q_auc_by_group"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert got["P"]["n_pos"] == 2 and got["P"]["n_neg"] == 2
+    assert got["P"]["auc"] == 1.0
+    assert got["S"]["n_pos"] == 2 and got["S"]["n_neg"] == 0
+    assert got["S"]["auc"] is None
+
+
+# ------------------------------------------------------------------
+# q_power_mde
+# ------------------------------------------------------------------
+
+
+def test_power_mde_python_mirror(spark, tmp_path):
+    """MDE equals the identical-IEEE python chain on the planted
+    counts (arm split mirrored through the Knuth hash)."""
+    import math
+
+    import __spark_entry__ as e
+
+    def knuth(x):
+        return ((x % 2654435761) * 2654435761) % 4294967296
+
+    n = 30
+    cust = [(i, f"c{i}", 0, 0.0, "S") for i in range(1, n + 1)]
+    _write_customers(spark, tmp_path.as_posix(), cust)
+    responders = [i for i in range(1, n + 1) if i % 3 == 0]
+    orders = [(i, i, 10.0, "1-URGENT") for i in responders]
+    orders += [(100 + i, i, 10.0, "3-LOW") for i in range(1, n + 1)
+               if i not in responders]
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    r = e.queries()["q_power_mde"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    n_a = sum(1 for i in range(1, n + 1) if knuth(i) % 2 == 0)
+    n_b = n - n_a
+    n_resp = len(responders)
+    assert (r["n_a"], r["n_b"], r["n_resp"]) == (n_a, n_b, n_resp)
+    p = n_resp / n
+    mde = (1.959964 + 0.841621) * math.sqrt(
+        2.0 * p * (1.0 - p) / min(n_a, n_b)
+    )
+    assert r["pooled_rate"] == p
+    assert r["mde_abs"] == mde and r["mde_rel"] == mde / p
+
+
+# ------------------------------------------------------------------
+# q_bloom_membership
+# ------------------------------------------------------------------
+
+
+def test_bloom_membership_python_mirror(spark, tmp_path):
+    """Bit set and probe verdicts equal an exact python mirror of
+    the salted-Knuth positions for a tiny planted key set."""
+    import __spark_entry__ as e
+
+    keys = [1, 2, 3, 4, 500]
+    cust = [(k, f"c{k}", 0, 0.0, "S") for k in keys]
+    _write_customers(spark, tmp_path.as_posix(), cust)
+    r = e.queries()["q_bloom_membership"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+
+    def pos(x, j):
+        return ((((x * (2 * j + 1) + j) % 2654435761) * 2654435761)
+                % 4294967296) % 4096
+
+    bits = {pos(x, j) for x in keys for j in range(3)}
+    assert r["n_keys"] == 5 and r["bits_set"] == len(bits)
+    mx = max(keys)
+    n_fp = sum(
+        1
+        for p in range(1, 1001)
+        if all(pos(mx + p, j) in bits for j in range(3))
+    )
+    assert r["n_fp"] == n_fp
+    assert r["fpr_measured"] == n_fp / 1000.0
+    ratio = len(bits) / 4096.0
+    assert r["fpr_expected"] == ratio * ratio * ratio
+
+
+# ------------------------------------------------------------------
+# q_gini_coefficient
+# ------------------------------------------------------------------
+
+
+def test_gini_equal_and_concentrated(spark, tmp_path):
+    """All-equal revenues → Gini exactly 0; one customer holding
+    everything → Gini exactly (n−1)/n."""
+    import __spark_entry__ as e
+
+    orders = [(i, i, 100.0, "3-LOW") for i in range(1, 11)]
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    r = e.queries()["q_gini_coefficient"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["n_customers"] == 10 and r["gini"] == 0.0
+
+    orders = [(i, i, 0.0, "3-LOW") for i in range(1, 10)]
+    orders.append((10, 10, 1000.0, "3-LOW"))
+    _write_orders(spark, tmp_path.as_posix(), orders)
+    r = e.queries()["q_gini_coefficient"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["gini"] == (10 - 1) / 10.0, r
+
+
+# ------------------------------------------------------------------
+# q_dp_counts
+# ------------------------------------------------------------------
+
+
+def test_dp_counts_seeded_mirror_and_stability(spark, tmp_path):
+    """Noise equals the seeded inverse-CDF python mirror (Knuth
+    uniform keyed on the segment's sorted position, HALF_UP-rounded
+    ln), and two runs release IDENTICAL noisy values — replay
+    stability is part of the mechanism's soundness."""
+    import decimal
+    import math
+
+    import __spark_entry__ as e
+
+    cust = [(i, f"c{i}", 0, 0.0, ["A", "B", "C"][i % 3])
+            for i in range(30)]
+    _write_customers(spark, tmp_path.as_posix(), cust)
+    k = e.queries()["q_dp_counts"]
+    rows1 = {r["segment"]: r for r in k(spark, tmp_path.as_posix()).collect()}
+    rows2 = {r["segment"]: r for r in k(spark, tmp_path.as_posix()).collect()}
+    assert rows1.keys() == rows2.keys() == {"A", "B", "C"}
+
+    def round_half_up9(x):
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def knuth(x):
+        return ((x % 2654435761) * 2654435761) % 4294967296
+
+    for i, seg in enumerate(sorted(rows1)):
+        seed = i + 1
+        u = (knuth(seed) + 1) / 4294967297.0
+        if u >= 0.5:
+            noise = -(1.0 / 1.0) * round_half_up9(math.log(2.0 - 2.0 * u))
+        else:
+            noise = (1.0 / 1.0) * round_half_up9(math.log(2.0 * u))
+        r1, r2 = rows1[seg], rows2[seg]
+        assert r1["noise"] == noise, (seg, r1["noise"], noise)
+        assert r1["noisy_count"] == r1["true_count"] + noise
+        assert (r1["noise"], r1["noisy_count"]) == (
+            r2["noise"],
+            r2["noisy_count"],
+        )
+        assert r1["true_count"] == 10
+
+
+# ------------------------------------------------------------------
+# q_holdout_leakage
+# ------------------------------------------------------------------
+
+
+def test_holdout_leakage_planted_copy(spark, tmp_path):
+    """Test doc 1 is a byte-copy (after lower/trim) of train doc 0 →
+    leaked; test doc 3 is unique → not.  Per-source rate = 1/2."""
+    import __spark_entry__ as e
+
+    docs = [
+        (0, "The Quick Fox  ", "s"),
+        (2, "other train doc", "s"),
+        (1, "  the quick fox", "s"),
+        (3, "completely new", "s"),
+    ]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    r = e.queries()["q_holdout_leakage"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    assert len(r) == 1
+    assert r[0]["n_test_docs"] == 2 and r[0]["n_leaked"] == 1
+    assert r[0]["leak_rate"] == 0.5
