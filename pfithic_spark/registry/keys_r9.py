@@ -1442,22 +1442,23 @@ _MIX_CAP_PERMILLE = 800
     oracle=f"""
 WITH s AS (
   SELECT source,
-         CAST(COUNT(*) AS BIGINT) AS w,
+         CAST(COUNT(*) AS BIGINT) AS nd,
          CAST(SUM(n_chars) AS BIGINT) AS avail
   FROM documents GROUP BY source
 ),
 t AS (
-  SELECT source, w, avail,
+  SELECT source, nd, avail,
+         CAST((nd * 10000) // SUM(nd) OVER () AS BIGINT) AS w,
          (avail * {_MIX_CAP_PERMILLE}) // 1000 AS cap,
-         SUM(w) OVER () AS wtot,
          (SUM(avail) OVER () * {_MIX_BUDGET_PERMILLE}) // 1000 AS budget
   FROM s
 ),
+t2 AS (SELECT *, SUM(w) OVER () AS wtot FROM t),
 p1 AS (
   SELECT *, LEAST(cap, (budget * w) // wtot) AS a1,
          CASE WHEN (budget * w) // wtot >= cap THEN 1 ELSE 0 END
            AS capped
-  FROM t
+  FROM t2
 ),
 p2 AS (
   SELECT *,
@@ -1472,7 +1473,7 @@ fin AS (
               ELSE 0 END AS g
   FROM p2
 )
-SELECT source, w AS weight, cap AS cap_chars,
+SELECT source, w AS weight_bp, cap AS cap_chars,
        CAST(a1 + g AS BIGINT) AS alloc_chars,
        CAST(ROUND(CAST(a1 + g AS DOUBLE) / CAST(cap AS DOUBLE), 6)
             AS DOUBLE) AS fill_rate
@@ -1491,17 +1492,21 @@ def q_mixture_allocation(spark, sf_dir):
     remainder after pass 2 stays unallocated rather than looping;
     a report, not an optimizer).
 
-    Determinism: INTEGERS END TO END — every share is a
-    budget·w div W floor division (§8.7 non-negative pairing), caps
-    and leftovers exact int64 (char sums ≤ 2⁵³ at any realistic
-    corpus; the §8.21 split is the documented swap); fill_rate is
-    one round(6) division for display.  Scale shape: everything
+    Determinism/overflow: INTEGERS END TO END — weights are doc
+    SHARES IN BASIS POINTS (w = 10⁴·n_i div N, so budget·w ≤ 10⁴ ×
+    the char budget stays int64 for ANY corpus shape — a raw
+    doc-count weight wraps at one 10¹⁰-doc source, the §8.21 class),
+    every share is a budget·w div W floor division (§8.7
+    non-negative pairing); fill_rate is one round(6) division for
+    display.  Note sources under 1/10⁴ of the corpus round to weight
+    0 and draw only cap-bounded leftovers — the documented
+    quantization contract.  Scale shape: everything
     after the ONE corpus scan rides the bounded |sources|-row table
     through margin windows (the q_hhi_concentration one-chain
     discipline)."""
     d = load_table(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("w"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
         F.sum("n_chars").cast("long").alias("avail"),
     )
     wall = Window.partitionBy(F.lit(1)).rowsBetween(
@@ -1509,17 +1514,18 @@ def q_mixture_allocation(spark, sf_dir):
     )
     t = s.select(
         "source",
-        "w",
         "avail",
+        # weight = doc share in BASIS POINTS, not the raw doc count:
+        # budget·w must stay int64 and a raw per-source doc count is
+        # unbounded (one 10¹⁰-doc source × a 5·10¹³-char budget wraps
+        # — the q_gini/§8.21 class); w ≤ 10⁴ caps the product at
+        # budget·10⁴ for ANY corpus shape
+        F.expr("(nd * 10000) div (sum(nd) over ())").alias("w"),
         F.expr(f"(avail * {_MIX_CAP_PERMILLE}) div 1000").alias("cap"),
-        F.sum("w").over(wall).alias("wtot"),
         F.expr(
-            f"CAST({_MIX_BUDGET_PERMILLE} AS BIGINT)"
-        ).alias("_bp"),
-    ).withColumn(
-        "budget",
-        F.expr("(sum(avail) over ()) * _bp div 1000"),
-    ).drop("_bp")
+            f"(sum(avail) over ()) * {_MIX_BUDGET_PERMILLE} div 1000"
+        ).alias("budget"),
+    ).withColumn("wtot", F.sum("w").over(wall))
     p1 = t.select(
         "*",
         F.least(F.col("cap"), F.expr("(budget * w) div wtot")).alias("a1"),
@@ -1553,7 +1559,7 @@ def q_mixture_allocation(spark, sf_dir):
     )
     return fin.select(
         "source",
-        F.col("w").alias("weight"),
+        F.col("w").alias("weight_bp"),
         F.col("cap").alias("cap_chars"),
         (F.col("a1") + F.col("g")).cast("long").alias("alloc_chars"),
         F.round(
@@ -1590,13 +1596,15 @@ r AS (
 ),
 n AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
-         CAST(SUM(gap) AS BIGINT) AS sum_gap,
+         CAST(SUM(gap // 1048576) AS BIGINT) AS sg_hi,
+         CAST(SUM(gap % 1048576) AS BIGINT) AS sg_lo,
          CAST(MIN(gap) AS BIGINT) AS min_gap_us,
          CAST(MAX(gap) AS BIGINT) AS max_gap_us
   FROM gg GROUP BY event_type
 )
 SELECT n.event_type, n.n_gaps,
-       CAST(n.sum_gap AS DOUBLE) / CAST(n.n_gaps AS DOUBLE)
+       (CAST(n.sg_hi AS DOUBLE) * 1048576.0 + CAST(n.sg_lo AS DOUBLE))
+         / CAST(n.n_gaps AS DOUBLE)
          AS mean_gap_us,
        n.min_gap_us, n.max_gap_us,
        CAST(r.gap AS BIGINT) AS median_gap_us
@@ -1611,8 +1619,10 @@ def q_interarrival_stats(spark, sf_dir):
     limits, anomaly baselines and session-gap calibration (is 30 min
     the right q_sessionize threshold? this table answers).
 
-    Determinism: gaps are exact integer microseconds; mean is ONE
-    double division of hardware-exact casts; the median is the
+    Determinism: gaps are exact integer microseconds; Σgap rides
+    2²⁰ hi/lo int64 pieces (§8.21 — a raw sum wraps at ~8M
+    decade-apart pairs) reconstructed through the shared double
+    spelling into ONE division; the median is the
     nearest-rank (n+1) div 2 order statistic under a FULL
     (gap, user_id, event_id) tie-break — never a percentile
     interpolation (engines disagree on those).
@@ -1645,9 +1655,14 @@ def q_interarrival_stats(spark, sf_dir):
     # rename the census's type column before joining back onto the
     # ranked stream (both derive from gg — qualified refs would be
     # ambiguous under Spark's self-join analyzer)
+    # Σgap worst-case wraps int64 (8M pairs × decade-long 3e14-µs
+    # gaps ≈ 2⁷⁰ — the §8.21 class), so the sum rides 2²⁰ hi/lo
+    # pieces: Σlo ≤ n·2²⁰, Σhi ≤ Σgap/2²⁰ — both in budget to ~10¹²
+    # rows; the mean reconstructs through the shared double spelling
     n = gg.groupBy(F.col("event_type").alias("et")).agg(
         F.count(F.lit(1)).cast("long").alias("n_gaps"),
-        F.sum("gap").cast("long").alias("sum_gap"),
+        F.sum(F.expr("gap div 1048576")).cast("long").alias("sg_hi"),
+        F.sum(F.expr("gap % 1048576")).cast("long").alias("sg_lo"),
         F.min("gap").cast("long").alias("min_gap_us"),
         F.max("gap").cast("long").alias("max_gap_us"),
     )
@@ -1659,7 +1674,10 @@ def q_interarrival_stats(spark, sf_dir):
         "event_type",
         "n_gaps",
         (
-            F.col("sum_gap").cast("double")
+            (
+                F.col("sg_hi").cast("double") * F.lit(1048576.0)
+                + F.col("sg_lo").cast("double")
+            )
             / F.col("n_gaps").cast("double")
         ).alias("mean_gap_us"),
         "min_gap_us",
@@ -2210,13 +2228,15 @@ r AS (
 ),
 s AS (
   SELECT MAX(n) AS n, MAX(tot) AS tot,
-         CAST(SUM(i * cents) AS BIGINT) AS s_ix
+         CAST(SUM((i * cents) // 549755813888) AS BIGINT) AS s_hi,
+         CAST(SUM((i * cents) % 549755813888) AS BIGINT) AS s_lo
   FROM r
 )
 SELECT CAST(n AS BIGINT) AS n_customers,
        CAST(tot AS BIGINT) AS total_cents,
        CASE WHEN tot = 0 THEN NULL ELSE
-         (2.0 * CAST(s_ix AS DOUBLE)
+         (2.0 * (CAST(s_hi AS DOUBLE) * 549755813888.0
+                 + CAST(s_lo AS DOUBLE))
           - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))
          / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) END AS gini
 FROM s
@@ -2230,10 +2250,17 @@ def q_gini_coefficient(spark, sf_dir):
     q_gains_table curve integrates to.  Rank formula over the sorted
     revenue vector: G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx).
 
-    Determinism: Σ i·xᵢ is exact int64 (i ≤ n, x ≤ per-customer
-    cents; at 8 M × 10⁹-cent whales ≈ 2⁵³ — 10 margin bits; the hi/lo
-    split is the documented 100 TB swap); the closing expression is
-    ONE fixed-order double chain, NULL on zero revenue (§8.17).
+    Determinism/overflow (§8.21): the per-term product i·xᵢ is
+    int64-safe (i ≤ 2²³ at 8 M, x ≤ ~2³³ cents → ≤ 2⁵⁶) but its raw
+    SUM is not (≈ 2⁷⁹ at 8 M × average 1.5e8-cent customers — Spark
+    sum(long) would wrap silently while DuckDB promotes to HUGEINT,
+    the q_hhi_concentration ADVICE class), so each term splits as
+    hi = t div 2³⁹ / lo = t mod 2³⁹: Σlo ≤ n·2³⁹ (budget n < ~2²⁴
+    rows), Σhi ≤ Σt/2³⁹ ≈ 2⁴⁰ — both in budget; reconstruction
+    hi·2³⁹ + lo is the shared double spelling (identical rounded
+    adds).  Past 16 M rows the swap is a second split level.  The
+    closing expression is ONE fixed-order double chain, NULL on zero
+    revenue (§8.17).
     100 TB shape: one orders scan to customer grain; the global rank
     runs through windows.scalable_rank (never a one-task sort); the
     census is a scalar reduce."""
@@ -2247,13 +2274,21 @@ def q_gini_coefficient(spark, sf_dir):
         rank_col="i",
         tot_col="n",
     )
-    s = r.agg(
+    t = r.select(
+        "n", "cents", (F.col("i") * F.col("cents")).alias("ix")
+    )
+    s = t.agg(
         F.max("n").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("tot"),
-        F.sum(F.col("i") * F.col("cents")).cast("long").alias("s_ix"),
+        F.sum(F.expr("ix div 549755813888")).cast("long").alias("s_hi"),
+        F.sum(F.expr("ix % 549755813888")).cast("long").alias("s_lo"),
+    )
+    s_ix = (
+        F.col("s_hi").cast("double") * F.lit(549755813888.0)
+        + F.col("s_lo").cast("double")
     )
     gini = (
-        F.lit(2.0) * F.col("s_ix").cast("double")
+        F.lit(2.0) * s_ix
         - (F.col("n").cast("double") + F.lit(1.0))
         * F.col("tot").cast("double")
     ) / (F.col("n").cast("double") * F.col("tot").cast("double"))

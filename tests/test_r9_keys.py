@@ -584,9 +584,9 @@ def test_mixture_allocation_cap_and_redistribution(spark, tmp_path):
         ).collect()
     }
     a, b = got["A"], got["B"]
-    assert a["weight"] == 2 and a["cap_chars"] == 800
+    assert a["weight_bp"] == 2000 and a["cap_chars"] == 800
     assert a["alloc_chars"] == 800 and a["fill_rate"] == 1.0
-    assert b["weight"] == 8 and b["cap_chars"] == 7200
+    assert b["weight_bp"] == 8000 and b["cap_chars"] == 7200
     assert b["alloc_chars"] == 4200, b
     assert b["fill_rate"] == round(4200 / 7200, 6)
 

@@ -2920,11 +2920,325 @@ def main() -> None:
     for r in knn_pred:
         assert r["nbr_label"] == r["q_id"] % 16 and r["n_votes"] == 5, r
 
+    # --- q_gini_coefficient shape: 8M customers, wrap-proving sums --
+    # (round-9) Σ i·xᵢ at 8 M × ~1.5e8-cent customers ≈ 2⁷⁹ — a raw
+    # int64 sum WRAPS (the q_hhi ADVICE class); the key's per-term
+    # 2³⁹ hi/lo split must reproduce the numpy-mirror gini EXACTLY
+    # (same double reconstruction chain).
+    gini_x = F.lit(100_000_000) + (F.col("id") % 1000)
+    gini_rc = spark.range(n).select(
+        F.col("id").alias("o_custkey"), gini_x.alias("cents")
+    )
+    t0 = time.time()
+    gini_r = win.scalable_rank(
+        gini_rc,
+        [F.col("cents"), F.col("o_custkey")],
+        "cents",
+        rank_col="i",
+        tot_col="ntot",
+    )
+    gini_t = gini_r.select(
+        "ntot", "cents", (F.col("i") * F.col("cents")).alias("ix")
+    )
+    gini_row = gini_t.agg(
+        F.max("ntot").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum(F.expr("ix div 549755813888")).cast("long").alias("hi"),
+        F.sum(F.expr("ix % 549755813888")).cast("long").alias("lo"),
+    ).collect()[0]
+    gini_s = time.time() - t0
+    ii = np.arange(n, dtype=np.int64)
+    xv = 100_000_000 + (ii % 1000)
+    order = np.lexsort((ii, xv))  # rank by (cents, custkey)
+    t_np = (np.arange(1, n + 1, dtype=np.int64)) * xv[order]
+    hi_np = int(np.sum(t_np // (1 << 39)))
+    lo_np = int(np.sum(t_np % (1 << 39)))
+    assert (gini_row["hi"], gini_row["lo"]) == (hi_np, lo_np), (
+        gini_row, hi_np, lo_np,
+    )
+    # at full scale the exact sum exceeds int64 — the split was
+    # load-bearing, not decorative (smaller smoke runs skip this)
+    if n >= 4_000_000:
+        assert hi_np * (1 << 39) + lo_np > 2**63
+    s_ix_d = float(gini_row["hi"]) * 549755813888.0 + float(
+        gini_row["lo"]
+    )
+    gini_val = (
+        2.0 * s_ix_d
+        - (float(gini_row["n"]) + 1.0) * float(gini_row["tot"])
+    ) / (float(gini_row["n"]) * float(gini_row["tot"]))
+    s_ix_np = float(hi_np) * 549755813888.0 + float(lo_np)
+    want_gini = (
+        2.0 * s_ix_np - (float(n) + 1.0) * float(xv.sum())
+    ) / (float(n) * float(xv.sum()))
+    assert gini_val == want_gini
+
+    # --- q_energy_distance shape: 8M rows, 1M-value spine -----------
+    # (round-9) the prefix-sum pairwise identity with per-term 2²¹
+    # hi/lo splits, mirrored EXACTLY in numpy (int64-safe by the same
+    # budget argument) down to the final double reconstruction.
+    ed = spark.range(n).select(
+        ((F.col("id") * 37) % 1_000_000).alias("cents"),
+        (F.col("id") % 2).alias("g"),
+    )
+    t0 = time.time()
+    ed_sp = ed.groupBy("cents").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("nxv"),
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("nyv"),
+    )
+    from pyspark.sql import Window as WED
+
+    ed_wc = WED.orderBy("cents").rowsBetween(
+        WED.unboundedPreceding, 0
+    )
+    ed_wall = WED.orderBy("cents").rowsBetween(
+        WED.unboundedPreceding, WED.unboundedFollowing
+    )
+    edv = F.col("cents")
+    ed_c = ed_sp.select(
+        edv.alias("v"),
+        "nxv",
+        "nyv",
+        (F.sum("nxv").over(ed_wc) - F.col("nxv")).alias("fx"),
+        (F.sum(F.col("nxv") * edv).over(ed_wc) - F.col("nxv") * edv)
+        .alias("gx"),
+        (F.sum("nyv").over(ed_wc) - F.col("nyv")).alias("fy"),
+        (F.sum(F.col("nyv") * edv).over(ed_wc) - F.col("nyv") * edv)
+        .alias("gy"),
+        F.sum("nxv").over(ed_wall).alias("nx"),
+        F.sum(F.col("nxv") * edv).over(ed_wall).alias("sx"),
+        F.sum("nyv").over(ed_wall).alias("ny"),
+        F.sum(F.col("nyv") * edv).over(ed_wall).alias("sy"),
+    )
+    edvv = F.col("v")
+    ed_txy = F.col("nxv") * (
+        (edvv * (2 * F.col("fy")) - 2 * F.col("gy"))
+        + (F.col("sy") - edvv * F.col("ny"))
+    )
+    ed_txx = F.col("nxv") * (
+        (edvv * (2 * F.col("fx")) - 2 * F.col("gx"))
+        + (F.col("sx") - edvv * F.col("nx"))
+    )
+    ed_tyy = F.col("nyv") * (
+        (edvv * (2 * F.col("fy")) - 2 * F.col("gy"))
+        + (F.col("sy") - edvv * F.col("ny"))
+    )
+    ed_terms = ed_c.select(
+        "nx", "ny",
+        ed_txy.alias("txy"), ed_txx.alias("txx"), ed_tyy.alias("tyy"),
+    )
+    ed_row = ed_terms.agg(
+        F.max("nx").cast("long").alias("n_x"),
+        F.max("ny").cast("long").alias("n_y"),
+        F.sum(F.expr("txy div 2097152")).cast("long").alias("sxy_hi"),
+        F.sum(F.expr("txy % 2097152")).cast("long").alias("sxy_lo"),
+        F.sum(F.expr("txx div 2097152")).cast("long").alias("sxx_hi"),
+        F.sum(F.expr("txx % 2097152")).cast("long").alias("sxx_lo"),
+        F.sum(F.expr("tyy div 2097152")).cast("long").alias("syy_hi"),
+        F.sum(F.expr("tyy % 2097152")).cast("long").alias("syy_lo"),
+    ).collect()[0]
+    energy_s = time.time() - t0
+    ids = np.arange(n, dtype=np.int64)
+    cents_np = (ids * 37) % 1_000_000
+    g_np = ids % 2
+    M = 1_000_000
+    nxv = np.bincount(cents_np[g_np == 1], minlength=M).astype(np.int64)
+    nyv = np.bincount(cents_np[g_np == 0], minlength=M).astype(np.int64)
+    vs = np.arange(M, dtype=np.int64)
+    fx = np.cumsum(nxv) - nxv
+    gx = np.cumsum(nxv * vs) - nxv * vs
+    fy = np.cumsum(nyv) - nyv
+    gy = np.cumsum(nyv * vs) - nyv * vs
+    nx_t, sx_t = int(nxv.sum()), int((nxv * vs).sum())
+    ny_t, sy_t = int(nyv.sum()), int((nyv * vs).sum())
+    br_y = vs * (2 * fy) - 2 * gy + (sy_t - vs * ny_t)
+    br_x = vs * (2 * fx) - 2 * gx + (sx_t - vs * nx_t)
+    txy_np = nxv * br_y
+    txx_np = nxv * br_x
+    tyy_np = nyv * br_y
+    want = {
+        "sxy_hi": int(np.sum(txy_np // (1 << 21))),
+        "sxy_lo": int(np.sum(txy_np % (1 << 21))),
+        "sxx_hi": int(np.sum(txx_np // (1 << 21))),
+        "sxx_lo": int(np.sum(txx_np % (1 << 21))),
+        "syy_hi": int(np.sum(tyy_np // (1 << 21))),
+        "syy_lo": int(np.sum(tyy_np % (1 << 21))),
+    }
+    got = {k: ed_row[k] for k in want}
+    assert got == want, (got, want)
+    assert (ed_row["n_x"], ed_row["n_y"]) == (nx_t, ny_t)
+
+    # --- q_rrf_fusion shape: 8M docs, two two-phase ranks ------------
+    # (round-9) lexical (n_chars desc) and semantic (Knuth hash) ranks
+    # both via scalable_rank; the fused integer top-20 equals the
+    # numpy mirror exactly.
+    rrf_docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 9973 + 10).alias("n_chars"),
+    )
+    t0 = time.time()
+    rrf_lex = win.scalable_rank(
+        rrf_docs,
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "n_chars",
+        rank_col="r_lex",
+        descending=True,
+    ).select("doc_id", "r_lex")
+    rrf_hash = rrf_docs.select(
+        "doc_id",
+        (
+            ((F.col("doc_id") % 2654435761) * 2654435761) % 4294967296
+        ).alias("h"),
+    )
+    rrf_sem = win.scalable_rank(
+        rrf_hash, [F.col("h"), F.col("doc_id")], "h", rank_col="r_sem"
+    ).select("doc_id", "r_sem")
+    rrf_top = (
+        rrf_lex.join(rrf_sem, "doc_id")
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_sem",
+            (
+                F.expr("CAST(1000000000000 AS BIGINT) div (60 + r_lex)")
+                + F.expr(
+                    "CAST(1000000000000 AS BIGINT) div (60 + r_sem)"
+                )
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+        .collect()
+    )
+    rrf_s = time.time() - t0
+    nc = (ids * 37) % 9973 + 10
+    hh = ((ids % 2654435761) * 2654435761) % 4294967296
+    lex_order = np.lexsort((ids, -nc))
+    sem_order = np.lexsort((ids, hh))
+    r_lex_np = np.empty(n, dtype=np.int64)
+    r_lex_np[lex_order] = np.arange(1, n + 1)
+    r_sem_np = np.empty(n, dtype=np.int64)
+    r_sem_np[sem_order] = np.arange(1, n + 1)
+    score_np = 10**12 // (60 + r_lex_np) + 10**12 // (60 + r_sem_np)
+    top_idx = np.lexsort((ids, -score_np))[:20]
+    want_rrf = [
+        (int(i), int(r_lex_np[i]), int(r_sem_np[i]), int(score_np[i]))
+        for i in top_idx
+    ]
+    got_rrf = [
+        (r["doc_id"], r["r_lex"], r["r_sem"], r["score"])
+        for r in rrf_top
+    ]
+    assert got_rrf == want_rrf, (got_rrf[:3], want_rrf[:3])
+
+    # --- q_quantile_sketch shape: 8M-value summary, closed form ------
+    # (round-9) cents = a bijective permutation of 0..n-1 so rank(c) =
+    # c+1 exactly; step = smallest 2^L with n ≤ 512·2^L; every probe
+    # (target/estimate rank and value, gap < step) is pure closed
+    # form.
+    qs_v = spark.range(n).select(
+        ((F.col("id") * 37) % n).alias("cents"),
+        F.col("id").alias("l_orderkey"),
+        F.lit(1).alias("l_linenumber"),
+    )
+    t0 = time.time()
+    qs_r = win.scalable_rank(
+        qs_v,
+        [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "cents",
+        rank_col="rk",
+    ).select("cents", "rk")
+    step = 1
+    while 512 * step < n:
+        step *= 2
+    qs_rows = (
+        qs_r.filter(F.col("rk") % step == 0)
+        .filter(
+            F.col("rk").isin(
+                *[
+                    min(
+                        (((p * n + 999) // 1000 + step - 1) // step)
+                        * step,
+                        (n // step) * step,
+                    )
+                    for p in (10, 50, 250, 500, 750, 950, 990)
+                ]
+            )
+        )
+        .collect()
+    )
+    qsk_s = time.time() - t0
+    got_qs = {r["rk"]: r["cents"] for r in qs_rows}
+    for p in (10, 50, 250, 500, 750, 950, 990):
+        tr = (p * n + 999) // 1000
+        er = min(((tr + step - 1) // step) * step, (n // step) * step)
+        assert got_qs[er] == er - 1, (p, er, got_qs.get(er))
+        assert 0 <= er - tr < step or er == (n // step) * step
+
+    # --- q_bipartite_projection shape: 1M-part mega-basket cap -------
+    # (round-9) one order with 1M distinct parts fans C(1M,2) ≈ 5·10¹¹
+    # pairs uncapped; the rn ≤ 8 basket cap keeps exactly C(8,2) = 28
+    # pairs from it, and the planted repeated baskets dominate the
+    # top-k with exact weights.
+    n_orders = n // 4
+    biproj = spark.range(n).select(
+        (F.col("id") % n_orders).alias("l_orderkey"),
+        (
+            (F.col("id") % n_orders) % 100 * 10 + F.col("id") / n_orders
+        ).cast("long").alias("l_partkey"),
+    )
+    mega = spark.range(1_000_000).select(
+        F.lit(n_orders + 1).cast("long").alias("l_orderkey"),
+        (F.lit(10_000_000) + F.col("id")).alias("l_partkey"),
+    )
+    bi = biproj.unionByName(mega)
+    t0 = time.time()
+    from pyspark.sql import Window as WBI
+
+    bi_d = bi.select("l_orderkey", "l_partkey").distinct()
+    bi_w = WBI.partitionBy("l_orderkey").orderBy("l_partkey")
+    bi_k = bi_d.withColumn("rn", F.row_number().over(bi_w)).filter(
+        F.col("rn") <= 8
+    )
+    ba, bb = bi_k.alias("a"), bi_k.alias("b")
+    bi_top = (
+        ba.join(
+            bb,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .orderBy(F.col("w").desc(), "p1", "p2")
+        .limit(50)
+        .collect()
+    )
+    biproj_s = time.time() - t0
+    # each of the 100 basket patterns holds 4 parts (b*10 .. b*10+3)
+    # and repeats n_orders/100 times → every within-basket pair has
+    # weight n_orders/100; the mega-order pairs have weight 1 and
+    # never reach the top-50
+    want_w = n_orders // 100
+    assert len(bi_top) == 50
+    for r in bi_top:
+        assert r["w"] == want_w, r
+        assert r["p1"] // 10 == r["p2"] // 10 and r["p1"] < r["p2"]
+        assert r["p1"] < 10_000_000
+
     print(
         json.dumps(
             {
                 "n": n,
                 "sil_n": n_sil,
+                "gini_s": round(gini_s, 2),
+                "energy_s": round(energy_s, 2),
+                "rrf_s": round(rrf_s, 2),
+                "qsketch_s": round(qsk_s, 2),
+                "biproj_cap_s": round(biproj_s, 2),
                 "knn_corpus_n": n_knn,
                 "token_chi2_docs": n_chi_docs,
                 "token_chi2_s": round(token_chi2_s, 2),
