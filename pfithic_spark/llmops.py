@@ -1960,3 +1960,67 @@ def pq_train_codebook(
     return pd.DataFrame(
         out, columns=["subspace", "centroid", "dim", "value"]
     )
+
+
+def simhash16_band_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable 16-bit simhash band-index rows
+    (doc_id, band, band_key, sig16) — the maintained-dedup-index
+    record format shared by the q_simhash_band_index registry key
+    (batch build, DuckDB-oracle-backed) and
+    streaming.simhash_index_stream (incremental upsert): one
+    definition so the batch index and the streamed index can never
+    disagree on a signature.
+
+    Bit b = strict majority (2·ones > n, the simhash_signatures
+    vote) of md5-hex nibble-b parity over the doc's DISTINCT tokens;
+    MD5 is byte-identical cross-engine, parity is a pure string
+    membership test.  4 bands × 4 bits (radius-3 pigeonhole).  ONE
+    token-stream aggregate (16 conditional sums — partial-aggregable,
+    no collect_list), then a literal-shift band explode."""
+    odd = ("1", "3", "5", "7", "9", "b", "d", "f")
+    dt = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("w"),
+    ).withColumn("h", F.md5("w"))
+    ones = [
+        F.sum(
+            F.when(F.substring("h", b + 1, 1).isin(*odd), 1).otherwise(0)
+        ).alias(f"o{b}")
+        for b in range(16)
+    ]
+    bits = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *ones)
+    sig = bits.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b)
+                ).otherwise(F.lit(0))
+                for b in range(16)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sig16"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                (F.shiftrightunsigned(F.col("sig16"), 4 * b) % 16)
+                .cast("long")
+                .alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.explode(band_structs).alias("bk"), "sig16"
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        "sig16",
+    )

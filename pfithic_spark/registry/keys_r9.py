@@ -449,9 +449,6 @@ def q_lift_deciles(spark, sf_dir):
 _SIMIDX_BITS = 16
 _SIMIDX_BANDS = 4  # 4 bands x 4 bits => Hamming radius 3 candidates
 
-_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
-
-
 @register(
     "q_simhash_band_index",
     oracle=f"""
@@ -509,54 +506,7 @@ def q_simhash_band_index(spark, sf_dir):
     sums — partial-aggregable, no collect_list), then a 4-row
     broadcast band grid; integers end to end."""
     d = load_table(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(llmops.tokens_col("text"))
-        ).alias("w"),
-    ).withColumn("h", F.md5("w"))
-    ones = [
-        F.sum(
-            F.when(
-                F.substring("h", b + 1, 1).isin(*_ODD_HEX), 1
-            ).otherwise(0)
-        ).alias(f"o{b}")
-        for b in range(_SIMIDX_BITS)
-    ]
-    bits = dt.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *ones)
-    sig = bits.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"o{b}") * 2 > F.col("n"), F.lit(1 << b)
-                ).otherwise(F.lit(0))
-                for b in range(_SIMIDX_BITS)
-            ],
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("sig16"),
-    )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                (F.shiftrightunsigned(F.col("sig16"), 4 * b) % 16)
-                .cast("long")
-                .alias("band_key"),
-            )
-            for b in range(_SIMIDX_BANDS)
-        ]
-    )
-    return sig.select(
-        "doc_id", F.explode(band_structs).alias("bk"), "sig16"
-    ).select(
-        "doc_id",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-        "sig16",
-    )
+    return llmops.simhash16_band_rows(d)
 
 
 # ========================================================================

@@ -706,3 +706,104 @@ def agg_stream_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_document_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream of document batches (parquet drops into
+    ``docs_dir``); explicit schema — no inference on a stream."""
+    ensure_engine_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+
+
+def simhash_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    candidates_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+):
+    """INCREMENTAL near-dup detection — the streaming consumer of the
+    q_simhash_band_index table format (llmops.simhash16_band_rows is
+    the ONE shared signature definition, so the streamed index and
+    the batch-built index can never disagree): per micro-batch,
+
+    1. compute the batch documents' band rows;
+    2. equi-join (band, band_key) against the STANDING index from all
+       PRIOR epochs and verify candidates at Hamming(sig16) ≤
+       ``max_hamming`` (the banding pigeonhole guarantees recall at
+       radius 3 with 4×4-bit bands; the verify step removes band
+       false-positives) — emitting (new_doc, dup_of) candidate pairs;
+    3. append the batch's band rows to the index.
+
+    Exactly-once: both writes go to ``epoch=<id>`` subdirectories in
+    OVERWRITE mode — Spark retries a failed micro-batch with the SAME
+    epoch id, so a retry rewrites its own directory byte-for-byte
+    instead of double-appending, and the candidate join reads only
+    ``epoch < current`` (a retry never matches the half-written rows
+    of its own failed attempt).  The epoch column doubles as the
+    index's ingest-time provenance.
+
+    100 TB shape: the per-batch work is one bounded token aggregate
+    plus a (band, band_key) equi-join against a bucketed standing
+    index — never a batch×index cross product; band buckets inherit
+    the LSH_MAX_BUCKET discipline through the 4-bit key's bounded
+    fan-out per band value.
+    """
+    from . import llmops
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        rows = llmops.simhash16_band_rows(batch).persist()
+        try:
+            try:
+                idx = spark.read.parquet(index_path).filter(
+                    F.col("epoch") < F.lit(epoch)
+                )
+                have_idx = True
+            except Exception:
+                have_idx = False
+            if have_idx:
+                old = idx.select(
+                    F.col("doc_id").alias("dup_of"),
+                    "band",
+                    "band_key",
+                    F.col("sig16").alias("old_sig"),
+                )
+                cand = (
+                    rows.join(old, ["band", "band_key"])
+                    .filter(F.col("doc_id") != F.col("dup_of"))
+                    .filter(
+                        F.bit_count(
+                            F.col("sig16").bitwiseXOR(F.col("old_sig"))
+                        )
+                        <= max_hamming
+                    )
+                    .select("doc_id", "dup_of")
+                    .distinct()
+                )
+            else:
+                cand = (
+                    rows.select("doc_id", F.col("doc_id").alias("dup_of"))
+                    .filter(F.lit(False))
+                )
+            cand.write.mode("overwrite").parquet(
+                f"{candidates_path}/epoch={epoch}"
+            )
+            rows.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(f"{index_path}/epoch={epoch}")
+        finally:
+            rows.unpersist()
+
+    return write_stream_foreach_batch(docs_stream, handle, checkpoint)

@@ -1332,3 +1332,75 @@ def test_stream_sink_auto_optimize(spark, sf_dir, tmp_path):
 
     newest = json.load(open(os.path.join(table, manifests[-1])))
     assert len(newest["files"]) == 1, newest["files"]
+
+
+def test_simhash_index_stream_incremental_dedup(spark, tmp_path):
+    """Incremental near-dup candidacy against the maintained band
+    index: batch 2's copy of a batch-1 doc is flagged (new_doc,
+    dup_of) through the standing index; unrelated docs are not; the
+    index accumulates every epoch's band rows with provenance, and
+    signatures are IDENTICAL to the batch q_simhash_band_index
+    format (shared llmops.simhash16_band_rows definition)."""
+    import time as _time
+
+    import __spark_entry__ as e
+    from pfithic_spark import llmops, streaming as strm
+
+    docs_dir = str(tmp_path / "docs_in")
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t2 = "entirely different words about databases and sketches"
+    b1 = spark.createDataFrame(
+        [(1, t1, "s"), (2, t2, "s")],
+        "doc_id long, text string, source string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/b1")
+    _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+    b2 = spark.createDataFrame(
+        [(3, t1, "s"), (4, "unique new content entirely", "s")],
+        "doc_id long, text string, source string",
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/b2")
+    # the file stream reads the leaf files; move them into one dir
+    import glob
+    import shutil
+
+    for i, sub in enumerate(("b1", "b2")):
+        for f in sorted(glob.glob(f"{docs_dir}/{sub}/part-*.parquet")):
+            shutil.copy(f, f"{docs_dir}/{i:03d}.parquet")
+        shutil.rmtree(f"{docs_dir}/{sub}")
+        _time.sleep(1.1)
+
+    idx_path = str(tmp_path / "band_index")
+    cand_path = str(tmp_path / "cands")
+    ck = str(tmp_path / "ck")
+    stream = strm.read_document_stream(spark, docs_dir)
+    q = strm.simhash_index_stream(stream, idx_path, cand_path, ck)
+    q.awaitTermination(180)
+    q.stop()
+
+    cands = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.read.parquet(cand_path).collect()
+    }
+    assert (3, 1) in cands, cands
+    assert all(c[0] == 3 and c[1] == 1 for c in cands), cands
+
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() == 4 * 4  # 4 docs × 4 band rows
+    assert idx.select("epoch").distinct().count() == 2
+    # signature parity with the batch key's format
+    batch_rows = {
+        (r["doc_id"], r["band"]): (r["band_key"], r["sig16"])
+        for r in llmops.simhash16_band_rows(
+            spark.createDataFrame(
+                [(1, t1, "s"), (2, t2, "s"), (3, t1, "s"),
+                 (4, "unique new content entirely", "s")],
+                "doc_id long, text string, source string",
+            )
+        ).collect()
+    }
+    for r in idx.collect():
+        assert batch_rows[(r["doc_id"], r["band"])] == (
+            r["band_key"],
+            r["sig16"],
+        )
