@@ -2409,3 +2409,400 @@ def q_holdout_leakage(spark, sf_dir):
             / F.count(F.lit(1)).cast("double")
         ).alias("leak_rate"),
     )
+
+
+# ========================================================================
+# q_er_golden_record — survivorship after entity resolution
+# ========================================================================
+
+
+@register(
+    "q_er_golden_record",
+    oracle=f"""
+WITH RECURSIVE m AS (
+  SELECT c_custkey, c_name, c_acctbal, c_nationkey, c_mktsegment,
+         SUBSTR(c_name, LENGTH(c_name), 1) AS name_digit,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) // 100000 AS band,
+         c_custkey % 97 AS keyhash,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey, c_mktsegment ORDER BY c_custkey
+         ) AS rn
+  FROM customer
+),
+k AS (SELECT * FROM m WHERE rn <= {_RL_MAX_BLOCK}),
+lp AS (
+  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+  FROM k a JOIN k b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.rn < b.rn
+  WHERE (CASE WHEN a.name_digit = b.name_digit
+              THEN {_RL_W["f_name"][0]} ELSE {_RL_W["f_name"][1]} END
+       + CASE WHEN a.band = b.band
+              THEN {_RL_W["f_band"][0]} ELSE {_RL_W["f_band"][1]} END
+       + CASE WHEN a.keyhash = b.keyhash
+              THEN {_RL_W["f_hash"][0]} ELSE {_RL_W["f_hash"][1]} END)
+        >= {_RL_UPPER}
+),
+e2 AS (SELECT id1 AS a, id2 AS b FROM lp
+       UNION ALL SELECT id2, id1 FROM lp),
+walk(v, l) AS (
+  SELECT c_custkey, c_custkey FROM k
+  UNION
+  SELECT e.b, w.l FROM walk w JOIN e2 e ON w.v = e.a
+),
+lab AS (SELECT v, MIN(l) AS entity_id FROM walk GROUP BY v),
+mem AS (
+  SELECT lab.entity_id, k.c_custkey, k.c_name,
+         CAST(ROUND(k.c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+  FROM lab JOIN k ON lab.v = k.c_custkey
+),
+surv AS (
+  SELECT entity_id, c_custkey, c_name, bal_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY entity_id
+           ORDER BY bal_cents DESC, c_custkey
+         ) AS pick,
+         COUNT(*) OVER (PARTITION BY entity_id) AS n_members,
+         SUM(bal_cents) OVER (PARTITION BY entity_id)
+           AS total_bal_cents
+  FROM mem
+)
+SELECT entity_id, CAST(n_members AS BIGINT) AS n_members,
+       c_name AS golden_name, bal_cents AS golden_bal_cents,
+       CAST(total_bal_cents AS BIGINT) AS total_bal_cents
+FROM surv WHERE pick = 1 AND n_members >= 2
+""",
+)
+def q_er_golden_record(spark, sf_dir):
+    """SURVIVORSHIP — the step AFTER entity resolution that makes the
+    clusters usable: for every multi-member entity from
+    q_er_clusters' components, elect the golden attributes
+    (name/balance of the richest member, deterministic
+    (balance DESC, custkey) tie-break; member count; total balance).
+    linkage scores pairs → clusters group identities → THIS key
+    produces the one row per real-world entity a downstream join
+    actually wants (the MDM "golden record" classic).
+
+    100 TB shape: the same capped block machinery as
+    q_record_linkage/q_er_clusters (shared _rl_kept_members — the
+    three keys cannot drift), connected components on the bounded
+    edge set, then ONE entity-grain window over the labeled members
+    (components are tiny by construction — the cap bounds every
+    block's merge fan-in).  Determinism: integer micro-nat link
+    scores, min-label entity ids, exact integer cents, full
+    survivorship tie-break."""
+    k = _rl_kept_members(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    a, b = k.alias("a"), k.alias("b")
+    w = (
+        F.when(
+            F.col("a.name_digit") == F.col("b.name_digit"),
+            F.lit(_RL_W["f_name"][0]),
+        ).otherwise(F.lit(_RL_W["f_name"][1]))
+        + F.when(
+            F.col("a.band") == F.col("b.band"), F.lit(_RL_W["f_band"][0])
+        ).otherwise(F.lit(_RL_W["f_band"][1]))
+        + F.when(
+            F.col("a.keyhash") == F.col("b.keyhash"),
+            F.lit(_RL_W["f_hash"][0]),
+        ).otherwise(F.lit(_RL_W["f_hash"][1]))
+    )
+    links = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.rn") < F.col("b.rn")),
+        )
+        .filter(w >= _RL_UPPER)
+        .select(
+            F.col("a.c_custkey").alias("id1"),
+            F.col("b.c_custkey").alias("id2"),
+        )
+    )
+    cc = llmops.connected_components(
+        links, k.select("c_custkey"), id_col="c_custkey"
+    )
+    attrs = c.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias(
+            "bal_cents"
+        ),
+    )
+    mem = (
+        cc.select("c_custkey", F.col("cluster_id").alias("entity_id"))
+        .join(attrs, "c_custkey")
+    )
+    went = Window.partitionBy("entity_id")
+    surv = mem.select(
+        "entity_id",
+        "c_name",
+        "bal_cents",
+        F.row_number()
+        .over(went.orderBy(F.col("bal_cents").desc(), "c_custkey"))
+        .alias("pick"),
+        F.count(F.lit(1)).over(went).alias("n_members"),
+        F.sum("bal_cents").over(went).alias("total_bal_cents"),
+    )
+    return surv.filter(
+        (F.col("pick") == 1) & (F.col("n_members") >= 2)
+    ).select(
+        "entity_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("c_name").alias("golden_name"),
+        F.col("bal_cents").alias("golden_bal_cents"),
+        F.col("total_bal_cents").cast("long").alias("total_bal_cents"),
+    )
+
+
+# ========================================================================
+# q_price_elasticity — log-log demand elasticity per brand
+# ========================================================================
+
+
+@register(
+    "q_price_elasticity",
+    oracle="""
+WITH pp AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_partkey
+),
+pts AS (
+  SELECT p.p_brand AS brand,
+         ROUND(LN(CAST(pp.cents // pp.qty AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(pp.qty AS DOUBLE)), 9) AS y
+  FROM pp JOIN part p ON pp.l_partkey = p.p_partkey
+  WHERE pp.qty >= 1 AND pp.cents // pp.qty >= 1
+),
+s AS (
+  SELECT brand, COUNT(*) AS n,
+         COUNT(DISTINCT x) AS nx,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+           AS sxy
+  FROM pts GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n_parts,
+       CASE WHEN nx < 2 OR n * sxx - sx * sx = 0 THEN NULL ELSE
+         ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) END
+         AS elasticity
+FROM s
+""",
+)
+def q_price_elasticity(spark, sf_dir):
+    """Demand elasticity per brand: OLS slope of ln(quantity) on
+    ln(unit price) across the brand's parts — the log-log regression
+    every pricing team runs (elasticity < −1 = elastic demand), and
+    the econometric reading of data q_linear_regression fits in
+    levels.
+
+    Determinism: unit price = integer cents div integer units (§8.7
+    floor pairing — exact, no float average); BOTH logs round(9)
+    BEFORE use (rule 22; the q_zipf_fit spelling exactly — products
+    re-round(9) into DECIMAL(28,9) sums so addition order cannot
+    matter); ONE closing division round(9), NULL on a
+    single-price brand via COUNT(DISTINCT x) < 2 (§8.17 — the
+    den = 0 test alone is WRONG here: round(x·x, 9) leaves a
+    tiny-but-nonzero denominator when every x is equal, and the
+    quotient of two rounding residues is garbage; the planted
+    BrandB test pins this).  100 TB shape: one fact scan to part grain,
+    a broadcast part-dim join for the brand, and the regression
+    rides exact decimal sufficient statistics at brand grain — no
+    window, no solver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pp = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias(
+            "qty"
+        ),
+    )
+    pts = (
+        pp.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            pp["l_partkey"] == F.col("p_partkey"),
+        )
+        .filter(
+            (F.col("qty") >= 1) & (F.expr("cents div qty") >= 1)
+        )
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(
+                F.log(F.expr("cents div qty").cast("double")), 9
+            ).alias("x"),
+            F.round(F.log(F.col("qty").cast("double")), 9).alias("y"),
+        )
+    )
+    s = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("x").alias("nx"),
+        F.sum(F.col("x").cast("decimal(28,9)")).cast("double").alias(
+            "sx"
+        ),
+        F.sum(F.col("y").cast("decimal(28,9)")).cast("double").alias(
+            "sy"
+        ),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("sxx"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 9).cast("decimal(28,9)")
+        )
+        .cast("double")
+        .alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / den
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_parts"),
+        F.when(
+            (F.col("nx") < 2) | (den == 0), F.lit(None).cast("double")
+        )
+        .otherwise(F.round(slope, 9))
+        .alias("elasticity"),
+    )
+
+
+# ========================================================================
+# q_sketch_merge — HLL register mergeability, certified as data
+# ========================================================================
+
+
+@register(
+    "q_sketch_merge",
+    oracle="""
+WITH h AS (
+  SELECT event_id,
+         (((user_id % 2654435761) * 2654435761) % 4294967296)
+           // 16777216 AS bucket,
+         (((user_id % 2654435761) * 2654435761) % 4294967296)
+           % 16777216 AS w
+  FROM events
+),
+r AS (
+  SELECT event_id % 2 AS shard, bucket,
+         CASE WHEN w = 0 THEN 25
+              ELSE 25 - LENGTH(BIN(w)) END AS rho
+  FROM h
+),
+ra AS (SELECT bucket, MAX(rho) AS rho FROM r WHERE shard = 0
+       GROUP BY bucket),
+rb AS (SELECT bucket, MAX(rho) AS rho FROM r WHERE shard = 1
+       GROUP BY bucket),
+merged AS (
+  SELECT bucket, MAX(rho) AS rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+  GROUP BY bucket
+),
+direct AS (SELECT bucket, MAX(rho) AS rho FROM r GROUP BY bucket),
+cmp AS (
+  SELECT COALESCE(m.bucket, d.bucket) AS bucket,
+         CASE WHEN m.rho IS DISTINCT FROM d.rho THEN 1 ELSE 0 END
+           AS mismatch
+  FROM merged m FULL OUTER JOIN direct d ON m.bucket = d.bucket
+)
+SELECT CAST((SELECT COUNT(*) FROM direct) AS BIGINT)
+         AS n_buckets_direct,
+       CAST((SELECT COUNT(*) FROM merged) AS BIGINT)
+         AS n_buckets_merged,
+       CAST(SUM(mismatch) AS BIGINT) AS n_mismatch,
+       CAST((SELECT SUM(rho) FROM direct) AS BIGINT)
+         AS sum_rho_direct,
+       CAST((SELECT SUM(rho) FROM merged) AS BIGINT)
+         AS sum_rho_merged
+FROM cmp
+""",
+)
+def q_sketch_merge(spark, sf_dir):
+    """Sketch MERGEABILITY certified as data: build the
+    q_hll_sketch register table independently on two shards of the
+    event stream (event_id parity — the distributed reality: every
+    executor/stream builds its own sketch), merge by elementwise
+    register MAX, and compare against the registers built directly
+    over everything.  n_mismatch MUST be 0 — max is associative and
+    commutative, which is the ENTIRE reason HLL works at 100 TB
+    (shards/streams/days combine without re-reading data); this key
+    turns that property from a docstring claim into a driver-gated
+    census (the q_quantile_sketch "graded, never trusted"
+    discipline applied to the merge operator itself).
+
+    100 TB shape: two shard-local max-aggregates at 256-bucket grain
+    + a 512-row union/merge + a bounded full-outer compare — the
+    merge path never touches the raw stream again.  Determinism:
+    the q_hll_sketch integer register spelling verbatim."""
+    ev = load_table(spark, sf_dir, "events")
+    h = llmops.knuth_hash("user_id")
+    r = ev.select(
+        (F.col("event_id") % 2).alias("shard"),
+        F.expr(
+            "(((user_id % 2654435761) * 2654435761) % 4294967296)"
+            " div 16777216"
+        ).alias("bucket"),
+        (h % F.lit(16_777_216)).alias("w"),
+    ).select(
+        "shard",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    )
+    ra = (
+        r.filter(F.col("shard") == 0)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    rb = (
+        r.filter(F.col("shard") == 1)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    merged = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    direct = r.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    m = merged.select(
+        F.col("bucket").alias("mb"), F.col("rho").alias("mrho")
+    )
+    d = direct.select(
+        F.col("bucket").alias("db"), F.col("rho").alias("drho")
+    )
+    cmp_df = m.join(d, m["mb"] == d["db"], "full_outer").select(
+        F.when(
+            ~F.col("mrho").eqNullSafe(F.col("drho")), 1
+        ).otherwise(0).alias("mismatch")
+    )
+    nd = direct.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_direct"),
+        F.sum("rho").cast("long").alias("sum_rho_direct"),
+    )
+    nm = merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_merged"),
+        F.sum("rho").cast("long").alias("sum_rho_merged"),
+    )
+    mm = cmp_df.agg(F.sum("mismatch").cast("long").alias("n_mismatch"))
+    return (
+        nd.crossJoin(F.broadcast(nm))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "n_buckets_direct",
+            "n_buckets_merged",
+            "n_mismatch",
+            "sum_rho_direct",
+            "sum_rho_merged",
+        )
+    )

@@ -1550,3 +1550,27 @@ def test_r9c_key_plan_shapes(spark, sf_dir, queries):
 
     p = plan("q_holdout_leakage")
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_r9d_key_plan_shapes(spark, sf_dir, queries):
+    """Fourth §2.22 batch plan gates: (a) q_er_golden_record — no
+    cartesian, the block equi-join carries the rn cap; (b)
+    q_price_elasticity — the part dim joins BROADCAST onto the
+    part-grain aggregate, no sort-merge, no window; (c)
+    q_sketch_merge — everything rides 256-bucket-grain aggregates
+    (no window, no EvalPython, the merge compare is a bounded
+    full-outer join)."""
+    def plan(key):
+        return _plan(queries[key](spark, sf_dir))
+
+    p = plan("q_er_golden_record")
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = plan("q_price_elasticity")
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "windowspecdefinition" not in p
+    assert "CartesianProduct" not in p
+
+    p = plan("q_sketch_merge")
+    assert "windowspecdefinition" not in p
+    assert "CartesianProduct" not in p and "EvalPython" not in p

@@ -877,3 +877,110 @@ def test_holdout_leakage_planted_copy(spark, tmp_path):
     assert len(r) == 1
     assert r[0]["n_test_docs"] == 2 and r[0]["n_leaked"] == 1
     assert r[0]["leak_rate"] == 0.5
+
+
+# ------------------------------------------------------------------
+# q_er_golden_record
+# ------------------------------------------------------------------
+
+
+def test_er_golden_record_survivorship(spark, tmp_path):
+    """The triangle entity {2, 99, 196} (see
+    test_er_clusters_triangle_and_singleton) elects the richest
+    member's attributes: golden_name 'z7' (3000.0 > 1000.0), total
+    balance the exact cents sum; the singleton never appears
+    (n_members >= 2 filter)."""
+    import __spark_entry__ as e
+
+    rows = [
+        (2, "x7", 0, 1000.0, "S"),
+        (99, "y7", 0, 1000.0, "S"),
+        (196, "z7", 0, 3000.0, "S"),
+        (3, "w0", 0, 7000.0, "S"),
+    ]
+    _write_customers(spark, tmp_path.as_posix(), rows)
+    out = e.queries()["q_er_golden_record"](
+        spark, tmp_path.as_posix()
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["entity_id"] == 2 and r["n_members"] == 3
+    assert r["golden_name"] == "z7"
+    assert r["golden_bal_cents"] == 300000
+    assert r["total_bal_cents"] == 500000
+
+
+# ------------------------------------------------------------------
+# q_price_elasticity
+# ------------------------------------------------------------------
+
+
+def test_price_elasticity_planted_slopes(spark, tmp_path):
+    """Brand A: perfect elasticity −1 planted in exact round(9) log
+    space (qty halves as unit price doubles); brand B: one price
+    point → NULL (no identifiable slope)."""
+    import decimal
+    import math
+
+    import __spark_entry__ as e
+
+    # brand A parts: (unit_cents, qty) = (100, 400), (200, 200),
+    # (400, 100) — ln(q) = c − 1·ln(p) exactly in unrounded reals;
+    # with round(9) logs the OLS slope lands within 1e-9 of −1.
+    li = []
+    parts = []
+    pk = 1
+    for cents, qty in ((100, 400), (200, 200), (400, 100)):
+        li.append((pk, 1, pk, float(qty), cents * qty / 100.0))
+        parts.append((pk, "BrandA"))
+        pk += 1
+    for qty in (50, 60):
+        li.append((pk, 1, pk, float(qty), 300 * qty / 100.0))
+        parts.append((pk, "BrandB"))
+        pk += 1
+    _write_lineitem(spark, tmp_path.as_posix(), li)
+    (
+        spark.createDataFrame(parts, "p_partkey long, p_brand string")
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/part.parquet")
+    )
+    got = {
+        r["brand"]: r
+        for r in e.queries()["q_price_elasticity"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    assert got["BrandA"]["n_parts"] == 3
+    assert abs(got["BrandA"]["elasticity"] + 1.0) < 1e-8, got["BrandA"]
+    # BrandB: both parts share unit price 300 → zero x-variance → NULL
+    assert got["BrandB"]["n_parts"] == 2
+    assert got["BrandB"]["elasticity"] is None
+
+
+# ------------------------------------------------------------------
+# q_sketch_merge
+# ------------------------------------------------------------------
+
+
+def test_sketch_merge_zero_mismatch(spark, tmp_path):
+    """Register merge must equal the direct build exactly —
+    n_mismatch 0 and identical rho mass — on a planted stream where
+    both shards see overlapping AND disjoint users."""
+    import __spark_entry__ as e
+
+    ev = []
+    eid = 1
+    for u in range(1, 40):  # users 1..39 on shard determined by eid
+        ev.append((eid, "2024-01-01 10:00:00", u, "A"))
+        eid += 1
+    for u in range(1, 10):  # overlap: early users appear again
+        ev.append((eid, "2024-01-01 11:00:00", u, "B"))
+        eid += 1
+    _write_events(spark, tmp_path.as_posix(), ev)
+    r = e.queries()["q_sketch_merge"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["n_mismatch"] == 0
+    assert r["n_buckets_direct"] == r["n_buckets_merged"]
+    assert r["sum_rho_direct"] == r["sum_rho_merged"]
+    assert r["n_buckets_direct"] >= 1
