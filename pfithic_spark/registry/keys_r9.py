@@ -2806,3 +2806,296 @@ def q_sketch_merge(spark, sf_dir):
             "sum_rho_merged",
         )
     )
+
+
+# ========================================================================
+# q_ab_cuped — CUPED variance-reduced A/B metric read
+# ========================================================================
+
+
+@register(
+    "q_ab_cuped",
+    oracle="""
+WITH cy AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) <= 1995
+                  THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 1996
+                  THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT c.c_custkey,
+         (((c.c_custkey % 2654435761) * 2654435761) % 4294967296) % 2
+           AS arm,
+         COALESCE(cy.x, 0) AS x, COALESCE(cy.y, 0) AS y
+  FROM customer c LEFT JOIN cy ON c.c_custkey = cy.o_custkey
+),
+s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+              * CAST(x AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+           AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(19,0))
+              * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+           AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(y AS DECIMAL(19,0))
+              * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+           AS DOUBLE) AS syy,
+         CAST(SUM(CASE WHEN arm = 0
+                  THEN CAST(y AS DECIMAL(28,0)) END) AS DOUBLE)
+           AS sy_a,
+         CAST(SUM(CASE WHEN arm = 1
+                  THEN CAST(y AS DECIMAL(28,0)) END) AS DOUBLE)
+           AS sy_b,
+         CAST(SUM(CASE WHEN arm = 0
+                  THEN CAST(x AS DECIMAL(28,0)) END) AS DOUBLE)
+           AS sx_a,
+         CAST(SUM(CASE WHEN arm = 1
+                  THEN CAST(x AS DECIMAL(28,0)) END) AS DOUBLE)
+           AS sx_b
+  FROM t
+)
+SELECT n_a, n_b,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta,
+       sy_a / n_a AS mean_y_a, sy_b / n_b AS mean_y_b,
+       sy_b / n_b - sy_a / n_a AS diff_raw,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         (sy_b / n_b
+           - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             * (sx_b / n_b - sx / n))
+         - (sy_a / n_a
+           - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+             * (sx_a / n_a - sx / n)) END AS diff_cuped,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN NULL ELSE
+         ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+         AS var_reduction
+FROM s
+""",
+)
+def q_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment read (Deng et al. 2013 —
+    the industry-standard A/B adjuster): the period-revenue metric y
+    per arm is adjusted by the PRE-period covariate x
+    (ŷ = y − θ(x − x̄), θ = Cov(x,y)/Var(x) pooled), shrinking
+    variance by ρ² without biasing the treatment difference — the
+    key that makes q_power_mde's minimum detectable effect smaller
+    for free.  Output: per-arm means raw and CUPED-adjusted, θ, and
+    the variance-reduction fraction ρ².
+
+    Determinism: pre/period revenues are exact integer cents at
+    customer grain; all sufficient statistics are exact DECIMAL sums
+    cast hardware-exact (the q_linear_regression spelling — x·y at
+    DECIMAL(19)² = DECIMAL(38,0) stays exact); every output is a
+    fixed-order double chain on those casts, UNROUNDED; NULL on zero
+    pre-period variance (§8.17).  100 TB shape: one orders scan to
+    customer grain, one customer-keyed join, one scalar census — no
+    window anywhere (the q_power_mde shape with a covariate)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    yr = F.year("o_orderdate")
+    cy = o.groupBy("o_custkey").agg(
+        F.sum(F.when(yr <= 1995, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(yr >= 1996, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    t = c.join(cy, c["c_custkey"] == cy["o_custkey"], "left").select(
+        (llmops.knuth_hash("c_custkey") % 2).alias("arm"),
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+    )
+
+    def d19(col):
+        return F.col(col).cast("decimal(19,0)")
+
+    s = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.col("x").cast("decimal(28,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).cast("double").alias("sy"),
+        F.sum((d19("x") * d19("x")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((d19("x") * d19("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((d19("y") * d19("y")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("y").cast("decimal(28,0)"))
+        )
+        .cast("double")
+        .alias("sy_a"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("y").cast("decimal(28,0)"))
+        )
+        .cast("double")
+        .alias("sy_b"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("x").cast("decimal(28,0)"))
+        )
+        .cast("double")
+        .alias("sx_a"),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("x").cast("decimal(28,0)"))
+        )
+        .cast("double")
+        .alias("sx_b"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    theta = num / den
+    mean_x = F.col("sx") / F.col("n")
+    adj_b = (
+        F.col("sy_b") / F.col("n_b")
+        - theta * (F.col("sx_b") / F.col("n_b") - mean_x)
+    )
+    adj_a = (
+        F.col("sy_a") / F.col("n_a")
+        - theta * (F.col("sx_a") / F.col("n_a") - mean_x)
+    )
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n_a",
+        "n_b",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(theta)
+        .alias("theta"),
+        (F.col("sy_a") / F.col("n_a")).alias("mean_y_a"),
+        (F.col("sy_b") / F.col("n_b")).alias("mean_y_b"),
+        (F.col("sy_b") / F.col("n_b") - F.col("sy_a") / F.col("n_a"))
+        .alias("diff_raw"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(adj_b - adj_a)
+        .alias("diff_cuped"),
+        F.when(den * deny == 0, F.lit(None).cast("double"))
+        .otherwise((num * num) / (den * deny))
+        .alias("var_reduction"),
+    )
+
+
+# ========================================================================
+# q_importance_weights — domain-adaptation reweighting table
+# ========================================================================
+
+#: Clip range for importance ratios (the standard stabilizer: an
+#: unclipped ratio explodes the effective-sample-size on rare
+#: buckets).
+_IW_CLIP_LO = 0.2
+_IW_CLIP_HI = 5.0
+
+
+@register(
+    "q_importance_weights",
+    oracle=f"""
+WITH b AS (
+  SELECT CAST(LENGTH(BIN(CAST(n_chars AS BIGINT))) - 1 AS BIGINT)
+           AS bucket,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt
+  FROM documents WHERE n_chars >= 1
+),
+c AS (
+  SELECT bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_src,
+         CAST(SUM(tgt) AS BIGINT) AS n_tgt
+  FROM b GROUP BY bucket
+),
+m AS (
+  SELECT bucket, n_src, n_tgt,
+         CAST(SUM(n_src) OVER () AS BIGINT) AS tot_src,
+         CAST(SUM(n_tgt) OVER () AS BIGINT) AS tot_tgt
+  FROM c
+)
+SELECT bucket, n_src, n_tgt,
+       CASE WHEN tot_tgt = 0 THEN NULL ELSE
+         (CAST(n_tgt AS DOUBLE) / CAST(tot_tgt AS DOUBLE))
+         / (CAST(n_src AS DOUBLE) / CAST(tot_src AS DOUBLE)) END
+         AS weight_raw,
+       CASE WHEN tot_tgt = 0 THEN NULL ELSE
+         LEAST({_IW_CLIP_HI},
+           GREATEST({_IW_CLIP_LO},
+             (CAST(n_tgt AS DOUBLE) / CAST(tot_tgt AS DOUBLE))
+             / (CAST(n_src AS DOUBLE) / CAST(tot_src AS DOUBLE))))
+         END AS weight_clipped
+FROM m
+""",
+)
+def q_importance_weights(spark, sf_dir):
+    """Importance-reweighting table for domain adaptation: per
+    log₂-length bucket (the q_length_log2_histogram feature), the
+    ratio of the TARGET domain's share (lang='en' — the distribution
+    training should match) to the full corpus's share, clipped to
+    [0.2, 5] (the standard stabilizer — an unclipped rare-bucket
+    ratio destroys the effective sample size).  The broadcastable
+    weight table that turns q_mixture_allocation's source-level
+    budget into example-level sampling probabilities — covariate
+    shift correction as a query.
+
+    Determinism: exact integer bucket counts (the LENGTH(BIN())
+    integer log2); weight is one fixed-order double chain of
+    hardware-exact casts, UNROUNDED; clip bounds are frozen
+    literals; NULL when the target domain is empty (§8.17).
+    100 TB shape: ONE pruned corpus scan → map-side-combinable
+    bucket grain (≤ 64 rows) → margins on the bounded grain."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.filter(F.col("n_chars") >= 1).select(
+        (F.length(F.bin(F.col("n_chars").cast("long"))) - 1)
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("tgt"),
+    )
+    c = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("tgt").cast("long").alias("n_tgt"),
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = c.select(
+        "bucket",
+        "n_src",
+        "n_tgt",
+        F.sum("n_src").over(wall).cast("long").alias("tot_src"),
+        F.sum("n_tgt").over(wall).cast("long").alias("tot_tgt"),
+    )
+    raw = (
+        F.col("n_tgt").cast("double") / F.col("tot_tgt").cast("double")
+    ) / (
+        F.col("n_src").cast("double") / F.col("tot_src").cast("double")
+    )
+    return m.select(
+        "bucket",
+        "n_src",
+        "n_tgt",
+        F.when(F.col("tot_tgt") == 0, F.lit(None).cast("double"))
+        .otherwise(raw)
+        .alias("weight_raw"),
+        F.when(F.col("tot_tgt") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.least(
+                F.lit(_IW_CLIP_HI), F.greatest(F.lit(_IW_CLIP_LO), raw)
+            )
+        )
+        .alias("weight_clipped"),
+    )

@@ -1574,3 +1574,19 @@ def test_r9d_key_plan_shapes(spark, sf_dir, queries):
     p = plan("q_sketch_merge")
     assert "windowspecdefinition" not in p
     assert "CartesianProduct" not in p and "EvalPython" not in p
+
+
+def test_r9e_key_plan_shapes(spark, sf_dir, queries):
+    """Fifth §2.22 batch: q_ab_cuped is a window-free scalar census
+    (one fact-to-customer-grain aggregate + one customer join);
+    q_importance_weights is a single-scan bounded-bucket-grain
+    report.  No cartesian, no EvalPython."""
+    import re
+
+    p = _plan(queries["q_ab_cuped"](spark, sf_dir))
+    assert "windowspecdefinition" not in p, p[:1200]
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = _plan(queries["q_importance_weights"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p[:1200]
+    assert "Join" not in p and "EvalPython" not in p

@@ -984,3 +984,123 @@ def test_sketch_merge_zero_mismatch(spark, tmp_path):
     assert r["n_buckets_direct"] == r["n_buckets_merged"]
     assert r["sum_rho_direct"] == r["sum_rho_merged"]
     assert r["n_buckets_direct"] >= 1
+
+
+# ------------------------------------------------------------------
+# q_ab_cuped
+# ------------------------------------------------------------------
+
+
+def test_ab_cuped_unbiased_and_variance(spark, tmp_path):
+    """Planted y = 2x + arm-effect: CUPED with a perfectly
+    correlated covariate removes ALL covariate variance
+    (var_reduction == rho^2 mirrored bit-exactly) and the adjusted
+    diff equals the python IEEE mirror of the same chain."""
+    import __spark_entry__ as e
+
+    def knuth(x):
+        return ((x % 2654435761) * 2654435761) % 4294967296
+
+    n = 24
+    cust = [(i, f"c{i}", 0, 0.0, "S") for i in range(1, n + 1)]
+    _write_customers(spark, tmp_path.as_posix(), cust)
+    # pre-period x_i = 100·i cents (1995); period y = 2x (+1000 for
+    # arm 1): write two orders per customer with explicit years
+    rows = []
+    ok = 1
+    xs, ys, arms = {}, {}, {}
+    for i in range(1, n + 1):
+        arm = knuth(i) % 2
+        x = 100 * i
+        y = 2 * x + (1000 if arm == 1 else 0)
+        xs[i], ys[i], arms[i] = x, y, arm
+        rows.append((ok, i, "1995-03-01", x / 100.0)); ok += 1
+        rows.append((ok, i, "1996-03-01", y / 100.0)); ok += 1
+    (
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, d string, "
+            "o_totalprice double",
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("d").cast("timestamp").alias("o_orderdate"),
+            "o_totalprice",
+            F.lit("3-LOW").alias("o_orderpriority"),
+            F.lit("O").alias("o_orderstatus"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/orders.parquet")
+    )
+    r = e.queries()["q_ab_cuped"](spark, tmp_path.as_posix()).collect()[0]
+    # python mirror with the identical fixed-order chain
+    N = float(n)
+    sx = float(sum(xs.values())); sy = float(sum(ys.values()))
+    sxx = float(sum(v * v for v in xs.values()))
+    sxy = float(sum(xs[i] * ys[i] for i in xs))
+    syy = float(sum(v * v for v in ys.values()))
+    na = sum(1 for i in arms if arms[i] == 0)
+    nb = n - na
+    sya = float(sum(ys[i] for i in arms if arms[i] == 0))
+    syb = float(sum(ys[i] for i in arms if arms[i] == 1))
+    sxa = float(sum(xs[i] for i in arms if arms[i] == 0))
+    sxb = float(sum(xs[i] for i in arms if arms[i] == 1))
+    den = N * sxx - sx * sx
+    num = N * sxy - sx * sy
+    theta = num / den
+    mean_x = sx / N
+    adj_b = syb / nb - theta * (sxb / nb - mean_x)
+    adj_a = sya / na - theta * (sxa / na - mean_x)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["theta"] == theta
+    assert r["diff_cuped"] == adj_b - adj_a
+    assert r["var_reduction"] == (num * num) / (den * (N * syy - sy * sy))
+    # the planted structure: adjusted diff recovers ~the 1000-cent
+    # effect while the raw diff is polluted by covariate imbalance
+    assert abs(r["diff_cuped"] - 1000.0) < abs(r["diff_raw"] - 1000.0) + 1e-9
+
+
+# ------------------------------------------------------------------
+# q_importance_weights
+# ------------------------------------------------------------------
+
+
+def test_importance_weights_ratio_and_clip(spark, tmp_path):
+    """Exact ratio per bucket and clip behavior: a bucket with zero
+    target mass clips up to 0.2 from 0; an all-target bucket's raw
+    ratio tot_src/tot_tgt clips at 5 when extreme."""
+    import __spark_entry__ as e
+
+    docs = []
+    i = 0
+    # bucket 3 (len 8): 8 docs, all target (en)
+    for _ in range(8):
+        docs.append((i, "x" * 8, "s", "en")); i += 1
+    # bucket 4 (len 16): 12 docs, none target
+    for _ in range(12):
+        docs.append((i, "x" * 16, "s", "fr")); i += 1
+    (
+        spark.createDataFrame(
+            docs, "doc_id long, text string, source string, lang string"
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .parquet(f"{tmp_path}/documents.parquet")
+    )
+    got = {
+        r["bucket"]: r
+        for r in e.queries()["q_importance_weights"](
+            spark, tmp_path.as_posix()
+        ).collect()
+    }
+    # bucket 3: tgt share 8/8 = 1, src share 8/20 → raw 2.5 (inside
+    # the clip range)
+    assert got[3]["n_src"] == 8 and got[3]["n_tgt"] == 8
+    assert got[3]["weight_raw"] == (8 / 8) / (8 / 20)
+    assert got[3]["weight_clipped"] == got[3]["weight_raw"]
+    # bucket 4: tgt share 0 → raw 0, clipped up to 0.2
+    assert got[4]["n_tgt"] == 0
+    assert got[4]["weight_raw"] == 0.0
+    assert got[4]["weight_clipped"] == 0.2
