@@ -1,8 +1,12 @@
 """Round-9 §2.22 registry keys (EXT-3): pipeline-assembly operators —
-entity resolution READ side, maintained dedup indexes, per-group
-corpus subsampling, sequence mining, score calibration, conformal
-intervals, two-sample value-unit drift, mergeable quantile summaries,
-co-occurrence graph projections, and ANN-graph construction.
+entity resolution READ side + golden-record survivorship, maintained
+dedup indexes, per-group corpus subsampling, mixture allocation +
+importance reweighting, sequence mining, retrieval fusion, score
+calibration, conformal intervals, sliced/variance-reduced experiment
+reads, two-sample value-unit drift, mergeable quantile/membership
+summaries with a certified merge operator, co-occurrence graph
+projections, ANN-graph construction, private count release, and
+holdout-integrity gates.
 
 Every key follows the house determinism contract (FIXTURES.md):
 exact integer counts, cross-engine hashes only (Knuth / MD5-ASCII),
