@@ -196,6 +196,34 @@ PICKS = {
         "token stream — the unbounded long-tail vocabulary never "
         "shuffles; only candidate tokens reach the count exchange."
     ),
+    "q_quantile_sketch": (
+        "Rank-stratified mergeable quantile summary (round 9): the "
+        "global rank is the two-phase _pid bucket machinery (frozen "
+        "quantile-boundary literals, broadcast prefix offsets — "
+        "never a one-task sort); step selection and both "
+        "order-statistic probes are broadcast-grid equality joins "
+        "riding the ranked stream."
+    ),
+    "q_er_clusters": (
+        "Entity resolution read side (round 9): candidate links come "
+        "from the (nation, segment) block equi-join with the rn <= "
+        "100 cap BELOW the self-join; connected components run on "
+        "the bounded edge set (driver union-find fast path at this "
+        "scale; pointer-jumping loop beyond the threshold)."
+    ),
+    "q_energy_distance": (
+        "Exact two-sample energy distance (round 9): ONE orders scan "
+        "to the merged value-grain spine, prefix sums via window, "
+        "per-term 2^21 hi/lo splits keep every int64 sum in budget, "
+        "scalar census — never the O(n^2) pair set."
+    ),
+    "q_rrf_fusion": (
+        "Reciprocal-rank fusion (round 9): BOTH global rankings run "
+        "the two-phase _pid machinery; fusion scores are exact "
+        "integer reciprocal micro-units; TakeOrderedAndProject "
+        "top-20."
+    ),
+
 }
 
 
