@@ -1029,9 +1029,12 @@ def q_quantile_sketch(spark, sf_dir):
         F.broadcast(pr.select("permille", "er")),
         summary["rk"] == F.col("er"),
     ).select("permille", F.col("cents").alias("est_cents"))
+    # exact/est are ≤|permille| rows each but derive from the big
+    # ranked stream — hint them broadcast so the closing joins never
+    # print as SMJ even before AQE replans
     return (
-        pr.join(exact, "permille")
-        .join(est, "permille")
+        pr.join(F.broadcast(exact), "permille")
+        .join(F.broadcast(est), "permille")
         .select(
             "permille",
             F.col("tr").cast("long").alias("target_rank"),
