@@ -47,66 +47,65 @@ from .keys_r8b import *  # noqa: F401,F403,E402
 from .keys_r9 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # Round-9 sweep (driver checks the first 50).  VERDICT r8 #1:
-    # the 38 round-8 keys (§2.20 keys_r8.py + §2.21 keys_r8b.py,
-    # zero driver rows ever) followed by the 12 remaining r4-era
-    # keys whose newest driver row predates r5.  38 + 12 fills the
-    # 50-key window exactly, and re-rows q_bm25/q_lm_score (and via
-    # the r8 window q_pmi_bigrams already rotated) on their round-8
-    # re-planned single-corpus-pass plans.
-    # §2.20 (keys_r8.py)
-    "q_theil_index",
-    "q_hodges_lehmann",
-    "q_isotonic_trend",
-    "q_kruskal_wallis",
-    "q_weighted_sample",
-    "q_negative_sampling",
-    "q_tdigest_quantiles",
-    "q_huber_regression",
-    "q_partial_autocorr",
-    "q_markov_attribution",
-    "q_pq_codes",
-    "q_brown_forsythe",
-    # §2.21 (keys_r8b.py)
-    "q_target_encoding",
-    "q_mcnemar",
-    "q_split_information_gain",
-    "q_feature_hash",
-    "q_calibration_bins",
-    "q_roc_auc",
+    # Round-10 sweep (driver checks the first 50).  VERDICT r9 #2:
+    # the 26 §2.22 keys (keys_r9.py — registered after the r9 sweep
+    # window closed, zero driver rows ever), then the two round-9
+    # gate-reds re-proven on their decimal→double output fix
+    # (q_token_chi2 / q_ndcg, VERDICT r9 #1), then the 22 oldest
+    # r5-era keys (newest driver row r5) to fill the 50-key window.
+    # §2.22 (keys_r9.py) — never driver-rowed
+    "q_er_clusters",
+    "q_group_reservoir",
+    "q_session_ngrams",
+    "q_lift_deciles",
+    "q_simhash_band_index",
+    "q_conformal_interval",
+    "q_energy_distance",
+    "q_quantile_sketch",
+    "q_bipartite_projection",
+    "q_knn_graph",
+    "q_rrf_fusion",
+    "q_mixture_allocation",
+    "q_interarrival_stats",
+    "q_ngram_novelty",
+    "q_length_log2_histogram",
+    "q_auc_by_group",
+    "q_power_mde",
+    "q_bloom_membership",
+    "q_gini_coefficient",
+    "q_dp_counts",
+    "q_holdout_leakage",
+    "q_er_golden_record",
+    "q_price_elasticity",
+    "q_sketch_merge",
+    "q_ab_cuped",
+    "q_importance_weights",
+    # round-9 gate-reds, re-proven post decimal→double fix
     "q_token_chi2",
-    "q_cross_correlation",
-    "q_hll_sketch",
-    "q_countmin_sketch",
     "q_ndcg",
-    "q_silhouette_score",
-    "q_cochran_armitage",
-    "q_cliffs_delta",
-    "q_ab_srm",
-    "q_granger_lag1",
-    "q_fisher_exact",
-    "q_knn_classify",
-    "q_readability",
-    "q_intersect_all",
-    "q_except_all",
-    "q_record_linkage",
-    "q_weighted_quantile",
-    "q_quantile_normalize",
-    "q_changepoint_binary",
-    "q_oov_rate",
-    # r4-era backlog — the 12 keys whose newest driver row is still r4
-    "q_chunk_documents",
-    "q_bm25",
-    "q_outlier_mad",
-    "q_merge_upsert",
-    "q_snapshot_diff",
-    "q_lm_score",
-    "q_bpe_train",
-    "q_bpe_tokenize",
-    "q_join_bucketed",
-    "q_join_bloom",
-    "q_scd2_merge",
-    "q_embedding_quantize",
+    # 22 oldest r5-era keys (newest driver row is still r5)
+    "q_join_pit",
+    "q_duplicate_rate_report",
+    "q_embedding_centroid",
+    "q_wau",
+    "q_new_vs_returning",
+    "q_ewma",
+    "q_mann_whitney",
+    "q_linear_regression",
+    "q_zipf_fit",
+    "q_gini",
+    "q_ks_test",
+    "q_chi_square",
+    "q_graph_degree_dist",
+    "q_burstiness",
+    "q_period_over_period",
+    "q_sample_reservoir",
+    "q_train_test_split",
+    "q_dq_checks",
+    "q_crosstab",
+    "q_corr_matrix",
+    "q_markov_transitions",
+    "q_rolling_median",
 ]
 
 

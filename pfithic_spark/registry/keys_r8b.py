@@ -620,7 +620,7 @@ def q_roc_auc(spark, sf_dir):
         (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
     )
     r = win.scalable_cumsum(
-        g, "cents", "neg", "cum_inc", small_threshold=2_000_000
+        g, "cents", "neg", "cum_inc", small_threshold=win.SMALL_THRESHOLD_DEFAULT
     ).select(
         "pos",
         "neg",
@@ -703,9 +703,10 @@ scored AS (
   WHERE (a + c) > 0 AND (b + d) > 0
 )
 SELECT w AS token, source, a AS df_in_source,
-       CAST(df_w AS BIGINT) AS df_total, chi2
+       CAST(df_w AS BIGINT) AS df_total,
+       CAST(chi2 AS DOUBLE) AS chi2
 FROM scored
-ORDER BY chi2 DESC, token, source
+ORDER BY scored.chi2 DESC, token, source
 LIMIT {_CHI2_TOPK}
 """,
 )
@@ -796,11 +797,24 @@ def q_token_chi2(spark, sf_dir):
         "source",
         F.col("a").alias("df_in_source"),
         F.col("df_w").alias("df_total"),
-        F.round(chi2, 6).cast("decimal(24,6)").alias("chi2"),
+        F.round(chi2, 6).cast("decimal(24,6)").alias("chi2_dec"),
     )
-    out = scored.orderBy(
-        F.col("chi2").desc(), "token", "source"
-    ).limit(_CHI2_TOPK)
+    # §8.16 round-before-rank on the DECIMAL; the OUTPUT column is a
+    # lossless double cast (≤15 significant digits by the §8.14
+    # budget) so no registered key ships DecimalType — the driver's
+    # value canonicalization treats Decimal('6.104830') and float
+    # 6.10483 as different cells (round-9 verdict #1).
+    out = (
+        scored.orderBy(F.col("chi2_dec").desc(), "token", "source")
+        .limit(_CHI2_TOPK)
+        .select(
+            "token",
+            "source",
+            "df_in_source",
+            "df_total",
+            F.col("chi2_dec").cast("double").alias("chi2"),
+        )
+    )
     try:
         # bounded (50 rows): eager checkpoint materializes while ws is
         # still cached (adamic-adar persist discipline)
@@ -1247,7 +1261,9 @@ s AS (
          CAST(SUM(idcg_term) AS DECIMAL(28,9)) AS idcg
   FROM terms GROUP BY nationkey
 )
-SELECT CAST(nationkey AS BIGINT) AS nationkey, n_ranked, dcg, idcg,
+SELECT CAST(nationkey AS BIGINT) AS nationkey, n_ranked,
+       CAST(dcg AS DOUBLE) AS dcg,
+       CAST(idcg AS DOUBLE) AS idcg,
        CASE WHEN idcg = 0 THEN NULL
             ELSE CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE) END AS ndcg
 FROM s
@@ -1319,11 +1335,14 @@ def q_ndcg(spark, sf_dir):
         F.sum("dcg_term").cast("decimal(28,9)").alias("dcg"),
         F.sum("idcg_term").cast("decimal(28,9)").alias("idcg"),
     )
+    # dcg/idcg sums stay ≤ 70.0 at 9 dp (≤ 11 significant digits) so
+    # the double cast is lossless; DECIMAL stays internal only —
+    # no registered key ships DecimalType (round-9 verdict #1).
     return s.select(
         F.col("nationkey").cast("long").alias("nationkey"),
         "n_ranked",
-        "dcg",
-        "idcg",
+        F.col("dcg").cast("double").alias("dcg"),
+        F.col("idcg").cast("double").alias("idcg"),
         F.when(F.col("idcg") == 0, F.lit(None).cast("double"))
         .otherwise(
             F.col("dcg").cast("double") / F.col("idcg").cast("double")
@@ -1635,9 +1654,12 @@ def q_cliffs_delta(spark, sf_dir):
     8 M rows is free; size is the decision input).  Romano bands
     classify the magnitude.
 
-    100 TB shape: the q_mann_whitney value-grain machinery verbatim —
-    ONE groupBy to value grain, a prefix sum over the bounded grain
-    (windows.scalable_cumsum is the continuous swap), scalar census.
+    100 TB shape: the q_roc_auc value-grain machinery verbatim — ONE
+    groupBy to value grain, then the prefix sum routes through
+    windows.scalable_cumsum (ADVICE r8: distinct metric values grow
+    ~linearly with volume, so the value grain is NOT domain-bounded;
+    small_threshold keeps the plain window below 2 M distinct
+    values), scalar census.
     Determinism: 2U₀ = Σ c₀·(2·cum₁ + c₁) counts ties at half weight
     exactly (δ = (2U₀ − n₀n₁)/(n₀n₁) — all int64), ONE final division;
     the band cuts compare identical doubles against frozen literals;
@@ -1650,11 +1672,12 @@ def q_cliffs_delta(spark, sf_dir):
         F.sum((F.col("grp") == 0).cast("long")).alias("c0"),
         F.sum((F.col("grp") == 1).cast("long")).alias("c1"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    r = g.select(
+    r = win.scalable_cumsum(
+        g, "v", "c1", "cum1_inc", small_threshold=win.SMALL_THRESHOLD_DEFAULT
+    ).select(
         "c0",
         "c1",
-        F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("cum1_before"),
+        (F.col("cum1_inc") - F.col("c1")).alias("cum1_before"),
     )
     s = r.agg(
         F.sum("c0").cast("long").alias("n0"),
@@ -2626,9 +2649,11 @@ def q_weighted_quantile(spark, sf_dir):
     the convention is part of the contract and is exactly integral).
 
     100 TB shape: ONE groupBy to the value grain (integer cents,
-    §8.15 tie-free), a prefix sum over the bounded grain
-    (windows.scalable_cumsum is the continuous swap — the
-    q_mann_whitney machinery), and one conditional-min census.
+    §8.15 tie-free), then the prefix sum AND the global total ride
+    one windows.scalable_cumsum_multi pass (ADVICE r8: distinct
+    price cents grow ~linearly with volume, so the value grain is
+    NOT domain-bounded; small_threshold keeps the plain window below
+    2 M distinct values), and one conditional-min census.
     Determinism: INTEGERS END TO END — weights are exact unit counts,
     thresholds cut by integer cross-multiply (4·cumw ≥ q·W, §8.19 —
     never a double quotient), outputs are integer cents; there is no
@@ -2643,16 +2668,16 @@ def q_weighted_quantile(spark, sf_dir):
         .cast("long")
         .alias("w")
     )
-    wc = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = g.select(
+    c = win.scalable_cumsum_multi(
+        g,
         "cents",
-        F.sum("w").over(wc).cast("long").alias("cumw"),
-        F.sum("w").over(wt).cast("long").alias("tot"),
+        sums={"cumw": "w"},
+        tots={"tot": "w"},
+        small_threshold=win.SMALL_THRESHOLD_DEFAULT,
+    ).select(
+        "cents",
+        F.col("cumw").cast("long").alias("cumw"),
+        F.col("tot").cast("long").alias("tot"),
     )
     return c.agg(
         F.count(F.lit(1)).cast("long").alias("n_values"),

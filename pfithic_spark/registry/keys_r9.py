@@ -332,10 +332,14 @@ c AS (
          CASE WHEN r.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS responded
   FROM customer LEFT JOIN resp r ON c_custkey = r.o_custkey
 ),
-nt AS (
-  SELECT *, NTILE(10) OVER (ORDER BY score_cents DESC, c_custkey)
-    AS decile
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_cents DESC, c_custkey)
+    AS rk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
   FROM c
+),
+nt AS (
+  SELECT *, CAST((10 * rk - 1) // n + 1 AS BIGINT) AS decile FROM rk
 ),
 d AS (
   SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -371,16 +375,18 @@ def q_lift_deciles(spark, sf_dir):
     table a targeting model is judged by (q_roc_auc's threshold-free
     verdict, made spend-decision-shaped).
 
-    Determinism: NTILE under the fully deterministic
-    (score cents DESC, custkey) order (q_gains_table precedent —
-    Spark and DuckDB share the ceil-split NTILE definition); exact
-    integer counts; lift is the IDENTICAL fixed-order double chain
-    (a/b)/(c/d) on hardware-exact casts; NULL when no one responded
-    (§8.17).  Scale shape: response collapses to customer grain
-    (semi-join shape), ONE customer-keyed join; the global NTILE
-    runs at customer grain with windows.scalable_rank as the
-    documented 100 TB swap (rank → decile = (10·rk − 1) div n); all
-    margins ride the 10-row decile table."""
+    Determinism: decile derives ARITHMETICALLY from the global rank
+    under the fully deterministic (score cents DESC, custkey) total
+    order — decile = (10·rk − 1) div n + 1, identical integer math in
+    both engines (and equal to ceil-split NTILE whenever n ≡ 0 mod
+    10); exact integer counts; lift is the IDENTICAL fixed-order
+    double chain (a/b)/(c/d) on hardware-exact casts; NULL when no
+    one responded (§8.17).  Scale shape: response collapses to
+    customer grain (semi-join shape), ONE customer-keyed join; the
+    global rank runs through windows.scalable_rank (value buckets +
+    broadcast prefix-count offsets — never a one-task customer-grain
+    NTILE window, the §4.4 collapse this key shipped in round 9,
+    VERDICT r9 #3); all margins ride the 10-row decile table."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     resp = (
@@ -397,11 +403,17 @@ def q_lift_deciles(spark, sf_dir):
         .alias("score_cents"),
         F.coalesce(F.col("responded"), F.lit(0)).alias("responded"),
     )
-    nt = base.select(
+    ranked = win.scalable_rank(
+        base,
+        [F.desc("score_cents"), F.col("c_custkey")],
+        "score_cents",
+        rank_col="rk",
+        tot_col="n",
+        descending=True,
+    )
+    nt = ranked.select(
         "responded",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("score_cents"), "c_custkey"))
-        .alias("decile"),
+        F.expr("(10 * rk - 1) div n + 1").cast("long").alias("decile"),
     )
     d = nt.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -665,7 +677,7 @@ def q_conformal_interval(spark, sf_dir):
     )
     vg = cal.groupBy("r6", "n_cal").agg(F.count(F.lit(1)).alias("cnt"))
     cum = win.scalable_cumsum(
-        vg, "r6", "cnt", "cum", small_threshold=2_000_000
+        vg, "r6", "cnt", "cum", small_threshold=win.SMALL_THRESHOLD_DEFAULT
     )
     qh = (
         cum.filter(
@@ -789,12 +801,15 @@ def q_energy_distance(spark, sf_dir):
     rounded adds both engines); THREE final divisions, unrounded,
     NULL on an empty side (§8.17).
 
-    100 TB shape: one orders scan to (cents, group) value grain; the
-    prefix sums ride ONE global value-grain window (the cents domain
-    is bounded by the price range — ~10⁷ values independent of
-    volume, the accepted q_mann_whitney convention;
-    windows.scalable_cumsum is the documented continuous-metric
-    swap); the census is a scalar reduce."""
+    100 TB shape: one orders scan to (cents, group) value grain; all
+    four prefix sums and all four global totals ride ONE
+    windows.scalable_cumsum_multi pass (ADVICE r8, applied to
+    q_roc_auc and binding here too: distinct price cents grow
+    ~linearly with volume, so the value grain is NOT domain-bounded;
+    small_threshold keeps the plain one-task window — and the
+    single-scan join-free plan gate — below 2 M distinct values, the
+    shared-bucketing two-phase form above); the census is a scalar
+    reduce."""
     o = load_table(spark, sf_dir, "orders")
     t = o.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
@@ -806,23 +821,32 @@ def q_energy_distance(spark, sf_dir):
         F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("nxv"),
         F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("nyv"),
     )
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.orderBy("cents").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    v = F.col("cents")
-    c = sp.select(
-        v.alias("v"),
+    spv = sp.select(
+        "cents",
         "nxv",
         "nyv",
-        (F.sum("nxv").over(wc) - F.col("nxv")).alias("fx"),
-        (F.sum(F.col("nxv") * v).over(wc) - F.col("nxv") * v).alias("gx"),
-        (F.sum("nyv").over(wc) - F.col("nyv")).alias("fy"),
-        (F.sum(F.col("nyv") * v).over(wc) - F.col("nyv") * v).alias("gy"),
-        F.sum("nxv").over(wall).alias("nx"),
-        F.sum(F.col("nxv") * v).over(wall).alias("sx"),
-        F.sum("nyv").over(wall).alias("ny"),
-        F.sum(F.col("nyv") * v).over(wall).alias("sy"),
+        (F.col("nxv") * F.col("cents")).alias("nxvv"),
+        (F.col("nyv") * F.col("cents")).alias("nyvv"),
+    )
+    cum = win.scalable_cumsum_multi(
+        spv,
+        "cents",
+        sums={"cfx": "nxv", "cgx": "nxvv", "cfy": "nyv", "cgy": "nyvv"},
+        tots={"nx": "nxv", "sx": "nxvv", "ny": "nyv", "sy": "nyvv"},
+        small_threshold=win.SMALL_THRESHOLD_DEFAULT,
+    )
+    c = cum.select(
+        F.col("cents").alias("v"),
+        "nxv",
+        "nyv",
+        (F.col("cfx") - F.col("nxv")).alias("fx"),
+        (F.col("cgx") - F.col("nxvv")).alias("gx"),
+        (F.col("cfy") - F.col("nyv")).alias("fy"),
+        (F.col("cgy") - F.col("nyvv")).alias("gy"),
+        "nx",
+        "sx",
+        "ny",
+        "sy",
     )
     vv = F.col("v")
     txy = F.col("nxv") * (
@@ -1708,10 +1732,18 @@ def q_ngram_novelty(spark, sf_dir):
         "doc_id",
         "source",
         "half",
+        # guard like llmops.shingles_col: Spark's sequence(1, n-2)
+        # turns DESCENDING ([1, 0]) when n < 3 — unlike DuckDB's
+        # GENERATE_SERIES, which is empty — so tk[i+1] indexes past
+        # the array (ArrayIndexOutOfBounds under ANSI, spurious
+        # trigrams with ANSI off); docs shorter than 3 tokens must
+        # yield an EMPTY trigram list (round-9 ADVICE, high)
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tk) - 2, 0)),"
+                "case when size(tk) >= 3 then"
+                " transform(sequence(1, size(tk) - 2),"
                 " i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"
+                " else cast(array() as array<string>) end"
             )
         ).alias("g"),
     )
@@ -1851,13 +1883,13 @@ def q_auc_by_group(spark, sf_dir):
     Same determinism contract as q_roc_auc (§8.15 integer cents
     value grain, exact int64 2U, ONE division, NULL on single-class
     slices §8.17).  100 TB shape: ONE fact join to attach the slice
-    key, groupBy to (segment, cents) grain, and the prefix sum rides
-    a window PARTITIONED by segment over the bounded per-segment
-    cents domain (the partitioned form never has q_roc_auc's
-    unbounded-grain concern — parallelism = |segments|, each value
-    grain price-range-bounded; scalable_cumsum per slice is the
-    documented swap if a slice's score grain ever grows with
-    volume)."""
+    key, groupBy to (segment, cents) grain, then the per-slice prefix
+    sum routes through windows.scalable_part_cumsum (VERDICT r9 #4:
+    a plain segment-partitioned window caps parallelism at
+    |segments| = 5 while each task carries n/5 of a value grain
+    ADVICE r8 established grows ~linearly with volume; the two-phase
+    form runs #segments × #buckets tasks, small_threshold keeps the
+    plain partitioned window below 2 M grain rows)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     t = o.join(
@@ -1873,16 +1905,18 @@ def q_auc_by_group(spark, sf_dir):
         F.sum("y").alias("pos"),
         (F.count(F.lit(1)) - F.sum("y")).alias("neg"),
     )
-    w = (
-        Window.partitionBy("segment")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    r = g.select(
+    r = win.scalable_part_cumsum(
+        g,
+        ["segment"],
+        "cents",
+        "neg",
+        "cum_inc",
+        small_threshold=win.SMALL_THRESHOLD_DEFAULT,
+    ).select(
         "segment",
         "pos",
         "neg",
-        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("cum_neg"),
+        (F.col("cum_inc") - F.col("neg")).alias("cum_neg"),
     )
     s = r.groupBy("segment").agg(
         F.sum("pos").cast("long").alias("n_pos"),
@@ -2304,14 +2338,17 @@ def q_dp_counts(spark, sf_dir):
     of the per-segment customer census — the privacy-preserving
     telemetry export shape: true counts never leave the boundary,
     noisy counts do.  The noise draw is SEEDED (inverse-CDF of the
-    Knuth uniform keyed on the segment's sorted position) so every
-    engine, run and retry releases the SAME noisy value — a
-    nondeterministic release would let an observer average the noise
-    away across retries, destroying the ε guarantee (determinism
-    here is not just a testing convenience; it is part of the
-    mechanism's soundness under replay).  True counts are kept in
-    the output for the AUDIT side of the boundary (and the oracle
-    gate); a production export drops the column.
+    Knuth uniform keyed on the segment's sorted position) purely as a
+    REPLAY/TESTING determinism choice — it demonstrates the Laplace
+    mechanism's dataflow while keeping the key oracle-checkable and
+    retry-stable.  That choice SACRIFICES the ε-DP guarantee: the
+    seed (a segment's alphabetical rank) is publicly recomputable, so
+    an observer can regenerate and subtract the noise exactly.  A
+    real release needs secret per-release randomness (one fresh draw,
+    stored, reused on retries — retry-stable without being
+    predictable; round-9 ADVICE).  True counts are kept in the output
+    for the AUDIT side of the boundary (and the oracle gate); a
+    production export drops the column.
 
     Laplace via inverse CDF: u < ½ → b·ln(2u), u ≥ ½ → −b·ln(2−2u);
     ln is round(9)-before-use (rule 22 — JVM vs libm log is 1-ulp),

@@ -20,6 +20,7 @@ is wall-clock-preserving and deterministic).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -740,11 +741,21 @@ def simhash_index_stream(
 
     1. compute the batch documents' band rows;
     2. equi-join (band, band_key) against the STANDING index from all
-       PRIOR epochs and verify candidates at Hamming(sig16) ≤
-       ``max_hamming`` (the banding pigeonhole guarantees recall at
-       radius 3 with 4×4-bit bands; the verify step removes band
-       false-positives) — emitting (new_doc, dup_of) candidate pairs;
+       PRIOR epochs AND against the batch's own band rows (doc_id >
+       dup_of — two near-dups arriving in ONE batch file must flag in
+       that epoch, not never; round-9 ADVICE), verifying candidates
+       at Hamming(sig16) ≤ ``max_hamming`` (the banding pigeonhole
+       guarantees recall at radius 3 with 4×4-bit bands; the verify
+       step removes band false-positives) — emitting
+       (new_doc, dup_of) candidate pairs;
     3. append the batch's band rows to the index.
+
+    Failure semantics: ONLY the missing-index-path case (first epoch)
+    downgrades to "no standing index yet"; any other read error
+    (transient IO, corrupt footer) RE-RAISES so Spark retries the
+    epoch — swallowing it would silently emit zero candidates while
+    still appending the batch's rows, a permanent unreported recall
+    loss (round-9 ADVICE, medium).
 
     Exactly-once: both writes go to ``epoch=<id>`` subdirectories in
     OVERWRITE mode — Spark retries a failed micro-batch with the SAME
@@ -765,39 +776,62 @@ def simhash_index_stream(
     def handle(batch: DataFrame, epoch: int) -> None:
         spark = batch.sparkSession
         rows = llmops.simhash16_band_rows(batch).persist()
+
+        def _verified_pairs(right, keep):
+            return (
+                rows.join(right, ["band", "band_key"])
+                .filter(keep)
+                .filter(
+                    F.bit_count(
+                        F.col("sig16").bitwiseXOR(F.col("old_sig"))
+                    )
+                    <= max_hamming
+                )
+                .select("doc_id", "dup_of")
+            )
+
         try:
             try:
                 idx = spark.read.parquet(index_path).filter(
                     F.col("epoch") < F.lit(epoch)
                 )
-                have_idx = True
-            except Exception:
-                have_idx = False
-            if have_idx:
+            except AnalysisException as exc:
+                # ONLY "no index written yet" downgrades; transient
+                # IO/corruption must fail the epoch so Spark retries
+                # (a swallowed error here is permanent silent recall
+                # loss — the batch's rows still append below)
+                msg = str(exc)
+                if (
+                    "PATH_NOT_FOUND" not in msg
+                    and "Path does not exist" not in msg
+                ):
+                    raise
+                idx = None
+            # within-batch pairs: two near-dups landing in the same
+            # micro-batch file must flag in THIS epoch (doc_id >
+            # dup_of keeps one direction and excludes self-pairs)
+            batch_side = rows.select(
+                F.col("doc_id").alias("dup_of"),
+                "band",
+                "band_key",
+                F.col("sig16").alias("old_sig"),
+            )
+            cand = _verified_pairs(
+                batch_side, F.col("doc_id") > F.col("dup_of")
+            )
+            if idx is not None:
                 old = idx.select(
                     F.col("doc_id").alias("dup_of"),
                     "band",
                     "band_key",
                     F.col("sig16").alias("old_sig"),
                 )
-                cand = (
-                    rows.join(old, ["band", "band_key"])
-                    .filter(F.col("doc_id") != F.col("dup_of"))
-                    .filter(
-                        F.bit_count(
-                            F.col("sig16").bitwiseXOR(F.col("old_sig"))
-                        )
-                        <= max_hamming
+                cand = cand.unionByName(
+                    _verified_pairs(
+                        old, F.col("doc_id") != F.col("dup_of")
                     )
-                    .select("doc_id", "dup_of")
-                    .distinct()
                 )
-            else:
-                cand = (
-                    rows.select("doc_id", F.col("doc_id").alias("dup_of"))
-                    .filter(F.lit(False))
-                )
-            cand.write.mode("overwrite").parquet(
+            cand.distinct().write.mode("overwrite").parquet(
                 f"{candidates_path}/epoch={epoch}"
             )
             rows.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(

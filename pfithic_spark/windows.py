@@ -52,6 +52,16 @@ from pyspark.sql import functions as F
 #: log-depth bucket expression keeps per-row cost at ~11 comparisons.
 _MAX_BUCKETS = 2048
 
+#: Shared small-threshold for the value-grain prefix-sum keys
+#: (q_roc_auc / q_cliffs_delta / q_weighted_quantile /
+#: q_energy_distance / q_auc_by_group): at or below this many rows the
+#: plain one-task window wins (the two-phase machinery costs extra
+#: jobs that dwarf it); above, the _pid bucket form.  Callers read it
+#: AT CALL TIME (``win.SMALL_THRESHOLD_DEFAULT``) so tests can
+#: monkeypatch it to 0 and gate the two-phase plans those keys would
+#: run at 100 TB.
+SMALL_THRESHOLD_DEFAULT = 2_000_000
+
 
 def _bsearch_bucket(col: Column, seq: list, descending: bool, lo: int, hi: int):
     """Balanced nested-when binary search over the frozen boundary
@@ -245,6 +255,84 @@ def scalable_cumsum(
         .withColumn(out_col, F.col("_local_cum") + F.col("_off"))
         .drop("_pid", "_local_cum", "_off")
     )
+
+
+def scalable_cumsum_multi(
+    df: DataFrame,
+    order_col: str,
+    sums: dict[str, str],
+    tots: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    small_threshold: int | None = None,
+    precomputed_count: int | None = None,
+) -> DataFrame:
+    """Several globally ordered running sums (plus optional global
+    totals) sharing ONE value-deterministic bucketing pass — the
+    multi-column sibling of :func:`scalable_cumsum` for keys whose
+    prefix identity needs N cumulative columns over the same order
+    (energy distance: F/G per sample → 4 sums + 4 totals; calling
+    scalable_cumsum N times would re-bucket and re-probe N times).
+
+    ``sums``: ``{out_col: value_col}`` running sums (inclusive,
+    UNBOUNDED PRECEDING..CURRENT ROW under ``order_col``); ``tots``:
+    ``{out_col: value_col}`` whole-frame sums attached to every row
+    (rides the same broadcast offsets frame — no extra shuffle and no
+    second unpartitioned window over data grain).  Same contracts as
+    scalable_cumsum: ``order_col`` unique per row (pre-aggregate
+    first), ``small_threshold`` keeps the plain one-task window at or
+    below the threshold so bounded-grain fixture plans stay unchanged.
+    """
+    tots = tots or {}
+    if small_threshold:
+        n_in = precomputed_count
+        if n_in is None:
+            n_in = df.count()
+        if n_in <= small_threshold:
+            w = W.orderBy(order_col).rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+            wall = W.orderBy(order_col).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+            for out, vc in sums.items():
+                df = df.withColumn(out, F.sum(vc).over(w))
+            for out, vc in tots.items():
+                df = df.withColumn(out, F.sum(vc).over(wall))
+            return df
+    parted = _bucketed_by_value(df, order_col, num_partitions)
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted
+    for out, vc in sums.items():
+        local = local.withColumn("_lc_" + out, F.sum(vc).over(w_local))
+    # one row per bucket → offsets/totals computation is trivially small
+    value_cols = sorted(set(sums.values()) | set(tots.values()))
+    totals = parted.groupBy("_pid").agg(
+        *[F.sum(vc).alias("_pt_" + vc) for vc in value_cols]
+    )
+    w_prefix = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    off_sel = [F.col("_pid")]
+    for out, vc in sums.items():
+        off_sel.append(
+            F.coalesce(F.sum("_pt_" + vc).over(w_prefix), F.lit(0)).alias(
+                "_off_" + out
+            )
+        )
+    for out, vc in tots.items():
+        off_sel.append(F.sum("_pt_" + vc).over(w_all).alias(out))
+    offsets = totals.select(*off_sel)
+    out_df = local.join(F.broadcast(offsets), "_pid")
+    for out in sums:
+        out_df = out_df.withColumn(
+            out, F.col("_lc_" + out) + F.col("_off_" + out)
+        ).drop("_lc_" + out, "_off_" + out)
+    return out_df.drop("_pid")
 
 
 def per_distance_totals(contacts_with_dist: DataFrame) -> DataFrame:
@@ -644,6 +732,68 @@ def scalable_part_rank(
         d.join(offs, [*part_cols, "_pid"])
         .withColumn(rank_col, (F.col("_lr") + F.col("_off")).cast("long"))
         .drop("_pid", "_lr", "_off")
+    )
+
+
+def scalable_part_cumsum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+    small_threshold: int | None = None,
+    precomputed_count: int | None = None,
+) -> DataFrame:
+    """Per-partition globally ordered running sum WITHOUT one task per
+    partition value — the per-part sibling of :func:`scalable_cumsum`
+    (factored for q_auc_by_group's per-slice prefix spine, round 10:
+    ``W.partitionBy(segment)`` serializes each slice onto ONE task, so
+    a 5-value segment column caps parallelism at 5 while each task
+    still carries n/5 of a value grain that grows with volume).
+
+    Value-deterministic buckets on ``order_col`` (frozen quantile
+    literals — every lineage branch agrees) → per-(part, bucket)
+    running sum → broadcast per-part prefix offsets.  Parallelism is
+    #parts × #buckets.  ``order_col`` must be unique per row WITHIN a
+    part (pre-aggregate first).  ``small_threshold``: same contract as
+    :func:`scalable_cumsum` — at or below, the plain partitioned
+    window (bounded-grain fixture plans unchanged)."""
+    if small_threshold:
+        n_in = precomputed_count
+        if n_in is None:
+            n_in = df.count()
+        if n_in <= small_threshold:
+            w = (
+                W.partitionBy(*part_cols)
+                .orderBy(order_col)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            return df.withColumn(out_col, F.sum(value_col).over(w))
+    parted = _bucketed_by_value(df, order_col, num_partitions)
+    w_local = (
+        W.partitionBy(*part_cols, "_pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("_lc", F.sum(value_col).over(w_local))
+    totals = parted.groupBy(*part_cols, "_pid").agg(
+        F.sum(value_col).alias("_pt")
+    )
+    w_pre = (
+        W.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = totals.select(
+        *part_cols,
+        "_pid",
+        F.coalesce(F.sum("_pt").over(w_pre), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offs), [*part_cols, "_pid"])
+        .withColumn(out_col, F.col("_lc") + F.col("_off"))
+        .drop("_pid", "_lc", "_off")
     )
 
 

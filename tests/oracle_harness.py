@@ -48,7 +48,15 @@ def _canon(v):
     if isinstance(v, (int, np.integer)):
         return f"i:{int(v)}"
     if isinstance(v, decimal.Decimal):
-        return f"f:{float(v)!r}"
+        # Distinguish what the driver distinguishes (round-9 verdict
+        # #1): the driver hashes Decimal('6.104830') and float 6.10483
+        # as DIFFERENT cells, so collapsing Decimal via float() here
+        # made the replica BLINDER than the gate it claims to mimic.
+        # A Decimal cell only ever matches another Decimal with the
+        # same exact string form — keys must cast decimals to double
+        # in their final projection (enforced by
+        # tests/test_registry_contract.py::test_no_decimal_outputs).
+        return f"dec:{v}"
     if isinstance(v, (float, np.floating)):
         f = float(v)
         if math.isnan(f):

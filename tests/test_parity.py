@@ -29,6 +29,17 @@ def test_parity(key, spark, sf_dir, con):
     from pfithic_spark.registry import GOLDEN_ORACLE_KEYS
 
     df = QUERIES[key](spark, sf_dir)
+    # Registry-wide contract (round-9 verdict #1): no key's OUTPUT
+    # schema may contain DecimalType — the driver's value hasher
+    # distinguishes Decimal('6.104830') from float 6.10483, so a
+    # decimal output column hash-fails on any trailing-zero cell even
+    # when the values are bit-identical to the oracle.  Decimals stay
+    # INTERNAL (exact sums, §8.16 round-before-rank); the final
+    # projection casts to double.
+    assert "decimal" not in df.schema.simpleString(), (
+        f"{key}: output schema contains DecimalType — cast to double "
+        f"in the final projection ({df.schema.simpleString()})"
+    )
     if key in GOLDEN_ORACLE_KEYS and not sf_dir.rstrip("/").endswith("sf0.01"):
         # golden parquet is pinned to the driver's sf0.01 gate scale;
         # the bit-exact compare for these keys runs in

@@ -260,6 +260,70 @@ def test_forced_two_phase_paths(spark):
     assert diff == 0.0, f"scalable BH diverges from single-window BH by {diff}"
 
 
+def test_scalable_cumsum_multi_two_phase(spark):
+    """scalable_cumsum_multi (round-10, q_energy_distance spine):
+    the forced two-phase path must equal the plain one-task window
+    forms for EVERY requested running sum and global total, under
+    reuse-off/AQE-off flags (the round-6 branch-consistency gate —
+    all lineage branches must derive identical _pid from the frozen
+    boundary literals), and its plan must partition every data-grain
+    window by _pid."""
+    from pyspark.sql import Window as W
+
+    from pfithic_spark import windows as win
+
+    n = 120_000
+    df = spark.range(n).select(
+        F.col("id").alias("v"),
+        ((F.col("id") * 37) % 97 + 1).alias("a"),
+        ((F.col("id") * 13) % 41 + 2).alias("b"),
+    )
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {}
+    for k, val in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, val)
+    try:
+        got = win.scalable_cumsum_multi(
+            df,
+            "v",
+            sums={"ca": "a", "cb": "b"},
+            tots={"ta": "a", "tb": "b"},
+            small_threshold=None,
+        )
+        p = _plan(got)
+        assert "windowspecdefinition(_pid" in p, p[:1500]
+        assert "SPARK_PARTITION_ID" not in p.upper()
+        w = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        exp = df.select(
+            "v",
+            F.sum("a").over(w).alias("ca"),
+            F.sum("b").over(w).alias("cb"),
+        )
+        bad = (
+            got.select("v", F.col("ca").alias("ga"), F.col("cb").alias("gb"))
+            .join(exp, "v")
+            .filter((F.col("ga") != F.col("ca")) | (F.col("gb") != F.col("cb")))
+            .count()
+        )
+        assert bad == 0
+        r0 = got.select("ta", "tb").first()
+        tot = df.agg(F.sum("a"), F.sum("b")).first()
+        assert (r0["ta"], r0["tb"]) == (tot[0], tot[1])
+    finally:
+        for k, val in old.items():
+            if val is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, val)
+
+
 def test_scalable_rank_survives_disabled_exchange_reuse(spark):
     """Round-6 review regression: a spark_partition_id-stamped
     two-phase rank is only correct because AQE dedupes the two
@@ -1362,6 +1426,43 @@ def test_quantile_normalize_pooled_rank_scalable(spark, sf_dir, queries):
     assert "CartesianProduct" not in p
 
 
+def test_value_grain_prefix_keys_two_phase_at_scale(
+    spark, sf_dir, queries, monkeypatch
+):
+    """VERDICT r9 #4: every o_totalprice/metric-value-grain prefix-sum
+    key must route through the scalable helpers so that ABOVE the
+    small threshold (monkeypatched to 0 here — the 100 TB regime)
+    every data-grain window in the plan is _pid-partitioned (per-part
+    keys: part cols + _pid), and the forced-two-phase values equal
+    the default-path values exactly."""
+    import re
+
+    from pfithic_spark import windows as win
+
+    keys = (
+        "q_roc_auc",
+        "q_cliffs_delta",
+        "q_weighted_quantile",
+        "q_energy_distance",
+        "q_auc_by_group",
+        "q_conformal_interval",
+    )
+    base = {k: queries[k](spark, sf_dir).collect() for k in keys}
+    monkeypatch.setattr(win, "SMALL_THRESHOLD_DEFAULT", 0)
+    for k in keys:
+        df = queries[k](spark, sf_dir)
+        p = _plan(df)
+        heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+        if k != "q_conformal_interval":
+            # conformal's rank spine is eager-localCheckpointed at
+            # construction, so its RETURNED plan carries no window —
+            # value equality below still exercises the two-phase path
+            assert heads, (k, p[:1500])
+        assert all(h in ("_pid", "segment") for h in heads), (k, heads)
+        got = sorted(map(str, df.collect()))
+        assert got == sorted(map(str, base[k])), k
+
+
 def test_r9_key_plan_shapes(spark, sf_dir, queries):
     """§2.22 performance claims pinned to physical plans:
     (a) q_er_clusters / q_bipartite_projection: the pair generator is
@@ -1443,6 +1544,17 @@ def test_r9_key_plan_shapes(spark, sf_dir, queries):
     p = plan("q_lift_deciles")
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
+    # VERDICT r9 #3: the customer-grain global rank must ride the
+    # two-phase _pid spine — the only permissible unpartitioned
+    # window specs are the 10-row decile-table margins and the
+    # bucket-offset prefix (both bounded grains).  A raw
+    # customer-grain NTILE/row_number shows up as an unpartitioned
+    # spec ordering by score_cents.
+    assert "windowspecdefinition(_pid" in p, p[:1500]
+    assert "ntile" not in p.lower(), p[:1500]
+    for m in re.finditer(r"windowspecdefinition\((\w+)", p):
+        head = m.group(1)
+        assert head in ("_pid", "decile"), (head, p[:1500])
 
 
 def test_conformal_interval_plan(spark, sf_dir, queries):

@@ -630,10 +630,24 @@ def test_interarrival_planted_gaps(spark, tmp_path):
 def test_ngram_novelty_closed_form(spark, tmp_path):
     """Train half (doc 0): 'a b c d' → trigram set {a b c, b c d}.
     Test half (doc 1): 'a b c x y z' → 4 trigrams, 3 novel →
-    novelty_rate 0.75 exactly."""
+    novelty_rate 0.75 exactly.  Short docs (<3 tokens) on BOTH
+    halves contribute ZERO trigrams — Spark's sequence(1, n-2)
+    descends to [1, 0] for n < 3 and tk[i+1] then indexes past the
+    array (round-9 ADVICE high: ArrayIndexOutOfBounds under the
+    default ANSI session; spurious trigrams with ANSI off, where
+    DuckDB's GENERATE_SERIES is empty)."""
     import __spark_entry__ as e
 
-    docs = [(0, "a b c d", "s"), (1, "a b c x y z", "s")]
+    docs = [
+        (0, "a b c d", "s"),
+        (1, "a b c x y z", "s"),
+        # short docs: 0, 1 and 2 tokens, one per half — must neither
+        # crash nor add trigram occurrences
+        (2, "p q", "s"),
+        (3, "p q", "s"),
+        (4, "", "s"),
+        (5, "solo", "s"),
+    ]
     _write_documents(spark, tmp_path.as_posix(), docs)
     r = e.queries()["q_ngram_novelty"](
         spark, tmp_path.as_posix()

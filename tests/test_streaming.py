@@ -1337,10 +1337,13 @@ def test_stream_sink_auto_optimize(spark, sf_dir, tmp_path):
 def test_simhash_index_stream_incremental_dedup(spark, tmp_path):
     """Incremental near-dup candidacy against the maintained band
     index: batch 2's copy of a batch-1 doc is flagged (new_doc,
-    dup_of) through the standing index; unrelated docs are not; the
-    index accumulates every epoch's band rows with provenance, and
-    signatures are IDENTICAL to the batch q_simhash_band_index
-    format (shared llmops.simhash16_band_rows definition)."""
+    dup_of) through the standing index; two near-dups arriving in
+    the SAME micro-batch flag each other within that epoch (round-9
+    ADVICE: the candidates join must not be epoch<current only);
+    unrelated docs are not flagged; the index accumulates every
+    epoch's band rows with provenance, and signatures are IDENTICAL
+    to the batch q_simhash_band_index format (shared
+    llmops.simhash16_band_rows definition)."""
     import time as _time
 
     import __spark_entry__ as e
@@ -1356,7 +1359,11 @@ def test_simhash_index_stream_incremental_dedup(spark, tmp_path):
     b1.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/b1")
     _time.sleep(1.1)  # distinct mtimes → deterministic batch order
     b2 = spark.createDataFrame(
-        [(3, t1, "s"), (4, "unique new content entirely", "s")],
+        [
+            (3, t1, "s"),
+            (4, "unique new content entirely", "s"),
+            (5, t1, "s"),  # within-batch dup of doc 3
+        ],
         "doc_id long, text string, source string",
     )
     b2.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/b2")
@@ -1382,11 +1389,11 @@ def test_simhash_index_stream_incremental_dedup(spark, tmp_path):
         (r["doc_id"], r["dup_of"])
         for r in spark.read.parquet(cand_path).collect()
     }
-    assert (3, 1) in cands, cands
-    assert all(c[0] == 3 and c[1] == 1 for c in cands), cands
+    # (3,1)/(5,1): via the standing index; (5,3): within batch 2
+    assert cands == {(3, 1), (5, 1), (5, 3)}, cands
 
     idx = spark.read.parquet(idx_path)
-    assert idx.count() == 4 * 4  # 4 docs × 4 band rows
+    assert idx.count() == 5 * 4  # 5 docs × 4 band rows
     assert idx.select("epoch").distinct().count() == 2
     # signature parity with the batch key's format
     batch_rows = {
@@ -1394,7 +1401,8 @@ def test_simhash_index_stream_incremental_dedup(spark, tmp_path):
         for r in llmops.simhash16_band_rows(
             spark.createDataFrame(
                 [(1, t1, "s"), (2, t2, "s"), (3, t1, "s"),
-                 (4, "unique new content entirely", "s")],
+                 (4, "unique new content entirely", "s"),
+                 (5, t1, "s")],
                 "doc_id long, text string, source string",
             )
         ).collect()
