@@ -45,14 +45,16 @@ from .keys_r7 import *  # noqa: F401,F403,E402
 from .keys_r8 import *  # noqa: F401,F403,E402
 from .keys_r8b import *  # noqa: F401,F403,E402
 from .keys_r9 import *  # noqa: F401,F403,E402
+from .keys_r10 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # Round-10 sweep (driver checks the first 50).  VERDICT r9 #2:
-    # the 26 §2.22 keys (keys_r9.py — registered after the r9 sweep
-    # window closed, zero driver rows ever), then the two round-9
-    # gate-reds re-proven on their decimal→double output fix
-    # (q_token_chi2 / q_ndcg, VERDICT r9 #1), then the 22 oldest
-    # r5-era keys (newest driver row r5) to fill the 50-key window.
+    # Round-10 sweep (driver checks the first 50).  VERDICT r9 #2
+    # prescribed 26 §2.22 keys + the two re-fixed reds + 22 oldest
+    # r5-era keys; the 13 §2.23 keys added THIS round (keys_r10.py)
+    # outrank 13 of the r5-era re-rows by the rotation's standing
+    # precedence rule (never-driver-rowed keys first — the r5-era
+    # keys all hold an r5-green row), so the window is 26 + 2 + 13
+    # §2.23 + 9 oldest r5-era = 50.
     # §2.22 (keys_r9.py) — never driver-rowed
     "q_er_clusters",
     "q_group_reservoir",
@@ -83,7 +85,21 @@ _VERIFY_FIRST = [
     # round-9 gate-reds, re-proven post decimal→double fix
     "q_token_chi2",
     "q_ndcg",
-    # 22 oldest r5-era keys (newest driver row is still r5)
+    # §2.23 (keys_r10.py) — registered this round, never driver-rowed
+    "q_rolling_distinct_hll",
+    "q_minhash_signature_index",
+    "q_psi_source_panel",
+    "q_stratified_conformal",
+    "q_token_budget_curriculum",
+    "q_kcore_census",
+    "q_ivf_assignment",
+    "q_cohens_kappa",
+    "q_pinball_loss",
+    "q_ratio_metric_delta",
+    "q_k_anonymity",
+    "q_heaps_law",
+    "q_source_overlap",
+    # 9 oldest r5-era keys (newest driver row is still r5)
     "q_join_pit",
     "q_duplicate_rate_report",
     "q_embedding_centroid",
@@ -93,19 +109,6 @@ _VERIFY_FIRST = [
     "q_mann_whitney",
     "q_linear_regression",
     "q_zipf_fit",
-    "q_gini",
-    "q_ks_test",
-    "q_chi_square",
-    "q_graph_degree_dist",
-    "q_burstiness",
-    "q_period_over_period",
-    "q_sample_reservoir",
-    "q_train_test_split",
-    "q_dq_checks",
-    "q_crosstab",
-    "q_corr_matrix",
-    "q_markov_transitions",
-    "q_rolling_median",
 ]
 
 

@@ -1,0 +1,1696 @@
+"""SURVEY.md §2.23 — round-10 operator batch (VERDICT r9 #7).
+
+The maintenance surfaces a 100 TB training-data pipeline runs on a
+schedule, continuing §2.22's assembly layer: rolling distinct series
+from mergeable registers (the q_sketch_merge READ side), the MinHash
+index WRITE path beside the simhash band index, drift panels between
+corpus snapshots, stratified uncertainty, curriculum budgeting,
+ANN-index quality censuses, the IVF assignment write path, and the
+privacy/evaluation censuses (k-anonymity, agreement, pinball loss,
+delta-method ratio SE, winsorized robust stats, source-overlap).
+
+House rules (FIXTURES.md §8): integers end to end wherever possible;
+transcendental ops round(9)-before-use; per-term round → DECIMAL sums
+INTERNALLY only (no registered key ships DecimalType — round-10
+contract); ranks ride windows.scalable_* helpers above the shared
+small threshold; every key has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from .. import llmops  # noqa: F401
+from .. import windows as win  # noqa: F401
+from ..io import epoch_us, load_table  # noqa: F401
+from ._core import _GOLDEN_DIR, register  # noqa: F401
+from .keys_r8b import _HLL_ALPHA, _HLL_M
+from .keys_r9 import _KNNG_K
+
+# ========================================================================
+# q_rolling_distinct_hll — rolling 7-day distinct users from daily
+# mergeable HLL registers, certified against the exact series
+# ========================================================================
+
+
+@register(
+    "q_rolling_distinct_hll",
+    oracle=f"""
+WITH du AS (
+  SELECT DISTINCT EPOCH_US(ts) // 86400000000 AS day,
+         user_id,
+         ((user_id % 2654435761) * 2654435761) % 4294967296 AS h
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du),
+dr AS (
+  SELECT day, h // 16777216 AS bucket,
+         MAX(CASE WHEN h % 16777216 = 0 THEN 25
+                  ELSE 25 - LENGTH(BIN(h % 16777216)) END) AS rho
+  FROM du GROUP BY day, bucket
+),
+grid AS (
+  SELECT d.day, b.bucket
+  FROM days d CROSS JOIN (
+    SELECT UNNEST(GENERATE_SERIES(0, {_HLL_M - 1})) AS bucket) b
+),
+roll AS (
+  SELECT g.day, g.bucket,
+         MAX(COALESCE(dr.rho, 0)) OVER (
+           PARTITION BY g.bucket ORDER BY g.day
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho
+  FROM grid g
+  LEFT JOIN dr ON dr.day = g.day AND dr.bucket = g.bucket
+),
+z AS (
+  SELECT day,
+         CAST(SUM(CAST(1 AS BIGINT) << (32 - rho)) AS BIGINT)
+           AS z_scaled,
+         CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero
+  FROM roll GROUP BY day
+),
+ex AS (
+  SELECT d.day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT)
+           AS n_exact_7d
+  FROM days d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+  GROUP BY d.day
+),
+est AS (
+  SELECT z.day, z.z_scaled, z.n_zero, ex.n_exact_7d,
+         CAST({_HLL_ALPHA!r} AS DOUBLE)
+           * CAST({float(_HLL_M * _HLL_M)!r} AS DOUBLE)
+           * CAST(4294967296.0 AS DOUBLE)
+           / CAST(z.z_scaled AS DOUBLE) AS e_raw
+  FROM z JOIN ex ON z.day = ex.day
+)
+SELECT CAST(day AS BIGINT) AS day, n_zero, z_scaled, n_exact_7d,
+       CASE WHEN e_raw <= CAST({2.5 * _HLL_M!r} AS DOUBLE)
+                 AND n_zero > 0
+            THEN CAST({float(_HLL_M)!r} AS DOUBLE)
+                 * ROUND(LN(CAST({float(_HLL_M)!r} AS DOUBLE)
+                            / CAST(n_zero AS DOUBLE)), 9)
+            ELSE e_raw END AS estimate_7d
+FROM est
+""",
+)
+def q_rolling_distinct_hll(spark, sf_dir):
+    """Rolling 7-day distinct users computed from DAILY mergeable HLL
+    register tables — the READ side of q_sketch_merge's certified
+    merge operator, and the 100 TB form of q_wau: each day's raw
+    stream is touched ONCE to build a 256-register kilobyte summary;
+    every rolling window folds SEVEN summaries by register MAX (the
+    q_hll_sketch portable spelling — Knuth hash, 8-bit bucket, rho =
+    25 − len(bin(w))) instead of re-scanning seven days of events.
+    The exact 7-day COUNT(DISTINCT) (q_wau's bounded 7× explode)
+    rides along as the per-day certification column — sketch
+    estimates are graded, never trusted.
+
+    100 TB shape: the (day, user) dedup is the ONE data-grain
+    shuffle; daily registers are a (day, bucket)-grain aggregate
+    (≤ 256 rows/day), and ALL rolling work — grid, window max,
+    estimate — lives at the bounded days×256 grain.  Determinism:
+    registers and Z = Σ 2³²⁻ʳ are exact integers; the estimate is
+    the q_hll_sketch fixed-order double chain (frozen α; the
+    linear-counting LN rounds 9 before the multiply)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = llmops.knuth_hash("user_id")
+    du = (
+        ev.select(
+            F.floor(epoch_us(ev, "ts") / F.lit(86_400_000_000)).alias(
+                "day"
+            ),
+            "user_id",
+            h.alias("h"),
+        ).distinct()
+    ).persist()  # branches: daily regs + day dim + exact explode
+    try:
+        days = du.select("day").distinct()
+        rho = F.when(F.col("h") % 16_777_216 == 0, F.lit(25)).otherwise(
+            F.lit(25) - F.length(F.bin(F.col("h") % 16_777_216))
+        )
+        dr = (
+            du.select(
+                "day", F.expr("h div 16777216").alias("bucket"), rho.alias("r")
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("r").alias("rho"))
+        )
+        allb = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+        grid = days.crossJoin(F.broadcast(allb))
+        g = grid.join(dr, ["day", "bucket"], "left").select(
+            "day",
+            "bucket",
+            F.coalesce(F.col("rho"), F.lit(0)).alias("rho0"),
+        )
+        wroll = (
+            Window.partitionBy("bucket").orderBy("day").rangeBetween(-6, 0)
+        )
+        roll = g.select(
+            "day", F.max("rho0").over(wroll).alias("rho")
+        )
+        term = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(32 - rho AS INT))"
+        )
+        z = roll.groupBy("day").agg(
+            F.sum(term).cast("long").alias("z_scaled"),
+            F.sum((F.col("rho") == 0).cast("long"))
+            .cast("long")
+            .alias("n_zero"),
+        )
+        # exact side: q_wau's bounded 7× sequence-explode; report days
+        # restrict to observed days (broadcast semi join on the tiny
+        # day dimension)
+        rep = du.select(
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("report_day"),
+            "user_id",
+        )
+        ex = (
+            rep.join(
+                F.broadcast(days.select(F.col("day").alias("report_day"))),
+                "report_day",
+                "left_semi",
+            )
+            .groupBy("report_day")
+            .agg(
+                F.countDistinct("user_id").cast("long").alias("n_exact_7d")
+            )
+            .withColumnRenamed("report_day", "day")
+        )
+        e_raw = (
+            F.lit(_HLL_ALPHA)
+            * F.lit(float(_HLL_M * _HLL_M))
+            * F.lit(4294967296.0)
+            / F.col("z_scaled").cast("double")
+        )
+        est = (
+            F.when(
+                (e_raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
+                F.lit(float(_HLL_M))
+                * F.round(
+                    F.log(
+                        F.lit(float(_HLL_M))
+                        / F.col("n_zero").cast("double")
+                    ),
+                    9,
+                ),
+            )
+            .otherwise(e_raw)
+        )
+        out = z.join(ex, "day").select(
+            F.col("day").cast("long").alias("day"),
+            "n_zero",
+            "z_scaled",
+            "n_exact_7d",
+            est.alias("estimate_7d"),
+        )
+        # bounded day-grain output materializes while du is cached
+        return out.localCheckpoint(eager=True)
+    finally:
+        du.unpersist()
+
+
+# ========================================================================
+# q_minhash_signature_index — maintained MinHash band index (write path)
+# ========================================================================
+
+#: Portable 8-function MinHash: h_j(w) = md5(w || '#' || j) compared
+#: LEXICOGRAPHICALLY (fixed-width lowercase hex — ASCII order is
+#: identical in Spark and DuckDB, so no hex→int conversion is needed
+#: anywhere).  4 bands × 2 rows: a band collides iff both of its mins
+#: agree — the (b, r) = (4, 2) banding catches Jaccard ≥ ~0.3
+#: candidates with the standard 1-(1-s^r)^b curve.  The registry's
+#: heavy-duty minhash (llmops.minhash_lsh_pairs, xxhash64) is NOT
+#: DuckDB-expressible; this md5 variant keeps the INDEX key fully
+#: oracle-backed — band structure and maintenance semantics identical.
+_MH_FUNCS = 8
+_MH_BANDS = 4
+
+
+@register(
+    "q_minhash_signature_index",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+    FROM documents
+  )
+),
+m AS (
+  SELECT doc_id,
+         {", ".join(
+             f"MIN(MD5(w || '#{j}')) AS h{j}"
+             for j in range(1, _MH_FUNCS + 1)
+         )}
+  FROM dt GROUP BY doc_id
+)
+{" UNION ALL ".join(
+    f"SELECT doc_id, CAST({b} AS BIGINT) AS band,"
+    f" h{2 * b + 1} || h{2 * b + 2} AS band_key FROM m"
+    for b in range(_MH_BANDS)
+)}
+""",
+)
+def q_minhash_signature_index(spark, sf_dir):
+    """MinHash BAND INDEX write path — the other half of the
+    maintained dedup index beside q_simhash_band_index (VERDICT r9
+    #7): materialize (doc_id, band, band_key) rows so near-dup
+    candidacy is an equi-join on (band, band_key) against a standing
+    table, never a fresh corpus×corpus pass.  SimHash banding covers
+    small Hamming radii (cosine-style similarity); MinHash banding
+    covers Jaccard set overlap — a production dedup index maintains
+    both.
+
+    100 TB shape: ONE documents scan and ZERO shuffles — the per-doc
+    minima are array_min over transform() on the distinct-token
+    array (no explode, no groupBy; the 8 md5 evaluations per token
+    stay inside whole-stage codegen), and the 4 band rows explode
+    from a 4-element literal-banded array (Generate, like the
+    simhash key).  Determinism: md5 hex is fixed-width lowercase in
+    both engines and MIN/array_min compare ASCII-lexicographically —
+    INTEGER-FREE exact string math end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.array_distinct(llmops.tokens_col("text"))
+
+    def _mh_min(j: int):
+        # NOTE: the transform lambda must be UNARY — a second
+        # parameter (even a defaulted `j=j`) makes pyspark pass the
+        # ELEMENT INDEX as that argument
+        tag = F.lit(f"#{j}")
+        return F.array_min(
+            F.transform(tk, lambda w: F.md5(F.concat(w, tag)))
+        ).alias(f"h{j}")
+
+    mins = [_mh_min(j) for j in range(1, _MH_FUNCS + 1)]
+    m = d.select("doc_id", *mins)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat(
+                    F.col(f"h{2 * b + 1}"), F.col(f"h{2 * b + 2}")
+                ).alias("band_key"),
+            )
+            for b in range(_MH_BANDS)
+        ]
+    )
+    return m.select(
+        "doc_id", F.explode(bands).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+
+
+# ========================================================================
+# q_psi_source_panel — smoothed PSI drift panel per source
+# ========================================================================
+
+#: Industry PSI thresholds: < 0.1 stable, 0.1–0.2 watch, > 0.2 act.
+_PSI_ACT = 0.2
+
+
+@register(
+    "q_psi_source_panel",
+    oracle=f"""
+WITH b AS (
+  SELECT source, doc_id % 2 AS half,
+         LENGTH(BIN(CAST(n_chars AS BIGINT))) - 1 AS bucket
+  FROM documents WHERE n_chars >= 1
+),
+c AS (
+  SELECT source, bucket,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb
+  FROM b GROUP BY source, bucket
+),
+t AS (
+  SELECT source, bucket, na, nb,
+         CAST(SUM(na) OVER (PARTITION BY source) AS BIGINT) AS ta,
+         CAST(SUM(nb) OVER (PARTITION BY source) AS BIGINT) AS tb,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nbins
+  FROM c
+),
+terms AS (
+  SELECT source, ta, tb, nbins,
+         CAST(ROUND(
+           (CAST(na + 1 AS DOUBLE) / CAST(ta + nbins AS DOUBLE)
+            - CAST(nb + 1 AS DOUBLE) / CAST(tb + nbins AS DOUBLE))
+           * ROUND(LN(
+               (CAST(na + 1 AS DOUBLE) / CAST(ta + nbins AS DOUBLE))
+               / (CAST(nb + 1 AS DOUBLE) / CAST(tb + nbins AS DOUBLE))
+             ), 9),
+         9) AS DECIMAL(28,9)) AS contrib
+  FROM t
+),
+s AS (
+  SELECT source, MAX(ta) AS n_a, MAX(tb) AS n_b,
+         MAX(nbins) AS n_bins,
+         CAST(SUM(contrib) AS DECIMAL(28,9)) AS psi_dec
+  FROM terms GROUP BY source
+)
+SELECT source, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(psi_dec AS DOUBLE) AS psi,
+       CAST(psi_dec AS DOUBLE) > {_PSI_ACT!r} AS drift_detected
+FROM s
+""",
+)
+def q_psi_source_panel(spark, sf_dir):
+    """SMOOTHED Population-Stability-Index drift panel PER SOURCE
+    between two corpus snapshots (doc_id parity stands in for
+    release N vs N+1): PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B) over the
+    shared log₂ length buckets.  Differs from the global
+    q_psi_drift (keys_r7: year-over-year order prices, reference-
+    half quantile bins, zero-bins FILTERED) on every contested
+    design axis: per-source slicing (the panel a corpus release
+    gate actually reviews), EXACT integer log₂ bins
+    (q_length_log2_histogram's binning — quantile bin EDGES are
+    data-dependent), and +1 Laplace smoothing so one-sided bins
+    contribute finitely instead of being dropped (§8.17 as
+    smoothing, not filtering — a bin present in only one snapshot
+    IS the drift signal).  The alarm threshold is the industry 0.2
+    'act' level.
+
+    100 TB shape: one scan to the (source, bucket) grain (≤ ~64 rows
+    per source — log₂ of any length fits 6 bits); totals and bin
+    counts are DERIVED marginals (window over the bounded grain);
+    everything after the first aggregate is bounded-grain.
+    Determinism: counts exact int64; p's are single divisions of
+    exact ints; ln rounds 9 BEFORE the multiply, the product rounds
+    9 → DECIMAL(28,9) sum (q_entropy discipline), cast double in the
+    final projection only."""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.filter(F.col("n_chars") >= 1).select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        (
+            F.length(F.bin(F.col("n_chars").cast("long"))) - 1
+        ).alias("bucket"),
+    )
+    c = b.groupBy("source", "bucket").agg(
+        F.sum((F.col("half") == 0).cast("long")).cast("long").alias("na"),
+        F.sum((F.col("half") == 1).cast("long")).cast("long").alias("nb"),
+    )
+    wsrc = Window.partitionBy("source")
+    t = c.select(
+        "source",
+        "na",
+        "nb",
+        F.sum("na").over(wsrc).cast("long").alias("ta"),
+        F.sum("nb").over(wsrc).cast("long").alias("tb"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias("nbins"),
+    )
+    pa = (F.col("na") + 1).cast("double") / (
+        F.col("ta") + F.col("nbins")
+    ).cast("double")
+    pb = (F.col("nb") + 1).cast("double") / (
+        F.col("tb") + F.col("nbins")
+    ).cast("double")
+    contrib = F.round(
+        (pa - pb) * F.round(F.log(pa / pb), 9), 9
+    ).cast("decimal(28,9)")
+    s = t.select(
+        "source", "ta", "tb", "nbins", contrib.alias("contrib")
+    ).groupBy("source").agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.max("nbins").cast("long").alias("n_bins"),
+        F.sum("contrib").cast("decimal(28,9)").alias("psi_dec"),
+    )
+    return s.select(
+        "source",
+        "n_a",
+        "n_b",
+        "n_bins",
+        F.col("psi_dec").cast("double").alias("psi"),
+        (F.col("psi_dec").cast("double") > F.lit(_PSI_ACT)).alias(
+            "drift_detected"
+        ),
+    )
+
+
+# ========================================================================
+# q_stratified_conformal — per-segment conformal quantile (split CP)
+# ========================================================================
+
+#: Split-conformal coverage level: q̂ is the ceil(0.9(n+1))-th
+#: smallest calibration residual (capped at n) — the standard
+#: finite-sample 90% marginal-coverage construction.
+_SCONF_PERMILLE = 900
+
+
+@register(
+    "q_stratified_conformal",
+    oracle="""
+WITH o AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey % 2 AS half
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+st AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_cal,
+         CAST(SUM(cents) AS BIGINT) AS s_cal
+  FROM o WHERE half = 0 GROUP BY segment
+),
+cal AS (
+  SELECT o.segment, o.o_orderkey, st.n_cal,
+         ABS(o.cents * st.n_cal - st.s_cal) AS r_scaled
+  FROM o JOIN st ON o.segment = st.segment WHERE o.half = 0
+),
+rk AS (
+  SELECT segment, r_scaled, n_cal,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY r_scaled, o_orderkey) AS rn
+  FROM cal
+),
+qh AS (
+  SELECT segment, n_cal, CAST(r_scaled AS BIGINT) AS qhat_scaled
+  FROM rk
+  WHERE rn = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
+),
+tst AS (
+  SELECT o.segment,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN ABS(o.cents * q.n_cal - s.s_cal)
+                            <= q.qhat_scaled
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM o
+  JOIN qh q ON o.segment = q.segment
+  JOIN st s ON o.segment = s.segment
+  WHERE o.half = 1 GROUP BY o.segment
+)
+SELECT q.segment, q.n_cal, t.n_test, q.qhat_scaled,
+       CAST(q.qhat_scaled AS DOUBLE) / CAST(q.n_cal AS DOUBLE)
+         AS qhat_cents,
+       t.n_covered,
+       CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+         AS coverage
+FROM qh q JOIN tst t ON q.segment = t.segment
+""",
+)
+def q_stratified_conformal(spark, sf_dir):
+    """STRATIFIED split-conformal calibration: per customer segment,
+    the 90% conformal residual quantile q̂ of a per-segment constant
+    predictor (the calibration half's mean price), evaluated for
+    empirical coverage on the test half — q_conformal_interval gives
+    ONE marginal q̂; fairness-sliced pipelines need the per-stratum
+    table (mondrian/group-conditional CP), exactly as q_auc_by_group
+    slices q_roc_auc.  The residual is kept EXACT by scaling:
+    r = |n·cents − S| (the mean μ = S/n never materializes as a
+    rounded double; comparisons against q̂ use the same n-scaled
+    integer units, valid because center AND scale come from the
+    calibration half).
+
+    100 TB shape: one fact join attaches the segment, the 5-row
+    segment stats broadcast back, and the per-segment residual rank
+    rides windows.scalable_part_rank above the shared small
+    threshold (the q_auc_by_group spine — never one task per
+    segment at scale); the q̂ probe is a rank-equality filter.
+    Determinism: integers until the TWO output divisions (§8.21
+    hardware-exact casts); ceil spelled (9(n+1)+9) div 10 (§8.7);
+    ties broken by o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    st = (
+        base.filter(F.col("half") == 0)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cal"),
+            F.sum("cents").cast("long").alias("s_cal"),
+        )
+    )
+    cal = (
+        base.filter(F.col("half") == 0)
+        .join(F.broadcast(st), "segment")
+        .select(
+            "segment",
+            "o_orderkey",
+            "n_cal",
+            F.abs(
+                F.col("cents") * F.col("n_cal") - F.col("s_cal")
+            ).alias("r_scaled"),
+        )
+    )
+    rk = win.scalable_part_rank(
+        cal,
+        ["segment"],
+        ["r_scaled", "o_orderkey"],
+        rank_col="rn",
+    )
+    qh = rk.filter(
+        F.col("rn")
+        == F.least(
+            F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+        )
+    ).select(
+        "segment", "n_cal", F.col("r_scaled").cast("long").alias("qhat_scaled")
+    )
+    tst = (
+        base.filter(F.col("half") == 1)
+        .join(F.broadcast(qh), "segment")
+        .join(F.broadcast(st.select("segment", "s_cal")), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (
+                    F.abs(
+                        F.col("cents") * F.col("n_cal") - F.col("s_cal")
+                    )
+                    <= F.col("qhat_scaled")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_covered"),
+        )
+    )
+    return qh.join(tst, "segment").select(
+        "segment",
+        "n_cal",
+        "n_test",
+        "qhat_scaled",
+        (
+            F.col("qhat_scaled").cast("double")
+            / F.col("n_cal").cast("double")
+        ).alias("qhat_cents"),
+        "n_covered",
+        (
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
+
+
+# ========================================================================
+# q_token_budget_curriculum — annealed per-epoch mixture schedule
+# ========================================================================
+
+#: (epoch, λ in basis points, budget in permille of total tokens):
+#: λ anneals the mixture from fully proportional (epoch 1) toward
+#: uniform (later epochs) while the per-epoch token budget grows —
+#: the standard data-curriculum shape (early epochs mirror the
+#: corpus, later epochs up-weight rare sources).
+_CURR_EPOCHS = ((1, 10_000, 500), (2, 6_000, 750), (3, 3_000, 1_000))
+
+
+@register(
+    "q_token_budget_curriculum",
+    oracle=f"""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(LOWER(TRIM(text)), ' ')))
+              AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+t AS (
+  SELECT source, toks,
+         CAST(SUM(toks) OVER () AS BIGINT) AS tot,
+         CAST((toks * 10000) // SUM(toks) OVER () AS BIGINT) AS w,
+         CAST(10000 // COUNT(*) OVER () AS BIGINT) AS u
+  FROM s
+),
+e AS (
+  {" UNION ALL ".join(
+      f"SELECT CAST({ep} AS BIGINT) AS epoch,"
+      f" CAST({lam} AS BIGINT) AS lam,"
+      f" CAST({bud} AS BIGINT) AS bud_pm"
+      for ep, lam, bud in _CURR_EPOCHS
+  )}
+),
+a AS (
+  SELECT e.epoch, t.source, t.w,
+         (e.lam * t.w + (10000 - e.lam) * t.u) // 10000 AS mix_bp,
+         (t.tot * e.bud_pm) // 1000 AS budget
+  FROM t CROSS JOIN e
+)
+SELECT epoch, source, CAST(w AS BIGINT) AS weight_bp,
+       CAST(mix_bp AS BIGINT) AS mix_bp,
+       CAST(budget AS BIGINT) AS budget_tokens,
+       CAST((budget * mix_bp) // 10000 AS BIGINT) AS alloc_tokens
+FROM a
+""",
+)
+def q_token_budget_curriculum(spark, sf_dir):
+    """Token-budget CURRICULUM schedule: per training epoch, allocate
+    a growing token budget across sources with a mixture that
+    ANNEALS from corpus-proportional toward uniform — the epoch-level
+    consumer of q_mixture_allocation's one-shot split (VERDICT r9
+    #7: epoch allocation from the mixture machinery).  Epoch e's
+    mixture weight is the λ-blend mix = (λ·w + (1−λ)·u) div 10⁴ of
+    the proportional basis-point share w and the uniform share u;
+    budgets are permille fractions of the total token count.  Like
+    q_mixture_allocation, floors leave a sub-basis-point remainder
+    unallocated by documented contract (a report, not an optimizer).
+
+    100 TB shape: ONE corpus scan to the |sources| grain (token
+    counts via size(tokens) — no explode); everything after rides
+    the bounded grain × a 3-row broadcast epoch grid.  Determinism:
+    INTEGERS END TO END (basis-point weights bound every product:
+    budget·mix_bp ≤ 10⁴·total-tokens stays int64 for any corpus
+    shape — the q_mixture_allocation §8.21 argument verbatim); all
+    divisions are non-negative floor div (§8.7)."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(llmops.tokens_col("text")))
+        .cast("long")
+        .alias("toks")
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = s.select(
+        "source",
+        "toks",
+        F.sum("toks").over(wall).cast("long").alias("tot"),
+        F.expr("(toks * 10000) div (sum(toks) over ())")
+        .cast("long")
+        .alias("w"),
+        F.expr("10000 div (count(1) over ())").cast("long").alias("u"),
+    )
+    epochs = spark.createDataFrame(
+        list(_CURR_EPOCHS), "epoch long, lam long, bud_pm long"
+    )
+    a = t.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "source",
+        F.col("w").alias("weight_bp"),
+        F.expr(
+            "(lam * w + (10000 - lam) * u) div 10000"
+        ).cast("long").alias("mix_bp"),
+        F.expr("(tot * bud_pm) div 1000").cast("long").alias(
+            "budget_tokens"
+        ),
+    )
+    return a.select(
+        "epoch",
+        "source",
+        "weight_bp",
+        "mix_bp",
+        "budget_tokens",
+        F.expr("(budget_tokens * mix_bp) div 10000")
+        .cast("long")
+        .alias("alloc_tokens"),
+    )
+
+
+# ========================================================================
+# q_kcore_census — bounded-round k-core peel of the mutual k-NN graph
+# ========================================================================
+
+#: Core order and synchronous peel rounds.  The mutual k-NN graph has
+#: degree ≤ _KNNG_K = 3, so the 2-core is the meaningful census; 6
+#: synchronous rounds (every round removes ALL nodes of current
+#: degree < K simultaneously) are the DOCUMENTED CONTRACT — the
+#: per-round series is the product (it shows HOW the graph erodes);
+#: full convergence at adversarial chain graphs may need more rounds,
+#: which the final row's fixpoint-reached column certifies.
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    knn = f"""
+WITH s AS (SELECT vec_id, label, embedding FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROUND(
+           LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+           / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         6) AS cosine
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+e AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cosine DESC, dst) AS rn
+  FROM pairs
+),
+edges AS (SELECT src, dst FROM e WHERE rn <= {_KNNG_K}),
+mut AS MATERIALIZED (
+  SELECT e1.src, e1.dst
+  FROM edges e1 JOIN edges e2
+    ON e1.src = e2.dst AND e1.dst = e2.src
+),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM mut)"""
+    peels = []
+    for r in range(_KCORE_ROUNDS):
+        peels.append(f"""
+a{r + 1} AS MATERIALIZED (
+  SELECT src AS node FROM (
+    SELECT m.src, COUNT(*) AS deg
+    FROM mut m
+    JOIN a{r} x ON m.src = x.node
+    JOIN a{r} y ON m.dst = y.node
+    GROUP BY m.src)
+  WHERE deg >= {_KCORE_K}
+)""")
+    rows = []
+    for r in range(_KCORE_ROUNDS + 1):
+        rows.append(f"""
+SELECT CAST({r} AS BIGINT) AS round,
+       CAST((SELECT COUNT(*) FROM a{r}) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM mut m
+             JOIN a{r} x ON m.src = x.node
+             JOIN a{r} y ON m.dst = y.node) // 2 AS BIGINT)
+         AS n_edges""")
+    return knn + "," + ",".join(peels) + " UNION ALL ".join(rows)
+
+
+@register("q_kcore_census", oracle=_kcore_oracle())
+def q_kcore_census(spark, sf_dir):
+    """K-CORE EROSION CENSUS of the mutual k-NN graph: starting from
+    q_knn_graph's reciprocated edge set (the graph
+    clustering/UMAP consume), run 6 SYNCHRONOUS peel
+    rounds — each round simultaneously removes every node whose
+    degree among survivors is < 2 (_KCORE_K) — and report the
+    (round, n_nodes, n_edges) series.  This is the ANN-INDEX QUALITY
+    census (VERDICT r9 #7): a healthy mutual-kNN graph keeps most
+    nodes in the 2-core (locally consistent neighborhoods); mass
+    erosion means isolated chains/tendrils — vectors whose
+    neighborhoods don't reciprocate.  Synchronous rounds (not
+    sequential peeling) make the series engine-order-independent;
+    the bounded round count is the documented contract and the
+    series reaching a fixpoint is visible as equal consecutive rows.
+
+    100 TB shape: the edge build is q_knn_graph's label-blocked
+    equi-join with the rank cap BELOW the mutuality self-join (≤ k·n
+    edges, never n²); each peel round is one degree aggregate + one
+    semi-join against the persisted ≤ n alive set — the classic
+    iterative-peeling dataflow, #rounds bounded by contract.
+    Determinism: pure integer counts; undirected edges counted as
+    directed div 2 (mutual edges are symmetric by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        llmops.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = F.round(
+        llmops.dot_double(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cos.alias("cosine"),
+    )
+    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    edges = (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= _KNNG_K)
+        .select("src", "dst")
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    mut = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.dst"))
+        & (F.col("e1.dst") == F.col("e2.src")),
+    ).select(F.col("e1.src").alias("src"), F.col("e1.dst").alias("dst"))
+    mut = mut.persist()
+    # iterative peeling MUST truncate lineage each round: alive_{r+1}
+    # reads alive_r twice (src + dst semi-joins) and the census twice
+    # more, so an unmaterialized chain re-executes its whole prefix
+    # per reference (exponential), and even persist+count leaves the
+    # LOGICAL plan growing per round (Catalyst re-optimizes an
+    # ever-deeper tree — measured 171 s at sf0.01).  Eager
+    # localCheckpoint materializes the ≤n-row alive set AND resets
+    # the plan to a leaf — rounds stay constant-cost (~5 s total).
+    mut.count()
+    persisted = [mut]
+    try:
+        alive = (
+            mut.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        rows = []
+
+        def census(rnd, alive_df):
+            ae = mut.join(
+                F.broadcast(alive_df.select(F.col("node").alias("src"))),
+                "src",
+                "left_semi",
+            ).join(
+                F.broadcast(alive_df.select(F.col("node").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+            return (
+                alive_df.agg(F.count(F.lit(1)).alias("nn"))
+                .crossJoin(ae.agg(F.count(F.lit(1)).alias("ne")))
+                .select(
+                    F.lit(rnd).cast("long").alias("round"),
+                    F.col("nn").cast("long").alias("n_nodes"),
+                    F.expr("ne div 2").cast("long").alias("n_edges"),
+                )
+            )
+
+        rows.append(census(0, alive))
+        for r in range(_KCORE_ROUNDS):
+            ae = mut.join(
+                F.broadcast(alive.select(F.col("node").alias("src"))),
+                "src",
+                "left_semi",
+            ).join(
+                F.broadcast(alive.select(F.col("node").alias("dst"))),
+                "dst",
+                "left_semi",
+            )
+            deg = ae.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            alive = (
+                deg.filter(F.col("deg") >= _KCORE_K)
+                .select(F.col("src").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+            rows.append(census(r + 1, alive))
+        out = rows[0]
+        for rdf in rows[1:]:
+            out = out.unionByName(rdf)
+        # bounded 7-row series materializes while the caches are live
+        return out.localCheckpoint(eager=True)
+    finally:
+        for p in persisted:
+            p.unpersist()
+
+
+# ========================================================================
+# q_ivf_assignment — IVF cell-assignment write path (frozen codebook)
+# ========================================================================
+
+
+@register(
+    "q_ivf_assignment",
+    oracle=f"""
+WITH c AS (
+  SELECT cell, centroid
+  FROM read_parquet('{_GOLDEN_DIR}/ivf_centroids.parquet')
+),
+q AS (
+  SELECT e.vec_id, c.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(
+           LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+             i -> CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)
+                             * 1000000, 0) AS BIGINT)
+                  - CAST(ROUND(c.centroid[i] * 1000000, 0)
+                         AS BIGINT)),
+           d -> d * d)) AS BIGINT) AS dist2_micro
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cell, dist2_micro,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist2_micro, cell) AS rn
+  FROM q
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist2_micro
+FROM r WHERE rn = 1
+""",
+)
+def q_ivf_assignment(spark, sf_dir):
+    """IVF ASSIGNMENT write path: materialize every vector's nearest
+    cell under the FROZEN committed codebook
+    (tests/golden/ivf_centroids.parquet — the same 16 centroids
+    q_sim_ivf prunes with) as a maintained (vec_id, cell, dist2)
+    table — the missing WRITE half of the IVF stack (VERDICT r9 #7:
+    q_sim_ivf READS cells; nothing materialized assignments).  At
+    serving time the searcher probes cells from this table instead
+    of re-scoring the codebook per query.
+
+    100 TB shape: vectors × 16 broadcast centroids — a bounded 16×
+    row expansion, never vector×vector; the argmin is a per-vector
+    WindowGroupLimit (rank 1 of 16).  Determinism: components
+    micro-quantize to int64 BEFORE the distance (Σ of 64 squared
+    diffs ≤ 64·(2·5·10⁶)² ≈ 6.4·10¹⁵ — §8.21-safe), so dist2 is
+    EXACT integer math in both engines and the (dist2, cell) argmin
+    has no float tie ambiguity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = spark.read.parquet(f"{_GOLDEN_DIR}/ivf_centroids.parquet")
+    qc = cent.select(
+        "cell",
+        F.transform(
+            F.col("centroid"),
+            lambda x: F.round(x * 1_000_000, 0).cast("long"),
+        ).alias("cq"),
+    )
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                "long"
+            ),
+        ).alias("eq"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("eq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    q = qe.crossJoin(F.broadcast(qc)).select(
+        "vec_id", "cell", d2.alias("dist2_micro")
+    )
+    wv = Window.partitionBy("vec_id").orderBy("dist2_micro", "cell")
+    return (
+        q.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            "dist2_micro",
+        )
+    )
+
+
+# ========================================================================
+# q_cohens_kappa — chance-corrected agreement of two quality raters
+# ========================================================================
+
+#: The two deterministic "raters": character-length and token-count
+#: thresholds near the corpus median — correlated but not identical,
+#: the realistic heuristic-agreement shape.
+_KAPPA_CHAR_MIN = 300
+_KAPPA_TOK_MIN = 55
+
+
+@register(
+    "q_cohens_kappa",
+    oracle=f"""
+WITH r AS (
+  SELECT CASE WHEN n_chars >= {_KAPPA_CHAR_MIN} THEN 1 ELSE 0 END
+           AS ra,
+         CASE WHEN LEN(STRING_SPLIT(LOWER(TRIM(text)), ' '))
+                   >= {_KAPPA_TOK_MIN} THEN 1 ELSE 0 END AS rb
+  FROM documents
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(ra * rb) AS BIGINT) AS n11,
+         CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+         CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+         CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+  FROM r
+)
+SELECT n, n11, n10, n01, n00,
+       CASE WHEN n = 0 OR
+                 n * n = (n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00)
+            THEN NULL
+            ELSE (CAST(n * (n11 + n00) AS DOUBLE)
+                  - CAST((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00) AS DOUBLE))
+                 / (CAST(n * n AS DOUBLE)
+                    - CAST((n11 + n10) * (n11 + n01)
+                           + (n01 + n00) * (n10 + n00) AS DOUBLE))
+       END AS kappa
+FROM s
+""",
+)
+def q_cohens_kappa(spark, sf_dir):
+    """COHEN'S KAPPA between two deterministic quality raters
+    (char-length vs token-count thresholds) — the chance-corrected
+    agreement statistic every labeling/filter-ensemble pipeline
+    reports before trusting heuristic consensus (raw agreement
+    overstates it whenever base rates are skewed; kappa subtracts
+    the agreement two INDEPENDENT raters with these marginals would
+    reach by luck).  κ = (n·(n11+n00) − E) / (n² − E) with
+    E = (n11+n10)(n11+n01) + (n01+n00)(n10+n00) — the n-scaled
+    integer spelling, so no probability materializes before the one
+    division.
+
+    100 TB shape: one map-side-combinable scalar census — no joins,
+    no windows.  Determinism: exact int64 (E ≤ n² — 8 M docs leaves
+    40 margin bits), ONE division of hardware-exact casts (§8.21),
+    NULL when chance agreement is total (n² = E: a degenerate
+    all-one-cell table, §8.17)."""
+    d = load_table(spark, sf_dir, "documents")
+    ra = (F.col("n_chars") >= _KAPPA_CHAR_MIN).cast("long")
+    rb = (
+        F.size(llmops.tokens_col("text")) >= _KAPPA_TOK_MIN
+    ).cast("long")
+    s = d.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("n11"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("long")
+        .alias("n00"),
+    )
+    e_chance = (F.col("n11") + F.col("n10")) * (
+        F.col("n11") + F.col("n01")
+    ) + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    kappa = (
+        (F.col("n") * (F.col("n11") + F.col("n00"))).cast("double")
+        - e_chance.cast("double")
+    ) / (
+        (F.col("n") * F.col("n")).cast("double")
+        - e_chance.cast("double")
+    )
+    return s.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(
+            (F.col("n") == 0)
+            | (F.col("n") * F.col("n") == e_chance),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(kappa)
+        .alias("kappa"),
+    )
+
+
+# ========================================================================
+# q_pinball_loss — quantile-forecast evaluation per segment
+# ========================================================================
+
+#: Evaluated quantile levels in percent (pinball loss at τ = 0.5 is
+#: half the MAE; τ = 0.9 scores the upper-tail forecast).
+_PINBALL_TAUS = (50, 90)
+
+
+@register(
+    "q_pinball_loss",
+    oracle=f"""
+WITH o AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey % 2 AS half
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+trn AS (
+  SELECT segment, cents, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY cents, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM o WHERE half = 0
+),
+fc AS (
+  SELECT segment,
+         MIN(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END)
+           AS f50,
+         MIN(CASE WHEN rn = (90 * n + 99) // 100 THEN cents END)
+           AS f90
+  FROM trn GROUP BY segment
+),
+ev AS (
+  SELECT o.segment,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN o.cents >= fc.f50
+                       THEN 50 * (o.cents - fc.f50)
+                       ELSE 50 * (fc.f50 - o.cents) END)
+              AS BIGINT) AS loss50_x100,
+         CAST(SUM(CASE WHEN o.cents >= fc.f90
+                       THEN 90 * (o.cents - fc.f90)
+                       ELSE 10 * (fc.f90 - o.cents) END)
+              AS BIGINT) AS loss90_x100
+  FROM o JOIN fc ON o.segment = fc.segment
+  WHERE o.half = 1 GROUP BY o.segment
+)
+SELECT e.segment, f.f50 AS f50_cents, f.f90 AS f90_cents, e.n_test,
+       e.loss50_x100, e.loss90_x100,
+       CAST(e.loss50_x100 AS DOUBLE)
+         / (CAST(e.n_test AS DOUBLE) * 100.0) AS mean_pinball50,
+       CAST(e.loss90_x100 AS DOUBLE)
+         / (CAST(e.n_test AS DOUBLE) * 100.0) AS mean_pinball90
+FROM ev e JOIN fc f ON e.segment = f.segment
+""",
+)
+def q_pinball_loss(spark, sf_dir):
+    """PINBALL (quantile) LOSS evaluation: per customer segment, the
+    train half's nearest-rank P50/P90 price is the quantile
+    FORECAST; the test half scores it with the pinball loss
+    L_τ(y,f) = τ(y−f)⁺ + (1−τ)(f−y)⁺ — THE proper scoring rule for
+    quantile predictions (a forecaster minimizes expected pinball
+    loss exactly by reporting the true quantile), the evaluation
+    side of q_weighted_quantile/q_tdigest_quantiles' estimation
+    side.  τ = 0.5 and 0.9.
+
+    100 TB shape: the per-segment train rank rides
+    windows.scalable_part_rank above the shared small threshold (the
+    q_auc_by_group spine); the 5-row forecast table broadcasts onto
+    the test half; the census is map-side-combinable.  Determinism:
+    INTEGER pinball units — losses scale by 100·τ ∈ {{50, 90}} so
+    every term is exact int64 (Σ ≤ 90·n·maxcents ≈ 8M·90·6·10⁷ ≈
+    4.3·10¹⁶, §8.21-safe); nearest-rank positions are ceil spelled
+    (τ·n + 99) div 100 (§8.7); the two mean divisions are the only
+    doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    trn = base.filter(F.col("half") == 0)
+    cnt = trn.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rk = win.scalable_part_rank(
+        trn.select("segment", "cents", "o_orderkey"),
+        ["segment"],
+        ["cents", "o_orderkey"],
+        rank_col="rn",
+    ).join(F.broadcast(cnt), "segment")
+    fc = rk.groupBy("segment").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(50 * n + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("f50"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(90 * n + 99) div 100"),
+                F.col("cents"),
+            )
+        ).alias("f90"),
+    )
+    ev = (
+        base.filter(F.col("half") == 1)
+        .join(F.broadcast(fc), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("cents") >= F.col("f50"),
+                    50 * (F.col("cents") - F.col("f50")),
+                ).otherwise(50 * (F.col("f50") - F.col("cents")))
+            )
+            .cast("long")
+            .alias("loss50_x100"),
+            F.sum(
+                F.when(
+                    F.col("cents") >= F.col("f90"),
+                    90 * (F.col("cents") - F.col("f90")),
+                ).otherwise(10 * (F.col("f90") - F.col("cents")))
+            )
+            .cast("long")
+            .alias("loss90_x100"),
+        )
+    )
+    return ev.join(F.broadcast(fc), "segment").select(
+        "segment",
+        F.col("f50").alias("f50_cents"),
+        F.col("f90").alias("f90_cents"),
+        "n_test",
+        "loss50_x100",
+        "loss90_x100",
+        (
+            F.col("loss50_x100").cast("double")
+            / (F.col("n_test").cast("double") * F.lit(100.0))
+        ).alias("mean_pinball50"),
+        (
+            F.col("loss90_x100").cast("double")
+            / (F.col("n_test").cast("double") * F.lit(100.0))
+        ).alias("mean_pinball90"),
+    )
+
+
+# ========================================================================
+# q_ratio_metric_delta — delta-method SE of a ratio metric per arm
+# ========================================================================
+
+#: hi/lo split base for the second-moment sums (§8.21: Σ x² at 8 M
+#: customers exceeds int64; per-term split keeps BOTH piece-sums
+#: exact — Σlo ≤ n·2²¹, Σhi ≤ Σt/2²¹).
+_RMD_SPLIT = 2_097_152
+
+
+@register(
+    "q_ratio_metric_delta",
+    oracle=f"""
+WITH cu AS (
+  SELECT o_custkey,
+         CASE WHEN (((o_custkey % 2654435761) * 2654435761)
+                    % 4294967296) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS xc,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT arm, xc, y, xc // 100 AS xd FROM cu
+),
+s AS (
+  SELECT arm,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS sum_cents,
+         CAST(SUM(xd) AS BIGINT) AS sxd,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM((xd * xd) // {_RMD_SPLIT}) AS BIGINT) AS sxx_hi,
+         CAST(SUM((xd * xd) % {_RMD_SPLIT}) AS BIGINT) AS sxx_lo,
+         CAST(SUM((xd * y) // {_RMD_SPLIT}) AS BIGINT) AS sxy_hi,
+         CAST(SUM((xd * y) % {_RMD_SPLIT}) AS BIGINT) AS sxy_lo,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM t GROUP BY arm
+),
+m AS (
+  SELECT arm, n, sum_cents, sy,
+         CAST(sxd AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         (CAST(sxx_hi AS DOUBLE) * {float(_RMD_SPLIT)!r}
+          + CAST(sxx_lo AS DOUBLE)) / CAST(n AS DOUBLE) AS exx,
+         (CAST(sxy_hi AS DOUBLE) * {float(_RMD_SPLIT)!r}
+          + CAST(sxy_lo AS DOUBLE)) / CAST(n AS DOUBLE) AS exy,
+         CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) AS eyy,
+         CAST(sxd AS DOUBLE) / CAST(sy AS DOUBLE) AS rd
+  FROM s
+)
+SELECT arm, n AS n_customers, sum_cents, sy AS n_orders,
+       CAST(sum_cents AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio_cents,
+       CASE WHEN n = 0 OR sy = 0 THEN NULL ELSE
+         SQRT(GREATEST(
+           ((exx - mx * mx)
+            - 2.0 * rd * (exy - mx * my)
+            + rd * rd * (eyy - my * my)) / CAST(n AS DOUBLE),
+           0.0)) / my END AS se_dollars
+FROM m
+""",
+)
+def q_ratio_metric_delta(spark, sf_dir):
+    """DELTA-METHOD standard error of a RATIO metric per experiment
+    arm (revenue per order, arms = the standard Knuth-hash 50/50
+    split): ratio metrics violate the unit-of-analysis assumption —
+    orders cluster within customers, so a naive per-order SE is
+    anti-conservative — and the delta method on CUSTOMER-level
+    (x, y) sums is the industry-standard correction
+    (se(R̂) ≈ √((σ_x² − 2Rσ_xy + R²σ_y²)/n)/ȳ).  The variance-side
+    moments run in floor-DOLLAR units (documented contract; the
+    ratio itself stays exact cents).
+
+    100 TB shape: one customer-grain aggregate, then a 2-row arm
+    census — map-side combinable end to end, no joins.
+    Determinism/overflow (§8.21): the PRODUCT terms x², x·y wrap
+    int64 at realistic scale (8 M customers × 10⁷-dollar whales →
+    Σx² ≈ 10²¹), so each term hi/lo-splits at 2²¹ (Σlo ≤ n·2²¹ ≈
+    1.7·10¹³, Σhi ≤ Σt/2²¹ — both exact int64); Σy² fits directly
+    (y ≤ 10⁴ orders/customer → Σ ≤ 8·10¹⁴); reconstruction and the
+    fixed-order variance chain run in doubles identically; SQRT is
+    IEEE-exact; NULL on an empty arm (§8.17)."""
+    o = load_table(spark, sf_dir, "orders")
+    arm = F.when(
+        llmops.knuth_hash("o_custkey") % 2 == 0, "A"
+    ).otherwise("B")
+    cu = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("xc"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    ).select(
+        arm.alias("arm"),
+        "xc",
+        "y",
+        F.expr("xc div 100").alias("xd"),
+    )
+    sp = _RMD_SPLIT
+    s = cu.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sum_cents"),
+        F.sum("xd").cast("long").alias("sxd"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr(f"(xd * xd) div {sp}")).cast("long").alias("sxx_hi"),
+        F.sum(F.expr(f"(xd * xd) % {sp}")).cast("long").alias("sxx_lo"),
+        F.sum(F.expr(f"(xd * y) div {sp}")).cast("long").alias("sxy_hi"),
+        F.sum(F.expr(f"(xd * y) % {sp}")).cast("long").alias("sxy_lo"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    mx = F.col("sxd").cast("double") / nD
+    my = F.col("sy").cast("double") / nD
+    exx = (
+        F.col("sxx_hi").cast("double") * F.lit(float(sp))
+        + F.col("sxx_lo").cast("double")
+    ) / nD
+    exy = (
+        F.col("sxy_hi").cast("double") * F.lit(float(sp))
+        + F.col("sxy_lo").cast("double")
+    ) / nD
+    eyy = F.col("syy").cast("double") / nD
+    rd = F.col("sxd").cast("double") / F.col("sy").cast("double")
+    se = (
+        F.sqrt(
+            F.greatest(
+                (
+                    (exx - mx * mx)
+                    - F.lit(2.0) * rd * (exy - mx * my)
+                    + rd * rd * (eyy - my * my)
+                )
+                / nD,
+                F.lit(0.0),
+            )
+        )
+        / my
+    )
+    return s.select(
+        "arm",
+        F.col("n").alias("n_customers"),
+        "sum_cents",
+        F.col("sy").alias("n_orders"),
+        (
+            F.col("sum_cents").cast("double")
+            / F.col("sy").cast("double")
+        ).alias("ratio_cents"),
+        F.when(
+            (F.col("n") == 0) | (F.col("sy") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(se)
+        .alias("se_dollars"),
+    )
+
+
+# ========================================================================
+# q_k_anonymity — quasi-identifier group-size census
+# ========================================================================
+
+#: Re-identification thresholds reported by the census: a group of
+#: size < k re-identifies its members at confidence ≥ 1/k.
+_KANON_LEVELS = (2, 5, 10)
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS min_group_size,
+       CAST(SUM(sz) AS BIGINT) AS n_rows,
+       {", ".join(
+           f"CAST(SUM(CASE WHEN sz < {k} THEN 1 ELSE 0 END) AS BIGINT)"
+           f" AS groups_lt{k},"
+           f" CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END)"
+           f" AS BIGINT) AS rows_lt{k}"
+           for k in _KANON_LEVELS
+       )}
+FROM g
+""",
+)
+def q_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY census of the quasi-identifier (nation, market
+    segment): group sizes of the QI equivalence classes, the minimum
+    class size (= the k the table actually achieves), and at the
+    standard k ∈ (2, 5, 10) levels how many classes — and how many
+    ROWS — fall below (each such row is re-identifiable at
+    confidence ≥ 1/k given the QI).  The release gate that runs
+    BEFORE q_dp_counts' noisy export: suppression/generalization
+    targets come from exactly this census.
+
+    100 TB shape: one map-side-combinable QI-grain aggregate, then a
+    single-row census over the bounded class table — no joins, no
+    windows.  Determinism: pure exact integer counts."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("min_group_size"),
+        F.sum("sz").cast("long").alias("n_rows"),
+    ]
+    for k in _KANON_LEVELS:
+        aggs.append(
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"groups_lt{k}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias(f"rows_lt{k}")
+        )
+    return g.agg(*aggs)
+
+
+# ========================================================================
+# q_heaps_law — vocabulary-growth (Heaps' law) fit across sources
+# ========================================================================
+
+
+@register(
+    "q_heaps_law",
+    oracle="""
+WITH sw AS (
+  SELECT source, w, COUNT(*) AS cnt FROM (
+    SELECT source,
+           UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+    FROM documents
+  ) GROUP BY source, w
+),
+s AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM sw GROUP BY source
+),
+xy AS (
+  SELECT source, n_tokens, n_types,
+         ROUND(LN(CAST(n_tokens AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(n_types AS DOUBLE)), 9) AS y
+  FROM s
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxy
+  FROM xy
+)
+SELECT xy.source, xy.n_tokens, xy.n_types,
+       CASE WHEN m.n < 2 OR m.n * m.sxx - m.sx * m.sx = 0 THEN NULL
+            ELSE ROUND((m.n * m.sxy - m.sx * m.sy)
+                       / (m.n * m.sxx - m.sx * m.sx), 6) END
+         AS heaps_beta,
+       CASE WHEN m.n < 2 OR m.n * m.sxx - m.sx * m.sx = 0 THEN NULL
+            ELSE ROUND((m.sy - (m.n * m.sxy - m.sx * m.sy)
+                               / (m.n * m.sxx - m.sx * m.sx)
+                               * m.sx) / m.n, 6) END
+         AS heaps_lnk
+FROM xy CROSS JOIN m
+""",
+)
+def q_heaps_law(spark, sf_dir):
+    """HEAPS'-LAW vocabulary-growth fit: per source the (total
+    tokens N, distinct types V) point, plus the cross-source OLS fit
+    of ln V ~ ln N (V = k·N^β, natural text sits near β ≈ 0.4-0.6)
+    attached to every row — the vocabulary-side corpus-health
+    fingerprint beside q_zipf_fit's rank-frequency slope: a source
+    whose (N, V) point falls far off the fitted line is template/
+    boilerplate text (V grows too slowly) or ID-noise (too fast),
+    the signal dedup and quality filters should chase first.
+
+    100 TB shape: ONE corpus scan to the (source, token)
+    inverted-index grain; N and V are both aggregates OF that grain
+    (token occurrences never shuffle twice); the regression runs
+    over the bounded |sources|-row panel and attaches as a 1-row
+    broadcast.  Determinism: the q_zipf_fit OLS spelling verbatim —
+    ln round(9) before use, per-term round(9) → DECIMAL(28,9) sums
+    internal, slope/intercept round(6) doubles out; NULL when fewer
+    than 2 sources or zero x-variance (§8.17)."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = (
+        d.select(
+            "source", F.explode(llmops.tokens_col("text")).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # the bounded |sources|-row panel feeds TWO consumers (the fit
+    # aggregate + the output rows) — persist it so the corpus scan
+    # and inverted-index aggregate execute ONCE, not per branch (the
+    # q_token_chi2 persist-then-checkpoint discipline)
+    s = sw.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    ).persist()
+    xy = s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("n_types").cast("double")), 9).alias("y"),
+    )
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(28,9)")).cast("double")
+
+    m = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        dsum(F.round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+    )
+    beta_raw = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    degenerate = (F.col("n") < 2) | (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") == 0
+    )
+    out = xy.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(F.round(beta_raw, 6))
+        .alias("heaps_beta"),
+        F.when(degenerate, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (F.col("sy") - beta_raw * F.col("sx")) / F.col("n"), 6
+            )
+        )
+        .alias("heaps_lnk"),
+    )
+    try:
+        # bounded |sources|-row output materializes while s is cached
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.unpersist()
+
+
+# ========================================================================
+
+# q_source_overlap — pairwise vocabulary Jaccard between sources
+# ========================================================================
+
+
+@register(
+    "q_source_overlap",
+    oracle="""
+WITH st AS (
+  SELECT DISTINCT source, w FROM (
+    SELECT source,
+           UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+    FROM documents
+  )
+),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vs FROM st
+       GROUP BY source),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, sa.vs AS n_a, sb.vs AS n_b,
+       i.n_common,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(sa.vs + sb.vs - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sz sa ON i.source_a = sa.source
+JOIN sz sb ON i.source_b = sb.source
+""",
+)
+def q_source_overlap(spark, sf_dir):
+    """Pairwise VOCABULARY OVERLAP between sources: Jaccard of the
+    per-source distinct-token sets for every source pair — the
+    corpus-composition diagnostic behind mixture decisions (two
+    sources with jaccard ≈ 1 are redundant; near-0 pairs are the
+    diversity q_mixture_allocation should protect), and the
+    source-level companion to q_dedup_near's document-level overlap.
+
+    100 TB shape: ONE corpus scan collapses to the (source, token)
+    DISTINCT grain (inverted-index shape — a token appearing N times
+    in a source is one row); the pair join is token-keyed with
+    fan-out bounded by |sources|² per token (never corpus×corpus);
+    sizes broadcast back onto the bounded |sources|²-row result.
+    Determinism: exact integer set sizes, ONE division (§8.21)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(
+                F.array_distinct(llmops.tokens_col("text"))
+            ).alias("w"),
+        )
+        .distinct()
+    ).persist()  # branches: sizes + both sides of the pair join
+    try:
+        sz = st.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("vs")
+        )
+        a = st.select(F.col("source").alias("source_a"), "w")
+        b = st.select(F.col("source").alias("source_b"), "w")
+        inter = (
+            a.join(b, "w")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        )
+        out = (
+            inter.join(
+                F.broadcast(
+                    sz.select(
+                        F.col("source").alias("source_a"),
+                        F.col("vs").alias("n_a"),
+                    )
+                ),
+                "source_a",
+            )
+            .join(
+                F.broadcast(
+                    sz.select(
+                        F.col("source").alias("source_b"),
+                        F.col("vs").alias("n_b"),
+                    )
+                ),
+                "source_b",
+            )
+            .select(
+                "source_a",
+                "source_b",
+                "n_a",
+                "n_b",
+                "n_common",
+                (
+                    F.col("n_common").cast("double")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.col("n_common")
+                    ).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+        # bounded |sources|²-row output materializes while st is live
+        return out.localCheckpoint(eager=True)
+    finally:
+        st.unpersist()

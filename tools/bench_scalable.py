@@ -3229,6 +3229,140 @@ def main() -> None:
         assert r["p1"] // 10 == r["p2"] // 10 and r["p1"] < r["p2"]
         assert r["p1"] < 10_000_000
 
+    # --- q_er_clusters machinery: pointer-jump CC at 8M edges -------
+    # (round-10, VERDICT r9 #6) the capped-block pair claim is shared
+    # with q_record_linkage and already gated; what is NOT shared is
+    # the component-labeling iteration count.  Planted ADVERSARIAL
+    # graph: n vertices in 1000-link CHAINS (depth-1000 label trees —
+    # plain min-propagation needs ~1000 rounds; the pointer jump must
+    # settle in ~log2(1000) ≈ 10), component id = block start by the
+    # min-label contract.
+    import math as _math
+
+    cc_block = 1000
+    cc_edges = (
+        spark.range(n)
+        .filter((F.col("id") % cc_block) != cc_block - 1)
+        .select(
+            F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+        )
+    )
+    cc_verts = spark.range(n).select(F.col("id").alias("doc_id"))
+    t0 = time.time()
+    cc = llmops.connected_components(cc_edges, cc_verts)
+    cc_bad, cc_nclusters, cc_rows = (
+        cc.agg(
+            F.sum(
+                (
+                    F.col("cluster_id")
+                    != (F.expr("doc_id div 1000") * cc_block)
+                ).cast("long")
+            ),
+            F.countDistinct("cluster_id"),
+            F.count(F.lit(1)),
+        ).collect()[0]
+    )
+    cc_s = time.time() - t0
+    assert cc_rows == n and cc_bad == 0, (cc_rows, cc_bad)
+    assert cc_nclusters == n // cc_block, cc_nclusters
+    sz_off = cc.filter(F.col("cluster_size") != cc_block).count()
+    assert sz_off == 0, sz_off
+
+    # --- q_session_ngrams machinery: 8M events, one-shuffle ---------
+    # (round-10, VERDICT r9 #6) u users x L events cycling A,B,C at
+    # 1 s spacing (single session each: gap << 30 min): per-user
+    # trigram counts are the closed form (L=1000: A>B>C 333,
+    # B>C>A 333, C>A>B 332), and the plan's one user_id shuffle claim
+    # is exercised at full 8M scale through the registered key.
+    import __spark_entry__ as _entry
+
+    sn_L = 1000
+    sn_users = n // sn_L
+    sn_dir = tempfile.mkdtemp(prefix="bench_sn_")
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(base_us) + (F.col("id") % sn_L) * 1_000_000
+            ).alias("ts"),
+            F.expr(f"id div {sn_L}").alias("user_id"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("B"), F.lit("C")),
+                (((F.col("id") % sn_L) % 3) + 1).cast("int"),
+            ).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{sn_dir}/events.parquet")
+    )
+    t0 = time.time()
+    sn_top = _entry.queries()["q_session_ngrams"](spark, sn_dir).collect()
+    sn_s = time.time() - t0
+    sn_got = {r["trigram"]: r["n_occurrences"] for r in sn_top[:3]}
+    assert sn_got == {
+        "A>B>C": 333 * sn_users,
+        "B>C>A": 333 * sn_users,
+        "C>A>B": 332 * sn_users,
+    }, sn_got
+
+    # --- q_conformal_interval machinery: 8M-residual rank -----------
+    # (round-10, VERDICT r9 #6) planted exactly-recoverable OLS
+    # (residuals in +/- pairs at the same x: Sum e = Sum x*e = 0, so
+    # slope/intercept round(9)/(6) to EXACTLY 2.5/0.0) with n/2
+    # DISTINCT residual magnitudes 0.01*k — the value-grain rank runs
+    # the scalable_cumsum two-phase path (grain 4M > the 2M
+    # threshold) and q-hat/coverage have first-principles closed
+    # forms from the planted rank structure.
+    cf_dir = tempfile.mkdtemp(prefix="bench_cf_")
+    half_n = n // 2
+    # QUADS of rows sharing (x, |d|): ids 4q..4q+3; the EVEN ids (the
+    # fit half) get one +d and one -d member (id%4 == 0 / 2), the odd
+    # ids (test half) likewise — so within the fit half Sum e = 0 and
+    # Sum x*e = 0 hold exactly and OLS recovers (2.5, 0) to the
+    # round(9)/(6) digit; |d| = 0.01*(q+1) gives n/4 DISTINCT
+    # residual magnitudes, each appearing twice per half
+    q_col = F.expr("id div 4")
+    d_col = (q_col + 1).cast("double") * 0.01
+    e_col = F.when(F.col("id") % 4 <= 1, d_col).otherwise(-d_col)
+    x_col = ((q_col % 1000) + 1).cast("double")
+    (
+        spark.range(n)
+        .select(
+            # even ids -> orderkey even (fit half), odd -> test half
+            (F.col("id") * 1).alias("rid"),
+            x_col.alias("x"),
+            e_col.alias("e"),
+        )
+        .select(
+            F.col("rid").alias("l_orderkey"),
+            F.lit(1).cast("int").alias("l_linenumber"),
+            F.lit(0).cast("long").alias("l_partkey"),
+            F.col("x").alias("l_quantity"),
+            (F.lit(2.5) * F.col("x") + F.col("e")).alias(
+                "l_extendedprice"
+            ),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{cf_dir}/lineitem.parquet")
+    )
+    t0 = time.time()
+    cf = _entry.queries()["q_conformal_interval"](spark, cf_dir).collect()[0]
+    cf_s = time.time() - t0
+    assert cf["n_cal"] == half_n and cf["n_test"] == half_n
+    assert cf["slope"] == 2.5 and cf["intercept"] == 0.0, cf
+    # ranks by construction: residual magnitudes 0.01*k (k=1..n/4)
+    # each appearing TWICE in the fit half -> cum(0.01k) = 2k;
+    # q-hat = 0.01 * ceil(0.9 * (n_cal + 1) / 2)
+    k_q = -(-(900 * (half_n + 1)) // (1000 * 2))  # ceil
+    assert abs(cf["qhat"] - round(0.01 * k_q, 6)) < 1e-9, (
+        cf["qhat"], k_q,
+    )
+    # test half mirrors the fit half -> covered = 2*k_q of half_n
+    assert cf["n_covered"] == 2 * k_q, cf
+
     print(
         json.dumps(
             {
@@ -3318,6 +3452,9 @@ def main() -> None:
                 "containment_cap_s": round(containment_cap_s, 2),
                 "adamic_adar_cap_s": round(adamic_adar_cap_s, 2),
                 "jsd_s": round(jsd_s, 2),
+                "cc_pointer_jump_s": round(cc_s, 2),
+                "session_ngrams_s": round(sn_s, 2),
+                "conformal_rank_s": round(cf_s, 2),
             }
         )
     )
