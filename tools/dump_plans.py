@@ -223,7 +223,32 @@ PICKS = {
         "integer reciprocal micro-units; TakeOrderedAndProject "
         "top-20."
     ),
-
+    "q_minhash_signature_index": (
+        "MinHash band-index write path (round 10): ONE documents "
+        "scan, ZERO exchanges — per-doc minima are array_min over "
+        "transform (no explode, no groupBy), band rows explode via "
+        "Generate; the whole plan is one WholeStageCodegen span over "
+        "the scan."
+    ),
+    "q_lift_deciles": (
+        "Decile lift table (round 10 fix): the customer-grain global "
+        "rank rides scalable_rank (_pid windows + broadcast prefix "
+        "offsets); deciles derive arithmetically (10*rk-1) div n — "
+        "the round-9 one-task NTILE is gone; margins ride the 10-row "
+        "decile table."
+    ),
+    "q_ivf_assignment": (
+        "IVF assignment write path (round 10): vectors cross a "
+        "broadcast 16-row codebook (bounded 16x expansion, never "
+        "vector x vector); argmin is a WindowGroupLimit rank-1 "
+        "prune; distances are exact micro-quantized int64."
+    ),
+    "q_stratified_conformal": (
+        "Per-segment conformal q-hat (round 10): residual rank rides "
+        "scalable_part_rank ((segment, _pid) windows); 5-row "
+        "stats/q-hat frames broadcast back; residuals exact via "
+        "n-scaling."
+    ),
 }
 
 
