@@ -2024,3 +2024,53 @@ def simhash16_band_rows(
         F.col("bk.band_key").alias("band_key"),
         "sig16",
     )
+
+
+def md5_minhash_band_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Portable MinHash band-index rows (doc_id, band, band_key) —
+    the Jaccard-side maintained-dedup-index record format shared by
+    the q_minhash_signature_index registry key (batch build,
+    DuckDB-oracle-backed) and streaming.minhash_index_stream
+    (incremental upsert): one definition so the batch index and the
+    streamed index can never disagree on a signature.
+
+    8 hash functions h_j(w) = md5(w || '#' || j) compared
+    LEXICOGRAPHICALLY (fixed-width lowercase hex — ASCII order is
+    byte-identical cross-engine, no hex→int conversion anywhere);
+    4 bands × 2 rows (band_key = concat of the band's two minima;
+    the (b, r) = (4, 2) banding catches Jaccard ≳ 0.3 candidates on
+    the standard 1−(1−s^r)^b curve).  ZERO shuffles: per-doc minima
+    are array_min over transform on the distinct-token array (no
+    explode/groupBy — the 8 md5 evaluations per token stay inside
+    whole-stage codegen) and band rows explode via Generate."""
+    tk = F.array_distinct(tokens_col(text_col))
+
+    def _mh_min(j: int):
+        # the transform lambda must be UNARY — a second parameter
+        # (even defaulted) makes pyspark pass the ELEMENT INDEX
+        tag = F.lit(f"#{j}")
+        return F.array_min(
+            F.transform(tk, lambda w: F.md5(F.concat(w, tag)))
+        ).alias(f"h{j}")
+
+    m = docs.select(
+        F.col(id_col).alias("doc_id"), *[_mh_min(j) for j in range(1, 9)]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.concat(
+                    F.col(f"h{2 * b + 1}"), F.col(f"h{2 * b + 2}")
+                ).alias("band_key"),
+            )
+            for b in range(4)
+        ]
+    )
+    return m.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )

@@ -46,6 +46,7 @@ from .keys_r8 import *  # noqa: F401,F403,E402
 from .keys_r8b import *  # noqa: F401,F403,E402
 from .keys_r9 import *  # noqa: F401,F403,E402
 from .keys_r10 import *  # noqa: F401,F403,E402
+from .keys_r10b import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
     # Round-10 sweep (driver checks the first 50).  VERDICT r9 #2
@@ -99,16 +100,18 @@ _VERIFY_FIRST = [
     "q_k_anonymity",
     "q_heaps_law",
     "q_source_overlap",
-    # 9 oldest r5-era keys (newest driver row is still r5)
+    # §2.24 (keys_r10b.py) — registered this round, never driver-rowed
+    "q_cmh_test",
+    "q_hill_tail_index",
+    "q_log_odds_tokens",
+    "q_markov_stationary",
+    "q_poisson_rate_test",
+    "q_sequence_entropy",
+    "q_block_maxima_gumbel",
+    # 2 oldest r5-era keys fill the window (the remaining r5-era
+    # backlog rotates in round 11 — never-driver-rowed keys first)
     "q_join_pit",
     "q_duplicate_rate_report",
-    "q_embedding_centroid",
-    "q_wau",
-    "q_new_vs_returning",
-    "q_ewma",
-    "q_mann_whitney",
-    "q_linear_regression",
-    "q_zipf_fit",
 ]
 
 

@@ -274,34 +274,10 @@ def q_minhash_signature_index(spark, sf_dir):
     both engines and MIN/array_min compare ASCII-lexicographically —
     INTEGER-FREE exact string math end to end."""
     d = load_table(spark, sf_dir, "documents")
-    tk = F.array_distinct(llmops.tokens_col("text"))
-
-    def _mh_min(j: int):
-        # NOTE: the transform lambda must be UNARY — a second
-        # parameter (even a defaulted `j=j`) makes pyspark pass the
-        # ELEMENT INDEX as that argument
-        tag = F.lit(f"#{j}")
-        return F.array_min(
-            F.transform(tk, lambda w: F.md5(F.concat(w, tag)))
-        ).alias(f"h{j}")
-
-    mins = [_mh_min(j) for j in range(1, _MH_FUNCS + 1)]
-    m = d.select("doc_id", *mins)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).cast("long").alias("band"),
-                F.concat(
-                    F.col(f"h{2 * b + 1}"), F.col(f"h{2 * b + 2}")
-                ).alias("band_key"),
-            )
-            for b in range(_MH_BANDS)
-        ]
-    )
-    return m.select(
-        "doc_id", F.explode(bands).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.band_key").alias("band_key"))
+    # ONE shared definition with streaming.minhash_index_stream (the
+    # simhash16_band_rows pairing) — batch index and streamed index
+    # can never disagree on a signature
+    return llmops.md5_minhash_band_rows(d)
 
 
 # ========================================================================

@@ -841,3 +841,86 @@ def simhash_index_stream(
             rows.unpersist()
 
     return write_stream_foreach_batch(docs_stream, handle, checkpoint)
+
+
+def minhash_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    candidates_path: str,
+    checkpoint: str,
+):
+    """INCREMENTAL Jaccard near-dup detection — the streaming
+    consumer of the q_minhash_signature_index table format
+    (llmops.md5_minhash_band_rows is the ONE shared signature
+    definition, so the streamed index and the batch-built index can
+    never disagree), completing the maintained-dedup-index pair
+    beside simhash_index_stream (Hamming/cosine side): per
+    micro-batch,
+
+    1. compute the batch documents' MinHash band rows (4 bands × 2
+       md5-min rows);
+    2. equi-join (band, band_key) against the STANDING index from
+       all PRIOR epochs AND against the batch's own band rows
+       (doc_id > dup_of — within-batch near-dups flag in their own
+       epoch), emitting DISTINCT (new_doc, dup_of) candidate pairs —
+       a band collision is the LSH candidate contract (Jaccard ≳ 0.3
+       at (b, r) = (4, 2)); exact-verification joins, if wanted,
+       run downstream on the candidate table (unlike simhash there
+       is no cheap in-row verify — the signature IS the evidence);
+    3. append the batch's band rows to the index.
+
+    Exactly-once and failure semantics are simhash_index_stream's
+    verbatim: both writes go to epoch=<id> subdirectories in
+    OVERWRITE mode (a Spark retry rewrites its own directory instead
+    of double-appending; the standing-index join reads epoch <
+    current only), and ONLY the missing-index-path first-epoch case
+    downgrades to "no standing index yet" — any other read error
+    re-raises so Spark retries the epoch instead of silently losing
+    recall."""
+    from . import llmops
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        spark = batch.sparkSession
+        rows = llmops.md5_minhash_band_rows(batch).persist()
+        try:
+            try:
+                idx = spark.read.parquet(index_path).filter(
+                    F.col("epoch") < F.lit(epoch)
+                )
+            except AnalysisException as exc:
+                msg = str(exc)
+                if (
+                    "PATH_NOT_FOUND" not in msg
+                    and "Path does not exist" not in msg
+                ):
+                    raise
+                idx = None
+            batch_side = rows.select(
+                F.col("doc_id").alias("dup_of"), "band", "band_key"
+            )
+            cand = (
+                rows.join(batch_side, ["band", "band_key"])
+                .filter(F.col("doc_id") > F.col("dup_of"))
+                .select("doc_id", "dup_of")
+            )
+            if idx is not None:
+                old = idx.select(
+                    F.col("doc_id").alias("dup_of"), "band", "band_key"
+                )
+                cand = cand.unionByName(
+                    rows.join(old, ["band", "band_key"])
+                    .filter(F.col("doc_id") != F.col("dup_of"))
+                    .select("doc_id", "dup_of")
+                )
+            cand.distinct().write.mode("overwrite").parquet(
+                f"{candidates_path}/epoch={epoch}"
+            )
+            rows.withColumn(
+                "epoch", F.lit(epoch).cast("long")
+            ).write.mode("overwrite").parquet(
+                f"{index_path}/epoch={epoch}"
+            )
+        finally:
+            rows.unpersist()
+
+    return write_stream_foreach_batch(docs_stream, handle, checkpoint)

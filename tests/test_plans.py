@@ -1826,3 +1826,55 @@ def test_r10_key_plan_shapes(spark, sf_dir, queries):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "EvalPython" not in p
+
+
+def test_r10b_key_plan_shapes(spark, sf_dir, queries):
+    """§2.24 performance claims pinned to physical plans:
+    (a) q_cmh_test: one fact join, then everything rides the bounded
+        strata grain — no window anywhere, no cartesian;
+    (b) q_hill_tail_index: the ONLY data-grain op is a
+        TakeOrderedAndProject (per-partition heaps, never a global
+        sort); the estimator runs on the bounded survivor set;
+    (c) q_log_odds_tokens: ONE corpus scan to the vocab grain,
+        derived marginals, TakeOrderedAndProject top-k;
+    (d) q_poisson_rate_test / q_block_maxima_gumbel: single-scan
+        join-free censuses with no window at data grain;
+    (e) q_markov_stationary / q_sequence_entropy eager-checkpoint
+        bounded outputs at construction (iterative/branched lineage
+        truncation) — returned plans stay UDF- and cartesian-free.
+    No EvalPython anywhere."""
+    import re
+
+    def plan(key):
+        return _plan(queries[key](spark, sf_dir))
+
+    def scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    p = plan("q_cmh_test")
+    assert "windowspecdefinition" not in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    p = plan("q_hill_tail_index")
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    p = plan("q_log_odds_tokens")
+    assert scans(p) == 1, p[:1200]
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    for k in ("q_poisson_rate_test", "q_block_maxima_gumbel"):
+        p = plan(k)
+        assert scans(p) == 1, (k, p[:1200])
+        assert "Join" not in p, k
+        assert "windowspecdefinition" not in p, k
+        assert "EvalPython" not in p, k
+
+    for k in ("q_markov_stationary", "q_sequence_entropy"):
+        p = plan(k)
+        assert "CartesianProduct" not in p, k
+        assert "EvalPython" not in p, k

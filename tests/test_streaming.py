@@ -1412,3 +1412,89 @@ def test_simhash_index_stream_incremental_dedup(spark, tmp_path):
             r["band_key"],
             r["sig16"],
         )
+
+
+def test_minhash_index_stream_incremental_dedup(spark, tmp_path):
+    """Jaccard-side maintained index: batch 2's near-copy of a
+    batch-1 doc is flagged through the standing MinHash band index;
+    two near-dups arriving in the SAME micro-batch flag each other
+    within that epoch; unrelated docs are not flagged; signatures
+    are IDENTICAL to the batch q_minhash_signature_index format
+    (shared llmops.md5_minhash_band_rows definition)."""
+    import time as _time
+
+    from pfithic_spark import llmops, streaming as strm
+
+    docs_dir = str(tmp_path / "docs_in")
+    t1 = "the quick brown fox jumps over the lazy dog"
+    t1near = "the quick brown fox jumps over the lazy cat"  # 1 token off
+    t2 = "entirely different words about databases and sketches"
+    b1 = spark.createDataFrame(
+        [(1, t1, "s"), (2, t2, "s")],
+        "doc_id long, text string, source string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/b1")
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame(
+        [(3, t1near, "s"), (4, "unique new content entirely", "s"),
+         (5, t1, "s")],
+        "doc_id long, text string, source string",
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/b2")
+    import glob
+    import shutil
+
+    for i, sub in enumerate(("b1", "b2")):
+        for f in sorted(glob.glob(f"{docs_dir}/{sub}/part-*.parquet")):
+            shutil.copy(f, f"{docs_dir}/{i:03d}.parquet")
+        shutil.rmtree(f"{docs_dir}/{sub}")
+        _time.sleep(1.1)
+
+    idx_path = str(tmp_path / "mh_index")
+    cand_path = str(tmp_path / "mh_cands")
+    ck = str(tmp_path / "mh_ck")
+    stream = strm.read_document_stream(spark, docs_dir)
+    q = strm.minhash_index_stream(stream, idx_path, cand_path, ck)
+    q.awaitTermination(180)
+    q.stop()
+
+    cands = {
+        (r["doc_id"], r["dup_of"])
+        for r in spark.read.parquet(cand_path).collect()
+    }
+    # (5,1): exact copy via the standing index — guaranteed (all 4
+    # bands agree); (5,3)/(3,1): 8/9-token Jaccard ≈ 0.78 — verify
+    # against the signature truth rather than hard-coding band luck
+    rows_all = {
+        (r["doc_id"], r["band"]): r["band_key"]
+        for r in llmops.md5_minhash_band_rows(
+            spark.createDataFrame(
+                [(1, t1, "s"), (3, t1near, "s"), (5, t1, "s"),
+                 (2, t2, "s"), (4, "unique new content entirely", "s")],
+                "doc_id long, text string, source string",
+            )
+        ).collect()
+    }
+
+    def share_band(a, b):
+        return any(
+            rows_all[(a, bb)] == rows_all[(b, bb)] for bb in range(4)
+        )
+
+    expected = set()
+    if share_band(5, 1):
+        expected.add((5, 1))
+    if share_band(3, 1):
+        expected.add((3, 1))
+    if share_band(5, 3):
+        expected.add((5, 3))
+    assert (5, 1) in expected  # exact copy always collides
+    assert cands == expected, (cands, expected)
+    # docs 2 and 4 never appear
+    assert all(a not in (2, 4) and b not in (2, 4) for a, b in cands)
+
+    idx = spark.read.parquet(idx_path)
+    assert idx.count() == 5 * 4  # 5 docs x 4 band rows
+    assert idx.select("epoch").distinct().count() == 2
+    for r in idx.collect():
+        assert rows_all[(r["doc_id"], r["band"])] == r["band_key"]
