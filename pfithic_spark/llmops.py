@@ -2074,3 +2074,43 @@ def md5_minhash_band_rows(
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
+
+
+def hll_register_rows(day_h: DataFrame) -> DataFrame:
+    """Portable-HLL register rows (day, bucket, rho) from a
+    (day, h) frame of Knuth-hashed keys — the q_hll_sketch register
+    spelling (8-bit bucket, rho = 25 − len(bin(24-bit suffix))) at
+    day grain: the mergeable kilobyte-per-day summary shared by
+    q_rolling_distinct_hll (batch rolling fold) and
+    streaming.hll_register_stream (incremental upsert) — ONE
+    definition so the batch-built and streamed register tables can
+    never disagree.  Registers merge by elementwise MAX (associative
+    + commutative — certified as data by q_sketch_merge), so shards,
+    epochs and days combine without re-reading events.  Input need
+    not be deduplicated: MAX over repeated hashes equals MAX over
+    distinct keys."""
+    rho = F.when(F.col("h") % 16_777_216 == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(F.col("h") % 16_777_216))
+    )
+    return (
+        day_h.select(
+            "day", F.expr("h div 16777216").alias("bucket"), rho.alias("r")
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("r").alias("rho"))
+    )
+
+
+def hll_daily_registers(events: DataFrame) -> DataFrame:
+    """Daily HLL registers from raw events (streaming convenience
+    wrapper over :func:`hll_register_rows`)."""
+    from .io import epoch_us
+
+    return hll_register_rows(
+        events.select(
+            F.floor(epoch_us(events, "ts") / F.lit(86_400_000_000)).alias(
+                "day"
+            ),
+            knuth_hash("user_id").alias("h"),
+        )
+    )

@@ -108,10 +108,11 @@ _VERIFY_FIRST = [
     "q_poisson_rate_test",
     "q_sequence_entropy",
     "q_block_maxima_gumbel",
-    # 2 oldest r5-era keys fill the window (the remaining r5-era
-    # backlog rotates in round 11 — never-driver-rowed keys first)
-    "q_join_pit",
-    "q_duplicate_rate_report",
+    # first 2 of the 4 late-round §2.24 keys fill the window (the
+    # other two — q_price_index, q_negative_binomial_fit — plus the
+    # r5-era backlog rotate in round 11; never-driver-rowed first)
+    "q_mrr",
+    "q_rank_biased_overlap",
 ]
 
 

@@ -127,16 +127,9 @@ def q_rolling_distinct_hll(spark, sf_dir):
     ).persist()  # branches: daily regs + day dim + exact explode
     try:
         days = du.select("day").distinct()
-        rho = F.when(F.col("h") % 16_777_216 == 0, F.lit(25)).otherwise(
-            F.lit(25) - F.length(F.bin(F.col("h") % 16_777_216))
-        )
-        dr = (
-            du.select(
-                "day", F.expr("h div 16777216").alias("bucket"), rho.alias("r")
-            )
-            .groupBy("day", "bucket")
-            .agg(F.max("r").alias("rho"))
-        )
+        # ONE register definition shared with
+        # streaming.hll_register_stream (simhash/minhash pairing)
+        dr = llmops.hll_register_rows(du.select("day", "h"))
         allb = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
         grid = days.crossJoin(F.broadcast(allb))
         g = grid.join(dr, ["day", "bucket"], "left").select(
@@ -828,19 +821,9 @@ def q_kcore_census(spark, sf_dir):
         )
         rows = []
 
-        def census(rnd, alive_df):
-            ae = mut.join(
-                F.broadcast(alive_df.select(F.col("node").alias("src"))),
-                "src",
-                "left_semi",
-            ).join(
-                F.broadcast(alive_df.select(F.col("node").alias("dst"))),
-                "dst",
-                "left_semi",
-            )
+        def census_row(rnd, nn, ne_directed):
             return (
-                alive_df.agg(F.count(F.lit(1)).alias("nn"))
-                .crossJoin(ae.agg(F.count(F.lit(1)).alias("ne")))
+                nn.crossJoin(ne_directed)
                 .select(
                     F.lit(rnd).cast("long").alias("round"),
                     F.col("nn").cast("long").alias("n_nodes"),
@@ -848,7 +831,13 @@ def q_kcore_census(spark, sf_dir):
                 )
             )
 
-        rows.append(census(0, alive))
+        # per round the alive-edge set is built ONCE and its degree
+        # table (checkpointed) serves THREE consumers: this round's
+        # edge census (Σdeg = directed alive-edge count), the next
+        # alive set (deg ≥ K filter), and — via that filter's count —
+        # the next round's node census.  The first-cut shape rebuilt
+        # the semi-joined edge set separately for the census, doubling
+        # the heavy work per round.
         for r in range(_KCORE_ROUNDS):
             ae = mut.join(
                 F.broadcast(alive.select(F.col("node").alias("src"))),
@@ -859,13 +848,40 @@ def q_kcore_census(spark, sf_dir):
                 "dst",
                 "left_semi",
             )
-            deg = ae.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-            alive = (
-                deg.filter(F.col("deg") >= _KCORE_K)
-                .select(F.col("src").alias("node"))
+            deg = (
+                ae.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
                 .localCheckpoint(eager=True)
             )
-            rows.append(census(r + 1, alive))
+            rows.append(
+                census_row(
+                    r,
+                    alive.agg(F.count(F.lit(1)).alias("nn")),
+                    deg.agg(
+                        F.coalesce(F.sum("deg"), F.lit(0)).alias("ne")
+                    ),
+                )
+            )
+            alive = deg.filter(F.col("deg") >= _KCORE_K).select(
+                F.col("src").alias("node")
+            )
+        # final round's census needs one last alive-edge aggregate
+        ae = mut.join(
+            F.broadcast(alive.select(F.col("node").alias("src"))),
+            "src",
+            "left_semi",
+        ).join(
+            F.broadcast(alive.select(F.col("node").alias("dst"))),
+            "dst",
+            "left_semi",
+        )
+        rows.append(
+            census_row(
+                _KCORE_ROUNDS,
+                alive.agg(F.count(F.lit(1)).alias("nn")),
+                ae.agg(F.count(F.lit(1)).alias("ne")),
+            )
+        )
         out = rows[0]
         for rdf in rows[1:]:
             out = out.unionByName(rdf)

@@ -1,4 +1,4 @@
-"""SURVEY.md §2.24 — round-10 second batch: stratified/сequential
+"""SURVEY.md §2.24 — round-10 second batch: stratified/sequential
 statistics and heavy-tail analytics.
 
 The inference layer §2.23's maintenance surfaces report into:
@@ -971,4 +971,569 @@ def q_block_maxima_gumbel(spark, sf_dir):
         F.when(degenerate, F.lit(None).cast("double"))
         .otherwise(mu - beta * F.lit(_GUM_LNLN52))
         .alias("return_level_52"),
+    )
+
+
+# ========================================================================
+# q_mrr — mean reciprocal rank of relevant docs per retrieval slice
+# ========================================================================
+
+#: Deterministic relevance flag: ~20% of docs (Knuth hash residue).
+_MRR_REL_MOD = 5
+
+
+@register(
+    "q_mrr",
+    oracle=f"""
+WITH r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk,
+         CASE WHEN ((doc_id % 2654435761) * 2654435761)
+                   % 4294967296 % {_MRR_REL_MOD} = 0
+              THEN 1 ELSE 0 END AS rel
+  FROM documents
+),
+fr AS (
+  SELECT source, CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+           AS first_rank
+  FROM r GROUP BY source
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         CAST(SUM(CASE WHEN first_rank IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_with_hit,
+         CAST(SUM(CASE WHEN first_rank IS NULL THEN CAST(0 AS DECIMAL(28,9))
+                       ELSE CAST(ROUND(1.0 / CAST(first_rank AS DOUBLE),
+                                       9) AS DECIMAL(28,9)) END)
+              AS DECIMAL(28,9)) AS srr
+  FROM fr
+)
+SELECT n_queries, n_with_hit,
+       CASE WHEN n_queries = 0 THEN NULL
+            ELSE CAST(srr AS DOUBLE) / CAST(n_queries AS DOUBLE) END
+         AS mrr
+FROM s
+""",
+)
+def q_mrr(spark, sf_dir):
+    """MEAN RECIPROCAL RANK: queries = sources, ranking = the
+    q_rrf_fusion lexical proxy (n_chars DESC, doc_id), relevance =
+    the deterministic 20% hash flag — the first-hit retrieval metric
+    beside q_ndcg's graded gain (MRR is what question-answering and
+    known-item search report; a query with NO relevant doc
+    contributes 0 by the standard convention and is counted in
+    n_with_hit for the audit).
+
+    100 TB shape: the per-slice rank rides one window partitioned by
+    source (at true scale: scalable_part_rank — but here the
+    conditional-MIN prunes to ONE row per source before any further
+    work, so the window's output is consumed map-side); the census
+    rides the bounded |sources| grain.  Determinism: first_rank is
+    an exact integer; each reciprocal rounds 9 → DECIMAL sum
+    (q_entropy discipline), ONE final division (§8.21); NULL on an
+    empty corpus (§8.17)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    r = d.select(
+        "source",
+        F.row_number().over(w).alias("rk"),
+        (llmops.knuth_hash("doc_id") % _MRR_REL_MOD == 0)
+        .cast("int")
+        .alias("rel"),
+    )
+    fr = r.groupBy("source").agg(
+        F.min(F.when(F.col("rel") == 1, F.col("rk")))
+        .cast("long")
+        .alias("first_rank")
+    )
+    rr = F.when(
+        F.col("first_rank").isNull(),
+        F.lit(0).cast("decimal(28,9)"),
+    ).otherwise(
+        F.round(
+            F.lit(1.0) / F.col("first_rank").cast("double"), 9
+        ).cast("decimal(28,9)")
+    )
+    s = fr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.col("first_rank").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_with_hit"),
+        F.sum(rr).cast("decimal(28,9)").alias("srr"),
+    )
+    return s.select(
+        "n_queries",
+        "n_with_hit",
+        F.when(F.col("n_queries") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("srr").cast("double")
+            / F.col("n_queries").cast("double")
+        )
+        .alias("mrr"),
+    )
+
+
+# ========================================================================
+# q_rank_biased_overlap — truncated RBO between two rankings
+# ========================================================================
+
+#: Truncated rank-biased overlap weights (Webber et al. 2010),
+#: p = 0.9, depth d = 50: a doc present in BOTH top-50 prefixes with
+#: ranks (ra, rb) contributes w[max(ra, rb)] where
+#: w[m] = (1−p)·Σ_{{k=m..d}} p^(k−1)/k.  FROZEN PURE-MATH LITERALS
+#: (rule 22): computing p^(k−1) at runtime would ride each engine's
+#: libm pow and diverge by ulps; the frozen table makes the overlap
+#: fold exact-identical everywhere.
+_RBO_WEIGHTS = (
+    0.2557551391667857,
+    0.15575513916678563,
+    0.11075513916678571,
+    0.08375513916678577,
+    0.06553013916678577,
+    0.05240813916678575,
+    0.04256663916678575,
+    0.03497462488107147,
+    0.028995913631071468,
+    0.02421294463107146,
+    0.02033873974107146,
+    0.01716893574016237,
+    0.014553847439412364,
+    0.01238131254340467,
+    0.010565694094598245,
+    0.009040574597600843,
+    0.007753755022009287,
+    0.006663743146214089,
+    0.005737233051788167,
+    0.004947261287067118,
+    0.004271835428230622,
+    0.0036928989777993393,
+    0.0031955399362924653,
+    0.002767378674473504,
+    0.002398089586154649,
+    0.002079023813847159,
+    0.001802909203196447,
+    0.0015636098739658297,
+    0.001355932241812115,
+    0.0011754675407681975,
+    0.001018463250859989,
+    0.000881717579004453,
+    0.000762492446355407,
+    0.0006584414214980582,
+    0.0005675497909609032,
+    0.00048808453683413364,
+    0.0004185524394732103,
+    0.00035766487313553685,
+    0.00030430813737120717,
+    0.00025751838447017963,
+    0.00021646037629952786,
+    0.00018040944229602885,
+    0.00014873612170724043,
+    0.00012089306314314273,
+    9.640382754244766e-05,
+    7.485330021383599e-05,
+    5.587946637016704e-05,
+    3.916634464404161e-05,
+    2.443790612289358e-05,
+    1.1452833794044708e-05,
+)
+
+
+@register(
+    "q_rank_biased_overlap",
+    oracle=f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+  FROM documents
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ((doc_id % 2654435761) * 2654435761) % 4294967296,
+                    doc_id
+         ) AS rb
+  FROM documents
+),
+wt(m, w) AS (
+  VALUES
+    (1, CAST(0.2557551391667857 AS DOUBLE)),
+    (2, CAST(0.15575513916678563 AS DOUBLE)),
+    (3, CAST(0.11075513916678571 AS DOUBLE)),
+    (4, CAST(0.08375513916678577 AS DOUBLE)),
+    (5, CAST(0.06553013916678577 AS DOUBLE)),
+    (6, CAST(0.05240813916678575 AS DOUBLE)),
+    (7, CAST(0.04256663916678575 AS DOUBLE)),
+    (8, CAST(0.03497462488107147 AS DOUBLE)),
+    (9, CAST(0.028995913631071468 AS DOUBLE)),
+    (10, CAST(0.02421294463107146 AS DOUBLE)),
+    (11, CAST(0.02033873974107146 AS DOUBLE)),
+    (12, CAST(0.01716893574016237 AS DOUBLE)),
+    (13, CAST(0.014553847439412364 AS DOUBLE)),
+    (14, CAST(0.01238131254340467 AS DOUBLE)),
+    (15, CAST(0.010565694094598245 AS DOUBLE)),
+    (16, CAST(0.009040574597600843 AS DOUBLE)),
+    (17, CAST(0.007753755022009287 AS DOUBLE)),
+    (18, CAST(0.006663743146214089 AS DOUBLE)),
+    (19, CAST(0.005737233051788167 AS DOUBLE)),
+    (20, CAST(0.004947261287067118 AS DOUBLE)),
+    (21, CAST(0.004271835428230622 AS DOUBLE)),
+    (22, CAST(0.0036928989777993393 AS DOUBLE)),
+    (23, CAST(0.0031955399362924653 AS DOUBLE)),
+    (24, CAST(0.002767378674473504 AS DOUBLE)),
+    (25, CAST(0.002398089586154649 AS DOUBLE)),
+    (26, CAST(0.002079023813847159 AS DOUBLE)),
+    (27, CAST(0.001802909203196447 AS DOUBLE)),
+    (28, CAST(0.0015636098739658297 AS DOUBLE)),
+    (29, CAST(0.001355932241812115 AS DOUBLE)),
+    (30, CAST(0.0011754675407681975 AS DOUBLE)),
+    (31, CAST(0.001018463250859989 AS DOUBLE)),
+    (32, CAST(0.000881717579004453 AS DOUBLE)),
+    (33, CAST(0.000762492446355407 AS DOUBLE)),
+    (34, CAST(0.0006584414214980582 AS DOUBLE)),
+    (35, CAST(0.0005675497909609032 AS DOUBLE)),
+    (36, CAST(0.00048808453683413364 AS DOUBLE)),
+    (37, CAST(0.0004185524394732103 AS DOUBLE)),
+    (38, CAST(0.00035766487313553685 AS DOUBLE)),
+    (39, CAST(0.00030430813737120717 AS DOUBLE)),
+    (40, CAST(0.00025751838447017963 AS DOUBLE)),
+    (41, CAST(0.00021646037629952786 AS DOUBLE)),
+    (42, CAST(0.00018040944229602885 AS DOUBLE)),
+    (43, CAST(0.00014873612170724043 AS DOUBLE)),
+    (44, CAST(0.00012089306314314273 AS DOUBLE)),
+    (45, CAST(9.640382754244766e-05 AS DOUBLE)),
+    (46, CAST(7.485330021383599e-05 AS DOUBLE)),
+    (47, CAST(5.587946637016704e-05 AS DOUBLE)),
+    (48, CAST(3.916634464404161e-05 AS DOUBLE)),
+    (49, CAST(2.443790612289358e-05 AS DOUBLE)),
+    (50, CAST(1.1452833794044708e-05 AS DOUBLE))
+),
+b AS (
+  SELECT lex.doc_id,
+         CAST(lex.ra AS BIGINT) AS ra, CAST(sem.rb AS BIGINT) AS rb,
+         GREATEST(lex.ra, sem.rb) AS m
+  FROM lex JOIN sem ON lex.doc_id = sem.doc_id
+  WHERE lex.ra <= 50 AND sem.rb <= 50
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_both,
+         CAST(SUM(CAST(ROUND(wt.w, 9) AS DECIMAL(28,9)))
+              AS DECIMAL(28,9)) AS rbo_dec
+  FROM b JOIN wt ON b.m = wt.m
+)
+SELECT n_both AS n_in_both_top50,
+       CAST(rbo_dec AS DOUBLE) AS rbo
+FROM s
+""",
+)
+def q_rank_biased_overlap(spark, sf_dir):
+    """Truncated RANK-BIASED OVERLAP (p = 0.9, depth 50) between the
+    two q_rrf_fusion rankings (lexical n_chars proxy vs semantic
+    hash proxy) — the top-weighted ranking-similarity measure
+    (Webber et al. 2010) that answers "did the index rebuild change
+    what users actually see": Kendall/Spearman weight rank 1 and
+    rank 10⁶ equally, RBO geometrically discounts depth, and the
+    truncated partial sum is a guaranteed LOWER bound of full RBO.
+    The per-doc form: a doc in both top-d prefixes at ranks (ra, rb)
+    first enters the overlap at depth max(ra, rb) and contributes
+    the frozen tail weight w[max(ra, rb)].
+
+    100 TB shape: both global rank prefixes cut by
+    TakeOrderedAndProject-sized limits at true scale (here the whole
+    corpus ranks once — the q_rrf_fusion spine; only rows with both
+    ranks ≤ 50 survive to the fold); the overlap fold is ≤ d rows.
+    Determinism: ranks exact under total tie-broken orders; weights
+    are FROZEN pure-math literals keyed by an integer (no runtime
+    pow); round(9) → DECIMAL sum, double out."""
+    d = load_table(spark, sf_dir, "documents")
+    lex = d.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("ra"),
+    )
+    sem = d.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.orderBy(llmops.knuth_hash("doc_id"), "doc_id")
+        )
+        .alias("rb"),
+    )
+    wt = F.array(*[F.lit(w) for w in _RBO_WEIGHTS])
+    b = (
+        lex.join(sem, "doc_id")
+        .filter((F.col("ra") <= 50) & (F.col("rb") <= 50))
+        .select(
+            F.greatest(F.col("ra"), F.col("rb"))
+            .cast("int")
+            .alias("m")
+        )
+    )
+    s = b.select(
+        F.round(F.element_at(wt, F.col("m")), 9)
+        .cast("decimal(28,9)")
+        .alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_both_top50"),
+        F.sum("w").cast("decimal(28,9)").alias("rbo_dec"),
+    )
+    return s.select(
+        "n_in_both_top50",
+        F.col("rbo_dec").cast("double").alias("rbo"),
+    )
+
+
+# ========================================================================
+# q_price_index — Laspeyres / Paasche / Fisher between two years
+# ========================================================================
+
+
+@register(
+    "q_price_index",
+    oracle="""
+WITH li AS (
+  SELECT l_partkey AS pk,
+         EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS ext_cents,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+),
+py AS (
+  SELECT pk, yr,
+         CAST(SUM(ext_cents) AS BIGINT) AS s_ext,
+         CAST(SUM(qty) AS BIGINT) AS s_qty
+  FROM li GROUP BY pk, yr HAVING SUM(qty) > 0
+),
+c AS (
+  SELECT p0.pk, p0.s_ext AS e0, p0.s_qty AS q0,
+         p1.s_ext AS e1, p1.s_qty AS q1
+  FROM py p0 JOIN py p1 ON p0.pk = p1.pk
+  WHERE p0.yr = 1997 AND p1.yr = 1998
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(e0) AS BIGINT) AS se0,
+         CAST(SUM(e1) AS BIGINT) AS se1,
+         CAST(SUM(CAST(ROUND(CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                             * CAST(q0 AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sp1q0,
+         CAST(SUM(CAST(ROUND(CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                             * CAST(q1 AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) AS sp0q1
+  FROM c
+)
+SELECT n_common AS n_common_parts,
+       CASE WHEN n_common = 0 OR se0 = 0 THEN NULL
+            ELSE sp1q0 / CAST(se0 AS DOUBLE) END AS laspeyres,
+       CASE WHEN n_common = 0 OR sp0q1 = 0 THEN NULL
+            ELSE CAST(se1 AS DOUBLE) / sp0q1 END AS paasche,
+       CASE WHEN n_common = 0 OR se0 = 0 OR sp0q1 = 0 THEN NULL
+            ELSE SQRT((sp1q0 / CAST(se0 AS DOUBLE))
+                      * (CAST(se1 AS DOUBLE) / sp0q1)) END AS fisher
+FROM t
+""",
+)
+def q_price_index(spark, sf_dir):
+    """PRICE INDEX panel between 1997 and 1998 over parts traded in
+    BOTH years: Laspeyres (base-year basket Σp₁q₀/Σp₀q₀), Paasche
+    (current basket Σp₁q₁/Σp₀q₁) and their geometric-mean Fisher
+    ideal index — the inflation/deflation read on the engine's own
+    fact data (the econometric aggregate beside q_price_elasticity's
+    per-brand slopes).  Unit prices are quantity-weighted yearly
+    averages p = Σext/Σqty.
+
+    Exactness trick: Σp₀q₀ = Σext₀ and Σp₁q₁ = Σext₁ EXACTLY (the
+    weighted-average price times its own year's quantity recovers
+    the integer revenue), so HALF of the four index sums are pure int64;
+    only the two cross-basket sums need doubles (one division × one
+    multiply per part, round(9) → DECIMAL sums — engine-identical
+    folds).  100 TB shape: one fact join to attach the year, one
+    (part, year)-grain aggregate, a part-keyed equi self-join, and
+    a scalar census; zero-quantity part-years are filtered (§8.17:
+    no unit price exists).  NULL when no common parts or a zero
+    denominator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    base = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(
+        F.col("l_partkey").alias("pk"),
+        F.year("o_orderdate").alias("yr"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("ext_cents"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    ).filter(F.col("yr").isin(1997, 1998))
+    py = (
+        base.groupBy("pk", "yr")
+        .agg(
+            F.sum("ext_cents").cast("long").alias("s_ext"),
+            F.sum("qty").cast("long").alias("s_qty"),
+        )
+        .filter(F.col("s_qty") > 0)
+    )
+    p0 = py.filter(F.col("yr") == 1997).select(
+        "pk", F.col("s_ext").alias("e0"), F.col("s_qty").alias("q0")
+    )
+    p1 = py.filter(F.col("yr") == 1998).select(
+        "pk", F.col("s_ext").alias("e1"), F.col("s_qty").alias("q1")
+    )
+    c = p0.join(p1, "pk")
+    p1q0 = F.round(
+        F.col("e1").cast("double")
+        / F.col("q1").cast("double")
+        * F.col("q0").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    p0q1 = F.round(
+        F.col("e0").cast("double")
+        / F.col("q0").cast("double")
+        * F.col("q1").cast("double"),
+        9,
+    ).cast("decimal(28,9)")
+    t = c.select(
+        "e0", "e1", p1q0.alias("p1q0"), p0q1.alias("p0q1")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("e0").cast("long").alias("se0"),
+        F.sum("e1").cast("long").alias("se1"),
+        F.sum("p1q0").cast("double").alias("sp1q0"),
+        F.sum("p0q1").cast("double").alias("sp0q1"),
+    )
+    lasp = F.col("sp1q0") / F.col("se0").cast("double")
+    paas = F.col("se1").cast("double") / F.col("sp0q1")
+    return t.select(
+        F.col("n_common").alias("n_common_parts"),
+        F.when(
+            (F.col("n_common") == 0) | (F.col("se0") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(lasp)
+        .alias("laspeyres"),
+        F.when(
+            (F.col("n_common") == 0) | (F.col("sp0q1") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(paas)
+        .alias("paasche"),
+        F.when(
+            (F.col("n_common") == 0)
+            | (F.col("se0") == 0)
+            | (F.col("sp0q1") == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.sqrt(lasp * paas))
+        .alias("fisher"),
+    )
+
+
+# ========================================================================
+# q_negative_binomial_fit — overdispersion of per-user event counts
+# ========================================================================
+
+#: hi/lo split base for Σc² (§8.21: per-user counts can reach 10⁶ at
+#: scale, Σc² then exceeds int64).
+_NBF_SPLIT = 2_097_152
+
+
+@register(
+    "q_negative_binomial_fit",
+    oracle=f"""
+WITH u AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(SUM((c * c) // {_NBF_SPLIT}) AS BIGINT) AS scc_hi,
+         CAST(SUM((c * c) % {_NBF_SPLIT}) AS BIGINT) AS scc_lo
+  FROM u
+),
+m AS (
+  SELECT n, sc,
+         CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         CASE WHEN n < 2 THEN NULL ELSE
+           ((CAST(scc_hi AS DOUBLE) * {float(_NBF_SPLIT)!r}
+             + CAST(scc_lo AS DOUBLE))
+            - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+              / CAST(n AS DOUBLE))
+           / CAST(n - 1 AS DOUBLE) END AS var_c
+  FROM s
+)
+SELECT n AS n_users, sc AS n_events, mean_c AS mean_events,
+       var_c AS var_events,
+       CASE WHEN var_c IS NULL OR mean_c = 0 THEN NULL
+            ELSE var_c / mean_c END AS dispersion_index,
+       CASE WHEN var_c IS NULL OR var_c <= mean_c OR mean_c = 0
+            THEN NULL
+            ELSE mean_c * mean_c / (var_c - mean_c) END AS nb_r,
+       CASE WHEN var_c IS NULL OR var_c <= mean_c OR mean_c = 0
+            THEN NULL
+            ELSE mean_c / var_c END AS nb_p
+FROM m
+""",
+)
+def q_negative_binomial_fit(spark, sf_dir):
+    """NEGATIVE-BINOMIAL moment fit of per-user event counts: mean,
+    variance, the dispersion index v/m̄ (Poisson = 1; > 1 means
+    heterogeneous users), and the NB(r, p) parameters r = m̄²/(v−m̄),
+    p = m̄/v — THE distributional reality check before any Poisson
+    assumption (q_poisson_rate_test's z is anti-conservative on
+    overdispersed counts; this key says by how much), and the
+    per-user companion to q_burstiness's within-user timing view.
+
+    100 TB shape: one user-grain count aggregate then a 1-row moment
+    census — map-side combinable, no joins.  Determinism/overflow
+    (§8.21): c² hi/lo-splits at 2²¹ (a 10⁶-event power user puts Σc²
+    past int64); the moment chain is fixed-order doubles on
+    hardware-exact casts; NULL fits when v ≤ m̄ (under-dispersed —
+    NB does not exist) or on degenerate inputs (§8.17)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    sp = _NBF_SPLIT
+    s = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.expr(f"(c * c) div {sp}")).cast("long").alias("scc_hi"),
+        F.sum(F.expr(f"(c * c) % {sp}")).cast("long").alias("scc_lo"),
+    )
+    nD = F.col("n").cast("double")
+    mean_c = F.col("sc").cast("double") / nD
+    var_c = (
+        (
+            F.col("scc_hi").cast("double") * F.lit(float(sp))
+            + F.col("scc_lo").cast("double")
+        )
+        - F.col("sc").cast("double") * F.col("sc").cast("double") / nD
+    ) / (F.col("n") - 1).cast("double")
+    no_var = F.col("n") < 2
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("sc").alias("n_events"),
+        mean_c.alias("mean_events"),
+        F.when(no_var, F.lit(None).cast("double"))
+        .otherwise(var_c)
+        .alias("var_events"),
+        F.when(no_var | (mean_c == 0), F.lit(None).cast("double"))
+        .otherwise(var_c / mean_c)
+        .alias("dispersion_index"),
+        F.when(
+            no_var | (var_c <= mean_c) | (mean_c == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(mean_c * mean_c / (var_c - mean_c))
+        .alias("nb_r"),
+        F.when(
+            no_var | (var_c <= mean_c) | (mean_c == 0),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(mean_c / var_c)
+        .alias("nb_p"),
     )

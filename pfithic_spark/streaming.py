@@ -924,3 +924,45 @@ def minhash_index_stream(
             rows.unpersist()
 
     return write_stream_foreach_batch(docs_stream, handle, checkpoint)
+
+
+def hll_register_stream(
+    events_stream: DataFrame,
+    registers_path: str,
+    checkpoint: str,
+):
+    """INCREMENTAL daily-HLL register maintenance — the streaming
+    producer of q_rolling_distinct_hll's register table
+    (llmops.hll_register_rows is the ONE shared register definition):
+    per micro-batch, build the batch's (day, bucket, rho) daily
+    registers and append them under ``epoch=<id>`` in OVERWRITE mode
+    (the simhash/minhash exactly-once discipline — a Spark retry
+    rewrites its own epoch directory instead of double-appending).
+
+    Readers fold the standing table with :func:`fold_hll_registers`
+    — register merge is elementwise MAX (associative + commutative,
+    certified as data by q_sketch_merge), so per-epoch partial
+    registers combine into exact daily registers no matter how the
+    stream batched the events, and the rolling 7-day estimate is
+    then q_rolling_distinct_hll's bounded-grain fold with NO replay
+    of raw events."""
+    from . import llmops
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        dr = llmops.hll_daily_registers(batch)
+        dr.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{registers_path}/epoch={epoch}")
+
+    return write_stream_foreach_batch(events_stream, handle, checkpoint)
+
+
+def fold_hll_registers(spark: SparkSession, registers_path: str) -> DataFrame:
+    """Fold a streamed register table to exact daily registers
+    (day, bucket, rho) by elementwise MAX across epochs — the read
+    side of :func:`hll_register_stream`."""
+    return (
+        spark.read.parquet(registers_path)
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )

@@ -1878,3 +1878,44 @@ def test_r10b_key_plan_shapes(spark, sf_dir, queries):
         p = plan(k)
         assert "CartesianProduct" not in p, k
         assert "EvalPython" not in p, k
+
+
+def test_r10c_key_plan_shapes(spark, sf_dir, queries):
+    """Final §2.24 batch plan gates:
+    (a) q_mrr: windows partition by source; the census rides the
+        bounded |sources| grain — no cartesian;
+    (b) q_rank_biased_overlap: doc-keyed equi-join of the two rank
+        spines, overlap fold ≤ depth rows, frozen-literal weights
+        (no runtime pow anywhere);
+    (c) q_price_index: fact join + (part, year)-grain aggregate +
+        part-keyed equi self-join — no cartesian;
+    (d) q_negative_binomial_fit: single-scan join-free census with
+        no window.
+    No EvalPython anywhere."""
+    import re
+
+    def plan(key):
+        return _plan(queries[key](spark, sf_dir))
+
+    def scans(p):
+        return len(re.findall(r"\(\d+\) Scan parquet", p))
+
+    p = plan("q_mrr")
+    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert heads and all(h == "source" for h in heads), heads
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = plan("q_rank_biased_overlap")
+    assert "CartesianProduct" not in p
+    assert "POWER" not in p.upper()
+    assert "EvalPython" not in p
+
+    p = plan("q_price_index")
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+
+    p = plan("q_negative_binomial_fit")
+    assert scans(p) == 1, p[:1200]
+    assert "Join" not in p
+    assert "windowspecdefinition" not in p
+    assert "EvalPython" not in p

@@ -347,3 +347,128 @@ def test_gumbel_single_block_degenerate(spark, tmp_path):
     ).collect()[0]
     assert r["n_blocks"] == 1
     assert r["gumbel_beta"] is None and r["gumbel_mu"] is None
+
+
+# ------------------------------------------------------------------
+# q_mrr
+# ------------------------------------------------------------------
+
+
+def test_mrr_hand_ranks(spark, tmp_path):
+    """Relevance flags are hash-determined: pick doc ids so source X
+    has its first relevant doc at rank 2 (RR = 1/2) and source Y has
+    none (contributes 0) → MRR = 0.25 with n_with_hit = 1."""
+    import __spark_entry__ as e
+
+    rel = [i for i in range(1, 400) if _khash(i) % 5 == 0]
+    non = [i for i in range(1, 400) if _khash(i) % 5 != 0]
+    # X: longest doc irrelevant (rank 1), second-longest relevant
+    docs = [
+        (non[0], "w " * 50, "X"),
+        (rel[0], "w " * 30, "X"),
+        (non[1], "w " * 10, "X"),
+        (non[2], "w " * 40, "Y"),
+        (non[3], "w " * 20, "Y"),
+    ]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    r = e.queries()["q_mrr"](spark, tmp_path.as_posix()).collect()[0]
+    assert r["n_queries"] == 2
+    assert r["n_with_hit"] == 1
+    assert r["mrr"] == 0.25
+
+
+# ------------------------------------------------------------------
+# q_rank_biased_overlap
+# ------------------------------------------------------------------
+
+
+def test_rbo_identical_and_planted_rankings(spark, tmp_path):
+    """With n ≤ 50 docs ALL in both prefixes, each doc contributes
+    w[max(ra, rb)]; the python mirror recomputes the fold from the
+    frozen weight table and the two hand-derived rank orders."""
+    import __spark_entry__ as e
+    from pfithic_spark.registry.keys_r10b import _RBO_WEIGHTS
+
+    docs = [(i, "w " * (10 + i), "s") for i in range(1, 9)]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    r = e.queries()["q_rank_biased_overlap"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["n_in_both_top50"] == 8
+    # lexical rank: n_chars DESC → doc 8 first ... doc 1 last
+    ra = {doc: 9 - doc for doc in range(1, 9)}
+    rb_order = sorted(range(1, 9), key=lambda i: (_khash(i), i))
+    rb = {doc: i + 1 for i, doc in enumerate(rb_order)}
+    import decimal
+
+    acc = decimal.Decimal(0)
+    for doc in range(1, 9):
+        w = _RBO_WEIGHTS[max(ra[doc], rb[doc]) - 1]
+        acc += decimal.Decimal(repr(w)).quantize(
+            decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    assert abs(r["rbo"] - float(acc)) < 1e-12
+    # identical rankings upper bound: sum of w[ra] for the same set
+    ub = sum(_RBO_WEIGHTS[ra[doc] - 1] for doc in range(1, 9))
+    assert r["rbo"] <= ub + 1e-9
+
+
+# ------------------------------------------------------------------
+# q_price_index
+# ------------------------------------------------------------------
+
+
+def test_price_index_closed_form(spark, tmp_path):
+    """One common part: 1997 price 2.00/unit (q=10), 1998 price
+    3.00/unit (q=5) → L = P = F = 1.5 exactly.  A part traded only
+    in 1998 is excluded."""
+    import __spark_entry__ as e
+
+    # lineitem: (okey, lineno, partkey, qty, extendedprice)
+    li = [
+        (1, 1, 77, 10.0, 20.00),
+        (2, 1, 77, 5.0, 15.00),
+        (2, 2, 99, 4.0, 4.00),
+    ]
+    from test_r9_keys import _write_lineitem
+
+    _write_lineitem(spark, tmp_path.as_posix(), li)
+    orders = [
+        (1, 1, 0.0, "X", "1997-06-01"),
+        (2, 1, 0.0, "X", "1998-06-01"),
+    ]
+    _write_orders_dated(spark, tmp_path.as_posix(), orders)
+    r = e.queries()["q_price_index"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert r["n_common_parts"] == 1
+    assert r["laspeyres"] == 1.5
+    assert r["paasche"] == 1.5
+    assert abs(r["fisher"] - 1.5) < 1e-12
+
+
+# ------------------------------------------------------------------
+# q_negative_binomial_fit
+# ------------------------------------------------------------------
+
+
+def test_negative_binomial_closed_form(spark, tmp_path):
+    """Counts (1, 2, 6) → mean 3, var 7, dispersion 7/3,
+    r = 9/4, p = 3/7 — all exact-rational double chains."""
+    import __spark_entry__ as e
+
+    ev = (
+        [(1, "2024-01-01 10:00:00", 1, "A")]
+        + [(10 + i, "2024-01-01 10:00:00", 2, "A") for i in range(2)]
+        + [(20 + i, "2024-01-01 10:00:00", 3, "A") for i in range(6)]
+    )
+    _write_events_seq(spark, tmp_path.as_posix(), ev)
+    r = e.queries()["q_negative_binomial_fit"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert (r["n_users"], r["n_events"]) == (3, 9)
+    assert r["mean_events"] == 3.0
+    assert r["var_events"] == 7.0
+    assert abs(r["dispersion_index"] - 7.0 / 3.0) < 1e-15
+    assert r["nb_r"] == 9.0 / 4.0
+    assert abs(r["nb_p"] - 3.0 / 7.0) < 1e-15

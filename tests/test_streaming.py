@@ -1498,3 +1498,83 @@ def test_minhash_index_stream_incremental_dedup(spark, tmp_path):
     assert idx.select("epoch").distinct().count() == 2
     for r in idx.collect():
         assert rows_all[(r["doc_id"], r["band"])] == r["band_key"]
+
+
+def test_hll_register_stream_matches_batch_registers(spark, tmp_path):
+    """Streamed per-epoch daily registers, folded by MAX, must equal
+    the batch registers over the union of all events (merge
+    associativity live in the stream — the q_sketch_merge property),
+    even when one day's users are split across micro-batches."""
+    import time as _time
+
+    from pfithic_spark import llmops, streaming as strm
+
+    ev_dir = str(tmp_path / "ev_in")
+    rows1 = [
+        (1, "2024-01-01 10:00:00", 101, "A"),
+        (2, "2024-01-01 11:00:00", 202, "A"),
+        (3, "2024-01-02 10:00:00", 303, "A"),
+    ]
+    rows2 = [
+        (4, "2024-01-01 12:00:00", 404, "A"),  # day 0 continues
+        (5, "2024-01-03 10:00:00", 505, "A"),
+    ]
+
+    def write(name, rows):
+        (
+            spark.createDataFrame(
+                rows,
+                "event_id long, t string, user_id long, event_type string",
+            )
+            .select(
+                "event_id",
+                F.col("t").cast("timestamp").alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{ev_dir}/{name}")
+        )
+
+    import glob
+    import shutil
+
+    for i, rows in enumerate((rows1, rows2)):
+        write(f"b{i}", rows)
+        for f in sorted(glob.glob(f"{ev_dir}/b{i}/part-*.parquet")):
+            shutil.copy(f, f"{ev_dir}/{i:03d}.parquet")
+        shutil.rmtree(f"{ev_dir}/b{i}")
+        _time.sleep(1.1)
+
+    reg_path = str(tmp_path / "registers")
+    ck = str(tmp_path / "hll_ck")
+    stream = strm.read_event_stream(spark, ev_dir)
+    q = strm.hll_register_stream(stream, reg_path, ck)
+    q.awaitTermination(180)
+    q.stop()
+
+    folded = {
+        (r["day"], r["bucket"]): r["rho"]
+        for r in strm.fold_hll_registers(spark, reg_path).collect()
+    }
+    all_events = spark.createDataFrame(
+        rows1 + rows2,
+        "event_id long, t string, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    batch = {
+        (r["day"], r["bucket"]): r["rho"]
+        for r in llmops.hll_daily_registers(all_events).collect()
+    }
+    assert folded == batch
+    assert len({d for d, _ in folded}) == 3  # three distinct days
+    # the streamed table kept per-epoch provenance
+    eps = spark.read.parquet(reg_path).select("epoch").distinct().count()
+    assert eps == 2
