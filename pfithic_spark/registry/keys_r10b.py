@@ -1318,22 +1318,21 @@ t AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_common,
          CAST(SUM(e0) AS BIGINT) AS se0,
          CAST(SUM(e1) AS BIGINT) AS se1,
-         CAST(SUM(CAST(ROUND(CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
-                             * CAST(q0 AS DOUBLE), 9)
-                       AS DECIMAL(28,9))) AS DOUBLE) AS sp1q0,
-         CAST(SUM(CAST(ROUND(CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE)
-                             * CAST(q1 AS DOUBLE), 9)
-                       AS DECIMAL(28,9))) AS DOUBLE) AS sp0q1
+         CAST(SUM((e1 * q0) // q1) AS BIGINT) AS sp1q0,
+         CAST(SUM((e0 * q1) // q0) AS BIGINT) AS sp0q1
   FROM c
 )
 SELECT n_common AS n_common_parts,
        CASE WHEN n_common = 0 OR se0 = 0 THEN NULL
-            ELSE sp1q0 / CAST(se0 AS DOUBLE) END AS laspeyres,
+            ELSE CAST(sp1q0 AS DOUBLE) / CAST(se0 AS DOUBLE) END
+         AS laspeyres,
        CASE WHEN n_common = 0 OR sp0q1 = 0 THEN NULL
-            ELSE CAST(se1 AS DOUBLE) / sp0q1 END AS paasche,
+            ELSE CAST(se1 AS DOUBLE) / CAST(sp0q1 AS DOUBLE) END
+         AS paasche,
        CASE WHEN n_common = 0 OR se0 = 0 OR sp0q1 = 0 THEN NULL
-            ELSE SQRT((sp1q0 / CAST(se0 AS DOUBLE))
-                      * (CAST(se1 AS DOUBLE) / sp0q1)) END AS fisher
+            ELSE SQRT((CAST(sp1q0 AS DOUBLE) / CAST(se0 AS DOUBLE))
+                      * (CAST(se1 AS DOUBLE)
+                         / CAST(sp0q1 AS DOUBLE))) END AS fisher
 FROM t
 """,
 )
@@ -1346,12 +1345,17 @@ def q_price_index(spark, sf_dir):
     per-brand slopes).  Unit prices are quantity-weighted yearly
     averages p = Σext/Σqty.
 
-    Exactness trick: Σp₀q₀ = Σext₀ and Σp₁q₁ = Σext₁ EXACTLY (the
+    Exactness: Σp₀q₀ = Σext₀ and Σp₁q₁ = Σext₁ EXACTLY (the
     weighted-average price times its own year's quantity recovers
-    the integer revenue), so HALF of the four index sums are pure int64;
-    only the two cross-basket sums need doubles (one division × one
-    multiply per part, round(9) → DECIMAL sums — engine-identical
-    folds).  100 TB shape: one fact join to attach the year, one
+    the integer revenue), and the cross-basket terms stay integer
+    too: p₁·q₀ = (ext₁·q₀) div q₁ — one floor division per part
+    (sub-cent remainders dropped, documented contract; a round(9)
+    DOUBLE product here hit a cross-engine ROUND tie at the 10th
+    digit in testing — the §8.14 class this rewrite removes).  ALL
+    FOUR index sums are exact int64 (budget: per-part ext ×
+    cross-year qty < 2⁶³ — a $10 M-revenue part × 10⁶ units holds
+    ~60 bits; per-term hi/lo split is the §8.21 swap).  100 TB
+    shape: one fact join to attach the year, one
     (part, year)-grain aggregate, a part-keyed equi self-join, and
     a scalar census; zero-quantity part-years are filtered (§8.17:
     no unit price exists).  NULL when no common parts or a zero
@@ -1383,29 +1387,20 @@ def q_price_index(spark, sf_dir):
         "pk", F.col("s_ext").alias("e1"), F.col("s_qty").alias("q1")
     )
     c = p0.join(p1, "pk")
-    p1q0 = F.round(
-        F.col("e1").cast("double")
-        / F.col("q1").cast("double")
-        * F.col("q0").cast("double"),
-        9,
-    ).cast("decimal(28,9)")
-    p0q1 = F.round(
-        F.col("e0").cast("double")
-        / F.col("q0").cast("double")
-        * F.col("q1").cast("double"),
-        9,
-    ).cast("decimal(28,9)")
     t = c.select(
-        "e0", "e1", p1q0.alias("p1q0"), p0q1.alias("p0q1")
+        "e0",
+        "e1",
+        F.expr("(e1 * q0) div q1").alias("p1q0"),
+        F.expr("(e0 * q1) div q0").alias("p0q1"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_common"),
         F.sum("e0").cast("long").alias("se0"),
         F.sum("e1").cast("long").alias("se1"),
-        F.sum("p1q0").cast("double").alias("sp1q0"),
-        F.sum("p0q1").cast("double").alias("sp0q1"),
+        F.sum("p1q0").cast("long").alias("sp1q0"),
+        F.sum("p0q1").cast("long").alias("sp0q1"),
     )
-    lasp = F.col("sp1q0") / F.col("se0").cast("double")
-    paas = F.col("se1").cast("double") / F.col("sp0q1")
+    lasp = F.col("sp1q0").cast("double") / F.col("se0").cast("double")
+    paas = F.col("se1").cast("double") / F.col("sp0q1").cast("double")
     return t.select(
         F.col("n_common").alias("n_common_parts"),
         F.when(
