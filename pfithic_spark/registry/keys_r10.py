@@ -839,12 +839,17 @@ def q_kcore_census(spark, sf_dir):
         # the semi-joined edge set separately for the census, doubling
         # the heavy work per round.
         for r in range(_KCORE_ROUNDS):
+            # NO broadcast hint: the alive set is NODE-grain (up to n
+            # rows at scale — a forced broadcast OOMs at 100 TB); the
+            # frame is eager-checkpointed, so AQE sees its true size
+            # and picks broadcast at fixture scale / shuffle semi-join
+            # at cluster scale on its own
             ae = mut.join(
-                F.broadcast(alive.select(F.col("node").alias("src"))),
+                alive.select(F.col("node").alias("src")),
                 "src",
                 "left_semi",
             ).join(
-                F.broadcast(alive.select(F.col("node").alias("dst"))),
+                alive.select(F.col("node").alias("dst")),
                 "dst",
                 "left_semi",
             )
@@ -867,11 +872,11 @@ def q_kcore_census(spark, sf_dir):
             )
         # final round's census needs one last alive-edge aggregate
         ae = mut.join(
-            F.broadcast(alive.select(F.col("node").alias("src"))),
+            alive.select(F.col("node").alias("src")),
             "src",
             "left_semi",
         ).join(
-            F.broadcast(alive.select(F.col("node").alias("dst"))),
+            alive.select(F.col("node").alias("dst")),
             "dst",
             "left_semi",
         )
