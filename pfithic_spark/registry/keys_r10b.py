@@ -1532,3 +1532,180 @@ def q_negative_binomial_fit(spark, sf_dir):
         .otherwise(mean_c / var_c)
         .alias("nb_p"),
     )
+
+
+# ========================================================================
+# q_capture_recapture — Chapman estimate of the TRUE duplicate count
+# ========================================================================
+
+
+@register(
+    "q_capture_recapture",
+    oracle="""
+WITH sig AS (
+  SELECT doc_id, doc_id % 2 AS half, MD5(LOWER(TRIM(text))) AS s
+  FROM documents
+),
+g AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c0,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c1
+  FROM sig GROUP BY s
+),
+t AS (
+  SELECT CAST(SUM(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n2,
+         CAST(SUM(CASE WHEN c0 > 0 AND c1 > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS m,
+         CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM g
+)
+SELECT n1, n2, m, n_seen,
+       (n1 + 1) * (n2 + 1) / (m + 1) - 1 AS chapman_est,
+       CAST(FLOOR((n1 + 1) * (n2 + 1) / (m + 1) - 1
+                  - CAST(n_seen AS DOUBLE)) AS BIGINT) AS est_unseen
+FROM t
+""",
+)
+def q_capture_recapture(spark, sf_dir):
+    """CAPTURE–RECAPTURE (Chapman-corrected Lincoln–Petersen)
+    estimate of the TRUE number of distinct document signatures:
+    treat the two corpus halves as two independent "captures" of the
+    signature population; N̂ = (n₁+1)(n₂+1)/(m+1) − 1 where m is the
+    overlap — the completeness estimator that answers what no dedup
+    key can ("how many distinct documents exist that we have NOT yet
+    seen"), the coverage QA for q_dedup_exact's census and the
+    acquisition-planning number behind q_mixture_allocation.
+
+    100 TB shape: one corpus scan to the signature grain (the
+    q_dedup_exact md5 discipline — 16-byte keys), then a 1-row
+    census.  Determinism: counts exact int64; the estimator is ONE
+    fixed-order double chain (the (n₁+1)(n₂+1) product ≤ (8M+1)² ≈
+    6.4·10¹³ is a hardware-exact double, §8.21); est_unseen is
+    FLOOR-then-cast in BOTH engines (§8.7: DuckDB CAST(double AS
+    BIGINT) rounds while Spark's cast truncates — a bare cast here
+    diverges on any fractional estimate); m = 0 never divides by
+    zero (the +1 Chapman correction exists for exactly that)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("s"),
+    )
+    g = sig.groupBy("s").agg(
+        F.sum((F.col("half") == 0).cast("long")).cast("long").alias("c0"),
+        F.sum((F.col("half") == 1).cast("long")).cast("long").alias("c1"),
+    )
+    t = g.agg(
+        F.sum((F.col("c0") > 0).cast("long")).cast("long").alias("n1"),
+        F.sum((F.col("c1") > 0).cast("long")).cast("long").alias("n2"),
+        F.sum(((F.col("c0") > 0) & (F.col("c1") > 0)).cast("long"))
+        .cast("long")
+        .alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+    )
+    chapman = (
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1).cast("double")
+        / (F.col("m") + 1).cast("double")
+        - F.lit(1.0)
+    )
+    return t.select(
+        "n1",
+        "n2",
+        "m",
+        "n_seen",
+        chapman.alias("chapman_est"),
+        F.floor(chapman - F.col("n_seen").cast("double"))
+        .cast("long")
+        .alias("est_unseen"),
+    )
+
+
+# ========================================================================
+# q_unseen_vocabulary — Chao1 richness + Good–Turing missing mass
+# ========================================================================
+
+
+@register(
+    "q_unseen_vocabulary",
+    oracle="""
+WITH c AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(STRING_SPLIT(LOWER(TRIM(text)), ' ')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f1,
+         CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS f2
+  FROM c
+)
+SELECT v_obs, n_tokens, f1, f2,
+       CASE WHEN f2 = 0
+            THEN CAST(v_obs AS DOUBLE)
+                 + CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0
+            ELSE CAST(v_obs AS DOUBLE)
+                 + CAST(f1 * f1 AS DOUBLE)
+                   / (2.0 * CAST(f2 AS DOUBLE)) END AS chao1_richness,
+       CASE WHEN n_tokens = 0 THEN NULL
+            ELSE CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+         AS gt_missing_mass
+FROM t
+""",
+)
+def q_unseen_vocabulary(spark, sf_dir):
+    """UNSEEN-VOCABULARY estimators: Chao1 species richness
+    V̂ = V_obs + f₁²/(2f₂) (bias-corrected f₁(f₁−1)/2 when f₂ = 0)
+    and the Good–Turing missing mass f₁/N — "how much vocabulary
+    would more data reveal, and what probability mass do unseen
+    types carry": the diversity-side completeness check pairing
+    q_capture_recapture's document-level estimate (q_heaps_law says
+    how V GROWS; Chao1 says where it is HEADED), and the number that
+    justifies — or kills — another crawl of a source.
+
+    100 TB shape: one token-stream aggregate to the vocabulary grain
+    (inverted-index shape), then a 1-row census of exact frequency-
+    of-frequency counts.  Determinism: f₁, f₂, V, N exact int64;
+    f₁² ≤ V² is §8.21-safe as a hardware-exact double product
+    (V ≤ 10¹⁰ types → 67 bits — computed as double for exactly that
+    reason); the two outputs are fixed-order double chains; NULL
+    missing mass on an empty corpus (§8.17)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.select(
+        F.explode(llmops.tokens_col("text")).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = c.agg(
+        F.count(F.lit(1)).cast("long").alias("v_obs"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum((F.col("cnt") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("cnt") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    chao1 = F.when(
+        F.col("f2") == 0,
+        F.col("v_obs").cast("double")
+        + (F.col("f1") * (F.col("f1") - 1)).cast("double") / F.lit(2.0),
+    ).otherwise(
+        F.col("v_obs").cast("double")
+        + (F.col("f1") * F.col("f1")).cast("double")
+        / (F.lit(2.0) * F.col("f2").cast("double"))
+    )
+    return t.select(
+        "v_obs",
+        "n_tokens",
+        "f1",
+        "f2",
+        chao1.alias("chao1_richness"),
+        F.when(F.col("n_tokens") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .alias("gt_missing_mass"),
+    )

@@ -1919,3 +1919,17 @@ def test_r10c_key_plan_shapes(spark, sf_dir, queries):
     assert "Join" not in p
     assert "windowspecdefinition" not in p
     assert "EvalPython" not in p
+
+
+def test_r10d_key_plan_shapes(spark, sf_dir, queries):
+    """Completeness-estimator plan gates: q_capture_recapture and
+    q_unseen_vocabulary are single-scan, join-free, window-free
+    censuses over a signature/vocabulary grain; no EvalPython."""
+    import re
+
+    for k in ("q_capture_recapture", "q_unseen_vocabulary"):
+        p = _plan(queries[k](spark, sf_dir))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, k
+        assert "Join" not in p, k
+        assert "windowspecdefinition" not in p, k
+        assert "EvalPython" not in p, k

@@ -472,3 +472,80 @@ def test_negative_binomial_closed_form(spark, tmp_path):
     assert abs(r["dispersion_index"] - 7.0 / 3.0) < 1e-15
     assert r["nb_r"] == 9.0 / 4.0
     assert abs(r["nb_p"] - 3.0 / 7.0) < 1e-15
+
+
+# ------------------------------------------------------------------
+# q_capture_recapture
+# ------------------------------------------------------------------
+
+
+def test_capture_recapture_closed_form(spark, tmp_path):
+    """Signatures: A in both halves, B only half-0, C only half-1 →
+    n1=2, n2=2, m=1, seen=3; Chapman N̂ = 3·3/2 − 1 = 3.5,
+    est_unseen = floor(0.5) = 0."""
+    import __spark_entry__ as e
+
+    docs = [
+        (0, "same text", "s"),   # half 0, sig A
+        (1, "same text", "s"),   # half 1, sig A
+        (2, "only zero", "s"),   # half 0, sig B
+        (3, "only one", "s"),    # half 1, sig C
+    ]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    r = e.queries()["q_capture_recapture"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert (r["n1"], r["n2"], r["m"], r["n_seen"]) == (2, 2, 1, 3)
+    assert r["chapman_est"] == 3.5
+    assert r["est_unseen"] == 0
+
+
+def test_capture_recapture_disjoint_halves(spark, tmp_path):
+    """Zero overlap (m=0): the +1 correction keeps the estimate
+    finite — N̂ = 2·2/1 − 1 = 3 with 2 seen → 1 unseen."""
+    import __spark_entry__ as e
+
+    docs = [(0, "zero half", "s"), (1, "one half", "s")]
+    _write_documents(spark, tmp_path.as_posix(), docs)
+    r = e.queries()["q_capture_recapture"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert (r["n1"], r["n2"], r["m"], r["n_seen"]) == (1, 1, 0, 2)
+    assert r["chapman_est"] == 3.0
+    assert r["est_unseen"] == 1
+
+
+# ------------------------------------------------------------------
+# q_unseen_vocabulary
+# ------------------------------------------------------------------
+
+
+def test_unseen_vocabulary_closed_form(spark, tmp_path):
+    """Corpus 'a a a b b c d' → V=4, N=7, f1=2 (c,d), f2=1 (b) →
+    Chao1 = 4 + 4/2 = 6.0, Good–Turing missing mass = 2/7."""
+    import __spark_entry__ as e
+
+    _write_documents(
+        spark, tmp_path.as_posix(), [(0, "a a a b b c d", "s")]
+    )
+    r = e.queries()["q_unseen_vocabulary"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert (r["v_obs"], r["n_tokens"], r["f1"], r["f2"]) == (4, 7, 2, 1)
+    assert r["chao1_richness"] == 6.0
+    assert r["gt_missing_mass"] == 2.0 / 7.0
+
+
+def test_unseen_vocabulary_f2_zero_correction(spark, tmp_path):
+    """No doubletons (f2=0): the bias-corrected f1(f1−1)/2 branch —
+    'a a a b c' → V=3, f1=2, f2=0 → Chao1 = 3 + 1 = 4.0."""
+    import __spark_entry__ as e
+
+    _write_documents(
+        spark, tmp_path.as_posix(), [(0, "a a a b c", "s")]
+    )
+    r = e.queries()["q_unseen_vocabulary"](
+        spark, tmp_path.as_posix()
+    ).collect()[0]
+    assert (r["v_obs"], r["f1"], r["f2"]) == (3, 2, 0)
+    assert r["chao1_richness"] == 4.0
