@@ -160,38 +160,68 @@ def pack_sequences(
     Output: one row per packed sequence — (group, shard, seq_id,
     n_docs, total_tokens).
     """
-    from pyspark.sql import Window as W
-
-    hkey = knuth_hash(id_col)
     t = docs.select(
-        F.col(group_col).alias("grp"),
+        F.col(group_col),
         F.col(id_col),
-        hkey.alias("hkey"),
-        (hkey % F.lit(n_shards)).cast("long").alias("shard"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
     )
-    w = (
-        W.partitionBy("grp", "shard")
-        .orderBy("hkey", id_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c = t.withColumn(
-        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
     return (
-        c.withColumn(
-            "seq_id",
-            F.floor(F.col("cum_before") / F.lit(float(target_tokens))).cast(
-                "long"
-            ),
+        pack_assignments(
+            t,
+            target_tokens=target_tokens,
+            n_shards=n_shards,
+            id_col=id_col,
+            group_col=group_col,
         )
-        .groupBy("grp", "shard", "seq_id")
+        .groupBy(group_col, "shard", "seq_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
         )
-        .withColumnRenamed("grp", group_col)
     )
+
+
+def pack_assignments(
+    docs_tokens: DataFrame,
+    target_tokens: int = 2048,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """DOC-GRAIN packing assignment (factored out of
+    :func:`pack_sequences` round 11 so the curation DAG can WRITE the
+    per-document shard/sequence placement as its training-shard
+    artifact): input rows must carry ``(group_col, id_col,
+    tokens_col)`` plus any passenger columns, output adds ``shard``
+    (Knuth-hash of the id mod ``n_shards``) and ``seq_id`` (greedy
+    streaming cut of the per-(group, shard) hash-ordered running
+    total at ``target_tokens`` boundaries).
+
+    Same 100 TB/determinism contract as :func:`pack_sequences`: the
+    window partitions on (group, shard) so no global or single-key
+    window exists, the hash order reproduces across engines/runs, and
+    a power-of-two target keeps the cumsum division bit-exact."""
+    from pyspark.sql import Window as W
+
+    hkey = knuth_hash(id_col)
+    t = docs_tokens.withColumn("_hkey", hkey).withColumn(
+        "shard", (hkey % F.lit(n_shards)).cast("long")
+    )
+    w = (
+        W.partitionBy(group_col, "shard")
+        .orderBy("_hkey", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = t.withColumn(
+        "_cum_before", F.sum(tokens_col).over(w) - F.col(tokens_col)
+    )
+    return c.withColumn(
+        "seq_id",
+        F.floor(F.col("_cum_before") / F.lit(float(target_tokens))).cast(
+            "long"
+        ),
+    ).drop("_hkey", "_cum_before")
 
 
 def mix_sources_balanced(

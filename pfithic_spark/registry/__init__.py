@@ -47,72 +47,79 @@ from .keys_r8b import *  # noqa: F401,F403,E402
 from .keys_r9 import *  # noqa: F401,F403,E402
 from .keys_r10 import *  # noqa: F401,F403,E402
 from .keys_r10b import *  # noqa: F401,F403,E402
+from .keys_r11 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # Round-10 sweep (driver checks the first 50).  VERDICT r9 #2
-    # prescribed 26 §2.22 keys + the two re-fixed reds + 22 oldest
-    # r5-era keys; the 13 §2.23 keys added THIS round (keys_r10.py)
-    # outrank 13 of the r5-era re-rows by the rotation's standing
-    # precedence rule (never-driver-rowed keys first — the r5-era
-    # keys all hold an r5-green row), so the window is 26 + 2 + 13
-    # §2.23 + 9 oldest r5-era = 50.
-    # §2.22 (keys_r9.py) — never driver-rowed
-    "q_er_clusters",
-    "q_group_reservoir",
-    "q_session_ngrams",
-    "q_lift_deciles",
-    "q_simhash_band_index",
-    "q_conformal_interval",
-    "q_energy_distance",
-    "q_quantile_sketch",
-    "q_bipartite_projection",
-    "q_knn_graph",
-    "q_rrf_fusion",
-    "q_mixture_allocation",
-    "q_interarrival_stats",
-    "q_ngram_novelty",
-    "q_length_log2_histogram",
-    "q_auc_by_group",
-    "q_power_mde",
-    "q_bloom_membership",
-    "q_gini_coefficient",
-    "q_dp_counts",
-    "q_holdout_leakage",
-    "q_er_golden_record",
-    "q_price_elasticity",
-    "q_sketch_merge",
-    "q_ab_cuped",
-    "q_importance_weights",
-    # round-9 gate-reds, re-proven post decimal→double fix
-    "q_token_chi2",
-    "q_ndcg",
-    # §2.23 (keys_r10.py) — registered this round, never driver-rowed
-    "q_rolling_distinct_hll",
-    "q_minhash_signature_index",
-    "q_psi_source_panel",
-    "q_stratified_conformal",
-    "q_token_budget_curriculum",
-    "q_kcore_census",
-    "q_ivf_assignment",
-    "q_cohens_kappa",
-    "q_pinball_loss",
-    "q_ratio_metric_delta",
-    "q_k_anonymity",
-    "q_heaps_law",
-    "q_source_overlap",
-    # §2.24 (keys_r10b.py) — registered this round, never driver-rowed
-    "q_cmh_test",
-    "q_hill_tail_index",
-    "q_log_odds_tokens",
-    "q_markov_stationary",
-    "q_poisson_rate_test",
-    "q_sequence_entropy",
-    "q_block_maxima_gumbel",
-    # first 2 of the 4 late-round §2.24 keys fill the window (the
-    # other two — q_price_index, q_negative_binomial_fit — plus the
-    # r5-era backlog rotate in round 11; never-driver-rowed first)
+    # Round-11 sweep (driver checks the first 50).  VERDICT r10 #1
+    # prescribed: lead with the four keys that have never held a
+    # driver row (registered after the r10 window filled), then the
+    # two keys whose physical plans were REBUILT this round (r10
+    # What's-wrong #1–#2 — fresh rows prove value-identity through
+    # the driver, not just the local oracle harness), then new
+    # round-11 registrations (never-driver-rowed first, standing
+    # rule), then the oldest r5-era rows: the verdict's 22-key
+    # priority list followed by as many of the remaining r5-rowed
+    # keys as fit the window.
+    # --- never driver-rowed (late §2.24 registrations) ---
+    "q_capture_recapture",
+    "q_negative_binomial_fit",
+    "q_price_index",
+    "q_unseen_vocabulary",
+    # --- plans rebuilt this round (r10 What's-wrong #1–#2) ---
     "q_mrr",
     "q_rank_biased_overlap",
+    # --- round-11 registrations (never driver-rowed) ---
+    # (swapped in as each registers; placeholders hold window size)
+    "q_curation_dag",
+    "q_multimodal_resize",
+    "q_ngram_coverage",
+    "q_quantile_discretize",
+    # --- r5-era backlog, verdict-r10 priority order ---
+    "q_embedding_centroid",
+    "q_wau",
+    "q_new_vs_returning",
+    "q_ewma",
+    "q_mann_whitney",
+    "q_linear_regression",
+    "q_zipf_fit",
+    "q_gini",
+    "q_ks_test",
+    "q_chi_square",
+    "q_graph_degree_dist",
+    "q_burstiness",
+    "q_period_over_period",
+    "q_sample_reservoir",
+    "q_train_test_split",
+    "q_dq_checks",
+    "q_crosstab",
+    "q_corr_matrix",
+    "q_markov_transitions",
+    "q_rolling_median",
+    "q_join_pit",
+    "q_duplicate_rate_report",
+    # --- remaining r5-era rows (alphabetical) to fill the window ---
+    "q_agg_percentile",
+    "q_array_explode",
+    "q_autocorr",
+    "q_cap_per_group",
+    "q_contamination",
+    "q_corr_exact",
+    "q_dedup_embedding",
+    "q_dedup_ngram_global",
+    "q_dedup_sorted_neighborhood",
+    "q_fingerprint",
+    "q_graph_bfs",
+    "q_heavy_hitters",
+    "q_incremental_agg",
+    "q_kr_balance",
+    "q_lang_id",
+    "q_mix_sources",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    # r5-era keys that did NOT fit this 50-key window (round-12
+    # backlog): q_multimodal_meta, q_multimodal_resize,
+    # q_ngram_coverage, q_quantile_discretize, q_referential_orphans,
+    # q_triangle_count, q_vector_norm_stats, q_window_cume_dist.
 ]
 
 
@@ -121,6 +128,13 @@ def _reorder_first(d: dict, first: list[str]) -> dict:
     out.update({k: v for k, v in d.items() if k not in out})
     return out
 
+
+# Every window entry must actually be registered — _reorder_first's
+# `if k in d` otherwise silently DROPS a typo'd key and the driver
+# sweeps one fewer than intended (ADVICE r10 #1).
+_missing = [k for k in _VERIFY_FIRST if k not in QUERIES]
+assert not _missing, f"_VERIFY_FIRST keys not registered: {_missing}"
+assert len(_VERIFY_FIRST) == len(set(_VERIFY_FIRST)), "duplicate window keys"
 
 QUERIES = _reorder_first(QUERIES, _VERIFY_FIRST)
 ORACLE_SQL = _reorder_first(ORACLE_SQL, _VERIFY_FIRST)

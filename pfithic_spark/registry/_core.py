@@ -36,6 +36,17 @@ def register(key: str, oracle: str | None = None):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        # A duplicate registration silently SHRINKS coverage (the
+        # second definition replaces the first and the driver's
+        # verify window sweeps one key fewer than intended) — exactly
+        # what bit the round-10 q_psi_drift/q_winsorized_stats
+        # collisions.  Fail loudly at import time instead.
+        if key in QUERIES:
+            raise ValueError(
+                f"duplicate registry key {key!r}: already registered "
+                f"as {QUERIES[key].__name__}, refusing to overwrite "
+                f"with {fn.__name__}"
+            )
         QUERIES[key] = wrapped
         if oracle is not None:
             ORACLE_SQL[key] = oracle.strip()

@@ -1022,32 +1022,68 @@ def q_mrr(spark, sf_dir):
     the deterministic 20% hash flag — the first-hit retrieval metric
     beside q_ndcg's graded gain (MRR is what question-answering and
     known-item search report; a query with NO relevant doc
-    contributes 0 by the standard convention and is counted in
-    n_with_hit for the audit).
+    contributes 0 by the standard convention; n_with_hit exposes how
+    many queries contributed a nonzero reciprocal).
 
-    100 TB shape: the per-slice rank rides one window partitioned by
-    source (at true scale: scalable_part_rank — but here the
-    conditional-MIN prunes to ONE row per source before any further
-    work, so the window's output is consumed map-side); the census
-    rides the bounded |sources| grain.  Determinism: first_rank is
-    an exact integer; each reciprocal rounds 9 → DECIMAL sum
-    (q_entropy discipline), ONE final division (§8.21); NULL on an
-    empty corpus (§8.17)."""
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), "doc_id"
-    )
-    r = d.select(
+    100 TB shape (REBUILT round 11, VERDICT r10 #3): the old plan
+    ranked EVERY document inside ``W.partitionBy(source)`` — with a
+    small fixed |sources| each window partition is corpus-sized, one
+    task per source.  first_rank needs NO window at all: (pass 1)
+    per source, MIN over relevant docs of the ranking key
+    struct(-n_chars, doc_id) — an ordinary partial-aggregated
+    groupBy; (pass 2) broadcast the |sources|-row best-key table
+    back onto documents and COUNT rows strictly ahead of the best
+    key per source — another partial-aggregated groupBy.
+    first_rank = n_ahead + 1.  Both passes are map-side-combining
+    aggregates over the bounded |sources| grain; no row ever sorts.
+    Determinism: the ranking key is a total order (doc_id
+    tiebreak), first_rank an exact integer; each reciprocal rounds
+    9 → DECIMAL sum (q_entropy discipline), ONE final division
+    (§8.21); NULL on an empty corpus (§8.17)."""
+    d = load_table(spark, sf_dir, "documents").select(
         "source",
-        F.row_number().over(w).alias("rk"),
-        (llmops.knuth_hash("doc_id") % _MRR_REL_MOD == 0)
-        .cast("int")
-        .alias("rel"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "doc_id",
+        (llmops.knuth_hash("doc_id") % _MRR_REL_MOD == 0).alias("rel"),
     )
-    fr = r.groupBy("source").agg(
-        F.min(F.when(F.col("rel") == 1, F.col("rk")))
-        .cast("long")
-        .alias("first_rank")
+    # Pass 1: per-source best (first-ranked) RELEVANT doc as the min
+    # of an order-embedding struct — (-n_chars ASC, doc_id ASC) is
+    # exactly (n_chars DESC, doc_id ASC).
+    best = d.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("rel"),
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_chars"),
+                    F.col("doc_id").alias("best_id"),
+                ),
+            )
+        ).alias("b")
+    )
+    # Pass 2: count docs strictly ahead of the best key, per source.
+    ahead = (
+        F.col("b").isNotNull()
+        & (
+            (F.col("n_chars") > -F.col("b.neg_chars"))
+            | (
+                (F.col("n_chars") == -F.col("b.neg_chars"))
+                & (F.col("doc_id") < F.col("b.best_id"))
+            )
+        )
+    ).cast("long")
+    fr = (
+        d.join(F.broadcast(best), "source")
+        .groupBy("source")
+        .agg(
+            F.max(F.col("b").isNotNull()).alias("_hit"),
+            F.sum(ahead).alias("_n_ahead"),
+        )
+        .select(
+            "source",
+            F.when(F.col("_hit"), F.col("_n_ahead") + 1)
+            .cast("long")
+            .alias("first_rank"),
+        )
     )
     rr = F.when(
         F.col("first_rank").isNull(),
@@ -1240,27 +1276,45 @@ def q_rank_biased_overlap(spark, sf_dir):
     first enters the overlap at depth max(ra, rb) and contributes
     the frozen tail weight w[max(ra, rb)].
 
-    100 TB shape: both global rank prefixes cut by
-    TakeOrderedAndProject-sized limits at true scale (here the whole
-    corpus ranks once — the q_rrf_fusion spine; only rows with both
-    ranks ≤ 50 survive to the fold); the overlap fold is ≤ d rows.
-    Determinism: ranks exact under total tie-broken orders; weights
-    are FROZEN pure-math literals keyed by an integer (no runtime
-    pow); round(9) → DECIMAL sum, double out."""
+    100 TB shape (REBUILT round 11, VERDICT r10 #2): the old plan
+    ran two raw unpartitioned ``Window.orderBy`` row_numbers over
+    the FULL corpus — the single-task global-sort anti-pattern the
+    suite banned after ADVICE r8.  Only rows with BOTH ranks ≤ 50
+    can reach the fold, so each ranking is now an
+    ``orderBy(...).limit(50)`` — Spark plans TakeOrderedAndProject:
+    every scan partition keeps a local 50-row heap, the driver
+    merges #partitions × 50 candidates; NOTHING global-sorts.  The
+    row_number window then re-ranks only the bounded 50-row prefix
+    (one task over ≤ 50 rows by construction — the sanctioned
+    post-limit window shape, cf. keys_r10b q_hill_tail_index).  The
+    overlap join and fold are ≤ d rows.  Determinism: both orders
+    are total (doc_id tiebreak) so the limit-50 set and the re-ranks
+    are exact; weights are FROZEN pure-math literals keyed by an
+    integer (no runtime pow); round(9) → DECIMAL sum, double out."""
     d = load_table(spark, sf_dir, "documents")
-    lex = d.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
-        .alias("ra"),
-    )
-    sem = d.select(
-        "doc_id",
-        F.row_number()
-        .over(
-            Window.orderBy(llmops.knuth_hash("doc_id"), "doc_id")
+    lex = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+            .alias("ra"),
         )
-        .alias("rb"),
+    )
+    sem = (
+        d.select(
+            "doc_id", llmops.knuth_hash("doc_id").alias("_h")
+        )
+        .orderBy("_h", "doc_id")
+        .limit(50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy("_h", "doc_id"))
+            .alias("rb"),
+        )
     )
     wt = F.array(*[F.lit(w) for w in _RBO_WEIGHTS])
     b = (

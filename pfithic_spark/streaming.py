@@ -27,6 +27,43 @@ from pyspark.sql import types as T
 
 from .session import ensure_engine_confs
 
+
+def _read_prior_index(
+    spark: SparkSession, index_path: str, epoch: int
+) -> DataFrame | None:
+    """Read the standing epoch-partitioned index, returning None ONLY
+    when no index has ever been written (the first-epoch case).
+
+    Any OTHER read failure — corruption, permissions, transient IO —
+    re-raises so Spark retries the epoch; a swallowed error here is
+    permanent silent recall loss (the batch's rows still append, but
+    its near-dups against the standing index are never emitted).
+    Detection rides the structured error class first
+    (``getCondition() == 'PATH_NOT_FOUND'`` — stable across Spark
+    locales/versions, per ADVICE r10 #3), with the message substring
+    as a fallback for builds that predate error classes."""
+    try:
+        return spark.read.parquet(index_path).filter(
+            F.col("epoch") < F.lit(epoch)
+        )
+    except AnalysisException as exc:
+        cond = None
+        for getter in ("getCondition", "getErrorClass"):
+            try:
+                cond = getattr(exc, getter)()
+            except Exception:
+                cond = None
+            if cond:
+                break
+        if cond is not None:
+            if cond == "PATH_NOT_FOUND":
+                return None
+            raise
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+
 #: explicit schema for streaming reads (no inference on a stream) —
 #: ts as TIMESTAMP_NTZ, matching the events parquet (TIMESTAMP(MICROS)).
 EVENTS_STREAM_SCHEMA = T.StructType(
@@ -791,22 +828,9 @@ def simhash_index_stream(
             )
 
         try:
-            try:
-                idx = spark.read.parquet(index_path).filter(
-                    F.col("epoch") < F.lit(epoch)
-                )
-            except AnalysisException as exc:
-                # ONLY "no index written yet" downgrades; transient
-                # IO/corruption must fail the epoch so Spark retries
-                # (a swallowed error here is permanent silent recall
-                # loss — the batch's rows still append below)
-                msg = str(exc)
-                if (
-                    "PATH_NOT_FOUND" not in msg
-                    and "Path does not exist" not in msg
-                ):
-                    raise
-                idx = None
+            # ONLY "no index written yet" downgrades; transient
+            # IO/corruption must fail the epoch so Spark retries
+            idx = _read_prior_index(spark, index_path, epoch)
             # within-batch pairs: two near-dups landing in the same
             # micro-batch file must flag in THIS epoch (doc_id >
             # dup_of keeps one direction and excludes self-pairs)
@@ -883,18 +907,7 @@ def minhash_index_stream(
         spark = batch.sparkSession
         rows = llmops.md5_minhash_band_rows(batch).persist()
         try:
-            try:
-                idx = spark.read.parquet(index_path).filter(
-                    F.col("epoch") < F.lit(epoch)
-                )
-            except AnalysisException as exc:
-                msg = str(exc)
-                if (
-                    "PATH_NOT_FOUND" not in msg
-                    and "Path does not exist" not in msg
-                ):
-                    raise
-                idx = None
+            idx = _read_prior_index(spark, index_path, epoch)
             batch_side = rows.select(
                 F.col("doc_id").alias("dup_of"), "band", "band_key"
             )

@@ -1880,13 +1880,44 @@ def test_r10b_key_plan_shapes(spark, sf_dir, queries):
         assert "EvalPython" not in p, k
 
 
+def _windows_ride_bounded_limits(plan: str) -> None:
+    """Assert every Window node in the formatted plan tree has a
+    TakeOrderedAndProject (or GlobalLimit) somewhere in its SUBTREE —
+    i.e. any unpartitioned window only ever re-ranks a bounded
+    limit-prefix, never the raw corpus.  This is the invariant the
+    r10 q_rank_biased_overlap gate failed to state (VERDICT r10 #2):
+    it rejected CartesianProduct/POWER/EvalPython but not the two
+    corpus-grain global-sort windows that shipped."""
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def indent(line: str) -> int:
+        # tree glyphs (+- / : / spaces) precede the operator name
+        return len(line) - len(line.lstrip(" +-:*"))
+
+    for i, line in enumerate(tree):
+        if "Window" not in line:
+            continue
+        w_ind = indent(line)
+        ok = False
+        for sub in tree[i + 1 :]:
+            if indent(sub) <= w_ind:
+                break
+            if "TakeOrderedAndProject" in sub or "GlobalLimit" in sub:
+                ok = True
+                break
+        assert ok, f"Window without bounded-limit subtree:\n{line}\n{plan[:2000]}"
+
+
 def test_r10c_key_plan_shapes(spark, sf_dir, queries):
-    """Final §2.24 batch plan gates:
-    (a) q_mrr: windows partition by source; the census rides the
-        bounded |sources| grain — no cartesian;
-    (b) q_rank_biased_overlap: doc-keyed equi-join of the two rank
-        spines, overlap fold ≤ depth rows, frozen-literal weights
-        (no runtime pow anywhere);
+    """Final §2.24 batch plan gates (tightened round 11 per VERDICT
+    r10 #2–#3):
+    (a) q_mrr: NO window at all — first_rank is two bounded
+        source-grain aggregates (min_by struct + broadcast-join
+        count-strictly-ahead); no cartesian;
+    (b) q_rank_biased_overlap: each rank spine is an
+        orderBy().limit(50) TakeOrderedAndProject prefix; every
+        Window node re-ranks a bounded limit output (subtree check),
+        doc-keyed equi-join, frozen-literal weights (no runtime pow);
     (c) q_price_index: fact join + (part, year)-grain aggregate +
         part-keyed equi self-join — no cartesian;
     (d) q_negative_binomial_fit: single-scan join-free census with
@@ -1901,11 +1932,13 @@ def test_r10c_key_plan_shapes(spark, sf_dir, queries):
         return len(re.findall(r"\(\d+\) Scan parquet", p))
 
     p = plan("q_mrr")
-    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
-    assert heads and all(h == "source" for h in heads), heads
+    assert "windowspecdefinition" not in p, p[:1500]
+    assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "EvalPython" not in p
 
     p = plan("q_rank_biased_overlap")
+    assert "TakeOrderedAndProject" in p, p[:1500]
+    _windows_ride_bounded_limits(p)
     assert "CartesianProduct" not in p
     assert "POWER" not in p.upper()
     assert "EvalPython" not in p

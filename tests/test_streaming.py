@@ -1578,3 +1578,32 @@ def test_hll_register_stream_matches_batch_registers(spark, tmp_path):
     # the streamed table kept per-epoch provenance
     eps = spark.read.parquet(reg_path).select("epoch").distinct().count()
     assert eps == 2
+
+
+def test_read_prior_index_downgrade_vs_reraise(spark, tmp_path):
+    """First-epoch detection contract (ADVICE r10 #3): a MISSING
+    index path downgrades to None (no standing index yet); a PRESENT
+    but unreadable/corrupt index RE-RAISES so Spark retries the epoch
+    instead of silently losing recall forever."""
+    from pyspark.errors import AnalysisException
+
+    missing = str(tmp_path / "never_written")
+    assert strm._read_prior_index(spark, missing, epoch=0) is None
+
+    corrupt = tmp_path / "corrupt_index"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        # schema inference / footer read fails -> must NOT downgrade
+        df = strm._read_prior_index(spark, str(corrupt), epoch=5)
+        assert df is not None
+        df.collect()  # lazy footer reads surface here at the latest
+
+    # a real prior index reads back filtered to epoch < current
+    good = str(tmp_path / "good_index")
+    spark.range(4).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("epoch")
+    ).write.partitionBy("epoch").parquet(good)
+    df = strm._read_prior_index(spark, good, epoch=1)
+    assert df is not None and df.count() == 2
+    assert df.filter(F.col("epoch") >= 1).count() == 0
