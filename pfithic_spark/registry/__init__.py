@@ -71,9 +71,9 @@ _VERIFY_FIRST = [
     # --- round-11 registrations (never driver-rowed) ---
     # (swapped in as each registers; placeholders hold window size)
     "q_curation_dag",
-    "q_multimodal_resize",
-    "q_ngram_coverage",
-    "q_quantile_discretize",
+    "q_psi_drift_incremental",
+    "q_ivf_rebalance",
+    "q_compaction_policy",
     # --- r5-era backlog, verdict-r10 priority order ---
     "q_embedding_centroid",
     "q_wau",

@@ -362,6 +362,16 @@ def q_psi_source_panel(spark, sf_dir):
             F.length(F.bin(F.col("n_chars").cast("long"))) - 1
         ).alias("bucket"),
     )
+    return psi_panel_from_halves(b)
+
+
+def psi_panel_from_halves(b: DataFrame) -> DataFrame:
+    """The smoothed per-source PSI panel over a (source, half, bucket)
+    frame (half 0 = reference snapshot, half 1 = comparison) — factored
+    out of q_psi_source_panel round 11 so the incremental snapshot
+    twin (q_psi_drift_incremental) computes the IDENTICAL panel from
+    atomic-sink snapshot reads.  Same determinism contract as the
+    caller's docstring."""
     c = b.groupBy("source", "bucket").agg(
         F.sum((F.col("half") == 0).cast("long")).cast("long").alias("na"),
         F.sum((F.col("half") == 1).cast("long")).cast("long").alias("nb"),
@@ -802,15 +812,27 @@ def q_kcore_census(spark, sf_dir):
         (F.col("e1.src") == F.col("e2.dst"))
         & (F.col("e1.dst") == F.col("e2.src")),
     ).select(F.col("e1.src").alias("src"), F.col("e1.dst").alias("dst"))
+    return kcore_peel_series(mut, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def kcore_peel_series(
+    mut: DataFrame, k: int = 2, rounds: int = 6
+) -> DataFrame:
+    """The synchronous peel loop over a directed-SYMMETRIC edge set —
+    factored out of q_kcore_census round 11 so the 8 M-edge planted
+    scale row (tools/bench_scalable.py) exercises the IDENTICAL
+    iteration.  Returns the (round, n_nodes, n_edges) series
+    (rounds + 1 rows).
+
+    Iterative peeling MUST truncate lineage each round: alive_{r+1}
+    reads alive_r twice (src + dst semi-joins) and the census twice
+    more, so an unmaterialized chain re-executes its whole prefix
+    per reference (exponential), and even persist+count leaves the
+    LOGICAL plan growing per round (Catalyst re-optimizes an
+    ever-deeper tree — measured 171 s at sf0.01).  Eager
+    localCheckpoint materializes the ≤n-row alive set AND resets
+    the plan to a leaf — rounds stay constant-cost."""
     mut = mut.persist()
-    # iterative peeling MUST truncate lineage each round: alive_{r+1}
-    # reads alive_r twice (src + dst semi-joins) and the census twice
-    # more, so an unmaterialized chain re-executes its whole prefix
-    # per reference (exponential), and even persist+count leaves the
-    # LOGICAL plan growing per round (Catalyst re-optimizes an
-    # ever-deeper tree — measured 171 s at sf0.01).  Eager
-    # localCheckpoint materializes the ≤n-row alive set AND resets
-    # the plan to a leaf — rounds stay constant-cost (~5 s total).
     mut.count()
     persisted = [mut]
     try:
@@ -838,7 +860,7 @@ def q_kcore_census(spark, sf_dir):
         # the next round's node census.  The first-cut shape rebuilt
         # the semi-joined edge set separately for the census, doubling
         # the heavy work per round.
-        for r in range(_KCORE_ROUNDS):
+        for r in range(rounds):
             # NO broadcast hint: the alive set is NODE-grain (up to n
             # rows at scale — a forced broadcast OOMs at 100 TB); the
             # frame is eager-checkpointed, so AQE sees its true size
@@ -867,7 +889,7 @@ def q_kcore_census(spark, sf_dir):
                     ),
                 )
             )
-            alive = deg.filter(F.col("deg") >= _KCORE_K).select(
+            alive = deg.filter(F.col("deg") >= k).select(
                 F.col("src").alias("node")
             )
         # final round's census needs one last alive-edge aggregate
@@ -882,7 +904,7 @@ def q_kcore_census(spark, sf_dir):
         )
         rows.append(
             census_row(
-                _KCORE_ROUNDS,
+                rounds,
                 alive.agg(F.count(F.lit(1)).alias("nn")),
                 ae.agg(F.count(F.lit(1)).alias("ne")),
             )
@@ -900,6 +922,44 @@ def q_kcore_census(spark, sf_dir):
 # ========================================================================
 # q_ivf_assignment — IVF cell-assignment write path (frozen codebook)
 # ========================================================================
+
+
+def ivf_distance_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full (vec_id, cell, dist2_micro) exact-integer distance
+    table under the frozen committed codebook — factored out of
+    q_ivf_assignment round 11 so the rebalance sibling
+    (q_ivf_rebalance) scores merge targets from the IDENTICAL
+    distances.  Components micro-quantize to int64 BEFORE the
+    distance (Σ of 64 squared diffs ≤ 64·(2·5·10⁶)² ≈ 6.4·10¹⁵ —
+    §8.21-safe), so every row is exact in both engines.  Bounded 16×
+    row expansion (vectors × broadcast codebook), never
+    vector×vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = spark.read.parquet(f"{_GOLDEN_DIR}/ivf_centroids.parquet")
+    qc = cent.select(
+        "cell",
+        F.transform(
+            F.col("centroid"),
+            lambda x: F.round(x * 1_000_000, 0).cast("long"),
+        ).alias("cq"),
+    )
+    qe = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                "long"
+            ),
+        ).alias("eq"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("eq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return qe.crossJoin(F.broadcast(qc)).select(
+        "vec_id", "cell", d2.alias("dist2_micro")
+    )
 
 
 @register(
@@ -947,32 +1007,7 @@ def q_ivf_assignment(spark, sf_dir):
     diffs ≤ 64·(2·5·10⁶)² ≈ 6.4·10¹⁵ — §8.21-safe), so dist2 is
     EXACT integer math in both engines and the (dist2, cell) argmin
     has no float tie ambiguity."""
-    e = load_table(spark, sf_dir, "embeddings")
-    cent = spark.read.parquet(f"{_GOLDEN_DIR}/ivf_centroids.parquet")
-    qc = cent.select(
-        "cell",
-        F.transform(
-            F.col("centroid"),
-            lambda x: F.round(x * 1_000_000, 0).cast("long"),
-        ).alias("cq"),
-    )
-    qe = e.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
-                "long"
-            ),
-        ).alias("eq"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("eq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    q = qe.crossJoin(F.broadcast(qc)).select(
-        "vec_id", "cell", d2.alias("dist2_micro")
-    )
+    q = ivf_distance_table(spark, sf_dir)
     wv = Window.partitionBy("vec_id").orderBy("dist2_micro", "cell")
     return (
         q.withColumn("rn", F.row_number().over(wv))

@@ -29,7 +29,7 @@ from .. import io as pio
 from .. import llmops  # noqa: F401
 from .. import windows as win  # noqa: F401
 from ..io import epoch_us, load_table  # noqa: F401
-from ._core import register  # noqa: F401
+from ._core import _GOLDEN_DIR, register  # noqa: F401
 
 # ========================================================================
 # q_curation_dag — end-to-end corpus → training shards, atomically
@@ -307,3 +307,635 @@ def q_curation_dag(spark, sf_dir):
     return pio.read_parquet_atomic(spark, path).select(
         "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
     )
+
+
+# ========================================================================
+# q_psi_drift_incremental — the PSI panel fed by atomic-sink snapshots
+# ========================================================================
+
+#: Same industry 'act' threshold as q_psi_source_panel.
+_PSI_ACT = 0.2
+
+
+@register(
+    "q_psi_drift_incremental",
+    oracle=f"""
+WITH b AS (
+  SELECT source, doc_id % 2 AS half,
+         LENGTH(BIN(CAST(n_chars AS BIGINT))) - 1 AS bucket
+  FROM documents WHERE n_chars >= 1
+),
+c AS (
+  SELECT source, bucket,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS nb
+  FROM b GROUP BY source, bucket
+),
+t AS (
+  SELECT source, bucket, na, nb,
+         CAST(SUM(na) OVER (PARTITION BY source) AS BIGINT) AS ta,
+         CAST(SUM(nb) OVER (PARTITION BY source) AS BIGINT) AS tb,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS nbins
+  FROM c
+),
+terms AS (
+  SELECT source, ta, tb, nbins,
+         CAST(ROUND(
+           (CAST(na + 1 AS DOUBLE) / CAST(ta + nbins AS DOUBLE)
+            - CAST(nb + 1 AS DOUBLE) / CAST(tb + nbins AS DOUBLE))
+           * ROUND(LN(
+               (CAST(na + 1 AS DOUBLE) / CAST(ta + nbins AS DOUBLE))
+               / (CAST(nb + 1 AS DOUBLE) / CAST(tb + nbins AS DOUBLE))
+             ), 9),
+         9) AS DECIMAL(28,9)) AS contrib
+  FROM t
+),
+s AS (
+  SELECT source, MAX(ta) AS n_a, MAX(tb) AS n_b,
+         MAX(nbins) AS n_bins,
+         CAST(SUM(contrib) AS DECIMAL(28,9)) AS psi_dec
+  FROM terms GROUP BY source
+)
+SELECT source, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       CAST(psi_dec AS DOUBLE) AS psi,
+       CAST(psi_dec AS DOUBLE) > {_PSI_ACT!r} AS drift_detected
+FROM s
+""",
+)
+def q_psi_drift_incremental(spark, sf_dir):
+    """INCREMENTAL-MAINTENANCE TWIN of q_psi_source_panel (VERDICT
+    r10 #8): the drift panel a release gate runs NIGHTLY, fed by the
+    atomic sink's CHANGE STREAM instead of a full rescan — publish
+    release N (doc_id even) as snapshot seq s₀, append release N+1
+    (doc_id odd) as seq s₁, then read the reference side with
+    :func:`pfithic_spark.io.read_parquet_atomic` AS OF s₀ (time
+    travel) and the comparison side with
+    :func:`read_parquet_atomic_incremental` (s₀ → newest — ONLY the
+    delta files, never the base), and fold both through the SAME
+    :func:`keys_r10.psi_panel_from_halves` dataflow.  At 100 TB this
+    is the difference between scanning the whole history per gate
+    run and scanning one release's files; the non-append guard in
+    the incremental reader makes a compaction that rewrote history
+    fail loudly instead of silently double-counting.
+
+    The oracle recomputes the identical panel from the raw fixture
+    (halves = doc_id parity), so a bug anywhere in the
+    publish → time-travel → incremental-read → panel chain
+    hash-mismatches.  Write-once guard per (sf_dir, applicationId),
+    like q_curation_dag."""
+    from .keys_r10 import psi_panel_from_halves
+
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pfithic_psi_inc_{tag}")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    committed = os.path.isdir(path) and any(
+        f.startswith("manifest-") for f in os.listdir(path)
+    )
+    if not committed:
+        pio.write_parquet_atomic(
+            d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+        )
+        pio.write_parquet_atomic(
+            d.filter(F.col("doc_id") % 2 == 1), path, mode="append"
+        )
+    seqs = sorted(
+        int(f.split("-")[1])
+        for f in os.listdir(path)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    base_seq = seqs[0]
+    ref = pio.read_parquet_atomic(spark, path, as_of_seq=base_seq)
+    delta = pio.read_parquet_atomic_incremental(
+        spark, path, from_seq=base_seq
+    )
+
+    def _bucketed(df: DataFrame, half: int) -> DataFrame:
+        return df.filter(F.col("n_chars") >= 1).select(
+            "source",
+            F.lit(half).alias("half"),
+            (F.length(F.bin(F.col("n_chars"))) - 1).alias("bucket"),
+        )
+
+    b = _bucketed(ref, 0).unionByName(_bucketed(delta, 1))
+    return psi_panel_from_halves(b)
+
+
+# ========================================================================
+# q_compaction_policy — small-file compaction plan from the sink census
+# ========================================================================
+
+#: Files-per-table for the planted layout (one hash bucket per append
+#: — each file's composition is engine-reproducible, unlike byte
+#: sizes, which depend on compression library versions).
+_COMPACT_BUCKETS = 8
+
+
+@register(
+    "q_compaction_policy",
+    oracle=f"""
+WITH f AS (
+  SELECT CAST(((doc_id % 2654435761) * 2654435761) % 4294967296
+              % {_COMPACT_BUCKETS} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents GROUP BY 1
+),
+t AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_files
+  FROM f
+),
+a AS (
+  SELECT f.bucket, f.n_rows,
+         CASE WHEN f.n_rows * t.n_files < t.total
+              THEN 'compact' ELSE 'keep' END AS action,
+         t.total
+  FROM f, t
+),
+c AS (
+  SELECT bucket, n_rows, action, total,
+         CAST(SUM(n_rows) OVER (
+           ORDER BY n_rows DESC, bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) - n_rows AS cum_before
+  FROM a WHERE action = 'compact'
+)
+SELECT bucket, n_rows, action,
+       CAST(cum_before // GREATEST(total // 4, 1) AS BIGINT) AS group_id
+FROM c
+UNION ALL
+SELECT bucket, n_rows, action, CAST(NULL AS BIGINT) AS group_id
+FROM a WHERE action = 'keep'
+""",
+)
+def q_compaction_policy(spark, sf_dir):
+    """COMPACTION-POLICY census over the atomic sink's manifest
+    (VERDICT r10 #8): the planner behind OPTIMIZE/auto-compaction —
+    after N small appends, decide WHICH files merge into WHICH
+    compaction group before the table's file count (not its byte
+    count) becomes the scan bottleneck.  The key publishes 8
+    single-file appends (one Knuth-hash bucket per append, coalesced
+    to one file — so each file's row composition is
+    engine-reproducible; BYTE sizes are compression-library-dependent
+    and deliberately not the policy input), reads the file census
+    back from the committed snapshot, and plans:
+
+    - a file below MEAN occupancy (n_rows × n_files < total) is a
+      compaction candidate;
+    - candidates NEXT-FIT pack (n_rows DESC, bucket order — largest
+      first, the standard bin-packing heuristic) into groups of
+      ~2× mean capacity (total // 4), the same floor(cum/target) cut
+      as sequence packing.
+
+    The manifest is consulted for REAL metadata: the per-file
+    [min, max] bucket envelopes (stats_cols) must be single-valued —
+    a violated envelope means the planted one-bucket-per-file layout
+    broke, and the key raises rather than planning garbage.
+
+    100 TB shape: the census grain is |files| (bounded by the
+    manifest, read driver-side as table formats do); the packing
+    window rides that bounded grain.  Determinism: counts exact
+    int64; the only division is the §8.7 floor pairing."""
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pfithic_compact_{tag}")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (llmops.knuth_hash("doc_id") % _COMPACT_BUCKETS)
+        .cast("long")
+        .alias("bucket"),
+    )
+    committed = os.path.isdir(path) and any(
+        f.startswith("manifest-") for f in os.listdir(path)
+    )
+    if not committed:
+        for b in range(_COMPACT_BUCKETS):
+            pio.write_parquet_atomic(
+                d.filter(F.col("bucket") == b).coalesce(1),
+                path,
+                mode="overwrite" if b == 0 else "append",
+                stats_cols=["bucket"],
+            )
+    # manifest-metadata sanity: every file's bucket envelope must be
+    # single-valued (one bucket per file = the planted layout)
+    import json
+
+    manifests = sorted(
+        f
+        for f in os.listdir(path)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    with open(os.path.join(path, manifests[-1])) as fh:
+        meta = json.load(fh)
+    for fname, env in meta.get("stats", {}).items():
+        lo, hi = env["bucket"]
+        if lo != hi:
+            raise ValueError(
+                f"compaction census: file {fname} spans buckets "
+                f"[{lo}, {hi}] — planted one-bucket-per-file layout broke"
+            )
+    cen = (
+        pio.read_parquet_atomic(spark, path)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    return compaction_plan(cen)
+
+
+def compaction_plan(cen: DataFrame) -> DataFrame:
+    """The pure policy over a (bucket, n_rows) file census — factored
+    so the planted tests drive it with hand censuses whose expected
+    plan is computed OUTSIDE the shared formula.  Below-mean files
+    compact; candidates next-fit pack (n_rows DESC, bucket) into
+    groups of total // 4 capacity; everything else keeps."""
+    tot = cen.agg(
+        F.sum("n_rows").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+    )
+    a = cen.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        F.when(
+            F.col("n_rows") * F.col("n_files") < F.col("total"),
+            F.lit("compact"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        "total",
+    )
+    # bounded |files| grain: the unpartitioned window sees at most
+    # the manifest's file count by construction
+    wc = Window.orderBy(F.col("n_rows").desc(), "bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    target = F.greatest(
+        F.floor(F.col("total").cast("double") / F.lit(4.0)).cast("long"),
+        F.lit(1),
+    )
+    cands = (
+        a.filter(F.col("action") == "compact")
+        .withColumn(
+            "cum_before", F.sum("n_rows").over(wc) - F.col("n_rows")
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "action",
+            F.floor(
+                F.col("cum_before").cast("double")
+                / target.cast("double")
+            )
+            .cast("long")
+            .alias("group_id"),
+        )
+    )
+    keeps = a.filter(F.col("action") == "keep").select(
+        "bucket",
+        "n_rows",
+        "action",
+        F.lit(None).cast("long").alias("group_id"),
+    )
+    return cands.unionByName(keeps)
+
+
+# ========================================================================
+# q_ivf_rebalance — IVF cell split/merge maintenance plan
+# ========================================================================
+
+#: Occupancy thresholds relative to MEAN cell occupancy (total / 16):
+#: split above 1.2x (40·n > 3·total), merge below 0.85x
+#: (320·n < 17·total) — exact-integer forms of the two ratios so the
+#: classification has no float ambiguity.
+_IVF_SPLIT_NUM, _IVF_SPLIT_DEN = 3, 40
+_IVF_MERGE_NUM, _IVF_MERGE_DEN = 17, 320
+
+
+def _quantized_embeddings(spark, sf_dir):
+    """(vec_id, eq) with the same int64 micro-quantization as
+    ivf_distance_table — member↔seed distances must live in the same
+    exact-integer space as member↔centroid ones."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 1_000_000, 0).cast(
+                "long"
+            ),
+        ).alias("eq"),
+    )
+
+
+def _int_dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "q_ivf_rebalance",
+    oracle=f"""
+WITH c AS (
+  SELECT cell, centroid
+  FROM read_parquet('{_GOLDEN_DIR}/ivf_centroids.parquet')
+),
+eq AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                     AS BIGINT)) AS q
+  FROM embeddings
+),
+d AS (
+  SELECT eq.vec_id, c.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> (eq.q[i] - CAST(ROUND(c.centroid[i] * 1000000, 0)
+                                AS BIGINT))
+                * (eq.q[i] - CAST(ROUND(c.centroid[i] * 1000000, 0)
+                                  AS BIGINT)))) AS BIGINT) AS d2
+  FROM eq CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cell, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cell) AS rn
+  FROM d
+),
+asg AS (SELECT vec_id, cell, d2 FROM r WHERE rn = 1),
+cen AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM asg GROUP BY cell),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total FROM cen),
+act AS (
+  SELECT allc.cell, COALESCE(cen.n_vecs, 0) AS n_vecs,
+         CASE WHEN COALESCE(cen.n_vecs, 0) * {_IVF_SPLIT_DEN}
+                   > t.total * {_IVF_SPLIT_NUM} THEN 'split'
+              WHEN COALESCE(cen.n_vecs, 0) * {_IVF_MERGE_DEN}
+                   < t.total * {_IVF_MERGE_NUM} THEN 'merge'
+              ELSE 'keep' END AS action
+  FROM (SELECT DISTINCT cell FROM c) allc
+  LEFT JOIN cen USING (cell), tot t
+),
+keepers AS (
+  SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+         'keep' AS action, CAST(asg.cell AS BIGINT) AS new_cell,
+         CAST(0 AS BIGINT) AS subcell
+  FROM asg JOIN act USING (cell) WHERE act.action = 'keep'
+),
+mt AS (
+  SELECT d.vec_id, d.cell AS tcell, d.d2,
+         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                            ORDER BY d.d2, d.cell) AS rn
+  FROM d JOIN act ta ON d.cell = ta.cell AND ta.action <> 'merge'
+),
+mergers AS (
+  SELECT m.vec_id, CAST(m.cell AS BIGINT) AS cell,
+         'merge' AS action, CAST(mt.tcell AS BIGINT) AS new_cell,
+         CAST(0 AS BIGINT) AS subcell
+  FROM asg m
+  JOIN act am ON m.cell = am.cell AND am.action = 'merge'
+  JOIN mt ON mt.vec_id = m.vec_id AND mt.rn = 1
+),
+sm AS (
+  SELECT m.vec_id, m.cell, m.d2
+  FROM asg m JOIN act a ON m.cell = a.cell AND a.action = 'split'
+),
+slo AS (
+  SELECT cell, vec_id AS seed FROM (
+    SELECT cell, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY d2, vec_id) AS rn
+    FROM sm) WHERE rn = 1
+),
+shi AS (
+  SELECT cell, vec_id AS seed FROM (
+    SELECT cell, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY cell
+                              ORDER BY d2 DESC, vec_id) AS rn
+    FROM sm) WHERE rn = 1
+),
+dl AS (
+  SELECT sm.vec_id, sm.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> (me.q[i] - se.q[i]) * (me.q[i] - se.q[i])))
+           AS BIGINT) AS dlo
+  FROM sm JOIN slo ON sm.cell = slo.cell
+  JOIN eq me ON me.vec_id = sm.vec_id
+  JOIN eq se ON se.vec_id = slo.seed
+),
+dh AS (
+  SELECT sm.vec_id, sm.cell,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),
+           i -> (me.q[i] - se.q[i]) * (me.q[i] - se.q[i])))
+           AS BIGINT) AS dhi
+  FROM sm JOIN shi ON sm.cell = shi.cell
+  JOIN eq me ON me.vec_id = sm.vec_id
+  JOIN eq se ON se.vec_id = shi.seed
+),
+splitters AS (
+  SELECT dl.vec_id, CAST(dl.cell AS BIGINT) AS cell,
+         'split' AS action, CAST(dl.cell AS BIGINT) AS new_cell,
+         CAST(CASE WHEN dl.dlo <= dh.dhi THEN 0 ELSE 1 END
+              AS BIGINT) AS subcell
+  FROM dl JOIN dh ON dl.vec_id = dh.vec_id AND dl.cell = dh.cell
+)
+SELECT * FROM keepers
+UNION ALL SELECT * FROM mergers
+UNION ALL SELECT * FROM splitters
+""",
+)
+def q_ivf_rebalance(spark, sf_dir):
+    """IVF REBALANCE plan — q_ivf_assignment's maintenance sibling
+    (VERDICT r10 #8): when assignment skew accretes (hot cells slow
+    every probe that touches them; near-empty cells waste probe
+    budget), plan the split/merge relayout BEFORE retraining the
+    codebook:
+
+    - occupancy census per cell (empty codebook cells included via
+      the left join);
+    - a cell above 1.2x mean occupancy SPLITS: its two seed vectors
+      are the member CLOSEST to the centroid (the stable core) and
+      the member FARTHEST (the stray mass a split is for) — both
+      exact-integer argmins via min/max over (dist2, vec_id) structs,
+      NO per-cell window (|cells| is small and fixed, so a
+      cell-partitioned window would serialize cell-sized partitions —
+      the q_mrr anti-pattern this round removed); each member joins
+      subcell 0 (closer to the core seed, ties inclusive) or 1;
+    - a cell below 0.85x mean MERGES: each member reassigns to its
+      nearest NON-merge cell, scored from the same
+      :func:`keys_r10.ivf_distance_table` exact distances the
+      assignment used;
+    - everything else KEEPS.
+
+    100 TB shape: the distance table is the bounded 16x expansion
+    (persisted — it feeds the assignment, the merge targets, and
+    nothing else twice); seeds and actions are <= |cells| rows and
+    broadcast; member<->seed distances are a bounded 2x expansion of
+    split-cell members only.  Determinism: every distance is exact
+    int64 micro-quantized math (overflow audit in
+    ivf_distance_table's docstring), every argmin tie-broken on
+    (dist2, vec_id/cell); the split tie goes to subcell 0."""
+    from .keys_r10 import ivf_distance_table
+
+    q = ivf_distance_table(spark, sf_dir)
+    qe = _quantized_embeddings(spark, sf_dir)
+    cells = (
+        spark.read.parquet(f"{_GOLDEN_DIR}/ivf_centroids.parquet")
+        .select("cell")
+        .distinct()
+    )
+    out, caches = ivf_rebalance_plan(q, qe, cells)
+    try:
+        return out.localCheckpoint(eager=True)
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def ivf_rebalance_plan(q, qe, cells):
+    """The rebalance core over arbitrary (vec_id, cell, dist2_micro)
+    distance rows, (vec_id, eq) quantized vectors, and a (cell)
+    codebook roster — the planted-geometry tests drive this directly.
+    Returns (lazy output, persisted frames to release after
+    materialization).  Thresholds are occupancy SHARES of the total
+    (split > 3/40, merge < 17/320 — the 1.2x / 0.85x mean multiples
+    for the production 16-cell codebook)."""
+    q = q.persist()
+    wv = Window.partitionBy("vec_id").orderBy("dist2_micro", "cell")
+    asg = (
+        q.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "dist2_micro")
+        .persist()
+    )
+    cen = asg.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = cen.agg(F.sum("n_vecs").cast("long").alias("total"))
+    act = (
+        cells.join(cen, "cell", "left")
+        .na.fill({"n_vecs": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.when(
+                F.col("n_vecs") * _IVF_SPLIT_DEN
+                > F.col("total") * _IVF_SPLIT_NUM,
+                F.lit("split"),
+            )
+            .when(
+                F.col("n_vecs") * _IVF_MERGE_DEN
+                < F.col("total") * _IVF_MERGE_NUM,
+                F.lit("merge"),
+            )
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+        )
+    )
+    keepers = asg.join(
+        F.broadcast(act.filter(F.col("action") == "keep")), "cell"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        F.lit("keep").alias("action"),
+        F.col("cell").cast("long").alias("new_cell"),
+        F.lit(0).cast("long").alias("subcell"),
+    )
+    # merge targets: nearest non-merge cell, from the SAME exact
+    # distance table the assignment used
+    mt = q.join(
+        F.broadcast(
+            act.filter(F.col("action") != "merge").select("cell")
+        ),
+        "cell",
+    )
+    wv2 = Window.partitionBy("vec_id").orderBy("dist2_micro", "cell")
+    mt1 = (
+        mt.withColumn("rn", F.row_number().over(wv2))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").alias("tcell"))
+    )
+    mergers = (
+        asg.join(
+            F.broadcast(act.filter(F.col("action") == "merge")),
+            "cell",
+        )
+        .join(mt1, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.lit("merge").alias("action"),
+            F.col("tcell").cast("long").alias("new_cell"),
+            F.lit(0).cast("long").alias("subcell"),
+        )
+    )
+    sm = asg.join(
+        F.broadcast(
+            act.filter(F.col("action") == "split").select("cell")
+        ),
+        "cell",
+    )
+    seeds = sm.groupBy("cell").agg(
+        F.min(
+            F.struct(
+                F.col("dist2_micro").alias("d"),
+                F.col("vec_id").alias("v"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.struct(
+                F.col("dist2_micro").alias("d"),
+                (-F.col("vec_id")).alias("nv"),
+            )
+        ).alias("hi"),
+    ).select(
+        "cell",
+        F.col("lo.v").alias("seed_lo"),
+        (-F.col("hi.nv")).alias("seed_hi"),
+    )
+    seed_vecs = (
+        seeds.join(
+            qe.select(
+                F.col("vec_id").alias("seed_lo"),
+                F.col("eq").alias("eq_lo"),
+            ),
+            "seed_lo",
+        )
+        .join(
+            qe.select(
+                F.col("vec_id").alias("seed_hi"),
+                F.col("eq").alias("eq_hi"),
+            ),
+            "seed_hi",
+        )
+        .select("cell", "eq_lo", "eq_hi")
+    )
+    splitters = (
+        sm.join(qe, "vec_id")
+        .join(F.broadcast(seed_vecs), "cell")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.lit("split").alias("action"),
+            F.col("cell").cast("long").alias("new_cell"),
+            F.when(
+                _int_dist2(F.col("eq"), F.col("eq_lo"))
+                <= _int_dist2(F.col("eq"), F.col("eq_hi")),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("subcell"),
+        )
+    )
+    out = keepers.unionByName(mergers).unionByName(splitters)
+    return out, [q, asg]

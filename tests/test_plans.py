@@ -1966,3 +1966,52 @@ def test_r10d_key_plan_shapes(spark, sf_dir, queries):
         assert "Join" not in p, k
         assert "windowspecdefinition" not in p, k
         assert "EvalPython" not in p, k
+
+
+def test_r11_key_plan_shapes(spark, sf_dir, queries):
+    """§2.25 plan gates:
+    (a) q_psi_drift_incremental: every window rides the bounded
+        source grain (the panel), snapshot/delta scans only — no
+        EvalPython, no cartesian;
+    (b) q_compaction_policy: the packing window's input is the
+        manifest-bounded file census (an Aggregate over bucket
+        feeds it); no EvalPython;
+    (c) q_ivf_rebalance (gated on the LAZY dataflow — the registered
+        key returns an eager checkpoint scan): the only non-equi
+        expansion is the broadcast 16-row codebook
+        (BroadcastNestedLoopJoin), every window partitions by
+        vec_id, no CartesianProduct, no EvalPython."""
+    import re
+
+    p = _plan(queries["q_psi_drift_incremental"](spark, sf_dir))
+    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert heads and all(h == "source" for h in heads), heads
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+
+    p = _plan(queries["q_compaction_policy"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "EvalPython" not in p
+    # the unpartitioned packing window must consume the bucket-grain
+    # aggregate (bounded by the manifest's file count), never raw rows
+    assert "HashAggregate" in p
+
+    from pfithic_spark.registry.keys_r10 import ivf_distance_table
+    from pfithic_spark.registry import keys_r11 as r11
+
+    q = ivf_distance_table(spark, sf_dir)
+    qe = r11._quantized_embeddings(spark, sf_dir)
+    cells = (
+        spark.read.parquet(
+            f"{r11._GOLDEN_DIR}/ivf_centroids.parquet"
+        )
+        .select("cell")
+        .distinct()
+    )
+    out, caches = r11.ivf_rebalance_plan(q, qe, cells)
+    p = _plan(out)
+    for c in caches:
+        c.unpersist()
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the bounded 16x codebook
+    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert heads and all(h == "vec_id" for h in heads), heads

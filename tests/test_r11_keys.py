@@ -161,3 +161,91 @@ def queries():
     import __spark_entry__ as e
 
     return e.queries()
+
+
+def test_compaction_plan_planted(spark):
+    """Hand census: files (bucket, rows) = (0,10) (1,9) (2,5) (3,3)
+    (4,2); total 29, 5 files, mean 5.8.  Below-mean files 5/3/2
+    compact; target = 29 // 4 = 7; next-fit in (rows DESC, bucket)
+    order: 5 starts at 0 (group 0), 3 at 5 (group 0), 2 at 8
+    (group 1).  Expected plan computed by hand, not by the shared
+    formula."""
+    cen = spark.createDataFrame(
+        [(0, 10), (1, 9), (2, 5), (3, 3), (4, 2)],
+        "bucket long, n_rows long",
+    )
+    out = {
+        r["bucket"]: (r["n_rows"], r["action"], r["group_id"])
+        for r in keys_r11.compaction_plan(cen).collect()
+    }
+    assert out == {
+        0: (10, "keep", None),
+        1: (9, "keep", None),
+        2: (5, "compact", 0),
+        3: (3, "compact", 0),
+        4: (2, "compact", 1),
+    }
+
+
+def test_ivf_rebalance_planted_geometry(spark):
+    """1-D planted world with centroids at 0 / 100 / 1000:
+    - 90 vectors at coords (i-1) % 45 -> cell 0 holds 90% of mass
+      (> 3/40 share) -> SPLIT; seed_lo = id 1 (coord 0, the min-id
+      tie winner at d2=0), seed_hi = id 45 (coord 44, min-id winner
+      at max d2); members with coord <= 22 go subcell 0 (the
+      coord-22 tie inclusive), else 1;
+    - 6 vectors at coords 100..105 -> cell 1 share 6% (between
+      17/320 and 3/40) -> KEEP;
+    - 4 vectors at coords 998..1001 -> cell 2 share 4% (< 17/320)
+      -> MERGE, every member's nearest non-merge cell is 1.
+    All distances and fates computed by hand from the geometry."""
+    cents = {0: 0, 1: 100, 2: 1000}
+    vecs = (
+        [(i, (i - 1) % 45) for i in range(1, 91)]
+        + [(90 + j, 99 + j) for j in range(1, 7)]
+        + [(96 + j, 997 + j) for j in range(1, 5)]
+    )
+    q = spark.createDataFrame(
+        [
+            (vid, c, (x - cx) * (x - cx))
+            for vid, x in vecs
+            for c, cx in cents.items()
+        ],
+        "vec_id long, cell long, dist2_micro long",
+    )
+    qe = spark.createDataFrame(
+        [(vid, [x]) for vid, x in vecs],
+        "vec_id long, eq array<long>",
+    )
+    cells = spark.createDataFrame([(c,) for c in cents], "cell long")
+    out_df, caches = keys_r11.ivf_rebalance_plan(q, qe, cells)
+    rows = out_df.collect()
+    for c in caches:
+        c.unpersist()
+    got = {r["vec_id"]: (r["cell"], r["action"], r["new_cell"], r["subcell"]) for r in rows}
+    assert len(got) == 100
+    for vid, x in vecs:
+        if vid <= 90:
+            want_sub = 0 if x <= 22 else 1
+            assert got[vid] == (0, "split", 0, want_sub), (vid, x, got[vid])
+        elif vid <= 96:
+            assert got[vid] == (1, "keep", 1, 0), (vid, got[vid])
+        else:
+            assert got[vid] == (2, "merge", 1, 0), (vid, got[vid])
+
+
+def test_psi_incremental_matches_panel(spark, sf_dir, queries):
+    """The snapshot-fed twin must reproduce q_psi_source_panel
+    row-for-row: both halve the corpus by doc_id parity; the twin
+    routes the halves through publish -> time travel -> incremental
+    read instead of one scan."""
+    a = sorted(
+        map(tuple, queries["q_psi_source_panel"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            queries["q_psi_drift_incremental"](spark, sf_dir).collect(),
+        )
+    )
+    assert a == b and len(a) > 0

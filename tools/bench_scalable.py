@@ -3363,6 +3363,102 @@ def main() -> None:
     # test half mirrors the fit half -> covered = 2*k_q of half_n
     assert cf["n_covered"] == 2 * k_q, cf
 
+    # --- q_kcore_census machinery: 8M-directed-edge planted peel ----
+    # (round-11, VERDICT r10 #6) the CC row covers pointer jumping but
+    # not the synchronous semi-join PEEL loop.  Planted ONION graph:
+    # C triangles (the indestructible 2-core) each carrying one
+    # 5-node pendant chain — peel at k=2 erodes exactly one chain
+    # layer per round, so the whole census series is closed-form:
+    # round r in 0..5: n_nodes = (3 + (5 - r))*C, n_edges likewise;
+    # rounds 5 and 6: the bare 3C triangle core.  8 undirected edges
+    # per unit -> n = 16C directed rows.
+    from pfithic_spark.registry.keys_r10 import kcore_peel_series
+
+    kc_C = n // 16
+    ku = F.expr("id div 8")
+    ke = F.col("id") % 8
+    ka = (
+        F.when(ke == 0, ku * 8)
+        .when(ke == 1, ku * 8 + 1)
+        .when(ke == 2, ku * 8 + 2)
+        .when(ke == 3, ku * 8)
+        .otherwise(ku * 8 + ke - 1)
+    )
+    kb = (
+        F.when(ke == 0, ku * 8 + 1)
+        .when(ke == 1, ku * 8 + 2)
+        .when(ke == 2, ku * 8)
+        .otherwise(ku * 8 + ke)
+    )
+    und = spark.range(16 * kc_C // 2).select(
+        ka.cast("long").alias("src"), kb.cast("long").alias("dst")
+    )
+    kc_mut = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    t0 = time.time()
+    kc_rows = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in kcore_peel_series(kc_mut, k=2, rounds=6).collect()
+    )
+    kcore_s = time.time() - t0
+    kc_want = [
+        (r, (3 + max(5 - r, 0)) * kc_C, (3 + max(5 - r, 0)) * kc_C)
+        for r in range(7)
+    ]
+    assert kc_rows == kc_want, (kc_rows[:3], kc_want[:3])
+
+    # --- q_markov_stationary: planted 1001-type chain through the ---
+    # registered key (round-11, VERDICT r10 #6).  Hub-and-leaves
+    # chain with EXACT micro-quantization: hub self-loops w.p. 1/2
+    # (500000 exactly) and spreads 1/2000 to each of 1000 leaves
+    # (500 exactly); every leaf self-loops 1/2 and returns 1/2.  TRUE
+    # stationary: pi(hub) = 1/2, pi(leaf) = 1/2000.  The all-integer
+    # 20-round recurrence from the uniform 999-start was computed BY
+    # HAND (h' = h div 2 + 1000*(l div 2); l' = h div 2000 + l div 2)
+    # and reaches the EXACT fixed point h = 498000, l = 498 at round
+    # 12 — the asserted output.  Each user emits one exact
+    # realization: 1001 hub events then (leaf, leaf, hub) per leaf —
+    # 4001 events, every transition count matching the probabilities
+    # exactly.
+    mk_users = n // 4001
+    mk_dir = tempfile.mkdtemp(prefix="bench_mk_")
+    me = F.col("id") % 4001
+    mj = me - 1001
+    mleaf = F.expr("(id % 4001 - 1001) div 3") + 1
+    mtype = F.when(me <= 1000, F.lit("h")).otherwise(
+        F.when(mj % 3 <= 1, F.concat(F.lit("l"), mleaf)).otherwise(
+            F.lit("h")
+        )
+    )
+    (
+        spark.range(mk_users * 4001)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_704_067_200_000_000) + me * 1_000_000
+            ).alias("ts"),
+            F.expr("id div 4001").alias("user_id"),
+            mtype.alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{mk_dir}/events.parquet")
+    )
+    t0 = time.time()
+    mk_out = {
+        r["event_type"]: r["pi_micro"]
+        for r in _entry.queries()["q_markov_stationary"](
+            spark, mk_dir
+        ).collect()
+    }
+    markov_stat_s = time.time() - t0
+    assert len(mk_out) == 1001, len(mk_out)
+    assert mk_out["h"] == 498000, mk_out["h"]
+    leaf_vals = {v for k, v in mk_out.items() if k != "h"}
+    assert leaf_vals == {498}, leaf_vals
+
     print(
         json.dumps(
             {
@@ -3454,6 +3550,8 @@ def main() -> None:
                 "jsd_s": round(jsd_s, 2),
                 "cc_pointer_jump_s": round(cc_s, 2),
                 "session_ngrams_s": round(sn_s, 2),
+                "kcore_peel_s": round(kcore_s, 2),
+                "markov_stationary_s": round(markov_stat_s, 2),
                 "conformal_rank_s": round(cf_s, 2),
             }
         )
