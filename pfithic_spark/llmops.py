@@ -2056,6 +2056,29 @@ def simhash16_band_rows(
     )
 
 
+def md5_minhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc (doc_id, h1..h8) md5-MinHash signature minima —
+    factored out of :func:`md5_minhash_band_rows` round 11 so the
+    calibration key (q_minhash_calibration) scores estimated vs
+    exact Jaccard from the IDENTICAL signature definition the index
+    writes.  ZERO shuffles (narrow projection)."""
+    tk = F.array_distinct(tokens_col(text_col))
+
+    def _mh_min(j: int):
+        # the transform lambda must be UNARY — a second parameter
+        # (even defaulted) makes pyspark pass the ELEMENT INDEX
+        tag = F.lit(f"#{j}")
+        return F.array_min(
+            F.transform(tk, lambda w: F.md5(F.concat(w, tag)))
+        ).alias(f"h{j}")
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *[_mh_min(j) for j in range(1, 9)]
+    )
+
+
 def md5_minhash_band_rows(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -2075,19 +2098,7 @@ def md5_minhash_band_rows(
     are array_min over transform on the distinct-token array (no
     explode/groupBy — the 8 md5 evaluations per token stay inside
     whole-stage codegen) and band rows explode via Generate."""
-    tk = F.array_distinct(tokens_col(text_col))
-
-    def _mh_min(j: int):
-        # the transform lambda must be UNARY — a second parameter
-        # (even defaulted) makes pyspark pass the ELEMENT INDEX
-        tag = F.lit(f"#{j}")
-        return F.array_min(
-            F.transform(tk, lambda w: F.md5(F.concat(w, tag)))
-        ).alias(f"h{j}")
-
-    m = docs.select(
-        F.col(id_col).alias("doc_id"), *[_mh_min(j) for j in range(1, 9)]
-    )
+    m = md5_minhash_signatures(docs, text_col=text_col, id_col=id_col)
     bands = F.array(
         *[
             F.struct(

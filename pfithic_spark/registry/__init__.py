@@ -74,6 +74,11 @@ _VERIFY_FIRST = [
     "q_psi_drift_incremental",
     "q_ivf_rebalance",
     "q_compaction_policy",
+    "q_packing_efficiency",
+    "q_temperature_mixing",
+    "q_tukey_hsd",
+    "q_survival_km",
+    "q_minhash_calibration",
     # --- r5-era backlog, verdict-r10 priority order ---
     "q_embedding_centroid",
     "q_wau",
@@ -111,15 +116,11 @@ _VERIFY_FIRST = [
     "q_graph_bfs",
     "q_heavy_hitters",
     "q_incremental_agg",
-    "q_kr_balance",
-    "q_lang_id",
-    "q_mix_sources",
-    "q_multimodal_features",
-    "q_multimodal_frames",
     # r5-era keys that did NOT fit this 50-key window (round-12
-    # backlog): q_multimodal_meta, q_multimodal_resize,
-    # q_ngram_coverage, q_quantile_discretize, q_referential_orphans,
-    # q_triangle_count, q_vector_norm_stats, q_window_cume_dist.
+    # backlog): q_kr_balance, q_lang_id, q_mix_sources, q_multimodal_features, q_multimodal_frames, q_multimodal_meta,
+    # q_multimodal_resize, q_ngram_coverage, q_quantile_discretize,
+    # q_referential_orphans, q_triangle_count, q_vector_norm_stats,
+    # q_window_cume_dist.
 ]
 
 

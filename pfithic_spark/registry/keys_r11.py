@@ -939,3 +939,728 @@ def ivf_rebalance_plan(q, qe, cells):
     )
     out = keepers.unionByName(mergers).unionByName(splitters)
     return out, [q, asg]
+
+
+# ========================================================================
+# q_packing_efficiency — fill-rate census of the packed sequences
+# ========================================================================
+
+
+@register(
+    "q_packing_efficiency",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         ((doc_id % 2654435761) * 2654435761) % 4294967296 AS hkey,
+         CAST(((doc_id % 2654435761) * 2654435761) % 4294967296
+              % 16 AS BIGINT) AS shard,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY hkey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS cum_before
+  FROM t
+),
+seqs AS (
+  SELECT source, shard,
+         CAST(FLOOR(cum_before / 2048.0) AS BIGINT) AS seq_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens
+  FROM c GROUP BY source, shard, seq_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(tokens) * 10000) // (COUNT(*) * 2048) AS BIGINT)
+         AS mean_fill_bp,
+       CAST(SUM(CASE WHEN tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overfull,
+       CAST(SUM(CASE WHEN tokens * 2 < 2048 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_underhalf
+FROM seqs GROUP BY source
+""",
+)
+def q_packing_efficiency(spark, sf_dir):
+    """PACKING-EFFICIENCY census per source — the QA panel over
+    q_pack_sequences' output that decides whether the 2048-token
+    batch construction is WASTING compute: mean fill in basis points
+    of the target (greedy streaming cuts let a straddling document
+    overflow its sequence, so fill can exceed 10000), the overfull
+    count, and the under-half-full count (the tail sequences a
+    curriculum would re-pack or drop).
+
+    100 TB shape: the same per-(source, shard) bounded-parallelism
+    packing spine as q_pack_sequences, then two bounded-grain
+    aggregates (sequence grain -> source grain).  Determinism:
+    exact int64 counts; mean_fill_bp is the single §8.7 integer
+    floor division."""
+    return packing_efficiency_from(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def packing_efficiency_from(d: DataFrame) -> DataFrame:
+    """The census over an arbitrary documents frame — the planted
+    tests drive this directly."""
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    seqs = (
+        llmops.pack_assignments(
+            t,
+            target_tokens=_DAG_TARGET_TOKENS,
+            n_shards=_DAG_N_SHARDS,
+        )
+        .groupBy("source", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+        )
+    )
+    return seqs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        F.floor(
+            (F.sum("tokens") * 10000).cast("double")
+            / (F.count(F.lit(1)) * _DAG_TARGET_TOKENS).cast("double")
+        )
+        .cast("long")
+        .alias("mean_fill_bp"),
+        F.sum(
+            (F.col("tokens") > _DAG_TARGET_TOKENS).cast("long")
+        )
+        .cast("long")
+        .alias("n_overfull"),
+        F.sum(
+            (F.col("tokens") * 2 < _DAG_TARGET_TOKENS).cast("long")
+        )
+        .cast("long")
+        .alias("n_underhalf"),
+    )
+
+
+# ========================================================================
+# q_temperature_mixing — keep-rate panel across mixing temperatures
+# ========================================================================
+
+#: Temperature grid in basis points.  The exponents are chosen so
+#: every rate is a composition of CORRECTLY-ROUNDED IEEE ops (sqrt
+#: and multiply) — x^(1/4) = sqrt(sqrt(x)), x^(3/4) =
+#: sqrt(x)·sqrt(sqrt(x)) — never a libm pow, which differs by ulps
+#: across engines and would flip hash-threshold keep decisions.
+_TMIX_GRID_BP = (2500, 5000, 7500, 10000)
+
+
+@register(
+    "q_temperature_mixing",
+    oracle="""
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+           FROM documents GROUP BY source),
+m AS (SELECT MIN(n_src) AS min_n FROM c),
+r AS (
+  SELECT source, n_src, t_bp,
+         CASE t_bp
+           WHEN 2500 THEN SQRT(SQRT(CAST(min_n AS DOUBLE) / n_src))
+           WHEN 5000 THEN SQRT(CAST(min_n AS DOUBLE) / n_src)
+           WHEN 7500 THEN SQRT(CAST(min_n AS DOUBLE) / n_src)
+                          * SQRT(SQRT(CAST(min_n AS DOUBLE) / n_src))
+           ELSE CAST(min_n AS DOUBLE) / n_src
+         END AS rate
+  FROM c, m, (VALUES (CAST(2500 AS BIGINT)), (5000), (7500), (10000))
+       AS g(t_bp)
+),
+k AS (
+  SELECT r.source, r.t_bp, r.n_src, r.rate,
+         CAST(SUM(CASE WHEN ((d.doc_id % 2654435761) * 2654435761)
+                            % 4294967296 % 1000000
+                            < CAST(FLOOR(r.rate * 1000000.0) AS BIGINT)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM r JOIN documents d USING (source)
+  GROUP BY r.source, r.t_bp, r.n_src, r.rate
+)
+SELECT source, t_bp, n_src, ROUND(rate, 9) AS keep_rate, n_kept
+FROM k
+""",
+)
+def q_temperature_mixing(spark, sf_dir):
+    """TEMPERATURE-MIXING design panel: the keep-rate and realized
+    kept-count per source across the temperature grid T in {0.25,
+    0.5, 0.75, 1.0} (rate_s = (min_n/n_s)^T) — the table a mixture
+    designer reads before committing to q_mix_sources' T = 0.5.
+    T = 1 keeps everything (rate 1 only for the smallest source —
+    full uniform damping), T -> 0 approaches uniform keep.
+
+    100 TB shape: the rate panel is |sources| x 4 rows (broadcast);
+    the kept-count is ONE corpus pass with the 4x bounded expansion
+    joined map-side — the corpus never shuffles (same shape as
+    q_mix_sources).  Determinism: the exponent grid is implemented
+    ONLY with correctly-rounded IEEE ops (sqrt / multiply — see
+    _TMIX_GRID_BP note), the keep decision floors the UNROUNDED rate
+    to a micro-threshold on both engines, and keep_rate rounds 9 for
+    display only."""
+    return temperature_mixing_from(load_table(spark, sf_dir, "documents"))
+
+
+def temperature_mixing_from(d: DataFrame) -> DataFrame:
+    """The panel over an arbitrary documents frame — the planted
+    tests drive this directly."""
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    mn = counts.agg(F.min("n_src").alias("min_n"))
+    x = F.col("min_n").cast("double") / F.col("n_src").cast("double")
+    grid = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in _TMIX_GRID_BP])
+    ).alias("t_bp")
+    rates = (
+        counts.crossJoin(F.broadcast(mn))
+        .select("source", "n_src", "min_n", grid)
+        .select(
+            "source",
+            "n_src",
+            "t_bp",
+            F.when(F.col("t_bp") == 2500, F.sqrt(F.sqrt(x)))
+            .when(F.col("t_bp") == 5000, F.sqrt(x))
+            .when(F.col("t_bp") == 7500, F.sqrt(x) * F.sqrt(F.sqrt(x)))
+            .otherwise(x)
+            .alias("rate"),
+        )
+    )
+    hkey = llmops.knuth_hash("doc_id")
+    kept = (
+        d.select("source", "doc_id")
+        .join(F.broadcast(rates), "source")
+        .groupBy("source", "t_bp", "n_src", "rate")
+        .agg(
+            F.sum(
+                (
+                    (hkey % F.lit(1_000_000))
+                    < F.floor(F.col("rate") * F.lit(1_000_000.0)).cast(
+                        "long"
+                    )
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_kept")
+        )
+    )
+    return kept.select(
+        "source",
+        "t_bp",
+        "n_src",
+        F.round(F.col("rate"), 9).alias("keep_rate"),
+        "n_kept",
+    )
+
+
+# ========================================================================
+# q_tukey_hsd — post-hoc pairwise group comparison after q_anova_f
+# ========================================================================
+
+#: Studentized range upper 5% point q(0.05; k=5 groups, df=inf) —
+#: standard table value (the fixture's 5 order priorities; the
+#:  denominator df N-k is ~1e4+ at every sf, firmly in the inf row).
+_HSD_Q_CRIT = 3.858
+
+
+@register(
+    "q_tukey_hsd",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))
+              AS DECIMAL(28,2)) AS s_g,
+         CAST(SUM(CAST(ROUND(o_totalprice * o_totalprice, 2)
+                  AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS q_g
+  FROM orders GROUP BY o_orderpriority
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(q_g) AS DOUBLE) AS q,
+         CAST(SUM(CAST(ROUND(
+             CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / n_g, -2)
+           AS DECIMAL(38,2))) AS DOUBLE) AS t
+  FROM g
+),
+p AS (
+  SELECT g1.grp AS grp1, g2.grp AS grp2,
+         g1.n_g AS n1, g2.n_g AS n2,
+         CAST(g1.s_g AS DOUBLE) / g1.n_g
+           - CAST(g2.s_g AS DOUBLE) / g2.n_g AS diff,
+         SQRT(((a.q - a.t) / (a.n - a.k)) / 2.0
+              * (1.0 / g1.n_g + 1.0 / g2.n_g)) AS se
+  FROM g g1 JOIN g g2 ON g1.grp < g2.grp, a
+)
+SELECT grp1, grp2, n1, n2,
+       ROUND(diff, 4) AS mean_diff,
+       ROUND(ABS(diff) / se, 6) AS q_stat,
+       ABS(diff) / se > {_HSD_Q_CRIT!r} AS significant
+FROM p
+""",
+)
+def q_tukey_hsd(spark, sf_dir):
+    """TUKEY HSD post-hoc panel: after q_anova_f says "SOME
+    priorities differ in order value", this says WHICH pairs do —
+    the studentized-range pairwise comparison with the family-wise
+    error held at 5% (10 naive t-tests at 5% each would run a ~40%
+    family-wise false-positive rate; HSD is the standard fix).
+    q_ij = |mean_i - mean_j| / sqrt(MSW/2 · (1/n_i + 1/n_j)) against
+    the frozen q(0.05; 5, inf) table point.
+
+    100 TB shape: ONE fact scan to the same (n, S, Q) per-group
+    sufficient sums as q_anova_f (map-side-combinable DECIMALs),
+    then a k x k self-join ON THE BOUNDED k-row TABLE (k = 5 —
+    never a fact-fact join).  Determinism: exact DECIMAL sufficient
+    sums; T's cross-group fold reuses q_anova_f's round(-2)-DECIMAL
+    discipline; means/SE are fixed double chains with IEEE sqrt;
+    q_stat rounds 6, mean_diff rounds 4 (display)."""
+    return tukey_hsd_from(load_table(spark, sf_dir, "orders"))
+
+
+def tukey_hsd_from(o: DataFrame) -> DataFrame:
+    """The panel over an arbitrary (o_orderpriority, o_totalprice)
+    frame — the planted tests drive this directly."""
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .cast("decimal(28,2)")
+        .alias("s_g"),
+        F.sum(
+            F.round(
+                F.col("o_totalprice") * F.col("o_totalprice"), 2
+            ).cast("decimal(28,2)")
+        )
+        .cast("decimal(38,2)")
+        .alias("q_g"),
+    )
+    sd = F.col("s_g").cast("double")
+    a = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("q_g").cast("double").alias("q"),
+        F.sum(
+            F.round(sd * sd / F.col("n_g"), -2).cast("decimal(38,2)")
+        )
+        .cast("double")
+        .alias("t"),
+    )
+    g1 = g.select(
+        F.col("grp").alias("grp1"),
+        F.col("n_g").alias("n1"),
+        F.col("s_g").alias("s1"),
+    )
+    g2 = g.select(
+        F.col("grp").alias("grp2"),
+        F.col("n_g").alias("n2"),
+        F.col("s_g").alias("s2"),
+    )
+    diff = F.col("s1").cast("double") / F.col("n1") - F.col(
+        "s2"
+    ).cast("double") / F.col("n2")
+    msw = (F.col("q") - F.col("t")) / (F.col("n") - F.col("k"))
+    se = F.sqrt(
+        msw / F.lit(2.0)
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    p = (
+        g1.join(g2, F.col("grp1") < F.col("grp2"))
+        .crossJoin(F.broadcast(a))
+        .select(
+            "grp1",
+            "grp2",
+            "n1",
+            "n2",
+            F.round(diff, 4).alias("mean_diff"),
+            F.round(F.abs(diff) / se, 6).alias("q_stat"),
+            (F.abs(diff) / se > F.lit(_HSD_Q_CRIT)).alias(
+                "significant"
+            ),
+        )
+    )
+    return p
+
+
+# ========================================================================
+# q_survival_km — Kaplan–Meier survival curve of session durations
+# ========================================================================
+
+#: Session gap (30 min, the q_sessionize convention) and the censor
+#: horizon: a session whose last event falls within one gap of the
+#: observation edge may still be open — right-censored.
+_KM_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "q_survival_km",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(ts) AS BIGINT) AS us
+  FROM events
+),
+b AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+              ) > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id,
+         SUM(brk) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid,
+         us
+  FROM b
+),
+sp AS (
+  SELECT user_id, sid,
+         CAST((MAX(us) - MIN(us)) // 60000000 AS BIGINT) AS dur,
+         MAX(us) AS last_us
+  FROM sess GROUP BY user_id, sid
+),
+mx AS (SELECT MAX(last_us) AS mxus FROM sp),
+s AS (
+  SELECT sp.dur,
+         CASE WHEN sp.last_us > mx.mxus - {_KM_GAP_US}
+              THEN 1 ELSE 0 END AS cens
+  FROM sp, mx
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM s),
+g AS (
+  SELECT dur,
+         CAST(SUM(1 - cens) AS BIGINT) AS n_deaths,
+         CAST(SUM(cens) AS BIGINT) AS n_censored
+  FROM s GROUP BY dur
+),
+r AS (
+  SELECT g.dur, g.n_deaths, g.n_censored,
+         CAST(tot.n_total
+              - COALESCE(SUM(g.n_deaths + g.n_censored) OVER (
+                  ORDER BY g.dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS n_at_risk
+  FROM g, tot
+),
+k AS (
+  SELECT dur, n_at_risk, n_deaths, n_censored,
+         CAST(SUM(CASE WHEN n_deaths = 0 OR n_deaths = n_at_risk
+                       THEN CAST(0 AS DECIMAL(28,9))
+                       ELSE CAST(ROUND(LN(1.0 - CAST(n_deaths AS DOUBLE)
+                                               / n_at_risk), 9)
+                                 AS DECIMAL(28,9)) END) OVER (
+           ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS DECIMAL(28,9)) AS lcum,
+         MAX(CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END) OVER (
+           ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS dead
+  FROM r
+)
+SELECT dur AS dur_minutes, n_at_risk, n_deaths, n_censored,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE ROUND(EXP(CAST(lcum AS DOUBLE)), 9) END AS survival
+FROM k
+""",
+)
+def q_survival_km(spark, sf_dir):
+    """KAPLAN–MEIER survival curve of SESSION DURATIONS (30-min-gap
+    sessionization; duration = minutes first→last event; a session
+    whose last event lies within one gap of the observation edge may
+    still be open — right-CENSORED): S(t) = Π_{{t_i <= t}}
+    (1 − d_i/n_i), the retention curve a product analyst reads with
+    censoring handled properly (treating possibly-open sessions as
+    ended biases the tail down — the bias KM exists to remove).
+
+    100 TB shape: sessionization is the standard user-partitioned
+    lag/cumsum pair (user grain — parallel across users), one
+    session-grain aggregate, then ALL KM work rides the bounded
+    duration grain (minutes, calendar-bounded like the day-grain
+    keys).  Determinism: durations are exact integer micro→minute
+    floors (§8.7 pairing); n/d/c exact int64; each hazard factor's
+    ln rounds 9 → DECIMAL cumsum (q_entropy discipline), ONE exp at
+    the end rounds 9; a saturated time (d = n) zeroes the curve
+    exactly instead of riding ln(0)."""
+    return survival_km_from(load_table(spark, sf_dir, "events"))
+
+
+def survival_km_from(ev: DataFrame) -> DataFrame:
+    """The curve over an arbitrary events frame — the planted tests
+    drive this directly."""
+    e = ev.select(
+        "user_id", "event_id", epoch_us(ev).alias("us")
+    )
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    b = e.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("us") - F.lag("us").over(wu) > _KM_GAP_US, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = b.select(
+        "user_id", "us", F.sum("brk").over(wcum).alias("sid")
+    )
+    sp = sess.groupBy("user_id", "sid").agg(
+        F.floor(
+            (F.max("us") - F.min("us")).cast("double")
+            / F.lit(60_000_000.0)
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max("us").alias("last_us"),
+    )
+    mx = sp.agg(F.max("last_us").alias("mxus"))
+    s = sp.crossJoin(F.broadcast(mx)).select(
+        "dur",
+        (F.col("last_us") > F.col("mxus") - _KM_GAP_US)
+        .cast("long")
+        .alias("cens"),
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    g = s.groupBy("dur").agg(
+        F.sum(1 - F.col("cens")).cast("long").alias("n_deaths"),
+        F.sum("cens").cast("long").alias("n_censored"),
+    )
+    w_pre = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = g.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "n_deaths",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_deaths") + F.col("n_censored")).over(
+                    w_pre
+                ),
+                F.lit(0),
+            )
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+    )
+    term = F.when(
+        (F.col("n_deaths") == 0)
+        | (F.col("n_deaths") == F.col("n_at_risk")),
+        F.lit(0).cast("decimal(28,9)"),
+    ).otherwise(
+        F.round(
+            F.log(
+                F.lit(1.0)
+                - F.col("n_deaths").cast("double")
+                / F.col("n_at_risk")
+            ),
+            9,
+        ).cast("decimal(28,9)")
+    )
+    k = r.select(
+        F.col("dur").alias("dur_minutes"),
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.sum(term).over(w_cum).cast("decimal(28,9)").alias("lcum"),
+        F.max(
+            (F.col("n_deaths") == F.col("n_at_risk")).cast("int")
+        )
+        .over(w_cum)
+        .alias("dead"),
+    )
+    return k.select(
+        "dur_minutes",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lcum").cast("double")), 9))
+        .alias("survival"),
+    )
+
+
+# ========================================================================
+# q_minhash_calibration — estimated vs exact Jaccard of LSH candidates
+# ========================================================================
+
+#: MD5 minima per signature (shared with q_minhash_signature_index).
+_MHC_FUNCS = 8
+
+
+@register(
+    "q_minhash_calibration",
+    oracle=f"""
+WITH dt AS (
+  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(LOWER(TRIM(text)), ' '))
+           AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         {", ".join(
+             "LIST_MIN(LIST_TRANSFORM(toks,"
+             f" w -> MD5(w || '#{j}'))) AS h{j}"
+             for j in range(1, _MHC_FUNCS + 1)
+         )}
+  FROM dt
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, CAST({b} AS BIGINT) AS band,"
+      f" h{2 * b + 1} || h{2 * b + 2} AS band_key FROM m"
+      for b in range(4)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id1, c.id2,
+         CAST({" + ".join(
+             f"CASE WHEN m1.h{j} = m2.h{j} THEN 1 ELSE 0 END"
+             for j in range(1, _MHC_FUNCS + 1)
+         )} AS BIGINT) AS k_matches
+  FROM cand c
+  JOIN m m1 ON m1.doc_id = c.id1
+  JOIN m m2 ON m2.doc_id = c.id2
+),
+tr AS (
+  SELECT e.id1, e.id2, e.k_matches,
+         CAST(LEN(LIST_INTERSECT(d1.toks, d2.toks)) AS BIGINT) AS common,
+         CAST(LEN(d1.toks) AS BIGINT) AS s1,
+         CAST(LEN(d2.toks) AS BIGINT) AS s2
+  FROM est e
+  JOIN dt d1 ON d1.doc_id = e.id1
+  JOIN dt d2 ON d2.doc_id = e.id2
+)
+SELECT k_matches,
+       CAST(k_matches AS DOUBLE) / {_MHC_FUNCS} AS est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(common AS DOUBLE)
+                                 / (s1 + s2 - common), 9)
+                           AS DECIMAL(28,9))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_true_jaccard
+FROM tr GROUP BY k_matches
+""",
+)
+def q_minhash_calibration(spark, sf_dir):
+    """MINHASH ESTIMATOR CALIBRATION: for every LSH candidate pair
+    (>= 1 shared band under the q_minhash_signature_index (4, 2)
+    banding), bucket by the SIGNATURE-estimated Jaccard (k matching
+    minima out of 8 -> k/8) and report the mean EXACT token-set
+    Jaccard per bucket — the estimator-quality audit that tells a
+    dedup operator whether the 8-permutation sketch is calibrated
+    enough to threshold on, or whether candidates need exact
+    verification (it answers "what does est = 6/8 actually MEAN in
+    true-Jaccard terms on MY corpus").
+
+    100 TB shape: signatures are the ZERO-shuffle projection shared
+    with the index write path (md5_minhash_signatures — one
+    definition, so the calibration audits exactly what the index
+    stores); candidates come from the banded equi-join (the LSH
+    candidate contract, never all-pairs); the exact-Jaccard join
+    touches ONLY candidate pairs via the distinct-token arrays; the
+    output is the bounded 9-row octile grain.  Determinism: md5 hex
+    compares are byte-identical cross-engine; counts exact int64;
+    each true Jaccard rounds 9 -> DECIMAL sum, ONE division per
+    bucket (§8.21)."""
+    return minhash_calibration_from(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def minhash_calibration_from(d: DataFrame) -> DataFrame:
+    """The calibration over an arbitrary documents frame — the
+    planted tests drive this directly (signatures recomputed with
+    python hashlib as the external arithmetic)."""
+    dt = d.select(
+        "doc_id",
+        F.array_distinct(llmops.tokens_col("text")).alias("toks"),
+    )
+    m = llmops.md5_minhash_signatures(d)
+    bands = llmops.md5_minhash_band_rows(d)
+    b2 = bands.select(
+        F.col("doc_id").alias("id2"), "band", "band_key"
+    )
+    cand = (
+        bands.join(b2, ["band", "band_key"])
+        .filter(F.col("doc_id") < F.col("id2"))
+        .select(F.col("doc_id").alias("id1"), "id2")
+        .distinct()
+    )
+    m1 = m.select(
+        F.col("doc_id").alias("id1"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(1, 9)],
+    )
+    m2 = m.select(
+        F.col("doc_id").alias("id2"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(1, 9)],
+    )
+    k_matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long")
+        for j in range(1, 9)
+    )
+    est = (
+        cand.join(m1, "id1")
+        .join(m2, "id2")
+        .select("id1", "id2", k_matches.alias("k_matches"))
+    )
+    t1 = dt.select(F.col("doc_id").alias("id1"), F.col("toks").alias("t1"))
+    t2 = dt.select(F.col("doc_id").alias("id2"), F.col("toks").alias("t2"))
+    tr = (
+        est.join(t1, "id1")
+        .join(t2, "id2")
+        .select(
+            "k_matches",
+            F.size(F.array_intersect("t1", "t2"))
+            .cast("long")
+            .alias("common"),
+            F.size("t1").cast("long").alias("s1"),
+            F.size("t2").cast("long").alias("s2"),
+        )
+    )
+    tj = F.round(
+        F.col("common").cast("double")
+        / (F.col("s1") + F.col("s2") - F.col("common")),
+        9,
+    ).cast("decimal(28,9)")
+    return (
+        tr.groupBy("k_matches")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(tj).cast("decimal(28,9)").alias("tj_sum"),
+        )
+        .select(
+            "k_matches",
+            (F.col("k_matches").cast("double") / _MHC_FUNCS).alias(
+                "est_jaccard"
+            ),
+            "n_pairs",
+            F.round(
+                F.col("tj_sum").cast("double") / F.col("n_pairs"), 9
+            ).alias("mean_true_jaccard"),
+        )
+    )

@@ -2015,3 +2015,52 @@ def test_r11_key_plan_shapes(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" in p  # the bounded 16x codebook
     heads = re.findall(r"windowspecdefinition\((\w+)#", p)
     assert heads and all(h == "vec_id" for h in heads), heads
+
+
+def test_r11b_key_plan_shapes(spark, sf_dir, queries):
+    """§2.25 second-batch plan gates:
+    (a) q_packing_efficiency: the packing window partitions by
+        (source, shard) — never global; bounded-grain aggregates
+        after;
+    (b) q_temperature_mixing: the rate panel broadcasts; the corpus
+        pass is one aggregate — no window at all, no POWER (the
+        exponent grid is sqrt-composed by design);
+    (c) q_tukey_hsd: the pairwise join runs on the bounded k-row
+        group table (both join inputs are aggregates), no window;
+    (d) q_survival_km: sessionization windows partition by user_id;
+        the KM spine's unpartitioned windows ride the bounded
+        duration grain (fed by aggregates).
+    No EvalPython, no CartesianProduct with fact inputs."""
+    import re
+
+    p = _plan(queries["q_packing_efficiency"](spark, sf_dir))
+    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert heads and all(h == "source" for h in heads), heads
+    assert "EvalPython" not in p
+
+    p = _plan(queries["q_temperature_mixing"](spark, sf_dir))
+    assert "windowspecdefinition" not in p
+    assert "POWER" not in p.upper()
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "EvalPython" not in p
+
+    p = _plan(queries["q_tukey_hsd"](spark, sf_dir))
+    assert "windowspecdefinition" not in p
+    assert "EvalPython" not in p
+    # one fact scan feeding aggregates; the pair join is post-agg
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 3
+
+    p = _plan(queries["q_survival_km"](spark, sf_dir))
+    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert heads and all(h in ("user_id", "dur") for h in heads), heads
+    assert "EvalPython" not in p
+
+
+def test_minhash_calibration_plan(spark, sf_dir, queries):
+    """q_minhash_calibration: candidates only via the banded
+    equi-join (never a doc-grain cross product); signatures are the
+    zero-shuffle projection; no EvalPython."""
+    p = _plan(queries["q_minhash_calibration"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "EvalPython" not in p
+    assert "windowspecdefinition" not in p

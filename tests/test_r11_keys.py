@@ -249,3 +249,180 @@ def test_psi_incremental_matches_panel(spark, sf_dir, queries):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_packing_efficiency_planted(spark):
+    """Hand census: source sA = three 1100-token docs all landing in
+    one shard -> seq0 holds two docs (2200 tokens, OVERFULL: the
+    straddling doc belongs where it starts), seq1 one doc;
+    mean_fill_bp = 33000000 // 4096 = 8056.  Source sB = one 10-token
+    doc -> a single under-half sequence at fill 48 bp."""
+    ids = [i for i in range(1, 4000) if _khash(i) % 16 == 0][:3]
+
+    def big_doc(tag):
+        return " ".join(f"w{tag}{i:05d}" for i in range(1100))
+
+    rows = [(i, "sA", "en", big_doc(str(i))) for i in ids] + [
+        (9999, "sB", "en", " ".join(f"t{i}" for i in range(10)))
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {
+        r["source"]: (
+            r["n_seqs"],
+            r["n_docs"],
+            r["total_tokens"],
+            r["mean_fill_bp"],
+            r["n_overfull"],
+            r["n_underhalf"],
+        )
+        for r in keys_r11.packing_efficiency_from(d).collect()
+    }
+    assert out["sA"] == (2, 3, 3300, 33000000 // 4096, 1, 0)
+    assert out["sB"] == (1, 1, 10, 100000 // 2048, 0, 1)
+
+
+def test_temperature_mixing_planted(spark):
+    """Hand panel: sources sBig (4 docs) and sSmall (1 doc) -> x =
+    1/4; rates by hand: T=1 -> 0.25, 0.5 -> 0.5, 0.25 -> ~0.7071,
+    0.75 -> ~0.35355.  n_kept recomputed in PYTHON from the Knuth
+    hashes of the planted ids against floor(rate*1e6)."""
+    import math
+
+    big_ids = [11, 22, 33, 44]
+    rows = [(i, "sBig", "en", "x") for i in big_ids] + [
+        (55, "sSmall", "en", "x")
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    out = {
+        (r["source"], r["t_bp"]): (r["n_src"], r["keep_rate"], r["n_kept"])
+        for r in keys_r11.temperature_mixing_from(d).collect()
+    }
+    x = 0.25
+    rates = {
+        2500: math.sqrt(math.sqrt(x)),
+        5000: math.sqrt(x),
+        7500: math.sqrt(x) * math.sqrt(math.sqrt(x)),
+        10000: x,
+    }
+    for t, rate in rates.items():
+        thr = math.floor(rate * 1_000_000)
+        kept = sum(1 for i in big_ids if _khash(i) % 1_000_000 < thr)
+        n, kr, nk = out[("sBig", t)]
+        assert n == 4 and nk == kept, (t, nk, kept)
+        assert abs(kr - round(rate, 9)) < 1e-12
+        # the smallest source keeps everything at every temperature
+        assert out[("sSmall", t)] == (1, 1.0, 1)
+
+
+def test_tukey_hsd_planted(spark):
+    """Hand ANOVA world: groups A = 4x10, B = 4x20, C = (10,20,10,20).
+    Within-SS: 0 + 0 + 100 -> MSW = 100/9; SE(any pair) =
+    sqrt(MSW/2 * (1/4 + 1/4)) = 10/6.  q(A,B) = 10/(10/6) = 6 >
+    3.858 -> significant; q(A,C) = q(B,C) = 3 -> not."""
+    rows = (
+        [("A", 10.0)] * 4 + [("B", 20.0)] * 4 + [("C", 10.0), ("C", 20.0)] * 2
+    )
+    o = spark.createDataFrame(
+        rows, "o_orderpriority string, o_totalprice double"
+    )
+    out = {
+        (r["grp1"], r["grp2"]): (r["mean_diff"], r["q_stat"], r["significant"])
+        for r in keys_r11.tukey_hsd_from(o).collect()
+    }
+    assert out[("A", "B")] == (-10.0, 6.0, True)
+    assert out[("A", "C")] == (-5.0, 3.0, False)
+    assert out[("B", "C")] == (5.0, 3.0, False)
+
+
+def test_survival_km_planted(spark):
+    """Hand KM world (30-min session gap; censor horizon = one gap
+    before the global last event at t = 100 min):
+    - u1: events at 0 and 10 min -> one 10-min session ending at 10
+      (death);
+    - u2: events at 5 min and 60 min -> TWO zero-length sessions
+      (55-min gap splits), both deaths;
+    - u3: events at 95 and 100 min -> 5-min session ending AT the
+      edge -> censored.
+    KM: t=0: n=4, d=2 -> S=0.5; t=5: n=2, d=0, c=1 -> S stays 0.5;
+    t=10: n=1, d=1 = n -> saturated, S=0 exactly."""
+    m = 60_000_000
+    rows = [
+        (1, 1, 0 * m),
+        (2, 1, 10 * m),
+        (3, 2, 5 * m),
+        (4, 2, 60 * m),
+        (5, 3, 95 * m),
+        (6, 3, 100 * m),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, us long"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    out = {
+        r["dur_minutes"]: (
+            r["n_at_risk"],
+            r["n_deaths"],
+            r["n_censored"],
+            r["survival"],
+        )
+        for r in keys_r11.survival_km_from(ev).collect()
+    }
+    assert out[0] == (4, 2, 0, 0.5)
+    assert out[5] == (2, 0, 1, 0.5)
+    assert out[10] == (1, 1, 0, 0.0)
+    assert len(out) == 3
+
+
+def test_minhash_calibration_planted(spark):
+    """Signatures recomputed with PYTHON hashlib (the external
+    engine): docs 1/2 share tokens {a,b,c} of 5 distinct (true
+    Jaccard 0.6); docs 3/4 are identical (true 1.0, all 8 minima
+    equal, candidate in every band).  Expected buckets assembled in
+    python from the hashlib minima and the (4,2) banding rule."""
+    import hashlib as hl
+
+    texts = {1: "a b c d", 2: "a b c e", 3: "q r s", 4: "q r s"}
+
+    def sig(text):
+        toks = sorted(set(text.split(" ")))
+        return [
+            min(hl.md5(f"{w}#{j}".encode()).hexdigest() for w in toks)
+            for j in range(1, 9)
+        ]
+
+    sigs = {i: sig(t) for i, t in texts.items()}
+
+    def bands(s):
+        return {(b, s[2 * b] + s[2 * b + 1]) for b in range(4)}
+
+    exp = {}
+    import itertools
+
+    for i, j in itertools.combinations(sorted(texts), 2):
+        if bands(sigs[i]) & bands(sigs[j]):
+            k = sum(a == b for a, b in zip(sigs[i], sigs[j]))
+            ti, tj = set(texts[i].split()), set(texts[j].split())
+            true_j = round(len(ti & tj) / len(ti | tj), 9)
+            exp.setdefault(k, []).append(true_j)
+    want = {
+        k: (len(v), round(sum(v) / len(v), 9)) for k, v in exp.items()
+    }
+    assert want, "planted corpus must produce at least one candidate"
+    assert 8 in want and want[8][1] == 1.0  # the identical pair
+
+    d = spark.createDataFrame(
+        [(i, "s", "en", t) for i, t in texts.items()],
+        "doc_id long, source string, lang string, text string",
+    )
+    got = {
+        r["k_matches"]: (r["n_pairs"], r["mean_true_jaccard"])
+        for r in keys_r11.minhash_calibration_from(d).collect()
+    }
+    assert got == want, (got, want)
