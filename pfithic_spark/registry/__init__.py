@@ -79,6 +79,7 @@ _VERIFY_FIRST = [
     "q_tukey_hsd",
     "q_survival_km",
     "q_minhash_calibration",
+    "q_vacuum_plan",
     # --- r5-era backlog, verdict-r10 priority order ---
     "q_embedding_centroid",
     "q_wau",
@@ -115,9 +116,8 @@ _VERIFY_FIRST = [
     "q_fingerprint",
     "q_graph_bfs",
     "q_heavy_hitters",
-    "q_incremental_agg",
     # r5-era keys that did NOT fit this 50-key window (round-12
-    # backlog): q_kr_balance, q_lang_id, q_mix_sources, q_multimodal_features, q_multimodal_frames, q_multimodal_meta,
+    # backlog): q_incremental_agg, q_kr_balance, q_lang_id, q_mix_sources, q_multimodal_features, q_multimodal_frames, q_multimodal_meta,
     # q_multimodal_resize, q_ngram_coverage, q_quantile_discretize,
     # q_referential_orphans, q_triangle_count, q_vector_norm_stats,
     # q_window_cume_dist.

@@ -438,6 +438,37 @@ def q_psi_drift_incremental(spark, sf_dir):
 _COMPACT_BUCKETS = 8
 
 
+def _ensure_bucketed_sink_table(spark, sf_dir) -> str:
+    """Build (once per session, like q_join_bucketed's catalog guard)
+    the planted 8-append atomic table both lifecycle planners read:
+    one Knuth-hash bucket per append, coalesced to one file, bucket
+    stats envelopes recorded.  Shared by q_compaction_policy and
+    q_vacuum_plan — one table, two maintenance plans over it."""
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pfithic_compact_{tag}")
+    committed = os.path.isdir(path) and any(
+        f.startswith("manifest-") for f in os.listdir(path)
+    )
+    if not committed:
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            (llmops.knuth_hash("doc_id") % _COMPACT_BUCKETS)
+            .cast("long")
+            .alias("bucket"),
+        )
+        for b in range(_COMPACT_BUCKETS):
+            pio.write_parquet_atomic(
+                d.filter(F.col("bucket") == b).coalesce(1),
+                path,
+                mode="overwrite" if b == 0 else "append",
+                stats_cols=["bucket"],
+            )
+    return path
+
+
+
 @register(
     "q_compaction_policy",
     oracle=f"""
@@ -503,27 +534,7 @@ def q_compaction_policy(spark, sf_dir):
     manifest, read driver-side as table formats do); the packing
     window rides that bounded grain.  Determinism: counts exact
     int64; the only division is the §8.7 floor pairing."""
-    tag = hashlib.sha1(
-        (sf_dir + spark.sparkContext.applicationId).encode()
-    ).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"pfithic_compact_{tag}")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (llmops.knuth_hash("doc_id") % _COMPACT_BUCKETS)
-        .cast("long")
-        .alias("bucket"),
-    )
-    committed = os.path.isdir(path) and any(
-        f.startswith("manifest-") for f in os.listdir(path)
-    )
-    if not committed:
-        for b in range(_COMPACT_BUCKETS):
-            pio.write_parquet_atomic(
-                d.filter(F.col("bucket") == b).coalesce(1),
-                path,
-                mode="overwrite" if b == 0 else "append",
-                stats_cols=["bucket"],
-            )
+    path = _ensure_bucketed_sink_table(spark, sf_dir)
     # manifest-metadata sanity: every file's bucket envelope must be
     # single-valued (one bucket per file = the planted layout)
     import json
@@ -536,6 +547,10 @@ def q_compaction_policy(spark, sf_dir):
     with open(os.path.join(path, manifests[-1])) as fh:
         meta = json.load(fh)
     for fname, env in meta.get("stats", {}).items():
+        if "bucket" not in env:
+            # a 0-row file (empty-corpus bucket) has no footer
+            # min/max — nothing to validate, nothing to census
+            continue
         lo, hi = env["bucket"]
         if lo != hi:
             raise ValueError(
@@ -1663,4 +1678,92 @@ def minhash_calibration_from(d: DataFrame) -> DataFrame:
                 F.col("tj_sum").cast("double") / F.col("n_pairs"), 9
             ).alias("mean_true_jaccard"),
         )
+    )
+
+
+# ========================================================================
+# q_vacuum_plan — retention dry-run over the atomic sink's history
+# ========================================================================
+
+#: Snapshots retained by the planned vacuum (Delta/Iceberg
+#: expire-snapshots keep-last semantics).
+_VACUUM_KEEP_LAST = 2
+
+
+@register(
+    "q_vacuum_plan",
+    oracle=f"""
+WITH nb AS (
+  SELECT CAST(COUNT(DISTINCT ((doc_id % 2654435761) * 2654435761)
+                    % 4294967296 % {_COMPACT_BUCKETS}) AS BIGINT) AS k
+  FROM documents
+)
+SELECT CAST(g.s AS BIGINT) AS seq,
+       CAST(g.s AS BIGINT) AS n_files_total,
+       CAST(1 AS BIGINT) AS n_files_added,
+       g.s > nb.k - {_VACUUM_KEEP_LAST} AS retained
+FROM nb, GENERATE_SERIES(1, {_COMPACT_BUCKETS}) AS g(s)
+WHERE g.s <= nb.k
+""",
+)
+def q_vacuum_plan(spark, sf_dir):
+    """VACUUM DRY-RUN over the atomic sink's manifest history — the
+    retention census an operator reads before expiring snapshots:
+    per committed manifest seq, the snapshot's total file count, the
+    files THAT commit added, and whether a keep-last-2 vacuum
+    (io.vacuum_parquet_atomic semantics) would retain it.  Closes
+    the lifecycle triad over one planted table: q_compaction_policy
+    plans the relayout, this plans the history expiry, the writes
+    themselves are the append path.
+
+    The census is MANIFEST-ONLY metadata (driver-side, bounded by
+    the manifest count — exactly how table formats do maintenance
+    planning; no data file is opened).  The oracle derives the same
+    census from first principles: 8 nonempty one-bucket appends →
+    seq s holds s files, added exactly 1, retained iff s > 8 − 2.
+    The key RAISES if the planted layout broke (an append with ≠ 1
+    added file), rather than certifying a stale assumption."""
+    return vacuum_plan_from(
+        spark, _ensure_bucketed_sink_table(spark, sf_dir)
+    )
+
+
+def vacuum_plan_from(spark, path: str) -> DataFrame:
+    """The retention census over any atomic-table path — the planted
+    tests drive this on hand-built append histories."""
+    import json
+
+    manifests = sorted(
+        (
+            int(f.split("-")[1]), f
+        )
+        for f in os.listdir(path)
+        if f.startswith("manifest-") and f.endswith(".json")
+    )
+    rows = []
+    prev_files: set = set()
+    max_seq = manifests[-1][0]
+    for seq, fname in manifests:
+        with open(os.path.join(path, fname)) as fh:
+            meta = json.load(fh)
+        files = set(meta.get("files", []))
+        added = len(files - prev_files)
+        if added != 1:
+            raise ValueError(
+                f"vacuum census: seq {seq} added {added} files — "
+                "planted one-file-per-append layout broke"
+            )
+        rows.append(
+            (
+                seq,
+                len(files),
+                added,
+                seq > max_seq - _VACUUM_KEEP_LAST,
+            )
+        )
+        prev_files = files
+    return spark.createDataFrame(
+        rows,
+        "seq long, n_files_total long, n_files_added long, "
+        "retained boolean",
     )

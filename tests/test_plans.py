@@ -2064,3 +2064,16 @@ def test_minhash_calibration_plan(spark, sf_dir, queries):
     assert "CartesianProduct" not in p
     assert "EvalPython" not in p
     assert "windowspecdefinition" not in p
+
+
+def test_vacuum_plan_is_metadata_only(spark, sf_dir, queries):
+    """q_vacuum_plan is a MANIFEST census: the returned plan must be
+    a local/driver-side table — no parquet scan, no Exchange (the
+    whole point of manifest-based maintenance planning is that no
+    data file is opened)."""
+    import re
+
+    p = _plan(queries["q_vacuum_plan"](spark, sf_dir))
+    assert not re.search(r"\(\d+\) Scan parquet", p), p[:800]
+    assert "Exchange" not in p
+    assert "EvalPython" not in p

@@ -426,3 +426,50 @@ def test_minhash_calibration_planted(spark):
         for r in keys_r11.minhash_calibration_from(d).collect()
     }
     assert got == want, (got, want)
+
+
+def test_vacuum_plan_planted(spark, tmp_path):
+    """Hand history: three single-file appends -> seqs 1..3 hold
+    1/2/3 files, each added exactly 1; a keep-last-2 vacuum retains
+    seqs 2 and 3 only."""
+    from pfithic_spark import io as pio
+
+    path = str(tmp_path / "t")
+    for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+        pio.write_parquet_atomic(
+            spark.range(i * 10, i * 10 + 5).coalesce(1), path, mode=mode
+        )
+    out = sorted(
+        map(tuple, keys_r11.vacuum_plan_from(spark, path).collect())
+    )
+    assert out == [
+        (1, 1, 1, False),
+        (2, 2, 1, True),
+        (3, 3, 1, True),
+    ]
+
+
+def test_vacuum_plan_matches_real_vacuum(spark, tmp_path):
+    """The dry-run must agree with what io.vacuum_parquet_atomic
+    actually deletes at keep_last_n=2: the non-retained manifests
+    disappear, the retained ones survive."""
+    import os
+
+    from pfithic_spark import io as pio
+
+    path = str(tmp_path / "t")
+    for i, mode in ((0, "overwrite"), (1, "append"), (2, "append")):
+        pio.write_parquet_atomic(
+            spark.range(i * 10, i * 10 + 5).coalesce(1), path, mode=mode
+        )
+    plan = {
+        r["seq"]: r["retained"]
+        for r in keys_r11.vacuum_plan_from(spark, path).collect()
+    }
+    pio.vacuum_parquet_atomic(path, keep_last_n=2)
+    left = {
+        int(f.split("-")[1])
+        for f in os.listdir(path)
+        if f.startswith("manifest-") and f.endswith(".json")
+    }
+    assert left == {s for s, kept in plan.items() if kept}
