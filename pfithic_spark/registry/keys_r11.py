@@ -1521,6 +1521,13 @@ def survival_km_from(ev: DataFrame) -> DataFrame:
 #: MD5 minima per signature (shared with q_minhash_signature_index).
 _MHC_FUNCS = 8
 
+#: Hot-bucket cap mirrored into the DuckDB oracle (must equal
+#: llmops.LSH_MAX_BUCKET — the Spark side reads the live constant,
+#: the oracle f-string freezes this copy; drift would silently
+#: de-calibrate the comparison, so equality is asserted here).
+_MHC_MAX_BUCKET = 1000
+assert _MHC_MAX_BUCKET == llmops.LSH_MAX_BUCKET
+
 
 @register(
     "q_minhash_calibration",
@@ -1546,9 +1553,19 @@ bands AS (
       for b in range(4)
   )}
 ),
+ok AS (
+  SELECT band, band_key
+  FROM (SELECT band, band_key, COUNT(*) AS c
+        FROM bands GROUP BY band, band_key)
+  WHERE c <= {_MHC_MAX_BUCKET}
+),
+bok AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN ok USING (band, band_key)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-  FROM bands a JOIN bands b
+  FROM bok a JOIN bok b
     ON a.band = b.band AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
 ),
@@ -1607,16 +1624,36 @@ def q_minhash_calibration(spark, sf_dir):
     )
 
 
-def minhash_calibration_from(d: DataFrame) -> DataFrame:
+def minhash_calibration_from(
+    d: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """The calibration over an arbitrary documents frame — the
     planted tests drive this directly (signatures recomputed with
-    python hashlib as the external arithmetic)."""
+    python hashlib as the external arithmetic).  ``max_bucket``
+    defaults to :data:`llmops.LSH_MAX_BUCKET`."""
+    if max_bucket is None:
+        max_bucket = llmops.LSH_MAX_BUCKET
     dt = d.select(
         "doc_id",
         F.array_distinct(llmops.tokens_col("text")).alias("toks"),
     )
     m = llmops.md5_minhash_signatures(d)
     bands = llmops.md5_minhash_band_rows(d)
+    # hot-bucket cap (LSH_MAX_BUCKET discipline): a band bucket of B
+    # docs emits C(B,2) candidates; mass-duplicated boilerplate
+    # collides in EVERY band — drop over-cap buckets (their members
+    # are exact-dedup territory, the documented division of labor).
+    # The synthetic fixture is near-dup dense: at sf0.1 one bucket
+    # per band holds ~62% of the corpus (20.9 M raw pairs uncapped).
+    hot = (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_bucket)
+        .select("band", "band_key")
+    )
+    bands = bands.join(
+        F.broadcast(hot), ["band", "band_key"], "left_anti"
+    )
     b2 = bands.select(
         F.col("doc_id").alias("id2"), "band", "band_key"
     )

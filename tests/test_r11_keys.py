@@ -473,3 +473,28 @@ def test_vacuum_plan_matches_real_vacuum(spark, tmp_path):
         if f.startswith("manifest-") and f.endswith(".json")
     }
     assert left == {s for s, kept in plan.items() if kept}
+
+
+def test_minhash_calibration_hot_bucket_cap(spark):
+    """LSH_MAX_BUCKET discipline on the calibration key: with
+    max_bucket=2, the three identical 'm n o' docs form size-3 band
+    buckets in every band and are DROPPED from candidacy (exact-dedup
+    territory); the size-2 near pair survives."""
+    texts = {
+        1: "m n o",
+        2: "m n o",
+        3: "m n o",
+        4: "a b c d",
+        5: "a b c e",
+    }
+    d = spark.createDataFrame(
+        [(i, "s", "en", t) for i, t in texts.items()],
+        "doc_id long, source string, lang string, text string",
+    )
+    rows = keys_r11.minhash_calibration_from(d, max_bucket=2).collect()
+    pairs = sum(r["n_pairs"] for r in rows)
+    # only the (4, 5) pair can appear (true jaccard 0.6); the
+    # identical triple contributed zero candidates
+    assert pairs <= 1, rows
+    for r in rows:
+        assert r["mean_true_jaccard"] != 1.0
