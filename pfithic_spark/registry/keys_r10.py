@@ -376,6 +376,14 @@ def psi_panel_from_halves(b: DataFrame) -> DataFrame:
         F.sum((F.col("half") == 0).cast("long")).cast("long").alias("na"),
         F.sum((F.col("half") == 1).cast("long")).cast("long").alias("nb"),
     )
+    return psi_panel_from_counts(c)
+
+
+def psi_panel_from_counts(c: DataFrame) -> DataFrame:
+    """The panel over PRE-AGGREGATED (source, bucket, na, nb) counts —
+    the grain the streaming twin (streaming.drift_panel_stream) folds
+    its per-epoch partials to (counts are SUM-mergeable, so any
+    batching of the underlying docs folds to the identical panel)."""
     wsrc = Window.partitionBy("source")
     t = c.select(
         "source",

@@ -979,3 +979,70 @@ def fold_hll_registers(spark: SparkSession, registers_path: str) -> DataFrame:
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def drift_panel_stream(
+    docs_stream: DataFrame,
+    counts_path: str,
+    checkpoint: str,
+):
+    """INCREMENTAL drift-panel maintenance — the streaming producer
+    behind the q_psi_source_panel / q_psi_drift_incremental family:
+    per micro-batch of documents, build the batch's (source, half,
+    bucket) partial COUNT table (half = doc_id parity, bucket = the
+    exact log2 length bin — the q_length_log2_histogram binning) and
+    append it under ``epoch=<id>`` in OVERWRITE mode (the
+    simhash/minhash/HLL exactly-once discipline: a Spark retry
+    rewrites its own epoch directory instead of double-appending).
+
+    Counts are SUM-mergeable, so :func:`fold_drift_panel` combines
+    any batching of the corpus into the IDENTICAL smoothed PSI panel
+    the batch keys compute — the release gate reads the standing
+    count table nightly with NO raw-document replay."""
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        # n_chars derives from the text itself (== the fixture's
+        # n_chars column — verified identity), so the stream needs
+        # only read_document_stream's (doc_id, text, source) schema
+        n_chars = F.length("text").cast("long")
+        c = (
+            batch.filter(n_chars >= 1)
+            .select(
+                "source",
+                (F.col("doc_id") % 2).alias("half"),
+                (F.length(F.bin(n_chars)) - 1).alias("bucket"),
+            )
+            .groupBy("source", "bucket")
+            .agg(
+                F.sum((F.col("half") == 0).cast("long"))
+                .cast("long")
+                .alias("na"),
+                F.sum((F.col("half") == 1).cast("long"))
+                .cast("long")
+                .alias("nb"),
+            )
+        )
+        c.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{counts_path}/epoch={epoch}")
+
+    return write_stream_foreach_batch(docs_stream, handle, checkpoint)
+
+
+def fold_drift_panel(spark: SparkSession, counts_path: str) -> DataFrame:
+    """Fold the streamed per-epoch count partials to the exact
+    smoothed PSI panel (the read side of :func:`drift_panel_stream`):
+    SUM-merge to (source, bucket, na, nb), then the shared
+    keys_r10.psi_panel_from_counts dataflow — ONE definition with the
+    batch keys, so the streamed panel can never disagree."""
+    from .registry.keys_r10 import psi_panel_from_counts
+
+    c = (
+        spark.read.parquet(counts_path)
+        .groupBy("source", "bucket")
+        .agg(
+            F.sum("na").cast("long").alias("na"),
+            F.sum("nb").cast("long").alias("nb"),
+        )
+    )
+    return psi_panel_from_counts(c)

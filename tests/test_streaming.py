@@ -1607,3 +1607,57 @@ def test_read_prior_index_downgrade_vs_reraise(spark, tmp_path):
     df = strm._read_prior_index(spark, good, epoch=1)
     assert df is not None and df.count() == 2
     assert df.filter(F.col("epoch") >= 1).count() == 0
+
+
+def test_drift_panel_stream_matches_batch_panel(spark, tmp_path):
+    """The streamed drift panel must equal the batch panel on the
+    same corpus regardless of batching: two micro-batches of planted
+    docs -> per-epoch count partials -> fold -> EXACT row equality
+    with psi_panel_from_counts fed by a one-shot batch aggregate of
+    the union (counts are sum-mergeable, the whole point)."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pfithic_spark.registry.keys_r10 import psi_panel_from_halves
+
+    docs_dir = str(tmp_path / "docs_in")
+    rows1 = [(i, "x" * (10 + 7 * (i % 5)), f"s{i % 2}") for i in range(1, 40)]
+    rows2 = [(i, "y" * (3 + 11 * (i % 7)), f"s{i % 2}") for i in range(40, 90)]
+    for n, rows in (("b1", rows1), ("b2", rows2)):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/{n}")
+    for i, sub in enumerate(("b1", "b2")):
+        for f in sorted(glob.glob(f"{docs_dir}/{sub}/part-*.parquet")):
+            shutil.copy(f, f"{docs_dir}/{i:03d}.parquet")
+        shutil.rmtree(f"{docs_dir}/{sub}")
+        _time.sleep(1.1)
+
+    counts_path = str(tmp_path / "drift_counts")
+    ck = str(tmp_path / "ck")
+    q = strm.drift_panel_stream(
+        strm.read_document_stream(spark, docs_dir), counts_path, ck
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    # two epochs landed with provenance
+    eps = spark.read.parquet(counts_path).select("epoch").distinct().count()
+    assert eps == 2
+
+    streamed = sorted(
+        map(tuple, strm.fold_drift_panel(spark, counts_path).collect())
+    )
+    all_docs = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string, source string"
+    )
+    b = all_docs.filter(F.length("text") >= 1).select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        (F.length(F.bin(F.length("text").cast("long"))) - 1).alias(
+            "bucket"
+        ),
+    )
+    batch = sorted(map(tuple, psi_panel_from_halves(b).collect()))
+    assert streamed == batch and len(batch) == 2
