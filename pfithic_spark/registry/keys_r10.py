@@ -944,6 +944,14 @@ def ivf_distance_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector×vector."""
     e = load_table(spark, sf_dir, "embeddings")
     cent = spark.read.parquet(f"{_GOLDEN_DIR}/ivf_centroids.parquet")
+    return ivf_distance_table_from(e, cent)
+
+
+def ivf_distance_table_from(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """The distance table over arbitrary (vec_id, embedding) rows and
+    a (cell, centroid) codebook — the streaming assignment twin
+    (streaming.ivf_assignment_stream) scores its micro-batches
+    through this same definition."""
     qc = cent.select(
         "cell",
         F.transform(
@@ -1015,7 +1023,13 @@ def q_ivf_assignment(spark, sf_dir):
     diffs ≤ 64·(2·5·10⁶)² ≈ 6.4·10¹⁵ — §8.21-safe), so dist2 is
     EXACT integer math in both engines and the (dist2, cell) argmin
     has no float tie ambiguity."""
-    q = ivf_distance_table(spark, sf_dir)
+    return ivf_assign_from(ivf_distance_table(spark, sf_dir))
+
+
+def ivf_assign_from(q: DataFrame) -> DataFrame:
+    """rank-1 argmin over a (vec_id, cell, dist2_micro) distance table
+    — shared by the batch key, the rebalance sibling's assignment
+    step, and the streaming twin."""
     wv = Window.partitionBy("vec_id").orderBy("dist2_micro", "cell")
     return (
         q.withColumn("rn", F.row_number().over(wv))

@@ -1046,3 +1046,63 @@ def fold_drift_panel(spark: SparkSession, counts_path: str) -> DataFrame:
         )
     )
     return psi_panel_from_counts(c)
+
+
+def ivf_assignment_stream(
+    vectors_stream: DataFrame,
+    assignments_path: str,
+    checkpoint: str,
+    centroids_path: str | None = None,
+):
+    """INCREMENTAL IVF assignment maintenance — the streaming
+    producer of q_ivf_assignment's (vec_id, cell, dist2_micro) table
+    under the FROZEN committed codebook: per micro-batch of vectors,
+    score against the broadcast centroids through the SAME
+    keys_r10.ivf_distance_table_from / ivf_assign_from definitions
+    the batch key uses (one definition — the streamed index can never
+    disagree on an assignment), and append under ``epoch=<id>`` in
+    OVERWRITE mode (the simhash/minhash/HLL exactly-once retry
+    discipline).  Newly arriving vectors join the ANN-servable set
+    one micro-batch later with NO corpus re-scan; q_ivf_rebalance's
+    occupancy census runs directly on the folded table."""
+    import os
+
+    from .registry.keys_r10 import (
+        ivf_assign_from,
+        ivf_distance_table_from,
+    )
+
+    if centroids_path is None:
+        from .registry._core import _GOLDEN_DIR
+
+        centroids_path = os.path.join(
+            _GOLDEN_DIR, "ivf_centroids.parquet"
+        )
+
+    def handle(batch: DataFrame, epoch: int) -> None:
+        cent = batch.sparkSession.read.parquet(centroids_path)
+        asg = ivf_assign_from(ivf_distance_table_from(batch, cent))
+        asg.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(f"{assignments_path}/epoch={epoch}")
+
+    return write_stream_foreach_batch(vectors_stream, handle, checkpoint)
+
+
+def read_vector_stream(spark: SparkSession, vec_dir: str) -> DataFrame:
+    """File-source stream of embedding batches; explicit schema — no
+    inference on a stream."""
+    ensure_engine_confs(spark)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType())
+            ),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(vec_dir)
+    )

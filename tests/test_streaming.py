@@ -1661,3 +1661,59 @@ def test_drift_panel_stream_matches_batch_panel(spark, tmp_path):
     )
     batch = sorted(map(tuple, psi_panel_from_halves(b).collect()))
     assert streamed == batch and len(batch) == 2
+
+
+def test_ivf_assignment_stream_matches_batch(spark, tmp_path, sf_dir):
+    """The streamed per-epoch assignments, unioned across epochs,
+    must equal the batch q_ivf_assignment scoring of the same
+    vectors (one shared distance/argmin definition): split the
+    fixture embeddings into two micro-batches, stream them through,
+    compare exactly."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pfithic_spark.registry._core import _GOLDEN_DIR
+    from pfithic_spark.registry.keys_r10 import (
+        ivf_assign_from,
+        ivf_distance_table_from,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    vec_dir = str(tmp_path / "vec_in")
+    e.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{vec_dir}/b1")
+    e.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{vec_dir}/b2")
+    for i, sub in enumerate(("b1", "b2")):
+        for f in sorted(glob.glob(f"{vec_dir}/{sub}/part-*.parquet")):
+            shutil.copy(f, f"{vec_dir}/{i:03d}.parquet")
+        shutil.rmtree(f"{vec_dir}/{sub}")
+        _time.sleep(1.1)
+
+    asg_path = str(tmp_path / "asg")
+    ck = str(tmp_path / "ck")
+    q = strm.ivf_assignment_stream(
+        strm.read_vector_stream(spark, vec_dir), asg_path, ck
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    streamed = sorted(
+        (r["vec_id"], r["cell"], r["dist2_micro"])
+        for r in spark.read.parquet(asg_path).collect()
+    )
+    cent = spark.read.parquet(f"{_GOLDEN_DIR}/ivf_centroids.parquet")
+    batch = sorted(
+        map(
+            tuple,
+            ivf_assign_from(ivf_distance_table_from(e, cent)).collect(),
+        )
+    )
+    assert streamed == batch and len(batch) == e.count()
+    eps = spark.read.parquet(asg_path).select("epoch").distinct().count()
+    assert eps == 2
