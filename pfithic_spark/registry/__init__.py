@@ -69,7 +69,6 @@ _VERIFY_FIRST = [
     "q_mrr",
     "q_rank_biased_overlap",
     # --- round-11 registrations (never driver-rowed) ---
-    # (swapped in as each registers; placeholders hold window size)
     "q_curation_dag",
     "q_psi_drift_incremental",
     "q_ivf_rebalance",
@@ -80,6 +79,7 @@ _VERIFY_FIRST = [
     "q_survival_km",
     "q_minhash_calibration",
     "q_vacuum_plan",
+    "q_herfindahl",
     # --- r5-era backlog, verdict-r10 priority order ---
     "q_embedding_centroid",
     "q_wau",
@@ -115,9 +115,8 @@ _VERIFY_FIRST = [
     "q_dedup_sorted_neighborhood",
     "q_fingerprint",
     "q_graph_bfs",
-    "q_heavy_hitters",
     # r5-era keys that did NOT fit this 50-key window (round-12
-    # backlog): q_incremental_agg, q_kr_balance, q_lang_id, q_mix_sources, q_multimodal_features, q_multimodal_frames, q_multimodal_meta,
+    # backlog): q_heavy_hitters, q_incremental_agg, q_kr_balance, q_lang_id, q_mix_sources, q_multimodal_features, q_multimodal_frames, q_multimodal_meta,
     # q_multimodal_resize, q_ngram_coverage, q_quantile_discretize,
     # q_referential_orphans, q_triangle_count, q_vector_norm_stats,
     # q_window_cume_dist.

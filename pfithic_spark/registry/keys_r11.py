@@ -1804,3 +1804,99 @@ def vacuum_plan_from(spark, path: str) -> DataFrame:
         "seq long, n_files_total long, n_files_added long, "
         "retained boolean",
     )
+
+
+# ========================================================================
+# q_herfindahl — supplier revenue concentration (HHI)
+# ========================================================================
+
+
+@register(
+    "q_herfindahl",
+    oracle="""
+WITH s AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_suppkey
+),
+t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_firms
+      FROM s),
+h AS (
+  SELECT t.n_firms, t.total,
+         CAST(SUM(CAST(ROUND(
+           (CAST(s.cents AS DOUBLE) / t.total)
+           * (CAST(s.cents AS DOUBLE) / t.total), 9)
+           AS DECIMAL(28,9))) AS DECIMAL(28,9)) AS hhi_dec
+  FROM s, t GROUP BY t.n_firms, t.total
+)
+SELECT n_firms,
+       CAST(hhi_dec AS DOUBLE) AS hhi,
+       CASE WHEN n_firms <= 1 THEN NULL
+            ELSE ROUND((CAST(hhi_dec AS DOUBLE) - 1.0 / n_firms)
+                       / (1.0 - 1.0 / n_firms), 9) END
+         AS hhi_normalized,
+       CASE WHEN CAST(hhi_dec AS DOUBLE) = 0 THEN NULL
+            ELSE ROUND(1.0 / CAST(hhi_dec AS DOUBLE), 6) END
+         AS effective_n
+FROM h
+""",
+)
+def q_herfindahl(spark, sf_dir):
+    """HERFINDAHL–HIRSCHMAN concentration of supplier revenue — the
+    antitrust-standard concentration index beside q_gini's
+    inequality: HHI = Σ share_i² over exact integer revenue cents,
+    the normalized form ((HHI − 1/n)/(1 − 1/n) ∈ [0, 1]), and the
+    effective number of suppliers 1/HHI (how many EQUAL-sized firms
+    would give this concentration — the supply-chain-risk number an
+    operator actually reads).
+
+    100 TB shape: ONE fact scan to the bounded supplier grain
+    (map-side-combinable integer cents), then a 1-row census.
+    Determinism: revenues sum as exact int64 cents; each share² is
+    one fixed double chain rounded 9 → DECIMAL sum (q_entropy
+    discipline); the two derived forms are single divisions rounded
+    for display; NULLs at the n ≤ 1 / zero-mass degeneracies
+    (§8.17)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    t = s.agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_firms"),
+    )
+    share = F.col("cents").cast("double") / F.col("total")
+    h = (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "n_firms",
+            F.round(share * share, 9)
+            .cast("decimal(28,9)")
+            .alias("sq"),
+        )
+        .groupBy("n_firms")
+        .agg(F.sum("sq").cast("decimal(28,9)").alias("hhi_dec"))
+    )
+    hhi = F.col("hhi_dec").cast("double")
+    return h.select(
+        "n_firms",
+        hhi.alias("hhi"),
+        F.when(F.col("n_firms") <= 1, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                (hhi - F.lit(1.0) / F.col("n_firms"))
+                / (F.lit(1.0) - F.lit(1.0) / F.col("n_firms")),
+                9,
+            )
+        )
+        .alias("hhi_normalized"),
+        F.when(hhi == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(1.0) / hhi, 6))
+        .alias("effective_n"),
+    )

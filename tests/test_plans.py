@@ -2077,3 +2077,18 @@ def test_vacuum_plan_is_metadata_only(spark, sf_dir, queries):
     assert not re.search(r"\(\d+\) Scan parquet", p), p[:800]
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+def test_herfindahl_plan(spark, sf_dir, queries):
+    """q_herfindahl: the supplier-grain sufficient-stats aggregate
+    feeds two consumers (the 1-row census and the share fold), so the
+    fact scans exactly twice — both map-side-combining, never a
+    window (an unpartitioned window over suppliers would serialize a
+    dimension that GROWS with scale onto one task)."""
+    import re
+
+    p = _plan(queries["q_herfindahl"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+    assert "windowspecdefinition" not in p
+    assert "EvalPython" not in p
+    assert p.count("HashAggregate") >= 4  # partial + final

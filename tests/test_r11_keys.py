@@ -498,3 +498,25 @@ def test_minhash_calibration_hot_bucket_cap(spark):
     assert pairs <= 1, rows
     for r in rows:
         assert r["mean_true_jaccard"] != 1.0
+
+
+def test_herfindahl_planted(spark):
+    """Hand world: two firms with revenue 0.75 / 0.25 -> HHI =
+    0.5625 + 0.0625 = 0.625; normalized = (0.625 - 0.5)/0.5 = 0.25;
+    effective N = 1/0.625 = 1.6."""
+    li = spark.createDataFrame(
+        [(1, 0.75), (2, 0.25)],
+        "l_suppkey long, l_extendedprice double",
+    )
+    from pfithic_spark.registry.keys_r11 import q_herfindahl
+
+    # the key loads <dir>/lineitem.parquet — plant a tiny table there
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="hhi_")
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = q_herfindahl(spark, d).collect()[0]
+    assert row["n_firms"] == 2
+    assert row["hhi"] == 0.625
+    assert row["hhi_normalized"] == 0.25
+    assert row["effective_n"] == 1.6
