@@ -44,11 +44,6 @@ _DAG_PROBE_MOD = 97
 _DAG_TARGET_TOKENS = 2048
 _DAG_N_SHARDS = 16
 
-#: Frames persisted by the most recent curation_dag_frame call, so the
-#: registered key can unpersist them once the sink job finishes.
-_PERSISTED_CLEAN: list[DataFrame] = []
-
-
 def curation_dag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation DAG's doc-grain dataflow BEFORE the sink — exposed
     as a module function so the plan gate can assert the composed
@@ -78,13 +73,20 @@ def curation_dag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     longs; the final artifact is id-grain metadata.  The keep-list ∩
     filters are id-only semi/anti-joins.  `clean` is persisted across
     the mixing stage's two consumers (the per-source census and the
-    keep join) so the CC/dedup subtree evaluates once."""
+    keep join) so the CC/dedup subtree evaluates once.
+
+    Returns (frame, persisted_caches) — the caller unpersists the
+    caches once its job over the frame finishes (the
+    ivf_rebalance_plan convention; a module-global cache registry
+    would let interleaved callers unpersist each other's live
+    frames)."""
     return curation_dag_from(load_table(spark, sf_dir, "documents"))
 
 
-def curation_dag_from(d: DataFrame) -> DataFrame:
+def curation_dag_from(d: DataFrame):
     """The DAG over an arbitrary documents frame (doc_id, source,
-    lang, text) — the planted-truth tests drive this directly."""
+    lang, text) — the planted-truth tests drive this directly.
+    Returns (frame, persisted_caches)."""
     keep = llmops.curation_keep_list(
         d,
         min_quality=_DAG_MIN_QUALITY,
@@ -105,7 +107,6 @@ def curation_dag_from(d: DataFrame) -> DataFrame:
         .join(contaminated, "doc_id", "left_anti")
         .persist()
     )
-    _PERSISTED_CLEAN.append(clean)
     mixed = llmops.mix_sources_balanced(
         clean, keep_cols=("doc_id", "source", "lang", "quality")
     )
@@ -118,9 +119,10 @@ def curation_dag_from(d: DataFrame) -> DataFrame:
         target_tokens=_DAG_TARGET_TOKENS,
         n_shards=_DAG_N_SHARDS,
     )
-    return assigned.select(
+    out = assigned.select(
         "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
     )
+    return out, [clean]
 
 
 #: Quality/keep-list CTE block shared with q_curation_pipeline's
@@ -286,24 +288,20 @@ def q_curation_dag(spark, sf_dir):
     path = os.path.join(
         tempfile.gettempdir(), f"pfithic_curation_dag_{tag}"
     )
-    committed = os.path.isdir(path) and any(
-        f.startswith("manifest-") for f in os.listdir(path)
-    )
+    # COMMITTED manifests only — a torn manifest-*.json.tmp from a
+    # kill mid-commit must not satisfy the write-once guard
+    committed = bool(pio.list_manifests(path))
     if not committed:
-        frame = curation_dag_frame(spark, sf_dir)
+        frame, caches = curation_dag_frame(spark, sf_dir)
         try:
             pio.write_parquet_atomic(
                 frame, path, mode="overwrite", stats_cols=["shard"]
             )
         finally:
-            # the persist inside curation_dag_frame served the write
-            # job; the returned snapshot scan never touches it
-            for c in _PERSISTED_CLEAN:
-                try:
-                    c.unpersist()
-                except Exception:
-                    pass
-            _PERSISTED_CLEAN.clear()
+            # the persist inside the dataflow served the write job;
+            # the returned snapshot scan never touches it
+            for c in caches:
+                c.unpersist()
     return pio.read_parquet_atomic(spark, path).select(
         "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
     )
@@ -396,9 +394,9 @@ def q_psi_drift_incremental(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    committed = os.path.isdir(path) and any(
-        f.startswith("manifest-") for f in os.listdir(path)
-    )
+    # COMMITTED manifests only — a torn manifest-*.json.tmp from a
+    # kill mid-commit must not satisfy the write-once guard
+    committed = bool(pio.list_manifests(path))
     if not committed:
         pio.write_parquet_atomic(
             d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
@@ -406,12 +404,8 @@ def q_psi_drift_incremental(spark, sf_dir):
         pio.write_parquet_atomic(
             d.filter(F.col("doc_id") % 2 == 1), path, mode="append"
         )
-    seqs = sorted(
-        int(f.split("-")[1])
-        for f in os.listdir(path)
-        if f.startswith("manifest-") and f.endswith(".json")
-    )
-    base_seq = seqs[0]
+    manifests = pio.list_manifests(path)
+    base_seq = manifests[0][0][0]
     ref = pio.read_parquet_atomic(spark, path, as_of_seq=base_seq)
     delta = pio.read_parquet_atomic_incremental(
         spark, path, from_seq=base_seq
@@ -448,9 +442,9 @@ def _ensure_bucketed_sink_table(spark, sf_dir) -> str:
         (sf_dir + spark.sparkContext.applicationId).encode()
     ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"pfithic_compact_{tag}")
-    committed = os.path.isdir(path) and any(
-        f.startswith("manifest-") for f in os.listdir(path)
-    )
+    # COMMITTED manifests only — a torn manifest-*.json.tmp from a
+    # kill mid-commit must not satisfy the write-once guard
+    committed = bool(pio.list_manifests(path))
     if not committed:
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id",
@@ -539,12 +533,8 @@ def q_compaction_policy(spark, sf_dir):
     # single-valued (one bucket per file = the planted layout)
     import json
 
-    manifests = sorted(
-        f
-        for f in os.listdir(path)
-        if f.startswith("manifest-") and f.endswith(".json")
-    )
-    with open(os.path.join(path, manifests[-1])) as fh:
+    manifests = pio.list_manifests(path)
+    with open(os.path.join(path, manifests[-1][1])) as fh:
         meta = json.load(fh)
     for fname, env in meta.get("stats", {}).items():
         if "bucket" not in env:
@@ -866,8 +856,16 @@ def ivf_rebalance_plan(q, qe, cells):
         F.lit(0).cast("long").alias("subcell"),
     )
     # merge targets: nearest non-merge cell, from the SAME exact
-    # distance table the assignment used
-    mt = q.join(
+    # distance table the assignment used — semi-joined down to the
+    # MERGE-CELL MEMBERS first, so the per-vec argmin window runs on
+    # |merge members| x 16 rows, never the full 16x corpus table
+    merge_members = asg.join(
+        F.broadcast(
+            act.filter(F.col("action") == "merge").select("cell")
+        ),
+        "cell",
+    ).select("vec_id")
+    mt = q.join(merge_members, "vec_id", "left_semi").join(
         F.broadcast(
             act.filter(F.col("action") != "merge").select("cell")
         ),
@@ -1323,7 +1321,7 @@ WITH e AS (
   FROM events
 ),
 b AS (
-  SELECT user_id, us,
+  SELECT user_id, us, event_id,
          CASE WHEN us - LAG(us) OVER (
                 PARTITION BY user_id ORDER BY us, event_id
               ) > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
@@ -1332,7 +1330,7 @@ b AS (
 sess AS (
   SELECT user_id,
          SUM(brk) OVER (
-           PARTITION BY user_id ORDER BY us
+           PARTITION BY user_id ORDER BY us, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS sid,
          us
@@ -1420,6 +1418,7 @@ def survival_km_from(ev: DataFrame) -> DataFrame:
     b = e.select(
         "user_id",
         "us",
+        "event_id",
         F.when(
             F.col("us") - F.lag("us").over(wu) > _KM_GAP_US, 1
         )
@@ -1428,7 +1427,7 @@ def survival_km_from(ev: DataFrame) -> DataFrame:
     )
     wcum = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = b.select(
@@ -1761,44 +1760,68 @@ def q_vacuum_plan(spark, sf_dir):
     The key RAISES if the planted layout broke (an append with ≠ 1
     added file), rather than certifying a stale assumption."""
     return vacuum_plan_from(
-        spark, _ensure_bucketed_sink_table(spark, sf_dir)
+        spark,
+        _ensure_bucketed_sink_table(spark, sf_dir),
+        data_file_marker="bucket",
     )
 
 
-def vacuum_plan_from(spark, path: str) -> DataFrame:
+def vacuum_plan_from(
+    spark, path: str, data_file_marker: str | None = None
+) -> DataFrame:
     """The retention census over any atomic-table path — the planted
-    tests drive this on hand-built append histories."""
+    tests drive this on hand-built append histories.
+
+    ``data_file_marker``: when set, only files carrying a stats
+    envelope for that column count as data-bearing (the registered
+    key passes "bucket", so 0-row empty-bucket appends — which have
+    no footer stats and which the oracle never sees — are excluded
+    and the census numbering matches the oracle's nonempty-commit
+    index).  When None every added file counts (generic tables)."""
     import json
 
-    manifests = sorted(
-        (
-            int(f.split("-")[1]), f
-        )
-        for f in os.listdir(path)
-        if f.startswith("manifest-") and f.endswith(".json")
-    )
+    manifests = [
+        (key[0], fname) for key, fname in pio.list_manifests(path)
+    ]
+    # census over DATA-BEARING commits only: an append of an empty
+    # bucket stages a 0-row file with NO stats envelope — the oracle
+    # (derived from the nonempty-bucket count k) never sees it, so
+    # the census must not either.  seq below is therefore the
+    # nonempty-commit INDEX (1..k, the oracle's numbering), not the
+    # raw manifest seq; on every fixture sf all 8 buckets are
+    # nonempty and the two numberings coincide.
     rows = []
     prev_files: set = set()
-    max_seq = manifests[-1][0]
+    n_data_files = 0
+    entries = []
     for seq, fname in manifests:
         with open(os.path.join(path, fname)) as fh:
             meta = json.load(fh)
         files = set(meta.get("files", []))
-        added = len(files - prev_files)
-        if added != 1:
+        stats = meta.get("stats", {})
+        added = files - prev_files
+        if data_file_marker is None:
+            added_data = list(added)
+        else:
+            added_data = [
+                f
+                for f in added
+                if data_file_marker in stats.get(f, {})
+            ]
+        if len(added_data) > 1:
             raise ValueError(
-                f"vacuum census: seq {seq} added {added} files — "
-                "planted one-file-per-append layout broke"
+                f"vacuum census: seq {seq} added {len(added_data)} "
+                "data files — planted one-file-per-append layout broke"
             )
-        rows.append(
-            (
-                seq,
-                len(files),
-                added,
-                seq > max_seq - _VACUUM_KEEP_LAST,
-            )
-        )
+        if added_data:
+            n_data_files += 1
+            entries.append(n_data_files)
         prev_files = files
+    k = len(entries)
+    for rank in entries:
+        rows.append(
+            (rank, rank, 1, rank > k - _VACUUM_KEEP_LAST)
+        )
     return spark.createDataFrame(
         rows,
         "seq long, n_files_total long, n_files_added long, "

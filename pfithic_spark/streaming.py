@@ -1057,7 +1057,8 @@ def ivf_assignment_stream(
     """INCREMENTAL IVF assignment maintenance — the streaming
     producer of q_ivf_assignment's (vec_id, cell, dist2_micro) table
     under the FROZEN committed codebook: per micro-batch of vectors,
-    score against the broadcast centroids through the SAME
+    score against the once-loaded 16-row codebook (broadcast into
+    each batch's join) through the SAME
     keys_r10.ivf_distance_table_from / ivf_assign_from definitions
     the batch key uses (one definition — the streamed index can never
     disagree on an assignment), and append under ``epoch=<id>`` in
@@ -1079,8 +1080,12 @@ def ivf_assignment_stream(
             _GOLDEN_DIR, "ivf_centroids.parquet"
         )
 
+    # the codebook is FROZEN by contract: load it once, outside the
+    # per-batch handler (the 16-row frame re-broadcasts per join, but
+    # the parquet never re-reads on the hot streaming path)
+    cent = vectors_stream.sparkSession.read.parquet(centroids_path)
+
     def handle(batch: DataFrame, epoch: int) -> None:
-        cent = batch.sparkSession.read.parquet(centroids_path)
         asg = ivf_assign_from(ivf_distance_table_from(batch, cent))
         asg.withColumn("epoch", F.lit(epoch).cast("long")).write.mode(
             "overwrite"

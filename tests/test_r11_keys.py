@@ -65,10 +65,10 @@ def test_curation_dag_planted_fates(spark):
     d = spark.createDataFrame(
         rows, "doc_id long, source string, lang string, text string"
     )
-    out = {
-        r["doc_id"]: r
-        for r in keys_r11.curation_dag_from(d).collect()
-    }
+    frame, caches = keys_r11.curation_dag_from(d)
+    out = {r["doc_id"]: r for r in frame.collect()}
+    for c in caches:
+        c.unpersist()
     assert sorted(out) == [1, 4, 7, 8]
     for i, src in ((1, "s1"), (4, "s1"), (7, "s2"), (8, "s2")):
         r = out[i]
@@ -108,9 +108,10 @@ def test_curation_dag_packing_boundary(spark):
     d = spark.createDataFrame(
         rows, "doc_id long, source string, lang string, text string"
     )
-    out = {
-        r["doc_id"]: r for r in keys_r11.curation_dag_from(d).collect()
-    }
+    frame, caches = keys_r11.curation_dag_from(d)
+    out = {r["doc_id"]: r for r in frame.collect()}
+    for c in caches:
+        c.unpersist()
     assert sorted(out) == sorted(ids)
     assert [out[i]["seq_id"] for i in ids] == [0, 0, 1]
     assert all(out[i]["n_tokens"] == 1100 for i in ids)
@@ -127,7 +128,7 @@ def test_curation_dag_text_never_shuffles(spark, sf_dir):
     shuffle Exchange in the composed plan carries the corpus `text`
     column — only ids, hashes, shingles, and bounded dimensions move.
     (BroadcastExchange of the tiny probe set is sanctioned.)"""
-    df = keys_r11.curation_dag_frame(spark, sf_dir)
+    df, caches = keys_r11.curation_dag_frame(spark, sf_dir)
     p = _plan(df)
     assert "CartesianProduct" not in p
     assert "EvalPythonExec" not in p
@@ -137,11 +138,10 @@ def test_curation_dag_text_never_shuffles(spark, sf_dir):
     assert blocks, "expected at least one shuffle Exchange in the DAG"
     for cols in blocks:
         assert "text#" not in cols, cols
-    # release the dataflow's persist (the registered key does this
-    # after its sink job; the gate bypasses the key)
-    for c in keys_r11._PERSISTED_CLEAN:
+    # release the dataflow's persists (the gate bypasses the key's
+    # own drain)
+    for c in caches:
         c.unpersist()
-    keys_r11._PERSISTED_CLEAN.clear()
 
 
 def test_curation_dag_atomic_snapshot_roundtrip(spark, sf_dir, queries):

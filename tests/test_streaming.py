@@ -1593,11 +1593,20 @@ def test_read_prior_index_downgrade_vs_reraise(spark, tmp_path):
     corrupt = tmp_path / "corrupt_index"
     corrupt.mkdir()
     (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
-    with pytest.raises(Exception):
-        # schema inference / footer read fails -> must NOT downgrade
+    # a corrupt index must RE-RAISE (schema inference / footer read
+    # fails), never downgrade to the "no index yet" None — a silent
+    # None here is the permanent-recall-loss bug.  The downgrade check
+    # runs OUTSIDE pytest.raises so a wrong None fails loudly.
+    raised = False
+    df = None
+    try:
         df = strm._read_prior_index(spark, str(corrupt), epoch=5)
-        assert df is not None
-        df.collect()  # lazy footer reads surface here at the latest
+        if df is not None:
+            df.collect()  # lazy footer reads surface here
+    except Exception:
+        raised = True
+    assert df is not None or raised, "corrupt index was downgraded to None"
+    assert raised, "corrupt index did not raise"
 
     # a real prior index reads back filtered to epoch < current
     good = str(tmp_path / "good_index")

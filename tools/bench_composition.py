@@ -143,22 +143,19 @@ def main() -> None:
     )
     d = spark.read.parquet(f"{corpus_dir}/documents.parquet")
 
-    from pfithic_spark.registry.keys_r11 import (
-        _PERSISTED_CLEAN,
-        curation_dag_from,
-    )
+    from pfithic_spark.registry.keys_r11 import curation_dag_from
 
     t0 = time.time()
-    got = curation_dag_from(d).agg(
+    frame, caches = curation_dag_from(d)
+    got = frame.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("sid"),
         F.sum(F.col("doc_id") * F.col("doc_id")).alias("sid2"),
         F.countDistinct("source").alias("nsrc"),
     ).collect()[0]
     dag_s = time.time() - t0
-    for c in _PERSISTED_CLEAN:
+    for c in caches:
         c.unpersist()
-    _PERSISTED_CLEAN.clear()
 
     exp = _expected_keep_ids(n)
     assert got["n"] == len(exp), (got["n"], len(exp))
