@@ -394,9 +394,15 @@ def q_psi_drift_incremental(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    # COMMITTED manifests only — a torn manifest-*.json.tmp from a
-    # kill mid-commit must not satisfy the write-once guard
-    committed = bool(pio.list_manifests(path))
+    # Guard on the EXPECTED FINAL STATE (>= 2 committed manifests:
+    # base overwrite + delta append — ADVICE r11 #1): after a crash
+    # between the two commits, bool(manifests) would be satisfied by
+    # the lone base snapshot and the delta side would silently read
+    # empty.  A partial history instead REPAIRS by re-publishing both
+    # halves — the fresh overwrite supersedes the orphaned base — and
+    # base_seq anchors to the second-newest manifest (the repair's
+    # overwrite), never a superseded partial.
+    committed = len(pio.list_manifests(path)) >= 2
     if not committed:
         pio.write_parquet_atomic(
             d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
@@ -405,7 +411,7 @@ def q_psi_drift_incremental(spark, sf_dir):
             d.filter(F.col("doc_id") % 2 == 1), path, mode="append"
         )
     manifests = pio.list_manifests(path)
-    base_seq = manifests[0][0][0]
+    base_seq = manifests[-2][0][0]
     ref = pio.read_parquet_atomic(spark, path, as_of_seq=base_seq)
     delta = pio.read_parquet_atomic_incremental(
         spark, path, from_seq=base_seq
@@ -441,11 +447,26 @@ def _ensure_bucketed_sink_table(spark, sf_dir) -> str:
     tag = hashlib.sha1(
         (sf_dir + spark.sparkContext.applicationId).encode()
     ).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"pfithic_compact_{tag}")
-    # COMMITTED manifests only — a torn manifest-*.json.tmp from a
-    # kill mid-commit must not satisfy the write-once guard
-    committed = bool(pio.list_manifests(path))
-    if not committed:
+    base_path = os.path.join(
+        tempfile.gettempdir(), f"pfithic_compact_{tag}"
+    )
+    # Guard on the EXPECTED FINAL STATE (exactly _COMPACT_BUCKETS
+    # committed manifests — ADVICE r11 #2): a crash mid-sequence
+    # would otherwise satisfy bool(manifests) on retry and the
+    # planners would census a torn <8-append layout.  A partial
+    # history can't be repaired IN PLACE (the census walks the full
+    # manifest history, so extra partial commits would miscount), so
+    # the retry REBUILDS UNDER A FRESH TAG and the torn table is
+    # abandoned to the tempdir.
+    for attempt in range(64):
+        path = (
+            base_path if attempt == 0 else f"{base_path}_retry{attempt}"
+        )
+        manifests = pio.list_manifests(path)
+        if len(manifests) == _COMPACT_BUCKETS:
+            return path
+        if manifests:
+            continue  # torn layout from a crashed build — skip it
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id",
             (llmops.knuth_hash("doc_id") % _COMPACT_BUCKETS)
@@ -459,7 +480,11 @@ def _ensure_bucketed_sink_table(spark, sf_dir) -> str:
                 mode="overwrite" if b == 0 else "append",
                 stats_cols=["bucket"],
             )
-    return path
+        return path
+    raise RuntimeError(
+        "bucketed sink table: 64 torn layouts under "
+        f"{base_path}* — clean the tempdir"
+    )
 
 
 

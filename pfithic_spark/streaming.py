@@ -1080,10 +1080,16 @@ def ivf_assignment_stream(
             _GOLDEN_DIR, "ivf_centroids.parquet"
         )
 
-    # the codebook is FROZEN by contract: load it once, outside the
-    # per-batch handler (the 16-row frame re-broadcasts per join, but
-    # the parquet never re-reads on the hot streaming path)
-    cent = vectors_stream.sparkSession.read.parquet(centroids_path)
+    # the codebook is FROZEN by contract: load it ONCE into a
+    # driver-local frame (collect + createDataFrame — 16 rows), so
+    # the parquet genuinely never re-reads on the hot streaming path;
+    # a lazy scan here would rescan the centroids file every
+    # micro-batch job (ADVICE r11 #3)
+    spark = vectors_stream.sparkSession
+    cent_scan = spark.read.parquet(centroids_path)
+    cent = spark.createDataFrame(
+        cent_scan.collect(), schema=cent_scan.schema
+    )
 
     def handle(batch: DataFrame, epoch: int) -> None:
         asg = ivf_assign_from(ivf_distance_table_from(batch, cent))

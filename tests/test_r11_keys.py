@@ -520,3 +520,93 @@ def test_herfindahl_planted(spark):
     assert row["hhi"] == 0.625
     assert row["hhi_normalized"] == 0.25
     assert row["effective_n"] == 1.6
+
+
+def test_psi_incremental_repairs_torn_history(spark, sf_dir, queries):
+    """ADVICE r11 #1: a crash between the base overwrite and the
+    delta append leaves ONE committed manifest; a same-session retry
+    must not silently read an empty delta — it re-publishes both
+    halves and the panel still matches q_psi_source_panel."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pfithic_spark import io as pio
+
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pfithic_psi_inc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    # plant the torn state: base half committed, delta append crashed
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    assert len(pio.list_manifests(path)) == 1
+    got = sorted(
+        map(
+            tuple,
+            queries["q_psi_drift_incremental"](spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, queries["q_psi_source_panel"](spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
+    # the repair re-published: >= 3 manifests, base anchored at [-2]
+    assert len(pio.list_manifests(path)) >= 3
+
+
+def test_bucketed_sink_rebuilds_on_torn_layout(spark, sf_dir):
+    """ADVICE r11 #2: a crash mid-way through the 8 appends leaves a
+    partial manifest history; the helper must refuse to census it —
+    it rebuilds under a fresh retry tag, and the vacuum census over
+    the returned path sees exactly the planted 8-commit layout."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pfithic_spark import io as pio
+    from pfithic_spark import llmops
+
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base_path = os.path.join(
+        tempfile.gettempdir(), f"pfithic_compact_{tag}"
+    )
+    shutil.rmtree(base_path, ignore_errors=True)
+    for n in range(1, 64):
+        shutil.rmtree(f"{base_path}_retry{n}", ignore_errors=True)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            (llmops.knuth_hash("doc_id") % 8).cast("long").alias("bucket"),
+        )
+    )
+    # plant the torn state: only 2 of the 8 appends committed
+    for b in range(2):
+        pio.write_parquet_atomic(
+            d.filter(F.col("bucket") == b).coalesce(1),
+            base_path,
+            mode="overwrite" if b == 0 else "append",
+            stats_cols=["bucket"],
+        )
+    got = keys_r11._ensure_bucketed_sink_table(spark, sf_dir)
+    assert got == f"{base_path}_retry1"
+    assert len(pio.list_manifests(got)) == 8
+    # idempotent: a second call reuses the committed rebuild
+    assert keys_r11._ensure_bucketed_sink_table(spark, sf_dir) == got
+    # the torn base layout was left untouched, never censused
+    assert len(pio.list_manifests(base_path)) == 2
