@@ -580,7 +580,20 @@ def q_compaction_policy(spark, sf_dir):
     return compaction_plan(cen)
 
 
-def compaction_plan(cen: DataFrame) -> DataFrame:
+#: Census size at or below which the next-fit packing runs as one
+#: single-task window (a manifest census is METADATA grain — 64 k
+#: files ≈ one comfortably window-able partition); above it the
+#: cumulative spine switches to the two-phase value-bucketed form so
+#: a 10⁵–10⁶-file sink (VERDICT r11 watch item #2) never serializes
+#: onto one task.  The bound is a ROUTING choice, not a cap — both
+#: branches are value-identical (gated in test_r11_keys /
+#: test_plans).
+_CENSUS_SMALL = 65536
+
+
+def compaction_plan(
+    cen: DataFrame, small_threshold: int = _CENSUS_SMALL
+) -> DataFrame:
     """The pure policy over a (bucket, n_rows) file census — factored
     so the planted tests drive it with hand censuses whose expected
     plan is computed OUTSIDE the shared formula.  Below-mean files
@@ -601,20 +614,55 @@ def compaction_plan(cen: DataFrame) -> DataFrame:
         .alias("action"),
         "total",
     )
-    # bounded |files| grain: the unpartitioned window sees at most
-    # the manifest's file count by construction
-    wc = Window.orderBy(F.col("n_rows").desc(), "bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     target = F.greatest(
         F.floor(F.col("total").cast("double") / F.lit(4.0)).cast("long"),
         F.lit(1),
     )
-    cands = (
-        a.filter(F.col("action") == "compact")
-        .withColumn(
+    cands0 = a.filter(F.col("action") == "compact")
+    if cands0.limit(small_threshold + 1).count() <= small_threshold:
+        # metadata-grain census: one window task is the cheapest plan
+        wc = Window.orderBy(
+            F.col("n_rows").desc(), "bucket"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        packed = cands0.withColumn(
             "cum_before", F.sum("n_rows").over(wc) - F.col("n_rows")
         )
+    else:
+        # scalable spine (VERDICT r11 #5): value-bucket by n_rows
+        # DESCENDING (equal values never split across buckets, so the
+        # per-bucket (n_rows DESC, bucket) window is globally
+        # consistent), local running sums, broadcast prefix offsets —
+        # the scalable_cumsum two-phase shape with a descending
+        # leading order
+        parted = win._bucketed_by_value(
+            cands0, "n_rows", None, descending=True
+        )
+        w_local = (
+            Window.partitionBy("_pid")
+            .orderBy(F.col("n_rows").desc(), "bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = parted.withColumn("_lc", F.sum("n_rows").over(w_local))
+        totals = parted.groupBy("_pid").agg(
+            F.sum("n_rows").alias("_pt")
+        )
+        w_pre = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = totals.select(
+            "_pid",
+            F.coalesce(F.sum("_pt").over(w_pre), F.lit(0)).alias("_off"),
+        )
+        packed = (
+            local.join(F.broadcast(offs), "_pid")
+            .withColumn(
+                "cum_before",
+                F.col("_off") + F.col("_lc") - F.col("n_rows"),
+            )
+            .drop("_pid", "_lc", "_off")
+        )
+    cands = (
+        packed
         .select(
             "bucket",
             "n_rows",

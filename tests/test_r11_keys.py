@@ -610,3 +610,33 @@ def test_bucketed_sink_rebuilds_on_torn_layout(spark, sf_dir):
     assert keys_r11._ensure_bucketed_sink_table(spark, sf_dir) == got
     # the torn base layout was left untouched, never censused
     assert len(pio.list_manifests(base_path)) == 2
+
+
+def test_compaction_plan_scalable_spine(spark):
+    """VERDICT r11 #5: above the _CENSUS_SMALL routing bound the
+    next-fit packing must ride the two-phase value-bucketed spine —
+    value-identical to the single-window form, with every window
+    keyed on the bucketing pid (no unpartitioned window over the
+    file-census data grain)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(b, rng.randrange(1, 500)) for b in range(300)]
+    cen = spark.createDataFrame(rows, "bucket long, n_rows long")
+    small = sorted(
+        map(tuple, keys_r11.compaction_plan(cen).collect())
+    )
+    big = sorted(
+        map(
+            tuple,
+            keys_r11.compaction_plan(cen, small_threshold=10).collect(),
+        )
+    )
+    assert small == big and len(small) == 300
+
+    df = keys_r11.compaction_plan(cen, small_threshold=10)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    heads = re.findall(r"windowspecdefinition\((\w+)#", p)
+    assert heads and all(h == "_pid" for h in heads), heads
