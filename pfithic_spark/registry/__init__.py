@@ -48,6 +48,7 @@ from .keys_r9 import *  # noqa: F401,F403,E402
 from .keys_r10 import *  # noqa: F401,F403,E402
 from .keys_r10b import *  # noqa: F401,F403,E402
 from .keys_r11 import *  # noqa: F401,F403,E402
+from .keys_r12 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
     # Round-11 sweep (driver checks the first 50).  VERDICT r10 #1

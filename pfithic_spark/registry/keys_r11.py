@@ -315,9 +315,10 @@ def q_curation_dag(spark, sf_dir):
 _PSI_ACT = 0.2
 
 
-@register(
-    "q_psi_drift_incremental",
-    oracle=f"""
+#: The parity-halves smoothed-PSI panel oracle — module-level so the
+#: keys_r12 STREAMED twin (drift_panel_stream → fold) can certify
+#: against the identical SQL without the two ever drifting.
+_PSI_PANEL_SQL = f"""
 WITH b AS (
   SELECT source, doc_id % 2 AS half,
          LENGTH(BIN(CAST(n_chars AS BIGINT))) - 1 AS bucket
@@ -362,8 +363,10 @@ SELECT source, CAST(n_a AS BIGINT) AS n_a,
        CAST(psi_dec AS DOUBLE) AS psi,
        CAST(psi_dec AS DOUBLE) > {_PSI_ACT!r} AS drift_detected
 FROM s
-""",
-)
+"""
+
+
+@register("q_psi_drift_incremental", oracle=_PSI_PANEL_SQL)
 def q_psi_drift_incremental(spark, sf_dir):
     """INCREMENTAL-MAINTENANCE TWIN of q_psi_source_panel (VERDICT
     r10 #8): the drift panel a release gate runs NIGHTLY, fed by the
@@ -467,24 +470,33 @@ def _ensure_bucketed_sink_table(spark, sf_dir) -> str:
             return path
         if manifests:
             continue  # torn layout from a crashed build — skip it
-        d = load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            (llmops.knuth_hash("doc_id") % _COMPACT_BUCKETS)
-            .cast("long")
-            .alias("bucket"),
-        )
-        for b in range(_COMPACT_BUCKETS):
-            pio.write_parquet_atomic(
-                d.filter(F.col("bucket") == b).coalesce(1),
-                path,
-                mode="overwrite" if b == 0 else "append",
-                stats_cols=["bucket"],
-            )
+        _build_bucketed_appends(spark, sf_dir, path)
         return path
     raise RuntimeError(
         "bucketed sink table: 64 torn layouts under "
         f"{base_path}* — clean the tempdir"
     )
+
+
+def _build_bucketed_appends(spark, sf_dir, path: str) -> None:
+    """The planted 8-append write sequence (one Knuth-hash bucket per
+    commit, coalesced to one file, bucket stats envelopes) — shared
+    by the lifecycle PLANNERS' table above and the keys_r12 APPLY
+    key's own table (the apply mutates its copy, so the two must
+    never share a path)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (llmops.knuth_hash("doc_id") % _COMPACT_BUCKETS)
+        .cast("long")
+        .alias("bucket"),
+    )
+    for b in range(_COMPACT_BUCKETS):
+        pio.write_parquet_atomic(
+            d.filter(F.col("bucket") == b).coalesce(1),
+            path,
+            mode="overwrite" if b == 0 else "append",
+            stats_cols=["bucket"],
+        )
 
 
 
@@ -720,9 +732,10 @@ def _int_dist2(a, b):
     )
 
 
-@register(
-    "q_ivf_rebalance",
-    oracle=f"""
+#: The full rebalance-plan oracle — module-level so keys_r12's APPLY
+#: key can wrap it (post-apply census = GROUP BY over this plan)
+#: without the two ever drifting.
+_IVF_REBALANCE_SQL = f"""
 WITH c AS (
   SELECT cell, centroid
   FROM read_parquet('{_GOLDEN_DIR}/ivf_centroids.parquet')
@@ -829,8 +842,10 @@ splitters AS (
 SELECT * FROM keepers
 UNION ALL SELECT * FROM mergers
 UNION ALL SELECT * FROM splitters
-""",
-)
+"""
+
+
+@register("q_ivf_rebalance", oracle=_IVF_REBALANCE_SQL)
 def q_ivf_rebalance(spark, sf_dir):
     """IVF REBALANCE plan — q_ivf_assignment's maintenance sibling
     (VERDICT r10 #8): when assignment skew accretes (hot cells slow
