@@ -381,3 +381,541 @@ def q_drift_panel_streamed(spark, sf_dir):
         with open(done, "w") as fh:
             fh.write("ok")
     return strm.fold_drift_panel(spark, counts)
+
+
+# ========================================================================
+# q_curation_incremental — delta-only re-curation against maintained state
+# ========================================================================
+
+#: Frozen incremental-curation hyper-parameters — one set shared by
+#: the Spark dataflow, the DuckDB oracle, and the planted tests.
+#: The near-dup threshold is the integer form of Jaccard >= 1/5
+#: (common * 5 >= s1 + s2 - common) so the keep decision has no
+#: float-boundary ambiguity between engines.
+_INC_MIN_QUALITY = 0.6
+_INC_JACCARD_DEN = 5
+_INC_MAX_DF = 1000
+_INC_PROBE_MOD = 97
+_INC_TARGET_TOKENS = 2048
+_INC_N_SHARDS = 16
+#: base/delta split of the fixture corpus: doc_id <= (max_id*9)//10
+#: is the already-curated base, the top decile of ids is "today's
+#: arrivals".  In production the threshold is simply the max id at
+#: the previous publish; the 9/10 rule synthesizes that state.
+_INC_SPLIT_NUM, _INC_SPLIT_DEN = 9, 10
+
+
+def _inc_quality(d: DataFrame) -> DataFrame:
+    """(doc_id, source, lang, n_tokens, quality) — the shared
+    q_quality_score arithmetic (llmops.quality_score_expr), a pure
+    per-document projection: trivially incremental."""
+    t = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        llmops.quality_score_expr().alias("quality"),
+    )
+
+
+def _inc_sh3(d: DataFrame) -> DataFrame:
+    """Distinct 3-token shingle hashes with the source block —
+    (doc_id, source, shingle).  This IS the maintained inverted
+    index's row shape."""
+    return llmops.shingle_rows(d, k=3, extra_cols=("source",)).select(
+        "doc_id", "source", F.xxhash64("shingle").alias("shingle")
+    )
+
+
+def _inc_sh5(d: DataFrame) -> DataFrame:
+    """Distinct 5-token shingle hashes — the contamination grain."""
+    return llmops.shingle_rows(d, k=5).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+
+
+def _inc_pack(keep: DataFrame, state: DataFrame | None = None) -> DataFrame:
+    """Greedy sequence packing in ARRIVAL (doc_id) order per
+    (source, knuth-shard) — with ``state`` = the committed per-group
+    running token totals, the delta pack is an exact CONTINUATION of
+    the batch pack (ids are append-ordered, so batch cum == state
+    offset + delta-local cum)."""
+    t = keep.withColumn(
+        "shard",
+        (llmops.knuth_hash("doc_id") % _INC_N_SHARDS).cast("long"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "_cb", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    if state is not None:
+        c = c.join(F.broadcast(state), ["source", "shard"], "left").na.fill(
+            {"cum0": 0}
+        )
+        off = F.col("cum0")
+    else:
+        off = F.lit(0).cast("long")
+    return c.withColumn(
+        "seq_id",
+        F.floor((off + F.col("_cb")) / F.lit(float(_INC_TARGET_TOKENS)))
+        .cast("long"),
+    ).select(
+        "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
+    )
+
+
+def _inc_keep(
+    q: DataFrame,
+    exact_ids: DataFrame,
+    dup_ids: DataFrame,
+    cont_ids: DataFrame,
+) -> DataFrame:
+    """The shared keep composition: quality gate ∩ exact-dedup
+    representative ∩ no-earlier-near-dup ∩ not-a-probe ∩
+    uncontaminated.  All id-grain semi/anti joins."""
+    return (
+        q.filter(F.col("quality") >= _INC_MIN_QUALITY)
+        .join(exact_ids, "doc_id", "left_semi")
+        .join(dup_ids, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % _INC_PROBE_MOD != 0)
+        .join(cont_ids, "doc_id", "left_anti")
+    )
+
+
+def _inc_dup_from_pairs(pairs: DataFrame, s1: DataFrame, s2: DataFrame) -> DataFrame:
+    """(id2) drop set from co-shingle pairs + the two size tables —
+    integer Jaccard threshold (common·5 >= s1+s2−common)."""
+    return (
+        pairs.join(s1.select(F.col("doc_id").alias("id1"), F.col("sz").alias("_s1")), "id1")
+        .join(s2.select(F.col("doc_id").alias("id2"), F.col("sz").alias("_s2")), "id2")
+        .filter(
+            F.col("common") * _INC_JACCARD_DEN
+            >= F.col("_s1") + F.col("_s2") - F.col("common")
+        )
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+
+
+def curation_incr_batch_from(d: DataFrame, t_split: int) -> DataFrame:
+    """The BATCH twin — the semantic contract the incremental path
+    must reproduce exactly, over an arbitrary documents frame:
+
+    - quality gate (shared q_quality_score arithmetic, >= 0.6);
+    - exact dedup: keep the min doc_id per md5(normalized text);
+    - near dedup: a document is dropped iff ANY earlier (smaller-id)
+      same-source document shares shingle-Jaccard >= 1/5 with it —
+      the sorted-neighborhood / LSH-index drop rule, chosen over
+      q_curation_dag's connected-component representatives BECAUSE
+      it composes: keep(d) depends only on documents with ids < d,
+      so an append never disturbs the committed base keep-set (a CC
+      representative can change when a later doc bridges two
+      clusters — that semantic cannot be maintained incrementally
+      without re-rooting history).  The hot-shingle df cap is FROZEN
+      over the base split (df > 1000 among docs with id <= t_split)
+      — the production stop-shingle list is a corpus artifact frozen
+      at index-build time; a live df would let an arriving document
+      retroactively change base-pair Jaccards;
+    - decontamination: the probe set is FROZEN at base publish
+      (doc_id % 97 == 0 AND doc_id <= t_split — benchmarks are fixed
+      before training); any doc sharing a distinct 5-gram with a
+      frozen probe drops, and every % 97 doc drops outright (pure
+      per-doc predicate, trivially incremental);
+    - packing: greedy 2048-token cut per (source, knuth-shard) in
+      doc_id (arrival) order — append-ordered ids make the delta
+      pack an exact continuation of the committed pack state.
+    """
+    sh = _inc_sh3(d)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hot = (
+        sh.filter(F.col("doc_id") <= t_split)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _INC_MAX_DF)
+        .select("shingle")
+    )
+    ks = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = ks.alias("a"), ks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    dup = _inc_dup_from_pairs(pairs, sizes, sizes)
+    exact = (
+        d.select(F.md5(llmops.norm_text("text")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    probe5 = (
+        _inc_sh5(
+            d.filter(
+                (F.col("doc_id") % _INC_PROBE_MOD == 0)
+                & (F.col("doc_id") <= t_split)
+            )
+        )
+        .select("shingle")
+        .distinct()
+    )
+    cont = (
+        _inc_sh5(d)
+        .join(F.broadcast(probe5), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return _inc_pack(_inc_keep(_inc_quality(d), exact, dup, cont))
+
+
+def _inc_delta_placements(
+    delta: DataFrame,
+    sh3_idx: DataFrame,
+    sz_idx: DataFrame,
+    hot_idx: DataFrame,
+    hash_idx: DataFrame,
+    probe5_idx: DataFrame,
+    pack_state: DataFrame,
+) -> tuple[DataFrame, list]:
+    """Delta-only curation against the MAINTAINED index state — the
+    whole point: no input here is the base corpus, only the delta
+    frame and the index tables (shingle-grain hashes, sizes, the
+    frozen hot list, the text-hash set, the frozen probe shingles,
+    and the committed per-(source, shard) pack offsets).
+
+    Returns (placements, persisted caches to release after the
+    caller's job)."""
+    dq = _inc_quality(delta)
+    # exact: a delta doc is the global min for its hash iff the hash
+    # is unseen in the base AND it is the min within the delta
+    # (append-ordered ids: every base id < every delta id)
+    dh = delta.select(
+        F.md5(llmops.norm_text("text")).alias("h"), "doc_id"
+    )
+    dmin = dh.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    exact = dmin.join(hash_idx, "h", "left_anti").select("doc_id")
+    # near: delta shingles vs (base index ∪ earlier delta docs),
+    # hot list FROZEN (the index's stop-shingle artifact)
+    dsh = _inc_sh3(delta).persist()
+    dsz = dsh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    dks = dsh.join(F.broadcast(hot_idx), "shingle", "left_anti")
+    bks = sh3_idx.join(F.broadcast(hot_idx), "shingle", "left_anti")
+    e, dd = bks.alias("e"), dks.alias("d")
+    pairs_b = (
+        e.join(
+            dd,
+            (F.col("e.shingle") == F.col("d.shingle"))
+            & (F.col("e.source") == F.col("d.source")),
+        )
+        .groupBy(
+            F.col("e.doc_id").alias("id1"), F.col("d.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    a, b = dks.alias("a"), dks.alias("b")
+    pairs_d = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    dup = (
+        _inc_dup_from_pairs(pairs_b, sz_idx, dsz)
+        .unionByName(_inc_dup_from_pairs(pairs_d, dsz, dsz))
+        .distinct()
+    )
+    cont = (
+        _inc_sh5(delta)
+        .join(F.broadcast(probe5_idx), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    out = _inc_pack(_inc_keep(dq, exact, dup, cont), state=pack_state)
+    return out, [dsh]
+
+
+_INC_DONE = "_curation_incremental.marker"
+
+
+def _inc_root(spark, sf_dir) -> str:
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"pfithic_cinc_{tag}")
+
+
+def _inc_build(spark, root: str, d: DataFrame, t_split: int) -> None:
+    """One full publish + one incremental maintenance cycle under
+    ``root``: base initial load → index/state publish → delta arrives
+    as an atomic append → delta-only curation → placement append +
+    index maintenance.  Terminal marker commits the whole cycle."""
+    raw = os.path.join(root, "raw")
+    idx = os.path.join(root, "idx")
+    curated = os.path.join(root, "curated")
+    # 1. the corpus timeline: base snapshot, then the delta append
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") <= t_split), raw, mode="overwrite"
+    )
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") > t_split), raw, mode="append"
+    )
+    manifests = pio.list_manifests(raw)
+    base_seq = manifests[-2][0][0]
+    base = pio.read_parquet_atomic(spark, raw, as_of_seq=base_seq)
+    # 2. INITIAL LOAD: batch-curate the base snapshot, publish the
+    # placements and the maintained index state.  (One-time cost —
+    # exactly the q_curation_dag-class batch job.)
+    pio.write_parquet_atomic(
+        curation_incr_batch_from(base, t_split),
+        curated,
+        mode="overwrite",
+        stats_cols=["shard"],
+    )
+    sh3 = _inc_sh3(base)
+    sh3.write.mode("overwrite").parquet(os.path.join(idx, "sh3"))
+    sh3_r = spark.read.parquet(os.path.join(idx, "sh3"))
+    sh3_r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    ).write.mode("overwrite").parquet(os.path.join(idx, "sz"))
+    sh3_r.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    ).filter(F.col("df") > _INC_MAX_DF).select("shingle").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx, "hot"))
+    base.select(
+        F.md5(llmops.norm_text("text")).alias("h")
+    ).distinct().write.mode("overwrite").parquet(os.path.join(idx, "hash"))
+    _inc_sh5(
+        base.filter(F.col("doc_id") % _INC_PROBE_MOD == 0)
+    ).select("shingle").distinct().write.mode("overwrite").parquet(
+        os.path.join(idx, "probe5")
+    )
+    pio.read_parquet_atomic(spark, curated).groupBy(
+        "source", "shard"
+    ).agg(F.sum("n_tokens").cast("long").alias("cum0")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(idx, "state"))
+    # 3. the DELTA arrives: change-stream read (only the appended
+    # files — the base snapshot is never re-read from here on)
+    delta = pio.read_parquet_atomic_incremental(
+        spark, raw, from_seq=base_seq
+    )
+    out, caches = _inc_delta_placements(
+        delta,
+        sh3_idx=spark.read.parquet(os.path.join(idx, "sh3")),
+        sz_idx=spark.read.parquet(os.path.join(idx, "sz")),
+        hot_idx=spark.read.parquet(os.path.join(idx, "hot")),
+        hash_idx=spark.read.parquet(os.path.join(idx, "hash")),
+        probe5_idx=spark.read.parquet(os.path.join(idx, "probe5")),
+        pack_state=spark.read.parquet(os.path.join(idx, "state")),
+    )
+    try:
+        # 4. publish the delta placements (append — readers never see
+        # a torn generation) and MAINTAIN the index for the next delta
+        pio.write_parquet_atomic(
+            out, curated, mode="append", stats_cols=["shard"]
+        )
+        dsh = caches[0]
+        dsh.write.mode("append").parquet(os.path.join(idx, "sh3"))
+        dsh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("sz")
+        ).write.mode("append").parquet(os.path.join(idx, "sz"))
+        delta.select(
+            F.md5(llmops.norm_text("text")).alias("h")
+        ).distinct().write.mode("append").parquet(os.path.join(idx, "hash"))
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+@register(
+    "q_curation_incremental",
+    oracle=f"""
+WITH tsp AS (SELECT (MAX(doc_id) * {_INC_SPLIT_NUM}) // {_INC_SPLIT_DEN}
+             AS t FROM documents),
+q AS (
+  SELECT doc_id, source, lang,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         ROUND(
+           LEAST(1.0, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) / 50.0) * 0.4
+           + LEAST(1.0, CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\b(the|a)\\b')) AS BIGINT) * 5.0
+                         / LEN(STRING_SPLIT(text, ' '))) * 0.3
+           + LEAST(1.0, (CAST(LENGTH(text) AS DOUBLE) / LEN(STRING_SPLIT(text, ' '))) / 5.0) * 0.3,
+         9) AS quality
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(tk) - 2),
+           i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2])
+         ))) AS shingle
+  FROM toks
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM sh GROUP BY doc_id),
+hot AS (
+  SELECT shingle FROM sh, tsp WHERE sh.doc_id <= tsp.t
+  GROUP BY shingle HAVING COUNT(*) > {_INC_MAX_DF}
+),
+ks AS (
+  SELECT s.* FROM sh s WHERE s.shingle NOT IN (SELECT shingle FROM hot)
+),
+pairs AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM ks a JOIN ks b
+    ON a.shingle = b.shingle AND a.source = b.source
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT DISTINCT p.id2 AS doc_id
+  FROM pairs p
+  JOIN sizes s1 ON p.id1 = s1.doc_id
+  JOIN sizes s2 ON p.id2 = s2.doc_id
+  WHERE p.common * {_INC_JACCARD_DEN} >= s1.sz + s2.sz - p.common
+),
+ex AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY MD5(LOWER(TRIM(text)))
+),
+c5 AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(tk) - 4),
+           i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2], tk[i+3], tk[i+4])
+         ))) AS shingle
+  FROM toks
+),
+probe5 AS (
+  SELECT DISTINCT shingle FROM c5, tsp
+  WHERE doc_id % {_INC_PROBE_MOD} = 0 AND doc_id <= tsp.t
+),
+cont AS (SELECT DISTINCT c.doc_id FROM c5 c JOIN probe5 USING (shingle)),
+keep AS (
+  SELECT q.doc_id, q.source, q.lang, q.quality, q.n_tokens
+  FROM q JOIN ex USING (doc_id)
+  WHERE q.quality >= {_INC_MIN_QUALITY!r}
+    AND q.doc_id NOT IN (SELECT doc_id FROM dup)
+    AND q.doc_id % {_INC_PROBE_MOD} <> 0
+    AND q.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+t2 AS (
+  SELECT k.*,
+         CAST(((doc_id % 2654435761) * 2654435761) % 4294967296
+              % {_INC_N_SHARDS} AS BIGINT) AS shard
+  FROM keep k
+),
+c2 AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS cb
+  FROM t2
+)
+SELECT doc_id, source, lang, quality, n_tokens, shard,
+       CAST(FLOOR(cb / {float(_INC_TARGET_TOKENS)!r}) AS BIGINT) AS seq_id
+FROM c2
+""",
+)
+def q_curation_incremental(spark, sf_dir):
+    """INCREMENTAL RE-CURATION (VERDICT r11 #4) — the operation a
+    100 TB training-data operator runs DAILY, registered end-to-end:
+
+    1. the corpus timeline lives in an atomic sink — base snapshot,
+       then today's documents as an APPEND (top decile of doc_ids);
+    2. the INITIAL LOAD batch-curates the base snapshot once and
+       publishes (a) the curated placements, (b) the maintained
+       state: the shingle inverted index, per-doc set sizes, the
+       FROZEN hot-shingle stop list, the text-hash set, the frozen
+       benchmark 5-gram probes, and the per-(source, shard) pack
+       offsets;
+    3. the delta is consumed via the CHANGE STREAM
+       (:func:`pfithic_spark.io.read_parquet_atomic_incremental` —
+       only the appended files; the base corpus is NEVER re-read),
+       quality-scored, exact-deduped against the hash set, near-
+       deduped against the inverted index (plus within-delta pairs),
+       decontaminated against the frozen probes, and packed as an
+       exact CONTINUATION of the committed pack state;
+    4. delta placements append atomically; the index tables absorb
+       the delta's rows for the next cycle.
+
+    The oracle recomputes the ENTIRE batch semantics over the full
+    corpus in SQL (see :func:`curation_incr_batch_from` for why
+    every stage was chosen to be order-composable), so the driver's
+    hash compare IS the proof that incremental(base ∪ delta) ≡
+    batch(base ∪ delta) — a drifted index, a stale size, a
+    double-counted hash, or a broken pack offset all mismatch.
+
+    100 TB shape: the recurring cost is delta-proportional work plus
+    ONE scan of the shingle index (16-byte id/hash rows — never the
+    corpus text; on a real cluster the index is published bucketed
+    on shingle so even that join is exchange-free on the index
+    side); corpus text never enters any Exchange (plan-gated).  The
+    frozen hot list caps candidate fan-out exactly as
+    llmops.LSH_MAX_BUCKET does for the MinHash family.  Write-once
+    per session via a terminal marker; torn cycles are abandoned to
+    a fresh retry tag (ADVICE r11 #2 discipline)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
+    base_root = _inc_root(spark, sf_dir)
+    for attempt in range(64):
+        root = base_root if attempt == 0 else f"{base_root}_retry{attempt}"
+        marker = os.path.join(root, _INC_DONE)
+        curated = os.path.join(root, "curated")
+        if os.path.exists(marker):
+            break
+        if os.path.exists(root):
+            continue  # torn cycle from a crashed build — abandon it
+        os.makedirs(root, exist_ok=True)
+        _inc_build(spark, root, d, t_split)
+        with open(marker + ".tmp", "w") as fh:
+            fh.write("ok")
+        os.rename(marker + ".tmp", marker)
+        break
+    else:
+        raise RuntimeError(
+            f"curation incremental: 64 torn cycles under {base_root}*"
+        )
+    return pio.read_parquet_atomic(spark, curated).select(
+        "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
+    )

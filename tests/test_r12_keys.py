@@ -161,3 +161,137 @@ def test_drift_panel_streamed_matches_batch(spark, sf_dir, queries):
     )
     eps = spark.read.parquet(counts).select("epoch").distinct().count()
     assert eps == 4
+
+
+def _hq_doc(prefix: str, n_pairs: int = 25) -> str:
+    """A quality-1.0 document: n_pairs x 'the <prefix>NNNNN' — 2n
+    tokens, n stop hits (>= 20%), avg chars/token >= 5."""
+    return " ".join(f"the {prefix}{i:05d}" for i in range(n_pairs))
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_curation_incremental_planted_fates(spark, tmp_path, queries):
+    """Every stage drops exactly its planted victim, on BOTH sides of
+    the base/delta split (max id 1000 → T = 900):
+    base: 10 kept; 20 exact-dup of 10 → drop; 30 near-dup of 10 →
+    drop; 50 junk → drop; 97 probe (has the 'p1..p5' 5-gram) → drop;
+    delta: 910 kept; 920 exact-dup of BASE 10 → drop via the hash
+    index; 930 near-dup of BASE 10 → drop via the inverted index;
+    940 near-dup of (already-dropped) DELTA 930 → drop (the
+    no-earlier-near-dup rule counts every earlier doc, kept or not);
+    950 high-quality but embeds the frozen probe's 5-gram → drop;
+    960 junk → drop; 970 % 97 == 0 → drop; 1000 kept.
+    The result must ALSO equal the batch twin on the full corpus."""
+    from pfithic_spark.registry import keys_r12
+
+    a = _hq_doc("a")
+    near = " ".join(a.split(" ")[:-4] + ["zq1", "zq2", "zq3", "zq4"])
+    probe_text = _hq_doc("pp", 10) + " p1 p2 p3 p4 p5"
+    rows = [
+        (10, "s1", "en", a),
+        (20, "s1", "en", a),
+        (30, "s1", "en", near),
+        (50, "s1", "en", "x y"),
+        (97, "s1", "en", probe_text),
+        (910, "s1", "en", _hq_doc("b")),
+        (920, "s1", "en", a),
+        (930, "s1", "en", near),
+        (940, "s1", "en", " ".join(near.split(" ")[:-2] + ["zr8", "zr9"])),
+        (950, "s1", "en", _hq_doc("c", 10) + " p1 p2 p3 p4 p5"),
+        (960, "s1", "en", "u v"),
+        (970, "s1", "en", _hq_doc("d")),
+        (1000, "s1", "en", _hq_doc("e")),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = queries["q_curation_incremental"](spark, sf).collect()
+    assert sorted(r["doc_id"] for r in got) == [10, 910, 1000]
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    want = keys_r12.curation_incr_batch_from(d, 900).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_curation_incremental_pack_continuation(spark, tmp_path, queries):
+    """The delta pack must CONTINUE the committed base pack state
+    exactly: two 1000-token base docs fill a (source, shard) group to
+    cum 2000; the first 100-token delta doc still starts in seq 0
+    (2000 < 2048), the second crosses into seq 1 — identical to the
+    batch window over the union."""
+    from pfithic_spark.registry import keys_r12
+
+    same_shard = [i for i in range(2, 3000) if _khash(i) % 16 == 7]
+    base_ids = [i for i in same_shard if i <= 900][:2]
+    delta_ids = [i for i in same_shard if i > 900][:2]
+    assert len(base_ids) == 2 and len(delta_ids) == 2
+    rows = [
+        (base_ids[0], "s1", "en", _hq_doc("a", 500)),
+        (base_ids[1], "s1", "en", _hq_doc("b", 500)),
+        (delta_ids[0], "s1", "en", _hq_doc("c", 50)),
+        (delta_ids[1], "s1", "en", _hq_doc("d", 50)),
+        (1000, "s1", "en", _hq_doc("e")),  # pins max id → T = 900
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"])
+        for r in queries["q_curation_incremental"](spark, sf).collect()
+    }
+    assert got[base_ids[0]] == (7, 0)
+    assert got[base_ids[1]] == (7, 0)
+    assert got[delta_ids[0]] == (7, 0)  # cum_before 2000 < 2048
+    assert got[delta_ids[1]] == (7, 1)  # cum_before 2100 >= 2048
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {
+        r["doc_id"]: (r["shard"], r["seq_id"])
+        for r in keys_r12.curation_incr_batch_from(d, 900).collect()
+    }
+    assert got == want
+
+
+def test_curation_incremental_idempotent(spark, sf_dir, queries):
+    """bench best-of-2: the second invocation reuses the committed
+    cycle via the terminal marker, byte-identical output."""
+    k = queries["q_curation_incremental"]
+    a = sorted(map(tuple, k(spark, sf_dir).collect()))
+    b = sorted(map(tuple, k(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_curation_incremental_text_never_shuffles(spark):
+    """The delta dataflow's 100 TB invariant: no shuffle Exchange
+    carries the corpus `text` column — only ids, hashes, shingles,
+    and tokens move; and no EvalPython anywhere."""
+    import re
+
+    from pfithic_spark.registry import keys_r12
+
+    delta = spark.createDataFrame(
+        [(901 + i, "s1", "en", _hq_doc(f"t{i}")) for i in range(5)],
+        "doc_id long, source string, lang string, text string",
+    )
+    sh3 = spark.createDataFrame([], "doc_id long, source string, shingle long")
+    sz = spark.createDataFrame([], "doc_id long, sz long")
+    hot = spark.createDataFrame([], "shingle long")
+    hsh = spark.createDataFrame([], "h string")
+    p5 = spark.createDataFrame([], "shingle long")
+    st = spark.createDataFrame([], "source string, shard long, cum0 long")
+    out, caches = keys_r12._inc_delta_placements(
+        delta, sh3, sz, hot, hsh, p5, st
+    )
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    for c in caches:
+        c.unpersist()
+    assert "EvalPython" not in p
+    blocks = re.findall(
+        r"\(\d+\) Exchange\b.*?\nInput \[\d+\]: \[([^\]]*)\]", p
+    )
+    assert blocks, "expected at least one shuffle Exchange"
+    for cols in blocks:
+        assert "text#" not in cols, cols
