@@ -51,76 +51,73 @@ from .keys_r11 import *  # noqa: F401,F403,E402
 from .keys_r12 import *  # noqa: F401,F403,E402
 
 _VERIFY_FIRST = [
-    # Round-11 sweep (driver checks the first 50).  VERDICT r10 #1
-    # prescribed: lead with the four keys that have never held a
-    # driver row (registered after the r10 window filled), then the
-    # two keys whose physical plans were REBUILT this round (r10
-    # What's-wrong #1–#2 — fresh rows prove value-identity through
-    # the driver, not just the local oracle harness), then new
-    # round-11 registrations (never-driver-rowed first, standing
-    # rule), then the oldest r5-era rows: the verdict's 22-key
-    # priority list followed by as many of the remaining r5-rowed
-    # keys as fit the window.
-    # --- never driver-rowed (late §2.24 registrations) ---
-    "q_capture_recapture",
-    "q_negative_binomial_fit",
-    "q_price_index",
-    "q_unseen_vocabulary",
-    # --- plans rebuilt this round (r10 What's-wrong #1–#2) ---
-    "q_mrr",
-    "q_rank_biased_overlap",
-    # --- round-11 registrations (never driver-rowed) ---
-    "q_curation_dag",
-    "q_psi_drift_incremental",
-    "q_ivf_rebalance",
-    "q_compaction_policy",
-    "q_packing_efficiency",
-    "q_temperature_mixing",
-    "q_tukey_hsd",
-    "q_survival_km",
-    "q_minhash_calibration",
-    "q_vacuum_plan",
-    "q_herfindahl",
-    # --- r5-era backlog, verdict-r10 priority order ---
-    "q_embedding_centroid",
-    "q_wau",
-    "q_new_vs_returning",
-    "q_ewma",
-    "q_mann_whitney",
-    "q_linear_regression",
-    "q_zipf_fit",
-    "q_gini",
-    "q_ks_test",
-    "q_chi_square",
-    "q_graph_degree_dist",
-    "q_burstiness",
-    "q_period_over_period",
-    "q_sample_reservoir",
-    "q_train_test_split",
-    "q_dq_checks",
-    "q_crosstab",
-    "q_corr_matrix",
-    "q_markov_transitions",
-    "q_rolling_median",
-    "q_join_pit",
-    "q_duplicate_rate_report",
-    # --- remaining r5-era rows (alphabetical) to fill the window ---
-    "q_agg_percentile",
-    "q_array_explode",
-    "q_autocorr",
-    "q_cap_per_group",
-    "q_contamination",
-    "q_corr_exact",
-    "q_dedup_embedding",
-    "q_dedup_ngram_global",
-    "q_dedup_sorted_neighborhood",
-    "q_fingerprint",
-    "q_graph_bfs",
-    # r5-era keys that did NOT fit this 50-key window (round-12
-    # backlog): q_heavy_hitters, q_incremental_agg, q_kr_balance, q_lang_id, q_mix_sources, q_multimodal_features, q_multimodal_frames, q_multimodal_meta,
-    # q_multimodal_resize, q_ngram_coverage, q_quantile_discretize,
-    # q_referential_orphans, q_triangle_count, q_vector_norm_stats,
-    # q_window_cume_dist.
+    # Round-12 sweep (driver checks the first 50).  VERDICT r11 #1:
+    # lead with the LAST 15 r5-era keys — after this round every
+    # registered key's newest driver-oracle row is r6 or later, which
+    # closes the full-registry freshness loop — then the 4 new
+    # round-12 registrations (never driver-rowed, standing rule),
+    # then the 31 alphabetically-first r6-era keys to keep the
+    # rotation moving.
+    # --- the r5-era freshness tail (VERDICT r11 #1 priority list) ---
+    "q_heavy_hitters",
+    "q_incremental_agg",
+    "q_kr_balance",
+    "q_lang_id",
+    "q_mix_sources",
+    "q_multimodal_features",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_multimodal_resize",
+    "q_ngram_coverage",
+    "q_quantile_discretize",
+    "q_referential_orphans",
+    "q_triangle_count",
+    "q_vector_norm_stats",
+    "q_window_cume_dist",
+    # --- round-12 registrations (never driver-rowed) ---
+    "q_curation_incremental",
+    "q_compaction_apply",
+    "q_ivf_rebalance_apply",
+    "q_drift_panel_streamed",
+    # --- oldest remaining rows (r6-era, alphabetical) ---
+    "q_abc_classification",
+    "q_anova_f",
+    "q_assoc_rules",
+    "q_benford",
+    "q_cohort_ltv",
+    "q_control_chart",
+    "q_conversion_lag",
+    "q_cramers_v",
+    "q_cusum_changepoint",
+    "q_dedup_lsh_cosine",
+    "q_dedup_substring",
+    "q_dow_profile",
+    "q_edit_distance_dedup",
+    "q_forecast_naive_eval",
+    "q_gains_table",
+    "q_hhi_concentration",
+    "q_histogram_2d",
+    "q_iqr_outliers",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_possible_pairs_frag",
+    "q_repetition_filter",
+    "q_rolling_corr",
+    "q_runs_test",
+    "q_sample_stratified",
+    "q_seasonal_decompose",
+    "q_session_paths",
+    "q_sim_topk",
+    "q_skew_metrics",
+    "q_source_vocab_overlap",
+    "q_star_agg",
+    # r6-era keys not fitting this 50-key window (round-13 backlog):
+    # q_dedup_substring..q_winsorized_stats remainder — the 19
+    # alphabetically-last r6 rows (q_stream_* family, q_struct_funcs,
+    # q_text_clean, q_text_stats, q_tfidf_terms, q_theil_sen_trend,
+    # q_token_count, q_topk_movers, q_two_proportion_ztest,
+    # q_unpivot, q_welch_ttest, q_window_range_frame,
+    # q_winsorized_stats) rotate next.
 ]
 
 

@@ -678,10 +678,12 @@ def _inc_build(spark, root: str, d: DataFrame, t_split: int) -> None:
     """One full publish + one incremental maintenance cycle under
     ``root``: base initial load → index/state publish → delta arrives
     as an atomic append → delta-only curation → placement append +
-    index maintenance.  Terminal marker commits the whole cycle."""
+    index maintenance.  Terminal marker commits the whole cycle.
+    Split into :func:`_inc_initial_load` and
+    :func:`_inc_process_delta` so tools/bench_incremental.py can time
+    the one-time load and the recurring delta cycle SEPARATELY (the
+    delta-proportional-cost scale row)."""
     raw = os.path.join(root, "raw")
-    idx = os.path.join(root, "idx")
-    curated = os.path.join(root, "curated")
     # 1. the corpus timeline: base snapshot, then the delta append
     pio.write_parquet_atomic(
         d.filter(F.col("doc_id") <= t_split), raw, mode="overwrite"
@@ -691,10 +693,21 @@ def _inc_build(spark, root: str, d: DataFrame, t_split: int) -> None:
     )
     manifests = pio.list_manifests(raw)
     base_seq = manifests[-2][0][0]
+    _inc_initial_load(spark, root, base_seq, t_split)
+    _inc_process_delta(spark, root, base_seq)
+
+
+def _inc_initial_load(
+    spark, root: str, base_seq: int, t_split: int
+) -> None:
+    """INITIAL LOAD: batch-curate the base snapshot (read AS OF
+    ``base_seq`` — provenance is the committed snapshot, nothing
+    else), publish the placements and the maintained index state.
+    One-time cost — exactly the q_curation_dag-class batch job."""
+    raw = os.path.join(root, "raw")
+    idx = os.path.join(root, "idx")
+    curated = os.path.join(root, "curated")
     base = pio.read_parquet_atomic(spark, raw, as_of_seq=base_seq)
-    # 2. INITIAL LOAD: batch-curate the base snapshot, publish the
-    # placements and the maintained index state.  (One-time cost —
-    # exactly the q_curation_dag-class batch job.)
     pio.write_parquet_atomic(
         curation_incr_batch_from(base, t_split),
         curated,
@@ -725,8 +738,16 @@ def _inc_build(spark, root: str, d: DataFrame, t_split: int) -> None:
     ).agg(F.sum("n_tokens").cast("long").alias("cum0")).write.mode(
         "overwrite"
     ).parquet(os.path.join(idx, "state"))
-    # 3. the DELTA arrives: change-stream read (only the appended
-    # files — the base snapshot is never re-read from here on)
+
+
+def _inc_process_delta(spark, root: str, base_seq: int) -> None:
+    """The RECURRING cycle: consume the delta via the change stream
+    (only the files appended after ``base_seq`` — the base corpus is
+    never re-read), curate it against the maintained index state,
+    append the placements, and absorb the delta into the index."""
+    raw = os.path.join(root, "raw")
+    idx = os.path.join(root, "idx")
+    curated = os.path.join(root, "curated")
     delta = pio.read_parquet_atomic_incremental(
         spark, raw, from_seq=base_seq
     )
@@ -740,7 +761,7 @@ def _inc_build(spark, root: str, d: DataFrame, t_split: int) -> None:
         pack_state=spark.read.parquet(os.path.join(idx, "state")),
     )
     try:
-        # 4. publish the delta placements (append — readers never see
+        # publish the delta placements (append — readers never see
         # a torn generation) and MAINTAIN the index for the next delta
         pio.write_parquet_atomic(
             out, curated, mode="append", stats_cols=["shard"]
