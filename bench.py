@@ -126,6 +126,10 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "loadavg_before": load_before,
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # self-describing host marker (VERDICT r11 #6): a run started
+        # on a busy box says so IN the record instead of relying on a
+        # prose caveat next to the committed numbers
+        "host_state": "idle" if load_before[0] < 1.0 else "loaded",
         "detail_file": "BENCH_DETAIL.json",
     }
     # Per-query maps go to a detail file: the driver that records
