@@ -740,17 +740,24 @@ def _inc_initial_load(
     ).parquet(os.path.join(idx, "state"))
 
 
-def _inc_process_delta(spark, root: str, base_seq: int) -> None:
+def _inc_process_delta(spark, root: str, from_seq: int) -> None:
     """The RECURRING cycle: consume the delta via the change stream
-    (only the files appended after ``base_seq`` — the base corpus is
+    (only the files appended after ``from_seq`` — the base corpus is
     never re-read), curate it against the maintained index state,
-    append the placements, and absorb the delta into the index."""
+    append the placements, and absorb the delta into EVERY piece of
+    mutable index state (shingle index, sizes, hashes, pack offsets)
+    so the NEXT cycle sees a consistent world — the two-cycle planted
+    test drives this repeatedly.  The hot-shingle list and the probe
+    5-grams are FROZEN by contract (see curation_incr_batch_from) and
+    deliberately not touched.  Delta ids must exceed all prior ids
+    (append-ordered id discipline — the composability precondition)."""
     raw = os.path.join(root, "raw")
     idx = os.path.join(root, "idx")
     curated = os.path.join(root, "curated")
     delta = pio.read_parquet_atomic_incremental(
-        spark, raw, from_seq=base_seq
+        spark, raw, from_seq=from_seq
     )
+    old_state = spark.read.parquet(os.path.join(idx, "state"))
     out, caches = _inc_delta_placements(
         delta,
         sh3_idx=spark.read.parquet(os.path.join(idx, "sh3")),
@@ -758,11 +765,12 @@ def _inc_process_delta(spark, root: str, base_seq: int) -> None:
         hot_idx=spark.read.parquet(os.path.join(idx, "hot")),
         hash_idx=spark.read.parquet(os.path.join(idx, "hash")),
         probe5_idx=spark.read.parquet(os.path.join(idx, "probe5")),
-        pack_state=spark.read.parquet(os.path.join(idx, "state")),
+        pack_state=old_state,
     )
     try:
         # publish the delta placements (append — readers never see
         # a torn generation) and MAINTAIN the index for the next delta
+        prev_seq = pio.list_manifests(curated)[-1][0][0]
         pio.write_parquet_atomic(
             out, curated, mode="append", stats_cols=["shard"]
         )
@@ -774,6 +782,27 @@ def _inc_process_delta(spark, root: str, base_seq: int) -> None:
         delta.select(
             F.md5(llmops.norm_text("text")).alias("h")
         ).distinct().write.mode("append").parquet(os.path.join(idx, "hash"))
+        # roll the pack offsets forward: old state ⊎ this cycle's
+        # per-group token sums (read back from the JUST-COMMITTED
+        # placements — delta-grain, not corpus-grain).  The bounded
+        # (source, shard) dimension collects driver-side so the state
+        # overwrite never races its own lazy scan.
+        dstate = (
+            pio.read_parquet_atomic_incremental(
+                spark, curated, from_seq=prev_seq
+            )
+            .groupBy("source", "shard")
+            .agg(F.sum("n_tokens").cast("long").alias("cum0"))
+        )
+        merged = (
+            old_state.unionByName(dstate)
+            .groupBy("source", "shard")
+            .agg(F.sum("cum0").cast("long").alias("cum0"))
+        )
+        rows = merged.collect()
+        spark.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx, "state"))
     finally:
         for c in caches:
             c.unpersist()

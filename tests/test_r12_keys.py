@@ -295,3 +295,77 @@ def test_curation_incremental_text_never_shuffles(spark):
     assert blocks, "expected at least one shuffle Exchange"
     for cols in blocks:
         assert "text#" not in cols, cols
+
+
+def test_curation_incremental_two_cycles(spark, tmp_path):
+    """The maintained state must survive REPEATED cycles: after
+    cycle 1 absorbs delta1 into the index (shingles, sizes, hashes,
+    pack offsets), cycle 2's dedup must see delta1's docs and its
+    packing must continue the rolled-forward offsets — the final
+    sink must equal the batch twin over base ∪ delta1 ∪ delta2:
+    - 960 exact-dups a DELTA1 doc → dropped via the absorbed hash;
+    - 971 near-dups a DELTA1 doc → dropped via the absorbed index;
+    - pack: 1000+1000 tokens from (base, delta1) in shard 7, then
+      two 100-token delta2 docs — the first continues seq 0
+      (cum 2000 < 2048), the second crosses into seq 1."""
+    import os
+
+    from pfithic_spark.registry import keys_r12
+
+    s7 = [i for i in range(2, 1001) if _khash(i) % 16 == 7]
+    b0 = [i for i in s7 if i <= 900][0]
+    d1p = [i for i in s7 if 900 < i <= 950]
+    d2p = [i for i in s7 if 950 < i <= 1000]
+    assert d1p and len(d2p) >= 2, (d1p, d2p)
+    b_text = _hq_doc("b")
+    near_b = " ".join(b_text.split(" ")[:-4] + ["zq1", "zq2", "zq3", "zq4"])
+    rows = [
+        (10, "s1", "en", _hq_doc("a")),
+        (b0, "s1", "en", _hq_doc("p0", 500)),
+        (910, "s1", "en", b_text),
+        (d1p[0], "s1", "en", _hq_doc("p1", 500)),
+        (960, "s1", "en", b_text),
+        (971, "s1", "en", near_b),
+        (980, "s1", "en", _hq_doc("g")),
+        (d2p[0], "s1", "en", _hq_doc("p2", 50)),
+        (d2p[1], "s1", "en", _hq_doc("p3", 50)),
+        (1000, "s1", "en", _hq_doc("e")),
+    ]
+    # ids must be unique (the packing probes may collide with the
+    # hand-picked ids)
+    assert len({r[0] for r in rows}) == len(rows), rows
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    root = str(tmp_path / "root")
+    raw = os.path.join(root, "raw")
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") <= 900), raw, mode="overwrite"
+    )
+    base_seq = pio.list_manifests(raw)[-1][0][0]
+    pio.write_parquet_atomic(
+        d.filter((F.col("doc_id") > 900) & (F.col("doc_id") <= 950)),
+        raw,
+        mode="append",
+    )
+    d1_seq = pio.list_manifests(raw)[-1][0][0]
+    keys_r12._inc_initial_load(spark, root, base_seq, 900)
+    keys_r12._inc_process_delta(spark, root, base_seq)
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") > 950), raw, mode="append"
+    )
+    keys_r12._inc_process_delta(spark, root, d1_seq)
+    got = (
+        pio.read_parquet_atomic(spark, os.path.join(root, "curated"))
+        .select(
+            "doc_id", "source", "lang", "quality", "n_tokens", "shard",
+            "seq_id",
+        )
+        .collect()
+    )
+    want = keys_r12.curation_incr_batch_from(d, 900).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    fates = {r["doc_id"]: r["seq_id"] for r in got}
+    assert 960 not in fates and 971 not in fates
+    assert 910 in fates and 980 in fates
+    assert fates[d2p[0]] == 0 and fates[d2p[1]] == 1
