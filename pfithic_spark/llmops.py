@@ -1406,6 +1406,26 @@ def connected_components(
     return clustered.unionByName(singles)
 
 
+def quality_features(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The doc-grain feature projection behind the oracled quality
+    score — (doc_id, *extra_cols, n_tokens, n_chars, stop_hits).
+    SINGLE definition (round-12 review: three verbatim copies had
+    grown) shared by q_quality_score, :func:`curation_keep_list`,
+    and the incremental-curation key, so the token split / stop-word
+    regex can never drift between the scorer and its consumers."""
+    return docs.select(
+        "doc_id",
+        *[F.col(c) for c in extra_cols],
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+
+
 def quality_score_expr(
     n_tokens: Column = None, n_chars: Column = None, stop_hits: Column = None
 ) -> Column:
@@ -1444,16 +1464,7 @@ def curation_keep_list(
     q_curation_pipeline registry key is this function verbatim and
     carries its full recursive-CTE oracle.
     """
-    t = docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
-        .cast("long")
-        .alias("stop_hits"),
-    )
+    t = quality_features(docs, extra_cols=("source", "lang"))
     scored = t.select(
         "doc_id", "source", "lang", quality_score_expr().alias("quality")
     ).filter(F.col("quality") >= min_quality)

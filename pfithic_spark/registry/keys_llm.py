@@ -294,14 +294,7 @@ def q_quality_score(spark, sf_dir):
     """Heuristic quality scoring: length, stopword ratio, avg token
     length — identical arithmetic on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    t = d.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
-        .cast("long")
-        .alias("stop_hits"),
-    )
+    t = llmops.quality_features(d)
     return t.select(
         "doc_id",
         "n_tokens",

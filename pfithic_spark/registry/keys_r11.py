@@ -397,15 +397,25 @@ def q_psi_drift_incremental(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
     )
-    # Guard on the EXPECTED FINAL STATE (>= 2 committed manifests:
-    # base overwrite + delta append — ADVICE r11 #1): after a crash
-    # between the two commits, bool(manifests) would be satisfied by
-    # the lone base snapshot and the delta side would silently read
-    # empty.  A partial history instead REPAIRS by re-publishing both
-    # halves — the fresh overwrite supersedes the orphaned base — and
-    # base_seq anchors to the second-newest manifest (the repair's
-    # overwrite), never a superseded partial.
-    committed = len(pio.list_manifests(path)) >= 2
+    # Guard on the EXPECTED FINAL STATE (ADVICE r11 #1): the newest
+    # manifest must be an APPEND over the second-newest (its file set
+    # strictly contains the base's).  Counting >= 2 manifests alone
+    # would also accept the state a crashed REPAIR leaves (torn base
+    # + fresh overwrite = 2 manifests whose newest REPLACES, not
+    # extends, [-2]) and then anchor base_seq to the superseded
+    # partial — the incremental reader would raise 'non-append
+    # history' for the rest of the session.  A failed guard at any
+    # manifest count REPAIRS by re-publishing both halves; base_seq
+    # then anchors to the repair's overwrite at [-2].
+    def _last_is_append() -> bool:
+        m = pio.list_manifests(path)
+        if len(m) < 2:
+            return False
+        newest, _ = pio.atomic_snapshot_files(path, as_of_seq=m[-1][0][0])
+        prev, _ = pio.atomic_snapshot_files(path, as_of_seq=m[-2][0][0])
+        return set(prev).issubset(set(newest)) and len(newest) > len(prev)
+
+    committed = _last_is_append()
     if not committed:
         pio.write_parquet_atomic(
             d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
@@ -610,28 +620,33 @@ def compaction_plan(
     so the planted tests drive it with hand censuses whose expected
     plan is computed OUTSIDE the shared formula.  Below-mean files
     compact; candidates next-fit pack (n_rows DESC, bucket) into
-    groups of total // 4 capacity; everything else keeps."""
-    tot = cen.agg(
+    groups of total // 4 capacity; everything else keeps.
+
+    The (total, n_files) census totals COLLECT driver-side — the
+    census is metadata grain, and one 1-row collect both routes the
+    packing spine (n_files bounds the candidate count) and inlines
+    the thresholds as literals, instead of re-running the census
+    lineage for a separate routing probe plus a crossJoin at
+    materialization time (round-12 review)."""
+    trow = cen.agg(
         F.sum("n_rows").cast("long").alias("total"),
         F.count(F.lit(1)).cast("long").alias("n_files"),
-    )
-    a = cen.crossJoin(F.broadcast(tot)).select(
+    ).collect()[0]
+    total = int(trow["total"]) if trow["total"] is not None else 0
+    n_files = int(trow["n_files"])
+    a = cen.select(
         "bucket",
         "n_rows",
         F.when(
-            F.col("n_rows") * F.col("n_files") < F.col("total"),
+            F.col("n_rows") * F.lit(n_files) < F.lit(total),
             F.lit("compact"),
         )
         .otherwise(F.lit("keep"))
         .alias("action"),
-        "total",
     )
-    target = F.greatest(
-        F.floor(F.col("total").cast("double") / F.lit(4.0)).cast("long"),
-        F.lit(1),
-    )
+    target = max(total // 4, 1)
     cands0 = a.filter(F.col("action") == "compact")
-    if cands0.limit(small_threshold + 1).count() <= small_threshold:
+    if n_files <= small_threshold:
         # metadata-grain census: one window task is the cheapest plan
         wc = Window.orderBy(
             F.col("n_rows").desc(), "bucket"
@@ -681,7 +696,7 @@ def compaction_plan(
             "action",
             F.floor(
                 F.col("cum_before").cast("double")
-                / target.cast("double")
+                / F.lit(float(target))
             )
             .cast("long")
             .alias("group_id"),

@@ -88,6 +88,15 @@ def _apply_lifecycle_table(spark, sf_dir) -> tuple[str, dict]:
         manifests = pio.list_manifests(path)
         if manifests and len(manifests) != keys_r11._COMPACT_BUCKETS:
             continue  # torn build or torn apply — never census it
+        if manifests:
+            # 8 manifests is ALSO what a vacuum that crashed after
+            # removing exactly one manifest leaves (appends 2..8 +
+            # the compact) — but then the newest manifest is the
+            # 1-file compact, whereas a clean 8-append build's newest
+            # references all 8 files.  Never re-apply over that.
+            newest_files, _ = pio.atomic_snapshot_files(path)
+            if len(newest_files) != keys_r11._COMPACT_BUCKETS:
+                continue  # torn vacuum state — abandon it
         if not manifests:
             keys_r11._build_bucketed_appends(spark, sf_dir, path)
         stats = _execute_lifecycle(spark, path)
@@ -370,14 +379,32 @@ def q_drift_panel_streamed(spark, sf_dir):
             d.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(part)
-            for f in sorted(_glob.glob(os.path.join(part, "part-*.parquet"))):
-                _shutil.copy(f, os.path.join(src, f"{i:03d}.parquet"))
+            parts = sorted(
+                _glob.glob(os.path.join(part, "part-*.parquet"))
+            )
+            # one part per chunk by construction (coalesce(1)) — a
+            # multi-part chunk copied onto one destination name would
+            # SILENTLY drop rows from the streamed corpus
+            if len(parts) != 1:
+                raise RuntimeError(
+                    f"chunk {i}: expected exactly 1 part file, got "
+                    f"{len(parts)}"
+                )
+            _shutil.copy(parts[0], os.path.join(src, f"{i:03d}.parquet"))
             _shutil.rmtree(part)
         q = strm.drift_panel_stream(
             strm.read_document_stream(spark, src), counts, ck
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
         q.stop()
+        # the marker is TERMINAL: a timed-out (killed mid-consumption)
+        # stream must fail the call, not commit a truncated count
+        # table as done for the rest of the session
+        if not finished:
+            raise RuntimeError(
+                "drift panel stream did not finish within 300 s; "
+                "not committing a truncated count table"
+            )
         with open(done, "w") as fh:
             fh.write("ok")
     return strm.fold_drift_panel(spark, counts)
@@ -407,18 +434,10 @@ _INC_SPLIT_NUM, _INC_SPLIT_DEN = 9, 10
 
 def _inc_quality(d: DataFrame) -> DataFrame:
     """(doc_id, source, lang, n_tokens, quality) — the shared
-    q_quality_score arithmetic (llmops.quality_score_expr), a pure
-    per-document projection: trivially incremental."""
-    t = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.regexp_count(F.col("text"), F.lit(r"\b(the|a)\b"))
-        .cast("long")
-        .alias("stop_hits"),
-    )
+    q_quality_score arithmetic (llmops.quality_features +
+    quality_score_expr), a pure per-document projection: trivially
+    incremental."""
+    t = llmops.quality_features(d, extra_cols=("source", "lang"))
     return t.select(
         "doc_id",
         "source",
@@ -946,6 +965,14 @@ def q_curation_incremental(spark, sf_dir):
         "doc_id", "source", "lang", "text"
     )
     mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        # empty corpus: nothing to publish — the empty placement
+        # frame, not a crash (empty-input contract)
+        return spark.createDataFrame(
+            [],
+            "doc_id long, source string, lang string, quality double, "
+            "n_tokens long, shard long, seq_id long",
+        )
     t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
     base_root = _inc_root(spark, sf_dir)
     for attempt in range(64):

@@ -369,3 +369,82 @@ def test_curation_incremental_two_cycles(spark, tmp_path):
     assert 960 not in fates and 971 not in fates
     assert 910 in fates and 980 in fates
     assert fates[d2p[0]] == 0 and fates[d2p[1]] == 1
+
+
+def test_psi_incremental_repairs_crashed_repair(spark, sf_dir, queries):
+    """Round-12 review: a repair that crashed between its overwrite
+    and its append leaves TWO manifests whose newest REPLACES (not
+    extends) the previous — counting manifests alone would anchor
+    base_seq to the superseded torn base and wedge the incremental
+    reader.  The append-shape guard must detect this and re-repair."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pfithic_spark import io as pio
+
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"pfithic_psi_inc_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    # torn base, then a crashed repair's overwrite — 2 manifests,
+    # newest is NOT an append over [-2]
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    assert len(pio.list_manifests(path)) == 2
+    got = sorted(
+        map(
+            tuple,
+            queries["q_psi_drift_incremental"](spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, queries["q_psi_source_panel"](spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_apply_lifecycle_abandons_half_vacuumed_state(spark, tmp_path, monkeypatch):
+    """Round-12 review: a vacuum that crashed after removing exactly
+    one manifest leaves 8 manifests — the same COUNT as a clean
+    build, but the newest is the 1-file compact.  The guard must
+    abandon that state to a fresh retry tag, never re-apply over it."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pfithic_spark.registry import keys_r11
+
+    # steer the helper at a private tempdir via a fake sf_dir tag:
+    # build the planted table at the BASE path, then simulate the
+    # torn vacuum state by compacting and removing one old manifest
+    sf_dir = str(tmp_path)  # unique → unique tag
+    os.makedirs(f"{sf_dir}", exist_ok=True)
+    # the helper loads documents from sf_dir — plant a tiny corpus
+    spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        (sf_dir + spark.sparkContext.applicationId).encode()
+    ).hexdigest()[:10]
+    base_path = os.path.join(
+        tempfile.gettempdir(), f"pfithic_capply_{tag}"
+    )
+    keys_r11._build_bucketed_appends(spark, sf_dir, base_path)
+    pio.compact_parquet_atomic(spark, base_path, target_files=1)
+    # remove the OLDEST manifest: 8 manifests remain, newest=compact
+    oldest = pio.list_manifests(base_path)[0][1]
+    os.remove(os.path.join(base_path, oldest))
+    assert len(pio.list_manifests(base_path)) == 8
+    path, stats = keys_r12._apply_lifecycle_table(spark, sf_dir)
+    assert path == f"{base_path}_retry1"
+    assert stats["files_after"] == 1 and stats["snapshots_expired"] == 7
