@@ -644,12 +644,15 @@ def _inc_delta_placements(
     dks = dsh.join(F.broadcast(hot_idx), "shingle", "left_anti")
     bks = sh3_idx.join(F.broadcast(hot_idx), "shingle", "left_anti")
     e, dd = bks.alias("e"), dks.alias("d")
+    # equi-join on SHINGLE ALONE (the index's bucket column) with the
+    # source block as a post-join filter — semantically identical to
+    # joining on (shingle, source), but the single-column key lets the
+    # BUCKETED index scan satisfy the join's partitioning requirement
+    # outright: the index side never enters an Exchange (plan-gated);
+    # only the delta side shuffles (or broadcasts, when small)
     pairs_b = (
-        e.join(
-            dd,
-            (F.col("e.shingle") == F.col("d.shingle"))
-            & (F.col("e.source") == F.col("d.source")),
-        )
+        e.join(dd, F.col("e.shingle") == F.col("d.shingle"))
+        .filter(F.col("e.source") == F.col("d.source"))
         .groupBy(
             F.col("e.doc_id").alias("id1"), F.col("d.doc_id").alias("id2")
         )
@@ -716,6 +719,42 @@ def _inc_build(spark, root: str, d: DataFrame, t_split: int) -> None:
     _inc_process_delta(spark, root, base_seq)
 
 
+#: Bucket count of the maintained shingle inverted index — the
+#: one-shuffle-at-write, exchange-free-at-read lever (io.
+#: write_bucketed_table's contract): every delta cycle joins against
+#: the index on its bucket column, so the index side never
+#: re-shuffles no matter how many cycles run.  64 buckets: the join
+#: runs at bucket parallelism, so the count must not fall below the
+#: executor-core budget (16 buckets measurably capped the 32-core
+#: local harness).
+_INC_SH3_BUCKETS = 64
+
+
+def _inc_sh3_table(root: str) -> str:
+    """Session-catalog name of the bucketed shingle index for this
+    cycle root (one per root, so retry tags never collide)."""
+    return (
+        "pfithic_cinc_sh3_"
+        + hashlib.sha1(root.encode()).hexdigest()[:10]
+    )
+
+
+def _inc_write_sh3(
+    spark, df: DataFrame, root: str, overwrite: bool
+) -> None:
+    """Publish (or append) shingle-index rows CLUSTERED BY shingle:
+    the write pays the bucketing shuffle once; every later delta
+    cycle's candidate join reads the index co-located."""
+    idx = os.path.join(root, "idx")
+    w = (
+        df.write.mode("overwrite" if overwrite else "append")
+        .bucketBy(_INC_SH3_BUCKETS, "shingle")
+        .sortBy("shingle")
+        .option("path", os.path.join(idx, "sh3_tbl"))
+    )
+    w.saveAsTable(_inc_sh3_table(root))
+
+
 def _inc_initial_load(
     spark, root: str, base_seq: int, t_split: int
 ) -> None:
@@ -733,9 +772,8 @@ def _inc_initial_load(
         mode="overwrite",
         stats_cols=["shard"],
     )
-    sh3 = _inc_sh3(base)
-    sh3.write.mode("overwrite").parquet(os.path.join(idx, "sh3"))
-    sh3_r = spark.read.parquet(os.path.join(idx, "sh3"))
+    _inc_write_sh3(spark, _inc_sh3(base), root, overwrite=True)
+    sh3_r = spark.table(_inc_sh3_table(root))
     sh3_r.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     ).write.mode("overwrite").parquet(os.path.join(idx, "sz"))
@@ -779,7 +817,7 @@ def _inc_process_delta(spark, root: str, from_seq: int) -> None:
     old_state = spark.read.parquet(os.path.join(idx, "state"))
     out, caches = _inc_delta_placements(
         delta,
-        sh3_idx=spark.read.parquet(os.path.join(idx, "sh3")),
+        sh3_idx=spark.table(_inc_sh3_table(root)),
         sz_idx=spark.read.parquet(os.path.join(idx, "sz")),
         hot_idx=spark.read.parquet(os.path.join(idx, "hot")),
         hash_idx=spark.read.parquet(os.path.join(idx, "hash")),
@@ -794,7 +832,7 @@ def _inc_process_delta(spark, root: str, from_seq: int) -> None:
             out, curated, mode="append", stats_cols=["shard"]
         )
         dsh = caches[0]
-        dsh.write.mode("append").parquet(os.path.join(idx, "sh3"))
+        _inc_write_sh3(spark, dsh, root, overwrite=False)
         dsh.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("long").alias("sz")
         ).write.mode("append").parquet(os.path.join(idx, "sz"))

@@ -448,3 +448,64 @@ def test_apply_lifecycle_abandons_half_vacuumed_state(spark, tmp_path, monkeypat
     path, stats = keys_r12._apply_lifecycle_table(spark, sf_dir)
     assert path == f"{base_path}_retry1"
     assert stats["files_after"] == 1 and stats["snapshots_expired"] == 7
+
+
+def test_curation_incremental_bucketed_index_no_exchange(spark, tmp_path):
+    """100 TB gate: the maintained shingle index is a BUCKETED table
+    on its join column, so the recurring candidate join reads it
+    co-located — the index subtree must contain a bucketed scan
+    (SelectedBucketsCount) and NO Exchange may repartition the index
+    side; only the delta side may shuffle or broadcast."""
+    import os
+    import re
+
+    from pfithic_spark.registry import keys_r12
+
+    rows = [
+        (i, "s1", "en", _hq_doc(f"x{i}")) for i in range(1, 30)
+    ] + [(1000, "s1", "en", _hq_doc("e"))]
+    d = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    root = str(tmp_path / "root")
+    raw = os.path.join(root, "raw")
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") <= 900), raw, mode="overwrite"
+    )
+    base_seq = pio.list_manifests(raw)[-1][0][0]
+    pio.write_parquet_atomic(
+        d.filter(F.col("doc_id") > 900), raw, mode="append"
+    )
+    keys_r12._inc_initial_load(spark, root, base_seq, 900)
+    delta = pio.read_parquet_atomic_incremental(spark, raw, from_seq=base_seq)
+    idx = os.path.join(root, "idx")
+    out, caches = keys_r12._inc_delta_placements(
+        delta,
+        sh3_idx=spark.table(keys_r12._inc_sh3_table(root)),
+        sz_idx=spark.read.parquet(os.path.join(idx, "sz")),
+        hot_idx=spark.read.parquet(os.path.join(idx, "hot")),
+        hash_idx=spark.read.parquet(os.path.join(idx, "hash")),
+        probe5_idx=spark.read.parquet(os.path.join(idx, "probe5")),
+        pack_state=spark.read.parquet(os.path.join(idx, "state")),
+    )
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    for c in caches:
+        c.unpersist()
+    assert "SelectedBucketsCount" in p, p[:2000]
+    # the index's shingle column must never feed a shuffle Exchange:
+    # every Exchange hashpartitioning over a `shingle` column must be
+    # on the DELTA side, whose lineage begins at posexplode — the
+    # bucketed scan side reports its partitioning from the table
+    scan_block = re.search(
+        r"Scan parquet [^\n]*sh3[^\n]*\n(?:.*\n)*?(?=\(\d+\))", p
+    )
+    assert scan_block is not None
+    # structural check: the plan has at most ONE hashpartitioning
+    # exchange keyed on a shingle column (the delta side); with the
+    # index side co-located there can never be two
+    n_shingle_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(shingle", p)
+    )
+    assert n_shingle_exchanges <= 1, p[:3000]
