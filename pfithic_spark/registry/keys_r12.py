@@ -992,9 +992,11 @@ def q_curation_incremental(spark, sf_dir):
 
     100 TB shape: the recurring cost is delta-proportional work plus
     ONE scan of the shingle index (16-byte id/hash rows — never the
-    corpus text; on a real cluster the index is published bucketed
-    on shingle so even that join is exchange-free on the index
-    side); corpus text never enters any Exchange (plan-gated).  The
+    corpus text), and the index IS published as a bucketed table on
+    shingle, so that join is exchange-free on the index side however
+    many cycles run (plan-gated: bucketed scan present, only the
+    delta side may shuffle); corpus text never enters any Exchange
+    (plan-gated).  The
     frozen hot list caps candidate fan-out exactly as
     llmops.LSH_MAX_BUCKET does for the MinHash family.  Write-once
     per session via a terminal marker; torn cycles are abandoned to
