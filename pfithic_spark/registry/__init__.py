@@ -54,9 +54,9 @@ _VERIFY_FIRST = [
     # Round-12 sweep (driver checks the first 50).  VERDICT r11 #1:
     # lead with the LAST 15 r5-era keys — after this round every
     # registered key's newest driver-oracle row is r6 or later, which
-    # closes the full-registry freshness loop — then the 4 new
+    # closes the full-registry freshness loop — then the 6 new
     # round-12 registrations (never driver-rowed, standing rule),
-    # then the 31 alphabetically-first r6-era keys to keep the
+    # then the 29 alphabetically-first r6-era keys to keep the
     # rotation moving.
     # --- the r5-era freshness tail (VERDICT r11 #1 priority list) ---
     "q_heavy_hitters",
@@ -79,6 +79,8 @@ _VERIFY_FIRST = [
     "q_compaction_apply",
     "q_ivf_rebalance_apply",
     "q_drift_panel_streamed",
+    "q_index_consistency",
+    "q_sink_history",
     # --- oldest remaining rows (r6-era, alphabetical) ---
     "q_abc_classification",
     "q_anova_f",
@@ -109,9 +111,8 @@ _VERIFY_FIRST = [
     "q_session_paths",
     "q_sim_topk",
     "q_skew_metrics",
-    "q_source_vocab_overlap",
-    "q_star_agg",
-    # r6-era keys not fitting this 50-key window (round-13 backlog):
+    # r6-era keys not fitting this 50-key window (round-13 backlog:
+    # q_source_vocab_overlap, q_star_agg, plus):
     # q_dedup_substring..q_winsorized_stats remainder — the 19
     # alphabetically-last r6 rows (q_stream_* family, q_struct_funcs,
     # q_text_clean, q_text_stats, q_tfidf_terms, q_theil_sen_trend,

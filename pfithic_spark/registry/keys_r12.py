@@ -865,9 +865,11 @@ def _inc_process_delta(spark, root: str, from_seq: int) -> None:
             c.unpersist()
 
 
-@register(
-    "q_curation_incremental",
-    oracle=f"""
+#: Shared oracle CTE chain (corpus → quality → exact/near dedup →
+#: decontamination → `keep`) — module-level f-string so
+#: q_curation_incremental and the q_sink_history audit certify
+#: against ONE set of batch semantics that can never drift apart.
+_INC_ORACLE_CTES = f"""
 WITH tsp AS (SELECT (MAX(doc_id) * {_INC_SPLIT_NUM}) // {_INC_SPLIT_DEN}
              AS t FROM documents),
 q AS (
@@ -941,7 +943,13 @@ keep AS (
     AND q.doc_id NOT IN (SELECT doc_id FROM dup)
     AND q.doc_id % {_INC_PROBE_MOD} <> 0
     AND q.doc_id NOT IN (SELECT doc_id FROM cont)
-),
+)"""
+
+
+@register(
+    "q_curation_incremental",
+    oracle=f"""
+{_INC_ORACLE_CTES},
 t2 AS (
   SELECT k.*,
          CAST(((doc_id % 2654435761) * 2654435761) % 4294967296
@@ -1014,13 +1022,26 @@ def q_curation_incremental(spark, sf_dir):
             "n_tokens long, shard long, seq_id long",
         )
     t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
+    root = _inc_ensure_cycle(spark, sf_dir, d, t_split)
+    return pio.read_parquet_atomic(
+        spark, os.path.join(root, "curated")
+    ).select(
+        "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
+    )
+
+
+def _inc_ensure_cycle(spark, sf_dir, d: DataFrame, t_split: int) -> str:
+    """Resolve (building once per session) the committed
+    base+delta cycle root — shared by q_curation_incremental and the
+    q_index_consistency / q_sink_history audit keys, which read the
+    SAME maintained state the flagship committed (auditing a state
+    nobody serves would prove nothing)."""
     base_root = _inc_root(spark, sf_dir)
     for attempt in range(64):
         root = base_root if attempt == 0 else f"{base_root}_retry{attempt}"
         marker = os.path.join(root, _INC_DONE)
-        curated = os.path.join(root, "curated")
         if os.path.exists(marker):
-            break
+            return root
         if os.path.exists(root):
             continue  # torn cycle from a crashed build — abandon it
         os.makedirs(root, exist_ok=True)
@@ -1028,11 +1049,127 @@ def q_curation_incremental(spark, sf_dir):
         with open(marker + ".tmp", "w") as fh:
             fh.write("ok")
         os.rename(marker + ".tmp", marker)
-        break
-    else:
-        raise RuntimeError(
-            f"curation incremental: 64 torn cycles under {base_root}*"
-        )
-    return pio.read_parquet_atomic(spark, curated).select(
-        "doc_id", "source", "lang", "quality", "n_tokens", "shard", "seq_id"
+        return root
+    raise RuntimeError(
+        f"curation incremental: 64 torn cycles under {base_root}*"
     )
+
+
+# ========================================================================
+# q_index_consistency / q_sink_history — maintenance-state audits
+# ========================================================================
+
+
+@register(
+    "q_index_consistency",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(TRIM(text)), ' ') AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(tk) - 2),
+           i -> CONCAT_WS(' ', tk[i], tk[i+1], tk[i+2])
+         ))) AS shingle
+  FROM toks
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_shingle_rows,
+       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct_shingles
+FROM sh
+""",
+)
+def q_index_consistency(spark, sf_dir):
+    """MAINTAINED-INDEX AUDIT: census the shingle inverted index the
+    incremental-curation cycle actually COMMITTED (base build +
+    delta absorption, the bucketed sh3 table) and certify it against
+    a from-scratch recount of the corpus through the driver oracle —
+    indexed-doc count, index row count, distinct shingle count.  A
+    maintenance bug anywhere (missed append, double append, a
+    dropped bucket file) shows up as a count drift the oracle
+    catches; this is the nightly index-health check a 100 TB dedup
+    operator schedules beside the drift panel.
+
+    100 TB shape: one scan of the id/hash-grain index (never the
+    corpus) into three map-side-combining aggregates; the audit
+    reuses the SAME committed cycle as q_curation_incremental
+    (write-once — auditing a state nobody serves proves nothing).
+    Distinct-shingle equality rides xxhash64 exactly like the df
+    counts (collision odds ~2⁻⁶⁴ per pair, the house-accepted LSH
+    risk)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        return spark.createDataFrame(
+            [(0, 0, 0)],
+            "n_docs long, n_shingle_rows long, n_distinct_shingles long",
+        )
+    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
+    root = _inc_ensure_cycle(spark, sf_dir, d, t_split)
+    return spark.table(_inc_sh3_table(root)).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_shingle_rows"),
+        F.countDistinct("shingle").cast("long").alias("n_distinct_shingles"),
+    )
+
+
+@register(
+    "q_sink_history",
+    oracle=f"""
+{{ctes}}
+SELECT CAST(1 AS BIGINT) AS commit_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM keep, tsp WHERE keep.doc_id <= tsp.t
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS commit_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM keep, tsp WHERE keep.doc_id > tsp.t
+""".format(ctes=_INC_ORACLE_CTES),
+)
+def q_sink_history(spark, sf_dir):
+    """SINK COMMIT-TRAIL CENSUS: walk the curated training sink's
+    manifest history and report the rows each commit ADDED — commit
+    1 is the initial base load, commit 2 the incremental delta
+    generation (snapshot read as-of the first seq; incremental reads
+    between consecutive seqs after that).  The oracle recomputes
+    both generation sizes from the shared batch-semantics CTE chain
+    split at the frozen base/delta threshold — a sink whose commit
+    trail disagrees with the semantics (lost generation, double
+    append, rows leaking across the split) hash-mismatches.  This is
+    the lineage audit a data-governance review reads: WHAT landed,
+    WHEN, and does it reconcile with the pipeline definition.
+
+    100 TB shape: the manifest walk is driver-side metadata (bounded
+    by commit count); each generation count is one column-pruned
+    scan of that generation's files only (the incremental reader
+    never re-reads earlier generations)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        return spark.createDataFrame(
+            [(1, 0), (2, 0)], "commit_idx long, n_rows long"
+        )
+    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
+    root = _inc_ensure_cycle(spark, sf_dir, d, t_split)
+    curated = os.path.join(root, "curated")
+    rows = []
+    prev_seq = None
+    for i, (key, _fname) in enumerate(pio.list_manifests(curated), 1):
+        seq = key[0]
+        if prev_seq is None:
+            n = pio.read_parquet_atomic(
+                spark, curated, as_of_seq=seq
+            ).count()
+        else:
+            n = pio.read_parquet_atomic_incremental(
+                spark, curated, from_seq=prev_seq, to_seq=seq
+            ).count()
+        rows.append((i, n))
+        prev_seq = seq
+    return spark.createDataFrame(rows, "commit_idx long, n_rows long")

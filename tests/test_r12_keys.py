@@ -509,3 +509,39 @@ def test_curation_incremental_bucketed_index_no_exchange(spark, tmp_path):
         re.findall(r"Exchange hashpartitioning\(shingle", p)
     )
     assert n_shingle_exchanges <= 1, p[:3000]
+
+
+def test_audit_keys_planted(spark, tmp_path, queries):
+    """q_index_consistency / q_sink_history planted fates: corpus =
+    kept base doc 10, exact-dup 20 (dropped from the SINK but still
+    INDEXED — the index records every doc seen), kept delta doc
+    1000.  Index census expectations computed with plain python
+    string ops; sink history = one row per commit with (base=1,
+    delta=1) keeps."""
+    rows = [
+        (10, "s1", "en", _hq_doc("a")),
+        (20, "s1", "en", _hq_doc("a")),
+        (1000, "s1", "en", _hq_doc("e")),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def shingles(text):
+        t = text.lower().strip().split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    per_doc = [shingles(r[3]) for r in rows]
+    want_docs = sum(1 for s in per_doc if s)
+    want_rows = sum(len(s) for s in per_doc)
+    want_distinct = len(set().union(*per_doc))
+    got = queries["q_index_consistency"](spark, sf).collect()[0]
+    assert (
+        got["n_docs"],
+        got["n_shingle_rows"],
+        got["n_distinct_shingles"],
+    ) == (want_docs, want_rows, want_distinct)
+
+    hist = sorted(
+        (r["commit_idx"], r["n_rows"])
+        for r in queries["q_sink_history"](spark, sf).collect()
+    )
+    assert hist == [(1, 1), (2, 1)]
