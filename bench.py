@@ -134,9 +134,13 @@ def main() -> None:
         # trivial-key probe is the second signal: q_array_explode
         # warm has a 0.16 s healthy floor — above 0.4 s the host is
         # throttled regardless of loadavg.
+        # a FAILED probe (-1.0 sentinel) means the host was too sick
+        # to even run the trivial key — that is "degraded", never a
+        # fall-through to the loadavg branch
         "host_state": (
             "degraded"
             if best.get("q_array_explode", 0) > 0.4
+            or best.get("q_array_explode", 0) < 0
             else ("idle" if load_before[0] < 1.0 else "loaded")
         ),
         "detail_file": "BENCH_DETAIL.json",

@@ -200,6 +200,7 @@ def write_bucketed_table(
     n_buckets: int = 16,
     sort_cols: list[str] | None = None,
     path: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist as a bucketed (and optionally sorted) table so later
     joins/aggregations on the bucket key are co-located — no shuffle of
@@ -209,9 +210,12 @@ def write_bucketed_table(
     ``path`` makes it an EXTERNAL table at an explicit location —
     required when the session's warehouse dir (defaults to the driver
     process cwd) may not be writable, e.g. under an externally-built
-    SparkSession.
+    SparkSession.  ``mode='append'`` adds bucketed files to an
+    existing table with a MATCHING (n_buckets, bucket_cols, sort)
+    spec — the maintained-index upsert path (keys_r12's shingle
+    index); Spark validates the spec at write time.
     """
-    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:

@@ -742,17 +742,20 @@ def _inc_sh3_table(root: str) -> str:
 def _inc_write_sh3(
     spark, df: DataFrame, root: str, overwrite: bool
 ) -> None:
-    """Publish (or append) shingle-index rows CLUSTERED BY shingle:
-    the write pays the bucketing shuffle once; every later delta
-    cycle's candidate join reads the index co-located."""
-    idx = os.path.join(root, "idx")
-    w = (
-        df.write.mode("overwrite" if overwrite else "append")
-        .bucketBy(_INC_SH3_BUCKETS, "shingle")
-        .sortBy("shingle")
-        .option("path", os.path.join(idx, "sh3_tbl"))
+    """Publish (or append) shingle-index rows CLUSTERED BY shingle
+    through the ONE canonical bucketed writer
+    (:func:`pfithic_spark.io.write_bucketed_table`): the write pays
+    the bucketing shuffle once; every later delta cycle's candidate
+    join reads the index co-located."""
+    pio.write_bucketed_table(
+        df,
+        _inc_sh3_table(root),
+        ["shingle"],
+        _INC_SH3_BUCKETS,
+        ["shingle"],
+        path=os.path.join(root, "idx", "sh3_tbl"),
+        mode="overwrite" if overwrite else "append",
     )
-    w.saveAsTable(_inc_sh3_table(root))
 
 
 def _inc_initial_load(
@@ -1009,11 +1012,8 @@ def q_curation_incremental(spark, sf_dir):
     llmops.LSH_MAX_BUCKET does for the MinHash family.  Write-once
     per session via a terminal marker; torn cycles are abandoned to
     a fresh retry tag (ADVICE r11 #2 discipline)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
-    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    if mx is None:
+    root = _inc_cycle_or_none(spark, sf_dir)
+    if root is None:
         # empty corpus: nothing to publish — the empty placement
         # frame, not a crash (empty-input contract)
         return spark.createDataFrame(
@@ -1021,8 +1021,6 @@ def q_curation_incremental(spark, sf_dir):
             "doc_id long, source string, lang string, quality double, "
             "n_tokens long, shard long, seq_id long",
         )
-    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
-    root = _inc_ensure_cycle(spark, sf_dir, d, t_split)
     return pio.read_parquet_atomic(
         spark, os.path.join(root, "curated")
     ).select(
@@ -1053,6 +1051,22 @@ def _inc_ensure_cycle(spark, sf_dir, d: DataFrame, t_split: int) -> str:
     raise RuntimeError(
         f"curation incremental: 64 torn cycles under {base_root}*"
     )
+
+
+def _inc_cycle_or_none(spark, sf_dir) -> str | None:
+    """Shared preamble of the three cycle-backed keys (the flagship
+    and its two audits — round-12 review: one copy, not three): load
+    the corpus, derive the frozen base/delta split from the max id,
+    and resolve the committed cycle root; ``None`` on an empty
+    corpus (each key returns its own empty/degenerate frame)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    if mx is None:
+        return None
+    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
+    return _inc_ensure_cycle(spark, sf_dir, d, t_split)
 
 
 # ========================================================================
@@ -1099,17 +1113,12 @@ def q_index_consistency(spark, sf_dir):
     Distinct-shingle equality rides xxhash64 exactly like the df
     counts (collision odds ~2⁻⁶⁴ per pair, the house-accepted LSH
     risk)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
-    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    if mx is None:
+    root = _inc_cycle_or_none(spark, sf_dir)
+    if root is None:
         return spark.createDataFrame(
             [(0, 0, 0)],
             "n_docs long, n_shingle_rows long, n_distinct_shingles long",
         )
-    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
-    root = _inc_ensure_cycle(spark, sf_dir, d, t_split)
     return spark.table(_inc_sh3_table(root)).agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_shingle_rows"),
@@ -1120,7 +1129,7 @@ def q_index_consistency(spark, sf_dir):
 @register(
     "q_sink_history",
     oracle=f"""
-{{ctes}}
+{_INC_ORACLE_CTES}
 SELECT CAST(1 AS BIGINT) AS commit_idx,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM keep, tsp WHERE keep.doc_id <= tsp.t
@@ -1128,7 +1137,7 @@ UNION ALL
 SELECT CAST(2 AS BIGINT) AS commit_idx,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM keep, tsp WHERE keep.doc_id > tsp.t
-""".format(ctes=_INC_ORACLE_CTES),
+""",
 )
 def q_sink_history(spark, sf_dir):
     """SINK COMMIT-TRAIL CENSUS: walk the curated training sink's
@@ -1147,16 +1156,11 @@ def q_sink_history(spark, sf_dir):
     by commit count); each generation count is one column-pruned
     scan of that generation's files only (the incremental reader
     never re-reads earlier generations)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", "text"
-    )
-    mx = d.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-    if mx is None:
+    root = _inc_cycle_or_none(spark, sf_dir)
+    if root is None:
         return spark.createDataFrame(
             [(1, 0), (2, 0)], "commit_idx long, n_rows long"
         )
-    t_split = (int(mx) * _INC_SPLIT_NUM) // _INC_SPLIT_DEN
-    root = _inc_ensure_cycle(spark, sf_dir, d, t_split)
     curated = os.path.join(root, "curated")
     rows = []
     prev_seq = None

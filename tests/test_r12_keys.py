@@ -498,10 +498,7 @@ def test_curation_incremental_bucketed_index_no_exchange(spark, tmp_path):
     # every Exchange hashpartitioning over a `shingle` column must be
     # on the DELTA side, whose lineage begins at posexplode — the
     # bucketed scan side reports its partitioning from the table
-    scan_block = re.search(
-        r"Scan parquet [^\n]*sh3[^\n]*\n(?:.*\n)*?(?=\(\d+\))", p
-    )
-    assert scan_block is not None
+    assert re.search(r"Scan parquet [^\n]*sh3", p) is not None
     # structural check: the plan has at most ONE hashpartitioning
     # exchange keyed on a shingle column (the delta side); with the
     # index side co-located there can never be two
