@@ -382,6 +382,12 @@ def _co_shingle_pairs(
     sh = shingle_rows(docs, text_col, id_col, k, extra_cols=extra).select(
         "doc_id", *extra, F.xxhash64("shingle").alias("shingle")
     )
+    # NOT persisted (round-13 measurement): the shingle subtree feeds
+    # up to five consumers in one plan, but it terminates in the
+    # distinct()'s Exchange, so AQE's runtime exchange/stage reuse
+    # already materializes it once per action — an explicit persist
+    # measured flat across all five consumer keys (min-of-5 A/B at
+    # sf0.1) while adding executor-memory pressure at scale.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         hot = (
@@ -2110,6 +2116,19 @@ def md5_minhash_band_rows(
     explode/groupBy — the 8 md5 evaluations per token stay inside
     whole-stage codegen) and band rows explode via Generate."""
     m = md5_minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    return md5_minhash_band_rows_from_sigs(m)
+
+
+def md5_minhash_band_rows_from_sigs(m: DataFrame) -> DataFrame:
+    """Band rows from an already-built (doc_id, h1..h8) signature
+    frame — split out round 13 so a consumer that ALSO needs the raw
+    signatures (q_minhash_calibration joins them back onto both pair
+    sides) can persist the signature table once and derive the band
+    rows from the cache, instead of re-evaluating the 8-md5-per-token
+    projection in every subtree that references bands (the index
+    write path still goes through :func:`md5_minhash_band_rows`
+    unchanged — its single-consumer plan stays one codegen span over
+    the scan)."""
     bands = F.array(
         *[
             F.struct(

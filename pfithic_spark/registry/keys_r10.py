@@ -809,6 +809,12 @@ def q_kcore_census(spark, sf_dir):
         cos.alias("cosine"),
     )
     we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    # NOT persisted (round-13 measurement): both sides of the
+    # mutuality self-join reference this subtree, but it terminates in
+    # the rank window's hashpartitioning(src) Exchange, so AQE's
+    # runtime exchange/stage reuse already executes the cosine block
+    # join once — an explicit persist measured flat-to-slower
+    # (8.0 s vs 7.5 s min-of-5 at sf0.1).
     edges = (
         pairs.withColumn("rn", F.row_number().over(we))
         .filter(F.col("rn") <= _KNNG_K)

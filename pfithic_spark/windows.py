@@ -43,6 +43,8 @@ in, so they rank exactly as under a plain ``Window.orderBy``.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -61,6 +63,66 @@ _MAX_BUCKETS = 2048
 #: monkeypatch it to 0 and gate the two-phase plans those keys would
 #: run at 100 TB.
 SMALL_THRESHOLD_DEFAULT = 2_000_000
+
+
+#: Probe-input caches persisted by the scalable_* helpers (round 13).
+#: Every helper that runs an EAGER action on its input at
+#: plan-construction time — the small_threshold count probe, or
+#: _bucketed_by_value's approxQuantile boundary pass — used to
+#: re-execute the caller's full upstream lineage once per action plus
+#: once (rank helpers: twice — the window input AND the per-bucket
+#: counts subtree sit on different exchanges) inside the returned
+#: plan, because separate query executions never share shuffle stages.
+#: Persisting the input before the first eager action makes every
+#: later reference a cache read (measured min-of-5 at sf0.1:
+#: q_auc_by_group 1.98→1.38 s, q_conformal_interval 2.60→2.05 s,
+#: q_weighted_quantile 1.98→1.62 s, q_roc_auc 1.00→0.91 s,
+#: q_energy_distance 1.41→1.16 s, q_anomaly_zscore 2.37→2.09 s; the
+#: one small loss is a tiny-input caller, q_cliffs_delta
+#: 0.60→0.71 s).  Applied ONLY on the count-probe
+#: sites: the same persist ahead of _bucketed_by_value's
+#: approxQuantile pass regressed the rank-based keys (see the note
+#: there) and was reverted.  Round-8 ADVICE removed an earlier probe
+#: cache because it
+#: had no safe unpersist point and leaked across long sessions; this
+#: tracker bounds that by keeping only the most recent
+#: _PROBE_CACHE_KEEP frames (the llmops signature-cache discipline) —
+#: eviction is a perf event, never a correctness one, and
+#: release_probe_caches() frees everything on demand.
+_LIVE_PROBE_CACHES: list[DataFrame] = []
+_PROBE_CACHE_LOCK = _threading.Lock()
+_PROBE_CACHE_KEEP = 4
+
+
+def release_probe_caches() -> None:
+    """Unpersist probe-input caches held by the scalable_* helpers."""
+    with _PROBE_CACHE_LOCK:
+        drop, _LIVE_PROBE_CACHES[:] = _LIVE_PROBE_CACHES[:], []
+    for df in drop:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+def _probe_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` ahead of an eager probe action, tracked with
+    bounded keep-most-recent eviction.  A frame the CALLER already
+    persisted passes through untouched (their cache, their unpersist
+    point)."""
+    if df.is_cached:
+        return df
+    df = df.persist()
+    with _PROBE_CACHE_LOCK:
+        _LIVE_PROBE_CACHES.append(df)
+        drop = _LIVE_PROBE_CACHES[:-_PROBE_CACHE_KEEP]
+        _LIVE_PROBE_CACHES[:] = _LIVE_PROBE_CACHES[-_PROBE_CACHE_KEEP:]
+    for old in drop:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    return df
 
 
 def _bsearch_bucket(col: Column, seq: list, descending: bool, lo: int, hi: int):
@@ -134,6 +196,14 @@ def _bucketed_by_value(
     bounds: list = []
     if n > 1:
         probs = [i / n for i in range(1, n)]
+        # NOT persisted here (round-13 measurement): an unconditional
+        # persist ahead of this boundary pass regressed the rank-based
+        # keys (q_quantile_sketch 2.7 s → 4.8 s, q_pinball_loss 2.0 s
+        # → 2.3 s min-of-5 at sf0.1) — their inputs are cheap
+        # projections of already-materialized frames, so the cache
+        # write costs more than the saved re-execution.  Callers with
+        # genuinely expensive lineage persist before calling (the
+        # q_hodges_lehmann discipline).
         # one pass, no shuffle; boundaries are a partitioning CHOICE —
         # any value produces correct ranks, so the sketch's epsilon
         # only affects balance
@@ -231,6 +301,10 @@ def scalable_cumsum(
     if small_threshold:
         n_in = precomputed_count
         if n_in is None:
+            # the probe is an eager action and the returned plan reads
+            # df again: persist first (bounded tracker, see
+            # _probe_persist) so upstream lineage executes once
+            df = _probe_persist(df)
             n_in = df.count()
         if n_in <= small_threshold:
             w = W.orderBy(order_col).rowsBetween(
@@ -286,6 +360,8 @@ def scalable_cumsum_multi(
     if small_threshold:
         n_in = precomputed_count
         if n_in is None:
+            # persist before the eager probe (see _probe_persist)
+            df = _probe_persist(df)
             n_in = df.count()
         if n_in <= small_threshold:
             w = W.orderBy(order_col).rowsBetween(
@@ -644,6 +720,8 @@ def scalable_trailing_aggs(
     lo = -int(lookback)
     hi = 0 if include_current else -1
     if small_threshold:
+        # persist before the eager probe (see _probe_persist)
+        df = _probe_persist(df)
         if df.count() <= small_threshold:
             w = (
                 W.partitionBy(*part_cols)
@@ -762,6 +840,8 @@ def scalable_part_cumsum(
     if small_threshold:
         n_in = precomputed_count
         if n_in is None:
+            # persist before the eager probe (see _probe_persist)
+            df = _probe_persist(df)
             n_in = df.count()
         if n_in <= small_threshold:
             w = (
