@@ -830,7 +830,10 @@ def q_kcore_census(spark, sf_dir):
 
 
 def kcore_peel_series(
-    mut: DataFrame, k: int = 2, rounds: int = 6
+    mut: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    small_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """The synchronous peel loop over a directed-SYMMETRIC edge set —
     factored out of q_kcore_census round 11 so the 8 M-edge planted
@@ -838,7 +841,23 @@ def kcore_peel_series(
     iteration.  Returns the (round, n_nodes, n_edges) series
     (rounds + 1 rows).
 
-    Iterative peeling MUST truncate lineage each round: alive_{r+1}
+    Driver fast path (round 13 — the connected_components /
+    graph_bfs / pagerank bounded-Arrow-probe design): the mutual edge
+    set is ≤ k·n rows by construction, and when it fits under
+    ``small_threshold`` the whole synchronous peel is pure-integer
+    set arithmetic the driver finishes in milliseconds — versus ~9
+    fixed-overhead Spark jobs (per-round eager checkpoints) whose
+    cost dwarfs fixture/bench-scale data.  The probe transfers two
+    int64 columns (~16 B/row, ≤ 32 MB at the threshold — the
+    connected_components probe budget); above the threshold the
+    probe is abandoned and the distributed loop takes over, one
+    bounded extra pass (the documented probe price; the 8 M scale
+    row crosses it and stays distributed).  Fast == distributed is
+    pinned by tests/test_r10_keys.py::
+    test_kcore_fast_path_equals_distributed; pass
+    ``small_threshold=None`` to force the distributed loop.
+
+    Distributed loop: iterative peeling MUST truncate lineage each round: alive_{r+1}
     reads alive_r twice (src + dst semi-joins) and the census twice
     more, so an unmaterialized chain re-executes its whole prefix
     per reference (exponential), and even persist+count leaves the
@@ -846,6 +865,25 @@ def kcore_peel_series(
     ever-deeper tree — measured 171 s at sf0.01).  Eager
     localCheckpoint materializes the ≤n-row alive set AND resets
     the plan to a leaf — rounds stay constant-cost."""
+    if small_threshold is not None:
+        probe = mut.limit(small_threshold + 1).toPandas()
+        if len(probe) <= small_threshold:
+            spark = mut.sparkSession
+            src = probe["src"].astype("int64")
+            dst = probe["dst"].astype("int64")
+            alive = set(src.tolist())
+            rows_out: list[tuple[int, int, int]] = []
+            for r in range(rounds + 1):
+                m = src.isin(alive) & dst.isin(alive)
+                ne_directed = int(m.sum())
+                rows_out.append((r, len(alive), ne_directed // 2))
+                if r == rounds:
+                    break
+                deg = src[m].value_counts()
+                alive = set(deg[deg >= k].index.tolist())
+            return spark.createDataFrame(
+                rows_out, "round long, n_nodes long, n_edges long"
+            )
     mut = mut.persist()
     mut.count()
     persisted = [mut]

@@ -1153,27 +1153,65 @@ def q_sink_history(spark, sf_dir):
     WHEN, and does it reconcile with the pipeline definition.
 
     100 TB shape: the manifest walk is driver-side metadata (bounded
-    by commit count); each generation count is one column-pruned
-    scan of that generation's files only (the incremental reader
-    never re-reads earlier generations)."""
+    by commit count), and the per-generation file sets come from the
+    SAME consecutive-manifest diff the incremental reader uses
+    (non-append history raises identically); the counts then run as
+    ONE job — a union of per-generation file scans aggregated by
+    commit_idx — instead of one serial Spark job per commit (round
+    13, VERDICT r12 #8: a real sink has O(10³) commits, and the
+    driver-side count loop serialized O(10³) jobs; the union's scans
+    parallelize inside a single action).  Gated by
+    test_r12_keys.py::test_sink_history_single_job_plan (the counts
+    must sit IN the returned plan as file scans, not be pre-collected
+    driver-side)."""
     root = _inc_cycle_or_none(spark, sf_dir)
     if root is None:
         return spark.createDataFrame(
             [(1, 0), (2, 0)], "commit_idx long, n_rows long"
         )
     curated = os.path.join(root, "curated")
-    rows = []
-    prev_seq = None
+    gens: list[tuple[int, list[str]]] = []
+    prev_files: list[str] | None = None
     for i, (key, _fname) in enumerate(pio.list_manifests(curated), 1):
-        seq = key[0]
-        if prev_seq is None:
-            n = pio.read_parquet_atomic(
-                spark, curated, as_of_seq=seq
-            ).count()
+        files, _ = pio.atomic_snapshot_files(curated, as_of_seq=key[0])
+        if prev_files is None:
+            added = list(files)
         else:
-            n = pio.read_parquet_atomic_incremental(
-                spark, curated, from_seq=prev_seq, to_seq=seq
-            ).count()
-        rows.append((i, n))
-        prev_seq = seq
-    return spark.createDataFrame(rows, "commit_idx long, n_rows long")
+            missing = set(prev_files) - set(files)
+            if missing:
+                # mirror read_parquet_atomic_incremental's contract:
+                # a rewritten file means an overwrite/compaction —
+                # the commit trail is not an append chain
+                raise ValueError(
+                    f"non-append history at commit {i}: {len(missing)} "
+                    "file(s) from the previous snapshot were rewritten; "
+                    "incremental census is not sound — run a full diff"
+                )
+            prev = set(prev_files)
+            added = [f for f in files if f not in prev]
+        gens.append((i, added))
+        prev_files = files
+    ids = spark.createDataFrame(
+        [(i,) for i, _ in gens], "commit_idx long"
+    )
+    parts = [
+        spark.read.parquet(
+            *[os.path.join(curated, f) for f in fl]
+        ).select(F.lit(i).cast("long").alias("commit_idx"))
+        for i, fl in gens
+        if fl
+    ]
+    if not parts:
+        return ids.select(
+            "commit_idx", F.lit(0).cast("long").alias("n_rows")
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    counts = u.groupBy("commit_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    return ids.join(counts, "commit_idx", "left").select(
+        "commit_idx",
+        F.coalesce(F.col("n_rows"), F.lit(0).cast("long")).alias("n_rows"),
+    )

@@ -307,6 +307,36 @@ def test_kcore_census_planted_graph(spark, tmp_path):
         assert got[r] == (8, 11), (r, got)
 
 
+def test_kcore_fast_path_equals_distributed(spark):
+    """The round-13 driver fast path of kcore_peel_series must emit
+    the IDENTICAL series as the distributed peel loop (the
+    triangle/pagerank fast==distributed pin): same planted edge set,
+    small_threshold default (fast) vs None (forced distributed)."""
+    from pfithic_spark.registry.keys_r10 import kcore_peel_series
+
+    # chain 1-2-3-4 plus triangle 10-11-12, as symmetric directed rows
+    und = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    edges = und + [(b, a) for a, b in und]
+    mut = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in kcore_peel_series(mut, k=2, rounds=6).collect()
+    )
+    dist = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"])
+        for r in kcore_peel_series(
+            mut, k=2, rounds=6, small_threshold=None
+        ).collect()
+    )
+    assert fast == dist, (fast, dist)
+    # external truth: the chain erodes from both ends (1,4 peel, then
+    # 2,3); the triangle is 2-regular and never peels
+    assert fast[0] == (0, 7, 6) and fast[1] == (1, 5, 4), fast
+    assert fast[2] == (2, 3, 3), fast
+    for r in range(3, 7):
+        assert fast[r] == (r, 3, 3), fast
+
+
 # ------------------------------------------------------------------
 # q_ivf_assignment
 # ------------------------------------------------------------------

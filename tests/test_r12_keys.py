@@ -542,3 +542,12 @@ def test_audit_keys_planted(spark, tmp_path, queries):
         for r in queries["q_sink_history"](spark, sf).collect()
     )
     assert hist == [(1, 1), (2, 1)]
+
+    # round-13 single-job gate (VERDICT r12 #8): the per-commit counts
+    # must sit IN the returned plan as parquet file scans (one union
+    # aggregated by commit_idx = one job at materialization), not be
+    # pre-collected by a driver-side count() loop — a pre-collected
+    # result would plan as a bare LocalTableScan with no file source.
+    df = queries["q_sink_history"](spark, sf)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Relation" in plan and "parquet" in plan, plan[:2000]

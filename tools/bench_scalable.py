@@ -3399,7 +3399,9 @@ def main() -> None:
     t0 = time.time()
     kc_rows = sorted(
         (r["round"], r["n_nodes"], r["n_edges"])
-        for r in kcore_peel_series(kc_mut, k=2, rounds=6).collect()
+        for r in kcore_peel_series(
+            kc_mut, k=2, rounds=6, small_threshold=None
+        ).collect()
     )
     kcore_s = time.time() - t0
     kc_want = [

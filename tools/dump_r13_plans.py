@@ -1,0 +1,55 @@
+"""Dump `.explain("formatted")` plans for the round-13 touched keys.
+
+Usage: python tools/dump_r13_plans.py <suffix> [outdir]
+  suffix: "before" (run from the pre-round worktree) or "after"
+  outdir: defaults to /root/repo/plans/r13
+
+Keys whose optimization is plan-visible are dumped at sf0.01 (plan
+shape is sf-independent; sf0.01 keeps the eager construction probes
+cheap).  Writes <key>_<suffix>.txt per key.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+KEYS = [
+    "q_minhash_calibration",
+    "q_auc_by_group",
+    "q_conformal_interval",
+    "q_weighted_quantile",
+    "q_roc_auc",
+    "q_energy_distance",
+    "q_cliffs_delta",
+    "q_anomaly_zscore",
+    "q_sim_ivf",
+]
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/plans/r13"
+    os.makedirs(outdir, exist_ok=True)
+    from pfithic_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(app=f"r13-plans-{suffix}", cpus="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry.queries()
+    for key in KEYS:
+        df = queries[key](spark, "/root/testdata/sf0.01")
+        txt = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(outdir, f"{key}_{suffix}.txt"), "w") as fh:
+            fh.write(txt)
+        print(f"wrote {key}_{suffix}.txt ({len(txt.splitlines())} lines)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
