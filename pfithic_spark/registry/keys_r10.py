@@ -533,20 +533,42 @@ def q_stratified_conformal(spark, sf_dir):
             ).alias("r_scaled"),
         )
     )
-    rk = win.scalable_part_rank(
-        cal,
-        ["segment"],
-        ["r_scaled", "o_orderkey"],
-        rank_col="rn",
-    )
-    qh = rk.filter(
-        F.col("rn")
-        == F.least(
-            F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+    # persist the calibration residuals before the rank machinery
+    # (round 13 — the q_hodges_lehmann discipline): cal is a narrow
+    # no-exchange pipeline (scan + two broadcast joins), so WITHOUT the
+    # persist every reference re-executes it — the approxQuantile
+    # boundary pass plus the rank window and per-bucket counts inside
+    # scalable_part_rank, times the TWO consumers of qh below.  The
+    # bounded (per-segment) q̂ table then eager-checkpoints while the
+    # cache is live, collapsing the whole rank subtree out of the
+    # final plan (measured same-session A/B at sf0.1: 2.41 → 2.23 s
+    # min-of-5, 2.93 → 2.51 s median — modest locally because the
+    # broadcast exchanges inside cal were already runtime-reused; the
+    # lever grows with the stream side at scale).
+    cal = cal.persist()
+    try:
+        rk = win.scalable_part_rank(
+            cal,
+            ["segment"],
+            ["r_scaled", "o_orderkey"],
+            rank_col="rn",
         )
-    ).select(
-        "segment", "n_cal", F.col("r_scaled").cast("long").alias("qhat_scaled")
-    )
+        qh = (
+            rk.filter(
+                F.col("rn")
+                == F.least(
+                    F.expr("(9 * (n_cal + 1) + 9) div 10"), F.col("n_cal")
+                )
+            )
+            .select(
+                "segment",
+                "n_cal",
+                F.col("r_scaled").cast("long").alias("qhat_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cal.unpersist()
     tst = (
         base.filter(F.col("half") == 1)
         .join(F.broadcast(qh), "segment")
