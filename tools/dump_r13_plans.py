@@ -27,6 +27,9 @@ KEYS = [
     "q_cliffs_delta",
     "q_anomaly_zscore",
     "q_sim_ivf",
+    "q_kcore_census",
+    "q_stratified_conformal",
+    "q_sink_history",
 ]
 
 
