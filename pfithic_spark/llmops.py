@@ -1003,6 +1003,144 @@ def cosine_pairs_blocked_gemm(
     )
 
 
+def _round6_micro_spark(x: "np.ndarray") -> "np.ndarray":
+    """ROUND(x, 6) exactly as Spark's Round expression computes it for
+    DoubleType — returned in integer micro units (rounded·10⁶, int64).
+
+    Spark rounds ``BigDecimal.valueOf(v)`` (the SHORTEST decimal repr,
+    Double.toString semantics) with HALF_UP.  The vectorized fast path
+    ``floor(x·10⁶ + 0.5)`` agrees with that everywhere except when the
+    exact decimal value of x·10⁶ sits within ~1e-10 of a .5 boundary
+    (double-product error) or x is negative AND exactly on the boundary
+    (floor rounds half toward +inf, HALF_UP rounds half away from
+    zero).  Both disagreement regions live inside the suspect band
+    below, where each value is re-rounded exactly via
+    ``Decimal(repr(v))`` — Python's repr is the same shortest
+    round-trip decimal as Java's Double.toString."""
+    scaled = x * 1e6
+    fl = np.floor(scaled)
+    frac = scaled - fl
+    micro = np.where(frac >= 0.5, fl + 1.0, fl)
+    suspect = np.abs(frac - 0.5) < 1e-4
+    if suspect.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        for t in zip(*np.nonzero(suspect)):
+            micro[t] = float(
+                Decimal(repr(float(x[t])))
+                .scaleb(6)
+                .quantize(one, rounding=ROUND_HALF_UP)
+            )
+    return micro.astype(np.int64)
+
+
+def knn_topk_edges_gemm(
+    embeddings: DataFrame,
+    k: int,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine edges per vector within each block — the
+    Arrow/numpy form of the k-NN edge build shared by q_knn_graph and
+    q_kcore_census (round 14, guide §4.2): ONE grouped-Arrow kernel per
+    block replaces the n²-pair equi-join, the per-pair 64-element
+    ``aggregate(zip_with())`` fold (a CodegenFallback expression — the
+    measured cost center), and the rank-window exchange; only the
+    ≤ k·n kept edges ever exist JVM-side.  Returns
+    (block_col int, src long, dst long, cosine double) where cosine is
+    ROUND(cos, 6) — exactly the rows the Catalyst spelling's
+    row_number-capped pair join emits.
+
+    BIT-EXACTNESS CONTRACT (why this is not cosine_pairs_blocked_gemm):
+    - dots and norms accumulate in IEEE float64 in the SAME left-fold
+      order as :func:`dot_double` (one rank-1 update per dimension) —
+      never a BLAS ``m @ m.T``, whose split/FMA strategy varies across
+      hosts, so the unrounded cosine is the bit-identical double;
+    - ``ROUND(·, 6)`` replicates Spark's HALF_UP-over-shortest-repr via
+      :func:`_round6_micro_spark`;
+    - rank order is (rounded cosine DESC, dst ASC) over int64 micro
+      units — identical to the row_number window it replaces because
+      micro ↦ micro/1e6 is order-isomorphic and a src never spans
+      blocks.  NULL-block rows are dropped first (an equi-join never
+      matches NULL).
+    Pinned bit-identical to the Catalyst spelling on the live fixture
+    by tests/test_r9_keys.py::test_knn_edges_gemm_equals_catalyst.
+
+    100 TB shape: the block key is an IVF cell, the kernel is O(n²d)
+    flops at vectorized-numpy speed with O(chunk·n) memory (source rows
+    processed in ~32 MB chunks, never the full n×n Gram), and the edge
+    explosion (k per source) happens AFTER the prune, inside the
+    kernel."""
+    kk = int(k)
+    blk_type = embeddings.schema[block_col].dataType.simpleString()
+    schema = f"{block_col} {blk_type}, src long, dst long, cosine double"
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                block_col: pd.Series([], dtype=pdf[block_col].dtype),
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy().astype(np.int64)
+        d = m.shape[1]
+        # per-vector norm: the same sequential fold as l2_norm
+        sq = np.zeros(n, dtype=np.float64)
+        for j in range(d):
+            sq += m[:, j] * m[:, j]
+        nrm = np.sqrt(sq)
+        # source rows in chunks so memory is O(chunk·n), not O(n²)
+        chunk = max(1, (4 << 20) // max(n, 1))
+        src_out: list[np.ndarray] = []
+        dst_out: list[np.ndarray] = []
+        cos_out: list[np.ndarray] = []
+        neg_inf = np.iinfo(np.int64).min
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            mc = m[lo:hi]
+            # sequential left-fold over dimensions == the JVM
+            # aggregate(zip_with()) order: bit-identical IEEE doubles
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for j in range(d):
+                acc += mc[:, j][:, None] * m[:, j][None, :]
+            cosm = acc / (nrm[lo:hi][:, None] * nrm[None, :])
+            micro = _round6_micro_spark(cosm)
+            # self-pairs never exist (a.vec_id != b.vec_id)
+            for r in range(hi - lo):
+                row = micro[r].copy()
+                row[lo + r] = neg_inf
+                order = np.lexsort((ids, -row))
+                sel = order[order != (lo + r)][:kk]
+                src_out.append(np.full(len(sel), ids[lo + r], dtype=np.int64))
+                dst_out.append(ids[sel])
+                cos_out.append(row[sel] / 1e6)
+        return pd.DataFrame(
+            {
+                block_col: np.repeat(
+                    pdf[block_col].iloc[0], sum(len(s) for s in src_out)
+                ),
+                "src": np.concatenate(src_out),
+                "dst": np.concatenate(dst_out),
+                "cosine": np.concatenate(cos_out),
+            }
+        )
+
+    return (
+        embeddings.filter(F.col(block_col).isNotNull())
+        .select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(per_block, schema=schema)
+    )
+
+
 # --- IVF-style approximate nearest neighbors -----------------------------
 
 

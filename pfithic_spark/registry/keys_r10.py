@@ -809,46 +809,32 @@ def q_kcore_census(spark, sf_dir):
     Determinism: pure integer counts; undirected edges counted as
     directed div 2 (mutual edges are symmetric by construction)."""
     e = load_table(spark, sf_dir, "embeddings")
-    s = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        llmops.l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    a, b = s.alias("a"), s.alias("b")
-    cos = F.round(
-        llmops.dot_double(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        cos.alias("cosine"),
-    )
-    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
-    # NOT persisted (round-13 measurement): both sides of the
-    # mutuality self-join reference this subtree, but it terminates in
-    # the rank window's hashpartitioning(src) Exchange, so AQE's
-    # runtime exchange/stage reuse already executes the cosine block
-    # join once — an explicit persist measured flat-to-slower
-    # (8.0 s vs 7.5 s min-of-5 at sf0.1).
+    # round 14 (guide §4.2): the edge build is the grouped-Arrow kernel
+    # shared with q_knn_graph (llmops.knn_topk_edges_gemm) — the n²
+    # pair join + CodegenFallback zip_with fold + rank-window exchange
+    # collapse into one python-per-block pass; bit-identical output
+    # pinned by test_knn_edges_gemm_equals_catalyst.  The round-13
+    # "NOT persisted" note no longer applies: the kernel subtree is
+    # python-terminated (no Exchange for AQE stage reuse to dedup), and
+    # both sides of the mutuality self-join reference it, so the ≤ k·n
+    # edge table IS persisted for the duration of the call —
+    # kcore_peel_series materializes eagerly in both branches (probe
+    # toPandas / persist+count), so the cache is releasable on return.
     edges = (
-        pairs.withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") <= _KNNG_K)
+        llmops.knn_topk_edges_gemm(e, k=_KNNG_K)
         .select("src", "dst")
+        .persist()
     )
-    e1, e2 = edges.alias("e1"), edges.alias("e2")
-    mut = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.dst"))
-        & (F.col("e1.dst") == F.col("e2.src")),
-    ).select(F.col("e1.src").alias("src"), F.col("e1.dst").alias("dst"))
-    return kcore_peel_series(mut, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    try:
+        e1, e2 = edges.alias("e1"), edges.alias("e2")
+        mut = e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.dst"))
+            & (F.col("e1.dst") == F.col("e2.src")),
+        ).select(F.col("e1.src").alias("src"), F.col("e1.dst").alias("dst"))
+        return kcore_peel_series(mut, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    finally:
+        edges.unpersist()
 
 
 def kcore_peel_series(
@@ -888,7 +874,10 @@ def kcore_peel_series(
     localCheckpoint materializes the ≤n-row alive set AND resets
     the plan to a leaf — rounds stay constant-cost."""
     if small_threshold is not None:
-        probe = mut.limit(small_threshold + 1).toPandas()
+        # explicit (src, dst) projection pins the 16 B/row / ≤32 MB
+        # driver-transfer budget in code (round-14 ADVICE): a future
+        # caller with extra columns must not silently widen the probe
+        probe = mut.select("src", "dst").limit(small_threshold + 1).toPandas()
         if len(probe) <= small_threshold:
             spark = mut.sparkSession
             src = probe["src"].astype("int64")

@@ -1240,46 +1240,21 @@ def knn_graph_lazy(spark, sf_dir):
     the eager wrapper's checkpoint hides it (the
     open_order_backlog_lazy convention)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # hoist each vector's norm OUT of the pair join: computed once
-    # per vector instead of once per pair (the array higher-order
-    # fold is the expensive part — ~B per-pair folds per block
-    # otherwise).  Bit-safe: the hoisted norm is the identical
-    # sqrt(aggregate(...)) double on the identical input, and the
-    # final dot/(na·nb) division order matches the oracle exactly.
-    s = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        llmops.l2_norm(F.col("embedding")).alias("nrm"),
-    )
-    a, b = s.alias("a"), s.alias("b")
-    cos = F.round(
-        llmops.dot_double(F.col("a.embedding"), F.col("b.embedding"))
-        / (F.col("a.nrm") * F.col("b.nrm")),
-        6,
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.label").alias("label"),
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        cos.alias("cosine"),
-    )
-    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
-    # the pruned edge table (≤ k·n rows) feeds THREE consumers (both
-    # sides of the mutuality self-join + the census) — persist it so
-    # the cosine block-join executes once, not three times (the
-    # q_token_chi2 persist-then-checkpoint discipline; the bounded
-    # label-grain output materializes eagerly while the cache is
-    # alive)
-    edges = (
-        pairs.withColumn("rn", F.row_number().over(we))
-        .filter(F.col("rn") <= _KNNG_K)
-        .persist()
-    )
+    s = e.select("vec_id", "label")
+    # round 14 (guide §4.2): the pruned edge table comes from ONE
+    # grouped-Arrow kernel per label block (llmops.knn_topk_edges_gemm)
+    # instead of the n²-pair equi-join + per-pair aggregate(zip_with())
+    # fold (CodegenFallback — the measured cost center) + rank-window
+    # exchange.  Bit-identical output pinned by
+    # test_knn_edges_gemm_equals_catalyst (sequential fold order, exact
+    # Spark rounding, same (cosine DESC, dst) rank inside the kernel).
+    # The ≤ k·n edge table still feeds THREE consumers (both sides of
+    # the mutuality self-join + the census) and the kernel's subtree is
+    # python-terminated (no exchange for AQE stage reuse to dedup) —
+    # persist it so the kernel executes once (the q_token_chi2
+    # persist-then-checkpoint discipline; the bounded label-grain
+    # output materializes eagerly while the cache is alive)
+    edges = llmops.knn_topk_edges_gemm(e, k=_KNNG_K).persist()
     e1, e2 = edges.alias("e1"), edges.alias("e2")
     mut = e1.join(
         e2,

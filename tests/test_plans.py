@@ -1478,8 +1478,10 @@ def test_r9_key_plan_shapes(spark, sf_dir, queries):
     (f) q_quantile_sketch: global rank through the two-phase _pid
         machinery (never a one-task sort); scalar attaches are 1-row
         broadcasts;
-    (g) q_knn_graph: label equi-join (no cartesian), WindowGroupLimit
-        prunes to k before the mutuality self-join;
+    (g) q_knn_graph: the edge build is ONE grouped-Arrow kernel per
+        label block (FlatMapGroupsInPandas — round 14), never an n²
+        pair join or a cartesian; the ≤ k·n edge table is persisted
+        before the mutuality self-join;
     (h) q_lift_deciles: broadcast-or-shuffle equi-join only, no
         cartesian, response collapses to customer grain.
     No EvalPython anywhere."""
@@ -1520,9 +1522,14 @@ def test_r9_key_plan_shapes(spark, sf_dir, queries):
     assert "CartesianProduct" not in p
 
     # q_knn_graph checkpoints its bounded output — gate the lazy
-    # dataflow (open_order_backlog_lazy convention); the persisted
-    # edge table must appear as an InMemoryRelation so the cosine
-    # block-join executes once across its three consumers
+    # dataflow (open_order_backlog_lazy convention).  Round 14: the
+    # edge build is the grouped-Arrow kernel (FlatMapGroupsInPandas,
+    # bit-exactness pinned by test_knn_edges_gemm_equals_catalyst) —
+    # the n² pair join, the CodegenFallback zip_with fold and the
+    # rank-window exchange must be GONE; the persisted ≤ k·n edge
+    # table must appear as an InMemoryRelation so the kernel executes
+    # once across its three consumers; row-at-a-time Python
+    # (BatchEvalPython) stays banned.
     from pfithic_spark.registry import knn_graph_lazy
 
     out, invariants = knn_graph_lazy(spark, sf_dir)
@@ -1532,9 +1539,11 @@ def test_r9_key_plan_shapes(spark, sf_dir, queries):
         for inv in invariants:
             inv.unpersist()
     assert "CartesianProduct" not in p
-    assert "WindowGroupLimit" in p, p[:1500]
+    assert "FlatMapGroupsInPandas" in p, p[:1500]
+    assert "aggregate(zip_with" not in p, p[:1500]
+    assert "WindowGroupLimit" not in p, p[:1500]
     assert "InMemoryRelation" in p, p[:1500]
-    assert "EvalPython" not in p
+    assert "BatchEvalPython" not in p
 
     p = plan("q_bipartite_projection")
     assert "CartesianProduct" not in p

@@ -523,6 +523,148 @@ def test_knn_graph_mutuality_census(spark, tmp_path):
     assert got[1]["sum_cos_micro"] == 2 * 1000000
 
 
+def _catalyst_knn_edges(e, k):
+    """The pre-round-14 Catalyst spelling of the k-NN edge build (n²
+    pair equi-join + zip_with fold + rank window) — kept here as the
+    bit-exactness reference for the grouped-Arrow kernel."""
+    from pyspark.sql import Window
+
+    from pfithic_spark import llmops
+
+    s = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        llmops.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    cos = F.round(
+        llmops.dot_double(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cos.alias("cosine"),
+    )
+    we = Window.partitionBy("src").orderBy(F.col("cosine").desc(), "dst")
+    return (
+        pairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("label", "src", "dst", "cosine")
+    )
+
+
+def test_knn_edges_gemm_equals_catalyst(spark, sf_dir):
+    """The round-14 grouped-Arrow kernel must emit BIT-identical edges
+    (same (label, src, dst) set, byte-identical cosine doubles) to the
+    Catalyst pair-join spelling it replaced — the kernel's sequential
+    fold order and exact Spark-rounding replication are the contract
+    that keeps q_knn_graph / q_kcore_census oracle-stable."""
+    import struct
+
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def keyed(rows):
+        return sorted(
+            (
+                r["label"],
+                r["src"],
+                r["dst"],
+                struct.pack("<d", r["cosine"]),
+            )
+            for r in rows
+        )
+
+    ref = keyed(_catalyst_knn_edges(e, 3).collect())
+    got = keyed(llmops.knn_topk_edges_gemm(e, k=3).collect())
+    assert len(got) == len(ref) and got == ref
+
+
+def test_knn_edges_gemm_equals_catalyst_planted_ties(spark, tmp_path):
+    """Planted block with exact cosine TIES (identical vectors) and a
+    clamped block (fewer candidates than k): the kernel's in-kernel
+    (cosine DESC, dst ASC) rank must break ties exactly like the
+    row_number window."""
+    import struct
+
+    from pfithic_spark import llmops
+    from pfithic_spark.io import load_table
+
+    def vec(pattern):
+        return [float(x) for x in pattern] + [0.0] * (64 - len(pattern))
+
+    rows = [
+        (5, vec([10, 0]), 0),
+        (1, vec([10, 0]), 0),
+        (3, vec([10, 0]), 0),
+        (9, vec([10, 0.0001]), 0),
+        (4, vec([0, 10]), 0),
+        (2, vec([7, 7]), 0),
+        (10, vec([5, 5]), 1),
+        (11, vec([5, 5]), 1),
+    ]
+    _write_embeddings(spark, tmp_path.as_posix(), rows)
+    e = load_table(spark, tmp_path.as_posix(), "embeddings")
+
+    def keyed(rs):
+        return sorted(
+            (r["label"], r["src"], r["dst"], struct.pack("<d", r["cosine"]))
+            for r in rs
+        )
+
+    ref = keyed(_catalyst_knn_edges(e, 3).collect())
+    got = keyed(llmops.knn_topk_edges_gemm(e, k=3).collect())
+    assert got == ref
+
+
+def test_round6_micro_matches_spark_round(spark):
+    """_round6_micro_spark must agree with Spark's Round(col, 6) on
+    DoubleType bit-for-bit — including exact .5 boundaries (where
+    HALF_UP rounds away from zero, unlike floor(x+0.5)), negatives,
+    and values whose shortest decimal repr sits ON the boundary."""
+    import struct
+
+    import numpy as np
+
+    from pfithic_spark import llmops
+
+    vals: list[float] = []
+    # exact half-boundaries at the 6th decimal, both signs
+    for kk in range(-12, 13):
+        vals.append((kk + 0.5) / 1e6)
+        vals.append((kk + 0.5) * 1e-6)
+    # shortest-repr boundary cases and near-boundary doubles
+    vals += [
+        0.1234565,
+        -0.1234565,
+        0.2874999999999999,
+        0.9999995,
+        -0.9999995,
+        1.0,
+        -1.0,
+        0.0,
+        0.12345649999999999,
+        0.1234565000000001,
+    ]
+    rng = np.random.RandomState(42)
+    vals += [float(v) for v in rng.uniform(-1, 1, 500)]
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    exp = [r["r"] for r in df.select(F.round("v", 6).alias("r")).collect()]
+    got = llmops._round6_micro_spark(np.asarray(vals, dtype=np.float64)) / 1e6
+    for v, g, x in zip(vals, got, exp):
+        assert struct.pack("<d", g) == struct.pack("<d", x), (v, g, x)
+
+
 # ------------------------------------------------------------------
 # q_rrf_fusion
 # ------------------------------------------------------------------
