@@ -1,11 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE compact JSON line: {"metric": ..., "value": N, "unit": "sec",
-"value_cold": ..., "sf": ..., "detail_file": "BENCH_DETAIL.json"}.
-The per-query maps live in BENCH_DETAIL.json (committed): the driver
-records only the last 2000 chars of stdout, so the 93-query map cannot
-ride on the stdout line (round 2's did, and BENCH_r02.json recorded
-``parsed: null``).
+"value_cold": ..., "queries": {slowest keys that fit}, "sf": ...,
+"detail_file": "BENCH_DETAIL.json"}.  The FULL per-query maps live in
+BENCH_DETAIL.json (committed): the driver records only the last 2000
+chars of stdout, so the full 317-key map cannot ride on the stdout
+line (round 2's 93-key map overflowed it and BENCH_r02.json recorded
+``parsed: null``); since round 14 the line instead carries the slowest
+keys that fit a 1900-char budget (``queries``, with
+``queries_in_line`` saying how many) so the driver's per-query PERF
+comparator is no longer blind (VERDICT r13 task 2) — additions only,
+every earlier field is unchanged.
 
 Methodology (documented because it changed in round 2):
 
@@ -145,6 +150,29 @@ def main() -> None:
         ),
         "detail_file": "BENCH_DETAIL.json",
     }
+    # Per-query visibility for the driver's PERF comparator (round 14,
+    # VERDICT r13 "what's wrong" #1 / task 2): PERF_r13.per_query was
+    # {} because this line carried totals only.  The driver keeps just
+    # the LAST 2000 chars of stdout and json-parses the final line, so
+    # the full 317-key map (~7 KB serialized) physically cannot ride
+    # it — round 2 proved it (93 keys overflowed the tail and
+    # BENCH_r02 recorded parsed: null).  Emit the slowest keys that
+    # fit a fixed line budget instead: they carry the majority of
+    # total wall-clock and are the keys a perf comparator cares
+    # about; failed keys (-1.0) are always included first.  The full
+    # 317-key map stays in BENCH_DETAIL.json (committed).  Additions
+    # only — every pre-existing field of this line is kept unchanged.
+    _LINE_BUDGET = 1900  # hard driver tail is 2000 chars
+    by_cost = sorted(best.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+    qline: dict[str, float] = {}
+    for k, v in by_cost:
+        qline[k] = v
+        probe_line = dict(summary, queries=qline, queries_in_line=0)
+        if len(json.dumps(probe_line)) > _LINE_BUDGET:
+            del qline[k]
+            break
+    summary["queries"] = qline
+    summary["queries_in_line"] = len(qline)
     # Per-query maps go to a detail file: the driver that records
     # BENCH_r{N}.json keeps only the last 2000 chars of stdout and
     # json-parses the FINAL line, so that line must stay compact
@@ -152,6 +180,7 @@ def main() -> None:
     # as null).  Full breakdown is committed alongside.
     detail = dict(summary, queries=best, queries_cold=cold)
     detail.pop("detail_file")
+    detail.pop("queries_in_line", None)
     with open(os.path.join(REPO_ROOT, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     # stdout carries ONLY the compact line (<400 chars): if the driver

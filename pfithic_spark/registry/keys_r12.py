@@ -1160,10 +1160,11 @@ def q_sink_history(spark, sf_dir):
     commit_idx — instead of one serial Spark job per commit (round
     13, VERDICT r12 #8: a real sink has O(10³) commits, and the
     driver-side count loop serialized O(10³) jobs; the union's scans
-    parallelize inside a single action).  Gated by
-    test_r12_keys.py::test_sink_history_single_job_plan (the counts
-    must sit IN the returned plan as file scans, not be pre-collected
-    driver-side)."""
+    parallelize inside a single action).  Plan-gated inside
+    test_r12_keys.py::test_audit_keys_planted (round 14: the gate
+    counts the per-generation parquet relations and requires exactly
+    ONE commit_idx aggregate over their union — the counts sit IN the
+    returned plan, never pre-collected driver-side)."""
     root = _inc_cycle_or_none(spark, sf_dir)
     if root is None:
         return spark.createDataFrame(

@@ -441,6 +441,10 @@ def q_kr_balance(spark, sf_dir):
 #: step — which is what lets q_sim_ivf carry a golden hash oracle.
 _IVF_CENTROIDS_PATH = os.path.join(_GOLDEN_DIR, "ivf_centroids.parquet")
 
+#: session-built IVF index dirs already registered for atexit cleanup
+#: (round-14 ADVICE — see q_sim_ivf)
+_IVF_TMP_REGISTERED: set[str] = set()
+
 
 def _ivf_centroids(spark, sf_dir):
     """Frozen golden centroids when committed; seeded training fallback
@@ -496,6 +500,18 @@ def q_sim_ivf(spark, sf_dir):
     path = os.path.join(tempfile.gettempdir(), f"pfithic_ivf_index_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         llmops.ivf_write_index(e, cents, path)
+        # round-14 ADVICE: the applicationId-scoped tag means every
+        # session builds a fresh dir that nothing reuses afterwards —
+        # remove it at interpreter exit so long-lived hosts don't
+        # accumulate index copies in /tmp.  (Own path only: sweeping
+        # OTHER pfithic_ivf_index_* dirs could yank a concurrently
+        # running session's live index.)
+        if path not in _IVF_TMP_REGISTERED:
+            _IVF_TMP_REGISTERED.add(path)
+            import atexit
+            import shutil
+
+            atexit.register(shutil.rmtree, path, True)
     return llmops.ivf_topk_pruned(
         spark, path, e.filter(F.col("vec_id") < 10), cents, k=5, nprobe=4
     )

@@ -125,6 +125,29 @@ def _probe_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def _probe_release_if_large(df: DataFrame, n_in: int, threshold: int) -> None:
+    """Drop an over-threshold probe cache IMMEDIATELY (round-14 ADVICE):
+    only confirmed-small inputs stay cached.  At 100 TB an input that
+    fails the small-threshold probe is arbitrarily large, and holding
+    it in MEMORY_AND_DISK until keep-4 eviction is exactly the
+    executor memory/disk-pressure hazard the llmops shingle-table note
+    declines a persist over — the two-phase path's re-reads of the
+    frame are column-pruned scans, the cheaper price at that size.  A
+    caller-persisted frame is never in the tracker and is left alone
+    (their cache, their release point)."""
+    if n_in <= threshold:
+        return
+    with _PROBE_CACHE_LOCK:
+        try:
+            _LIVE_PROBE_CACHES.remove(df)
+        except ValueError:
+            return
+    try:
+        df.unpersist()
+    except Exception:
+        pass
+
+
 def _bsearch_bucket(col: Column, seq: list, descending: bool, lo: int, hi: int):
     """Balanced nested-when binary search over the frozen boundary
     literals ``seq[lo:hi]``: returns a literal bucket id equal to the
@@ -303,9 +326,12 @@ def scalable_cumsum(
         if n_in is None:
             # the probe is an eager action and the returned plan reads
             # df again: persist first (bounded tracker, see
-            # _probe_persist) so upstream lineage executes once
+            # _probe_persist) so upstream lineage executes once; an
+            # over-threshold frame is released immediately (see
+            # _probe_release_if_large)
             df = _probe_persist(df)
             n_in = df.count()
+            _probe_release_if_large(df, n_in, small_threshold)
         if n_in <= small_threshold:
             w = W.orderBy(order_col).rowsBetween(
                 W.unboundedPreceding, W.currentRow
@@ -360,9 +386,11 @@ def scalable_cumsum_multi(
     if small_threshold:
         n_in = precomputed_count
         if n_in is None:
-            # persist before the eager probe (see _probe_persist)
+            # persist before the eager probe (see _probe_persist);
+            # over-threshold frames released immediately
             df = _probe_persist(df)
             n_in = df.count()
+            _probe_release_if_large(df, n_in, small_threshold)
         if n_in <= small_threshold:
             w = W.orderBy(order_col).rowsBetween(
                 W.unboundedPreceding, W.currentRow
@@ -720,9 +748,12 @@ def scalable_trailing_aggs(
     lo = -int(lookback)
     hi = 0 if include_current else -1
     if small_threshold:
-        # persist before the eager probe (see _probe_persist)
+        # persist before the eager probe (see _probe_persist);
+        # over-threshold frames released immediately
         df = _probe_persist(df)
-        if df.count() <= small_threshold:
+        n_in = df.count()
+        _probe_release_if_large(df, n_in, small_threshold)
+        if n_in <= small_threshold:
             w = (
                 W.partitionBy(*part_cols)
                 .orderBy(*order_cols)
@@ -840,9 +871,11 @@ def scalable_part_cumsum(
     if small_threshold:
         n_in = precomputed_count
         if n_in is None:
-            # persist before the eager probe (see _probe_persist)
+            # persist before the eager probe (see _probe_persist);
+            # over-threshold frames released immediately
             df = _probe_persist(df)
             n_in = df.count()
+            _probe_release_if_large(df, n_in, small_threshold)
         if n_in <= small_threshold:
             w = (
                 W.partitionBy(*part_cols)

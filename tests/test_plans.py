@@ -260,6 +260,37 @@ def test_forced_two_phase_paths(spark):
     assert diff == 0.0, f"scalable BH diverges from single-window BH by {diff}"
 
 
+def test_probe_cache_released_when_over_threshold(spark):
+    """Round-14 ADVICE (windows._probe_persist): the small-threshold
+    count probe persists its input so the returned plan's re-reads hit
+    cache, but an input that FAILS the probe — the at-scale path,
+    where the frame is arbitrarily large — must be unpersisted
+    immediately instead of squatting in MEMORY_AND_DISK until keep-4
+    eviction.  Only confirmed-small frames stay cached."""
+    from pfithic_spark import windows as win
+
+    win.release_probe_caches()
+    small = spark.range(100).select(
+        F.col("id").alias("d"), F.lit(1).alias("v")
+    )
+    win.scalable_cumsum(small, "d", "v", "run", small_threshold=1000)
+    assert len(win._LIVE_PROBE_CACHES) == 1
+    assert win._LIVE_PROBE_CACHES[0].is_cached
+    win.release_probe_caches()
+
+    big = spark.range(5000).select(
+        F.col("id").alias("d"), F.lit(1).alias("v")
+    )
+    out = win.scalable_cumsum(big, "d", "v", "run", small_threshold=1000)
+    assert win._LIVE_PROBE_CACHES == [], "over-threshold frame must be released"
+    # the two-phase path still computes correctly after the release
+    got = {
+        r["d"]: r["run"]
+        for r in out.filter(F.col("d").isin([0, 4999])).collect()
+    }
+    assert got == {0: 1, 4999: 5000}
+
+
 def test_scalable_cumsum_multi_two_phase(spark):
     """scalable_cumsum_multi (round-10, q_energy_distance spine):
     the forced two-phase path must equal the plain one-task window

@@ -543,11 +543,20 @@ def test_audit_keys_planted(spark, tmp_path, queries):
     )
     assert hist == [(1, 1), (2, 1)]
 
-    # round-13 single-job gate (VERDICT r12 #8): the per-commit counts
-    # must sit IN the returned plan as parquet file scans (one union
-    # aggregated by commit_idx = one job at materialization), not be
-    # pre-collected by a driver-side count() loop — a pre-collected
-    # result would plan as a bare LocalTableScan with no file source.
+    # round-13 single-job gate (VERDICT r12 #8), tightened round 14
+    # (ADVICE): the per-commit counts must sit IN the returned plan as
+    # parquet file scans feeding ONE aggregate over a union — not be
+    # pre-collected by a driver-side count() loop (which would plan as
+    # a bare LocalTableScan with no file source, and which the old
+    # "Relation + parquet appear somewhere" grep could miss if only
+    # SOME counts were pre-collected).
+    import re as _re
+
     df = queries["q_sink_history"](spark, sf)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert "Relation" in plan and "parquet" in plan, plan[:2000]
+    n_scans = len(_re.findall(r"Relation[^\n]*parquet", plan))
+    assert n_scans >= 2, plan[:2000]  # one file scan per commit generation
+    # exactly one count aggregate keyed on commit_idx consumes them
+    n_aggs = len(_re.findall(r"Aggregate \[commit_idx", plan))
+    assert n_aggs == 1, plan[:2000]
+    assert "Union" in plan, plan[:2000]
