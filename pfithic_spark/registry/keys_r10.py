@@ -545,6 +545,17 @@ def q_stratified_conformal(spark, sf_dir):
     # min-of-5, 2.93 → 2.51 s median — modest locally because the
     # broadcast exchanges inside cal were already runtime-reused; the
     # lever grows with the stream side at scale).
+    # Round-14 A/B (VERDICT r13 task 3 — the r13 full-bench numbers
+    # looked slower): same-session min-of-7 at sf0.1, floor probes
+    # healthy on all three variants —
+    #   A persist+eager-checkpoint (this code): min 2.32 / median 2.50
+    #   B tracked-persist only, no checkpoint:  min 2.36 / median 3.45
+    #   C neither (the r12 shape):              min 2.22 / median 2.58
+    # A ≈ C in wall-clock at sf0.1; B loses (each qh consumer re-runs
+    # the rank machinery).  A is kept for the plan collapse (207 vs
+    # 919 lines for C — Catalyst planning cost grows with the stream
+    # side at scale); the r13 "regression" was host noise (the round-14
+    # opening full bench has this key at 2.07 s < r12's 2.32 s).
     cal = cal.persist()
     try:
         rk = win.scalable_part_rank(

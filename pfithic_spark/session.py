@@ -25,6 +25,20 @@ RUNTIME_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Round 14 (guide §3.1 / §9 baseline; VERDICT r13 task 4): allow
+    # shuffled-hash join where the per-partition build side fits —
+    # skips SMJ's two sorts.  Same-session min-of-4 A/B at sf0.1 on an
+    # 11-key join-heavy basket: 9 keys −6..−22 % (q_assoc_rules 3.09
+    # →2.47, q_hodges_lehmann 1.97→1.53, q_minhash_calibration 4.40
+    # →3.64, q_huber_regression 2.98→2.60, q_bipartite_projection
+    # 1.34→1.11), 2 flat, none slower; full-bench per-key diff showed
+    # no >1.5× regression cluster (OPTIMIZATION_r14.md).  The 64 MB
+    # AQE local-map threshold (= the advisory partition size, the
+    # documented upper bound for it) bounds the build side per
+    # partition, which is what keeps the at-scale OOM risk of a hash
+    # build bounded; skew handling stays with AQE skewJoin.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
 }
 
 

@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        help="extra runtime SQL conf k=v (repeatable) for config A/Bs",
+    )
     args = ap.parse_args()
 
     from pfithic_spark.session import get_spark
@@ -39,6 +45,10 @@ def main() -> None:
 
     spark = get_spark(app="pfithic-bench-subset")
     spark.sparkContext.setLogLevel("ERROR")
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
+        print(f"# conf {k}={v}", flush=True)
     queries = e.queries()
     # same warmup as bench.py: JVM + parquet footers + python workers
     queries["q_agg_group"](spark, args.sf).collect()
