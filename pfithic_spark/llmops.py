@@ -19,8 +19,20 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Storage level for the bounded signature/band/probe caches (round 14,
+#: VERDICT r13 task 7): MEMORY_AND_DISK **serialized** — the default
+#: deserialized level stores the columnar CachedBatch objects as JVM
+#: object graphs; the serialized form stores them as compact byte
+#: blocks, trading a small deser cost per read for lower storage
+#: memory and cheaper GC at 100 TB signature-table sizes.  Measured at
+#: sf0.1 (tools/measure_cache_storage.py): timings flat within the
+#: noise band, cached bytes strictly lower; numbers in
+#: OPTIMIZATION_r14.md.
+SIG_CACHE_LEVEL = StorageLevel(True, True, False, False, 1)
 
 # --- normalization / fingerprints ---------------------------------------
 
@@ -581,7 +593,7 @@ def _drop_hot_buckets(
     data."""
     if max_bucket is None:
         return banded
-    banded = _track_sig_cache(banded.persist())
+    banded = _track_sig_cache(banded.persist(SIG_CACHE_LEVEL))
     hot = (
         banded.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("_bn"))
@@ -657,7 +669,7 @@ def minhash_lsh_pairs(
             "doc_id",
             F.array(*[f"_m{i}" for i in range(_MINHASH_N)]).alias("sig"),
         )
-        .cache()
+        .persist(SIG_CACHE_LEVEL)
     )
     banded = sigs.select(
         "doc_id",
@@ -836,7 +848,7 @@ def simhash_pairs(
     # release_signature_caches()) frees it — no growth across a
     # many-corpus session
     sigs = _track_sig_cache(
-        simhash_signatures(docs, text_col, id_col).cache()
+        simhash_signatures(docs, text_col, id_col).persist(SIG_CACHE_LEVEL)
     )
     chunk = F.explode(
         F.array(
@@ -921,6 +933,95 @@ def cosine_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
+    )
+
+
+def cosine_topk_gemm(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy form of :func:`cosine_topk` (round 14, guide §4.2) —
+    bit-identical output, measured 4.3× on the 1 M-corpus scale shape
+    (tools/bench_scalable.py knn_s 100.96 → 23.54 s at local[32]).
+
+    The brute-force spelling broadcasts the query side into an n·q pair
+    join where EVERY pair pays three 64-element ``aggregate(zip_with())``
+    folds (dot + both norms — CodegenFallback, interpreted); the rank
+    window then shuffles all n·q rows.  Here one mapInPandas pass over
+    the corpus computes all query dots per Arrow batch with the same
+    sequential fold order (never BLAS — see :func:`knn_topk_edges_gemm`),
+    rounds via :func:`_round6_micro_spark`, and keeps only the per-batch
+    top-k per query, so the JVM rank window sees ≤ k·q·n_batches
+    candidate rows instead of n·q.  Per-query GLOBAL top-k under the
+    (rounded-cosine DESC, e_id ASC) total order is contained in the
+    union of per-batch top-k under the same order, so the final
+    row_number ranks are identical to the brute-force join's.
+
+    The query side is collected to the driver (the same "small side"
+    contract the broadcast join already imposed) and ships to workers
+    by closure.  Bit-exactness pinned by
+    tests/test_llmops.py::test_cosine_topk_gemm_equals_catalyst."""
+    from pyspark.sql import Window as W
+
+    q_pdf = queries.select(id_col, vec_col).toPandas()
+    spark = embeddings.sparkSession
+    if len(q_pdf) == 0:
+        return spark.createDataFrame(
+            [], "q_id long, e_id long, cosine double, rn long"
+        )
+    Q = np.stack(q_pdf[vec_col].to_numpy()).astype(np.float64)
+    q_ids = q_pdf[id_col].to_numpy().astype(np.int64)
+    d = Q.shape[1]
+    qsq = np.zeros(len(Q), dtype=np.float64)
+    for j in range(d):
+        qsq += Q[:, j] * Q[:, j]
+    q_nrm = np.sqrt(qsq)
+    kk = int(k)
+
+    def per_batch(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            acc = np.zeros((n, len(Q)), dtype=np.float64)
+            esq = np.zeros(n, dtype=np.float64)
+            # sequential left-fold per dimension == dot_double's order
+            for j in range(d):
+                c = M[:, j]
+                acc += c[:, None] * Q[:, j][None, :]
+                esq += c * c
+            e_nrm = np.sqrt(esq)
+            # original order: dot / (l2(q_vec) * l2(e_vec))
+            cos = acc / (q_nrm[None, :] * e_nrm[:, None])
+            micro = _round6_micro_spark(cos)
+            out_q, out_e, out_c = [], [], []
+            for qi in range(len(Q)):
+                col = micro[:, qi]
+                order = np.lexsort((ids, -col))
+                sel = order[ids[order] != q_ids[qi]][:kk]
+                out_q.append(np.full(len(sel), q_ids[qi], dtype=np.int64))
+                out_e.append(ids[sel])
+                out_c.append(col[sel] / 1e6)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "e_id": np.concatenate(out_e),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    cand = embeddings.select(id_col, vec_col).mapInPandas(
+        per_batch, schema="q_id long, e_id long, cosine double"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("e_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= kk)
     )
 
 
@@ -2036,7 +2137,7 @@ def lsh_cosine_pairs(
     # would re-run the posexplode+groupBy build once per band per join
     # side — measured as 4 signature passes / 6 source scans with
     # zero exchange reuse (column pruning makes each subtree distinct)
-    sig = _track_sig_cache(dots.select("id", *band_cols).cache())
+    sig = _track_sig_cache(dots.select("id", *band_cols).persist(SIG_CACHE_LEVEL))
     banded = sig.select(
         "id",
         F.explode(

@@ -325,7 +325,7 @@ def q_bm25(spark, sf_dir):
     # doc-grain invariant read by two consumers (stats and scoring);
     # output is corpus-keyed, so the shared keep-4 eviction pool owns
     # the release (q_lm_score discipline)
-    wide = llmops._track_sig_cache(wide.persist())
+    wide = llmops._track_sig_cache(wide.persist(llmops.SIG_CACHE_LEVEL))
     stats_df = wide.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
@@ -1004,7 +1004,7 @@ def pmi_bigrams_lazy(spark, sf_dir):
     pc = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    pc = pc.persist()
+    pc = pc.persist(llmops.SIG_CACHE_LEVEL)
     n_df = pc.agg(F.sum("c12").alias("n"))
     c12 = pc.filter(F.col("c12") >= _PMI_MIN_COUNT)
     c1 = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))

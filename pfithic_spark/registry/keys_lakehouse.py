@@ -474,7 +474,7 @@ def q_lm_score(spark, sf_dir):
     # there is no bounded materialization point to unpersist behind —
     # registered in the shared eviction pool instead (keep-4, the LSH
     # signature-cache discipline)
-    pc = llmops._track_sig_cache(pc.persist())
+    pc = llmops._track_sig_cache(pc.persist(llmops.SIG_CACHE_LEVEL))
     c1 = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
         bi.join(pc, ["w1", "w2"])

@@ -1748,7 +1748,7 @@ def minhash_calibration_from(
     # cached (doc_id, h1..h8) table — 8 hex strings per doc — now
     # serves all of them; band rows derive from the cache.  Tracked
     # like the other LSH signature caches (bounded keep-4 tracker).
-    m = llmops._track_sig_cache(llmops.md5_minhash_signatures(d).persist())
+    m = llmops._track_sig_cache(llmops.md5_minhash_signatures(d).persist(llmops.SIG_CACHE_LEVEL))
     bands = llmops.md5_minhash_band_rows_from_sigs(m)
     # hot-bucket cap (LSH_MAX_BUCKET discipline): a band bucket of B
     # docs emits C(B,2) candidates; mass-duplicated boilerplate

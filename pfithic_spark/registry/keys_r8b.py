@@ -2285,10 +2285,10 @@ def q_knn_classify(spark, sf_dir):
     closes the ANN stack (q_sim_topk retrieves, this PREDICTS; IVF/LSH
     pruning swaps in for the brute-force scan the same way).
 
-    100 TB shape: the bounded query side broadcasts onto the corpus
-    scan (llmops.cosine_topk — zip_with dot, no component explode),
-    WindowGroupLimit prunes to k per query before the bounded vote
-    aggregate; the corpus is read once and never self-joins.
+    100 TB shape: the bounded query side ships by closure into ONE
+    Arrow pass over the corpus (llmops.cosine_topk_gemm — round 14;
+    per-batch top-k, so the rank window sees ≤ k·q·n_batches rows,
+    never n·q), the corpus is read once and never self-joins.
     Determinism: q_sim_topk's rank convention (round(6) cosine with
     e_id tie-break — ties are measure-zero on sqrt-normalized dots);
     votes and the majority rank are exact integers with full
@@ -2296,7 +2296,7 @@ def q_knn_classify(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 10)
     cand = e.filter(F.col("vec_id") >= 10)
-    nn = llmops.cosine_topk(cand, queries, k=_KNN_K)
+    nn = llmops.cosine_topk_gemm(cand, queries, k=_KNN_K)
     lbl = cand.select(
         F.col("vec_id").alias("e_id"), F.col("label").alias("nbr_label")
     )
@@ -2944,7 +2944,7 @@ def q_oov_rate(spark, sf_dir):
     ws = toks.groupBy("source", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    ws = llmops._track_sig_cache(ws.persist())
+    ws = llmops._track_sig_cache(ws.persist(llmops.SIG_CACHE_LEVEL))
     pooled = ws.groupBy("w").agg(F.sum("c").cast("long").alias("cw"))
     vocab = (
         pooled.orderBy(F.col("cw").desc(), "w")

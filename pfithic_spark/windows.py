@@ -93,6 +93,14 @@ _LIVE_PROBE_CACHES: list[DataFrame] = []
 _PROBE_CACHE_LOCK = _threading.Lock()
 _PROBE_CACHE_KEEP = 4
 
+#: Serialized MEMORY_AND_DISK for the probe caches (round 14, VERDICT
+#: r13 task 7 — the llmops.SIG_CACHE_LEVEL rationale: compact byte
+#: blocks instead of JVM object graphs; timings flat at sf0.1, storage
+#: strictly lower — numbers in OPTIMIZATION_r14.md).
+from pyspark import StorageLevel as _StorageLevel
+
+_PROBE_CACHE_LEVEL = _StorageLevel(True, True, False, False, 1)
+
 
 def release_probe_caches() -> None:
     """Unpersist probe-input caches held by the scalable_* helpers."""
@@ -112,7 +120,7 @@ def _probe_persist(df: DataFrame) -> DataFrame:
     point)."""
     if df.is_cached:
         return df
-    df = df.persist()
+    df = df.persist(_PROBE_CACHE_LEVEL)
     with _PROBE_CACHE_LOCK:
         _LIVE_PROBE_CACHES.append(df)
         drop = _LIVE_PROBE_CACHES[:-_PROBE_CACHE_KEEP]
