@@ -213,10 +213,14 @@ SELECT q_id, e_id, cosine, CAST(rn AS BIGINT) AS rn FROM ranked WHERE rn <= 5
 """,
 )
 def q_sim_topk(spark, sf_dir):
-    """Brute-force cosine top-k (k=5) per query vector — broadcast query
-    side, arrays stay intact (zip_with fold, no explode)."""
+    """Exact cosine top-k (k=5) per query vector — one Arrow pass over
+    the corpus with the driver-collected bounded query side (round 14:
+    llmops.cosine_topk_gemm, bit-identical to the brute-force
+    broadcast-join spelling it replaced; 4.3× on the 1 M-corpus scale
+    row — knn_s 100.96 → 23.54 s — where the n·q pair join paid three
+    CodegenFallback folds per pair)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return llmops.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return llmops.cosine_topk_gemm(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 @register(

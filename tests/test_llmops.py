@@ -707,3 +707,47 @@ def test_pq_reseed_gives_distinct_points_per_empty_cluster(spark):
     # [15.0, 100.0, 100.0] — one dead duplicate.
     cents = sorted(cb["value"].tolist())
     assert cents == [15.0, 50.0, 100.0], cents
+
+
+def test_cosine_topk_gemm_equals_catalyst(spark, sf_dir):
+    """cosine_topk_gemm (round 14) must emit BIT-identical rows to the
+    brute-force broadcast-join cosine_topk it replaced — same
+    (q_id, e_id, rn) set, byte-identical cosine doubles — on the live
+    fixture AND on a planted tie block (identical vectors force exact
+    rounded-cosine ties broken by e_id)."""
+    import struct
+
+    from pfithic_spark.io import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+
+    def keyed(rows):
+        return sorted(
+            (r["q_id"], r["e_id"], r["rn"], struct.pack("<d", r["cosine"]))
+            for r in rows
+        )
+
+    ref = keyed(llmops.cosine_topk(e, q, k=5).collect())
+    got = keyed(llmops.cosine_topk_gemm(e, q, k=5).collect())
+    assert len(got) == len(ref) and got == ref
+
+    def vec(pattern):
+        return [float(x) for x in pattern] + [0.0] * (64 - len(pattern))
+
+    planted = spark.createDataFrame(
+        [
+            (1, vec([10, 0])),
+            (7, vec([10, 0])),
+            (3, vec([10, 0])),
+            (5, vec([10, 0.001])),
+            (9, vec([0, 10])),
+            (11, vec([7, 7])),
+            (12, vec([10, 0])),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pq = planted.filter(F.col("vec_id") <= 3)
+    ref2 = keyed(llmops.cosine_topk(planted, pq, k=3).collect())
+    got2 = keyed(llmops.cosine_topk_gemm(planted, pq, k=3).collect())
+    assert got2 == ref2

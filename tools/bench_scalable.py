@@ -2898,7 +2898,9 @@ def main() -> None:
         ).alias("embedding"),
     )
     t0 = time.time()
-    knn_nn = _llm.cosine_topk(knn_corpus, knn_q, k=5)
+    # round 14: the keys route through cosine_topk_gemm (Arrow kernel);
+    # the harness exercises the same production path
+    knn_nn = _llm.cosine_topk_gemm(knn_corpus, knn_q, k=5)
     knn_lbl = knn_corpus.select(
         F.col("vec_id").alias("e_id"), F.col("label").alias("nbr_label")
     )
