@@ -61,7 +61,13 @@ def q_dedup_near(spark, sf_dir):
     than LSH_MAX_BUCKET (1000) are dropped from candidate generation
     (round-7 hardening — a mass-duplicated document collides in every
     band, the one residual quadratic in the banded shape; such docs
-    belong to the linear q_dedup_exact pass)."""
+    belong to the linear q_dedup_exact pass).
+
+    Round-14 plan audit (VERDICT r13 task 8,
+    plans/r14/q_dedup_near_after.txt): no duplicated exchange-free
+    subtree of the q_minhash_calibration kind — every executed leaf is
+    an InMemoryTableScan of the tracked signature/band caches (parquet
+    scans appear only inside InMemoryRelation reprints); left alone."""
     return llmops.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -74,7 +80,14 @@ def q_dedup_simhash(spark, sf_dir):
     Hamming self-join: tests/test_llmops.py.  Chunk buckets larger than
     LSH_MAX_BUCKET (1000) are dropped from candidate generation
     (round-7 hardening — mass-duplicated docs share all chunks; they
-    belong to the linear q_dedup_exact pass)."""
+    belong to the linear q_dedup_exact pass).
+
+    Round-14 plan audit (VERDICT r13 task 8,
+    plans/r14/q_dedup_simhash_after.txt): no duplicated exchange-free
+    subtree — executed leaves are all cache reads, and Catalyst already
+    pushes the Hamming-radius filter INTO the candidate join condition
+    (bit_count(xor) <= 3 sits in the BroadcastHashJoin predicate, so
+    the distinct never sees over-radius rows); left alone."""
     return llmops.simhash_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=3
     )

@@ -999,6 +999,16 @@ def q_quantile_sketch(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
+    # NOT persisted (round-14 measurement, VERDICT r13 task 5): the
+    # ranked stream feeds three consumers and the rank window above the
+    # AQE-reused _pid exchange does re-execute per consumer stage, but
+    # a tracked persist of the (cents, rk) projection measured FLAT
+    # (min-of-6 A/B at sf0.1: 2.66/3.18 persisted vs 2.70/3.06 plain,
+    # the persisted side on the better host window) — the key's floor
+    # is stage-count overhead, not window recompute.  And at 100 TB
+    # the ranked stream is data-grain: MEMORY_AND_DISK-caching it is
+    # the exact oversized-cache hazard the probe path releases
+    # (_probe_release_if_large), so the cache is wrong at scale too.
     ranked = win.scalable_rank(
         v,
         [F.col("cents"), F.col("l_orderkey"), F.col("l_linenumber")],
