@@ -1412,15 +1412,19 @@ def test_r8b_scalar_census_keys_join_free(spark, sf_dir, queries):
 
 
 def test_knn_and_readability_plan_shapes(spark, sf_dir, queries):
-    """q_knn_classify: broadcast query side onto one corpus scan with
-    WindowGroupLimit pruning to k before the vote; q_readability: a
-    narrow zero-shuffle projection (multimodal-gate discipline)."""
+    """q_knn_classify (round 14): ONE Arrow pass over the corpus
+    (MapInPandas — llmops.cosine_topk_gemm, bit-exactness pinned by
+    test_cosine_topk_gemm_equals_catalyst) replaces the n·q non-equi
+    broadcast join; the n·q pair fan and row-at-a-time Python stay
+    banned.  q_readability: a narrow zero-shuffle projection
+    (multimodal-gate discipline)."""
     import re
 
     p = _plan(queries["q_knn_classify"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in p  # q_id != e_id non-equi
-    assert "WindowGroupLimit" in p
-    assert "EvalPython" not in p
+    assert "MapInPandas" in p, p[:1500]
+    assert "BroadcastNestedLoopJoin" not in p  # the old n·q pair fan
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
 
     p = _plan(queries["q_readability"](spark, sf_dir))
     assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
